@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.sources.GraftIO
+
+/** Source/sink and sampling operators (SURVEY §2.1, §2.6).
+  *
+  * Format round-trips write a derived copy under `target/tmp` and read it
+  * back; the oracle reads the original parquet — equality proves the
+  * round-trip is lossless. Seeded samplers are implementation-defined
+  * (SURVEY §7.3), so they are rows-only checks (no oracle).
+  */
+object Sources {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private def tmp(name: String): String = s"/root/repo/target/tmp/$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2: ORC round-trip (ref build_random_sets.py:31 reads ORC timelines).
+    "q36_orc_roundtrip" -> ((s, d) => {
+      val p = tmp("region_orc")
+      GraftIO.writeOrc(t(s, d, "region"), p)
+      GraftIO.orc(s, p).select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    }),
+
+    // S3: JSON round-trip (ref build_2020_sets.py:27 reads decahose JSON).
+    "q37_json_roundtrip" -> ((s, d) => {
+      val p = tmp("nation_json")
+      GraftIO.writeJson(t(s, d, "nation"), p)
+      GraftIO.json(s, p)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n_nations"))
+        .select(col("n_regionkey").cast("long").as("n_regionkey"), col("n_nations"))
+    }),
+
+    // S4: CSV (header) round-trip with explicit casts back
+    // (ref geocode_stop_locations.scala:26, wbgps/analysis.py:312).
+    "q38_csv_roundtrip" -> ((s, d) => {
+      val p = tmp("nation_csv")
+      GraftIO.writeSingleCsv(t(s, d, "nation"), p)
+      GraftIO.csv(s, p)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // S9/O7: local collection -> DataFrame joined against a ranked table
+    // (ref sample_tweets_to_validate...py:21-33,62-66 log-spaced ranks).
+    "q39_local_rank_join" -> ((s, d) => {
+      import s.implicits._
+      val ranks = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L).toDF("rnk")
+      val w = Window.orderBy(desc("value"), asc("event_id"))
+      val ranked = t(s, d, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 512) // prune before the tiny join
+      ranked.join(broadcast(ranks), Seq("rnk"))
+        .select(col("rnk"), col("event_id"), round(col("value"), 2).as("value"))
+    }),
+
+    // O4: seeded Bernoulli sample — rows-only (sampler is engine-specific).
+    "q40_sample_seeded" -> ((s, d) => {
+      t(s, d, "events").sample(withReplacement = false, 0.1, seed = 42)
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // O5: stratified sample by key (ref select_tweets_containing_ngrams.py:145)
+    // — rows-only.
+    "q41_stratified_sample" -> ((s, d) => {
+      val fractions = Map("click" -> 0.05, "view" -> 0.1, "purchase" -> 0.5,
+        "signup" -> 1.0, "error" -> 0.2)
+      t(s, d, "events").stat.sampleBy("event_type", fractions, 42L)
+        .select("event_id", "event_type")
+    }),
+
+    // O6: seeded random jitter column (ref wbgps/analysis.py:402) — rows-only;
+    // aggregate so the check is a stable distribution summary shape.
+    "q42_rand_jitter" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("jitter", rand(7L) * 6)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q36_orc_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "q37_json_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations
+         FROM nation GROUP BY 1""",
+    "q38_csv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "q39_local_rank_join" ->
+      """SELECT rnk, event_id, round(value,2) AS value FROM
+         (SELECT event_id, value,
+            row_number() OVER (ORDER BY value DESC, event_id ASC) AS rnk FROM events)
+         JOIN (VALUES (1),(2),(4),(8),(16),(32),(64),(128),(256),(512)) v(rnk) USING (rnk)""")
+}
