@@ -28,6 +28,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // testdata events.parquet uses TIMESTAMP(NANOS); see Tables.apply.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Parquet scan sizing: at 100 TB this is the knob that keeps input
       // partitions ~128MB; harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")

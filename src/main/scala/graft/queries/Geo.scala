@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.GeoFunctions
+import graft.operators.SpatialJoin
+
+/** Geospatial operators (SURVEY §2.3 J7/J8, §2.10 F6/F7) as oracle-checked
+  * queries.
+  *
+  * The testdata has no geometry, so coordinates are derived deterministically
+  * from numeric columns with arithmetic both engines evaluate identically
+  * (IEEE doubles, fmod/floor — no libm divergence except the haversine trig,
+  * whose output is floor-bucketed to km). Polygons are literal WKT chosen
+  * with 3-decimal vertices so 2-decimal-derived points never sit on an edge.
+  */
+object Geo {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // triangle (lon lat), counter-clockwise
+  private val TRI = "POLYGON ((10.137 20.711, 30.473 22.197, 18.731 40.899, 10.137 20.711))"
+
+  private val RECTS = Seq(
+    ("R1", -100.313, -50.137, -40.237, -10.411),
+    ("R2", -49.731, 10.291, -40.237, -10.411),
+    ("R3", 10.917, 80.313, 0.137, 35.411),
+    ("R4", -20.317, 60.711, 40.137, 70.219))
+
+  private def rectWkt(minX: Double, maxX: Double, minY: Double, maxY: Double): String =
+    s"POLYGON (($minX $minY, $maxX $minY, $maxX $maxY, $minX $maxY, $minX $minY))"
+
+  /** customer rows -> deterministic points; identical SQL in the oracles. */
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      (col("c_acctbal") % 90.0).as("lat"),
+      ((col("c_custkey") % 360) - 180).cast("double").as("lon"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Haversine distance between derived nation coordinates, floor-bucketed
+    // to km (trig last-ulp differences across engines can't flip a km).
+    "q43_haversine" -> ((s, d) => {
+      val n = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        (col("n_nationkey") * 7.0 - 84.0).as("lat"),
+        (col("n_nationkey") * 14.0 - 168.0).as("lon"))
+      val a = n.select(col("k").as("k1"), col("lat").as("lat1"), col("lon").as("lon1"))
+      val b = n.select(col("k").as("k2"), col("lat").as("lat2"), col("lon").as("lon2"))
+      a.join(b, col("k1") < col("k2"))
+        .select(col("k1"), col("k2"),
+          floor(GeoFunctions.haversineMeters(
+            col("lat1"), col("lon1"), col("lat2"), col("lon2")) / 1000)
+            .cast("long").as("km"))
+    }),
+
+    // F6: native codegen grid-cell expression vs its closed-form SQL.
+    "q44_grid_cell" -> ((s, d) => {
+      custPoints(s, d)
+        .select(col("c_custkey"), GeoFunctions.gridCell(col("lat"), col("lon"), 10).as("cell"))
+    }),
+
+    // F7/J8: exact point-in-polygon (ray cast) vs half-plane sign tests.
+    "q45_point_in_triangle" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 40.0).as("lon"),
+          ((col("c_acctbal") % 45.0) + 20.0).as("lat"))
+        .where(GeoFunctions.stContains(lit(TRI), col("lon"), col("lat")))
+        .select("c_custkey")
+    }),
+
+    // J7+J8: full two-phase spatial join (polygon cells explode -> broadcast
+    // equi-join on cell -> exact refine) against rectangle dimensions.
+    "q46_spatial_join" -> ((s, d) => {
+      import s.implicits._
+      val polys = RECTS.map { case (id, minX, maxX, minY, maxY) =>
+        (id, rectWkt(minX, maxX, minY, maxY))
+      }.toDF("geom_id", "wkt")
+      SpatialJoin.geocode(custPoints(s, d), "lat", "lon", polys, "wkt", res = 6)
+        .select("c_custkey", "geom_id")
+    }))
+
+  private val havSql =
+    """2*6371000.0*asin(sqrt(
+        sin(radians(b.lat-a.lat)/2)*sin(radians(b.lat-a.lat)/2)
+        + cos(radians(a.lat))*cos(radians(b.lat))
+          * sin(radians(b.lon-a.lon)/2)*sin(radians(b.lon-a.lon)/2)))"""
+
+  private def rectOracle: String = RECTS.map { case (id, minX, maxX, minY, maxY) =>
+    s"""SELECT c_custkey, '$id' AS geom_id FROM pts
+        WHERE lon > $minX AND lon < $maxX AND lat > $minY AND lat < $maxY"""
+  }.mkString(" UNION ALL ")
+
+  val oracles: Map[String, String] = Map(
+    "q43_haversine" ->
+      s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+            n_nationkey*7.0-84.0 AS lat, n_nationkey*14.0-168.0 AS lon FROM nation)
+         SELECT a.k AS k1, b.k AS k2,
+           CAST(floor(($havSql)/1000) AS BIGINT) AS km
+         FROM n a JOIN n b ON a.k < b.k""",
+    "q44_grid_cell" ->
+      """SELECT c_custkey,
+           least(CAST(floor((c_acctbal % 90.0 + 90.0)/0.17578125) AS BIGINT), 1023)*4194304
+           + least(CAST(floor((CAST((c_custkey % 360) - 180 AS DOUBLE) + 180.0)/0.17578125) AS BIGINT), 2047)
+           AS cell
+         FROM customer""",
+    "q45_point_in_triangle" -> {
+      val (ax, ay) = (10.137, 20.711)
+      val (bx, by) = (30.473, 22.197)
+      val (cx, cy) = (18.731, 40.899)
+      s"""SELECT c_custkey FROM
+           (SELECT c_custkey, c_custkey % 40.0 AS x, (c_acctbal % 45.0) + 20.0 AS y
+            FROM customer)
+         WHERE ($bx - $ax)*(y - $ay) - ($by - $ay)*(x - $ax) > 0
+           AND ($cx - $bx)*(y - $by) - ($cy - $by)*(x - $bx) > 0
+           AND ($ax - $cx)*(y - $cy) - ($ay - $cy)*(x - $cx) > 0"""
+    },
+    "q46_spatial_join" ->
+      s"""WITH pts AS (SELECT c_custkey, c_acctbal % 90.0 AS lat,
+            CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon FROM customer)
+         $rectOracle""")
+}
