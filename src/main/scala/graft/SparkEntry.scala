@@ -17,8 +17,8 @@ object SparkEntry {
     Relational.queries("q01_agg_sum")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Sources.queries ++ Geo.queries
+    Relational.queries ++ Sources.queries ++ Geo.queries ++ Mobility.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Sources.oracles ++ Geo.oracles
+    Relational.oracles ++ Sources.oracles ++ Geo.oracles ++ Mobility.oracles
 }
