@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Stops
+import graft.operators.{Labeling, Stops}
 
 /** Mobility-pipeline operators (SURVEY §2.10 F1/F2/F3).
   *
@@ -56,7 +56,44 @@ object Mobility {
       Stops.daySplit(iv, "s0", "e0")
         .select(col("event_id"), unix_timestamp(col("day")).as("day_s"),
           col("t0"), col("t1"))
+    }),
+
+    // F4 core: night rollup -> 28-day rolling sum w/ min_periods -> daily
+    // argmax. All-integer math, oracle-checked.
+    "q49_daily_home" -> ((s, d) => {
+      Labeling.dailyHomeCluster(derivedStays(s, d), labelParams)
+        .select(col("user_id"), col("day_s"), col("home_cluster"), col("roll_sum"))
+    }),
+
+    // F4 full pipeline incl. sequential gap-fill + work threshold ->
+    // H/W/O label per stay (rows-only: gap-fill isn't SQL-expressible).
+    "q50_home_work_label" -> ((s, d) => {
+      Labeling.labelStays(derivedStays(s, d), labelParams)
+        .select("user_id", "cluster", "day_s", "t0", "t1", "location_type")
+    }),
+
+    // A5: H/W/O durations pivot per (user, day) on the labeled stays.
+    "q51_durations_pivot" -> ((s, d) => {
+      Labeling.durations(Labeling.labelStays(derivedStays(s, d), labelParams))
     }))
+
+  /** Sparse synthetic data needs a tighter window than production hw=49. */
+  private val labelParams = Labeling.Params(
+    homeWindowDays = 28, workWindowDays = 28, minPeriodsFrac = 0.1,
+    workActivityAverageSec = 1800.0)
+
+  /** events -> integer-math stay rows (user, cluster, day, [t0, t1)). */
+  def derivedStays(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("user_id"),
+        (col("event_id") % 3).as("cluster"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        unix_timestamp(col("ts")).as("t0"),
+        expr("cast(floor(least(abs(value)*3600.0, 21600.0)) as bigint)").as("dur"))
+      .where(col("dur") > 0)
+      .withColumn("t1", col("t0") + col("dur"))
+      .drop("dur")
 
   val oracles: Map[String, String] = Map(
     "q48_day_split" ->
@@ -77,5 +114,35 @@ object Mobility {
          SELECT event_id, day_s,
            greatest(s0, day_s) AS t0, least(e0, day_s + 86400) AS t1
          FROM ex
-         WHERE least(e0, day_s + 86400) > greatest(s0, day_s)""")
+         WHERE least(e0, day_s + 86400) > greatest(s0, day_s)""",
+    // hw=28 -> RANGE 27*86400=2332800 preceding; min_periods=ceil(28*0.1)=3
+    "q49_daily_home" ->
+      """WITH stays AS (
+           SELECT user_id,
+             event_id % 3 AS cluster,
+             CAST(floor(date_part('epoch', date_trunc('day', ts))) AS BIGINT) AS day_s,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t0,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT)
+               + CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) AS t1
+           FROM events
+           WHERE CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) > 0),
+         night AS (
+           SELECT user_id, cluster, day_s, sum(t1 - t0) AS d_night
+           FROM stays
+           WHERE (t0 % 86400) // 3600 >= 21 OR (t1 % 86400) // 3600 <= 9
+           GROUP BY 1,2,3),
+         rolled AS (
+           SELECT user_id, cluster, day_s,
+             sum(d_night) OVER w AS roll_sum, count(*) OVER w AS roll_cnt
+           FROM night
+           WINDOW w AS (PARTITION BY user_id, cluster ORDER BY day_s
+                        RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)),
+         picked AS (
+           SELECT user_id, day_s, cluster, roll_sum,
+             row_number() OVER (PARTITION BY user_id, day_s
+                                ORDER BY roll_sum DESC, cluster ASC) AS rn
+           FROM rolled WHERE roll_cnt >= 3)
+         SELECT user_id, day_s, CAST(cluster AS BIGINT) AS home_cluster,
+           CAST(roll_sum AS BIGINT) AS roll_sum
+         FROM picked WHERE rn = 1""")
 }
