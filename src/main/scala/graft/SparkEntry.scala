@@ -17,8 +17,10 @@ object SparkEntry {
     Relational.queries("q01_agg_sum")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Sources.queries ++ Geo.queries ++ Mobility.queries
+    Relational.queries ++ Sources.queries ++ Geo.queries ++ Mobility.queries ++
+      Training.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Sources.oracles ++ Geo.oracles ++ Mobility.oracles
+    Relational.oracles ++ Sources.oracles ++ Geo.oracles ++ Mobility.oracles ++
+      Training.oracles
 }

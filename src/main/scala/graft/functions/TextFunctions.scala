@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY §2.8/§2.10 F8/F9 + the
+  * training-data-pipeline surface: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything here is composed from codegen'd built-ins (split, transform,
+  * filter, aggregate, regexp) — no UDFs — so whole-stage codegen keeps these
+  * fused with scans at 100 TB, and every function has an exact ANSI-SQL
+  * mirror for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Word tokens of lower-cased text (single-space separator). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Alnum token count — the "BPE-ish" regex tokenizer of the pipeline
+    * surface; whitespace counting is `size(tokens)`.
+    */
+  def alnumTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Accent folding via translate (F9, `build_random_sets.py:52-62`). */
+  def foldAccents(text: Column): Column =
+    translate(text, "áéíóúàèìòùâêîôûäëïöüãõñç", "aeiouaeiouaeiouaeiouaonc")
+
+  /** Canonical normalization for fingerprinting: lower, strip non-alnum to
+    * single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** 128-bit content fingerprint of normalized text (md5 — stable across
+    * engines, unlike murmur).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Deterministic 60-bit integer hash of a string, identical in DuckDB:
+    * first 15 hex chars of md5 parsed base-16.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Fraction of tokens found in `words` (stopword ratio and friends). */
+  def tokenRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** Stopword hit *count* per language list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+
+  /** Tiny n-gram-free language-ID heuristic: argmax of per-language stopword
+    * hit counts; `und` when nothing matches. Deterministic tie-break by list
+    * order.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
+
+  def langId(text: Column): Column = {
+    val scored = langStopwords.map { case (lang, words) =>
+      (lang, stopwordHits(text, words))
+    }
+    // argmax with first-listed winning ties, 'und' when all zero
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Quality heuristics for a training-data filter: lengths, alpha ratio,
+    * stopword ratio, mean token length — plus a keep/drop verdict.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
+    val stop = tokenRatio(text, langStopwords.flatMap(_._2))
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(0.0)
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(alpha.cast("double") / greatest(nChars, lit(1)), 6).as("alpha_ratio"),
+      round(stop, 6).as("stop_ratio"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      (nToks >= 10 && nToks <= 100000 && stop > 0.001).as("keep"))
+  }
+
+  /** Bag-of-words tonal scoring (F8, news sentiment — formulas
+    * `compiled-bookdown/16-news_sentiment.Rmd:42-48`): per tone
+    * tf = hits/T; sentiment = positive tf - negative tf.
+    */
+  def tonalScore(text: Column, positive: Seq[String], negative: Seq[String]): Column = {
+    val toks = tokens(text)
+    val t = size(toks)
+    val pos = stopwordHits(text, positive)
+    val neg = stopwordHits(text, negative)
+    struct(
+      t.cast("long").as("n_tokens"),
+      round(when(t > 0, pos.cast("double") / t).otherwise(0.0), 6).as("tf_pos"),
+      round(when(t > 0, neg.cast("double") / t).otherwise(0.0), 6).as("tf_neg"),
+      round(when(t > 0, (pos - neg).cast("double") / t).otherwise(0.0), 6).as("sentiment"))
+  }
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over `documents`/`embeddings`:
+  * text analysis (language-ID, quality, tokens, fingerprints, tonal
+  * scoring), dedup (exact, Jaccard, MinHash+LSH, SimHash) and embedding
+  * similarity search. All but none are rows-only: every query here has a
+  * DuckDB oracle, including MinHash/SimHash (md5-based 60-bit hashes both
+  * engines compute identically) and cosine top-k (explicit 64-term IEEE
+  * sums).
+  */
+object Training {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private val posWords = Seq("fast", "big", "spark")
+  private val negWords = Seq("slow", "small", "filter")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID heuristic (argmax stopword hits, first-listed wins ties).
+    "q52_lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+    }),
+
+    // quality scoring for a training-data filter.
+    "q53_quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"), col("q.alpha_ratio").as("alpha_ratio"),
+          col("q.stop_ratio").as("stop_ratio"),
+          col("q.mean_token_len").as("mean_token_len"), col("q.keep").as("keep"))
+    }),
+
+    // token counting: whitespace vs alnum-regex tokenizer.
+    "q54_token_count" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
+        TextFunctions.alnumTokenCount(col("text")).cast("long").as("n_alnum"))
+    }),
+
+    // content fingerprint (md5 of canonical normalization).
+    "q55_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // exact dedup groups by fingerprint.
+    "q56_exact_dedup" -> ((s, d) => {
+      Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")
+    }),
+
+    // F8 tonal scoring (news sentiment).
+    "q57_tonal_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("sc", TextFunctions.tonalScore(col("text"), posWords, negWords))
+        .select(col("doc_id"), col("sc.n_tokens").as("n_tokens"),
+          col("sc.tf_pos").as("tf_pos"), col("sc.tf_neg").as("tf_neg"),
+          col("sc.sentiment").as("sentiment"))
+    }),
+
+    // pairwise token-set Jaccard over a bounded range.
+    "q58_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val a = docs.select(col("doc_id").as("id1"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id2"), col("text").as("tb"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("j", Dedup.jaccardTokens(col("ta"), col("tb")))
+        .where(col("j") > 0.8)
+        .select(col("id1"), col("id2"), floor(col("j") * 1e6).cast("long").as("j_e6"))
+    }),
+
+    // MinHash + LSH banding candidate pairs (32 perms, 8 bands x 4 rows).
+    "q59_minhash_lsh" -> ((s, d) => {
+      Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+    }),
+
+    // 60-bit SimHash per document.
+    "q60_simhash" -> ((s, d) => {
+      t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), Dedup.simhash60("text").as("sim"))
+    }),
+
+    // brute-force cosine top-10 for three query vectors.
+    "q61_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(10L, 20L, 30L)), 10)
+    }),
+
+    // LSH-bucketed ANN (8 data-derived hyperplanes), same output shape.
+    "q62_ann_lsh" -> ((s, d) => {
+      Similarity.lshTopK(t(s, d, "embeddings"), Seq(100L, 200L), 10, 8)
+    }),
+
+    // cosine near-duplicate pairs above a threshold, bounded range.
+    "q63_cosine_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), 200L, 0.25)
+    }))
+
+  // ---- oracle SQL ----
+
+  private def hitsSql(words: Seq[String]) = {
+    val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($list, t)))"
+  }
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** 60-bit md5 hash of a SQL string expression (mirror of hash60). */
+  private def h60(e: String) = s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Similarity.Dim).map(i =>
+      s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
+  private def minhashOracle: String = {
+    val p = Dedup.MinHashParams()
+    val sigs = (0 until p.numPerms).map { i =>
+      val a = 2L * i + 1; val b = 98765L * i + 12345L
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % ${p.prime})) AS sig$i"
+    }.mkString(",\n             ")
+    val rows = p.numPerms / p.bands
+    val bandSelects = (0 until p.bands).map { bnd =>
+      val key = (0 until rows).map(r => s"sig${bnd * rows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $bnd AS band, concat($key) AS key FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE doc_id < 300),
+         sh AS (
+           SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) AS shingles
+           FROM toks WHERE len(w) >= ${p.shingleSize}),
+         base AS (
+           SELECT doc_id,
+             list_transform(shingles, s -> ${h60("s")} % ${p.baseMod}) AS hs
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+             $sigs
+           FROM base),
+         bands AS (
+           $bandSelects)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+  }
+
+  private def simhashOracle: String =
+    s"""SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), j ->
+           (CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) % 2) * 2 - 1)) > 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j)) AS BIGINT) AS sim
+       FROM (
+         SELECT doc_id,
+           list_transform(string_split(lower(text), ' '), t -> ${h60("t")}) AS hs
+         FROM documents WHERE doc_id < 300)"""
+
+  private def cosineTopkOracle: String =
+    s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.query_id, e.vec_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM c)
+         SELECT query_id, neighbor_id, rnk,
+           CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+         FROM r WHERE rnk <= 10"""
+
+  private def annLshOracle: String =
+    s"""WITH b AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN (${dotSql("e.embedding", "p.embedding")}) > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(p.vec_id AS INT)) ELSE 0 END) AS bucket
+           FROM embeddings e, embeddings p WHERE p.vec_id < 8
+           GROUP BY e.vec_id),
+         q AS (
+           SELECT e.vec_id AS query_id, e.embedding AS qemb, b.bucket AS qbucket
+           FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+           WHERE e.vec_id IN (100, 200)),
+         c AS (
+           SELECT q.query_id, e.vec_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+           JOIN q ON b.bucket = q.qbucket AND e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM c)
+         SELECT query_id, neighbor_id, rnk,
+           CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+         FROM r WHERE rnk <= 10"""
+
+  val oracles: Map[String, String] = Map(
+    "q52_lang_id" -> {
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      """SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS pred_lang
+         FROM (SELECT doc_id, h_en, h_es, h_fr, h_de,
+                 greatest(h_en, h_es, h_fr, h_de) AS mx
+               FROM (SELECT doc_id, """ + hits + " FROM documents))"
+    },
+    "q53_quality_score" -> {
+      val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+      s"""SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+           round(CASE WHEN len(w) > 0
+             THEN CAST($stopAll AS DOUBLE) / len(w) ELSE 0.0 END, 6) AS stop_ratio,
+           round(CASE WHEN len(w) > 0
+             THEN CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+             ELSE 0.0 END, 6) AS mean_token_len,
+           (len(w) >= 10 AND len(w) <= 100000 AND
+            (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w) ELSE 0.0 END)
+              > 0.001) AS keep
+         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)"""
+    },
+    "q54_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum
+         FROM documents""",
+    "q55_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "q56_exact_dedup" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q57_tonal_score" -> {
+      val pos = hitsSql(posWords); val neg = hitsSql(negWords)
+      s"""SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(w) > 0 THEN CAST(p AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS tf_pos,
+           round(CASE WHEN len(w) > 0 THEN CAST(n AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS tf_neg,
+           round(CASE WHEN len(w) > 0 THEN CAST(p - n AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS sentiment
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                 $pos AS p, $neg AS n
+               FROM documents)"""
+    },
+    "q58_jaccard_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(floor(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) * 1000000.0) AS BIGINT) AS j_e6
+         FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+               FROM documents WHERE doc_id < 100) a
+         JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+               FROM documents WHERE doc_id < 100) b
+           ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) > 0.8""",
+    "q59_minhash_lsh" -> minhashOracle,
+    "q60_simhash" -> simhashOracle,
+    "q61_cosine_topk" -> cosineTopkOracle,
+    "q62_ann_lsh" -> annLshOracle,
+    "q63_cosine_neardup" -> {
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+           CAST(floor((${dotSql("a.embedding", "b.embedding")})
+             / (sqrt(${dotSql("a.embedding", "a.embedding")})
+                * sqrt(${dotSql("b.embedding", "b.embedding")})) * 1000000.0) AS BIGINT) AS cos_e6
+         FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+         JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b ON a.vec_id < b.vec_id
+         WHERE (${dotSql("a.embedding", "b.embedding")})
+             / (sqrt(${dotSql("a.embedding", "a.embedding")})
+                * sqrt(${dotSql("b.embedding", "b.embedding")})) > 0.25"""
+    })
+}

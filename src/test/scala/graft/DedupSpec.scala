@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Behavioral checks the oracle can't express: LSH recall on planted
+  * near-duplicates, SimHash locality, signature determinism.
+  */
+class DedupSpec extends SparkSpec {
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the green forest while birds sing songs above the tall trees"
+
+  def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // near-dup of 1
+      (3L, base), // exact dup of 1
+      (4L, "completely different content about spark sql query planning " +
+        "catalyst optimizer rules partitions shuffles joins aggregates windows"),
+      (5L, "yet another unrelated text mentioning neither foxes nor dogs " +
+        "just database engines columnar storage vectorized execution batches")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val groups = Dedup.exactDupGroups(docs(), "doc_id", "text")
+      .where(col("n_dups") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("LSH candidate pairs find planted near-dup and exact dup, not unrelated") {
+    val pairs = Dedup.lshCandidatePairs(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical -> all bands collide
+    assert(pairs.contains((1L, 2L))) // 1-word edit -> some band collides
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature is deterministic and length numPerms") {
+    val sig = docs().where(col("doc_id") === 1)
+      .select(Dedup.minhashSignature(col("text"))).collect().head.getSeq[Long](0)
+    val sig2 = docs().where(col("doc_id") === 3)
+      .select(Dedup.minhashSignature(col("text"))).collect().head.getSeq[Long](0)
+    assert(sig.length == Dedup.MinHashParams().numPerms)
+    assert(sig == sig2) // identical text -> identical signature
+  }
+
+  test("simhash hamming distance: near-dups close, unrelated far") {
+    val sims = docs().select(col("doc_id"), Dedup.simhash60("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(3L)) == 0)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(4L)))
+    assert(ham(sims(1L), sims(2L)) <= 6)
+  }
+
+  test("jaccard: exact dup 1.0, near-dup high, unrelated low") {
+    val d = docs()
+    val a = d.select(col("doc_id").as("id1"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("id2"), col("text").as("tb"))
+    val j = a.join(b, col("id1") < col("id2"))
+      .withColumn("j", Dedup.jaccardTokens(col("ta"), col("tb")))
+      .select("id1", "id2", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("j")).toMap
+    assert(j((1L, 3L)) == 1.0)
+    assert(j((1L, 2L)) > 0.85)
+    assert(j((1L, 4L)) < 0.15)
+  }
+}
