@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling: media travel as opaque
+  * `binary` columns with typed metadata structs; decode / feature-extract /
+  * resize / frame-sample run as partition-batched JVM ops.
+  *
+  * STUB NOTE: no media codecs exist in this build, so `decodeMeta`,
+  * `resizeStub` and `frameSample` are deterministic fakes clearly marked
+  * below — the Spark-side contract (schema, partition batching, typed
+  * output, explode shape) is real and tested; swapping the fake for a codec
+  * (javacv, TwelveMonkeys, ffmpeg-over-pipe) changes only the function body.
+  *
+  * Scale shape: decode is a map-only pass — no shuffle; `mapPartitions`
+  * amortizes any per-batch codec init across the partition (the same reason
+  * the reference batches BERT inference, SURVEY F10). Binary columns ride
+  * parquet byte arrays, so column pruning keeps scans cheap when metadata
+  * alone is queried.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** STUB decoder — deterministic fake: derives dimensions from content
+    * bytes. A real build decodes the header (JPEG SOF / PNG IHDR / WAV fmt).
+    */
+  def decodeMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    if (bytes == null || bytes.isEmpty) ("empty", 0, 0, 0L)
+    else {
+      val b0 = bytes(0) & 0xff
+      val fmt = if (b0 % 3 == 0) "jpeg" else if (b0 % 3 == 1) "png" else "wav"
+      val width = 64 + (bytes.length % 577).toInt
+      val height = 64 + ((bytes.length * 31 + b0) % 577).toInt
+      (fmt, width, height, bytes.length.toLong)
+    }
+  }
+
+  /** Attach a decoded `meta` struct to `binCol`, one partition-batch at a
+    * time. Output schema = input ++ meta struct.
+    */
+  def withDecodedMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition init lives here (codec contexts, buffers, ...)
+      rows.map { r =>
+        val (fmt, w, h, n) = decodeMeta(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
+      }
+    }(enc)
+  }
+
+  /** STUB resize — deterministic fake: truncates/pads to w*h bytes. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte]((w.toLong * h % (1 << 20)).toInt)
+    val n = math.min(bytes.length, out.length)
+    System.arraycopy(bytes, 0, out, 0, n)
+    out
+  }
+
+  /** STUB frame sampler — deterministic fake: splits the payload into
+    * `nFrames` contiguous chunks (sizes differ by at most 1 byte, remainder
+    * on the leading chunks — same shape a real sampler's frame list has).
+    */
+  def frameSample(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] = {
+    val len = bytes.length
+    val q = len / nFrames; val rem = len % nFrames
+    var off = 0
+    (0 until nFrames).map { i =>
+      val sz = q + (if (i < rem) 1 else 0)
+      val chunk = java.util.Arrays.copyOfRange(bytes, off, off + sz)
+      off += sz
+      chunk
+    }
+  }
+
+  /** Explode each media row into (frame_idx, frame) rows. */
+  def withFrames(df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("frame", BinaryType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        frameSample(r.getAs[Array[Byte]](idx), nFrames).zipWithIndex.map {
+          case (chunk, i) => Row.fromSeq(r.toSeq ++ Seq(i, chunk))
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Multimodal
+import graft.streaming.Sessionize
+
+/** Multimodal-column plumbing + sessionization queries. Binary payloads are
+  * derived from document text (UTF-8 bytes) so the stub decoder's
+  * deterministic outputs are SQL-replayable by the oracle.
+  */
+object Media {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def mediaDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary column -> typed metadata struct via partition-batched decode.
+    "q64_multimodal_meta" -> ((s, d) => {
+      Multimodal.withDecodedMeta(mediaDocs(s, d), "payload")
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+    }),
+
+    // frame sampling: media row -> (frame_idx, frame) rows.
+    "q65_frame_sample" -> ((s, d) => {
+      Multimodal.withFrames(mediaDocs(s, d), "payload", 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"))
+    }),
+
+    // gap-based sessionization (batch form; streaming twin in Sessionize).
+    "q66_sessionize" -> ((s, d) => {
+      Sessionize.batch(t(s, d, "events"), 1800)
+        .select(col("event_id"), col("session_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q64_multimodal_meta" ->
+      """SELECT doc_id,
+           CASE WHEN b % 3 = 0 THEN 'jpeg' WHEN b % 3 = 1 THEN 'png' ELSE 'wav' END AS format,
+           CAST(64 + n % 577 AS BIGINT) AS width,
+           CAST(64 + (n * 31 + b) % 577 AS BIGINT) AS height,
+           n AS n_bytes
+         FROM (SELECT doc_id, ascii(substr(text, 1, 1)) AS b,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents)""",
+    "q65_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+           n // 4 + CASE WHEN i < n % 4 THEN 1 ELSE 0 END AS frame_len
+         FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents),
+              (SELECT unnest(range(0, 4)) AS i)""",
+    "q66_sessionize" ->
+      """SELECT event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (
+           SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                       - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT event_id, user_id, ts,
+                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events))""")
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Evt, Session}
+
+/** Structured Streaming sessionization driven through MemoryStream — the
+  * streaming twin of the batch operator (closed-by-gap within and across
+  * micro-batches).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState closes sessions on gap across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    val sessions = Sessionize.streaming(input.toDS(), gapSec = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: two events 100s apart -> one open session (nothing emitted)
+      input.addData(Evt(1L, 1000L, 1L), Evt(1L, 1100L, 2L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions_out").as[Session].collect()
+      assert(afterB1.isEmpty)
+
+      // batch 2: event far beyond the gap -> closes the first session
+      input.addData(Evt(1L, 100000L, 3L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions_out").as[Session].collect()
+      assert(afterB2.toSeq == Seq(Session(1L, 1000L, 1100L, 2L)))
+
+      // batch 3: a second user and a same-batch gap for user 1
+      input.addData(Evt(2L, 200000L, 4L), Evt(1L, 200000L, 5L))
+      q.processAllAvailable()
+      val afterB3 = spark.table("sessions_out").as[Session].collect()
+      assert(afterB3.toSet == Set(
+        Session(1L, 1000L, 1100L, 2L),
+        Session(1L, 100000L, 100000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("batch sessionization splits on gap and is per-user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 11L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 12L), // > 30min gap
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Sessionize.batch(ev, 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 1L && out(11L) == 1L)
+    assert(out(12L) == 2L)
+    assert(out(20L) == 1L)
+  }
+}
