@@ -79,6 +79,30 @@ object Sources {
       t(s, d, "events")
         .withColumn("jitter", rand(7L) * 6)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // S5: metastore-style scan — temp view + SQL text with pushdown-able
+    // WHERE (ref stop_locations.py:63-70 pattern).
+    "q67_sql_over" -> ((s, d) => {
+      GraftIO.sqlOver(s, s"$d/orders.parquet", "orders_v",
+        """SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+           FROM orders_v WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""")
+    }),
+
+    // S7: column-partitioned parquet sink + partition-pruned read-back
+    // (ref tz_offset.scala:28-32 Delta partitionBy("date")).
+    "q68_partitioned_sink" -> ((s, d) => {
+      val p = tmp("events_by_type")
+      GraftIO.writePartitioned(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value"),
+          col("event_type")),
+        p, Seq("event_type"))
+      GraftIO.parquet(s, p)
+        .where(col("event_type") === "click") // prunes to one partition dir
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"), col("n"), col("sum_value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -94,5 +118,11 @@ object Sources {
       """SELECT rnk, event_id, round(value,2) AS value FROM
          (SELECT event_id, value,
             row_number() OVER (ORDER BY value DESC, event_id ASC) AS rnk FROM events)
-         JOIN (VALUES (1),(2),(4),(8),(16),(32),(64),(128),(256),(512)) v(rnk) USING (rnk)""")
+         JOIN (VALUES (1),(2),(4),(8),(16),(32),(64),(128),(256),(512)) v(rnk) USING (rnk)""",
+    "q67_sql_over" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    "q68_partitioned_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events WHERE event_type = 'click' GROUP BY event_type""")
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.{Geo, Relational, Training}
+
+/** Physical-plan assertions — the properties that make these queries hold
+  * at 100 TB: filters reach the parquet scan, small dims broadcast, top-k
+  * never global-sorts, hot paths stay in whole-stage codegen, and text/
+  * similarity pipelines contain no (un-codegen-able) UDF nodes.
+  */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = (Relational.queries ++ Geo.queries ++ Training.queries)(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+project: predicates push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    // pruned read schema — no unreferenced columns in the scan
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q08 dimension joins broadcast") {
+    val p = plan("q08_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q24 top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q24_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q46 spatial join: broadcast on cell id, no shuffle of the point side") {
+    val p = plan("q46_spatial_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_st_contains"), p) // exact refine stays a filter
+  }
+
+  test("q01 agg uses partial aggregation (map-side combine)") {
+    val p = plan("q01_agg_sum")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
+  test("text/similarity pipelines contain no UDF nodes") {
+    for (q <- Seq("q52_lang_id", "q55_fingerprint", "q59_minhash_lsh",
+        "q61_cosine_topk")) {
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython") &&
+        !p.toLowerCase.contains("scalaudf"), s"$q has a UDF node:\n$p")
+    }
+  }
+
+  test("q61 cosine top-k broadcasts the query side") {
+    val p = plan("q61_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project hot path") {
+    // codegen stages render as "*(n) Operator" in executedPlan.toString
+    val p = plan("q02_filter_project")
+    assert(p.contains("*(1) Filter") && p.contains("*(1) Project"), p)
+  }
+}
