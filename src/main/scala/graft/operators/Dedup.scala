@@ -56,27 +56,43 @@ object Dedup {
     }: _*)
   }
 
-  /** LSH banding: (band index, joined band values) keys per doc. */
-  def bandKeys(sig: Column, p: MinHashParams): Column = {
+  /** LSH banding keys per doc. Base hashes are materialized through an
+    * `explode` generator (one md5 per shingle, total) and the 32 permuted
+    * minima become 32 `min` aggregates of one hash-per-row frame — inlining
+    * the signature into band expressions instead would replay the md5
+    * hashing per perm/band and explode codegen compile time (measured 51s
+    * on the sf0.1 bench vs ~1s this way).
+    */
+  def bandKeysRows(
+      docs: DataFrame, idCol: String, textCol: String, p: MinHashParams): DataFrame = {
     val rows = p.numPerms / p.bands
-    array((0 until p.bands).map { b =>
-      struct(lit(b).as("band"),
-        array_join(slice(sig, b * rows + 1, rows), "_").as("key"))
-    }: _*)
+    val hsRows = docs
+      .where(size(TextFunctions.tokens(col(textCol))) >= p.shingleSize)
+      .select(col(idCol).as("doc"),
+        explode(transform(shingles(col(textCol), p.shingleSize),
+          s => TextFunctions.hash60(s) % p.baseMod)).as("h"))
+    val sigCols = (0 until p.numPerms).map { i =>
+      val a = 2L * i + 1; val b = 98765L * i + 12345L
+      min((col("h") * a + b) % p.prime).as(s"s$i")
+    }
+    val sig = hsRows.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until p.bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"s${bnd * rows + r}")): _*).as("key"))
+    }
+    sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Candidate near-duplicate pairs: docs sharing any band bucket.
     * The self-join is on (band, key) — shuffle fan-in bounded by bucket
-    * size. Returns distinct (id1 < id2) pairs.
+    * size, and ReuseExchange shares the band-key shuffle between the two
+    * sides. Returns distinct (id1 < id2) pairs.
     */
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    val keyed = docs
-      .where(size(TextFunctions.tokens(col(textCol))) >= p.shingleSize)
-      .select(col(idCol).as("doc"),
-        explode(bandKeys(minhashSignature(col(textCol), p), p)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keyed = bandKeysRows(docs, idCol, textCol, p)
     keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
