@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Analysis-layer query shapes (SURVEY §3.2, §2.11): active-user selection,
+  * migration detection, wealth percentiles, news index rollup.
+  */
+object Analysis {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Active users (wbgps/analysis.py:89-130): per-user distinct active days
+    // pre-period and overall, thresholded against the global maxima. The
+    // global max is a broadcast scalar — the reference's driver round-trip
+    // (toPandas at :111-117) becomes a crossJoin(broadcast(_)) here.
+    "q69_active_users" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val perUser = days.groupBy("user_id").agg(
+        countDistinct(when(col("day") < lit("2024-03-01"), col("day"))).as("n_days_pre"),
+        countDistinct("day").as("n_days_all"))
+      val maxes = perUser.agg(max("n_days_pre").as("max_pre"), max("n_days_all").as("max_all"))
+      perUser.crossJoin(broadcast(maxes))
+        .where(col("n_days_pre") >= col("max_pre") * 0.5 &&
+          col("n_days_all") >= col("max_all") * 0.5)
+        .select("user_id", "n_days_pre", "n_days_all")
+    }),
+
+    // Migration transitions (wbgps/analysis.py:392-415): per-user monthly
+    // "home geom" sequence, lag-detect changes, count transitions by pair.
+    "q70_migration" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("m")
+      t(s, d, "events")
+        .select(col("user_id"),
+          ((unix_timestamp(col("ts")) / (30L * 86400)).cast("long")).as("m"))
+        .distinct()
+        .withColumn("geom", (col("user_id") + col("m")) % 4)
+        .withColumn("prev_geom", lag("geom", 1).over(w))
+        .where(col("prev_geom").isNotNull && col("prev_geom") =!= col("geom"))
+        .groupBy("prev_geom", "geom")
+        .agg(count(lit(1)).as("n_moves"))
+    }),
+
+    // Wealth percentile by cumulative population share (analysis.py:73-81)
+    // + fixed-bin regrouping (pd.cut, analysis.py:194-196).
+    "q71_wealth_percentile" -> ((s, d) => {
+      val w = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = t(s, d, "customer").count() // driver scalar, embedded as literal
+      t(s, d, "customer")
+        .withColumn("cum", count(lit(1)).over(w))
+        .withColumn("pct", col("cum").cast("double") / n)
+        .withColumn("wealth_group",
+          when(col("pct") <= 0.4, "top").when(col("pct") <= 0.8, "mid")
+            .otherwise("bottom"))
+        .groupBy("wealth_group")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    }),
+
+    // News-style index (A10+A11): per-doc tonal sentiment in integer
+    // micro-units (floor of an identically-ordered double formula — exact
+    // across engines, unlike rounding a mean), summed per (lang, source),
+    // then z-scored across sources within lang.
+    "q72_news_index" -> ((s, d) => {
+      val pos = TextFunctions.stopwordHits(col("text"), Seq("fast", "big", "spark"))
+      val neg = TextFunctions.stopwordHits(col("text"), Seq("slow", "small", "filter"))
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val sc = t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          when(nTok > 0,
+            floor((pos - neg).cast("double") / nTok * 1e6)).otherwise(0.0)
+            .cast("long").as("s_e6"))
+      val bySource = sc.groupBy("lang", "source")
+        .agg(sum("s_e6").as("s_sum_e6"), count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("lang")
+      bySource
+        .withColumn("z",
+          (col("s_sum_e6") - avg("s_sum_e6").over(w)) / stddev_samp("s_sum_e6").over(w))
+        .select(col("lang"), col("source"), col("s_sum_e6"), col("n_docs"),
+          round(col("z"), 4).as("z"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q69_active_users" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             count(DISTINCT CASE WHEN date_trunc('day', ts) < TIMESTAMP '2024-03-01'
+                   THEN date_trunc('day', ts) END) AS n_days_pre,
+             count(DISTINCT date_trunc('day', ts)) AS n_days_all
+           FROM events GROUP BY 1),
+         m AS (SELECT max(n_days_pre) AS max_pre, max(n_days_all) AS max_all FROM per_user)
+         SELECT user_id, n_days_pre, n_days_all
+         FROM per_user, m
+         WHERE n_days_pre >= max_pre * 0.5 AND n_days_all >= max_all * 0.5""",
+    "q70_migration" ->
+      """WITH um AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) // 2592000 AS m
+           FROM events),
+         g AS (
+           SELECT user_id, m, (user_id + m) % 4 AS geom,
+             lag((user_id + m) % 4, 1) OVER (PARTITION BY user_id ORDER BY m) AS prev_geom
+           FROM um)
+         SELECT prev_geom, geom, count(*) AS n_moves
+         FROM g WHERE prev_geom IS NOT NULL AND prev_geom <> geom
+         GROUP BY 1, 2""",
+    "q71_wealth_percentile" ->
+      """WITH ranked AS (
+           SELECT c_acctbal,
+             count(*) OVER (ORDER BY c_acctbal DESC, c_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             count(*) OVER () AS n
+           FROM customer)
+         SELECT CASE WHEN CAST(cum AS DOUBLE)/n <= 0.4 THEN 'top'
+                     WHEN CAST(cum AS DOUBLE)/n <= 0.8 THEN 'mid'
+                     ELSE 'bottom' END AS wealth_group,
+           count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+         FROM ranked GROUP BY 1""",
+    "q72_news_index" -> {
+      val pos = "len(list_filter(string_split(lower(text), ' '), t -> list_contains(['fast','big','spark'], t)))"
+      val neg = "len(list_filter(string_split(lower(text), ' '), t -> list_contains(['slow','small','filter'], t)))"
+      s"""WITH sc AS (
+           SELECT lang, source,
+             CAST(CASE WHEN len(string_split(lower(text), ' ')) > 0
+               THEN floor(CAST($pos - $neg AS DOUBLE)
+                          / len(string_split(lower(text), ' ')) * 1000000.0)
+               ELSE 0.0 END AS BIGINT) AS s_e6
+           FROM documents),
+         by_source AS (
+           SELECT lang, source, CAST(sum(s_e6) AS BIGINT) AS s_sum_e6,
+             count(*) AS n_docs
+           FROM sc GROUP BY 1, 2)
+         SELECT lang, source, s_sum_e6, n_docs,
+           round((s_sum_e6 - avg(s_sum_e6) OVER (PARTITION BY lang))
+             / stddev_samp(s_sum_e6) OVER (PARTITION BY lang), 4) AS z
+         FROM by_source"""
+    })
+}
