@@ -82,6 +82,35 @@ object Analysis {
           (col("s_sum_e6") - avg("s_sum_e6").over(w)) / stddev_samp("s_sum_e6").over(w))
         .select(col("lang"), col("source"), col("s_sum_e6"), col("n_docs"),
           round(col("z"), 4).as("z"))
+    }),
+
+    // W6: centered moving average (ma window, wbgps/analysis.py:283-285) —
+    // daily event counts per type, rows frame (-3, +3).
+    "q73_centered_ma" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("ma7_e6", floor(avg("n").over(w) * 1e6).cast("long"))
+        .withColumn("n_in_win", count(lit(1)).over(w))
+        .select(col("event_type"), unix_timestamp(col("day")).as("day_s"),
+          col("n"), col("ma7_e6"), col("n_in_win"))
+    }),
+
+    // O3: uncertainty sampling around a threshold
+    // (retrieve_tweets_around_threshold.py:154-155): 25 closest above ∪
+    // 25 closest below.
+    "q74_threshold_sample" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("value"))
+      val above = ev.where(col("value") >= 1.0)
+        .orderBy(asc("value"), asc("event_id")).limit(25)
+      val below = ev.where(col("value") < 1.0)
+        .orderBy(desc("value"), asc("event_id")).limit(25)
+      above.withColumn("side", lit("above"))
+        .union(below.withColumn("side", lit("below")))
+        .select(col("event_id"), floor(col("value") * 1e6).cast("long").as("value_e6"),
+          col("side"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +167,24 @@ object Analysis {
            round((s_sum_e6 - avg(s_sum_e6) OVER (PARTITION BY lang))
              / stddev_samp(s_sum_e6) OVER (PARTITION BY lang), 4) AS z
          FROM by_source"""
-    })
+    },
+    "q73_centered_ma" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type,
+           CAST(floor(date_part('epoch', day)) AS BIGINT) AS day_s, n,
+           CAST(floor(avg(n) OVER w * 1000000.0) AS BIGINT) AS ma7_e6,
+           count(*) OVER w AS n_in_win
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
+    "q74_threshold_sample" ->
+      """(SELECT event_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
+           'above' AS side
+         FROM events WHERE value >= 1.0 ORDER BY value ASC, event_id ASC LIMIT 25)
+         UNION ALL
+         (SELECT event_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
+           'below' AS side
+         FROM events WHERE value < 1.0 ORDER BY value DESC, event_id ASC LIMIT 25)""")
 }
