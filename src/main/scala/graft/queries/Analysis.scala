@@ -111,6 +111,19 @@ object Analysis {
         .union(below.withColumn("side", lit("below")))
         .select(col("event_id"), floor(col("value") * 1e6).cast("long").as("value_e6"),
           col("side"))
+    }),
+
+    // P9: na.fill / na.drop over join-produced nulls (no source nulls in the
+    // testdata; ref stop_locations.py:84, wbgps/analysis.py:123,217).
+    "q75_na_handling" -> ((s, d) => {
+      val best = t(s, d, "orders").groupBy("o_custkey")
+        .agg(round(max("o_totalprice"), 2).as("best_price"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val joined = t(s, d, "customer").select("c_custkey").join(best, Seq("c_custkey"), "left")
+      val filled = joined.na.fill(Map("best_price" -> 0.0))
+      val dropped = joined.na.drop(Seq("best_price"))
+      filled.withColumn("branch", lit("filled"))
+        .union(dropped.withColumn("branch", lit("dropped")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +199,17 @@ object Analysis {
          UNION ALL
          (SELECT event_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
            'below' AS side
-         FROM events WHERE value < 1.0 ORDER BY value DESC, event_id ASC LIMIT 25)""")
+         FROM events WHERE value < 1.0 ORDER BY value DESC, event_id ASC LIMIT 25)""",
+    "q75_na_handling" ->
+      """WITH best AS (
+           SELECT o_custkey AS c_custkey, round(max(o_totalprice), 2) AS best_price
+           FROM orders GROUP BY 1),
+         joined AS (
+           SELECT c.c_custkey, best_price
+           FROM customer c LEFT JOIN best USING (c_custkey))
+         SELECT c_custkey, coalesce(best_price, 0.0) AS best_price, 'filled' AS branch
+         FROM joined
+         UNION ALL
+         SELECT c_custkey, best_price, 'dropped' AS branch
+         FROM joined WHERE best_price IS NOT NULL""")
 }

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.GraftIO
+
+/** File-layout ops: the compaction pass (≈ the reference's Delta OPTIMIZE,
+  * `tz_offset.scala:32-48`) preserves content while changing file count.
+  */
+class IOSpec extends SparkSpec {
+
+  test("compact rewrites a many-file directory into n files, same rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(8).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 8)
+
+    GraftIO.compact(spark, dir, 2)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 2)
+    val back = GraftIO.parquet(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.as[(Long, String)].collect().toSet ==
+      (1 to 1000).map(i => (i.toLong, s"row$i")).toSet)
+  }
+
+  test("partitioned sink lays out one directory per key") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+    GraftIO.writePartitioned(df, dir, Seq("k"))
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("k=")).sorted
+    assert(parts.toSeq == Seq("k=a", "k=b"))
+    // pruned read: only one partition's rows
+    val a = GraftIO.parquet(spark, dir).where(org.apache.spark.sql.functions.col("k") === "a")
+    assert(a.count() == 2)
+  }
+}
