@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => PolygonCellsExpr(cs(0), cs(1), cs(2)))
     reg("graft_st_contains", classOf[StContainsExpr],
       cs => StContainsExpr(cs(0), cs(1), cs(2)))
+
+    ext.injectOptimizerRule(_ => RectContainsToRange)
   }
 }
