@@ -42,6 +42,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time windowed count with watermark emits closed windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val counts = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .count()
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:05:00")), (1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("win_out").count() == 0) // window still open
+
+      input.addData((1L, ts("2024-01-01 12:00:00"))) // watermark -> 11:50
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 13:00:00"))) // next batch flushes closed window
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("user_id"), col("count"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", 1L, 2L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on gap and is per-user") {
     import spark.implicits._
     val ev = Seq(
