@@ -55,7 +55,10 @@ object Similarity {
 
   /** Sign-pattern bucket id against the first `nPlanes` vectors of the table
     * itself (deterministic and SQL-replayable; a production variant would
-    * sample or train pivots).
+    * sample or train pivots). Broadcast the (tiny) plane table and sum sign
+    * bits per vector — a map-side broadcast join; an alternative that
+    * embeds the planes as an 8x64-term literal expression was measured
+    * slower (codegen compile dominates).
     */
   def withBucket(embs: DataFrame, nPlanes: Int): DataFrame = {
     val planes = embs.where(col("vec_id") < nPlanes)
