@@ -275,7 +275,9 @@ object Relational {
         col("event_id"),
         hour(col("ts")).cast("long").as("h"),
         dayofweek(col("ts")).cast("long").as("dow"),
-        date_trunc("day", col("ts")).as("day"),
+        // epoch seconds, not raw timestamps: engines disagree on timestamp
+        // unit (us vs ns) even when the instant is identical
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
         year(col("ts")).cast("long").as("yr"),
         datediff(col("ts"), lit("2024-01-01")).cast("long").as("days_since"),
         unix_timestamp(col("ts")).as("epoch_s"))
@@ -325,7 +327,7 @@ object Relational {
       val base = daily.where(col("day") < lit("2024-01-16"))
         .groupBy("event_type", "dow").agg(avg("x").as("b"))
       daily.join(broadcast(base), Seq("event_type", "dow"))
-        .select(col("event_type"), col("day"),
+        .select(col("event_type"), unix_timestamp(col("day")).as("day_s"),
           round((col("x") - col("b")) / abs(col("b")), 6).as("change"))
     }),
 
@@ -494,7 +496,7 @@ object Relational {
       """SELECT event_id,
          CAST(hour(ts) AS BIGINT) AS h,
          CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
-         date_trunc('day', ts) AS day,
+         CAST(floor(date_part('epoch', date_trunc('day', ts))) AS BIGINT) AS day_s,
          CAST(year(ts) AS BIGINT) AS yr,
          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
          CAST(floor(date_part('epoch', ts)) AS BIGINT) AS epoch_s
@@ -524,7 +526,9 @@ object Relational {
          base AS (
            SELECT event_type, dow, avg(x) AS b FROM daily
            WHERE day < TIMESTAMP '2024-01-16' GROUP BY 1,2)
-         SELECT daily.event_type, daily.day, round((x - b)/abs(b),6) AS change
+         SELECT daily.event_type,
+           CAST(floor(date_part('epoch', daily.day)) AS BIGINT) AS day_s,
+           round((x - b)/abs(b),6) AS change
          FROM daily JOIN base ON daily.event_type = base.event_type AND daily.dow = base.dow""",
     "q33_json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
