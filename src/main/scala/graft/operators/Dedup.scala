@@ -130,4 +130,39 @@ object Dedup {
   /** Hamming distance between two simhashes (near-dup test at radius k). */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Full near-dup dedup: LSH candidate pairs -> connected components ->
+    * keep the min-id representative of each component.
+    *
+    * The pair graph is tiny relative to the corpus (that is the point of
+    * LSH), so components are resolved with union-find on the driver (S10
+    * pattern) and broadcast back — no iterative joins. Returns the input
+    * plus (rep_id, is_kept).
+    */
+  def dedupNearDupes(
+      docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id wins
+    }
+    val reps = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => (id, find(id)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val repDf = reps.toSeq.toDF(idCol, "rep_id")
+    docs.join(broadcast(repDf), Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col(idCol)))
+      .withColumn("is_kept", col("rep_id") === col(idCol))
+  }
 }

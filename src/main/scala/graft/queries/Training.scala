@@ -101,6 +101,49 @@ object Training {
     // cosine near-duplicate pairs above a threshold, bounded range.
     "q63_cosine_neardup" -> ((s, d) => {
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), 200L, 0.25)
+    }),
+
+    // end-to-end near-dup dedup: LSH pairs -> components -> min-id rep.
+    // Rows-only (driver union-find); DedupSpec covers planted groups.
+    "q76_dedup_keep" -> ((s, d) => {
+      Dedup.dedupNearDupes(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc_id"), col("rep_id"), col("is_kept"))
+    }),
+
+    // k-skip bigrams (reference active-learning count_kskipngrams):
+    // pairs (w_i, w_j) with i < j <= i+1+k, k=2; global top-30.
+    "q77_kskip_bigrams" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      t(s, d, "documents")
+        // sequence(1, 0) DESCENDS in Spark while DuckDB range(1, 1) is
+        // empty — exclude sub-2-token docs on both sides
+        .where(size(w) >= 2)
+        .select(explode(flatten(transform(sequence(lit(1), size(w) - 1),
+          i => transform(sequence(i + 1, least(i + lit(3), size(w))),
+            j => concat_ws(" ", element_at(w, i), element_at(w, j)))))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bg")).limit(30)
+    }),
+
+    // ntile decile stats over customer balances.
+    "q78_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(asc("c_acctbal"), asc("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), round(min("c_acctbal"), 2).as("lo"),
+          round(max("c_acctbal"), 2).as("hi"))
+        .select(col("decile").cast("long").as("decile"), col("n"), col("lo"), col("hi"))
+    }),
+
+    // deterministic hash sampling (scalable, engine-portable — unlike the
+    // seeded Bernoulli sampler, this IS oracle-checkable).
+    "q79_hash_sample" -> ((s, d) => {
+      t(s, d, "documents")
+        .where(TextFunctions.hash60(col("text")) % 10 === 0)
+        .select("doc_id", "lang")
     }))
 
   // ---- oracle SQL ----
@@ -276,6 +319,24 @@ object Training {
     "q60_simhash" -> simhashOracle,
     "q61_cosine_topk" -> cosineTopkOracle,
     "q62_ann_lsh" -> annLshOracle,
+    "q77_kskip_bigrams" ->
+      """SELECT bg, count(*) AS n FROM (
+           SELECT unnest(flatten(list_transform(range(1, len(w)),
+             i -> list_transform(range(i+1, least(i+3, len(w)) + 1),
+               j -> concat(w[i], ' ', w[j]))))) AS bg
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 2)
+         GROUP BY 1 ORDER BY n DESC, bg ASC LIMIT 30""",
+    "q78_ntile" ->
+      """SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+         FROM (SELECT c_acctbal,
+                 ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+               FROM customer)
+         GROUP BY 1""",
+    "q79_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 10 = 0""",
     "q63_cosine_neardup" -> {
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
            CAST(floor((${dotSql("a.embedding", "b.embedding")})

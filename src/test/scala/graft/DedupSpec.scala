@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(sims(1L), sims(2L)) <= 6)
   }
 
+  test("dedupNearDupes keeps min-id representative per component") {
+    val out = Dedup.dedupNearDupes(docs(), "doc_id", "text")
+      .select("doc_id", "rep_id", "is_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // {1,2,3} form one near-dup component -> rep 1 kept, 2/3 dropped
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false))
+    // unrelated docs keep themselves
+    assert(out(4L) == (4L, true))
+    assert(out(5L) == (5L, true))
+  }
+
   test("jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val d = docs()
     val a = d.select(col("doc_id").as("id1"), col("text").as("ta"))
