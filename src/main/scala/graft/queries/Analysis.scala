@@ -124,6 +124,32 @@ object Analysis {
       val dropped = joined.na.drop(Seq("best_price"))
       filled.withColumn("branch", lit("filled"))
         .union(dropped.withColumn("branch", lit("dropped")))
+    }),
+
+    // As-of join: latest 'purchase' value at or before each 'click', per
+    // user — union + last(ignoreNulls) window, one shuffle.
+    "q80_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "t")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id").as("pid"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+      graft.operators.TemporalJoin.asOf(
+          clicks, purchases, "user_id", "t", "pid", "v_e6")
+        .select(col("event_id"), col("asof_value").as("last_purchase_e6"))
+    }),
+
+    // Bounded range join: same-user event pairs within 1 hour, via
+    // time-bucket candidates + exact refine (two-phase, no cross product).
+    "q81_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"), col("event_id"))
+      graft.operators.TemporalJoin.rangePairs(ev, "user_id", "t", "event_id", 3600L)
+        .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+        .select(col("k").as("user_id"), col("n_pairs"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +237,25 @@ object Analysis {
          FROM joined
          UNION ALL
          SELECT c_custkey, best_price, 'dropped' AS branch
-         FROM joined WHERE best_price IS NOT NULL""")
+         FROM joined WHERE best_price IS NOT NULL""",
+    "q80_asof_join" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, p.v_e6 AS last_purchase_e6
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND c.t >= p.t""",
+    "q81_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,
+                 event_id FROM events) a
+         JOIN (SELECT user_id, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,
+                 event_id FROM events) b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+              AND abs(a.t - b.t) <= 3600
+         GROUP BY 1""")
 }
