@@ -144,6 +144,53 @@ object Training {
       t(s, d, "documents")
         .where(TextFunctions.hash60(col("text")) % 10 === 0)
         .select("doc_id", "lang")
+    }),
+
+    // per-label embedding centroids, elementwise (posexplode -> mean per
+    // (label, dim) — the aggregation shape of a k-means step).
+    "q82_label_centroids" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(floor(avg(col("v").cast("double")) * 1e6).cast("long").as("mean_e6"),
+          count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"), col("mean_e6"), col("n"))
+    }),
+
+    // TF-IDF: top-50 (doc, term) scores over the corpus.
+    "q83_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count() // driver scalar (count of corpus)
+      val terms = docs
+        .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("dl"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tc"))
+      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      terms.join(df, "term")
+        .withColumn("tfidf",
+          (col("tc").cast("double") / col("dl")) * log(lit(nDocs.toDouble) / col("df")))
+        .select(col("doc_id"), col("term"),
+          floor(col("tfidf") * 1e9).cast("long").as("tfidf_e9"))
+        .orderBy(desc("tfidf_e9"), asc("doc_id"), asc("term"))
+        .limit(50)
+    }),
+
+    // sliding-window chunking (LLM context prep): 32-token windows,
+    // stride 16; fingerprint instead of echoing chunk text.
+    "q84_chunking" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      t(s, d, "documents")
+        .where(size(w) >= 1)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(w), lit(16)),
+          i => struct(i.as("start"),
+            size(slice(w, i, lit(32))).as("n_tokens"),
+            md5(array_join(slice(w, i, lit(32)), " ")).as("chunk_fp"))))
+          .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.start").cast("long").as("start"),
+          col("c.n_tokens").cast("long").as("n_tokens"), col("c.chunk_fp").as("chunk_fp"))
     }))
 
   // ---- oracle SQL ----
@@ -337,6 +384,41 @@ object Training {
     "q79_hash_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 10 = 0""",
+    "q82_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
+           CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS mean_e6,
+           count(*) AS n
+         FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+         GROUP BY 1, 2""",
+    "q83_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+             unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         tc AS (
+           SELECT doc_id, dl, term, count(*) AS tc
+           FROM terms GROUP BY 1, 2, 3),
+         df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+         SELECT doc_id, term,
+           CAST(floor((CAST(tc AS DOUBLE) / dl) * ln(n_docs / df)
+             * 1000000000.0) AS BIGINT) AS tfidf_e9
+         FROM tc JOIN df USING (term), n
+         ORDER BY tfidf_e9 DESC, doc_id ASC, term ASC LIMIT 50""",
+    "q84_chunking" ->
+      """SELECT doc_id,
+           CAST(ci - 1 AS BIGINT) AS chunk_idx,
+           CAST(starts[ci] AS BIGINT) AS start,
+           CAST(len(list_slice(w, starts[ci], starts[ci] + 31)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(w, starts[ci], starts[ci] + 31), ' ')) AS chunk_fp
+         FROM (
+           SELECT doc_id, w, range(1, len(w) + 1, 16) AS starts,
+             unnest(range(1, len(range(1, len(w) + 1, 16)) + 1)) AS ci
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 1)""",
     "q63_cosine_neardup" -> {
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
            CAST(floor((${dotSql("a.embedding", "b.embedding")})
