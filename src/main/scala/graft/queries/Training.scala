@@ -191,6 +191,32 @@ object Training {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("c.start").cast("long").as("start"),
           col("c.n_tokens").cast("long").as("n_tokens"), col("c.chunk_fp").as("chunk_fp"))
+    }),
+
+    // scrubbing pass (PII-shaped): mask digit runs and word@word tokens,
+    // report whether anything changed + fingerprint of scrubbed text.
+    "q85_scrub" -> ((s, d) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+        "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+", "<EMAIL>")
+      t(s, d, "documents").select(col("doc_id"),
+        (scrubbed =!= col("text")).as("changed"), md5(scrubbed).as("fp"))
+    }),
+
+    // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
+    // candidates come from the sign-pattern bucket, not an all-pairs join.
+    "q86_bucketed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val withB = e.join(Similarity.withBucket(e, 8), "vec_id")
+      val a = withB.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("bucket"))
+      val b = withB.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("bucket"))
+      a.join(b, Seq("bucket"))
+        .where(col("id1") < col("id2"))
+        .withColumn("cos", Similarity.cosine("e1", "e2"))
+        .where(col("cos") > 0.18)
+        .select(col("id1"), col("id2"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
     }))
 
   // ---- oracle SQL ----
@@ -363,6 +389,32 @@ object Training {
          WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
              / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) > 0.8""",
     "q59_minhash_lsh" -> minhashOracle,
+    "q85_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+             '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g') <> text AS changed,
+           md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+             '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g')) AS fp
+         FROM documents""",
+    "q86_bucketed_neardup" -> {
+      s"""WITH b AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN (${dotSql("e.embedding", "p.embedding")}) > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(p.vec_id AS INT)) ELSE 0 END) AS bucket
+           FROM embeddings e, embeddings p WHERE p.vec_id < 8
+           GROUP BY e.vec_id),
+         wb AS (
+           SELECT e.vec_id, e.embedding, b.bucket
+           FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+         SELECT a.vec_id AS id1, w.vec_id AS id2,
+           CAST(floor((${dotSql("a.embedding", "w.embedding")})
+             / (sqrt(${dotSql("a.embedding", "a.embedding")})
+                * sqrt(${dotSql("w.embedding", "w.embedding")})) * 1000000.0) AS BIGINT) AS cos_e6
+         FROM wb a JOIN wb w ON a.bucket = w.bucket AND a.vec_id < w.vec_id
+         WHERE (${dotSql("a.embedding", "w.embedding")})
+             / (sqrt(${dotSql("a.embedding", "a.embedding")})
+                * sqrt(${dotSql("w.embedding", "w.embedding")})) > 0.18"""
+    },
     "q60_simhash" -> simhashOracle,
     "q61_cosine_topk" -> cosineTopkOracle,
     "q62_ann_lsh" -> annLshOracle,
