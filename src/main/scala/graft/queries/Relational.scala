@@ -350,6 +350,44 @@ object Relational {
           col("sum_qty"))
     }),
 
+    // Extension: cube grouping sets over two dims.
+    "q87_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+    }),
+
+    // from_json into a typed struct (vs q33's get_json_object path).
+    "q88_from_json" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .groupBy("event_type")
+        .agg(sum(col("j.k")).as("sum_k"), max(col("j.k")).as("max_k"))
+    }),
+
+    // levenshtein edit distance against a probe string.
+    "q89_levenshtein" -> ((s, d) => {
+      t(s, d, "customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000042")).cast("long").as("dist"))
+    }),
+
+    // percent_rank / cume_dist window ranks.
+    "q90_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(asc("c_acctbal"), asc("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          floor(percent_rank().over(w) * 1e6).cast("long").as("pr_e6"),
+          floor(cume_dist().over(w) * 1e6).cast("long").as("cd_e6"))
+    }),
+
     // Extension: intersect / except (distinct set semantics both engines).
     "q35_set_ops" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -534,6 +572,26 @@ object Relational {
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY 1""",
+    "q87_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           coalesce(o_orderpriority, 'ALL') AS pri,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q88_from_json" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY 1""",
+    "q89_levenshtein" ->
+      """SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS dist
+         FROM customer WHERE c_custkey <= 100""",
+    "q90_percent_rank" ->
+      """SELECT c_custkey,
+           CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_e6,
+           CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cd_e6
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""",
     "q34_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
          round(sum(l_quantity),2) AS sum_qty
