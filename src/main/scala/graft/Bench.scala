@@ -35,7 +35,10 @@ object Bench {
     "q60_simhash", // nested HOF bit ops
     "q61_cosine_topk", // brute-force ANN
     "q62_ann_lsh", // bucketed ANN
-    "q66_sessionize") // lag + cumsum sessionization
+    "q66_sessionize", // lag + cumsum sessionization
+    "q80_asof_join", // as-of join (union + window)
+    "q83_tfidf", // corpus TF-IDF
+    "q84_chunking") // sliding-window chunking
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
