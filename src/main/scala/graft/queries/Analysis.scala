@@ -142,6 +142,16 @@ object Analysis {
         .select(col("event_id"), col("asof_value").as("last_purchase_e6"))
     }),
 
+    // W4 at scale: global ranking via range-partitioned sort + zipWithIndex
+    // (no single-partition window). Same answer as q17's window form.
+    "q91_global_rank_scalable" -> ((s, d) => {
+      graft.operators.Ranking.globalRank(
+          t(s, d, "events").select(col("event_id"), col("value")),
+          "rnk", desc("value"), asc("event_id"))
+        .where(col("rnk") <= 100)
+        .select(col("event_id"), col("value"), col("rnk"))
+    }),
+
     // Bounded range join: same-user event pairs within 1 hour, via
     // time-bucket candidates + exact refine (two-phase, no cross product).
     "q81_range_join" -> ((s, d) => {
@@ -249,6 +259,11 @@ object Analysis {
          SELECT c.event_id, p.v_e6 AS last_purchase_e6
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.t >= p.t""",
+    "q91_global_rank_scalable" ->
+      """SELECT event_id, value, rnk FROM
+         (SELECT event_id, value,
+            row_number() OVER (ORDER BY value DESC, event_id ASC) AS rnk FROM events)
+         WHERE rnk <= 100""",
     "q81_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,

@@ -25,6 +25,16 @@ class IOSpec extends SparkSpec {
       (1 to 1000).map(i => (i.toLong, s"row$i")).toSet)
   }
 
+  test("saveAsTable + spark.table round-trip (metastore-style S5 surface)") {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_t1")
+    val back = spark.table("graft_t1")
+    assert(back.count() == 2)
+    assert(spark.sql("SELECT v FROM graft_t1 WHERE id = 2").collect().head.getString(0) == "y")
+    spark.sql("DROP TABLE graft_t1")
+  }
+
   test("partitioned sink lays out one directory per key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
