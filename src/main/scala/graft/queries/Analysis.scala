@@ -142,6 +142,36 @@ object Analysis {
         .select(col("event_id"), col("asof_value").as("last_purchase_e6"))
     }),
 
+    // collect_list with deterministic ordering (sorted before join).
+    "q92_collect_sorted" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Skew pattern: salted two-phase aggregation — partial agg on
+    // (key, salt), then merge on key. Result must equal the plain agg
+    // (which IS the oracle), proving the rewrite is safe for skewed keys.
+    "q93_salted_agg" -> ((s, d) => {
+      // value is 2-dp data: sum in decimal so partial-order can't move the
+      // result off the exact grid
+      val salted = t(s, d, "events")
+        .withColumn("salt", col("event_id") % 8)
+        .groupBy("event_type", "salt")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("part_sum"),
+          count(lit(1)).as("part_n"))
+      salted.groupBy("event_type")
+        .agg(sum("part_sum").cast("double").as("sum_val"), sum("part_n").as("n"))
+    }),
+
+    // regexp group extraction.
+    "q94_regexp_extract" -> ((s, d) => {
+      t(s, d, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+    }),
+
     // W4 at scale: global ranking via range-partitioned sort + zipWithIndex
     // (no single-partition window). Same answer as q17's window form.
     "q91_global_rank_scalable" -> ((s, d) => {
@@ -259,6 +289,18 @@ object Analysis {
          SELECT c.event_id, p.v_e6 AS last_purchase_e6
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.t >= p.t""",
+    "q92_collect_sorted" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types,
+           count(*) AS n
+         FROM events GROUP BY 1""",
+    "q93_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q94_regexp_extract" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
+         FROM customer WHERE c_custkey <= 200""",
     "q91_global_rank_scalable" ->
       """SELECT event_id, value, rnk FROM
          (SELECT event_id, value,

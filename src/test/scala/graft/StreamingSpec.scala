@@ -70,6 +70,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream picks up files across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/in"
+    Seq((1L, 10.0)).toDF("id", "v").write.parquet(dir)
+    val stream = spark.readStream
+      .schema("id BIGINT, v DOUBLE")
+      .parquet(dir)
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_out").collect().head.getLong(0) == 1L)
+      Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("file_out").collect().head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on gap and is per-user") {
     import spark.implicits._
     val ev = Seq(
