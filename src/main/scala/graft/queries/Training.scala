@@ -166,6 +166,7 @@ object Training {
         .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("dl"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tc"))
+        .persist() // feeds both the df aggregation and the final join
       val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
       terms.join(df, "term")
         .withColumn("tfidf",
