@@ -38,7 +38,8 @@ object Bench {
     "q66_sessionize", // lag + cumsum sessionization
     "q80_asof_join", // as-of join (union + window)
     "q83_tfidf", // corpus TF-IDF
-    "q84_chunking") // sliding-window chunking
+    "q84_chunking", // sliding-window chunking
+    "q95_topk_per_key") // custom physical operator (bounded heaps)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

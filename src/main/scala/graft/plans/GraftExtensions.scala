@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => StContainsExpr(cs(0), cs(1), cs(2)))
 
     ext.injectOptimizerRule(_ => RectContainsToRange)
+    ext.injectPlannerStrategy(_ => new TopKStrategy)
   }
 }

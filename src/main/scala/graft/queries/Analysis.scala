@@ -142,6 +142,18 @@ object Analysis {
         .select(col("event_id"), col("asof_value").as("last_purchase_e6"))
     }),
 
+    // Custom physical operator (LogicalPlan + SparkStrategy + SparkPlan):
+    // top-3 orders per customer via bounded per-key heaps — partial
+    // map-side top-k, shuffle of <= k rows per (key, partition), final
+    // merge; no sort anywhere. Oracle = the window row_number form.
+    "q95_topk_per_key" -> ((s, d) => {
+      graft.plans.TopKPerKey(
+          t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"), Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
     // collect_list with deterministic ordering (sorted before join).
     "q92_collect_sorted" -> ((s, d) => {
       t(s, d, "events")
@@ -289,6 +301,13 @@ object Analysis {
          SELECT c.event_id, p.v_e6 AS last_purchase_e6
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND c.t >= p.t""",
+    "q95_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+               FROM orders)
+         WHERE rn <= 3""",
     "q92_collect_sorted" ->
       """SELECT user_id,
            array_to_string(list_sort(list(event_type)), ',') AS types,

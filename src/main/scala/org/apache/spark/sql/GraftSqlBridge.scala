@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Narrow bridge to two `private[sql]` seams the public API does not expose:
+  * building a DataFrame from a custom LogicalPlan and extracting a Column's
+  * Catalyst expression. Standard practice for Spark extension libraries
+  * (placed in the org.apache.spark.sql package for access, nothing else).
+  */
+object GraftSqlBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eager ColumnNode -> catalyst conversion. `ExpressionUtils.expression`
+    * returns a lazy `ColumnNodeExpression` wrapper that still references
+    * non-serializable internal nodes; custom plans need the real tree.
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
