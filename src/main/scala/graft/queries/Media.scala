@@ -57,8 +57,8 @@ object Media {
               (SELECT unnest(range(0, 4)) AS i)""",
     "q66_sessionize" ->
       """SELECT event_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM (
            SELECT event_id, user_id, ts,
              CASE WHEN prev_ts IS NULL
