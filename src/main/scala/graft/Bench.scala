@@ -64,7 +64,9 @@ object Bench {
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // free any persist() a query made (untimed)
+      name -> dt
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

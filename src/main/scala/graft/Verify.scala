@@ -25,6 +25,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally spark.catalog.clearCache() // free any persist() a query made
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

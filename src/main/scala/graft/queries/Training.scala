@@ -158,19 +158,25 @@ object Training {
           col("dim").cast("long").as("dim"), col("mean_e6"), col("n"))
     }),
 
-    // TF-IDF: top-50 (doc, term) scores over the corpus.
+    // TF-IDF: top-50 (doc, term) scores over the corpus. ONE scan of
+    // documents: the persisted term-count frame feeds all three consumers
+    // (df agg, corpus size, final join); n_docs comes from a broadcast
+    // 1-row aggregate instead of a second docs.count() scan (every doc_id
+    // survives tokenization — split of "" is [""]). The harness clears the
+    // cache after each query run (Verify/Bench clearCache), so the persist
+    // does not leak across queries.
     "q83_tfidf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val nDocs = docs.count() // driver scalar (count of corpus)
-      val terms = docs
+      val terms = t(s, d, "documents")
         .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("dl"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tc"))
-        .persist() // feeds both the df aggregation and the final join
+        .persist()
       val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val nd = terms.agg(countDistinct("doc_id").cast("double").as("n_docs"))
       terms.join(df, "term")
+        .crossJoin(broadcast(nd))
         .withColumn("tfidf",
-          (col("tc").cast("double") / col("dl")) * log(lit(nDocs.toDouble) / col("df")))
+          (col("tc").cast("double") / col("dl")) * log(col("n_docs") / col("df")))
         .select(col("doc_id"), col("term"),
           floor(col("tfidf") * 1e9).cast("long").as("tfidf_e9"))
         .orderBy(desc("tfidf_e9"), asc("doc_id"), asc("term"))
@@ -178,20 +184,23 @@ object Training {
     }),
 
     // sliding-window chunking (LLM context prep): 32-token windows,
-    // stride 16; fingerprint instead of echoing chunk text.
+    // stride 16; fingerprint instead of echoing chunk text. The token
+    // array is materialized BEFORE the generator (explode the chunk start
+    // indices, slice after, as Dedup.bandKeysRows does): inlining
+    // tokens(text) inside the per-chunk lambdas would re-run split/lower
+    // per chunk — quadratic on book-length docs, since there is no
+    // subexpression elimination across lambda boundaries.
     "q84_chunking" -> ((s, d) => {
-      val w = TextFunctions.tokens(col("text"))
       t(s, d, "documents")
-        .where(size(w) >= 1)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(w), lit(16)),
-          i => struct(i.as("start"),
-            size(slice(w, i, lit(32))).as("n_tokens"),
-            md5(array_join(slice(w, i, lit(32)), " ")).as("chunk_fp"))))
-          .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 1)
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1), size(col("w")), lit(16)))
+            .as(Seq("chunk_idx", "start")))
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          col("c.start").cast("long").as("start"),
-          col("c.n_tokens").cast("long").as("n_tokens"), col("c.chunk_fp").as("chunk_fp"))
+          col("start").cast("long").as("start"),
+          size(slice(col("w"), col("start"), lit(32))).cast("long").as("n_tokens"),
+          md5(array_join(slice(col("w"), col("start"), lit(32)), " ")).as("chunk_fp"))
     }),
 
     // scrubbing pass (PII-shaped): mask digit runs and word@word tokens,
