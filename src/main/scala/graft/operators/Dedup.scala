@@ -88,11 +88,26 @@ object Dedup {
     * The self-join is on (band, key) — shuffle fan-in bounded by bucket
     * size, and ReuseExchange shares the band-key shuffle between the two
     * sides. Returns distinct (id1 < id2) pairs.
+    *
+    * `maxBucket` caps occupancy per band bucket (smallest ids kept,
+    * deterministic): pair count is quadratic in bucket size, and on a
+    * duplicate-heavy corpus one "celebrity" bucket would otherwise emit
+    * billions of pairs. Uncapped by default — q59's oracle replays the
+    * exact uncapped semantics.
     */
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val keyed = bandKeysRows(docs, idCol, textCol, p)
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val keyedAll = bandKeysRows(docs, idCol, textCol, p)
+    val keyed =
+      if (maxBucket == Int.MaxValue) keyedAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key").orderBy("doc")
+        keyedAll.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= maxBucket).drop("rn")
+      }
     keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
@@ -131,37 +146,69 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Distributed connected components over an (id1, id2) pair graph by
+    * iterative min-label propagation: label(v) <- min(label(v),
+    * min over neighbors of label(u)) until fixpoint. Converges in
+    * O(component diameter) rounds — LSH duplicate clusters are
+    * near-cliques, so 2-3 rounds in practice; `maxIter` bounds
+    * pathological chains. Each round is two key shuffles (edge-label join
+    * + per-node min); lineage is truncated per round with an eager
+    * localCheckpoint so plans stay flat. Nothing is collected to the
+    * driver except the per-round convergence count — this is the
+    * scale-safe replacement for driver-side union-find, which is
+    * quadratic-memory on a duplicate-heavy corpus.
+    *
+    * Returns (id, label) for every node that appears in `pairs`, where
+    * label is the minimum id in the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist()
+    var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.select(col("id"), col("label").as("new_label"))
+        .join(labels, "id")
+        .where(col("new_label") =!= col("label"))
+        .count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Full near-dup dedup: LSH candidate pairs -> connected components ->
     * keep the min-id representative of each component.
     *
-    * The pair graph is tiny relative to the corpus (that is the point of
-    * LSH), so components are resolved with union-find on the driver (S10
-    * pattern) and broadcast back — no iterative joins. Returns the input
-    * plus (rep_id, is_kept).
+    * Components are resolved with distributed min-label propagation
+    * (`connectedComponents`) — no `collect()` anywhere in the path, so a
+    * duplicate-heavy corpus can't blow the driver. `maxBucket` bounds the
+    * quadratic pair fan-out of any one LSH bucket. Returns the input plus
+    * (rep_id, is_kept).
     */
   def dedupNearDupes(
       docs: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol, p)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id wins
-    }
-    val reps = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-      .map(id => (id, find(id)))
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val repDf = reps.toSeq.toDF(idCol, "rep_id")
-    docs.join(broadcast(repDf), Seq(idCol), "left")
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, p, maxBucket)
+    val reps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("label").as("rep_id"))
+    docs.join(reps, Seq(idCol), "left")
       .withColumn("rep_id", coalesce(col("rep_id"), col(idCol)))
       .withColumn("is_kept", col("rep_id") === col(idCol))
   }

@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (5L, true))
   }
 
+  test("connectedComponents: chain, star and singleton edges resolve to min id") {
+    import spark.implicits._
+    // chain 10-11-12-13-14 (diameter 4, needs >1 propagation round),
+    // star 20-{21,22,23}, lone edge 30-31
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(labels(_) == 10L))
+    assert((20L to 23L).forall(labels(_) == 20L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+    assert(labels.size == 11)
+  }
+
   test("jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val d = docs()
     val a = d.select(col("doc_id").as("id1"), col("text").as("ta"))
