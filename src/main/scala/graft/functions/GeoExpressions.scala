@@ -35,29 +35,88 @@ object Grid {
     latIdx * LON_STRIDE + lonIdx
   }
 
-  /** Covering cells of a WKT polygon's envelope expanded by `bufferDeg`
-    * (the reference buffers polygons by 0.005 deg so border cells aren't
-    * missed, `geocode_stop_locations.scala:36-41`). Over-approximation is
-    * safe: this is the candidate generator of a two-phase join.
+  /** Covering cells of a WKT polygon expanded by `bufferDeg` (the reference
+    * buffers polygons by 0.005 deg so border cells aren't missed,
+    * `geocode_stop_locations.scala:36-41`), computed by SCANLINE over cell
+    * rows: for each row of cells the polygon's latitude band touches, only
+    * the cells between the ring's min and max x within that band are
+    * emitted (vertices inside the band plus edge crossings of its bounds).
+    * A diagonal coastline admin thus generates O(perimeter) candidates, not
+    * O(envelope area) — at billions of points that difference is the cost
+    * of the two-phase join. Still a safe over-approximation (per-band
+    * x-range is a single interval; holes are ignored): the exact
+    * ST-contains refine decides membership, mirroring the reference's
+    * `multiPolygonToH3` cover (`get_geocoded_pings.scala:50`).
     */
   def polygonCells(wkt: String, res: Int, bufferDeg: Double): Array[Long] = {
     Wkt.parse(wkt) match {
       case None => null
       case Some(g) =>
-        val (minX, minY, maxX, maxY) = g.envelope
         val s = cellSizeDeg(res)
-        val lo = cell(math.max(minY - bufferDeg, -90.0), math.max(minX - bufferDeg, -180.0), res)
-        val hi = cell(math.min(maxY + bufferDeg, 90.0), math.min(maxX + bufferDeg, 180.0), res)
-        val latLo = lo / LON_STRIDE; val lonLo = lo % LON_STRIDE
-        val latHi = hi / LON_STRIDE; val lonHi = hi % LON_STRIDE
-        val out = new Array[Long](((latHi - latLo + 1) * (lonHi - lonLo + 1)).toInt)
-        var k = 0
-        var i = latLo
-        while (i <= latHi) {
-          var j = lonLo
-          while (j <= lonHi) { out(k) = i * LON_STRIDE + j; k += 1; j += 1 }
-          i += 1
+        val maxLatIdx = (1L << res) - 1
+        val maxLonIdx = (2L << res) - 1
+        val cells = new java.util.TreeSet[java.lang.Long]()
+        for (p <- g.polys) {
+          val r = p.outer
+          var minY = Double.MaxValue; var maxY = -Double.MaxValue
+          var v = 0
+          while (v < r.size) {
+            if (r.ys(v) < minY) minY = r.ys(v)
+            if (r.ys(v) > maxY) maxY = r.ys(v)
+            v += 1
+          }
+          val yLo = math.max(minY - bufferDeg, -90.0)
+          val yHi = math.min(maxY + bufferDeg, 90.0)
+          var latIdx = math.min(math.floor((yLo + 90.0) / s).toLong, maxLatIdx)
+          val latIdxHi = math.min(math.floor((yHi + 90.0) / s).toLong, maxLatIdx)
+          while (latIdx <= latIdxHi) {
+            // this cell row, widened by the buffer, as a latitude band
+            val bandLo = latIdx * s - 90.0 - bufferDeg
+            val bandHi = (latIdx + 1) * s - 90.0 + bufferDeg
+            var xMin = Double.MaxValue; var xMax = -Double.MaxValue
+            var j = r.size - 1
+            var i = 0
+            while (i < r.size) {
+              val xi = r.xs(i); val yi = r.ys(i)
+              val xj = r.xs(j); val yj = r.ys(j)
+              if (yi >= bandLo && yi <= bandHi) { // vertex inside band
+                if (xi < xMin) xMin = xi
+                if (xi > xMax) xMax = xi
+              }
+              if (yi != yj) { // edge crossings of the band bounds
+                val eLo = math.min(yi, yj); val eHi = math.max(yi, yj)
+                var b = 0
+                while (b < 2) {
+                  val yb = if (b == 0) bandLo else bandHi
+                  if (yb >= eLo && yb <= eHi) {
+                    val x = xi + (xj - xi) * (yb - yi) / (yj - yi)
+                    if (x < xMin) xMin = x
+                    if (x > xMax) xMax = x
+                  }
+                  b += 1
+                }
+              }
+              j = i
+              i += 1
+            }
+            if (xMin <= xMax) {
+              val lonLo = math.min(math.max(
+                math.floor((math.max(xMin - bufferDeg, -180.0) + 180.0) / s).toLong, 0L), maxLonIdx)
+              val lonHi = math.min(math.max(
+                math.floor((math.min(xMax + bufferDeg, 180.0) + 180.0) / s).toLong, 0L), maxLonIdx)
+              var lon = lonLo
+              while (lon <= lonHi) {
+                cells.add(latIdx * LON_STRIDE + lon)
+                lon += 1
+              }
+            }
+            latIdx += 1
+          }
         }
+        val out = new Array[Long](cells.size)
+        val it = cells.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
         out
     }
   }

@@ -68,12 +68,33 @@ class GeoSpec extends AnyFunSuite {
     assert(cells.contains(Grid.cell(-0.004, 5.0, 8)))
   }
 
-  test("polygonCells over-approximates but exact test rejects") {
+  test("scanline covering skips empty envelope corners but keeps the shape") {
     val tri = "POLYGON ((0 0, 10 0, 0 10, 0 0))"
     val g = Wkt.parse(tri).get
     val cells = Grid.polygonCells(tri, 8, 0.0).toSet
-    // (9, 9) is in the envelope (so its cell is covered) but not the triangle
-    assert(cells.contains(Grid.cell(9.0, 9.0, 8)))
+    // every point inside the triangle maps to a covered cell
+    for (lat <- Seq(0.1, 2.5, 4.9, 9.5); lon <- Seq(0.1, 2.5, 4.9)
+         if g.contains(lon, lat))
+      assert(cells.contains(Grid.cell(lat, lon, 8)),
+        s"cell of ($lat,$lon) missing from covering")
+    // the empty envelope corner is NOT covered (old envelope cover included it)
+    assert(!cells.contains(Grid.cell(9.0, 9.0, 8)))
     assert(!g.contains(9.0, 9.0))
+  }
+
+  test("scanline covering of a thin diagonal is ~O(perimeter), not envelope area") {
+    // thin diagonal strip from (0,0) to (10,10), width ~0.2 deg
+    val strip = "POLYGON ((0 0, 0.2 0, 10 9.8, 10 10, 9.8 10, 0 0.2, 0 0))"
+    val scan = Grid.polygonCells(strip, 8, 0.005)
+    val g = Wkt.parse(strip).get
+    // correctness: interior points' cells are covered
+    for (t <- Seq(0.5, 2.5, 5.0, 7.5, 9.5))
+      assert(scan.toSet.contains(Grid.cell(t, t, 8)))
+    // the full envelope at res 8 is ~15x15 cells; the strip's scanline
+    // cover must be far below half of it
+    val s = Grid.cellSizeDeg(8)
+    val envelopeCells = (math.ceil(10.0 / s) + 1) * (math.ceil(10.0 / s) + 1)
+    assert(scan.length < envelopeCells / 3,
+      s"scanline emitted ${scan.length} of ~$envelopeCells envelope cells")
   }
 }
