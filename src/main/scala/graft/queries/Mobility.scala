@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Labeling, Stops}
+import graft.operators.{Labeling, Stops, TimeZones}
 
 /** Mobility-pipeline operators (SURVEY §2.10 F1/F2/F3).
   *
@@ -75,6 +75,24 @@ object Mobility {
     // A5: H/W/O durations pivot per (user, day) on the labeled stays.
     "q51_durations_pivot" -> ((s, d) => {
       Labeling.durations(Labeling.labelStays(derivedStays(s, d), labelParams))
+    }),
+
+    // Tz-offset localization (ref tz_offset.scala:26-37,
+    // stop_locations.py:73): broadcast (zone -> offset_sec) dim onto
+    // events, shift epochs, derive local hour/day. Offsets include
+    // half-hour zones; the dim derives from `nation` (the testdata's
+    // country table).
+    "q96_tz_localize" -> ((s, d) => {
+      val offsets = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("zone"),
+        (((col("n_nationkey") % 27) - 12) * 3600 +
+          (col("n_nationkey") % 2) * 1800).cast("long").as("offset_sec"))
+      val facts = t(s, d, "events").select(
+        col("event_id"), (col("user_id") % 25).as("zone"),
+        unix_timestamp(col("ts")).as("epoch"))
+      TimeZones.localize(facts, "zone", "epoch", offsets)
+        .select(col("event_id"), col("zone"), col("offset_sec"),
+          col("local_epoch"), col("local_hour"), col("local_day_s"))
     }))
 
   /** Sparse synthetic data needs a tighter window than production hw=49. */
@@ -96,6 +114,21 @@ object Mobility {
       .drop("dur")
 
   val oracles: Map[String, String] = Map(
+    "q96_tz_localize" ->
+      """WITH off AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS zone,
+             CAST(((n_nationkey % 27) - 12) * 3600
+               + (n_nationkey % 2) * 1800 AS BIGINT) AS offset_sec
+           FROM nation),
+         ev AS (
+           SELECT event_id, CAST(user_id % 25 AS BIGINT) AS zone,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS epoch
+           FROM events)
+         SELECT e.event_id, e.zone, o.offset_sec,
+           e.epoch + o.offset_sec AS local_epoch,
+           ((e.epoch + o.offset_sec) % 86400) // 3600 AS local_hour,
+           (e.epoch + o.offset_sec) - (e.epoch + o.offset_sec) % 86400 AS local_day_s
+         FROM ev e JOIN off o USING (zone)""",
     "q48_day_split" ->
       """WITH iv AS (
            SELECT event_id,
