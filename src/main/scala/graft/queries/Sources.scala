@@ -90,6 +90,24 @@ object Sources {
            FROM orders_v WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""")
     }),
 
+    // S4 multiLine: WKT with embedded newlines through a quoted CSV, the
+    // reference's admin-polygon load (geocode_stop_locations.scala:26 uses
+    // multiLine=true). The read-back WKT must parse into a WORKING
+    // geometry: contains_center ray-casts the square's center.
+    "q97_multiline_csv" -> ((s, d) => {
+      val p = tmp("nation_wkt_csv")
+      val k1 = (col("n_nationkey") + 1).cast("string")
+      val wkt = concat(lit("POLYGON ((0 0,\n"), k1, lit(" 0,\n"),
+        k1, lit(" "), k1, lit(",\n0 "), k1, lit(",\n0 0))"))
+      GraftIO.writeSingleCsv(
+        t(s, d, "nation").select(col("n_nationkey"), wkt.as("wkt")), p)
+      val c = (col("n_nationkey").cast("double") + 1.0) / 2.0
+      GraftIO.csv(s, p, multiLine = true)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          length(col("wkt")).cast("long").as("wkt_len"),
+          graft.functions.GeoFunctions.stContains(col("wkt"), c, c).as("contains_center"))
+    }),
+
     // S7: column-partitioned parquet sink + partition-pruned read-back
     // (ref tz_offset.scala:28-32 Delta partitionBy("date")).
     "q68_partitioned_sink" -> ((s, d) => {
@@ -106,6 +124,14 @@ object Sources {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q97_multiline_csv" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CAST(length('POLYGON ((0 0,' || chr(10) || k1 || ' 0,' || chr(10)
+             || k1 || ' ' || k1 || ',' || chr(10) || '0 ' || k1 || ',' || chr(10)
+             || '0 0))') AS BIGINT) AS wkt_len,
+           TRUE AS contains_center
+         FROM (SELECT n_nationkey,
+                 CAST(n_nationkey + 1 AS VARCHAR) AS k1 FROM nation)""",
     "q36_orc_roundtrip" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "q37_json_roundtrip" ->

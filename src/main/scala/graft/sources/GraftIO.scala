@@ -65,6 +65,16 @@ object GraftIO {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(cols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — what the reference's incremental append
+    * DAG actually needs from its Delta table (`tz_offset.scala:28-48`):
+    * only the partitions present in `df` are replaced; all others survive
+    * untouched. Plain overwrite mode would drop the whole table root.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
+
   /** Single-file CSV with header (`coalesce(1)` — small outputs only). */
   def writeSingleCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

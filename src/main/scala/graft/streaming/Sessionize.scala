@@ -40,11 +40,11 @@ object Sessionize {
   /** Streaming: one open session per user in state; a session closes when a
     * later event for the same user arrives beyond `gapSec` (deterministic,
     * data-driven closure). At scale state is partitioned by user and bounded
-    * to one record per user. A wall-clock variant would add
-    * `EventTimeTimeout` + `withWatermark` to flush sessions of users that
-    * stop emitting entirely; closure-by-evidence keeps outputs reproducible
-    * (same property the reference's 2-day re-batch overlap provides,
-    * SURVEY §2.9).
+    * to one record per user. `streamingWithTimeout` below is the
+    * watermark+`EventTimeTimeout` variant that also flushes sessions of
+    * users that stop emitting entirely; closure-by-evidence here keeps
+    * outputs reproducible (same property the reference's 2-day re-batch
+    * overlap provides, SURVEY §2.9).
     */
   def streaming(events: Dataset[Evt], gapSec: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -69,6 +69,56 @@ object Sessionize {
           }
           cur.foreach(state.update)
           closed.reverseIterator
+      }
+  }
+
+  case class TsEvt(userId: Long, ts: java.sql.Timestamp, eventId: Long)
+
+  /** Streaming with event-time timeout: like `streaming`, but a session
+    * ALSO closes when the watermark passes `last + gapSec` — a user that
+    * stops emitting entirely still flushes once event time (driven by the
+    * rest of the stream) moves on. `delaySec` is the watermark's
+    * late-arrival allowance. State remains one record per user; the
+    * timeout timestamp is re-armed on every update (clamped above the
+    * current watermark, which a very late event could otherwise violate).
+    */
+  def streamingWithTimeout(
+      events: Dataset[TsEvt], gapSec: Long, delaySec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$delaySec seconds")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TsEvt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(userId, s.start, s.last, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val evts = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evts.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSec =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapSec) * 1000, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverseIterator
+          }
       }
   }
 }

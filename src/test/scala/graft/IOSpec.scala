@@ -35,6 +35,19 @@ class IOSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_t1")
   }
 
+  test("dynamic partition overwrite replaces only touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dynpart").toString + "/t"
+    GraftIO.writePartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k"), dir, Seq("k"))
+    // overwrite ONLY partition a with new content; b must survive
+    GraftIO.overwritePartitionsDynamic(
+      Seq((10L, "a")).toDF("id", "k"), dir, Seq("k"))
+    val back = GraftIO.parquet(spark, dir).as[(Long, String)].collect().toSet
+    assert(back == Set((10L, "a"), (2L, "b")), back.toString)
+    // static overwrite of the same write would have dropped k=b entirely
+  }
+
   test("partitioned sink lays out one directory per key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString + "/t"

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.Sessionize
-import graft.streaming.Sessionize.{Evt, Session}
+import graft.streaming.Sessionize.{Evt, Session, TsEvt}
 
 /** Structured Streaming sessionization driven through MemoryStream — the
   * streaming twin of the batch operator (closed-by-gap within and across
@@ -39,6 +39,40 @@ class StreamingSpec extends SparkSpec {
       assert(afterB3.toSet == Set(
         Session(1L, 1000L, 1100L, 2L),
         Session(1L, 100000L, 100000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("event-time timeout flushes sessions of users that go silent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[TsEvt]
+    val sessions = Sessionize.streamingWithTimeout(
+      input.toDS(), gapSec = 1800, delaySec = 600)
+    val q = sessions.writeStream
+      .format("memory").queryName("timeout_out")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1 emits twice, then goes silent forever
+      input.addData(
+        TsEvt(1L, ts("2024-01-01 10:00:00"), 1L),
+        TsEvt(1L, ts("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("timeout_out").isEmpty) // session open
+
+      // OTHER users' events drive the watermark past 10:10 + 30min gap
+      input.addData(TsEvt(2L, ts("2024-01-01 12:00:00"), 3L)) // wm -> 11:50
+      q.processAllAvailable()
+      input.addData(TsEvt(2L, ts("2024-01-01 12:05:00"), 4L)) // timeout fires
+      q.processAllAvailable()
+      val t0 = ts("2024-01-01 10:00:00").getTime / 1000
+      val t1 = ts("2024-01-01 10:10:00").getTime / 1000
+      val flushed = spark.table("timeout_out").as[Session].collect().toSet
+      assert(flushed.contains(Session(1L, t0, t1, 2L)),
+        s"expected user 1's idle session flushed, got $flushed")
+      // user 2's session is still open (watermark hasn't passed its gap)
+      assert(!flushed.exists(_.userId == 2L))
     } finally q.stop()
   }
 
