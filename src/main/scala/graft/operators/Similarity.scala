@@ -92,6 +92,64 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** IVF-style coarse quantizer: per-label mean vectors in integer
+    * micro-units (floor(avg*1e6) — engine-portable, and exact integers so
+    * both engines' downstream dot products are bit-identical; cosine is
+    * scale-invariant so the 1e6 factor cancels). A production IVF would
+    * k-means-train the codebook; the per-label means ARE one k-means
+    * update step (q82's shape) over data-derived assignments.
+    */
+  def ivfCentroids(embs: DataFrame): DataFrame =
+    embs.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(floor(avg(col("v").cast("double")) * 1e6).cast("long").as("c_e6"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c_e6")))),
+        s => s.getField("c_e6")).as("cvec"))
+
+  /** Assign each vector to its nearest centroid cell by cosine
+    * (ties -> smallest label). Broadcast of the tiny codebook; one window
+    * per vec_id — no shuffle of the embedding table beyond the window's
+    * hash partitioning.
+    */
+  def withIvfCell(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), asc("label"))
+    embs.select("vec_id", "embedding") // embs' own label would collide
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine("embedding", "cvec"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("cell"))
+  }
+
+  /** IVF ANN: search only the `nProbe` nearest cells of each query — the
+    * second scale path next to the LSH buckets (recall rises with nProbe;
+    * cost is the probed cells' population, not the corpus).
+    */
+  def ivfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCentroids(embs)
+    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("label"))
+    val qcells = embs.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", cosine("qemb", "cvec"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qemb"), col("label").as("cell"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    withC.join(broadcast(qcells), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine("embedding", "qemb"))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Near-duplicate pairs by cosine threshold over a bounded id range
     * (all-pairs; use the LSH bucket variant beyond toy scale).
     */

@@ -103,12 +103,19 @@ object Training {
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), 200L, 0.25)
     }),
 
-    // end-to-end near-dup dedup: LSH pairs -> components -> min-id rep.
-    // Rows-only (driver union-find); DedupSpec covers planted groups.
+    // end-to-end near-dup dedup: LSH pairs -> distributed min-label
+    // components -> min-id rep. Oracle-checked: DuckDB replays the
+    // components with a recursive transitive-closure CTE.
     "q76_dedup_keep" -> ((s, d) => {
       Dedup.dedupNearDupes(
         t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
         .select(col("doc_id"), col("rep_id"), col("is_kept"))
+    }),
+
+    // IVF ANN: probe the 2 nearest cells of a per-label centroid codebook
+    // — the second bucketed scale path next to q62's hyperplane LSH.
+    "q98_ann_ivf" -> ((s, d) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), Seq(100L, 200L), 10, 2)
     }),
 
     // k-skip bigrams (reference active-learning count_kskipngrams):
@@ -246,7 +253,8 @@ object Training {
     (1 to Similarity.Dim).map(i =>
       s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
 
-  private def minhashOracle: String = {
+  /** Shared CTE prelude (toks -> bands) of the MinHash oracles. */
+  private def minhashCtes: String = {
     val p = Dedup.MinHashParams()
     val sigs = (0 until p.numPerms).map { i =>
       val a = 2L * i + 1; val b = 98765L * i + 12345L
@@ -257,7 +265,7 @@ object Training {
       val key = (0 until rows).map(r => s"sig${bnd * rows + r}").mkString(", '_', ")
       s"SELECT doc_id, $bnd AS band, concat($key) AS key FROM sig"
     }.mkString("\n           UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w
            FROM documents WHERE doc_id < 300),
          sh AS (
@@ -274,11 +282,40 @@ object Training {
              $sigs
            FROM base),
          bands AS (
-           $bandSelects)
+           $bandSelects)"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
-  }
+
+  /** Components of the LSH pair graph via recursive transitive closure:
+    * rep = least reachable id. Mirrors Dedup.connectedComponents exactly
+    * (both compute the component minimum).
+    */
+  private def dedupKeepOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src WHERE e.dst <> r.src),
+         rep AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+           FROM reach GROUP BY src)
+       SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id,
+         coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
+       FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+       LEFT JOIN rep r USING (doc_id)"""
 
   private def simhashOracle: String =
     s"""SELECT doc_id,
@@ -336,7 +373,50 @@ object Training {
            CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
          FROM r WHERE rnk <= 10"""
 
+  /** IVF ANN oracle: centroid codebook, nearest-cell assignment, 2-probe
+    * search — all via the explicit 64-term dot chains.
+    */
+  private def ivfOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         qc AS (
+           SELECT query_id, qemb, cell FROM (
+             SELECT e.vec_id AS query_id, e.embedding AS qemb, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c WHERE e.vec_id IN (100, 200)) WHERE rn <= 2),
+         cand AS (
+           SELECT q.query_id, e.vec_id, ${cos("e.embedding", "q.qemb")} AS cos
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+           JOIN qc q ON a.cell = q.cell AND e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM cand)
+         SELECT query_id, neighbor_id, rnk,
+           CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+         FROM r WHERE rnk <= 10"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q76_dedup_keep" -> dedupKeepOracle,
+    "q98_ann_ivf" -> ivfOracle,
     "q52_lang_id" -> {
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>
         s"${hitsSql(words)} AS h_$lang"
