@@ -37,16 +37,29 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** cosine with norms precomputed per ROW instead of per PAIR: identical
+    * IEEE value (the norm chain is the same op sequence, just evaluated
+    * earlier), but at bucket fan-in k that's k instead of k^2 chain
+    * evaluations — and it keeps the pair-stage expression small enough for
+    * whole-stage codegen (three inlined 64-term chains were measured
+    * pushing the q86-shaped bucket join past the JVM method-size limit
+    * into interpreted fallback).
+    */
+  def cosineWithNorms(dotCol: Column, na: Column, nb: Column): Column =
+    dotCol / (sqrt(na) * sqrt(nb))
+
   /** Brute-force top-k neighbors for each query vector (excluding self).
     * `queries` must be small (broadcast).
     */
   def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .withColumn("qn", norm2("qemb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    embs.crossJoin(broadcast(q))
+    embs.withColumn("nrm", norm2("embedding"))
+      .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine("embedding", "qemb"))
+      .withColumn("cos", cosineWithNorms(dot("embedding", "qemb"), col("nrm"), col("qn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -77,15 +90,15 @@ object Similarity {
     */
   def lshTopK(embs: DataFrame, queryIds: Seq[Long], k: Int, nPlanes: Int): DataFrame = {
     val buckets = withBucket(embs, nPlanes)
-    val withB = embs.join(buckets, "vec_id")
+    val withB = embs.join(buckets, "vec_id").withColumn("nrm", norm2("embedding"))
     val q = withB.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
-        col("bucket").as("qbucket"))
+        col("bucket").as("qbucket"), col("nrm").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     withB.join(broadcast(q), col("bucket") === col("qbucket") &&
         col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine("embedding", "qemb"))
+      .withColumn("cos", cosineWithNorms(dot("embedding", "qemb"), col("nrm"), col("qn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -116,8 +129,9 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("cos"), asc("label"))
     embs.select("vec_id", "embedding") // embs' own label would collide
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine("embedding", "cvec"))
+      .withColumn("nv", norm2("embedding"))
+      .crossJoin(broadcast(centroids.withColumn("nc", norm2("cvec"))))
+      .withColumn("cos", cosineWithNorms(dot("embedding", "cvec"), col("nv"), col("nc")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("label").as("cell"))
@@ -130,20 +144,22 @@ object Similarity {
   def ivfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val cents = ivfCentroids(embs)
     val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .withColumn("nrm", norm2("embedding"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("label"))
     val qcells = embs.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos", cosine("qemb", "cvec"))
+      .withColumn("qn", norm2("qemb"))
+      .crossJoin(broadcast(cents.withColumn("nc", norm2("cvec"))))
+      .withColumn("cos", cosineWithNorms(dot("qemb", "cvec"), col("qn"), col("nc")))
       .withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("qemb"), col("label").as("cell"))
+      .select(col("query_id"), col("qemb"), col("qn"), col("label").as("cell"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     withC.join(broadcast(qcells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine("embedding", "qemb"))
+      .withColumn("cos", cosineWithNorms(dot("embedding", "qemb"), col("nrm"), col("qn")))
       .withColumn("rnk", row_number().over(wr))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
@@ -154,12 +170,13 @@ object Similarity {
     * (all-pairs; use the LSH bucket variant beyond toy scale).
     */
   def cosineNearDupPairs(embs: DataFrame, maxId: Long, minCos: Double): DataFrame = {
-    val a = embs.where(col("vec_id") < maxId)
-      .select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = embs.where(col("vec_id") < maxId)
-      .select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val bounded = embs.where(col("vec_id") < maxId).withColumn("nrm", norm2("embedding"))
+    val a = bounded.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val b = bounded.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosine("e1", "e2"))
+      .withColumn("cos", cosineWithNorms(dot("e1", "e2"), col("n1"), col("n2")))
       .where(col("cos") > minCos)
       .select(col("id1"), col("id2"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }

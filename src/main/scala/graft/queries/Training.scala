@@ -224,14 +224,19 @@ object Training {
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      // norms once per row, not per pair — k vs k^2 chain evaluations in a
+      // bucket of k, and the pair stage stays inside whole-stage codegen
+      // (three inlined 64-term chains fell back to interpreted mode).
       val withB = e.join(Similarity.withBucket(e, 8), "vec_id")
+        .withColumn("nrm", Similarity.norm2("embedding"))
       val a = withB.select(col("vec_id").as("id1"), col("embedding").as("e1"),
-        col("bucket"))
+        col("nrm").as("n1"), col("bucket"))
       val b = withB.select(col("vec_id").as("id2"), col("embedding").as("e2"),
-        col("bucket"))
+        col("nrm").as("n2"), col("bucket"))
       a.join(b, Seq("bucket"))
         .where(col("id1") < col("id2"))
-        .withColumn("cos", Similarity.cosine("e1", "e2"))
+        .withColumn("cos",
+          Similarity.cosineWithNorms(Similarity.dot("e1", "e2"), col("n1"), col("n2")))
         .where(col("cos") > 0.18)
         .select(col("id1"), col("id2"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
     }))
