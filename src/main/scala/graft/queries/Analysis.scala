@@ -113,6 +113,27 @@ object Analysis {
           col("side"))
     }),
 
+    // Approximate sketches with an ORACLE-CHECKED error contract: at
+    // 100 TB, HyperLogLog and t-digest replace the giant exact-distinct /
+    // sort shuffles (single-pass, mergeable, fixed memory). Exact values
+    // aren't cross-engine comparable, so the query outputs the exact
+    // answer (checkable) plus booleans asserting the sketch landed inside
+    // its error band — the oracle expects TRUE, so sketch drift turns the
+    // row red.
+    "q99_approx_sketches" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("hll"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("percentile(value, 0.4)").as("p40"),
+          expr("percentile(value, 0.6)").as("p60"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("hll") - col("exact_users")).cast("double")
+            <= col("exact_users") * 0.05).as("hll_ok"),
+          (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"))
+    }),
+
     // P9: na.fill / na.drop over join-produced nulls (no source nulls in the
     // testdata; ref stop_locations.py:84, wbgps/analysis.py:123,217).
     "q75_na_handling" -> ((s, d) => {
@@ -205,6 +226,10 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q99_approx_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok, TRUE AS p50_ok
+         FROM events GROUP BY 1""",
     "q69_active_users" ->
       """WITH per_user AS (
            SELECT user_id,

@@ -75,6 +75,18 @@ object GraftIO {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
 
+  /** Bucketed table sink (`bucketBy` + `saveAsTable` — bucket metadata
+    * lives in the session catalog). Pre-shuffles ONCE on the bucket key so
+    * every later equi-join or aggregation on that key between same-bucketed
+    * tables is exchange-free — at 100 TB this converts the nightly big-big
+    * join from a full shuffle of both sides into a local zipped scan.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** Single-file CSV with header (`coalesce(1)` — small outputs only). */
   def writeSingleCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -48,6 +48,26 @@ class IOSpec extends SparkSpec {
     // static overwrite of the same write would have dropped k=b entirely
   }
 
+  test("bucketed tables equi-join with no shuffle exchange") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+    GraftIO.writeBucketed(a, "graft_bucket_a", "k", 4)
+    GraftIO.writeBucketed(b, "graft_bucket_b", "k", 4)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE graft_bucket_a")
+      spark.sql("DROP TABLE graft_bucket_b")
+    }
+  }
+
   test("partitioned sink lays out one directory per key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
