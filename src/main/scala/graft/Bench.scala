@@ -36,10 +36,15 @@ object Bench {
     "q61_cosine_topk", // brute-force ANN
     "q62_ann_lsh", // bucketed ANN
     "q66_sessionize", // lag + cumsum sessionization
+    "q76_dedup_keep", // distributed min-label connected components
     "q80_asof_join", // as-of join (union + window)
     "q83_tfidf", // corpus TF-IDF
     "q84_chunking", // sliding-window chunking
-    "q95_topk_per_key") // custom physical operator (bounded heaps)
+    "q95_topk_per_key", // custom physical operator (bounded heaps)
+    "q96_tz_localize", // tz-offset broadcast localization
+    "q98_ann_ivf", // IVF ANN (codebook + nProbe cells)
+    "q99_approx_sketches", // HLL distinct + t-digest percentile
+    "q100_salted_join") // skew-safe salted big-big join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

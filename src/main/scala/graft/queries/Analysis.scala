@@ -198,6 +198,20 @@ object Analysis {
         .agg(sum("part_sum").cast("double").as("sum_val"), sum("part_n").as("n"))
     }),
 
+    // Skew pattern, join twin of q93: salted big-big equi-join — hot keys
+    // spread over 8 sub-keys, the other side replicated 8x. Result must
+    // equal the plain join (which IS the oracle).
+    "q100_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_quantity"))
+      val ords = t(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedJoin(li, ords, "okey", 8)
+        .groupBy("o_orderstatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // regexp group extraction.
     "q94_regexp_extract" -> ((s, d) => {
       t(s, d, "customer").where(col("c_custkey") <= 200)
@@ -230,6 +244,12 @@ object Analysis {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            TRUE AS hll_ok, TRUE AS p50_ok
          FROM events GROUP BY 1""",
+    "q100_salted_join" ->
+      """SELECT o_orderstatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "q69_active_users" ->
       """WITH per_user AS (
            SELECT user_id,

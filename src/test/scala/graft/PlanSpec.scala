@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.{Geo, Relational, Training}
 
+
 /** Physical-plan assertions — the properties that make these queries hold
   * at 100 TB: filters reach the parquet scan, small dims broadcast, top-k
   * never global-sorts, hot paths stay in whole-stage codegen, and text/
@@ -12,7 +13,7 @@ class PlanSpec extends SparkSpec {
   val sf = "/root/testdata/sf0.001"
 
   private def plan(q: String): String = {
-    val df = (Relational.queries ++ Geo.queries ++ Training.queries)(q)(spark, sf)
+    val df = SparkEntry.queries(q)(spark, sf)
     df.queryExecution.executedPlan.toString
   }
 
@@ -48,9 +49,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
   }
 
+  test("q96 tz-offset dim joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q96_tz_localize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q98 IVF probes broadcast the codebook and query cells") {
+    val p = plan("q98_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("text/similarity pipelines contain no UDF nodes") {
     for (q <- Seq("q52_lang_id", "q55_fingerprint", "q59_minhash_lsh",
-        "q61_cosine_topk")) {
+        "q61_cosine_topk", "q84_chunking", "q98_ann_ivf")) {
       val p = plan(q)
       assert(!p.contains("BatchEvalPython") && !p.contains("ArrowEvalPython") &&
         !p.toLowerCase.contains("scalaudf"), s"$q has a UDF node:\n$p")
