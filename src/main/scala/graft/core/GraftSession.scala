@@ -32,6 +32,11 @@ object GraftSession {
       // Parquet scan sizing: at 100 TB this is the knob that keeps input
       // partitions ~128MB; harmless locally.
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // Runtime skew-join splitting (the AQE complement to the explicit
+      // salting in SkewJoin/q93): oversized post-shuffle partitions are
+      // split at runtime. On by default in Spark 4; pinned so a cluster's
+      // site config can't silently turn the engine's skew story off.
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()
