@@ -20,18 +20,16 @@ object Similarity {
 
   val Dim = 64
 
-  /** Explicit dot product of two float arrays as double (64 terms). */
-  def dot(a: String, b: String): Column = {
-    val terms = (1 to Dim).map(i =>
-      s"(CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE))")
-    expr(terms.mkString(" + "))
-  }
+  /** Dot product as double via the native loop expression `graft_dot`
+    * (constant bytecode size, stays in whole-stage codegen at any Dim).
+    * Index-order accumulation == the oracle's explicit left-associative
+    * 64-term chain, bit-for-bit.
+    */
+  def dot(a: String, b: String): Column =
+    call_function("graft_dot", col(a), col(b))
 
-  def norm2(a: String): Column = {
-    val terms = (1 to Dim).map(i =>
-      s"(CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($a, $i) AS DOUBLE))")
-    expr(terms.mkString(" + "))
-  }
+  def norm2(a: String): Column =
+    call_function("graft_dot", col(a), col(a))
 
   /** cosine = dot / (sqrt(na) * sqrt(nb)) — formula mirrored in the oracle. */
   def cosine(a: String, b: String): Column =

@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => PolygonCellsExpr(cs(0), cs(1), cs(2)))
     reg("graft_st_contains", classOf[StContainsExpr],
       cs => StContainsExpr(cs(0), cs(1), cs(2)))
+    reg("graft_dot", classOf[DotProductExpr],
+      cs => DotProductExpr(cs(0), cs(1)))
 
     ext.injectOptimizerRule(_ => RectContainsToRange)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
