@@ -166,20 +166,23 @@ object Dedup {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist()
-    var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint()
+    // reliable checkpoint when the session has a checkpoint dir (cluster
+    // runs — survives executor loss); executor-local otherwise.
+    def ck(df: DataFrame): DataFrame =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = ck(edges.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("nbr_label"))
-      val next = labels
+      val next = ck(labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       val changed = next.select(col("id"), col("label").as("new_label"))
         .join(labels, "id")
         .where(col("new_label") =!= col("label"))

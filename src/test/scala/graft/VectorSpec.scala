@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The native loop dot product: value parity with an explicit chain,
+  * mixed element types, SQL surface, null propagation.
+  */
+class VectorSpec extends SparkSpec {
+
+  test("graft_dot equals the explicit left-associative chain bit-for-bit") {
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.25f, 3.125f, 0.1f), Array(0.5f, 4.0f, -1.5f, 0.3f)))
+      .toDF("a", "b")
+    val chain = (1 to 4).map(i =>
+      s"(CAST(element_at(a, $i) AS DOUBLE) * CAST(element_at(b, $i) AS DOUBLE))")
+      .mkString(" + ")
+    val r = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      expr(chain).as("chain")).collect().head
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+  }
+
+  test("mixed element types: integer micro-unit centroid x float vector") {
+    import spark.implicits._
+    val df = Seq((Array(1000000L, 2000000L, -500000L), Array(0.5f, 0.25f, 2.0f)))
+      .toDF("c", "v")
+    val r = df.select(call_function("graft_dot", col("c"), col("v"))).collect().head
+    assert(r.getDouble(0) == 1000000L * 0.5 + 2000000L * 0.25 + -500000L * 2.0)
+  }
+
+  test("SQL surface and null array propagation") {
+    val v = spark.sql("SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 11.0)
+    val n = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS d").collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("norm2 is dot with itself; cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "e")
+    val r = df.select(Similarity.norm2("e").as("n"),
+      Similarity.cosineWithNorms(Similarity.dot("e", "e"),
+        Similarity.norm2("e"), Similarity.norm2("e")).as("c")).collect().head
+    assert(r.getDouble(0) == 25.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+  }
+}
