@@ -87,6 +87,33 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 11)
   }
 
+  test("connectedComponents matches reference union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 5 + rnd.nextInt(25)
+      val nEdges = 1 + rnd.nextInt(40)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong; val b = rnd.nextInt(nNodes).toLong
+        if (a == b) (a, b + 1) else (math.min(a, b), math.max(a, b)) // no self-loops
+      }
+      // reference union-find
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val d = docs()
     val a = d.select(col("doc_id").as("id1"), col("text").as("ta"))

@@ -68,6 +68,23 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("window over a bucketed table needs no exchange either") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    GraftIO.writeBucketed(df, "graft_bucket_w", "k", 4)
+    try {
+      val w = Window.partitionBy("k").orderBy("v")
+      val ranked = spark.table("graft_bucket_w")
+        .withColumn("rn", row_number().over(w))
+      assert(ranked.count() == 1000)
+      val plan = ranked.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"window over bucketed table still shuffles:\n$plan")
+    } finally spark.sql("DROP TABLE graft_bucket_w")
+  }
+
   test("partitioned sink lays out one directory per key") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
