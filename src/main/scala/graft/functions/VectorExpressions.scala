@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,13 +20,27 @@ import org.apache.spark.sql.types._
   * Element types may differ per side (float embeddings vs integer
   * micro-unit centroids); anything numeric upcasts to double. Null
   * ELEMENTS are not expected (parquet float lists in this engine are
-  * non-null); null ARRAYS propagate null.
+  * non-null); null ARRAYS propagate null. Mismatched lengths THROW — a
+  * truncated embedding must not flow through as a plausible partial dot
+  * (the old explicit element_at chain surfaced those too).
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  private val okTypes: Set[DataType] =
+    Set(FloatType, DoubleType, LongType, IntegerType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if okTypes.contains(l) && okTypes.contains(r) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects two numeric arrays, got $l and $r")
+    }
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -44,8 +59,10 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"graft_dot: array length mismatch (${x.numElements()} vs ${y.numElements()})")
     val etL = elemType(left); val etR = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -63,7 +80,12 @@ case class DotProductExpr(left: Expression, right: Expression)
       val getA = CodeGenerator.getValue(a, elemType(left), i)
       val getB = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double)($getA)) * ((double)($getB));

@@ -147,16 +147,19 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Distributed connected components over an (id1, id2) pair graph by
-    * iterative min-label propagation: label(v) <- min(label(v),
-    * min over neighbors of label(u)) until fixpoint. Converges in
-    * O(component diameter) rounds — LSH duplicate clusters are
-    * near-cliques, so 2-3 rounds in practice; `maxIter` bounds
-    * pathological chains. Each round is two key shuffles (edge-label join
-    * + per-node min); lineage is truncated per round with an eager
-    * localCheckpoint so plans stay flat. Nothing is collected to the
-    * driver except the per-round convergence count — this is the
-    * scale-safe replacement for driver-side union-find, which is
-    * quadratic-memory on a duplicate-heavy corpus.
+    * iterative min-label propagation WITH pointer jumping: each round
+    * takes label(v) <- min over neighbors' labels, then shortcuts through
+    * the label mapping itself (label(v) <- label(label(v))), which halves
+    * remaining path lengths — convergence is O(log diameter) rounds, so
+    * the default `maxIter` covers any realistic chain (LSH duplicate
+    * clusters are near-cliques and settle in 2-3 rounds). Each round is
+    * three key shuffles; lineage is truncated per round with an eager
+    * checkpoint (reliable when the session has a checkpoint dir, executor-
+    * local otherwise) and the previous round's blocks are unpersisted once
+    * the next is materialized, so storage stays one generation deep.
+    * Nothing is collected to the driver except the per-round convergence
+    * count — the scale-safe replacement for driver-side union-find.
+    * THROWS on non-convergence rather than returning split components.
     *
     * Returns (id, label) for every node that appears in `pairs`, where
     * label is the minimum id in the node's component.
@@ -166,8 +169,6 @@ object Dedup {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist()
-    // reliable checkpoint when the session has a checkpoint dir (cluster
-    // runs — survives executor loss); executor-local otherwise.
     def ck(df: DataFrame): DataFrame =
       if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -179,19 +180,28 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy("src").agg(min("label").as("nbr_label"))
-      val next = ck(labels
+      val hop = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping through the previous generation's mapping
+      val next = ck(hop
+        .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
+          hop("label") === col("pid"), "left")
+        .select(hop("id"),
+          least(hop("label"), coalesce(col("plabel"), hop("label"))).as("label")))
       val changed = next.select(col("id"), col("label").as("new_label"))
         .join(labels, "id")
         .where(col("new_label") =!= col("label"))
         .count()
+      labels.unpersist() // next is materialized; previous generation can go
       labels = next
       converged = changed == 0L
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 

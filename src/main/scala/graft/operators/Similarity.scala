@@ -23,13 +23,16 @@ object Similarity {
   /** Dot product as double via the native loop expression `graft_dot`
     * (constant bytecode size, stays in whole-stage codegen at any Dim).
     * Index-order accumulation == the oracle's explicit left-associative
-    * 64-term chain, bit-for-bit.
+    * 64-term chain, bit-for-bit. Built directly from the expression (not
+    * the function registry), so the DataFrame API works on sessions
+    * without GraftExtensions; the SQL name needs the extensions.
     */
   def dot(a: String, b: String): Column =
-    call_function("graft_dot", col(a), col(b))
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.DotProductExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(col(a)),
+      org.apache.spark.sql.GraftSqlBridge.expression(col(b))))
 
-  def norm2(a: String): Column =
-    call_function("graft_dot", col(a), col(a))
+  def norm2(a: String): Column = dot(a, a)
 
   /** cosine = dot / (sqrt(na) * sqrt(nb)) — formula mirrored in the oracle. */
   def cosine(a: String, b: String): Column =

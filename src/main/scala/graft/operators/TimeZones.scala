@@ -23,15 +23,21 @@ object TimeZones {
 
   /** Broadcast-join `offsets` (zoneCol, offset_sec) onto `facts` and shift
     * `epochCol`: adds offset_sec, local_epoch, local_hour (0-23) and
-    * local_day_s (local midnight as a shifted epoch). Facts whose zone has
-    * no offset row are dropped (inner join), matching the reference's
-    * behavior of discarding pings outside the tz shapefile.
+    * local_day_s (local midnight as a shifted epoch). Floor-mod (the
+    * double-% form, spelled identically in the oracle) keeps both columns
+    * correct for NEGATIVE local epochs too — west-of-UTC offsets shortly
+    * after 1970, or pre-epoch data; plain % would yield hour -1 and round
+    * day to the NEXT midnight. Facts whose zone has no offset row are
+    * dropped (inner join), matching the reference's behavior of discarding
+    * pings outside the tz shapefile.
     */
   def localize(
       facts: DataFrame, zoneCol: String, epochCol: String,
       offsets: DataFrame): DataFrame =
     facts.join(broadcast(offsets), Seq(zoneCol))
       .withColumn("local_epoch", col(epochCol) + col("offset_sec"))
-      .withColumn("local_hour", expr("(local_epoch % 86400) div 3600"))
-      .withColumn("local_day_s", col("local_epoch") - col("local_epoch") % 86400)
+      .withColumn("local_hour",
+        expr("(((local_epoch % 86400) + 86400) % 86400) div 3600"))
+      .withColumn("local_day_s",
+        col("local_epoch") - expr("((local_epoch % 86400) + 86400) % 86400"))
 }

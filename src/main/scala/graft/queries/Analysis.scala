@@ -124,6 +124,7 @@ object Analysis {
       t(s, d, "events")
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
+          count(lit(1)).as("n_rows"),
           approx_count_distinct("user_id", 0.02).as("hll"),
           expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
           expr("percentile(value, 0.4)").as("p40"),
@@ -131,7 +132,10 @@ object Analysis {
         .select(col("event_type"), col("exact_users"),
           (abs(col("hll") - col("exact_users")).cast("double")
             <= col("exact_users") * 0.05).as("hll_ok"),
-          (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"))
+          // the p40..p60 band is only a sound invariant once the group is
+          // big enough for rank-vs-interpolation effects to wash out
+          (col("n_rows") < 20 ||
+            (col("ap50") >= col("p40") && col("ap50") <= col("p60"))).as("p50_ok"))
     }),
 
     // P9: na.fill / na.drop over join-produced nulls (no source nulls in the

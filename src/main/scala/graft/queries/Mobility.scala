@@ -126,8 +126,9 @@ object Mobility {
            FROM events)
          SELECT e.event_id, e.zone, o.offset_sec,
            e.epoch + o.offset_sec AS local_epoch,
-           ((e.epoch + o.offset_sec) % 86400) // 3600 AS local_hour,
-           (e.epoch + o.offset_sec) - (e.epoch + o.offset_sec) % 86400 AS local_day_s
+           ((((e.epoch + o.offset_sec) % 86400) + 86400) % 86400) // 3600 AS local_hour,
+           (e.epoch + o.offset_sec)
+             - (((e.epoch + o.offset_sec) % 86400) + 86400) % 86400 AS local_day_s
          FROM ev e JOIN off o USING (zone)""",
     "q48_day_split" ->
       """WITH iv AS (

@@ -549,7 +549,7 @@ object Training {
            FROM terms GROUP BY 1, 2, 3),
          df AS (
            SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tc)
          SELECT doc_id, term,
            CAST(floor((CAST(tc AS DOUBLE) / dl) * ln(n_docs / df)
              * 1000000000.0) AS BIGINT) AS tfidf_e9

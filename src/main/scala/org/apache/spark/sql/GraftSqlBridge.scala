@@ -22,4 +22,11 @@ object GraftSqlBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Catalyst expression -> Column (the reverse seam): lets operators use
+    * custom expressions without requiring the function registry, so the
+    * DataFrame API works on sessions built without GraftExtensions.
+    */
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

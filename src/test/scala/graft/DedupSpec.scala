@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 11)
   }
 
+  test("connectedComponents converges on a 60-node chain (pointer jumping)") {
+    import spark.implicits._
+    // diameter 59: one-hop-per-round propagation would need 59 rounds and
+    // blow maxIter=20; pointer jumping must close it in O(log n) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 0L), labels.toString)
+  }
+
   test("connectedComponents matches reference union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

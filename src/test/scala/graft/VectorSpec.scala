@@ -39,6 +39,27 @@ class VectorSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("length mismatch throws; non-array input fails analysis") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_dot", col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+    intercept[Exception] {
+      spark.sql("SELECT graft_dot(1, 2)").collect()
+    }
+  }
+
+  test("dot works without GraftExtensions in the registry (bridge-built)") {
+    import spark.implicits._
+    // Similarity.dot constructs the expression directly — must not resolve
+    // through the function registry
+    val df = Seq((Array(2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("x", "y")
+    val r = df.select(Similarity.dot("x", "y")).collect().head
+    assert(r.getDouble(0) == 23.0)
+  }
+
   test("norm2 is dot with itself; cosine of identical vectors is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "e")
