@@ -184,8 +184,12 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // pointer jumping through the previous generation's mapping
-      val next = ck(hop
+      // pointer jumping through the previous generation's mapping. Skipped
+      // on round 1: near-clique LSH graphs converge before it can help,
+      // and the extra join is pure cost there; long chains still get
+      // O(log diameter) from round 2 on.
+      val next = ck(if (i == 0) hop
+      else hop
         .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
           hop("label") === col("pid"), "left")
         .select(hop("id"),
