@@ -82,6 +82,36 @@ object Multimodal {
     }
   }
 
+  /** STUB batched feature extractor — the reference's BERT-batch shape
+    * (SURVEY F10): accumulate `batchSize` payloads, make one "model call"
+    * per batch, emit a `dim`-long feature vector per item as (j, feat)
+    * rows. The fake model is an md5-derived integer recurrence, so the
+    * whole pipeline is SQL-replayable by the oracle; a real build swaps
+    * the batch body for one ONNX `session.run` over the stacked inputs —
+    * the batching, schema and row shape stay as they are.
+    */
+  def withFeatureRows(
+      df: DataFrame, binCol: String, dim: Int, batchSize: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("j", LongType), StructField("feat", LongType)))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // one "model call" per batch lives here (stacked-input inference)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.iterator.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          (0L until dim.toLong).map(j =>
+            Row.fromSeq(r.toSeq ++ Seq(j, (h + j * 2654435761L) % 1000003L)))
+        }
+      }
+    }(enc)
+  }
+
   /** Explode each media row into (frame_idx, frame) rows. */
   def withFrames(df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(

@@ -33,6 +33,13 @@ object Media {
           length(col("frame")).cast("long").as("frame_len"))
     }),
 
+    // batched feature extraction over binary payloads (F10 batch-inference
+    // shape): one fake model call per 64-item batch, 16 features per item.
+    "q101_media_features" -> ((s, d) => {
+      Multimodal.withFeatureRows(mediaDocs(s, d), "payload", 16, 64)
+        .select(col("doc_id"), col("j"), col("feat"))
+    }),
+
     // gap-based sessionization (batch form; streaming twin in Sessionize).
     "q66_sessionize" -> ((s, d) => {
       Sessionize.batch(t(s, d, "events"), 1800)
@@ -40,6 +47,12 @@ object Media {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q101_media_features" ->
+      """SELECT doc_id, j, (h + j * 2654435761) % 1000003 AS feat
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+               FROM documents),
+              (SELECT unnest(range(0, 16)) AS j)""",
     "q64_multimodal_meta" ->
       """SELECT doc_id,
            CASE WHEN b % 3 = 0 THEN 'jpeg' WHEN b % 3 = 1 THEN 'png' ELSE 'wav' END AS format,
