@@ -118,6 +118,51 @@ object Training {
       Similarity.ivfTopK(t(s, d, "embeddings"), Seq(100L, 200L), 10, 2)
     }),
 
+    // Boilerplate removal, CCNet-style: sentences occurring > 3 times
+    // ACROSS the corpus are dropped from every document; the doc is
+    // reassembled in original order. One explode + one count join —
+    // linear in corpus size.
+    "q102_line_dedup" -> ((s, d) => {
+      val sent = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\.")).as(Seq("i", "s")))
+      val cnt = sent.groupBy("s").agg(count(lit(1)).as("n"))
+      sent.join(cnt, "s").where(col("n") <= 3)
+        .groupBy("doc_id")
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("s")))),
+            x => x.getField("s")), ".")).as("fp"),
+          count(lit(1)).as("n_kept"))
+    }),
+
+    // Within-document repetition ratio (RefinedWeb-style quality signal):
+    // 1 - distinct/total tokens, in exact micro-units.
+    "q103_repetition" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        floor((lit(1.0) - size(array_distinct(w)).cast("double") / size(w)) * 1e6)
+          .cast("long").as("dup_ratio_e6"))
+    }),
+
+    // End-to-end curation verdict per document: language gate, quality
+    // gate, exact-dup canonicality — the composed filter a training-data
+    // build applies before tokenization.
+    "q104_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).getField("keep").as("keep_quality"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val canon = scored.groupBy("fp").agg(min("doc_id").as("canon_id"))
+      scored.join(canon, "fp")
+        .select(col("doc_id"), col("lang"), col("keep_quality"),
+          (col("doc_id") === col("canon_id")).as("is_canonical"),
+          (col("keep_quality") && col("lang") === "en" &&
+            col("doc_id") === col("canon_id")).as("keep"))
+    }),
+
     // k-skip bigrams (reference active-learning count_kskipngrams):
     // pairs (w_i, w_j) with i < j <= i+1+k, k=2; global top-30.
     "q77_kskip_bigrams" -> ((s, d) => {
@@ -422,6 +467,53 @@ object Training {
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
     "q98_ann_ivf" -> ivfOracle,
+    "q102_line_dedup" ->
+      """WITH sent AS (
+           SELECT doc_id, i, s
+           FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s,
+                   generate_subscripts(string_split(text, '.'), 1) AS i
+                 FROM documents)),
+         cnt AS (SELECT s, count(*) AS n FROM sent GROUP BY 1)
+         SELECT doc_id, md5(string_agg(s, '.' ORDER BY i)) AS fp,
+           count(*) AS n_kept
+         FROM sent JOIN cnt USING (s) WHERE n <= 3
+         GROUP BY doc_id""",
+    "q103_repetition" ->
+      """SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+             * 1000000.0) AS BIGINT) AS dup_ratio_e6
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)""",
+    "q104_curation" -> {
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH base AS (
+           SELECT doc_id, $hits,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             $stopAll AS stop_hits,
+             md5($normSql) AS fp
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS lang,
+             (n_tok >= 10 AND n_tok <= 100000 AND
+              (CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok
+                    ELSE 0.0 END) > 0.001) AS keep_quality,
+             fp
+           FROM (SELECT doc_id, h_en, h_es, h_fr, h_de, n_tok, stop_hits, fp,
+                   greatest(h_en, h_es, h_fr, h_de) AS mx
+                 FROM base)),
+         canon AS (SELECT fp, min(doc_id) AS canon_id FROM scored GROUP BY 1)
+         SELECT s.doc_id, s.lang, s.keep_quality,
+           s.doc_id = c.canon_id AS is_canonical,
+           (s.keep_quality AND s.lang = 'en' AND s.doc_id = c.canon_id) AS keep
+         FROM scored s JOIN canon c USING (fp)"""
+    },
     "q52_lang_id" -> {
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>
         s"${hitsSql(words)} AS h_$lang"
