@@ -146,6 +146,22 @@ object Training {
           .cast("long").as("dup_ratio_e6"))
     }),
 
+    // Dataset mixture sampling: per-source keep rates (out of 1000)
+    // applied via the deterministic content hash — the oracle-checkable,
+    // reshard-stable twin of the seeded sampleBy (q41). This is how a
+    // training mix downweights a crawl source without a seed whose
+    // output depends on partitioning.
+    "q105_source_mix" -> ((s, d) => {
+      val rate = when(col("source") === "src0", 100)
+        .when(col("source") === "src1", 800)
+        .when(col("source") === "src2", 500)
+        .otherwise(300)
+      t(s, d, "documents")
+        .where(TextFunctions.hash60(col("text")) % 1000 < rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
     // End-to-end curation verdict per document: language gate, quality
     // gate, exact-dup canonicality — the composed filter a training-data
     // build applies before tokenization.
@@ -478,6 +494,13 @@ object Training {
            count(*) AS n_kept
          FROM sent JOIN cnt USING (s) WHERE n <= 3
          GROUP BY doc_id""",
+    "q105_source_mix" ->
+      """SELECT source, count(*) AS n_kept
+         FROM documents
+         WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000
+               < (CASE WHEN source = 'src0' THEN 100 WHEN source = 'src1' THEN 800
+                       WHEN source = 'src2' THEN 500 ELSE 300 END)
+         GROUP BY 1""",
     "q103_repetition" ->
       """SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_tokens,
