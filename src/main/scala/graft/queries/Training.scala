@@ -146,6 +146,22 @@ object Training {
           .cast("long").as("dup_ratio_e6"))
     }),
 
+    // Sequence packing for pretraining: contiguous-fill assignment of
+    // documents to fixed token-budget bins (2048), packed independently
+    // per language so the cumsum window partitions by a key that scales
+    // with data — no global single-partition window.
+    "q106_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / 2048).cast("long").as("bin"),
+          ((col("cum") - col("n_tokens")) % 2048).as("offset_in_bin"))
+    }),
+
     // Dataset mixture sampling: per-source keep rates (out of 1000)
     // applied via the deterministic content hash — the oracle-checkable,
     // reshard-stable twin of the seeded sampleBy (q41). This is how a
@@ -494,6 +510,17 @@ object Training {
            count(*) AS n_kept
          FROM sent JOIN cnt USING (s) WHERE n <= 3
          GROUP BY doc_id""",
+    "q106_packing" ->
+      """SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_bin
+         FROM (
+           SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)""",
     "q105_source_mix" ->
       """SELECT source, count(*) AS n_kept
          FROM documents
