@@ -25,7 +25,14 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        finally spark.catalog.clearCache() // free any persist() a query made
+        finally {
+          spark.catalog.clearCache() // free any persist() a query made
+          // RDD-level storage (lineage-cut generations, localCheckpoints)
+          // is NOT in the CacheManager — release it explicitly so no
+          // query's working set leaks into the next one's run.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

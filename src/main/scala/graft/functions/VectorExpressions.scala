@@ -19,10 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Element types may differ per side (float embeddings vs integer
   * micro-unit centroids); anything numeric upcasts to double. Null
-  * ELEMENTS are not expected (parquet float lists in this engine are
-  * non-null); null ARRAYS propagate null. Mismatched lengths THROW — a
-  * truncated embedding must not flow through as a plausible partial dot
-  * (the old explicit element_at chain surfaced those too).
+  * ELEMENTS throw: ArrayData.getFloat on a null slot silently reads 0.0
+  * in both interpreted and generated code, which would yield a plausible-
+  * but-wrong partial dot — the exact failure mode the length-mismatch
+  * THROW exists to prevent. The guard is emitted only when the static
+  * element type admits nulls (`containsNull=true`, which parquet-read
+  * float lists carry even when no element is ever null), so the proven-
+  * non-null case pays nothing. Null ARRAYS propagate null. Mismatched
+  * lengths THROW — a truncated embedding must not flow through as a
+  * plausible partial dot (the old explicit element_at chain surfaced
+  * those too).
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,6 +47,11 @@ case class DotProductExpr(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_dot expects two numeric arrays, got $l and $r")
     }
+
+  private def containsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -62,10 +73,14 @@ case class DotProductExpr(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
       s"graft_dot: array length mismatch (${x.numElements()} vs ${y.numElements()})")
     val etL = elemType(left); val etR = elemType(right)
+    val ckL = containsNull(left); val ckR = containsNull(right)
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((ckL && x.isNullAt(i)) || (ckR && y.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"graft_dot: null array element at index $i")
       acc += toDouble(x, etL, i) * toDouble(y, etR, i)
       i += 1
     }
@@ -79,6 +94,17 @@ case class DotProductExpr(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getA = CodeGenerator.getValue(a, elemType(left), i)
       val getB = CodeGenerator.getValue(b, elemType(right), i)
+      val nullGuard = (if (containsNull(left)) s"$a.isNullAt($i)" else "") match {
+        case "" if !containsNull(right) => ""
+        case "" => s"$b.isNullAt($i)"
+        case l if containsNull(right) => s"$l || $b.isNullAt($i)"
+        case l => l
+      }
+      val guardCode = if (nullGuard.isEmpty) "" else
+        s"""if ($nullGuard) {
+           |  throw new IllegalArgumentException(
+           |    "graft_dot: null array element at index " + $i);
+           |}""".stripMargin
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  throw new IllegalArgumentException(
@@ -88,6 +114,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guardCode
          |  $acc += ((double)($getA)) * ((double)($getB));
          |}
          |${ev.value} = $acc;

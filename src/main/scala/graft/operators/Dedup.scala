@@ -155,24 +155,40 @@ object Dedup {
     * clusters are near-cliques and settle in 2-3 rounds). Each round is
     * three key shuffles; lineage is truncated per round with an eager
     * checkpoint (reliable when the session has a checkpoint dir, executor-
-    * local otherwise) and the previous round's blocks are unpersisted once
-    * the next is materialized, so storage stays one generation deep.
-    * Nothing is collected to the driver except the per-round convergence
-    * count — the scale-safe replacement for driver-side union-find.
+    * local otherwise). `Dataset.unpersist` is a no-op on checkpoint-backed
+    * frames (their blocks are not in the CacheManager), so each
+    * generation's storage handle — the `LogicalRDD`'s RDD — is captured
+    * and `unpersist()`ed directly once the next generation is
+    * materialized; the converged result is re-registered with the
+    * CacheManager so callers (and a harness's `catalog.clearCache()`) can
+    * release the final generation too. Note localCheckpoint blocks die
+    * with their executor — set a checkpoint dir on long multi-hour runs.
+    * Convergence is detected from a `chg` flag carried INSIDE the
+    * materialized frame (did this round change the node's label?), so the
+    * check is a filter-count over already-checkpointed blocks, not an
+    * extra self-join per round. Nothing is collected to the driver except
+    * that count — the scale-safe replacement for driver-side union-find.
     * THROWS on non-convergence rather than returning split components.
     *
     * Returns (id, label) for every node that appears in `pairs`, where
     * label is the minimum id in the node's component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val edges = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist()
-    def ck(df: DataFrame): DataFrame =
-      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    var labels = ck(edges.groupBy("src").agg(min("dst").as("nbr"))
+    // (frame with truncated lineage, handle that releases its storage).
+    // checkpoint()/localCheckpoint() store InternalRows directly — no
+    // Row round-trip — and are eager by default.
+    def cut(df: DataFrame): (DataFrame, () => Unit) = {
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      val handle = org.apache.spark.sql.GraftSqlBridge.materializedRdd(out)
+      (out, () => handle.foreach(_.unpersist(false)))
+    }
+    var (labels, freeLabels) = cut(edges.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
     var converged = false
     var i = 0
@@ -182,31 +198,36 @@ object Dedup {
         .groupBy("src").agg(min("label").as("nbr_label"))
       val hop = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_label")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping through the previous generation's mapping. Skipped
       // on round 1: near-clique LSH graphs converge before it can help,
       // and the extra join is pure cost there; long chains still get
       // O(log diameter) from round 2 on.
-      val next = ck(if (i == 0) hop
+      val stepped = if (i == 0) hop
       else hop
         .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
           hop("label") === col("pid"), "left")
-        .select(hop("id"),
-          least(hop("label"), coalesce(col("plabel"), hop("label"))).as("label")))
-      val changed = next.select(col("id"), col("label").as("new_label"))
-        .join(labels, "id")
-        .where(col("new_label") =!= col("label"))
-        .count()
-      labels.unpersist() // next is materialized; previous generation can go
-      labels = next
+        .select(hop("id"), hop("old_label"),
+          least(hop("label"), coalesce(col("plabel"), hop("label"))).as("label"))
+      val (next, freeNext) = cut(stepped
+        .select(col("id"), col("label"), (col("label") =!= col("old_label")).as("chg")))
+      val changed = next.where(col("chg")).count() // reads checkpointed blocks
+      freeLabels() // next is materialized; previous generation can go
+      labels = next.select("id", "label")
+      freeLabels = freeNext
       converged = changed == 0L
       i += 1
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
-    labels
+    // Hand the surviving generation to the CacheManager: cache the result
+    // Dataset-level, then drop the raw checkpoint blocks it was built from.
+    val out = labels.persist()
+    out.count()
+    freeLabels()
+    out
   }
 
   /** Full near-dup dedup: LSH candidate pairs -> connected components ->
@@ -215,8 +236,12 @@ object Dedup {
     * Components are resolved with distributed min-label propagation
     * (`connectedComponents`) — no `collect()` anywhere in the path, so a
     * duplicate-heavy corpus can't blow the driver. `maxBucket` bounds the
-    * quadratic pair fan-out of any one LSH bucket. Returns the input plus
-    * (rep_id, is_kept).
+    * quadratic pair fan-out of any one LSH bucket; the default (10000) is
+    * the SCALE configuration — a bucket over the cap silently contributes
+    * only its 10000 smallest ids' pairs, which can split a giant
+    * component. The oracle-verified q76 passes Int.MaxValue explicitly:
+    * capped and uncapped are intentionally different contracts, pick by
+    * corpus dirtiness. Returns the input plus (rep_id, is_kept).
     */
   def dedupNearDupes(
       docs: DataFrame, idCol: String, textCol: String,

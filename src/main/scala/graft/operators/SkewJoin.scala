@@ -21,10 +21,22 @@ object SkewJoin {
   /** Equi-join `big` with `rep` on `key`, spreading each key across
     * `salt` shuffle partitions. `rep` is replicated `salt` times.
     * Result equals the plain inner join (salt columns never escape).
+    *
+    * The salt is derived from row CONTENT (xxhash64 over every column),
+    * never from a nondeterministic expression like
+    * `monotonically_increasing_id()` or `rand()`: a shuffle key must be
+    * reproducible under partial stage recomputation (fetch-failure retry
+    * re-runs only some map tasks — a row that re-salts differently is
+    * duplicated in one reduce partition and missing from another, the
+    * SPARK-23207 hazard class). Content hashing makes retried tasks emit
+    * identical salts. Identical full rows share a salt, which is safe:
+    * they are interchangeable, so their placement doesn't skew results —
+    * and a key whose rows are ALL identical carries no information to
+    * spread anyway.
     */
   def saltedJoin(big: DataFrame, rep: DataFrame, key: String, salt: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val replicated = rep.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

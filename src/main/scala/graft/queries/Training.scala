@@ -105,10 +105,15 @@ object Training {
 
     // end-to-end near-dup dedup: LSH pairs -> distributed min-label
     // components -> min-id rep. Oracle-checked: DuckDB replays the
-    // components with a recursive transitive-closure CTE.
+    // components with a recursive transitive-closure CTE. The oracle
+    // replays UNCAPPED pair semantics, so the verified path passes
+    // maxBucket=Int.MaxValue explicitly — the production default (10000)
+    // is a deliberately different configuration that drops pairs inside
+    // celebrity buckets and may split components vs this oracle.
     "q76_dedup_keep" -> ((s, d) => {
       Dedup.dedupNearDupes(
-        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        maxBucket = Int.MaxValue)
         .select(col("doc_id"), col("rep_id"), col("is_kept"))
     }),
 

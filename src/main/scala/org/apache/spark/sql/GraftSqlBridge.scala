@@ -29,4 +29,15 @@ object GraftSqlBridge {
     */
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** The storage handle behind a `checkpoint()`/`localCheckpoint()`-backed
+    * frame. Those blocks are NOT registered in the CacheManager, so
+    * `Dataset.unpersist` is a no-op on them — freeing a generation of an
+    * iterative algorithm needs the underlying RDD (a `LogicalRDD` leaf in
+    * the analyzed plan) to `unpersist()` directly.
+    */
+  def materializedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD => l.rdd
+    }
 }

@@ -75,6 +75,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q100 salted join: every expression is deterministic (retry-safe salt)") {
+    // A nondeterministic salt (rand, monotonically_increasing_id) used as a
+    // shuffle/join key duplicates or drops rows under partial stage
+    // recomputation (SPARK-23207 hazard class) — the salt must come from
+    // row content so retried tasks reproduce it.
+    val df = SparkEntry.queries("q100_salted_join")(spark, sf)
+    val nondet = df.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect { case e if !e.deterministic => e })
+    }.flatten
+    assert(nondet.isEmpty, s"nondeterministic expressions in salted join: $nondet")
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen stages render as "*(n) Operator" in executedPlan.toString
     val p = plan("q02_filter_project")

@@ -51,6 +51,26 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENT throws instead of silently reading as 0.0") {
+    // array(...) of nullable exprs types as containsNull=true — the guard
+    // path; a plausible partial dot (null -> 0.0) must not flow through.
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_dot(array(1.0F, CAST(NULL AS FLOAT)),
+          |                 array(3.0F, 4.0F)) AS d""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("null array element") ||
+      (e.getCause != null && e.getCause.getMessage.contains("null array element")))
+    // interpreted path must agree with codegen
+    val e2 = intercept[Exception] {
+      import spark.implicits._
+      val df = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f)))
+        .toDF("a", "b")
+      df.select(Similarity.dot("a", "b")).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("dot works without GraftExtensions in the registry (bridge-built)") {
     import spark.implicits._
     // Similarity.dot constructs the expression directly — must not resolve
