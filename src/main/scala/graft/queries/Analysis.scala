@@ -241,6 +241,22 @@ object Analysis {
       graft.operators.TemporalJoin.rangePairs(ev, "user_id", "t", "event_id", 3600L)
         .groupBy("k").agg(count(lit(1)).as("n_pairs"))
         .select(col("k").as("user_id"), col("n_pairs"))
+    }),
+
+    // Bloom-filter semi-join reduction: probe a Bloom of the small side's
+    // keys BEFORE the join shuffles the big side (runtime-filter move,
+    // here as a library op). False positives are cleaned by the exact
+    // semi join, so the oracle is the PLAIN semi join — equality, not an
+    // error band.
+    "q109_bloom_semijoin" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .where(col("c_nationkey") === 5).select(col("c_custkey"))
+      graft.operators.BloomJoin.semiJoinReduced(
+          t(s, d, "orders"), cust, "o_custkey", "c_custkey", 10000L, 0.01)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +269,12 @@ object Analysis {
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q109_bloom_semijoin" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
          GROUP BY 1""",
     "q69_active_users" ->
       """WITH per_user AS (

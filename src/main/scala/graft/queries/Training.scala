@@ -302,6 +302,78 @@ object Training {
         (scrubbed =!= col("text")).as("changed"), md5(scrubbed).as("fp"))
     }),
 
+    // Benchmark decontamination: flag training docs sharing word 3-grams
+    // with an eval/benchmark set (here: the src0 slice). The benchmark
+    // side is DISTINCT shingles broadcast to the candidate scan — eval
+    // sets are tiny next to a training corpus, so the big side never
+    // shuffles; overlap >= 10% of a doc's shingles marks contamination.
+    "q107_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def sh(df: DataFrame) = df
+        // sequence(1, 0) DESCENDS in Spark (q77 lesson) — gate short docs
+        .where(size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+      val bench = sh(docs.where(col("source") === "src0"))
+        .select("sh").distinct().withColumn("hit", lit(1L))
+      sh(docs.where(col("source") =!= "src0"))
+        .join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") * 10 >= col("n_shingles"))
+    }),
+
+    // Deterministic train/val/test split: the content hash, not rand(),
+    // decides membership — reshard-stable, reproducible across retries,
+    // and exactly replayable by the oracle. 80/10/10 by hash60 % 100.
+    "q108_train_split" -> ((s, d) => {
+      val h = TextFunctions.hash60(col("text")) % 100
+      t(s, d, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    // Inverted index (search-engine core): term -> document frequency +
+    // fingerprint of the ordered posting list. One explode + one shuffle
+    // on term; posting lists stay distributed (fingerprinted, never
+    // collected). Terms in >= 5 docs only — the long tail is noise.
+    "q110_inverted_index" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",")).as("postings_fp"))
+        .where(col("df") >= 5)
+    }),
+
+    // int8 embedding quantization: per-dimension global [min,max] -> 255
+    // buckets, the storage-shrink step before ANN serving. The per-dim
+    // stats frame is tiny (Dim rows) and broadcast; quantized vectors are
+    // fingerprinted per row. Identical double arithmetic both engines:
+    // floor((v - mn) * 255 / (mx - mn)).
+    "q111_quantize" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dims = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      val q = when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((col("v").cast("double") - col("mn").cast("double")) * 255.0
+            / (col("mx").cast("double") - col("mn").cast("double"))).cast("long"))))
+      e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .join(broadcast(dims), "dim")
+        .select(col("vec_id"), col("dim"), q.as("q"))
+        .groupBy("vec_id")
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("dim"), col("q")))),
+            x => x.getField("q").cast("string")), ",")).as("qfp"),
+          sum("q").as("qsum"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -504,6 +576,60 @@ object Training {
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
     "q98_ann_ivf" -> ivfOracle,
+    "q107_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
+           FROM toks WHERE len(w) >= 3),
+         bench AS (
+           SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE source = 'src0'),
+         cand AS (
+           SELECT doc_id, unnest(shs) AS sh FROM sh WHERE source <> 'src0')
+         SELECT c.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 10 >= count(*) AS contaminated
+         FROM cand c LEFT JOIN bench b USING (sh)
+         GROUP BY c.doc_id""",
+    "q108_train_split" ->
+      """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT lang, n_chars,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS h
+               FROM documents)
+         GROUP BY 1, 2""",
+    "q110_inverted_index" ->
+      """SELECT term, count(*) AS df,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS postings_fp
+         FROM (SELECT DISTINCT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS term
+               FROM documents)
+         GROUP BY 1 HAVING count(*) >= 5""",
+    "q111_quantize" ->
+      """WITH ex AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+           FROM embeddings),
+         dims AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+         qv AS (
+           SELECT vec_id, dim,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE
+               least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT)))
+             END AS q
+           FROM ex JOIN dims USING (dim))
+         SELECT vec_id, md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY dim))
+             AS qfp,
+           CAST(sum(q) AS BIGINT) AS qsum
+         FROM qv GROUP BY 1""",
     "q102_line_dedup" ->
       """WITH sent AS (
            SELECT doc_id, i, s
