@@ -55,7 +55,9 @@ object Bench {
     "q96_tz_localize", // tz-offset broadcast localization
     "q98_ann_ivf", // IVF ANN (codebook + nProbe cells)
     "q99_approx_sketches", // HLL distinct + t-digest percentile
-    "q100_salted_join") // skew-safe salted big-big join
+    "q100_salted_join", // skew-safe salted big-big join
+    "q107_decontaminate", // broadcast n-gram overlap vs benchmark set
+    "q109_bloom_semijoin") // Bloom pre-filter semi-join reduction
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -374,6 +374,41 @@ object Training {
           sum("q").as("qsum"))
     }),
 
+    // Deterministic k-per-group sampling: the "take N docs per language
+    // for the training mix" op, keyed on the content hash so the sample
+    // is reshard-stable and replayable. Runs through the custom
+    // TopKPerKey physical operator (bounded per-key heaps, shuffle of
+    // <= k rows per key per partition) instead of a full window sort —
+    // the oracle replays it as row_number over the same total order.
+    "q112_group_sample" -> ((s, d) => {
+      graft.plans.TopKPerKey(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            TextFunctions.hash60(col("text")).as("h")),
+          Seq("lang"), Seq(asc("h"), asc("doc_id")), 20)
+        .select(col("lang"), col("doc_id"), col("h"))
+    }),
+
+    // Bigram conditional probabilities (count-based tiny-LM step):
+    // P(w2|w1) in exact integer micro-units — c12 * 1e6 DIV c1, where c1
+    // sums over the SAME bigram table so probabilities per w1 sum to ~1.
+    // Two shuffles (bigram count, unigram-context count) + one join on
+    // w1, all linear in corpus size.
+    "q114_bigram_lm" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      val bg = t(s, d, "documents")
+        .where(size(w) >= 2)
+        .select(explode(transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"))
+      bg.join(ctx, "w1")
+        .where(col("c12") >= 3)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          expr("c12 * 1000000 DIV c1").as("p_e6"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -596,6 +631,27 @@ object Training {
              * 10 >= count(*) AS contaminated
          FROM cand c LEFT JOIN bench b USING (sh)
          GROUP BY c.doc_id""",
+    "q112_group_sample" ->
+      """SELECT lang, doc_id, h FROM (
+           SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC)
+               AS rn
+           FROM (SELECT lang, doc_id,
+                   CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+                 FROM documents))
+         WHERE rn <= 20""",
+    "q114_bigram_lm" ->
+      """WITH bg AS (
+           SELECT w1, w2, count(*) AS c12 FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+                 i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true)
+             FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+             WHERE len(w) >= 2)
+           GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+         SELECT b.w1, b.w2, b.c12, c.c1, b.c12 * 1000000 // c.c1 AS p_e6
+         FROM bg b JOIN ctx c USING (w1)
+         WHERE b.c12 >= 3""",
     "q108_train_split" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
                 ELSE 'test' END AS split,

@@ -75,6 +75,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q107 decontamination broadcasts the benchmark shingle set") {
+    // the training corpus (big side) must not shuffle for the overlap join
+    val p = plan("q107_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q111 quantization broadcasts the per-dim stats frame") {
+    val p = plan("q111_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q100 salted join: every expression is deterministic (retry-safe salt)") {
     // A nondeterministic salt (rand, monotonically_increasing_id) used as a
     // shuffle/join key duplicates or drops rows under partial stage

@@ -104,6 +104,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup: dropDuplicatesWithinWatermark across batches") {
+    // the streaming twin of q56's exact dedup: duplicate fingerprints are
+    // suppressed as long as they arrive within the watermark delay, with
+    // bounded state (old fingerprints age out — unbounded dropDuplicates
+    // state would OOM a 100-TB ingest)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = input.toDF().toDF("fp", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:01:00")),
+        ("a", ts("2024-01-01 10:02:00"))) // in-batch duplicate of a
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 10:05:00"))) // cross-batch duplicate
+      q.processAllAvailable()
+      val fps = spark.table("dedup_out").select("fp").as[String].collect()
+      assert(fps.sorted.toSeq == Seq("a", "b"), fps.mkString(","))
+    } finally q.stop()
+  }
+
   test("file-source readStream picks up files across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
