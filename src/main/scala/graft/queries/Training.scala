@@ -409,6 +409,37 @@ object Training {
           expr("c12 * 1000000 DIV c1").as("p_e6"))
     }),
 
+    // Misra-Gries heavy hitters via the custom TypedImperativeAggregate:
+    // fixed-k state per partial, k-row exchanges — the mergeable-sketch
+    // alternative to a domain-sized exact groupBy at 100 TB. Estimates
+    // depend on Spark's (nondeterministic) merge order, so the output
+    // asserts the sketch's GUARANTEES, which hold under any merge tree:
+    // every true heavy hitter (c*k > n) is present, and its estimate is
+    // within [c - n/(k+1), c]. The oracle expects both booleans TRUE
+    // (q99's error-band pattern); exact counts anchor the hash.
+    "q115_heavy_hitters" -> ((s, d) => {
+      val kCap = 50
+      val terms = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = exact.agg(sum("c").as("n"))
+      val sketch = terms
+        .agg(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.HeavyHittersAgg(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("term")), kCap)
+            .toAggregateExpression()).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+      exact.crossJoin(broadcast(tot))
+        .where(col("c") * kCap > col("n"))
+        .join(broadcast(sketch), Seq("term"), "left")
+        .select(col("term"), col("c"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("c") &&
+            col("est") >= col("c") - floor(col("n") / (kCap + 1)))
+            .as("est_in_band"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -631,6 +662,15 @@ object Training {
              * 10 >= count(*) AS contaminated
          FROM cand c LEFT JOIN bench b USING (sh)
          GROUP BY c.doc_id""",
+    "q115_heavy_hitters" ->
+      """WITH tc AS (
+           SELECT t AS term, count(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+         SELECT term, c, TRUE AS in_sketch, TRUE AS est_in_band
+         FROM tc, tot WHERE c * 50 > n""",
     "q112_group_sample" ->
       """SELECT lang, doc_id, h FROM (
            SELECT lang, doc_id, h,

@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q112 group sampling runs through TopKPerKeyExec, not a window sort") {
+    val p = plan("q112_group_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q100 salted join: every expression is deterministic (retry-safe salt)") {
     // A nondeterministic salt (rand, monotonically_increasing_id) used as a
     // shuffle/join key duplicates or drops rows under partial stage
