@@ -440,6 +440,25 @@ object Training {
             .as("est_in_band"))
     }),
 
+    // Token-distribution entropy per document (information-theoretic
+    // quality signal: near-zero = degenerate repetition, high = diverse
+    // text). Float summation order is pinned on BOTH engines by folding
+    // the per-term contributions in sorted-term order with an explicit
+    // left fold — entropy contributions are not associativity-safe.
+    "q116_entropy" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"),
+          transform(array_sort(collect_list(struct(col("term"), col("c")))),
+            x => x.getField("c")).as("cs"))
+      tc.select(col("doc_id"), col("n"),
+        floor(aggregate(col("cs"), lit(0.0d),
+          (acc, c) => acc - (c.cast("double") / col("n")) *
+            log(c.cast("double") / col("n"))) * 1e6).cast("long").as("entropy_e6"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -662,6 +681,23 @@ object Training {
              * 10 >= count(*) AS contaminated
          FROM cand c LEFT JOIN bench b USING (sh)
          GROUP BY c.doc_id""",
+    "q116_entropy" ->
+      """WITH tc AS (
+           SELECT doc_id, term, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             list(c ORDER BY term) AS cs
+           FROM tc GROUP BY 1)
+         SELECT doc_id, n,
+           CAST(floor(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, c ->
+                 -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))),
+             (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS entropy_e6
+         FROM agg""",
     "q115_heavy_hitters" ->
       """WITH tc AS (
            SELECT t AS term, count(*) AS c FROM (
