@@ -58,7 +58,8 @@ object Bench {
     "q100_salted_join", // skew-safe salted big-big join
     "q107_decontaminate", // broadcast n-gram overlap vs benchmark set
     "q109_bloom_semijoin", // Bloom pre-filter semi-join reduction
-    "q115_heavy_hitters") // Misra-Gries custom TypedImperativeAggregate
+    "q115_heavy_hitters", // Misra-Gries custom TypedImperativeAggregate
+    "q118_star_join") // TPC-H Q5 shape: 2 facts + 3 broadcast dims
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -243,6 +243,31 @@ object Analysis {
         .select(col("k").as("user_id"), col("n_pairs"))
     }),
 
+    // TPC-H Q5-shaped star join: two big facts (lineitem, orders) with
+    // three dims (customer, nation, region) and a selective region
+    // filter. Catalyst's job here: push r_name into the region scan,
+    // broadcast all three dims (only the fact-fact join shuffles), and
+    // let AQE size the exchanges — the canonical multi-way join shape a
+    // warehouse query planner must get right at 100 TB. Decimal revenue
+    // sum for cross-engine exactness.
+    "q118_star_join" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Bloom-filter semi-join reduction: probe a Bloom of the small side's
     // keys BEFORE the join shuffles the big side (runtime-filter move,
     // here as a library op). False positives are cleaned by the exact
@@ -269,6 +294,21 @@ object Analysis {
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q118_star_join" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY 1""",
     "q109_bloom_semijoin" ->
       """SELECT o_orderstatus, count(*) AS n,

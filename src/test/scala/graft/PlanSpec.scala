@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q118 star join: dims broadcast, region filter reaches its scan") {
+    val p = plan("q118_star_join")
+    // all three dimension joins broadcast; only the fact-fact join may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(r_regionkey), IsNotNull(r_name), EqualTo(r_name,ASIA)]")
+      || p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
   test("q112 group sampling runs through TopKPerKeyExec, not a window sort") {
     val p = plan("q112_group_sample")
     assert(p.contains("TopKPerKey"), p)
