@@ -243,6 +243,45 @@ object Analysis {
         .select(col("k").as("user_id"), col("n_pairs"))
     }),
 
+    // Ordered funnel per user (view -> click -> purchase, each stage
+    // strictly after the previous): three conditional-min aggregations
+    // over the same shuffle key — no self-join explosion, no window; the
+    // stage timestamps chain through two broadcast-sized per-user joins.
+    // Epoch integers end-to-end (cross-engine safe).
+    "q119_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("t"))).as("t_view"))
+      val c = ev.join(v, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(min(when(col("event_type") === "click" && col("t") > col("t_view"),
+          col("t"))).as("t_click"))
+      val p = ev.join(c, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(min(when(col("event_type") === "purchase" && col("t") > col("t_click"),
+          col("t"))).as("t_purchase"))
+      p.agg(count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_purchase")).as("n_full_funnel"))
+    }),
+
+    // Retention cohorts: users bucketed by first-seen week x active week,
+    // in integer epoch-week arithmetic (no tz functions — the engine's
+    // standing rule for cross-engine time parity). The cohort matrix is
+    // the product of two shuffles on user_id, both linear.
+    "q120_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+      val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.distinct().join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct("user_id").as("n_active"))
+        .withColumn("weeks_since", col("week") - col("cohort_week"))
+    }),
+
     // TPC-H Q5-shaped star join: two big facts (lineitem, orders) with
     // three dims (customer, nation, region) and a selective region
     // filter. Catalyst's job here: push r_name into the region scan,
@@ -295,6 +334,35 @@ object Analysis {
            count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    "q119_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         v AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN t END) AS t_view
+           FROM ev GROUP BY 1),
+         c AS (
+           SELECT ev.user_id, v.t_view,
+             min(CASE WHEN event_type = 'click' AND t > t_view THEN t END)
+               AS t_click
+           FROM ev JOIN v USING (user_id) GROUP BY 1, 2),
+         p AS (
+           SELECT ev.user_id, c.t_view, c.t_click,
+             min(CASE WHEN event_type = 'purchase' AND t > t_click THEN t END)
+               AS t_purchase
+           FROM ev JOIN c USING (user_id) GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_users, count(t_view) AS n_view,
+           count(t_click) AS n_view_click, count(t_purchase) AS n_full_funnel
+         FROM p""",
+    "q120_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+           FROM events),
+         first AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+         SELECT cohort_week, week, count(DISTINCT user_id) AS n_active,
+           week - cohort_week AS weeks_since
+         FROM ev JOIN first USING (user_id)
+         GROUP BY 1, 2""",
     "q118_star_join" ->
       """SELECT n_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
