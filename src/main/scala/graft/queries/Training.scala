@@ -496,6 +496,25 @@ object Training {
         .unionAll(recallOf("ivf2", Similarity.ivfTopK(e, ids, 10, 2)))
     }),
 
+    // Triangle count over the LSH candidate-pair graph — the clustering
+    // signal that distinguishes a tight duplicate clique from a chain of
+    // borderline matches. Edges are kept in canonical (id1 < id2) order,
+    // so the two-join wedge-close counts each triangle exactly once and
+    // every join key is a node id (shuffle fan-in bounded by node degree,
+    // the standard distributed-triangle shape).
+    "q121_triangles" -> ((s, d) => {
+      val e = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val e1 = e.select(col("id1").as("a"), col("id2").as("b"))
+      val e2 = e.select(col("id1").as("b"), col("id2").as("c"))
+      val e3 = e.select(col("id1").as("a"), col("id2").as("c"))
+        .withColumn("closed", lit(1L))
+      e1.join(e2, "b")
+        .join(e3, Seq("a", "c"), "left")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(coalesce(col("closed"), lit(0L))).as("n_triangles"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -770,10 +789,24 @@ object Training {
          ${recallSelect("ivf2", "ivfr")}"""
   }
 
+  private def trianglesOracle: String =
+    s"""WITH $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT count(*) AS n_wedges,
+           CAST(sum(CASE WHEN e3.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_triangles
+         FROM pairs e1
+         JOIN pairs e2 ON e1.id2 = e2.id1
+         LEFT JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""
+
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
     "q98_ann_ivf" -> ivfOracle,
     "q117_ann_recall" -> annRecallOracle,
+    "q121_triangles" -> trianglesOracle,
     "q107_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split(lower(text), ' ') AS w
