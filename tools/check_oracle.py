@@ -30,7 +30,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
+    # Few worker threads by default: per-query work at these SFs is tiny,
+    # and under host pressure DuckDB's default thread pool has been seen
+    # dying with std::system_error EAGAIN (thread creation) / segfaults.
+    con = duckdb.connect(
+        config={"threads": int(os.environ.get("GRAFT_ORACLE_THREADS", "2"))})
     for name in ["region","nation","customer","supplier","part","orders",
                  "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
