@@ -282,6 +282,24 @@ object Analysis {
         .withColumn("weeks_since", col("week") - col("cohort_week"))
     }),
 
+    // Z-order (Morton) clustering key: interleave the bits of two
+    // dimensions so rows close in BOTH land close in the sort order —
+    // the data-layout move behind multi-column file skipping at 100 TB
+    // (sort by zkey before writing; min/max footer stats then prune scans
+    // on either dimension). Shift amounts are lambda variables, so the
+    // interleave is a SQL HOF expression (the simhash lesson: the Scala
+    // shiftleft helper only takes literal counts).
+    "q122_zorder" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("x"), (col("o_orderkey") % 256).as("y"))
+        .withColumn("zkey", expr(
+          """aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) ->
+               acc + shiftleft((shiftright(x, i) % 2), 2*i)
+                   + shiftleft((shiftright(y, i) % 2), 2*i+1))"""))
+        .withColumn("zbucket", expr("zkey div 1024"))
+    }),
+
     // TPC-H Q5-shaped star join: two big facts (lineitem, orders) with
     // three dims (customer, nation, region) and a selective region
     // filter. Catalyst's job here: push r_name into the region scan,
@@ -334,6 +352,16 @@ object Analysis {
            count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    "q122_zorder" ->
+      """SELECT o_orderkey, x, y,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             (((x >> i) % 2) << (2*i)) + (((y >> i) % 2) << (2*i+1))))
+             AS BIGINT) AS zkey,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             (((x >> i) % 2) << (2*i)) + (((y >> i) % 2) << (2*i+1))))
+             AS BIGINT) // 1024 AS zbucket
+         FROM (SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+               FROM orders)""",
     "q119_funnel" ->
       """WITH ev AS (
            SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
