@@ -65,6 +65,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     })
   }
 
+  // Case-class equality over Array[Byte] is REFERENCE equality, so two
+  // semantically identical probes would never compare equal — breaking
+  // canonicalization/semanticEquals and plan-level common-subexpression
+  // elimination. Compare the filter CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

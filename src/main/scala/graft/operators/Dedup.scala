@@ -156,13 +156,19 @@ object Dedup {
     * three key shuffles; lineage is truncated per round with an eager
     * checkpoint (reliable when the session has a checkpoint dir, executor-
     * local otherwise). `Dataset.unpersist` is a no-op on checkpoint-backed
-    * frames (their blocks are not in the CacheManager), so each
-    * generation's storage handle — the `LogicalRDD`'s RDD — is captured
-    * and `unpersist()`ed directly once the next generation is
-    * materialized; the converged result is re-registered with the
-    * CacheManager so callers (and a harness's `catalog.clearCache()`) can
-    * release the final generation too. Note localCheckpoint blocks die
-    * with their executor — set a checkpoint dir on long multi-hour runs.
+    * frames (their storage is not in the CacheManager), so each
+    * generation is reclaimed through the `LogicalRDD`'s RDD handle once
+    * the next generation is materialized — `unpersist()` for
+    * localCheckpoint blocks, checkpoint-FILE deletion
+    * (`GraftCheckpointBridge.cleanCheckpointFiles`) for reliable
+    * checkpoints, where unpersist would touch nothing. The FINAL
+    * generation's storage is deliberately retained: it IS the returned
+    * frame's only materialization and is not recomputable once deleted
+    * (localCheckpoint truncates lineage; reliable files are the data), so
+    * freeing it would turn any later read into a hard failure. It is two
+    * longs per node — released with the session / checkpoint-dir cleanup.
+    * Note localCheckpoint blocks die with their executor — set a
+    * checkpoint dir on long multi-hour runs.
     * Convergence is detected from a `chg` flag carried INSIDE the
     * materialized frame (did this round change the node's label?), so the
     * check is a filter-count over already-checkpointed blocks, not an
@@ -186,7 +192,11 @@ object Dedup {
     def cut(df: DataFrame): (DataFrame, () => Unit) = {
       val out = if (reliable) df.checkpoint() else df.localCheckpoint()
       val handle = org.apache.spark.sql.GraftSqlBridge.materializedRdd(out)
-      (out, () => handle.foreach(_.unpersist(false)))
+      val free = () => handle.foreach { rdd =>
+        if (reliable) org.apache.spark.GraftCheckpointBridge.cleanCheckpointFiles(rdd)
+        else rdd.unpersist(false)
+      }
+      (out, free)
     }
     var (labels, freeLabels) = cut(edges.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
@@ -222,12 +232,11 @@ object Dedup {
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
-    // Hand the surviving generation to the CacheManager: cache the result
-    // Dataset-level, then drop the raw checkpoint blocks it was built from.
-    val out = labels.persist()
-    out.count()
-    freeLabels()
-    out
+    // The final generation is returned as-is, storage retained (see the
+    // Scaladoc): an earlier revision persist()ed it and then freed the
+    // checkpoint underneath, which made eviction of any cached partition a
+    // guaranteed hard failure — recompute needs exactly the storage freed.
+    labels
   }
 
   /** Full near-dup dedup: LSH candidate pairs -> connected components ->

@@ -29,10 +29,14 @@ object SkewJoin {
     * re-runs only some map tasks — a row that re-salts differently is
     * duplicated in one reduce partition and missing from another, the
     * SPARK-23207 hazard class). Content hashing makes retried tasks emit
-    * identical salts. Identical full rows share a salt, which is safe:
-    * they are interchangeable, so their placement doesn't skew results —
-    * and a key whose rows are ALL identical carries no information to
-    * spread anyway.
+    * identical salts. The trade-off: byte-identical rows hash to the SAME
+    * salt, so a hot key whose rows are mostly full duplicates still lands
+    * in one reduce partition — correctness is unaffected, but the load
+    * balancing this salt exists for is not provided in that case. No
+    * per-row disambiguator can fix it safely: anything positional
+    * (spark_partition_id, a row_number over tied rows) is not stable
+    * under partial stage retry — the SPARK-23207 hazard again. For
+    * duplicate-dominated hot keys use `saltedJoinCollapseDupes` below.
     */
   def saltedJoin(big: DataFrame, rep: DataFrame, key: String, salt: Int): DataFrame = {
     val salted = big.withColumn("__salt",
@@ -40,5 +44,23 @@ object SkewJoin {
     val replicated = rep.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skew-safe join for hot keys dominated by IDENTICAL rows, which the
+    * content-hash salt cannot spread (equal bytes, equal salt). Instead of
+    * spreading the duplicates, collapse them: aggregate `big` to distinct
+    * rows plus a multiplicity count — map-side partial aggregation folds
+    * the duplicates BEFORE the shuffle, so the hot duplicates never travel
+    * — salt-join the now-unique rows, and re-inflate with an
+    * `explode(sequence(...))` AFTER the join. The re-inflation is a
+    * map-side generator (no shuffle follows), so no reducer ever receives
+    * more than one copy of a duplicated row. Result multiset equals the
+    * plain inner join; costs one extra aggregation over `big`.
+    */
+  def saltedJoinCollapseDupes(big: DataFrame, rep: DataFrame, key: String, salt: Int): DataFrame = {
+    val collapsed = big.groupBy(big.columns.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    saltedJoin(collapsed, rep, key, salt)
+      .withColumn("__dup", explode(sequence(lit(1L), col("__cnt"))))
+      .drop("__cnt", "__dup")
   }
 }

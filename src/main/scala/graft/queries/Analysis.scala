@@ -272,9 +272,15 @@ object Analysis {
     // standing rule for cross-engine time parity). The cohort matrix is
     // the product of two shuffles on user_id, both linear.
     "q120_retention" -> ((s, d) => {
+      // FLOOR division, not `div`: Spark `div` truncates toward zero while
+      // DuckDB `//` floors, so they disagree on negative operands (pre-1970
+      // timestamps). `(x - pmod(x, y)) div y` floors for any sign of x
+      // (pmod is non-negative for positive y), spelled in pure integer ops
+      // so parity is exact — the engine's cross-engine time rule.
       val ev = t(s, d, "events")
         .select(col("user_id"),
-          expr("unix_micros(ts) div 604800000000").as("week"))
+          expr("""(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))
+                  div 604800000000""").as("week"))
       val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       ev.distinct().join(first, "user_id")
         .groupBy("cohort_week", "week")
@@ -297,6 +303,10 @@ object Analysis {
           """aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) ->
                acc + shiftleft((shiftright(x, i) % 2), 2*i)
                    + shiftleft((shiftright(y, i) % 2), 2*i+1))"""))
+        // Plain `div` is safe HERE (unlike q120's epoch weeks): x,y are
+        // pmod-style non-negative (% of positive keys), so zkey >= 0 and
+        // truncation == floor == DuckDB `//`. Negative domains need the
+        // q120 floor-div form.
         .withColumn("zbucket", expr("zkey div 1024"))
     }),
 

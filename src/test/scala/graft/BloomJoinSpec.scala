@@ -28,6 +28,24 @@ class BloomJoinSpec extends SparkSpec {
     assert(plain.exceptAll(reduced).count() == 0L)
   }
 
+  test("probes with equal filter content are equal expressions (CSE-able)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    // two independently built probes over the same key set: byte-equal
+    // filters in distinct arrays. Case-class equality over Array[Byte] is
+    // reference equality, which would silently disable canonicalization
+    // and common-subexpression elimination — equality must be by CONTENT.
+    val keys = (1L to 100L).toDF("k")
+    val e1 = GraftSqlBridge.expression(
+      BloomJoin.bloomProbe(keys, "k", 100L, 0.03)(col("k")))
+    val e2 = GraftSqlBridge.expression(
+      BloomJoin.bloomProbe(keys, "k", 100L, 0.03)(col("k")))
+    assert(e1 ne e2)
+    assert(e1 == e2, "content-equal Bloom probes must compare equal")
+    assert(e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+  }
+
   test("probe is a plan-level filter on the scan, not a UDF node") {
     // file-backed input: over a LocalRelation Catalyst would fold the
     // probe away at optimize time (ConvertToLocalRelation), hiding the

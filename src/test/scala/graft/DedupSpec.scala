@@ -125,6 +125,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents reliable path deletes intermediate checkpoint files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      // diameter 29 -> several generations, each reliably checkpointed
+      val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
+      val labels = Dedup.connectedComponents(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 30 && labels.values.forall(_ == 0L), labels.toString)
+      // every generation but the surviving one must have had its rdd-<id>
+      // files DELETED — `unpersist()` alone cannot reclaim reliable
+      // checkpoints (they live on the filesystem, not the BlockManager)
+      val rddDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.length == 1,
+        s"expected only the final generation's files, got: ${rddDirs.mkString(", ")}")
+    } finally {
+      org.apache.spark.GraftCheckpointBridge.clearCheckpointDir(spark.sparkContext)
+    }
+  }
+
   test("jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val d = docs()
     val a = d.select(col("doc_id").as("id1"), col("text").as("ta"))

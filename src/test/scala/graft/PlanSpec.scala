@@ -92,9 +92,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q118_star_join")
     // all three dimension joins broadcast; only the fact-fact join may shuffle
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
-    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name"), p)
-    assert(p.contains("PushedFilters: [IsNotNull(r_regionkey), IsNotNull(r_name), EqualTo(r_name,ASIA)]")
-      || p.contains("EqualTo(r_name,ASIA)"), p)
+    // The filter must appear in a scan's PushedFilters line specifically —
+    // a bare `p.contains("r_name")` is vacuous (any plan touching region
+    // mentions the column) and `EqualTo(...)` alone would also match a
+    // post-scan Filter node, i.e. a pushdown regression.
+    assert("""PushedFilters: \[[^\]]*EqualTo\(r_name,ASIA\)""".r
+      .findFirstIn(p).isDefined, p)
   }
 
   test("q112 group sampling runs through TopKPerKeyExec, not a window sort") {
