@@ -59,7 +59,11 @@ object Bench {
     "q107_decontaminate", // broadcast n-gram overlap vs benchmark set
     "q109_bloom_semijoin", // Bloom pre-filter semi-join reduction
     "q115_heavy_hitters", // Misra-Gries custom TypedImperativeAggregate
-    "q118_star_join") // TPC-H Q5 shape: 2 facts + 3 broadcast dims
+    "q118_star_join", // TPC-H Q5 shape: 2 facts + 3 broadcast dims
+    "q123_session_window", // native session-window aggregation
+    "q126_bm25", // BM25 lexical retrieval (1-row stats broadcast)
+    "q127_perplexity", // unigram NLL: join + order-pinned fold
+    "q132_pagerank") // 3-iteration integer PageRank on the LSH graph
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Sources.queries ++ Geo.queries ++ Mobility.queries ++
-      Training.queries ++ Media.queries ++ Analysis.queries
+      Training.queries ++ Media.queries ++ Analysis.queries ++ Warehouse.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Sources.oracles ++ Geo.oracles ++ Mobility.oracles ++
-      Training.oracles ++ Media.oracles ++ Analysis.oracles
+      Training.oracles ++ Media.oracles ++ Analysis.oracles ++ Warehouse.oracles
 }

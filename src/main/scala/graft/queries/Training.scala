@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
@@ -534,6 +534,130 @@ object Training {
           Similarity.cosineWithNorms(Similarity.dot("e1", "e2"), col("n1"), col("n2")))
         .where(col("cos") > 0.18)
         .select(col("id1"), col("id2"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+    }),
+
+    // BM25 retrieval scoring for a fixed two-term query ("spark fast"),
+    // k1=1.2, b=0.75 — the lexical-retrieval baseline every RAG corpus
+    // pipeline needs next to the ANN path. Per-doc term frequencies come
+    // off the token array in ONE scan (no explode/re-group); corpus stats
+    // (N, avgdl, per-term df) are a 1-row broadcast. Floats are pinned by
+    // writing the formula with IDENTICAL operation order in both engines
+    // and flooring to micro-units; the global top-k is a bounded
+    // TakeOrderedAndProject, ties broken on doc_id.
+    "q126_bm25" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("dl"),
+        size(filter(toks, x => x === "spark")).cast("long").as("tf1"),
+        size(filter(toks, x => x === "fast")).cast("long").as("tf2"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"))
+      def term(tf: String, df: String): Column =
+        log((col("n_docs") - col(df) + 0.5) / (col(df) + 0.5) + 1.0) *
+          (col(tf) * 2.2) /
+          (col(tf) + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+        .where(col("tf1") > 0 || col("tf2") > 0)
+        .withColumn("score", term("tf1", "df1") + term("tf2", "df2"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("tf1"), col("tf2"), col("dl"),
+          floor(col("score") * 1e6).cast("long").as("score_e6"))
+    }),
+
+    // Per-document mean negative log-likelihood under the corpus unigram
+    // model — the perplexity-style quality score that ranks documents by
+    // how "surprising" their tokens are. The NLL fold is order-pinned by
+    // token POSITION (q116's entropy lesson: group sums of doubles are
+    // merge-order-dependent; folds over a sorted list are not). Join of
+    // token positions with unigram counts is linear; per-doc state is the
+    // doc's own token list, bounded by document length.
+    "q127_perplexity" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n_tokens_total"))
+      tok.join(uni, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("lnp", log(col("n_tokens_total").cast("double") / col("c")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+            x => x.getField("lnp")).as("ls"))
+        .select(col("doc_id"), col("n_tok"),
+          floor(aggregate(col("ls"), lit(0.0d), (acc, x) => acc + x)
+            / col("n_tok") * 1e6).cast("long").as("avg_nll_e6"))
+    }),
+
+    // Integer PageRank (3 fixed iterations, damping 0.85) over the LSH
+    // candidate-pair graph — relative centrality inside duplicate
+    // clusters. Ranks live in exact micro-units with DIV-truncated
+    // contributions, so every value is merge-order-independent and
+    // bit-identical across engines: the float-free way to oracle-check an
+    // iterative graph algorithm. Each iteration is one join + one key
+    // shuffle; the symmetric edge list has no dangling nodes.
+    "q132_pagerank" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      // reused by all three iterations: persist, or the MinHash pair
+      // generation replays per iteration (harness clearCache releases it)
+      val ed = edges.join(deg, "src").persist()
+      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = ed.join(ranks, ed("src") === ranks("id"))
+          .select(col("dst"), expr("r div d").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("in_r"))
+          .select(col("dst").as("id"),
+            expr("150000 + (85 * in_r) div 100").as("r"))
+      }
+      ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
+    }),
+
+    // Count-Min frequency estimation for the corpus term counts: d×w
+    // counters built in ONE distributed pass, merged additively (so the
+    // estimate is merge-order-independent, unlike Misra-Gries q115 — no
+    // nondeterminism to band away). The oracle checks the sketch's hard
+    // guarantees against exact counts on the heavy terms: never
+    // undercounts; overcounts by at most eps·N. Keys are hash60 longs —
+    // a collision only inflates an estimate, never breaks the lower
+    // bound.
+    "q133_cms_heavy" -> ((s, d) => {
+      val eps = 0.001
+      val kCap = 50
+      val terms = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .withColumn("h", TextFunctions.hash60(col("term")))
+      val bytes = graft.operators.CountMin.sketchBytes(terms, "h", eps, 0.99, 42)
+      val exact = terms.groupBy("term", "h").agg(count(lit(1)).as("c"))
+      val tot = exact.agg(sum("c").as("n"))
+      exact.crossJoin(broadcast(tot))
+        .where(col("c") * kCap > col("n"))
+        .withColumn("est", graft.operators.CountMin.estimate(bytes)(col("h")))
+        .select(col("term"), col("c"),
+          (col("est") >= col("c")).as("no_underestimate"),
+          (col("est") <= col("c") + lit(eps) * col("n")).as("within_eps"))
+    }),
+
+    // Deterministic weighted k-per-group sample: priority = hash60(text)
+    // DIV n_chars, smallest-k kept — longer documents draw smaller
+    // priorities in expectation, approximating weight-proportional
+    // sampling while staying exactly replayable (the A-ES u^(1/w) float
+    // key replaced by an integer surrogate). Runs through the bounded-
+    // heap TopKPerKey operator, not a full window sort (q112's shape,
+    // with weights).
+    "q134_weighted_sample" -> ((s, d) => {
+      graft.plans.TopKPerKey(
+          t(s, d, "documents").where(col("n_chars") > 0)
+            .select(col("doc_id"), col("lang"),
+              expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)" +
+                " div n_chars").as("pri")),
+          Seq("lang"), Seq(asc("pri"), asc("doc_id")), 10)
+        .select(col("lang"), col("doc_id"), col("pri"))
     }))
 
   // ---- oracle SQL ----
@@ -802,8 +926,96 @@ object Training {
          JOIN pairs e2 ON e1.id2 = e2.id1
          LEFT JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""
 
+  /** 3 unrolled integer-PageRank iterations over the LSH pair graph —
+    * mirrors q132 exactly (same `//` truncations, same 85/100 damping).
+    */
+  private def pagerankOracle: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+           SELECT e.dst AS id,
+             150000 + (85 * CAST(sum(r.r // d.d) AS BIGINT)) // 100 AS r
+           FROM edges e JOIN deg d ON e.src = d.src
+           JOIN $prev r ON r.id = e.src
+           GROUP BY e.dst)"""
+    s"""WITH $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+       SELECT id AS doc_id, r AS rank_e6 FROM r3"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
+    "q132_pagerank" -> pagerankOracle,
+    "q126_bm25" ->
+      """WITH base AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark')) AS tf1,
+             len(list_filter(w, x -> x = 'fast')) AS tf2
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         stats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+           FROM base),
+         scored AS (
+           SELECT doc_id, tf1, tf2, dl,
+             ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+             + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+               AS score
+           FROM base, stats
+           WHERE tf1 > 0 OR tf2 > 0)
+         SELECT doc_id, tf1, tf2, dl,
+           CAST(floor(score * 1000000.0) AS BIGINT) AS score_e6
+         FROM scored ORDER BY score DESC, doc_id LIMIT 50""",
+    "q127_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+             unnest(w) AS term
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total FROM uni),
+         j AS (
+           SELECT doc_id, pos,
+             ln(CAST(n_tokens_total AS DOUBLE) / c) AS lnp
+           FROM tok JOIN uni USING (term), tot),
+         agg AS (
+           SELECT doc_id, count(*) AS n_tok, list(lnp ORDER BY pos) AS ls
+           FROM j GROUP BY 1)
+         SELECT doc_id, n_tok,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls),
+             (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS avg_nll_e6
+         FROM agg""",
+    "q133_cms_heavy" ->
+      """WITH tc AS (
+           SELECT t AS term, count(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+         SELECT term, c, TRUE AS no_underestimate, TRUE AS within_eps
+         FROM tc, tot WHERE c * 50 > n""",
+    "q134_weighted_sample" ->
+      """SELECT lang, doc_id, pri FROM (
+           SELECT lang, doc_id, pri,
+             row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+           FROM (SELECT lang, doc_id,
+                   CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                     // n_chars AS pri
+                 FROM documents WHERE n_chars > 0))
+         WHERE rn <= 10""",
     "q98_ann_ivf" -> ivfOracle,
     "q117_ann_recall" -> annRecallOracle,
     "q121_triangles" -> trianglesOracle,

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Warehouse/ELT query shapes a user of the reference's batch pipelines
+  * needs around the analytics themselves: native session windows, time
+  * scaffolding (gap fill), forward fill, MERGE-style upsert, CDC snapshot
+  * diff, grouping sets, and schema-evolution reads.
+  *
+  * Time arithmetic follows the engine's standing cross-engine rule:
+  * integer epoch microseconds, floor semantics spelled explicitly where
+  * operands could be negative (Spark `div` truncates, DuckDB `//` floors).
+  */
+object Warehouse {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Floor division of epoch micros by a positive bucket width: exact
+    * parity with DuckDB `//` for any sign of the epoch (q120's rule).
+    */
+  private def floorDiv(x: String, y: Long): Column =
+    expr(s"($x - pmod($x, ${y}L)) div ${y}L")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native session windows (Spark's session_window, the batch twin of
+    // the Structured Streaming session operator): per-user events gapped
+    // by >= 30 min start a new session; a session's end is last event +
+    // gap. One shuffle on the grouping key; Spark merges overlapping
+    // per-event windows with its dedicated session-window exec, no
+    // quadratic self-join. q66 builds the same sessions by hand
+    // (lag + cumsum) — this is the operator form.
+    "q123_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start"),
+          unix_micros(col("session_window.end")).as("s_end"),
+          col("n_events"), col("first_event"))
+    }),
+
+    // Calendar scaffolding / gap fill: per-user daily counts with missing
+    // days materialized as zero rows — the step every per-day index or
+    // retention series needs before a rolling window (a window over a
+    // gappy series silently spans the holes). The scaffold is generated
+    // per key with sequence+explode (rows ∝ users × span, no driver
+    // loop, no cross join against a global calendar).
+    "q124_gapfill" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .select(col("user_id"),
+          floorDiv("unix_micros(ts)", 86400000000L).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val scaffold = counts.groupBy("user_id")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      scaffold.join(counts, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // Forward fill (last observation carried forward): treat click events'
+    // value as missing and carry the previous non-null value per user in
+    // (t, event_id) order — the unique tie-break makes the fill
+    // deterministic, and the carried doubles are MOVED, never recomputed,
+    // so parity is bit-exact. One shuffle on user_id; running-frame
+    // window, no self-join.
+    "q125_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+          when(col("event_type") =!= "click", col("value")).as("v"))
+        .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("t"), col("v_filled"))
+    }),
+
+    // MERGE-style upsert (Delta MERGE re-expressed as a plan): target
+    // full-outer-joined with an updates frame on the key; matched rows
+    // take the update, unmatched updates insert, unmatched target rows
+    // pass through. The updates here are derived deterministically from
+    // the same table so the oracle can replay them. Equi-join on the
+    // merge key — broadcastable when updates are small, AQE-sized
+    // otherwise.
+    "q128_merge_upsert" -> ((s, d) => {
+      val target = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = t(s, d, "customer").where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("u_bal"))
+        .unionAll(t(s, d, "customer").where(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_acctbal").as("u_bal")))
+      target.join(updates, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("c_name"), lit("(new)")).as("name"),
+          coalesce(col("u_bal"), col("c_acctbal")).as("balance"),
+          when(col("c_name").isNull, lit("inserted"))
+            .when(col("u_bal").isNull, lit("unchanged"))
+            .otherwise(lit("updated")).as("change_type"))
+    }),
+
+    // CDC snapshot diff: two snapshots of a table full-outer-joined on the
+    // key, rows classified added/removed/changed (unchanged rows are
+    // dropped — at 100 TB the diff is the small output, the join is the
+    // work). The "after" snapshot is derived deterministically: every
+    // 11th key deleted, every 3rd price bumped, every 13th key re-added
+    // under a new id.
+    "q129_snapshot_diff" -> ((s, d) => {
+      val before = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val after = t(s, d, "orders").where(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("p_after"))
+        .unionAll(t(s, d, "orders").where(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("o_totalprice").as("p_after")))
+      before.join(after, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("o_totalprice").isNull, lit("added"))
+            .when(col("p_after").isNull, lit("removed"))
+            .when(col("o_totalprice") =!= col("p_after"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .where(col("change_type") =!= "unchanged")
+        .select(col("o_orderkey"), col("o_totalprice").as("price_before"),
+          col("p_after").as("price_after"), col("change_type"))
+    }),
+
+    // GROUPING SETS with grouping_id — the explicit-sets cousin of q34's
+    // rollup / q87's cube: arbitrary aggregation levels in ONE pass over
+    // the fact (Spark expands to a union-free Expand node, one shuffle).
+    "q130_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_l_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 sum(l_quantity) AS sum_qty, count(*) AS n
+               FROM graft_l_gs
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())""")
+    }),
+
+    // SCD2 history build from a change stream: keep only rows whose value
+    // DIFFERS from the user's previous row (IS DISTINCT FROM, so null
+    // transitions count as changes; a user's first row always opens a
+    // version), then close each version with the next version's start.
+    // Two window passes over ONE shuffle+sort on (user_id; t, event_id) —
+    // Spark reuses the sort, no self-join, and versions-per-user state is
+    // never materialized beyond the window frame.
+    "q135_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val versions = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("prev_v", lag("value", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 || !(col("value") <=> col("prev_v")))
+      versions
+        .withColumn("valid_to", lead("t", 1).over(w))
+        .select(col("user_id"), col("event_id"), col("t").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
+    }),
+
+    // Schema-evolution read: two parquet generations with different
+    // schemas under one root (gen=1 lacks n_regionkey), read back with
+    // mergeSchema + hive partition discovery — the "old files never get
+    // rewritten" contract a 100 TB table lives by. Missing columns
+    // surface as NULL, the partition column comes from the path.
+    "q131_schema_evolution" -> ((s, d) => {
+      val root = "/root/repo/target/tmp/evolve_parquet"
+      val nation = t(s, d, "nation")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/gen=1")
+      nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("gen").cast("long").as("gen"),
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q123_session_window" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+         m AS (
+           SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         s AS (
+           SELECT user_id, event_id, t,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+           FROM m)
+         SELECT user_id, min(t) AS s_start, max(t) + 1800000000 AS s_end,
+           count(*) AS n_events, min(event_id) AS first_event
+         FROM s GROUP BY user_id, sid""",
+    "q124_gapfill" ->
+      """WITH c AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         scaffold AS (
+           SELECT user_id, unnest(ds) AS day FROM (
+             SELECT user_id, range(min(day), max(day) + 1) AS ds
+             FROM c GROUP BY user_id))
+         SELECT s.user_id, s.day, COALESCE(c.n, 0) AS n
+         FROM scaffold s LEFT JOIN c ON s.user_id = c.user_id AND s.day = c.day""",
+    "q125_forward_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS t,
+           last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM events""",
+    "q128_merge_upsert" ->
+      """WITH updates AS (
+           SELECT c_custkey, c_acctbal + 100.0 AS u_bal
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000 AS c_custkey, c_acctbal AS u_bal
+           FROM customer WHERE c_custkey % 97 = 0)
+         SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(t.c_name, '(new)') AS name,
+           COALESCE(u.u_bal, t.c_acctbal) AS balance,
+           CASE WHEN t.c_name IS NULL THEN 'inserted'
+                WHEN u.u_bal IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS change_type
+         FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey""",
+    "q129_snapshot_diff" ->
+      """WITH after AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS p_after
+           FROM orders WHERE o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey + 50000000 AS o_orderkey, o_totalprice AS p_after
+           FROM orders WHERE o_orderkey % 13 = 0)
+         SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           b.o_totalprice AS price_before, a.p_after AS price_after,
+           CASE WHEN b.o_totalprice IS NULL THEN 'added'
+                WHEN a.p_after IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+         FROM orders b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+         WHERE b.o_totalprice IS NULL OR a.p_after IS NULL
+            OR b.o_totalprice <> a.p_after""",
+    "q130_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+    "q135_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             lag(value) OVER w AS prev_v,
+             row_number() OVER w AS rn
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         ch AS (
+           SELECT user_id, event_id, t, value FROM e
+           WHERE rn = 1 OR value IS DISTINCT FROM prev_v)
+         SELECT user_id, event_id, t AS valid_from,
+           lead(t) OVER w2 AS valid_to,
+           lead(t) OVER w2 IS NULL AS is_current, value
+         FROM ch
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)""",
+    "q131_schema_evolution" ->
+      """SELECT CAST(gen AS BIGINT) AS gen,
+           CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM read_parquet('/root/repo/target/tmp/evolve_parquet/*/*.parquet',
+           union_by_name = true, hive_partitioning = true)""")
+}

@@ -23,7 +23,8 @@ class EntrySpec extends SparkSpec {
   test("query names are unique across files (no map-key collisions)") {
     import graft.queries._
     val sizes = Seq(Relational.queries, Sources.queries, Geo.queries,
-      Mobility.queries, Training.queries, Media.queries, Analysis.queries)
+      Mobility.queries, Training.queries, Media.queries, Analysis.queries,
+      Warehouse.queries)
       .map(_.size)
     assert(sizes.sum == SparkEntry.queries.size,
       s"collision: ${sizes.sum} vs ${SparkEntry.queries.size}")

@@ -106,6 +106,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q134 weighted sample: bounded-heap TopKPerKey, no window sort") {
+    val p = plan("q134_weighted_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    // weight filter reaches the scan
+    assert(p.contains("GreaterThan(n_chars,0)"), p)
+  }
+
+  test("q123 session windows: dedicated merging exec, one shuffle on the key") {
+    val p = plan("q123_session_window")
+    assert(p.contains("MergingSessions"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q126 bm25: stats broadcast, bounded top-k, no shuffle join") {
+    val p = plan("q126_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q100 salted join: every expression is deterministic (retry-safe salt)") {
     // A nondeterministic salt (rand, monotonically_increasing_id) used as a
     // shuffle/join key duplicates or drops rows under partial stage

@@ -50,4 +50,37 @@ class SketchSpec extends SparkSpec {
       .select($"g", size($"hh").as("n")).as[(String, Int)].collect().toMap
     assert(out == Map("a" -> 2, "b" -> 1), out.toString)
   }
+
+  test("count-min: never undercounts, bounded overcount, partition-independent") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    // skewed keys: key i occurs i times, n = 5050
+    val data = (1L to 100L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("k")
+    val eps = 0.01
+    val bytes = CountMin.sketchBytes(data.repartition(8), "k", eps, 0.99, 42)
+    val est = data.distinct()
+      .withColumn("est", CountMin.estimate(bytes)(col("k")))
+      .as[(Long, Long)].collect().toMap
+    val n = 5050L
+    for ((k, e) <- est) {
+      assert(e >= k, s"undercount: key $k est $e")
+      assert(e <= k + (eps * n).toLong + 1, s"overcount beyond eps*n: key $k est $e")
+    }
+    // additive merge: a different partitioning yields the SAME sketch
+    val bytes2 = CountMin.sketchBytes(data.repartition(3), "k", eps, 0.99, 42)
+    assert(java.util.Arrays.equals(bytes, bytes2),
+      "CMS must be merge-order independent")
+  }
+
+  test("count-min probe expressions are content-equal and CSE-able") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.operators.CountMin
+    val data = (1L to 50L).toDF("k")
+    val b1 = CountMin.sketchBytes(data, "k", 0.01, 0.99, 7)
+    val b2 = b1.clone()
+    val e1 = GraftSqlBridge.expression(CountMin.estimate(b1)(col("k")))
+    val e2 = GraftSqlBridge.expression(CountMin.estimate(b2)(col("k")))
+    assert(e1 == e2 && e1.hashCode == e2.hashCode && e1.semanticEquals(e2))
+  }
 }
