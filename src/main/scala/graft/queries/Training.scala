@@ -618,6 +618,19 @@ object Training {
       ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
     }),
 
+    // Edit-distance similarity self-join (Ed-Join prefix filtering): all
+    // customer-name pairs within edit distance 1 via rarity-ordered
+    // positional q-gram candidates + exact levenshtein verify — the
+    // string-similarity complement of MinHash (token sets) and cosine
+    // (embeddings). The oracle is the ALL-PAIRS form, so a single missed
+    // candidate reddens the row: the prefix filter's completeness is
+    // what's being checked, not just the verifier.
+    "q136_fuzzy_join" -> ((s, d) => {
+      graft.operators.FuzzyJoin.selfJoin(
+        t(s, d, "customer"), "c_custkey", "c_name", k = 1)
+        .select(col("id1"), col("id2"), col("ed"))
+    }),
+
     // Count-Min frequency estimation for the corpus term counts: d×w
     // counters built in ONE distributed pass, merged additively (so the
     // estimate is merge-order-independent, unlike Misra-Gries q115 — no
@@ -998,6 +1011,13 @@ object Training {
            CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls),
              (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS avg_nll_e6
          FROM agg""",
+    "q136_fuzzy_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+          AND abs(len(a.c_name) - len(b.c_name)) <= 1
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     "q133_cms_heavy" ->
       """WITH tc AS (
            SELECT t AS term, count(*) AS c FROM (
