@@ -159,6 +159,40 @@ object Warehouse {
           col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
     }),
 
+    // Unpivot (melt): wide measure columns to long (measure, value) rows —
+    // the reshape every per-metric pipeline does before a generic groupBy
+    // over metric name. Spark's native unpivot is a Generate (map-side,
+    // no shuffle); value columns must share a type.
+    "q137_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+    }),
+
+    // Sliding-window count-distinct: distinct active users over the
+    // trailing 7 days, per day. Window functions cannot COUNT DISTINCT
+    // over a frame, so the scalable form is: dedup to (user, day) grain,
+    // expand each user-day into the <= 7 day-slots it contributes to
+    // (map-side generator, bounded 7x fan-out), then an exact distinct
+    // count per slot — shuffles scale with user-days, never user-pairs.
+    "q138_sliding_distinct" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"),
+          floorDiv("unix_micros(ts)", 86400000000L).as("day"))
+        .distinct()
+      val span = ud.agg(min("day").as("mn"), max("day").as("mx"))
+      ud.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(greatest(col("day"), col("mn")),
+            least(col("day") + 6, col("mx")))).as("slot"))
+        .groupBy("slot")
+        .agg(countDistinct("user_id").as("n_active_7d"))
+    }),
+
     // Schema-evolution read: two parquet generations with different
     // schemas under one root (gen=1 lacks n_regionkey), read back with
     // mergeSchema + hive partition discovery — the "old files never get
@@ -249,6 +283,23 @@ object Warehouse {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())""",
+    "q137_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount FROM lineitem)
+         UNPIVOT (value FOR measure
+                  IN (l_quantity, l_extendedprice, l_discount))""",
+    "q138_sliding_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         span AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+         sl AS (
+           SELECT user_id,
+             unnest(range(greatest(day, mn), least(day + 6, mx) + 1)) AS slot
+           FROM ud, span)
+         SELECT slot, count(DISTINCT user_id) AS n_active_7d
+         FROM sl GROUP BY 1""",
     "q135_scd2" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS t, value,

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join (click attribution shape): match right-side
+  * events to left-side events on a key within a bounded event-time window.
+  *
+  * The time bound is what makes this run forever: with both sides
+  * watermarked AND the join condition constraining `rightTs` to
+  * [leftTs, leftTs + windowSec], Spark derives how long each side's rows
+  * can still find a partner and EVICTS buffered state once the watermark
+  * passes that bound — join state stays proportional to the window, not
+  * the stream. An unconstrained stream-stream equi-join would buffer both
+  * streams unboundedly.
+  *
+  * Batch twin: q81's bounded range join (same condition, no state).
+  */
+object StreamJoin {
+
+  /** `left` ⋈ `right` on `key`, with `right.rightTs` in
+    * [left.leftTs, left.leftTs + windowSec]. Both inputs must carry their
+    * event-time column under distinct names; `delay` is the watermark
+    * (out-of-orderness tolerance) applied to each side.
+    */
+  def interval(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long,
+      delay: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSec SECOND"))
+      .drop(r(key))
+  }
+}

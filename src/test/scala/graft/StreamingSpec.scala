@@ -104,6 +104,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamJoin.interval(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts"),
+      "ad_id", "imp_ts", "click_ts", windowSec = 600)
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")), // within 10 min -> attributed
+        (2L, ts("2024-01-01 10:20:00")), // beyond window -> dropped
+        (3L, ts("2024-01-01 10:01:00"))) // no impression -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select(col("ad_id"), col("click_ts").cast("string"))
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "2024-01-01 10:05:00")), rows.toString)
+
+      // a second impression for ad 2: the new click at 10:24 is inside its
+      // window, AND the batch-1 click at 10:20 — still buffered in join
+      // state (the watermark hasn't evicted it) — now finds this partner
+      // too. Buffered-state matching across batches is exactly what a
+      // stream-stream join exists for.
+      imps.addData((2L, ts("2024-01-01 10:15:00")))
+      clicks.addData((2L, ts("2024-01-01 10:24:00")))
+      q.processAllAvailable()
+      val rows2 = spark.table("attr_out")
+        .select(col("ad_id"), col("click_ts").cast("string"))
+        .as[(Long, String)].collect().toSet
+      assert(rows2 == Set(
+        (1L, "2024-01-01 10:05:00"),
+        (2L, "2024-01-01 10:20:00"),
+        (2L, "2024-01-01 10:24:00")), rows2.toString)
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup: dropDuplicatesWithinWatermark across batches") {
     // the streaming twin of q56's exact dedup: duplicate fingerprints are
     // suppressed as long as they arrive within the watermark delay, with
