@@ -108,6 +108,34 @@ object Sources {
           graft.functions.GeoFunctions.stContains(col("wkt"), c, c).as("contains_center"))
     }),
 
+    // XML round-trip (format built into spark-sql since Spark 4): write
+    // nation as one <row> element per record, read it back, compare to
+    // the original table — equality proves the trip is lossless.
+    "q139_xml_roundtrip" -> ((s, d) => {
+      val p = tmp("nation_xml")
+      GraftIO.writeXml(t(s, d, "nation"), p)
+      GraftIO.xml(s, p)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // Whole-file binary source (multimodal ingest): deterministic fixture
+    // files on local disk, one row per file with (name, size, content
+    // fingerprint). The DuckDB oracle reads the same files with
+    // read_blob — fixture bytes stay ASCII so its BLOB->VARCHAR cast
+    // hashes the same bytes Spark's md5(binary) sees.
+    "q140_binary_source" -> ((s, d) => {
+      val dir = java.nio.file.Paths.get("/root/repo/target/tmp/binsrc")
+      java.nio.file.Files.createDirectories(dir)
+      (1 to 5).foreach { i =>
+        java.nio.file.Files.write(dir.resolve(s"doc_$i.bin"),
+          s"graft-binary-fixture-$i:".repeat(i).getBytes("UTF-8"))
+      }
+      GraftIO.binaryFiles(s, dir.toString, "*.bin")
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+          col("length"), md5(col("content")).as("h"))
+    }),
+
     // S7: column-partitioned parquet sink + partition-pruned read-back
     // (ref tz_offset.scala:28-32 Delta partitionBy("date")).
     "q68_partitioned_sink" -> ((s, d) => {
@@ -134,6 +162,13 @@ object Sources {
                  CAST(n_nationkey + 1 AS VARCHAR) AS k1 FROM nation)""",
     "q36_orc_roundtrip" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "q139_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "q140_binary_source" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS fname,
+           size AS length, md5(content::VARCHAR) AS h
+         FROM read_blob('/root/repo/target/tmp/binsrc/*.bin')""",
     "q37_json_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations
          FROM nation GROUP BY 1""",

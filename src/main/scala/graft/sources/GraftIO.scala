@@ -45,6 +45,22 @@ object GraftIO {
     schema.fold(base.option("inferSchema", "true"))(base.schema).csv(path)
   }
 
+  /** XML scan (built into spark-sql since Spark 4; one row per `rowTag`
+    * element). Schema inference reads the files once — pass a schema in
+    * production.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).format("xml").load(path)
+
+  /** Whole-file binary scan (multimodal ingest: images/audio/video land as
+    * one (path, modificationTime, length, content) row per file). The
+    * content column is the opaque `binary` the Multimodal operators expect;
+    * at 100 TB pair it with `pathGlobFilter`/`recursiveFileLookup` and a
+    * max file size guard — one file = one row = one task's memory.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
   /** Metastore-style scan: register the parquet as a temp view, query by SQL
     * (reference pattern `spark.sql("SELECT ... FROM tab WHERE ...")`).
     */
@@ -96,6 +112,10 @@ object GraftIO {
 
   def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).format("xml").save(path)
 
   /** Compaction pass ≈ the reference's Delta OPTIMIZE (`tz_offset.scala:32-48`):
     * rewrite a directory into `n` files.
