@@ -63,7 +63,8 @@ object Bench {
     "q123_session_window", // native session-window aggregation
     "q126_bm25", // BM25 lexical retrieval (1-row stats broadcast)
     "q127_perplexity", // unigram NLL: join + order-pinned fold
-    "q132_pagerank") // 3-iteration integer PageRank on the LSH graph
+    "q132_pagerank", // 3-iteration integer PageRank on the LSH graph
+    "q141_tpch_q3") // TPC-H Q3: filtered fact-fact join + bounded top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -335,6 +335,45 @@ object Analysis {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective filters on BOTH fact
+    // inputs before the join — Catalyst pushes the date predicates into
+    // each scan, the customer dim broadcasts, and the top-10 is a bounded
+    // TakeOrderedAndProject (never a global sort). Decimal revenue for
+    // cross-engine exactness, ties broken on the group keys.
+    "q141_tpch_q3" -> ((s, d) => {
+      val rev = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))).cast("double")
+      t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1997-03-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(rev.as("revenue"), count(lit(1)).as("n"))
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; unix_micros wants
+        // TIMESTAMP — the cast is identity under the session's UTC zone
+        .withColumn("odate_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .drop("o_orderdate")
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q12 shape (shipmode priority classes): one pass over the
+    // fact with conditional-count aggregation (no join needed on the
+    // priority split — the CASE runs map-side inside the partial agg).
+    "q142_tpch_q12" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+    }),
+
     // Bloom-filter semi-join reduction: probe a Bloom of the small side's
     // keys BEFORE the join shuffles the big side (runtime-filter move,
     // here as a library op). False positives are cleaned by the exact
@@ -401,6 +440,31 @@ object Analysis {
            week - cohort_week AS weeks_since
          FROM ev JOIN first USING (user_id)
          GROUP BY 1, 2""",
+    "q141_tpch_q3" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n,
+           epoch_us(o_orderdate) AS odate_us
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-03-01'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q142_tpch_q12" ->
+      """SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
     "q118_star_join" ->
       """SELECT n_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("q141 tpch q3: date filters reach the scans, top-10 never global-sorts") {
+    val p = plan("q141_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // both fact-side predicates pushed into their parquet scans
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
   test("q126 bm25: stats broadcast, bounded top-k, no shuffle join") {
     val p = plan("q126_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
