@@ -159,6 +159,42 @@ object Warehouse {
           col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
     }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries — the SQL-surface form of
+    // semi/anti joins. Catalyst decorrelates both into joins (the plan
+    // should carry LeftSemi and LeftAnti, never a per-row subquery loop),
+    // so the 100 TB story is the same as q07/q06.
+    "q143_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_c_ex")
+      t(s, d, "orders").createOrReplaceTempView("graft_o_ex")
+      s.sql("""SELECT c_mktsegment,
+                 count(*) AS n_customers,
+                 count(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent
+               FROM (
+                 SELECT c.c_mktsegment,
+                   EXISTS (SELECT 1 FROM graft_o_ex o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT') AS has_urgent
+                 FROM graft_c_ex c
+                 WHERE NOT EXISTS (SELECT 1 FROM graft_o_ex o2
+                                   WHERE o2.o_custkey = c.c_custkey
+                                     AND o2.o_orderstatus = 'F'))
+               GROUP BY c_mktsegment""")
+    }),
+
+    // LATERAL correlated subquery — SQL's per-row "top-1 related row"
+    // idiom. Catalyst plans the correlated aggregate as a join, not a
+    // per-row re-scan; the DataFrame twin is the argmax shape (q13).
+    "q144_lateral" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("graft_n_lat")
+      t(s, d, "customer").createOrReplaceTempView("graft_c_lat")
+      s.sql("""SELECT n.n_name, t.top_bal, t.n_cust
+               FROM graft_n_lat n,
+               LATERAL (SELECT max(c_acctbal) AS top_bal,
+                               count(*) AS n_cust
+                        FROM graft_c_lat c
+                        WHERE c.c_nationkey = n.n_nationkey) t""")
+    }),
+
     // Unpivot (melt): wide measure columns to long (measure, value) rows —
     // the reshape every per-metric pipeline does before a generic groupBy
     // over metric name. Spark's native unpivot is a Generate (map-side,
@@ -283,6 +319,26 @@ object Warehouse {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())""",
+    "q143_exists_subquery" ->
+      """SELECT c_mktsegment,
+           count(*) AS n_customers,
+           count(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent
+         FROM (
+           SELECT c.c_mktsegment,
+             EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT') AS has_urgent
+           FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F'))
+         GROUP BY c_mktsegment""",
+    "q144_lateral" ->
+      """SELECT n.n_name, t.top_bal, t.n_cust
+         FROM nation n,
+         LATERAL (SELECT max(c_acctbal) AS top_bal, count(*) AS n_cust
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey) t""",
     "q137_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value
          FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

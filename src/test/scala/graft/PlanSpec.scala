@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
+  test("q143 EXISTS subqueries decorrelate to joins (no per-row loop)") {
+    val p = plan("q143_exists_subquery")
+    // NOT EXISTS -> anti join; projected EXISTS -> existence join
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("ExistenceJoin"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
+  }
+
   test("q126 bm25: stats broadcast, bounded top-k, no shuffle join") {
     val p = plan("q126_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
