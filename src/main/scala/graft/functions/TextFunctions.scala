@@ -23,6 +23,17 @@ object TextFunctions {
   def alnumTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
 
+  /** Unicode NFC normalization (native expression, stays in codegen).
+    * Run before any fingerprint/shingle op on corpora of mixed provenance
+    * — combining-mark and precomposed encodings of the same glyph must
+    * dedup together.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NfcNormalizeExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text),
+        java.text.Normalizer.Form.NFC))
+
   /** Accent folding via translate (F9, `build_random_sets.py:52-62`). */
   def foldAccents(text: Column): Column =
     translate(text, "áéíóúàèìòùâêîôûäëïöüãõñç", "aeiouaeiouaeiouaeiouaonc")

@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => StContainsExpr(cs(0), cs(1), cs(2)))
     reg("graft_dot", classOf[DotProductExpr],
       cs => DotProductExpr(cs(0), cs(1)))
+    reg("graft_nfc", classOf[NfcNormalizeExpr],
+      cs => NfcNormalizeExpr.fromArgs(cs))
     reg("graft_heavy_hitters", classOf[HeavyHittersAgg],
       cs => HeavyHittersAgg(cs(0),
         cs(1).eval().asInstanceOf[Number].intValue))

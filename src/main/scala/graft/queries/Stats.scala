@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Statistical analysis operators: per-group OLS regression, a pairwise
+  * correlation matrix, and a chi-square independence test — the "does
+  * indicator X track indicator Y" layer the reference runs in Stata/R
+  * after Spark has built the panel (news-analytics dynamic factor inputs,
+  * `news-analytics/code/2_compute_sentiment_index.do`; wealth-vs-mobility
+  * regressions in `gps-analytics/src/wbgps/analysis.py`).
+  *
+  * Cross-engine determinism: every aggregation is an exact integer sum
+  * (BIGINT-safe at bench scale — bounds documented per query); the
+  * floating-point tail (slope, corr, chi-square) is a fixed parenthesized
+  * chain of IEEE double ops both engines evaluate identically, then
+  * floor-scaled to integer micro-units. Where a float fold over many terms
+  * is unavoidable (chi-square cell sum), the cells are folded in a pinned
+  * sort order, the q116/q127 rule.
+  *
+  * Scale shape: each statistic is one map-side-combinable aggregation over
+  * the fact table (14 sums for the 4x4 correlation matrix), so the only
+  * shuffle is the tiny per-group sum exchange; nothing here widens with
+  * row count.
+  */
+object Stats {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def d(c: Column): Column = c.cast("double")
+  private def e6(c: Column): Column = floor(c * 1e6).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-group OLS of event value against time: slope/intercept/r2 of
+    // y = a + b*day per event_type. x = epoch day index (0..29 in the test
+    // data), y = floor(value*100) — integer sums only, so the partial
+    // aggregation is exact; the closed-form solution is evaluated in one
+    // pinned double chain. Sum bounds (int64-safe): with day < 2^15 and
+    // y_e2 < 2^23, Sxy needs n < 2^25 per group before the x-scale must
+    // drop to weeks; noted, not hit at bench sf.
+    "q146_ols_group" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      val sums = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = d(col("n"))
+      val cov = d(col("sxy")) - d(col("sx")) * d(col("sy")) / n
+      val varx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / n
+      val vary = d(col("syy")) - d(col("sy")) * d(col("sy")) / n
+      val slope = cov / varx
+      sums.select(col("event_type"), col("n"),
+        e6(slope).as("slope_e6"),
+        e6((d(col("sy")) - slope * d(col("sx"))) / n).as("intercept_e6"),
+        e6(cov * cov / (varx * vary)).as("r2_e6"))
+    }),
+
+    // Pairwise Pearson correlation matrix over four lineitem measures
+    // (quantity, floor(extendedprice), discount_e2, tax_e2) in ONE pass:
+    // 14 integer sums (4 Sx, 4 Sxx, 6 Sxy), then the 6 upper-triangle
+    // pairs unfolded from the single aggregate row with explode. Integer
+    // bound: Sxx(price) <= (1.05e5)^2 * n — int64-safe to n ~ 8e8 rows,
+    // after which price needs a coarser unit.
+    "q147_corr_matrix" -> ((s, d0) => {
+      val li = t(s, d0, "lineitem").select(
+        col("l_quantity").cast("long").as("m0"),
+        floor(col("l_extendedprice")).cast("long").as("m1"),
+        floor(col("l_discount") * 100).cast("long").as("m2"),
+        floor(col("l_tax") * 100).cast("long").as("m3"))
+      val ms = 0 to 3
+      val sumCols =
+        Seq(count(lit(1)).as("n")) ++
+          ms.map(i => sum(col(s"m$i")).as(s"s$i")) ++
+          ms.map(i => sum(col(s"m$i") * col(s"m$i")).as(s"q$i")) ++
+          (for (i <- ms; j <- ms if i < j)
+            yield sum(col(s"m$i") * col(s"m$j")).as(s"p${i}${j}"))
+      val agg = li.agg(sumCols.head, sumCols.tail: _*)
+      val names = Seq("qty", "price", "disc", "tax")
+      val n = d(col("n"))
+      def corr(i: Int, j: Int): Column = {
+        val cov = d(col(s"p$i$j")) - d(col(s"s$i")) * d(col(s"s$j")) / n
+        val vi = d(col(s"q$i")) - d(col(s"s$i")) * d(col(s"s$i")) / n
+        val vj = d(col(s"q$j")) - d(col(s"s$j")) * d(col(s"s$j")) / n
+        cov / (sqrt(vi) * sqrt(vj))
+      }
+      val pairs = for (i <- ms; j <- ms if i < j) yield
+        struct(lit(names(i)).as("m_a"), lit(names(j)).as("m_b"),
+          e6(corr(i, j)).as("corr_e6"))
+      agg.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.m_a").as("m_a"), col("p.m_b").as("m_b"),
+          col("p.corr_e6").as("corr_e6"))
+    }),
+
+    // Chi-square independence test of event_type vs day-of-week: observed
+    // counts per cell, expected = row_total * col_total / n, statistic
+    // folded over cells in pinned (event_type, dow) order — the q116 rule
+    // for cross-engine float-sum parity. Margins come from two grouped
+    // sums joined back on the cell frame (all integer counts; the only
+    // doubles are the 35-cell tail).
+    "q148_chi2" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(
+        col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val joined = cells.join(rowT, "event_type").join(colT, "dow")
+      val folded = joined
+        .agg(sum("o").as("n"),
+          count(lit(1)).as("n_cells"),
+          array_sort(collect_list(struct(
+            col("event_type"), col("dow"), col("o"), col("rt"), col("ct"))))
+            .as("cs"))
+      folded.select(col("n"), col("n_cells"),
+        e6(aggregate(col("cs"), lit(0.0d), (acc, c) => {
+          val e = d(c.getField("rt")) * d(c.getField("ct")) / d(col("n"))
+          acc + (d(c.getField("o")) - e) * (d(c.getField("o")) - e) / e
+        })).as("chi2_e6"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q146_ols_group" ->
+      """WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+           FROM events),
+         sums AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(y*y) AS BIGINT) AS syy
+           FROM ev GROUP BY 1)
+         SELECT event_type, n,
+           CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS slope_e6,
+           CAST(floor(((CAST(sy AS DOUBLE) - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS intercept_e6,
+           CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS r2_e6
+         FROM sums""",
+    "q147_corr_matrix" ->
+      """WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS m0,
+             CAST(floor(l_extendedprice) AS BIGINT) AS m1,
+             CAST(floor(l_discount * 100) AS BIGINT) AS m2,
+             CAST(floor(l_tax * 100) AS BIGINT) AS m3
+           FROM lineitem),
+         sums AS (
+           SELECT count(*) AS n,
+             CAST(sum(m0) AS BIGINT) AS s0, CAST(sum(m1) AS BIGINT) AS s1,
+             CAST(sum(m2) AS BIGINT) AS s2, CAST(sum(m3) AS BIGINT) AS s3,
+             CAST(sum(m0*m0) AS BIGINT) AS q0, CAST(sum(m1*m1) AS BIGINT) AS q1,
+             CAST(sum(m2*m2) AS BIGINT) AS q2, CAST(sum(m3*m3) AS BIGINT) AS q3,
+             CAST(sum(m0*m1) AS BIGINT) AS p01, CAST(sum(m0*m2) AS BIGINT) AS p02,
+             CAST(sum(m0*m3) AS BIGINT) AS p03, CAST(sum(m1*m2) AS BIGINT) AS p12,
+             CAST(sum(m1*m3) AS BIGINT) AS p13, CAST(sum(m2*m3) AS BIGINT) AS p23
+           FROM li),
+         pairs(m_a, m_b, sa, sb, qa, qb, pab) AS (
+           SELECT 'qty', 'price', s0, s1, q0, q1, p01 FROM sums UNION ALL
+           SELECT 'qty', 'disc', s0, s2, q0, q2, p02 FROM sums UNION ALL
+           SELECT 'qty', 'tax', s0, s3, q0, q3, p03 FROM sums UNION ALL
+           SELECT 'price', 'disc', s1, s2, q1, q2, p12 FROM sums UNION ALL
+           SELECT 'price', 'tax', s1, s3, q1, q3, p13 FROM sums UNION ALL
+           SELECT 'disc', 'tax', s2, s3, q2, q3, p23 FROM sums)
+         SELECT m_a, m_b,
+           CAST(floor(((CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE))
+             / (sqrt(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(n AS DOUBLE))
+              * sqrt(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS corr_e6
+         FROM pairs, sums""",
+    "q148_chi2" ->
+      """WITH ev AS (
+           SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+           FROM events),
+         cells AS (
+           SELECT event_type, dow, count(*) AS o FROM ev GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         j AS (
+           SELECT c.event_type, c.dow, c.o, rt.rt, ct.ct
+           FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)),
+         folded AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+             list(CAST(o AS DOUBLE) ORDER BY event_type, dow) AS os,
+             list(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) ORDER BY event_type, dow) AS rcs
+           FROM j)
+         SELECT n, n_cells,
+           CAST(floor(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, n_cells + 1), i ->
+                 (os[i] - rcs[i] / CAST(n AS DOUBLE)) * (os[i] - rcs[i] / CAST(n AS DOUBLE))
+                   / (rcs[i] / CAST(n AS DOUBLE)))),
+             (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS chi2_e6
+         FROM folded""")
+}

@@ -715,6 +715,21 @@ object Training {
                 " div n_chars").as("pri")),
           Seq("lang"), Seq(asc("pri"), asc("doc_id")), 10)
         .select(col("lang"), col("doc_id"), col("pri"))
+    }),
+
+    // Unicode NFC normalization (native codegen expression): every "e" is
+    // mangled into decomposed "e"+U+0301 and normalized back — NFC must
+    // recompose the pair to precomposed "é" (U+00E9), so len_nfc is
+    // shorter than len_raw by exactly the number of injected marks and
+    // the md5 matches the oracle's recomposed bytes. The front-of-
+    // pipeline step that makes content fingerprints (q55/q56) stable
+    // across mixed-provenance corpora.
+    "q149_nfc_normalize" -> ((s, d) => {
+      val mangled = expr("replace(text, 'e', 'e\u0301')")
+      t(s, d, "documents").select(col("doc_id"),
+        length(mangled).as("len_raw"),
+        length(TextFunctions.nfc(mangled)).as("len_nfc"),
+        md5(TextFunctions.nfc(mangled)).as("nfc_md5"))
     }))
 
   // ---- oracle SQL ----
@@ -1051,6 +1066,14 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q149_nfc_normalize" ->
+      """WITH m AS (
+           SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS mangled
+           FROM documents)
+         SELECT doc_id, length(mangled) AS len_raw,
+           length(nfc_normalize(mangled)) AS len_nfc,
+           md5(nfc_normalize(mangled)) AS nfc_md5
+         FROM m""",
     "q76_dedup_keep" -> dedupKeepOracle,
     "q132_pagerank" -> pagerankOracle,
     "q145_kmeans" -> kmeansOracle,
