@@ -79,6 +79,15 @@ object Geo {
       }.toDF("geom_id", "wkt")
       SpatialJoin.geocode(custPoints(s, d), "lat", "lon", polys, "wkt", res = 6)
         .select("c_custkey", "geom_id")
+    }),
+
+    // Point-to-point radius self-join via k-ring candidate cells + exact
+    // planar refine — the near-point search the envelope/polygon join
+    // can't express. The brute-force oracle proves candidate completeness:
+    // any pair the ring join missed would fail the row-count match.
+    "q153_radius_join" -> ((s, d) => {
+      SpatialJoin.radiusSelfJoin(custPoints(s, d), "c_custkey",
+        "lat", "lon", radiusDeg = 2.0, res = 6)
     }))
 
   private val havSql =
@@ -93,6 +102,16 @@ object Geo {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q153_radius_join" ->
+      """WITH p AS (
+           SELECT c_custkey AS id, c_acctbal % 90.0 AS lat,
+             CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
+           FROM customer)
+         SELECT a.id AS a_id, a.lat AS a_lat, a.lon AS a_lon,
+           b.id AS b_id, b.lat AS b_lat, b.lon AS b_lon,
+           (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) AS d2
+         FROM p a JOIN p b ON a.id < b.id
+         WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= 4.0""",
     "q43_haversine" ->
       s"""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
             n_nationkey*7.0-84.0 AS lat, n_nationkey*14.0-168.0 AS lon FROM nation)

@@ -717,6 +717,66 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Tokenizer vocabulary build: corpus term frequencies above a min-count
+    // cutoff, IDs assigned by global frequency rank (count desc, token asc)
+    // through the scalable range-sort ranking operator — no single-partition
+    // window, so a 100-TB corpus's multi-million-term vocab ranks
+    // distributed (the q91 lesson applied to vocab construction).
+    "q150_vocab_build" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 2)
+      graft.operators.Ranking.globalRank(tc, "id", desc("freq"), asc("token"))
+        .select(col("token"), col("freq"), col("id"))
+    }),
+
+    // BPE merge-step candidates: adjacent character-pair counts weighted by
+    // word frequency — the statistic a byte-pair-encoding trainer computes
+    // each round to pick the next merge. Words are collapsed to (word,
+    // freq) FIRST, so the per-character explode runs over the distinct
+    // vocabulary, not the corpus (the map-side collapse that makes BPE
+    // rounds corpus-size-independent). Top 20 by count, pair-lexicographic
+    // tiebreak.
+    "q151_bpe_pairs" -> ((s, d) => {
+      val wf = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      wf.select(col("f"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(20)
+    }),
+
+    // Corpus-drift metric: Jensen-Shannon divergence between the unigram
+    // distributions of two sources. Cross-engine float determinism WITHOUT
+    // the q116 single-row array fold: each term's contribution is floored
+    // to an INTEGER micro-unit (e12) and the integers are summed — an
+    // associative, fully-distributed aggregation (map-side combinable, no
+    // collect_list), which is the shape that survives a multi-million-term
+    // vocabulary where one giant sorted array per row would not.
+    "q152_js_divergence" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .where(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tk"))
+      val counts = tok.groupBy("tk").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cq"))
+      val tot = counts.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val p = col("cp").cast("double") / col("np").cast("double")
+      val q = col("cq").cast("double") / col("nq").cast("double")
+      val m = (p + q) / 2.0
+      val contrib =
+        when(col("cp") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+          when(col("cq") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+      counts.crossJoin(broadcast(tot))
+        .select(floor(contrib * 1e12).cast("long").as("c_e12"))
+        .agg(count(lit(1)).as("n_terms"), sum("c_e12").as("jsd_e12"))
+    }),
+
     // Unicode NFC normalization (native codegen expression): every "e" is
     // mangled into decomposed "e"+U+0301 and normalized back — NFC must
     // recompose the pair to precomposed "é" (U+00E9), so len_nfc is
@@ -1066,6 +1126,52 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q150_vocab_build" ->
+      """WITH tc AS (
+           SELECT t AS token, count(*) AS freq FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           GROUP BY 1)
+         SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS id
+         FROM tc WHERE freq >= 2""",
+    "q151_bpe_pairs" ->
+      """WITH wf AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           WHERE length(w) >= 2 GROUP BY 1),
+         pairs AS (
+           SELECT f, unnest(list_transform(range(1, length(w)),
+             i -> substr(w, CAST(i AS INT), 2))) AS pair
+           FROM wf)
+         SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         FROM pairs GROUP BY 1
+         ORDER BY cnt DESC, pair LIMIT 20""",
+    "q152_js_divergence" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+           FROM documents WHERE source IN ('src0', 'src1')),
+         counts AS (
+           SELECT tk,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cq
+           FROM tok GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+           FROM counts),
+         c AS (
+           SELECT CAST(floor((
+             CASE WHEN cp > 0 THEN (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+               * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                 / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+               * 0.5 ELSE 0.0 END
+             + CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+               * ln((CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                 / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+               * 0.5 ELSE 0.0 END) * 1000000000000.0) AS BIGINT) AS c_e12
+           FROM counts, tot)
+         SELECT count(*) AS n_terms, CAST(sum(c_e12) AS BIGINT) AS jsd_e12
+         FROM c""",
     "q149_nfc_normalize" ->
       """WITH m AS (
            SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS mangled
