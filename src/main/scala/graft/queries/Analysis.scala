@@ -244,6 +244,29 @@ object Analysis {
     }),
 
     // Ordered funnel per user (view -> click -> purchase, each stage
+    // Gaps-and-islands: longest consecutive-day activity streak per user.
+    // The island key is day - row_number() within user (consecutive days
+    // share it); a per-user partitioned window plus two grouped
+    // aggregations — no self-join, everything keyed on user_id so the
+    // shuffle is one exchange. Ties on length resolve to the earliest
+    // streak. Epoch-day integers end-to-end.
+    "q154_streaks" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      val best = streaks.groupBy("user_id").agg(max("len").as("best_len"))
+      streaks.join(best, Seq("user_id"))
+        .where(col("len") === col("best_len"))
+        .groupBy("user_id", "best_len")
+        .agg(min("start_day").as("start_day"))
+    }),
+
     // strictly after the previous): three conditional-min aggregations
     // over the same shuffle key — no self-join explosion, no window; the
     // stage timestamps chain through two broadcast-sized per-user joins.
@@ -391,6 +414,21 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q154_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         isl AS (
+           SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+           FROM days),
+         streaks AS (
+           SELECT user_id, island, count(*) AS len, min(day) AS start_day
+           FROM isl GROUP BY 1, 2),
+         best AS (SELECT user_id, max(len) AS best_len FROM streaks GROUP BY 1)
+         SELECT s.user_id, b.best_len, min(s.start_day) AS start_day
+         FROM streaks s JOIN best b ON s.user_id = b.user_id AND s.len = b.best_len
+         GROUP BY 1, 2""",
     "q99_approx_sketches" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            TRUE AS hll_ok, TRUE AS p50_ok

@@ -96,6 +96,27 @@ object Stats {
           col("p.corr_e6").as("corr_e6"))
     }),
 
+    // Robust outlier detection by median absolute deviation: flag events
+    // whose |value - median| exceeds 3x the group's MAD. Values live in
+    // integer centi-units, so both medians interpolate to exact half/
+    // quarter units (dyadic rationals are exact doubles — no float-parity
+    // risk despite two levels of percentile). Two grouped exact-percentile
+    // passes joined back on the group key; group cardinality is tiny, so
+    // both joins broadcast.
+    "q156_mad_outliers" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(v_e2, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("v_e2").cast("double") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("v_e2"),
+          (col("dev") > col("mad") * 3.0).as("is_outlier"))
+    }),
+
     // Chi-square independence test of event_type vs day-of-week: observed
     // counts per cell, expected = row_total * col_total / n, statistic
     // folded over cells in pinned (event_type, dow) order — the q116 rule
@@ -174,6 +195,24 @@ object Stats {
              / (sqrt(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(n AS DOUBLE))
               * sqrt(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS corr_e6
          FROM pairs, sums""",
+    "q156_mad_outliers" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         med AS (
+           SELECT event_type, quantile_cont(v_e2, 0.5) AS med
+           FROM ev GROUP BY 1),
+         dev AS (
+           SELECT e.event_id, e.event_type, e.v_e2,
+             abs(CAST(e.v_e2 AS DOUBLE) - m.med) AS dev
+           FROM ev e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.v_e2,
+           d.dev > a.mad * 3.0 AS is_outlier
+         FROM dev d JOIN mad a USING (event_type)""",
     "q148_chi2" ->
       """WITH ev AS (
            SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow

@@ -717,6 +717,31 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Exact ROC AUC by the rank-sum (Mann-Whitney) identity: rank every
+    // example by score through the scalable global-rank path (no single-
+    // partition window), then AUC = (sum of positive ranks - np(np+1)/2)
+    // / (np*nn) — all integer arithmetic until one truncating division,
+    // so the oracle matches exactly. Ties in score are broken by id
+    // (deterministic surrogate for the 0.5-credit convention; both
+    // engines rank identically so parity is exact). Score = first
+    // embedding dim in micro-units; positives = odd labels.
+    "q155_auc" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(
+        col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long").as("score_e6"),
+        (col("label") % 2 === 1).as("pos"))
+      val ranked = graft.operators.Ranking.globalRank(
+        e, "rnk", asc("score_e6"), asc("vec_id"))
+      ranked.agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"),
+          sum(when(col("pos"), col("rnk")).otherwise(0L)).as("sumr"))
+        .select(col("np"), col("nn"),
+          expr("((sumr - (np * (np + 1)) div 2) * 1000000) div (np * nn)")
+            .as("auc_e6"))
+    }),
+
     // Tokenizer vocabulary build: corpus term frequencies above a min-count
     // cutoff, IDs assigned by global frequency rank (count desc, token asc)
     // through the scalable range-sort ranking operator — no single-partition
@@ -1126,6 +1151,23 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q155_auc" ->
+      """WITH scored AS (
+           SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS score_e6,
+             (label % 2 = 1) AS pos
+           FROM embeddings),
+         ranked AS (
+           SELECT pos, row_number() OVER (ORDER BY score_e6, vec_id) AS rnk
+           FROM scored),
+         agg AS (
+           SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN pos THEN rnk ELSE 0 END) AS BIGINT) AS sumr
+           FROM ranked)
+         SELECT np, nn,
+           ((sumr - (np * (np + 1)) // 2) * 1000000) // (np * nn) AS auc_e6
+         FROM agg""",
     "q150_vocab_build" ->
       """WITH tc AS (
            SELECT t AS token, count(*) AS freq FROM (
