@@ -64,7 +64,11 @@ object Bench {
     "q126_bm25", // BM25 lexical retrieval (1-row stats broadcast)
     "q127_perplexity", // unigram NLL: join + order-pinned fold
     "q132_pagerank", // 3-iteration integer PageRank on the LSH graph
-    "q141_tpch_q3") // TPC-H Q3: filtered fact-fact join + bounded top-k
+    "q141_tpch_q3", // TPC-H Q3: filtered fact-fact join + bounded top-k
+    "q147_corr_matrix", // one-pass 14-sum correlation matrix
+    "q150_vocab_build", // vocab frequencies + scalable global rank
+    "q153_radius_join", // k-ring candidate cells + exact refine
+    "q155_auc") // rank-sum AUC via range-sort + zipWithIndex
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,6 +244,29 @@ object Analysis {
     }),
 
     // Ordered funnel per user (view -> click -> purchase, each stage
+    // Exponentially weighted moving average (alpha = 1/2) over each user's
+    // last 8 events: the classic smoother made oracle-exact by choosing a
+    // dyadic alpha — every intermediate s' = (s + v)/2 has <= 7 fraction
+    // bits on centi-unit ints, so Spark and DuckDB compute IDENTICAL
+    // doubles and the x128 output is an exact integer. The fold runs over
+    // a bounded 8-row window frame (collect_list in frame order, reduce
+    // seeded with the oldest element — mirrors DuckDB list_reduce), so
+    // state per row is constant and the window shuffles once on user_id.
+    "q157_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .withColumn("win", collect_list("v_e2").over(w))
+        .select(col("event_id"), col("user_id"),
+          (aggregate(
+            expr("slice(win, 2, size(win) - 1)"),
+            element_at(col("win"), 1).cast("double"),
+            (acc, v) => (acc + v.cast("double")) * 0.5) * 128.0)
+            .cast("long").as("ewma_e2_x128"))
+    }),
+
     // Gaps-and-islands: longest consecutive-day activity streak per user.
     // The island key is day - row_number() within user (consecutive days
     // share it); a per-user partitioned window plus two grouped
@@ -414,6 +437,21 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q157_ewma" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         win AS (
+           SELECT event_id, user_id,
+             list(CAST(v_e2 AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+           FROM ev)
+         SELECT event_id, user_id,
+           CAST(list_reduce(w, (acc, x) -> (acc + x) * 0.5) * 128.0 AS BIGINT)
+             AS ewma_e2_x128
+         FROM win""",
     "q154_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

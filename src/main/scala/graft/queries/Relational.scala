@@ -70,6 +70,35 @@ object Relational {
         .agg(count(col("o_orderkey")).as("n_orders"))
     }),
 
+    // Full outer join with both-side unmatched rows: a customer slice vs
+    // an order-aggregate slice whose key ranges only partially overlap, so
+    // null-extension fires on BOTH sides (left outer alone cannot show
+    // the right-side extension). Coalesced key + nullable payloads.
+    "q158_full_outer" -> ((s, d) => {
+      val cust = t(s, d, "customer").where(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = t(s, d, "orders")
+        .where(col("o_custkey") >= 500 && col("o_custkey") <= 1500)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          col("c_mktsegment"), col("n_orders"))
+    }),
+
+    // Null-safe equality join (<=>): NULL keys match each other — the
+    // semantics a naive equi-join silently drops. Both sides aggregate to
+    // distinct keys first, so the join stays dimension-sized.
+    "q159_nullsafe_join" -> ((s, d) => {
+      def side(even: Boolean) = t(s, d, "customer")
+        .where(pmod(col("c_custkey"), lit(2)) === (if (even) 0 else 1))
+        .select(when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_mktsegment")).as("k"))
+      val a = side(even = true).groupBy("k").agg(count(lit(1)).as("cnt_a"))
+      val b = side(even = false).groupBy("k").agg(count(lit(1)).as("cnt_b"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("cnt_a"), col("cnt_b"))
+    }),
+
     // J4/J5: anti-join — customers with no orders (ref split_random.py:36,
     // retrieve_top_tweets_peel.py:46 uses broadcast left_anti).
     "q06_join_anti" -> ((s, d) => {
@@ -400,6 +429,25 @@ object Relational {
 
   /** DuckDB oracle SQL, aligned column names and rounding. */
   val oracles: Map[String, String] = Map(
+    "q158_full_outer" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000),
+         ords AS (
+           SELECT o_custkey, count(*) AS n_orders FROM orders
+           WHERE o_custkey BETWEEN 500 AND 1500 GROUP BY 1)
+         SELECT coalesce(c_custkey, o_custkey) AS key, c_mktsegment, n_orders
+         FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey""",
+    "q159_nullsafe_join" ->
+      """WITH a AS (
+           SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS k,
+             count(*) AS cnt_a
+           FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1),
+         b AS (
+           SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS k,
+             count(*) AS cnt_b
+           FROM customer WHERE c_custkey % 2 = 1 GROUP BY 1)
+         SELECT a.k, a.cnt_a, b.cnt_b
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
     "q01_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

@@ -156,6 +156,29 @@ class PlanSpec extends SparkSpec {
     assert(nondet.isEmpty, s"nondeterministic expressions in salted join: $nondet")
   }
 
+  test("q153 radius join is an equi-join on cell id, never a cross product") {
+    val p = plan("q153_radius_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q147 correlation matrix is ONE pass over lineitem") {
+    // 14 sums in a single partial+final aggregate; a naive per-pair plan
+    // would scan the fact table 6 times.
+    val p = plan("q147_corr_matrix")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q155 AUC ranks without a single-partition global window") {
+    // the scalable global-rank path sorts range-partitioned and assigns
+    // indices via zipWithIndex — no Window operator at all.
+    val p = plan("q155_auc")
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen stages render as "*(n) Operator" in executedPlan.toString
     val p = plan("q02_filter_project")
