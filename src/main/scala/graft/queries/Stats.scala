@@ -96,6 +96,53 @@ object Stats {
           col("p.corr_e6").as("corr_e6"))
     }),
 
+    // Pairwise Welch t-test between event-type value means: per-group
+    // integer sums (n, sum, sumsq in centi-units), self-joined into the
+    // 10 ordered group pairs, t = (mx-my)/sqrt(vx/nx + vy/ny) evaluated in
+    // one pinned double chain. The A/B-test primitive over arbitrarily
+    // large groups — state per group is three integers.
+    "q161_ttest" -> ((s, d0) => {
+      val sums = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      def m(p: String) = d(col(s"${p}_sv")) / d(col(s"${p}_n"))
+      def v(p: String) =
+        (d(col(s"${p}_svv")) - d(col(s"${p}_sv")) * d(col(s"${p}_sv")) / d(col(s"${p}_n"))) /
+          (d(col(s"${p}_n")) - 1.0)
+      val a = sums.select(col("event_type").as("type_a"), col("n").as("a_n"),
+        col("sv").as("a_sv"), col("svv").as("a_svv"))
+      val b = sums.select(col("event_type").as("type_b"), col("n").as("b_n"),
+        col("sv").as("b_sv"), col("svv").as("b_svv"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          e6((m("a") - m("b")) /
+            sqrt(v("a") / d(col("a_n")) + v("b") / d(col("b_n")))).as("t_e6"))
+    }),
+
+    // Mutual information between the vector label and the sign of the
+    // first embedding dimension — the feature-relevance score of a
+    // training pipeline's feature-selection pass. I = sum over cells of
+    // p_xy * ln(p_xy*n^2 / (rt*ct))/... computed per cell and floored to
+    // integer e12 units, then summed associatively (the q152 shape: no
+    // array fold, margins joined on, scales to any cardinality).
+    "q162_mutual_info" -> ((s, d0) => {
+      val ev = t(s, d0, "embeddings").select(col("label"),
+        (element_at(col("embedding"), 1) > 0).cast("int").as("sgn"))
+      val cells = ev.groupBy("label", "sgn").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("label").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("sgn").agg(sum("o").as("ct"))
+      val joined = cells.join(rowT, "label").join(colT, "sgn")
+        .crossJoin(broadcast(cells.agg(sum("o").as("n"))))
+      val p = d(col("o")) / d(col("n"))
+      val contrib = p * log(d(col("o")) * d(col("n")) /
+        (d(col("rt")) * d(col("ct"))))
+      joined
+        .select(floor(contrib * 1e12).cast("long").as("c_e12"))
+        .agg(count(lit(1)).as("n_cells"), sum("c_e12").as("mi_e12"))
+    }),
+
     // Robust outlier detection by median absolute deviation: flag events
     // whose |value - median| exceeds 3x the group's MAD. Values live in
     // integer centi-units, so both medians interpolate to exact half/
@@ -195,6 +242,39 @@ object Stats {
              / (sqrt(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(n AS DOUBLE))
               * sqrt(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS corr_e6
          FROM pairs, sums""",
+    "q161_ttest" ->
+      """WITH sums AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv
+           FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+                 FROM events)
+           GROUP BY 1)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(floor(
+             ((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) - (CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)))
+             / sqrt(
+               ((CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+               + ((CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS t_e6
+         FROM sums a JOIN sums b ON a.event_type < b.event_type""",
+    "q162_mutual_info" ->
+      """WITH ev AS (
+           SELECT label,
+             CAST(embedding[1] > 0 AS INT) AS sgn
+           FROM embeddings),
+         cells AS (SELECT label, sgn, count(*) AS o FROM ev GROUP BY 1, 2),
+         rt AS (SELECT label, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT sgn, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         c AS (
+           SELECT CAST(floor(
+             (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)))
+             * 1000000000000.0) AS BIGINT) AS c_e12
+           FROM cells JOIN rt USING (label) JOIN ct USING (sgn), tot)
+         SELECT count(*) AS n_cells, CAST(sum(c_e12) AS BIGINT) AS mi_e12
+         FROM c""",
     "q156_mad_outliers" ->
       """WITH ev AS (
            SELECT event_id, event_type,

@@ -717,6 +717,65 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Retrieval-quality metrics (MRR, NDCG@10) of a quantized ANN system
+    // against exact-cosine ground truth: "how much does int6 quantization
+    // hurt ranking" — the eval that decides whether the cheap index is
+    // good enough to ship. Truth = exact cosine top-10 with graded
+    // relevance 10..1; system = ranking by INTEGER dot product of
+    // floor(x*64) quantized vectors (exact in both engines, so the system
+    // ranking is bit-reproducible). DCG terms are floored to integer e9
+    // units per position (associative sum, q152's trick); MRR and the
+    // final NDCG ratio are integer divisions.
+    "q160_rank_metrics" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ids = Seq(100L, 200L)
+      val qs = e.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val cand = e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("nrm", Similarity.norm2("embedding"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      val truth = cand
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"), col("nrm"), col("qn")))
+        .withColumn("rnk", row_number().over(wT))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (lit(11L) - col("rnk")).as("rel"), col("rnk"))
+      val quant = (c: Column) => transform(c,
+        x => floor(x.cast("double") * 64).cast("long"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("iscore"), asc("vec_id"))
+      val sys = cand
+        .withColumn("iscore", aggregate(
+          zip_with(quant(col("embedding")), quant(col("qemb")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("srnk", row_number().over(wS))
+        .where(col("srnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("srnk"))
+      // identical discount expression on both sides: rel / (ln(r+1)/ln(2))
+      def dcgTerm(rel: Column, rnk: Column): Column =
+        floor(rel.cast("double") /
+          (log(rnk.cast("double") + 1.0) / log(lit(2.0))) * 1e9).cast("long")
+      val dcg = sys
+        .join(truth.select(col("query_id"), col("neighbor_id"), col("rel")),
+          Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+        .groupBy("query_id")
+        .agg(sum(dcgTerm(col("rel0"), col("srnk"))).as("dcg_e9"),
+          min(when(col("rel0") > 0, col("srnk"))).as("first_rel"),
+          sum(when(col("rel0") > 0, 1L).otherwise(0L)).as("n_hit"))
+      val idcg = truth.groupBy("query_id")
+        .agg(sum(dcgTerm(col("rel"), col("rnk"))).as("idcg_e9"))
+      dcg.join(idcg, "query_id")
+        .select(col("query_id"), col("n_hit"),
+          expr("CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE 1000000 div first_rel END").as("mrr_e6"),
+          expr("(dcg_e9 * 1000000) div idcg_e9").as("ndcg_e6"))
+    }),
+
     // Exact ROC AUC by the rank-sum (Mann-Whitney) identity: rank every
     // example by score through the scalable global-rank path (no single-
     // partition window), then AUC = (sum of positive ranks - np(np+1)/2)
@@ -833,6 +892,16 @@ object Training {
   private def dotSql(a: String, b: String): String =
     (1 to Similarity.Dim).map(i =>
       s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+
+  /** Integer dot product of floor(x*64)-quantized vectors (q160): BIGINT
+    * products summed — exact, so any association order matches Spark's
+    * zip_with/aggregate loop.
+    */
+  private def iDotSql(a: String, b: String): String =
+    (1 to Similarity.Dim).map(i =>
+      s"(CAST(floor(CAST($a[$i] AS DOUBLE) * 64) AS BIGINT)" +
+        s" * CAST(floor(CAST($b[$i] AS DOUBLE) * 64) AS BIGINT))")
+      .mkString(" + ")
 
   /** Shared CTE prelude (toks -> bands) of the MinHash oracles. */
   private def minhashCtes: String = {
@@ -1151,6 +1220,46 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q160_rank_metrics" -> {
+      def cos(a: String, b: String) =
+        s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      val dcgTerm = (rel: String, rnk: String) =>
+        s"CAST(floor(CAST($rel AS DOUBLE) / (ln(CAST($rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000000.0) AS BIGINT)"
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (100, 200)),
+         truth AS (
+           SELECT query_id, neighbor_id, 11 - rnk AS rel, rnk FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 ${cos("e.embedding", "q.qemb")} DESC, e.vec_id ASC) AS rnk
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           WHERE rnk <= 10),
+         sys AS (
+           SELECT query_id, neighbor_id, srnk FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (${iDotSql("e.embedding", "q.qemb")}) DESC, e.vec_id ASC) AS srnk
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           WHERE srnk <= 10),
+         dcg AS (
+           SELECT s.query_id,
+             CAST(sum(${dcgTerm("coalesce(t.rel, 0)", "s.srnk")}) AS BIGINT) AS dcg_e9,
+             min(CASE WHEN t.rel > 0 THEN s.srnk END) AS first_rel,
+             CAST(sum(CASE WHEN t.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM sys s LEFT JOIN truth t
+             ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+           GROUP BY 1),
+         idcg AS (
+           SELECT query_id,
+             CAST(sum(${dcgTerm("rel", "rnk")}) AS BIGINT) AS idcg_e9
+           FROM truth GROUP BY 1)
+         SELECT d.query_id, d.n_hit,
+           CASE WHEN d.first_rel IS NULL THEN CAST(0 AS BIGINT)
+             ELSE 1000000 // d.first_rel END AS mrr_e6,
+           (d.dcg_e9 * 1000000) // i.idcg_e9 AS ndcg_e6
+         FROM dcg d JOIN idcg i USING (query_id)"""
+    },
     "q155_auc" ->
       """WITH scored AS (
            SELECT vec_id,
