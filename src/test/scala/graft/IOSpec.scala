@@ -35,6 +35,25 @@ class IOSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_t1")
   }
 
+  test("partition filter prunes partitions at the scan (no full-table read)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_prune").toString + "/t"
+    GraftIO.writePartitioned(
+      (1 to 100).map(i => (i.toLong, s"p${i % 10}")).toDF("id", "k"), dir, Seq("k"))
+    val df = GraftIO.parquet(spark, dir).where($"k" === "p3")
+    val plan = df.queryExecution.executedPlan.toString
+    // the partition predicate must reach the scan's PartitionFilters (file
+    // listing prunes 9/10 directories) — NOT appear as a post-scan Filter.
+    // (df.inputFiles can't verify this: it lists the unpruned relation.)
+    assert("""PartitionFilters: \[[^\]]*\(k""".r.findFirstIn(plan).isDefined, plan)
+    val scannedParts = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scannedParts.contains(1), s"scanned $scannedParts partitions, want 1")
+    assert(df.count() == 10)
+  }
+
   test("dynamic partition overwrite replaces only touched partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dynpart").toString + "/t"

@@ -55,6 +55,27 @@ class RadiusJoinSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("matches brute force on 300 deterministic pseudo-random points") {
+    // fixed-seed congruential points; brute-force pair set computed in
+    // Scala with the same planar metric.
+    val pts = (1L to 300L).map { i =>
+      val h = i * 2654435761L % 1000003L
+      val lat = (h % 17000L).toDouble / 100.0 - 85.0
+      val lon = ((h / 17000L) % 35000L).toDouble / 100.0 - 175.0
+      (i, lat, lon)
+    }
+    val r = 2.0
+    val expected = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1)).toSet
+    val got = run(pts, r, 6).select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("radius larger than the cell size is rejected") {
     intercept[IllegalArgumentException] {
       run(Seq((1L, 0.0, 0.0)), 5.0, 6)

@@ -207,4 +207,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) == 2L)
     assert(out(20L) == 1L)
   }
+
+  test("streaming running EWMA equals the full-history fold across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.RunningMetrics
+    import graft.streaming.RunningMetrics.{EwmaOut, VEvt}
+    val input = MemoryStream[VEvt]
+    val q = RunningMetrics.ewmaStreaming(input.toDS()).writeStream
+      .format("memory").queryName("ewma_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batches split MID-history per user: the state must carry the fold.
+      input.addData(
+        VEvt(1L, 1000L, 1L, 10.0), VEvt(1L, 1001L, 2L, 30.0),
+        VEvt(2L, 1000L, 3L, 7.0))
+      q.processAllAvailable()
+      input.addData(
+        VEvt(1L, 1002L, 4L, 50.0), VEvt(2L, 1001L, 5L, 9.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out").as[EwmaOut].collect()
+        .map(o => o.eventId -> o).toMap
+      // replay the recursion over full history in event order
+      def fold(vs: Seq[Double]): Double = vs.tail.foldLeft(vs.head)((s, v) => (s + v) * 0.5)
+      assert(got(1L).ewma == 10.0)
+      assert(got(2L).ewma == fold(Seq(10.0, 30.0)))
+      assert(got(4L).ewma == fold(Seq(10.0, 30.0, 50.0)))
+      assert(got(4L).nSeen == 3L)
+      assert(got(3L).ewma == 7.0)
+      assert(got(5L).ewma == fold(Seq(7.0, 9.0)))
+    } finally q.stop()
+  }
 }
