@@ -51,6 +51,11 @@ object FuzzyJoin {
     val base = df.select(col(idCol).as("id"), col(strCol).as("name"))
       .withColumn("l", length(col("name")))
     val grams = base
+      // strings shorter than one gram are fully handled by the shorts
+      // pool (l < minSafe below); without this gate sequence(1, l-2)
+      // DESCENDS for them (the q77 lesson) and substring emits duplicate
+      // garbage grams that inflate df counts and the prefix join.
+      .where(col("l") >= q)
       .select(col("id"), col("name"), col("l"),
         posexplode(expr(
           s"transform(sequence(1, l - ${q - 1}), i -> substring(name, i, $q))"))

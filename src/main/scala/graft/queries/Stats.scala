@@ -53,11 +53,15 @@ object Stats {
       val cov = d(col("sxy")) - d(col("sx")) * d(col("sy")) / n
       val varx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / n
       val vary = d(col("syy")) - d(col("sy")) * d(col("sy")) / n
-      val slope = cov / varx
+      // degenerate guards (match the oracle's CASE): a group whose x (or
+      // y) never varies has varx = 0 — Spark would emit Infinity/NaN where
+      // DuckDB emits NULL for x/0, silently breaking parity. NULL in both.
+      val slope = when(varx =!= 0.0, cov / varx)
       sums.select(col("event_type"), col("n"),
         e6(slope).as("slope_e6"),
         e6((d(col("sy")) - slope * d(col("sx"))) / n).as("intercept_e6"),
-        e6(cov * cov / (varx * vary)).as("r2_e6"))
+        e6(when(varx =!= 0.0 && vary =!= 0.0, cov * cov / (varx * vary)))
+          .as("r2_e6"))
     }),
 
     // Pairwise Pearson correlation matrix over four lineitem measures
@@ -86,7 +90,9 @@ object Stats {
         val cov = d(col(s"p$i$j")) - d(col(s"s$i")) * d(col(s"s$j")) / n
         val vi = d(col(s"q$i")) - d(col(s"s$i")) * d(col(s"s$i")) / n
         val vj = d(col(s"q$j")) - d(col(s"s$j")) * d(col(s"s$j")) / n
-        cov / (sqrt(vi) * sqrt(vj))
+        // zero-variance guard: NULL in both engines (DuckDB sqrt(<0)
+        // THROWS and x/0 is NULL; Spark would emit NaN/Infinity).
+        when(vi > 0.0 && vj > 0.0, cov / (sqrt(vi) * sqrt(vj)))
       }
       val pairs = for (i <- ms; j <- ms if i < j) yield
         struct(lit(names(i)).as("m_a"), lit(names(j)).as("m_b"),
@@ -115,10 +121,15 @@ object Stats {
         col("sv").as("a_sv"), col("svv").as("a_svv"))
       val b = sums.select(col("event_type").as("type_b"), col("n").as("b_n"),
         col("sv").as("b_sv"), col("svv").as("b_svv"))
+      // guards: Welch needs n >= 2 on both sides (n-1 division) and a
+      // strictly positive pooled variance — float cancellation can land an
+      // exact-zero-variance group a hair below 0, where DuckDB's sqrt
+      // THROWS. NULL in both engines for the degenerate pairs.
+      val denomSq = v("a") / d(col("a_n")) + v("b") / d(col("b_n"))
       a.join(b, col("type_a") < col("type_b"))
         .select(col("type_a"), col("type_b"),
-          e6((m("a") - m("b")) /
-            sqrt(v("a") / d(col("a_n")) + v("b") / d(col("b_n")))).as("t_e6"))
+          e6(when(col("a_n") > 1 && col("b_n") > 1 && denomSq > 0.0,
+            (m("a") - m("b")) / sqrt(denomSq))).as("t_e6"))
     }),
 
     // Mutual information between the vector label and the sign of the
@@ -202,17 +213,20 @@ object Stats {
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
              CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
              CAST(sum(y*y) AS BIGINT) AS syy
-           FROM ev GROUP BY 1)
+           FROM ev GROUP BY 1),
+         der AS (
+           SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS cov,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS varx,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS vary
+           FROM sums)
          SELECT event_type, n,
-           CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT) AS slope_e6,
-           CAST(floor(((CAST(sy AS DOUBLE) - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS intercept_e6,
-           CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
-             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
-              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS r2_e6
-         FROM sums""",
+           CAST(floor(CASE WHEN varx <> 0 THEN cov / varx END * 1000000.0) AS BIGINT) AS slope_e6,
+           CAST(floor((syd - CASE WHEN varx <> 0 THEN cov / varx END * sxd) / nd * 1000000.0) AS BIGINT) AS intercept_e6,
+           CAST(floor(CASE WHEN varx <> 0 AND vary <> 0
+             THEN cov * cov / (varx * vary) END * 1000000.0) AS BIGINT) AS r2_e6
+         FROM der""",
     "q147_corr_matrix" ->
       """WITH li AS (
            SELECT CAST(l_quantity AS BIGINT) AS m0,
@@ -236,27 +250,35 @@ object Stats {
            SELECT 'qty', 'tax', s0, s3, q0, q3, p03 FROM sums UNION ALL
            SELECT 'price', 'disc', s1, s2, q1, q2, p12 FROM sums UNION ALL
            SELECT 'price', 'tax', s1, s3, q1, q3, p13 FROM sums UNION ALL
-           SELECT 'disc', 'tax', s2, s3, q2, q3, p23 FROM sums)
+           SELECT 'disc', 'tax', s2, s3, q2, q3, p23 FROM sums),
+         der AS (
+           SELECT m_a, m_b,
+             CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE) AS cov,
+             CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(n AS DOUBLE) AS va,
+             CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE) AS vb
+           FROM pairs, sums)
          SELECT m_a, m_b,
-           CAST(floor(((CAST(pab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE))
-             / (sqrt(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(n AS DOUBLE))
-              * sqrt(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(n AS DOUBLE)))) * 1000000.0) AS BIGINT) AS corr_e6
-         FROM pairs, sums""",
+           CAST(floor(CASE WHEN va > 0 AND vb > 0
+             THEN cov / (sqrt(va) * sqrt(vb)) END * 1000000.0) AS BIGINT) AS corr_e6
+         FROM der""",
     "q161_ttest" ->
       """WITH sums AS (
            SELECT event_type, count(*) AS n,
              CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv
            FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
                  FROM events)
-           GROUP BY 1)
-         SELECT a.event_type AS type_a, b.event_type AS type_b,
-           CAST(floor(
-             ((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) - (CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)))
-             / sqrt(
-               ((CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
-               + ((CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE))
-             * 1000000.0) AS BIGINT) AS t_e6
-         FROM sums a JOIN sums b ON a.event_type < b.event_type""",
+           GROUP BY 1),
+         der AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS an, b.n AS bn,
+             (CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) - (CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) AS md,
+             ((CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+               + ((CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE) AS den2
+           FROM sums a JOIN sums b ON a.event_type < b.event_type)
+         SELECT type_a, type_b,
+           CAST(floor(CASE WHEN an > 1 AND bn > 1 AND den2 > 0
+             THEN md / sqrt(den2) END * 1000000.0) AS BIGINT) AS t_e6
+         FROM der""",
     "q162_mutual_info" ->
       """WITH ev AS (
            SELECT label,

@@ -797,7 +797,10 @@ object Training {
           sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"),
           sum(when(col("pos"), col("rnk")).otherwise(0L)).as("sumr"))
         .select(col("np"), col("nn"),
-          expr("((sumr - (np * (np + 1)) div 2) * 1000000) div (np * nn)")
+          // single-class guard: np*nn = 0 -> NULL in both engines (Spark
+          // ANSI integral divide by zero would throw; DuckDB // 0 is NULL)
+          expr("CASE WHEN np * nn = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE ((sumr - (np * (np + 1)) div 2) * 1000000) div (np * nn) END")
             .as("auc_e6"))
     }),
 
@@ -1275,7 +1278,8 @@ object Training {
              CAST(sum(CASE WHEN pos THEN rnk ELSE 0 END) AS BIGINT) AS sumr
            FROM ranked)
          SELECT np, nn,
-           ((sumr - (np * (np + 1)) // 2) * 1000000) // (np * nn) AS auc_e6
+           CASE WHEN np * nn = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((sumr - (np * (np + 1)) // 2) * 1000000) // (np * nn) END AS auc_e6
          FROM agg""",
     "q150_vocab_build" ->
       """WITH tc AS (

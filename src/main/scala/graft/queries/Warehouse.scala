@@ -29,8 +29,9 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Native session windows (Spark's session_window, the batch twin of
     // the Structured Streaming session operator): per-user events gapped
-    // by >= 30 min start a new session; a session's end is last event +
-    // gap. One shuffle on the grouping key; Spark merges overlapping
+    // by MORE than 30 min start a new session (an exact-gap event still
+    // merges — verified empirically, and the oracle mirrors `>` not
+    // `>=`); a session's end is last event + gap. One shuffle on the grouping key; Spark merges overlapping
     // per-event windows with its dedicated session-window exec, no
     // quadratic self-join. q66 builds the same sessions by hand
     // (lag + cumsum) — this is the operator form.
@@ -257,7 +258,7 @@ object Warehouse {
          m AS (
            SELECT user_id, event_id, t,
              CASE WHEN lag(t) OVER w IS NULL
-                    OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+                    OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
            FROM ev
            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
          s AS (

@@ -10,10 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The recursion s' = (s + v) / 2 (EWMA, alpha = 1/2) is evaluated in the
   * same order the batch replay uses — events sorted by (ts, eventId)
   * within each micro-batch, state carrying across batches — so the stream
-  * output is bit-identical to folding the full history, regardless of how
-  * the harness splits micro-batches (the reproducibility property the
-  * reference gets from 2-day re-batch overlaps, SURVEY §2.9, without
-  * recomputing anything).
+  * output is bit-identical to folding the full history PROVIDED batch
+  * boundaries respect event-time order (each batch's events are all later
+  * than the previous batch's, the property the spec's split exercises).
+  * An out-of-order arrival that lands in a LATER micro-batch folds in
+  * arrival order, not event order: nothing here buffers or drops late
+  * data. Production hardening for unordered sources is a watermark plus
+  * per-key buffering of the allowed-lateness span before folding — at
+  * which point exactness holds only within the lateness bound, the same
+  * trade every watermarked operator makes.
   */
 object RunningMetrics {
 

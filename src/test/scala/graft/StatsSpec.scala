@@ -62,6 +62,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate groups yield NULL, not Infinity/NaN (oracle parity)") {
+    import spark.implicits._
+    // a 1-event type (Welch n-1 = 0), a constant type on one day (varx =
+    // vary = 0), and a varied type — through the REAL queries via a temp
+    // events.parquet in the driver schema.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, ts(1, 1), 1L, "solo", 5.0, "{}"),
+      (2L, ts(1, 1), 1L, "const", 7.0, "{}"),
+      (3L, ts(1, 2), 1L, "const", 7.0, "{}"),
+      (4L, ts(1, 3), 2L, "const", 7.0, "{}"),
+      (5L, ts(1, 1), 2L, "vary", 1.0, "{}"),
+      (6L, ts(2, 1), 3L, "vary", 9.0, "{}"),
+      (7L, ts(3, 1), 3L, "vary", 4.0, "{}"),
+      (8L, ts(1, 4), 4L, "also7", 7.0, "{}"),
+      (9L, ts(1, 5), 4L, "also7", 7.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val t = queries.Stats.queries("q161_ttest")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.isNullAt(2)).toMap
+    assert(t.size == 6, t.toString)
+    assert(t(("const", "solo")), "solo side must be NULL (n=1)")
+    assert(t(("also7", "const")), "both variances 0 must be NULL (den=0)")
+    assert(t(("solo", "vary")), "solo side must be NULL (n=1)")
+    // one-sided zero variance is NOT degenerate: den2 > 0
+    assert(!t(("const", "vary")), "const-vs-vary must compute a t value")
+
+    val ols = queries.Stats.queries("q146_ols_group")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ols("const").isNullAt(ols("const").fieldIndex("slope_e6")),
+      "constant-x group slope must be NULL")
+    assert(ols("solo").isNullAt(ols("solo").fieldIndex("r2_e6")),
+      "single-point group r2 must be NULL")
+    assert(!ols("vary").isNullAt(ols("vary").fieldIndex("slope_e6")))
+  }
+
   test("NFC recomposes combining marks and is identity on ASCII") {
     import spark.implicits._
     val df = Seq(("éclair", "plain ascii")).toDF("dec", "asc")
