@@ -717,6 +717,64 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Record-linkage best match: the fuzzy-join candidate pairs resolved
+    // to each record's single best counterpart (lowest edit distance,
+    // id tiebreak) — blocking + scoring + 1:1 resolution, the full
+    // linkage pipeline shape. Symmetric closure of the (id1 < id2) pair
+    // stream, then one partitioned window; no re-scoring.
+    "q163_best_match" -> ((s, d) => {
+      val pairs = graft.operators.FuzzyJoin.selfJoin(
+        t(s, d, "customer"), "c_custkey", "c_name", k = 1)
+      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("ed"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("ed")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(asc("ed"), asc("dst"))
+      sym.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("src"), col("dst").as("best_match"), col("ed"))
+    }),
+
+    // Classifier calibration table (reliability diagram data): positives
+    // fraction per fixed-width score bucket — all integer counts and one
+    // integer division, so the oracle is exact. The companion to AUC
+    // (q155): AUC says the ranking is right, calibration says the
+    // probabilities are.
+    "q164_calibration" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(
+          expr("floor(CAST(embedding[0] AS DOUBLE) * 1000000) div 100000")
+            .cast("long").as("bucket"),
+          (col("label") % 2 === 1).as("pos"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("frac_e6", expr("(n_pos * 1000000) div n"))
+    }),
+
+    // Population stability index between the hash-split train and test
+    // score distributions — the drift gate run before every model
+    // refresh. Fixed n_chars bins; per-bin contribution (p-q)*ln(p/q)
+    // floored to integer e12 and summed associatively (q152's shape);
+    // bins empty on either side are counted, not silently folded in.
+    "q165_psi" -> ((s, d) => {
+      val h = TextFunctions.hash60(col("text")) % 100
+      val binned = t(s, d, "documents")
+        .select(when(h < 80, lit("train")).otherwise(lit("test")).as("split"),
+          least(expr("n_chars div 100"), lit(9L)).as("bin"))
+      val cells = binned.groupBy("bin").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("cq"))
+      val tot = cells.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val p = col("cp").cast("double") / col("np").cast("double")
+      val q = col("cq").cast("double") / col("nq").cast("double")
+      cells.crossJoin(broadcast(tot))
+        .select(
+          when(col("cp") > 0 && col("cq") > 0,
+            floor((p - q) * log(p / q) * 1e12).cast("long")).as("c_e12"),
+          when(col("cp") === 0 || col("cq") === 0, 1L).otherwise(0L).as("empty"))
+        .agg(count(lit(1)).as("n_bins"), sum("empty").as("n_onesided"),
+          sum("c_e12").as("psi_e12"))
+    }),
+
     // Retrieval-quality metrics (MRR, NDCG@10) of a quantized ANN system
     // against exact-cosine ground truth: "how much does int6 quantization
     // hurt ranking" — the eval that decides whether the cheap index is
@@ -1223,6 +1281,54 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q163_best_match" ->
+      """WITH pairs AS (
+           SELECT a.c_custkey AS src, b.c_custkey AS dst,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed
+           FROM customer a JOIN customer b
+             ON a.c_custkey <> b.c_custkey
+            AND abs(len(a.c_name) - len(b.c_name)) <= 1
+           WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         ranked AS (
+           SELECT src, dst, ed,
+             row_number() OVER (PARTITION BY src ORDER BY ed, dst) AS rn
+           FROM pairs)
+         SELECT src, dst AS best_match, ed FROM ranked WHERE rn = 1""",
+    "q164_calibration" ->
+      """WITH s AS (
+           SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) // 100000 AS bucket,
+             (label % 2 = 1) AS pos
+           FROM embeddings)
+         SELECT bucket, count(*) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS frac_e6
+         FROM s GROUP BY 1""",
+    "q165_psi" ->
+      s"""WITH binned AS (
+           SELECT CASE WHEN ${h60("text")} % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+             least(n_chars // 100, 9) AS bin
+           FROM documents),
+         cells AS (
+           SELECT bin,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cq
+           FROM binned GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+           FROM cells),
+         c AS (
+           SELECT
+             CASE WHEN cp > 0 AND cq > 0 THEN
+               CAST(floor((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) - CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                 * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE)) / (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)))
+                 * 1000000000000.0) AS BIGINT) END AS c_e12,
+             CASE WHEN cp = 0 OR cq = 0 THEN 1 ELSE 0 END AS empty
+           FROM cells, tot)
+         SELECT count(*) AS n_bins,
+           CAST(sum(empty) AS BIGINT) AS n_onesided,
+           CAST(sum(c_e12) AS BIGINT) AS psi_e12
+         FROM c""",
     "q160_rank_metrics" -> {
       def cos(a: String, b: String) =
         s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
