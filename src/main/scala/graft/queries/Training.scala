@@ -717,6 +717,78 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Confusion matrix + precision/recall/F1 at a fixed score threshold —
+    // pure integer counts and integer micro-divisions, the classification
+    // eval triplet next to AUC (ranking) and calibration (probabilities).
+    // F1 from counts: f1 = 2*tp*1e6 div (2*tp + fp + fn).
+    "q166_confusion" -> ((s, d) => {
+      val scored = t(s, d, "embeddings").select(
+        (element_at(col("embedding"), 1) > 0).as("pred"),
+        (col("label") % 2 === 1).as("pos"))
+      scored.agg(
+          sum(when(col("pred") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("CASE WHEN tp + fp = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (tp * 1000000) div (tp + fp) END").as("precision_e6"),
+          expr("CASE WHEN tp + fn = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (tp * 1000000) div (tp + fn) END").as("recall_e6"),
+          expr("CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END").as("f1_e6"))
+    }),
+
+    // Feature hashing (the hashing trick): tokens land in a fixed
+    // 1024-dim space by content hash, per-doc counts become the sparse
+    // training vector — no vocabulary pass, no driver state, reshard-
+    // stable. Output limited to one doc slice for the oracle.
+    "q167_feature_hash" -> ((s, d) => {
+      t(s, d, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"),
+          (TextFunctions.hash60(col("tk")) % 1024).as("dim"))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
+    }),
+
+    // Temperature softmax over per-type mean scores, exact across
+    // engines: each exp term is floored to an integer e9 unit FIRST, the
+    // distribution is then ratios of integers (q168 rule: when a float
+    // sum's order can't be pinned cheaply, make the terms integers and
+    // the sum exact). Means feed exp via e2-integer division so the
+    // exponent argument is identical in both engines.
+    "q168_softmax" -> ((s, d) => {
+      val means = t(s, d, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(expr("sum(v) div count(*)").as("mean_e2"))
+      val eterm = floor(exp(col("mean_e2").cast("double") / 10000.0) * 1e9)
+        .cast("long")
+      val terms = means.select(col("event_type"), eterm.as("e_e9"))
+      val tot = terms.agg(sum("e_e9").as("z"))
+      terms.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          expr("(e_e9 * 1000000) div z").as("p_e6"))
+    }),
+
+    // L2 vector normalization (embedding prep): v / ||v|| in e6 integer
+    // units per dimension, fingerprinted so the oracle compares one hash
+    // per vector instead of 64 columns. sqrt is IEEE-exact, so the only
+    // pinning needed is the norm's sum order — the established explicit
+    // chain on both sides.
+    "q169_l2_normalize" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 500)
+        // norm2 is the SQUARED norm (dot(v,v)); the unit scale needs sqrt
+        .withColumn("nrm", sqrt(Similarity.norm2("embedding")))
+      e.select(col("vec_id"),
+        when(col("nrm") > 0.0, md5(array_join(
+          transform(col("embedding"),
+            x => floor(x.cast("double") / col("nrm") * 1e6).cast("long")
+              .cast("string")), ",")))
+          .as("unit_fp"))
+    }),
+
     // Record-linkage best match: the fuzzy-join candidate pairs resolved
     // to each record's single best counterpart (lowest edit distance,
     // id tiebreak) — blocking + scoring + 1:1 resolution, the full
@@ -1281,6 +1353,57 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q166_confusion" ->
+      """WITH s AS (
+           SELECT (embedding[1] > 0) AS pred, (label % 2 = 1) AS pos
+           FROM embeddings),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM s)
+         SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN CAST(NULL AS BIGINT)
+             ELSE (tp * 1000000) // (tp + fp) END AS precision_e6,
+           CASE WHEN tp + fn = 0 THEN CAST(NULL AS BIGINT)
+             ELSE (tp * 1000000) // (tp + fn) END AS recall_e6,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS BIGINT)
+             ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_e6
+         FROM agg""",
+    "q167_feature_hash" -> {
+      s"""SELECT doc_id, ${h60("tk")} % 1024 AS dim, count(*) AS v
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+               FROM documents WHERE doc_id < 50)
+         GROUP BY 1, 2"""
+    },
+    "q168_softmax" ->
+      """WITH means AS (
+           SELECT event_type,
+             CAST(sum(v) AS BIGINT) // count(*) AS mean_e2
+           FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+                 FROM events)
+           GROUP BY 1),
+         terms AS (
+           SELECT event_type,
+             CAST(floor(exp(CAST(mean_e2 AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT) AS e_e9
+           FROM means),
+         tot AS (SELECT CAST(sum(e_e9) AS BIGINT) AS z FROM terms)
+         SELECT event_type, (e_e9 * 1000000) // z AS p_e6
+         FROM terms, tot""",
+    "q169_l2_normalize" -> {
+      s"""WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           FROM embeddings WHERE vec_id < 500)
+         SELECT vec_id,
+           CASE WHEN nrm > 0 THEN md5(array_to_string(
+             list_transform(embedding, x ->
+               CAST(CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0) AS BIGINT) AS VARCHAR)),
+             ',')) END AS unit_fp
+         FROM n"""
+    },
     "q163_best_match" ->
       """WITH pairs AS (
            SELECT a.c_custkey AS src, b.c_custkey AS dst,
