@@ -68,7 +68,9 @@ object Bench {
     "q147_corr_matrix", // one-pass 14-sum correlation matrix
     "q150_vocab_build", // vocab frequencies + scalable global rank
     "q153_radius_join", // k-ring candidate cells + exact refine
-    "q155_auc") // rank-sum AUC via range-sort + zipWithIndex
+    "q155_auc", // rank-sum AUC via range-sort + zipWithIndex
+    "q157_ewma", // bounded-frame window fold (dyadic EWMA)
+    "q163_best_match") // fuzzy-join linkage + best-match resolution
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

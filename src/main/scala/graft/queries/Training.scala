@@ -717,6 +717,30 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // k-core graph peeling (3 rounds, k=3) over the LSH pair graph: each
+    // round drops nodes below degree 3 and their edges — the community-
+    // core extraction that separates dense duplicate clusters from
+    // incidental pair noise. Fixed round count keeps it oracle-replayable
+    // (the q132 rule for iterative graph ops); each round is one degree
+    // aggregation and two semi-joins, all keyed shuffles.
+    "q171_kcore" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      var edges = pairs.select(col("id1").as("a"), col("id2").as("b")).persist()
+      for (_ <- 1 to 3) {
+        val deg = edges.select(col("a").as("id"))
+          .unionAll(edges.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= 3).select("id")
+        edges = edges
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      }
+      edges.select(col("a").as("id"))
+        .unionAll(edges.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    }),
+
     // Confusion matrix + precision/recall/F1 at a fixed score threshold —
     // pure integer counts and integer micro-divisions, the classification
     // eval triplet next to AUC (ranking) and calibration (probabilities).
@@ -1353,6 +1377,28 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q171_kcore" -> {
+      def round(i: Int): String =
+        s"""d$i AS (
+             SELECT id, count(*) AS deg FROM (
+               SELECT a AS id FROM e${i - 1} UNION ALL SELECT b AS id FROM e${i - 1})
+             GROUP BY 1),
+           k$i AS (SELECT id FROM d$i WHERE deg >= 3),
+           e$i AS (
+             SELECT a, b FROM e${i - 1}
+             WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
+      s"""WITH $minhashCtes,
+         e0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)}
+         SELECT id, count(*) AS deg FROM (
+           SELECT a AS id FROM e3 UNION ALL SELECT b AS id FROM e3)
+         GROUP BY 1"""
+    },
     "q166_confusion" ->
       """WITH s AS (
            SELECT (embedding[1] > 0) AS pred, (label % 2 = 1) AS pos

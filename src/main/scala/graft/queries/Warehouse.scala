@@ -27,6 +27,34 @@ object Warehouse {
     expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Column profiling (the warehouse "ANALYZE TABLE" surface): one pass
+    // computes n/nulls/min/max/exact-NDV per profiled column, unpivoted to
+    // one row per column. Money columns profile in centi-units so min/max
+    // are integers. NDV is exact count_distinct — at 100 TB swap in the
+    // HLL sketch (q99) per column; the plan shape (single scan, partial
+    // aggs) is the same.
+    "q170_profile" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("quantity"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_e2"),
+        floor(col("l_discount") * 100).cast("long").as("disc_e2"),
+        col("l_orderkey").as("orderkey"))
+      val cols = Seq("quantity", "price_e2", "disc_e2", "orderkey")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          countDistinct(col(c)).as(s"${c}_ndv"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("column"), col(s"${c}_n").as("n"),
+          col(s"${c}_nulls").as("n_nulls"), col(s"${c}_min").as("min_v"),
+          col(s"${c}_max").as("max_v"), col(s"${c}_ndv").as("ndv"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    }),
+
     // Native session windows (Spark's session_window, the batch twin of
     // the Structured Streaming session operator): per-user events gapped
     // by MORE than 30 min start a new session (an exact-gap event still
@@ -252,6 +280,29 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q170_profile" ->
+      """WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS quantity,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_e2,
+             CAST(floor(l_discount * 100) AS BIGINT) AS disc_e2,
+             l_orderkey AS orderkey
+           FROM lineitem)
+         SELECT 'quantity' AS "column", count(quantity) AS n,
+           CAST(sum(CASE WHEN quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           min(quantity) AS min_v, max(quantity) AS max_v,
+           count(DISTINCT quantity) AS ndv FROM li
+         UNION ALL
+         SELECT 'price_e2', count(price_e2),
+           CAST(sum(CASE WHEN price_e2 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           min(price_e2), max(price_e2), count(DISTINCT price_e2) FROM li
+         UNION ALL
+         SELECT 'disc_e2', count(disc_e2),
+           CAST(sum(CASE WHEN disc_e2 IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           min(disc_e2), max(disc_e2), count(DISTINCT disc_e2) FROM li
+         UNION ALL
+         SELECT 'orderkey', count(orderkey),
+           CAST(sum(CASE WHEN orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           min(orderkey), max(orderkey), count(DISTINCT orderkey) FROM li""",
     "q123_session_window" ->
       """WITH ev AS (
            SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
