@@ -132,6 +132,46 @@ object Stats {
             (m("a") - m("b")) / sqrt(denomSq))).as("t_e6"))
     }),
 
+    // First principal component by 3 power-method iterations over the
+    // 4x4 covariance matrix of the lineitem measures — the Spark-first
+    // counterpart of the reference's dynamic-factor extraction
+    // (news-analytics runs it in Stata; the factor IS the first PC of the
+    // standardized panel). The distributed part is the same one-pass
+    // 14-sum aggregation as q147; the iteration is 16 scalar FMA chains
+    // on that single row, deterministic across engines because every
+    // operation and its order is identical (no normalization division
+    // until the end: components are scaled by the vector's max-abs AFTER
+    // the fixed iterations, then floored to e6).
+    "q172_power_iteration" -> ((s, d0) => {
+      val li = t(s, d0, "lineitem").select(
+        col("l_quantity").cast("long").as("m0"),
+        floor(col("l_extendedprice")).cast("long").as("m1"),
+        floor(col("l_discount") * 100).cast("long").as("m2"),
+        floor(col("l_tax") * 100).cast("long").as("m3"))
+      val ms = 0 to 3
+      val sumCols =
+        Seq(count(lit(1)).as("n")) ++
+          ms.map(i => sum(col(s"m$i")).as(s"s$i")) ++
+          (for (i <- ms; j <- ms if i <= j)
+            yield sum(col(s"m$i") * col(s"m$j")).as(s"p${i}${j}"))
+      val agg = li.agg(sumCols.head, sumCols.tail: _*)
+      val n = d(col("n"))
+      // cov[i][j], j >= i stored once; scaled by 1/n (population form)
+      def cv(i: Int, j: Int): Column = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        (d(col(s"p$a$b")) - d(col(s"s$a")) * d(col(s"s$b")) / n) / n
+      }
+      // v0 = [1,1,1,1]; three iterations of v <- C v, no renormalization
+      // (values stay finite: 3 applications of a 4x4 matrix)
+      var v: Seq[Column] = Seq.fill(4)(lit(1.0))
+      for (_ <- 1 to 3)
+        v = ms.map(i => ms.map(j => cv(i, j) * v(j)).reduce(_ + _))
+      val maxAbs = v.map(abs).reduce((a, b) => greatest(a, b))
+      val out = ms.map(i =>
+        e6(when(maxAbs > 0.0, v(i) / maxAbs)).as(s"pc_$i"))
+      agg.select(out: _*)
+    }),
+
     // Mutual information between the vector label and the sign of the
     // first embedding dimension — the feature-relevance score of a
     // training pipeline's feature-selection pass. I = sum over cells of
@@ -261,6 +301,57 @@ object Stats {
            CAST(floor(CASE WHEN va > 0 AND vb > 0
              THEN cov / (sqrt(va) * sqrt(vb)) END * 1000000.0) AS BIGINT) AS corr_e6
          FROM der""",
+    "q172_power_iteration" -> {
+      // cov entries named once in a CTE; each iteration CTE applies the
+      // matrix with the SAME ((t0+t1)+t2)+t3 association the Spark
+      // reduce(_ + _) produces, so every intermediate double is identical.
+      val ms = 0 to 3
+      def cvSql(i: Int, j: Int): String = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        s"((CAST(p$a$b AS DOUBLE) - CAST(s$a AS DOUBLE)*CAST(s$b AS DOUBLE)/CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+      }
+      val covCols = (for (i <- ms; j <- ms if i <= j)
+        yield s"${cvSql(i, j)} AS c$i$j").mkString(",\n             ")
+      def cRef(i: Int, j: Int): String = {
+        val (a, b) = if (i <= j) (i, j) else (j, i); s"c$a$b"
+      }
+      def iter(prev: String, out: String): String = {
+        val comps = ms.map { i =>
+          ms.map(j => s"(${cRef(i, j)} * $prev.v$j)")
+            .reduce((x, y) => s"($x + $y)") + s" AS v$i"
+        }.mkString(",\n             ")
+        s"$out AS (\n           SELECT $comps\n           FROM c, $prev)"
+      }
+      val maxAbs = ms.map(i => s"abs(v$i)").reduce((x, y) => s"greatest($x, $y)")
+      val outs = ms.map(i =>
+        s"CAST(floor(CASE WHEN $maxAbs > 0 THEN v$i / ($maxAbs) END * 1000000.0) AS BIGINT) AS pc_$i")
+        .mkString(",\n           ")
+      s"""WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS m0,
+             CAST(floor(l_extendedprice) AS BIGINT) AS m1,
+             CAST(floor(l_discount * 100) AS BIGINT) AS m2,
+             CAST(floor(l_tax * 100) AS BIGINT) AS m3
+           FROM lineitem),
+         sums AS (
+           SELECT count(*) AS n,
+             CAST(sum(m0) AS BIGINT) AS s0, CAST(sum(m1) AS BIGINT) AS s1,
+             CAST(sum(m2) AS BIGINT) AS s2, CAST(sum(m3) AS BIGINT) AS s3,
+             CAST(sum(m0*m0) AS BIGINT) AS p00, CAST(sum(m0*m1) AS BIGINT) AS p01,
+             CAST(sum(m0*m2) AS BIGINT) AS p02, CAST(sum(m0*m3) AS BIGINT) AS p03,
+             CAST(sum(m1*m1) AS BIGINT) AS p11, CAST(sum(m1*m2) AS BIGINT) AS p12,
+             CAST(sum(m1*m3) AS BIGINT) AS p13, CAST(sum(m2*m2) AS BIGINT) AS p22,
+             CAST(sum(m2*m3) AS BIGINT) AS p23, CAST(sum(m3*m3) AS BIGINT) AS p33
+           FROM li),
+         c AS (
+           SELECT $covCols
+           FROM sums),
+         i0 AS (SELECT 1.0 AS v0, 1.0 AS v1, 1.0 AS v2, 1.0 AS v3),
+         ${iter("i0", "i1")},
+         ${iter("i1", "i2")},
+         ${iter("i2", "i3")}
+         SELECT $outs
+         FROM i3"""
+    },
     "q161_ttest" ->
       """WITH sums AS (
            SELECT event_type, count(*) AS n,

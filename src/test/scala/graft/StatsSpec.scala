@@ -101,6 +101,15 @@ class StatsSpec extends SparkSpec {
     assert(!ols("vary").isNullAt(ols("vary").fieldIndex("slope_e6")))
   }
 
+  test("power iteration converges to the dominant (price) direction") {
+    val r = queries.Stats.queries("q172_power_iteration")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    // price variance (~1e10) dwarfs the others: the first PC must be the
+    // price axis, so pc_1 is the max-abs component (exactly +-1e6).
+    assert(math.abs(r.getLong(r.fieldIndex("pc_1"))) == 1000000L, r.toString)
+    assert(math.abs(r.getLong(r.fieldIndex("pc_0"))) < 1000000L, r.toString)
+  }
+
   test("NFC recomposes combining marks and is identity on ASCII") {
     import spark.implicits._
     val df = Seq(("éclair", "plain ascii")).toDF("dec", "asc")
