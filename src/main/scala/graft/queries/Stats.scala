@@ -30,6 +30,25 @@ object Stats {
   private def d(c: Column): Column = c.cast("double")
   private def e6(c: Column): Column = floor(c * 1e6).cast("long")
 
+  /** Shared integer measure projection of lineitem for q147/q172 — one
+    * definition so a unit-scale change cannot drift between the
+    * correlation matrix and the power iteration. `liMeasuresSql` is its
+    * oracle mirror.
+    */
+  private def liMeasures(s: SparkSession, d0: String): DataFrame =
+    t(s, d0, "lineitem").select(
+      col("l_quantity").cast("long").as("m0"),
+      floor(col("l_extendedprice")).cast("long").as("m1"),
+      floor(col("l_discount") * 100).cast("long").as("m2"),
+      floor(col("l_tax") * 100).cast("long").as("m3"))
+
+  private val liMeasuresSql: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS m0,
+             CAST(floor(l_extendedprice) AS BIGINT) AS m1,
+             CAST(floor(l_discount * 100) AS BIGINT) AS m2,
+             CAST(floor(l_tax * 100) AS BIGINT) AS m3
+           FROM lineitem"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-group OLS of event value against time: slope/intercept/r2 of
     // y = a + b*day per event_type. x = epoch day index (0..29 in the test
@@ -71,11 +90,7 @@ object Stats {
     // bound: Sxx(price) <= (1.05e5)^2 * n — int64-safe to n ~ 8e8 rows,
     // after which price needs a coarser unit.
     "q147_corr_matrix" -> ((s, d0) => {
-      val li = t(s, d0, "lineitem").select(
-        col("l_quantity").cast("long").as("m0"),
-        floor(col("l_extendedprice")).cast("long").as("m1"),
-        floor(col("l_discount") * 100).cast("long").as("m2"),
-        floor(col("l_tax") * 100).cast("long").as("m3"))
+      val li = liMeasures(s, d0)
       val ms = 0 to 3
       val sumCols =
         Seq(count(lit(1)).as("n")) ++
@@ -143,11 +158,7 @@ object Stats {
     // until the end: components are scaled by the vector's max-abs AFTER
     // the fixed iterations, then floored to e6).
     "q172_power_iteration" -> ((s, d0) => {
-      val li = t(s, d0, "lineitem").select(
-        col("l_quantity").cast("long").as("m0"),
-        floor(col("l_extendedprice")).cast("long").as("m1"),
-        floor(col("l_discount") * 100).cast("long").as("m2"),
-        floor(col("l_tax") * 100).cast("long").as("m3"))
+      val li = liMeasures(s, d0)
       val ms = 0 to 3
       val sumCols =
         Seq(count(lit(1)).as("n")) ++
@@ -268,12 +279,8 @@ object Stats {
              THEN cov * cov / (varx * vary) END * 1000000.0) AS BIGINT) AS r2_e6
          FROM der""",
     "q147_corr_matrix" ->
-      """WITH li AS (
-           SELECT CAST(l_quantity AS BIGINT) AS m0,
-             CAST(floor(l_extendedprice) AS BIGINT) AS m1,
-             CAST(floor(l_discount * 100) AS BIGINT) AS m2,
-             CAST(floor(l_tax * 100) AS BIGINT) AS m3
-           FROM lineitem),
+      s"""WITH li AS (
+           $liMeasuresSql),
          sums AS (
            SELECT count(*) AS n,
              CAST(sum(m0) AS BIGINT) AS s0, CAST(sum(m1) AS BIGINT) AS s1,
@@ -327,11 +334,7 @@ object Stats {
         s"CAST(floor(CASE WHEN $maxAbs > 0 THEN v$i / ($maxAbs) END * 1000000.0) AS BIGINT) AS pc_$i")
         .mkString(",\n           ")
       s"""WITH li AS (
-           SELECT CAST(l_quantity AS BIGINT) AS m0,
-             CAST(floor(l_extendedprice) AS BIGINT) AS m1,
-             CAST(floor(l_discount * 100) AS BIGINT) AS m2,
-             CAST(floor(l_tax * 100) AS BIGINT) AS m3
-           FROM lineitem),
+           $liMeasuresSql),
          sums AS (
            SELECT count(*) AS n,
              CAST(sum(m0) AS BIGINT) AS s0, CAST(sum(m1) AS BIGINT) AS s1,

@@ -780,16 +780,23 @@ object Training {
     // engines: each exp term is floored to an integer e9 unit FIRST, the
     // distribution is then ratios of integers (q168 rule: when a float
     // sum's order can't be pinned cheaply, make the terms integers and
-    // the sum exact). Means feed exp via e2-integer division so the
-    // exponent argument is identical in both engines.
+    // the sum exact). The max mean is subtracted before exp — the
+    // standard softmax stabilization — which here also BOUNDS every term
+    // at 1e9 and z at n_types*1e9, so no magnitude of input means can
+    // overflow the e9/e6 integer arithmetic (Spark would wrap silently
+    // where DuckDB throws). exp-ulp parity between JVM and libm is the
+    // same empirical assumption the ln-based oracles make (q116/q127).
     "q168_softmax" -> ((s, d) => {
       val means = t(s, d, "events")
         .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
         .groupBy("event_type")
         .agg(expr("sum(v) div count(*)").as("mean_e2"))
-      val eterm = floor(exp(col("mean_e2").cast("double") / 10000.0) * 1e9)
+      val mx = means.agg(max("mean_e2").as("max_e2"))
+      val eterm = floor(exp(
+        (col("mean_e2") - col("max_e2")).cast("double") / 10000.0) * 1e9)
         .cast("long")
-      val terms = means.select(col("event_type"), eterm.as("e_e9"))
+      val terms = means.crossJoin(broadcast(mx))
+        .select(col("event_type"), eterm.as("e_e9"))
       val tot = terms.agg(sum("e_e9").as("z"))
       terms.crossJoin(broadcast(tot))
         .select(col("event_type"),
@@ -819,8 +826,12 @@ object Training {
     // linkage pipeline shape. Symmetric closure of the (id1 < id2) pair
     // stream, then one partitioned window; no re-scoring.
     "q163_best_match" -> ((s, d) => {
+      // persisted (the q132 pattern): both union branches read the pair
+      // stream, and exchange reuse shares shuffles but NOT the post-
+      // shuffle levenshtein verification — unpersisted, that stage would
+      // run twice. Harness clearCache releases it.
       val pairs = graft.operators.FuzzyJoin.selfJoin(
-        t(s, d, "customer"), "c_custkey", "c_name", k = 1)
+        t(s, d, "customer"), "c_custkey", "c_name", k = 1).persist()
       val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"), col("ed"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst"), col("ed")))
       val w = org.apache.spark.sql.expressions.Window
@@ -837,7 +848,10 @@ object Training {
     "q164_calibration" -> ((s, d) => {
       t(s, d, "embeddings")
         .select(
-          expr("floor(CAST(embedding[0] AS DOUBLE) * 1000000) div 100000")
+          // true floor division: `floor(x*1e6) div 1e5` would truncate
+          // toward zero, making bucket 0 span (-0.1, 0.1) — double-width,
+          // mixing negative and positive scores in one reliability cell
+          expr("floor(CAST(embedding[0] AS DOUBLE) * 10)")
             .cast("long").as("bucket"),
           (col("label") % 2 === 1).as("pos"))
         .groupBy("bucket")
@@ -1431,10 +1445,11 @@ object Training {
            FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
                  FROM events)
            GROUP BY 1),
+         mx AS (SELECT max(mean_e2) AS max_e2 FROM means),
          terms AS (
            SELECT event_type,
-             CAST(floor(exp(CAST(mean_e2 AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT) AS e_e9
-           FROM means),
+             CAST(floor(exp(CAST(mean_e2 - max_e2 AS DOUBLE) / 10000.0) * 1000000000.0) AS BIGINT) AS e_e9
+           FROM means, mx),
          tot AS (SELECT CAST(sum(e_e9) AS BIGINT) AS z FROM terms)
          SELECT event_type, (e_e9 * 1000000) // z AS p_e6
          FROM terms, tot""",
@@ -1465,7 +1480,7 @@ object Training {
          SELECT src, dst AS best_match, ed FROM ranked WHERE rn = 1""",
     "q164_calibration" ->
       """WITH s AS (
-           SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) // 100000 AS bucket,
+           SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT) AS bucket,
              (label % 2 = 1) AS pos
            FROM embeddings)
          SELECT bucket, count(*) AS n,
