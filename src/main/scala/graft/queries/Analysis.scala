@@ -244,6 +244,63 @@ object Analysis {
     }),
 
     // Ordered funnel per user (view -> click -> purchase, each stage
+    // Behavioral similarity: Levenshtein distance between users' ordered
+    // event-type sequences (each event contributes its type's initial
+    // letter). Sequences build with one sort-within-group aggregation;
+    // the pairwise compare is bounded to the 10 lowest user ids — the
+    // full-corpus path blocks by LSH over sequence shingles (q59's
+    // machinery), noted not duplicated.
+    "q173_behavior_distance" -> ((s, d) => {
+      val seqs = t(s, d, "events").where(col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "").as("sig"))
+      val a = seqs.select(col("user_id").as("u1"), col("sig").as("s1"))
+      val b = seqs.select(col("user_id").as("u2"), col("sig").as("s2"))
+      a.join(b, col("u1") < col("u2"))
+        .select(col("u1"), col("u2"),
+          levenshtein(col("s1"), col("s2")).cast("long").as("ed"),
+          length(col("s1")).cast("long").as("l1"),
+          length(col("s2")).cast("long").as("l2"))
+    }),
+
+    // First-order Markov transition counts over each user's event-type
+    // sequence: P(next | current) as integer micro-probabilities. One
+    // lag window per user (the sessionize shuffle shape) feeding a
+    // transition-pair aggregation — the product-analytics "what happens
+    // after a click" matrix.
+    "q174_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, d, "events")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("cur").agg(sum("n").as("n_cur"))
+      pairs.join(totals, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          expr("(n * 1000000) div n_cur").as("p_e6"))
+    }),
+
+    // Day-of-week seasonal adjustment: subtract each (type, dow)'s mean
+    // from the daily counts — the de-seasonalization the reference's news
+    // index runs in Stata before the factor model. Means stay exact as
+    // e6-integer truncated divisions; output is the adjusted daily panel.
+    "q175_seasonal_adjust" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val dowMean = daily.groupBy("event_type", "dow")
+        .agg(expr("(sum(n) * 1000000) div count(*)").as("mean_e6"))
+      daily.join(dowMean, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("n") * 1000000L - col("mean_e6")).as("adj_e6"))
+    }),
+
     // Exponentially weighted moving average (alpha = 1/2) over each user's
     // last 8 events: the classic smoother made oracle-exact by choosing a
     // dyadic alpha — every intermediate s' = (s + v)/2 has <= 7 fraction
@@ -437,6 +494,38 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q173_behavior_distance" ->
+      """WITH seqs AS (
+           SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS sig
+           FROM events WHERE user_id < 10 GROUP BY 1)
+         SELECT a.user_id AS u1, b.user_id AS u2,
+           CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS ed,
+           CAST(length(a.sig) AS BIGINT) AS l1,
+           CAST(length(b.sig) AS BIGINT) AS l2
+         FROM seqs a JOIN seqs b ON a.user_id < b.user_id""",
+    "q174_markov_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         pairs AS (
+           SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL
+           GROUP BY 1, 2),
+         totals AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM pairs GROUP BY 1)
+         SELECT cur, nxt, n, (n * 1000000) // n_cur AS p_e6
+         FROM pairs JOIN totals USING (cur)""",
+    "q175_seasonal_adjust" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         d2 AS (SELECT event_type, day, n, (day + 4) % 7 AS dow FROM daily),
+         dm AS (
+           SELECT event_type, dow,
+             (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS mean_e6
+           FROM d2 GROUP BY 1, 2)
+         SELECT event_type, day, n, n * 1000000 - mean_e6 AS adj_e6
+         FROM d2 JOIN dm USING (event_type, dow)""",
     "q157_ewma" ->
       """WITH ev AS (
            SELECT event_id, user_id, ts,
