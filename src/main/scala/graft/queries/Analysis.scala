@@ -244,6 +244,70 @@ object Analysis {
     }),
 
     // Ordered funnel per user (view -> click -> purchase, each stage
+    // RFM customer segmentation: recency (days since last order at a
+    // fixed asof day), frequency, monetary (centi-units) per customer,
+    // each scored into quintiles — ntile over a total order (metric +
+    // custkey tiebreak) so both engines assign identical ranks — and
+    // combined into the classic 3-digit segment code. The three global
+    // ntiles are the q17-style single-partition form, fine to customer-
+    // dimension cardinality; at fact-table scale each becomes the q91
+    // range-sort global rank with quintile = ((rank-1)*5) div n — same
+    // answer, no single partition.
+    "q176_rfm" -> ((s, d) => {
+      val asofDay = lit(20000L) // fixed epoch-day after the data window
+      val rfm = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        // o_orderdate is TIMESTAMP_NTZ (ms parquet); the session is pinned
+        // UTC so the cast is an identity relabel
+        .agg((asofDay - max(expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")))
+            .as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_e2"))
+      def score(c: String, asc0: Boolean) = ntile(5).over(
+        Window.orderBy(if (asc0) asc(c) else desc(c), asc("custkey")))
+      rfm
+        .withColumn("r_score", score("recency", asc0 = true))
+        .withColumn("f_score", score("frequency", asc0 = false))
+        .withColumn("m_score", score("monetary_e2", asc0 = false))
+        .select(col("custkey"), col("recency"), col("frequency"),
+          col("monetary_e2"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .cast("long").as("segment"))
+    }),
+
+    // Market-basket affinity: lift of part pairs co-occurring in an
+    // order. The pair join keys on the order — fan-in bounded by basket
+    // size (~7 lineitems), never corpus size — and lift compares the
+    // observed pair rate to the independence expectation in one pinned
+    // double, floored to e6. Output bounded to lifts over a support
+    // floor, top pairs by count.
+    "q177_basket_affinity" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      // order total rides along as a broadcast 1-row aggregate, NOT a
+      // driver-side count() (which would be an extra full scan + action —
+      // the q83 lesson)
+      val tot = items.agg(countDistinct("okey").as("n_orders"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+      val freq = items.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(freq.select(col("part").as("p1"), col("n").as("n_a")), "p1")
+        .join(freq.select(col("part").as("p2"), col("n").as("n_b")), "p2")
+        .crossJoin(broadcast(tot))
+        .select(col("p1"), col("p2"), col("n_ab"),
+          floor(col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) * 1e6)
+            .cast("long").as("lift_e6"))
+        .orderBy(desc("n_ab"), asc("p1"), asc("p2"))
+        .limit(100)
+    }),
+
     // Behavioral similarity: Levenshtein distance between users' ordered
     // event-type sequences (each event contributes its type's initial
     // letter). Sequences build with one sort-within-group aggregation;
@@ -494,6 +558,38 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q176_rfm" ->
+      """WITH rfm AS (
+           SELECT o_custkey AS custkey,
+             20000 - max(epoch_us(o_orderdate) // 86400000000) AS recency,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_e2
+           FROM orders GROUP BY 1),
+         scored AS (
+           SELECT custkey, recency, frequency, monetary_e2,
+             ntile(5) OVER (ORDER BY recency, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_e2 DESC, custkey) AS m_score
+           FROM rfm)
+         SELECT custkey, recency, frequency, monetary_e2,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+         FROM scored""",
+    "q177_basket_affinity" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+         tot AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+         pairs AS (
+           SELECT a.part AS p1, b.part AS p2, count(*) AS n_ab
+           FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         freq AS (SELECT part, count(*) AS n FROM items GROUP BY 1)
+         SELECT p.p1, p.p2, p.n_ab,
+           CAST(floor(CAST(p.n_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+             / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lift_e6
+         FROM pairs p
+         JOIN freq fa ON p.p1 = fa.part
+         JOIN freq fb ON p.p2 = fb.part, tot t
+         ORDER BY n_ab DESC, p1, p2 LIMIT 100""",
     "q173_behavior_distance" ->
       """WITH seqs AS (
            SELECT user_id,
