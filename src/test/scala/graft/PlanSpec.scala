@@ -179,6 +179,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q177 basket pairs join on the order key, order total broadcasts") {
+    val p = plan("q177_basket_affinity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row n_orders agg
+    assert(p.contains("TakeOrderedAndProject"), p) // bounded top-100
+  }
+
   test("whole-stage codegen covers the scan->filter->project hot path") {
     // codegen stages render as "*(n) Operator" in executedPlan.toString
     val p = plan("q02_filter_project")
