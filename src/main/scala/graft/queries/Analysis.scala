@@ -243,7 +243,6 @@ object Analysis {
         .select(col("k").as("user_id"), col("n_pairs"))
     }),
 
-    // Ordered funnel per user (view -> click -> purchase, each stage
     // RFM customer segmentation: recency (days since last order at a
     // fixed asof day), frequency, monetary (centi-units) per customer,
     // each scored into quintiles — ntile over a total order (metric +
@@ -264,12 +263,15 @@ object Analysis {
             .as("recency"),
           count(lit(1)).as("frequency"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_e2"))
+      // classic convention: 5 = best. ntile bucket 1 goes to the FIRST
+      // rows of the order, so the worst values must sort first — largest
+      // recency (least recent), lowest frequency, lowest spend.
       def score(c: String, asc0: Boolean) = ntile(5).over(
         Window.orderBy(if (asc0) asc(c) else desc(c), asc("custkey")))
       rfm
-        .withColumn("r_score", score("recency", asc0 = true))
-        .withColumn("f_score", score("frequency", asc0 = false))
-        .withColumn("m_score", score("monetary_e2", asc0 = false))
+        .withColumn("r_score", score("recency", asc0 = false))
+        .withColumn("f_score", score("frequency", asc0 = true))
+        .withColumn("m_score", score("monetary_e2", asc0 = true))
         .select(col("custkey"), col("recency"), col("frequency"),
           col("monetary_e2"),
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
@@ -350,16 +352,28 @@ object Analysis {
 
     // Day-of-week seasonal adjustment: subtract each (type, dow)'s mean
     // from the daily counts — the de-seasonalization the reference's news
-    // index runs in Stata before the factor model. Means stay exact as
-    // e6-integer truncated divisions; output is the adjusted daily panel.
+    // index runs in Stata before the factor model. The mean divides by
+    // the CALENDAR occurrences of that weekday in the panel span (a
+    // scaffold of every day, the q124 gap-fill move), not by observed
+    // days — a sparse type's zero-count days must pull its mean down, or
+    // the adjustment is biased high exactly where data is thin. Means
+    // stay exact as e6-integer truncated divisions.
     "q175_seasonal_adjust" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(count(lit(1)).as("n"))
         .withColumn("dow", expr("(day + 4) % 7"))
+      val span = daily.agg(min("day").as("mn"), max("day").as("mx"))
+      val calDow = span
+        .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+        .groupBy(expr("(day + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_cal"))
       val dowMean = daily.groupBy("event_type", "dow")
-        .agg(expr("(sum(n) * 1000000) div count(*)").as("mean_e6"))
+        .agg(sum("n").as("sum_n"))
+        .join(broadcast(calDow), "dow")
+        .select(col("event_type"), col("dow"),
+          expr("(sum_n * 1000000) div n_cal").as("mean_e6"))
       daily.join(dowMean, Seq("event_type", "dow"))
         .select(col("event_type"), col("day"), col("n"),
           (col("n") * 1000000L - col("mean_e6")).as("adj_e6"))
@@ -411,6 +425,7 @@ object Analysis {
         .agg(min("start_day").as("start_day"))
     }),
 
+    // Ordered funnel per user (view -> click -> purchase, each stage
     // strictly after the previous): three conditional-min aggregations
     // over the same shuffle key — no self-join explosion, no window; the
     // stage timestamps chain through two broadcast-sized per-user joins.
@@ -567,9 +582,9 @@ object Analysis {
            FROM orders GROUP BY 1),
          scored AS (
            SELECT custkey, recency, frequency, monetary_e2,
-             ntile(5) OVER (ORDER BY recency, custkey) AS r_score,
-             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-             ntile(5) OVER (ORDER BY monetary_e2 DESC, custkey) AS m_score
+             ntile(5) OVER (ORDER BY recency DESC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_e2, custkey) AS m_score
            FROM rfm)
          SELECT custkey, recency, frequency, monetary_e2,
            CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
@@ -616,10 +631,16 @@ object Analysis {
            SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
            FROM events GROUP BY 1, 2),
          d2 AS (SELECT event_type, day, n, (day + 4) % 7 AS dow FROM daily),
+         span AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+         cal AS (
+           SELECT (CAST(d AS BIGINT) + 4) % 7 AS dow, count(*) AS n_cal
+           FROM (SELECT unnest(range(mn, mx + 1)) AS d FROM span)
+           GROUP BY 1),
          dm AS (
-           SELECT event_type, dow,
-             (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS mean_e6
-           FROM d2 GROUP BY 1, 2)
+           SELECT event_type, d2.dow,
+             (CAST(sum(n) AS BIGINT) * 1000000) // any_value(n_cal) AS mean_e6
+           FROM d2 JOIN cal ON d2.dow = cal.dow
+           GROUP BY event_type, d2.dow)
          SELECT event_type, day, n, n * 1000000 - mean_e6 AS adj_e6
          FROM d2 JOIN dm USING (event_type, dow)""",
     "q157_ewma" ->
