@@ -44,6 +44,22 @@ object Media {
     "q66_sessionize" -> ((s, d) => {
       Sessionize.batch(t(s, d, "events"), 1800)
         .select(col("event_id"), col("session_id"))
+    }),
+
+    // session-level rollup over the q66 sessions: duration, event count
+    // and conversion flag per (user, session) — the analytics layer a
+    // product team reads (bounce/conversion rates are one more GROUP BY
+    // away). Same single user_id shuffle as q66; the rollup rides the
+    // existing partitioning.
+    "q178_session_stats" -> ((s, d) => {
+      Sessionize.batch(t(s, d, "events"), 1800)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).as("start_s"),
+          max(unix_timestamp(col("ts"))).as("end_s"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("has_purchase"))
+        .withColumn("dur_s", col("end_s") - col("start_s"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +84,31 @@ object Media {
          FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
                FROM documents),
               (SELECT unnest(range(0, 4)) AS i)""",
+    "q178_session_stats" ->
+      """WITH lagd AS (
+           SELECT event_id, user_id, ts, event_type,
+             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         marks AS (
+           SELECT event_id, user_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                       - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM lagd),
+         sess AS (
+           SELECT user_id, ts, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM marks)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS start_s,
+           max(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS end_s,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS has_purchase,
+           max(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+             - min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS dur_s
+         FROM sess GROUP BY 1, 2""",
     "q66_sessionize" ->
       """SELECT event_id,
            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -717,6 +717,18 @@ object Training {
         .select(col("lang"), col("doc_id"), col("pri"))
     }),
 
+    // Duplicate-cluster size distribution: the corpus-health histogram a
+    // dedup run is judged by (a fat tail of giant clusters means the LSH
+    // params or the corpus need attention). Components come from the
+    // distributed min-label propagation; two grouped counts after it.
+    "q179_dup_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      Dedup.connectedComponents(pairs)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // k-core graph peeling (3 rounds, k=3) over the LSH pair graph: each
     // round drops nodes below degree 3 and their edges — the community-
     // core extraction that separates dense duplicate clusters from
@@ -1391,6 +1403,27 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src WHERE e.dst <> r.src),
+         rep AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+           FROM reach GROUP BY src),
+         sizes AS (
+           SELECT rep_id, count(*) AS cluster_size FROM rep GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sizes GROUP BY 1""",
     "q171_kcore" -> {
       def round(i: Int): String =
         s"""d$i AS (
