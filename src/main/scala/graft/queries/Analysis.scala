@@ -243,6 +243,45 @@ object Analysis {
         .select(col("k").as("user_id"), col("n_pairs"))
     }),
 
+    // Funnel timing: quartiles of view -> purchase conversion time per
+    // converting user (first view, first purchase strictly after it) —
+    // the "how long does conversion take" companion to q119's "how many
+    // convert". Integer epoch seconds; quartiles interpolate to exact
+    // quarter units (the q156 dyadic-median rule).
+    "q180_conversion_time" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t_view"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .where(col("t") > col("t_view"))
+        .groupBy("user_id").agg((min("t") - min("t_view")).as("delta_s"))
+      conv.agg(count(lit(1)).as("n_converted"),
+        expr("percentile(delta_s, 0.25)").as("p25_s"),
+        expr("percentile(delta_s, 0.5)").as("p50_s"),
+        expr("percentile(delta_s, 0.75)").as("p75_s"))
+    }),
+
+    // Cohort lifetime value: cumulative monetary value by signup-week
+    // cohort over weeks-since-signup — q120's retention grid with value
+    // instead of distinct actives, plus a running cumsum per cohort.
+    // Centi-unit integers end-to-end.
+    "q181_cohort_ltv" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val grid = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(sum("v_e2").as("week_value_e2"))
+      val w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum_value_e2", sum("week_value_e2").over(w))
+    }),
+
     // RFM customer segmentation: recency (days since last order at a
     // fixed asof day), frequency, monetary (centi-units) per customer,
     // each scored into quintiles — ntile over a total order (metric +
@@ -573,6 +612,39 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q180_conversion_time" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t
+           FROM events),
+         fv AS (
+           SELECT user_id, min(t) AS t_view FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         conv AS (
+           SELECT e.user_id, min(e.t) - min(f.t_view) AS delta_s
+           FROM ev e JOIN fv f USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > f.t_view
+           GROUP BY 1)
+         SELECT count(*) AS n_converted,
+           quantile_cont(delta_s, 0.25) AS p25_s,
+           quantile_cont(delta_s, 0.5) AS p50_s,
+           quantile_cont(delta_s, 0.75) AS p75_s
+         FROM conv""",
+    "q181_cohort_ltv" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+         grid AS (
+           SELECT cohort_week, week - cohort_week AS weeks_since,
+             CAST(sum(v_e2) AS BIGINT) AS week_value_e2
+           FROM ev JOIN cohort USING (user_id)
+           GROUP BY 1, 2)
+         SELECT cohort_week, weeks_since, week_value_e2,
+           CAST(sum(week_value_e2) OVER (PARTITION BY cohort_week
+             ORDER BY weeks_since ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
+         FROM grid""",
     "q176_rfm" ->
       """WITH rfm AS (
            SELECT o_custkey AS custkey,
