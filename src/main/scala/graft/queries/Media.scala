@@ -62,6 +62,29 @@ object Media {
         .withColumn("dur_s", col("end_s") - col("start_s"))
     }))
 
+  /** Shared sessionization CTEs (lag -> gap mark -> cumsum session id),
+    * mirroring `Sessionize.batch(gap = 1800)` — one definition feeding
+    * both the q66 and q178 oracles so the gap rule and (ts, event_id)
+    * tie-break cannot drift between them.
+    */
+  private def sessionCtes: String =
+    """lagd AS (
+           SELECT event_id, user_id, ts, event_type,
+             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         marks AS (
+           SELECT event_id, user_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                    OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                       - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM lagd),
+         sess AS (
+           SELECT event_id, user_id, ts, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM marks)"""
+
   val oracles: Map[String, String] = Map(
     "q101_media_features" ->
       """SELECT doc_id, j, (h + j * 2654435761) % 1000003 AS feat
@@ -85,22 +108,7 @@ object Media {
                FROM documents),
               (SELECT unnest(range(0, 4)) AS i)""",
     "q178_session_stats" ->
-      """WITH lagd AS (
-           SELECT event_id, user_id, ts, event_type,
-             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           FROM events),
-         marks AS (
-           SELECT event_id, user_id, ts, event_type,
-             CASE WHEN prev_ts IS NULL
-                    OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
-                       - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
-                  THEN 1 ELSE 0 END AS new_sess
-           FROM lagd),
-         sess AS (
-           SELECT user_id, ts, event_type,
-             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-           FROM marks)
+      s"""WITH $sessionCtes
          SELECT user_id, session_id, count(*) AS n_events,
            min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS start_s,
            max(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS end_s,
@@ -110,16 +118,6 @@ object Media {
              - min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS dur_s
          FROM sess GROUP BY 1, 2""",
     "q66_sessionize" ->
-      """SELECT event_id,
-           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         FROM (
-           SELECT event_id, user_id, ts,
-             CASE WHEN prev_ts IS NULL
-                    OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
-                       - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
-                  THEN 1 ELSE 0 END AS new_sess
-           FROM (SELECT event_id, user_id, ts,
-                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-                 FROM events))""")
+      s"""WITH $sessionCtes
+         SELECT event_id, session_id FROM sess""")
 }

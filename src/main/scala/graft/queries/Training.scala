@@ -1128,9 +1128,13 @@ object Training {
     * rep = least reachable id. Mirrors Dedup.connectedComponents exactly
     * (both compute the component minimum).
     */
-  private def dedupKeepOracle: String =
-    s"""WITH RECURSIVE $minhashCtes,
-         pairs AS (
+  /** Shared connected-components closure CTEs (pairs -> edges -> reach ->
+    * rep) over the MinHash band prelude — one definition feeding the
+    * dedup-keep and cluster-size oracles so closure semantics cannot
+    * drift between them (the minhashCtes pattern).
+    */
+  private def componentCtes: String =
+    s"""pairs AS (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -1144,7 +1148,11 @@ object Training {
              ON r.dst = e.src WHERE e.dst <> r.src),
          rep AS (
            SELECT src AS doc_id, least(src, min(dst)) AS rep_id
-           FROM reach GROUP BY src)
+           FROM reach GROUP BY src)"""
+
+  private def dedupKeepOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+         $componentCtes
        SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id,
          coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
@@ -1405,21 +1413,7 @@ object Training {
   val oracles: Map[String, String] = Map(
     "q179_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $minhashCtes,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM bands a JOIN bands b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         edges AS (
-           SELECT id1 AS src, id2 AS dst FROM pairs
-           UNION SELECT id2, id1 FROM pairs),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e
-             ON r.dst = e.src WHERE e.dst <> r.src),
-         rep AS (
-           SELECT src AS doc_id, least(src, min(dst)) AS rep_id
-           FROM reach GROUP BY src),
+         $componentCtes,
          sizes AS (
            SELECT rep_id, count(*) AS cluster_size FROM rep GROUP BY 1)
          SELECT cluster_size, count(*) AS n_clusters
