@@ -243,6 +243,30 @@ object Analysis {
         .select(col("k").as("user_id"), col("n_pairs"))
     }),
 
+    // Rolling-median spike detection on the daily panel: a day is a spike
+    // when its count exceeds twice the trailing 7-day median. The median
+    // stays in INTEGERS via the twice-median trick — med_x2 = lo+hi
+    // middle elements of the sorted window, so odd/even windows need no
+    // fractional interpolation and the comparison n > med is exact in
+    // both engines. Per-type window over the (type, day) panel: one
+    // keyed shuffle, 7-element sorted arrays per row.
+    "q182_spike_detection" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("arr", array_sort(collect_list("n").over(w)))
+        .where(size(col("arr")) >= 4)
+        .withColumn("med_x2",
+          expr("element_at(arr, cast((size(arr) + 1) div 2 as int))" +
+            " + element_at(arr, cast(size(arr) div 2 + 1 as int))"))
+        .select(col("event_type"), col("day"), col("n"), col("med_x2"),
+          (col("n") > col("med_x2")).as("is_spike"))
+    }),
+
     // Funnel timing: quartiles of view -> purchase conversion time per
     // converting user (first view, first purchase strictly after it) —
     // the "how long does conversion take" companion to q119's "how many
@@ -612,6 +636,21 @@ object Analysis {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q182_spike_detection" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, day, n,
+             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS arr
+           FROM daily)
+         SELECT event_type, day, n,
+           arr[CAST((len(arr) + 1) // 2 AS INT)]
+             + arr[CAST(len(arr) // 2 + 1 AS INT)] AS med_x2,
+           n > arr[CAST((len(arr) + 1) // 2 AS INT)]
+             + arr[CAST(len(arr) // 2 + 1 AS INT)] AS is_spike
+         FROM win WHERE len(arr) >= 4""",
     "q180_conversion_time" ->
       """WITH ev AS (
            SELECT user_id, event_type,
