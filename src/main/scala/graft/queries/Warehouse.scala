@@ -27,6 +27,29 @@ object Warehouse {
     expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DAU/WAU stickiness: daily actives over trailing-7-day actives per
+    // day — the engagement ratio product teams track. Reuses q138's
+    // bounded slot-explode for the window distinct (each user-day feeds
+    // at most 7 slots, never corpus-sized state) and joins the daily
+    // distinct on the slot; ratio in integer micro-units.
+    "q183_stickiness" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"),
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"))
+        .distinct()
+      val span = ud.agg(min("day").as("mn"), max("day").as("mx"))
+      val wau = ud.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(greatest(col("day"), col("mn")),
+            least(col("day") + 6, col("mx")))).as("slot"))
+        .groupBy("slot").agg(countDistinct("user_id").as("wau"))
+      val dau = ud.groupBy(col("day").as("slot"))
+        .agg(countDistinct("user_id").as("dau"))
+      dau.join(wau, "slot")
+        .select(col("slot").as("day"), col("dau"), col("wau"),
+          expr("(dau * 1000000) div wau").as("stickiness_e6"))
+    }),
+
     // Column profiling (the warehouse "ANALYZE TABLE" surface): one pass
     // computes n/nulls/min/max/exact-NDV per profiled column, unpivoted to
     // one row per column. Money columns profile in centi-units so min/max
@@ -280,6 +303,18 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q183_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         span AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+         slots AS (
+           SELECT user_id, unnest(range(greatest(day, mn), least(day + 6, mx) + 1)) AS slot
+           FROM ud, span),
+         wau AS (SELECT slot, count(DISTINCT user_id) AS wau FROM slots GROUP BY 1),
+         dau AS (SELECT day AS slot, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+         SELECT d.slot AS day, d.dau, w.wau, (d.dau * 1000000) // w.wau AS stickiness_e6
+         FROM dau d JOIN wau w USING (slot)""",
     "q170_profile" ->
       """WITH li AS (
            SELECT CAST(l_quantity AS BIGINT) AS quantity,
