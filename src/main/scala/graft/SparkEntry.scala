@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Sources.queries ++ Geo.queries ++ Mobility.queries ++
       Training.queries ++ Media.queries ++ Analysis.queries ++ Warehouse.queries ++
-      Stats.queries
+      Stats.queries ++ Evals.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Sources.oracles ++ Geo.oracles ++ Mobility.oracles ++
       Training.oracles ++ Media.oracles ++ Analysis.oracles ++ Warehouse.oracles ++
-      Stats.oracles
+      Stats.oracles ++ Evals.oracles
 }

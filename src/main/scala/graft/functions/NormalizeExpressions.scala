@@ -73,7 +73,10 @@ object NfcNormalizeExpr {
     case Seq(c) => NfcNormalizeExpr(c, Normalizer.Form.NFC)
     case Seq(c, f) =>
       val name = f match {
-        case Literal(v: UTF8String, StringType) => v.toString.toUpperCase
+        // Locale.ROOT: under a Turkish default locale "nfc".toUpperCase
+        // yields dotted-İ variants and Normalizer.Form.valueOf throws.
+        case Literal(v: UTF8String, StringType) =>
+          v.toString.toUpperCase(java.util.Locale.ROOT)
         case other => throw new IllegalArgumentException(
           s"graft_nfc: form must be a string literal, got $other")
       }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-class classification eval aggregates — macro-F1 and Cohen's κ in
+  * exact integer micro-units. This is the reference's grid-search scoring
+  * pair: every labeling-parameter combination is scored by macro-F1 and κ
+  * against hand labels (`compiled-bookdown/08-optimization.Rmd:60-216`),
+  * and the production parameters are the argmax
+  * (`08-optimization.Rmd:262-268`).
+  *
+  * Everything reduces over the K×K confusion-cell frame (K = number of
+  * classes), so after ONE groupBy over the scored pairs all remaining work
+  * touches ≤ K² rows:
+  *
+  *  - per-class F1 = 2·tp / (row + col), because fp = col − tp and
+  *    fn = row − tp make 2·tp + fp + fn = row + col;
+  *  - macro-F1 = mean of per-class F1 over the classes of the TRUTH
+  *    margin (a class that is predicted but never true has row = 0 and is
+  *    excluded, the usual macro convention; its row·col product is 0 so κ
+  *    below is unaffected);
+  *  - κ = (n·agree − Σ row_k·col_k) / (n² − Σ row_k·col_k), the
+  *    common-denominator identity for (po − pe)/(1 − pe) — a ratio of two
+  *    exact integers, so the value is merge-order-proof and
+  *    oracle-checkable.
+  *
+  * Int64 envelope: the e6-scaled κ numerator needs n²·10⁶ < 2⁶³, i.e.
+  * n ≲ 3·10⁶ scored rows. That fits the operator's purpose — eval sets
+  * are hand-labeled and small by nature (the reference's is ~3k stays).
+  * Scoring a >3M-row eval set would need the po/pe double form instead.
+  */
+object Eval {
+
+  /** One row per truth-margin class: tp, row_n (truth count), col_n
+    * (predicted count), f1_e6. `truthCol`/`predCol` may be any orderable,
+    * group-able type (string labels, ints).
+    */
+  def perClassF1(scored: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val cells = scored.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val rowm = cells.groupBy(col("t").as("k")).agg(sum("c").as("row_n"))
+    val colm = cells.groupBy(col("p").as("k")).agg(sum("c").as("col_n"))
+    val tp = cells.where(col("t") === col("p"))
+      .select(col("t").as("k"), col("c").as("tp"))
+    // left joins from the truth margin: truth classes define the class
+    // set; col_n/tp default to 0 for a class never predicted / never hit.
+    // row_n + col_n >= row_n > 0 for every truth class, so the f1
+    // division needs no zero guard.
+    rowm.join(colm, Seq("k"), "left").join(tp, Seq("k"), "left")
+      .na.fill(0L, Seq("col_n", "tp"))
+      .select(col("k"), col("row_n"), col("col_n"), col("tp"),
+        expr("(2 * tp * 1000000) div (row_n + col_n)").as("f1_e6"))
+  }
+
+  /** Single-row summary: n, agree, k_classes, macro_f1_e6, kappa_e6.
+    * kappa_e6 is NULL when the κ denominator n² − Σ row·col is 0 (all
+    * mass in one truth×pred cell — chance agreement is total and κ is
+    * undefined); both engines agree on the guard.
+    */
+  def macroF1Kappa(scored: DataFrame, truthCol: String, predCol: String): DataFrame =
+    perClassF1(scored, truthCol, predCol)
+      .agg(
+        sum("row_n").as("n"), // every scored row has a truth class
+        sum("tp").as("agree"),
+        count(lit(1)).as("k_classes"),
+        sum("f1_e6").as("f1_sum"),
+        sum(col("row_n") * col("col_n")).as("s_rc"))
+      .select(col("n"), col("agree"), col("k_classes"),
+        expr("f1_sum div k_classes").as("macro_f1_e6"),
+        expr("CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE ((n * agree - s_rc) * 1000000) div (n * n - s_rc) END")
+          .as("kappa_e6"))
+}

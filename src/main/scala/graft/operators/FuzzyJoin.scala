@@ -82,9 +82,13 @@ object FuzzyJoin {
       .join(shorts.select(col("id").as("id2"), col("name").as("n2")),
         col("id1") < col("id2"))
       .select("id1", "id2", "n1", "n2")
+    // compute the distance ONCE: filter and project are separate
+    // operators, so codegen CSE would not span a levenshtein in the
+    // .where and another in the .select — each surviving pair would pay
+    // the O(l1*l2) DP twice.
     viaPrefix.union(viaShorts).distinct()
-      .where(levenshtein(col("n1"), col("n2")) <= k)
-      .select(col("id1"), col("id2"),
-        levenshtein(col("n1"), col("n2")).cast("long").as("ed"))
+      .withColumn("ed", levenshtein(col("n1"), col("n2")).cast("long"))
+      .where(col("ed") <= k)
+      .select("id1", "id2", "ed")
   }
 }

@@ -158,6 +158,39 @@ object Labeling {
       .drop("w_user", "w_day", "work_cluster")
   }
 
+  /** Grid-search the labeling parameters against a hand-labeled golden
+    * set — the reference's optimization methodology
+    * (`compiled-bookdown/08-optimization.Rmd:60-216`): each candidate
+    * `Params` relabels the stays, is scored by macro-F1 and Cohen's κ
+    * against the golden `location_type`, and the argmax is the production
+    * parameterization (`08-optimization.Rmd:262-268`). The loop over grid
+    * cells is a DRIVER loop by design — the reference's sweep is too, and
+    * each cell is one fully distributed labeling run plus one K×K eval
+    * reduction (`Eval.macroF1Kappa`); only the 2-scalar score per cell
+    * ever reaches the driver, and grids are small (the reference sweeps
+    * 6 params over a handful of values each).
+    *
+    * `golden`: (user_id, cluster, day_s, t0, location_type). Returns one
+    * (params, macro_f1_e6, kappa_e6) per grid cell, in input order;
+    * kappa is None when undefined (all mass in one truth×pred cell).
+    */
+  def sweep(stays: DataFrame, golden: DataFrame, grid: Seq[Params])
+      : Seq[(Params, Long, Option[Long])] = {
+    val g = golden.select(col("user_id"), col("cluster"), col("day_s"),
+      col("t0"), col("location_type").as("truth"))
+    grid.map { p =>
+      val labeled = labelStays(stays, p)
+        .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
+          col("location_type").as("pred"))
+      val r = Eval.macroF1Kappa(
+        g.join(labeled, Seq("user_id", "cluster", "day_s", "t0")),
+        "truth", "pred").collect()(0)
+      (p, r.getAs[Long]("macro_f1_e6"),
+        if (r.isNullAt(r.fieldIndex("kappa_e6"))) None
+        else Some(r.getAs[Long]("kappa_e6")))
+    }
+  }
+
   /** H/W/O duration pivot per (user, day) — `get_durations`
     * (`wbgps/labeling.py:201-220`, SURVEY A5).
     */

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Model-evaluation and factor-extraction queries — the reference's two
+  * remaining headline methodologies as oracle-checked plans:
+  *
+  *  - macro-F1 + Cohen's κ, the scoring pair of the labeling grid search
+  *    (`compiled-bookdown/08-optimization.Rmd:60-216`);
+  *  - precision along the confidence-rank distribution, the Twitter
+  *    model's real-world eval (`12-model_training_eval.Rmd:57-76`);
+  *  - the dynamic-factor global index, news-analytics' common factor
+  *    across country sentiment series (`3_sentiment_global.do:31-40`,
+  *    z-scoring per `4_merge.do:35-45`).
+  */
+object Evals {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+  private def d(c: Column): Column = c.cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Macro-F1 + Cohen's κ over a 3-class truth/pred pairing — the
+    // reference's grid-search scoring aggregates (08-optimization.Rmd),
+    // computed by Eval.macroF1Kappa: one groupBy to K×K confusion cells,
+    // then exact-integer identities (see Eval scaladoc). Truth = label mod
+    // 3; pred = a deterministic bucket of the first embedding dim, so both
+    // engines score the identical pairing.
+    "q184_macro_f1_kappa" -> ((s, d0) => {
+      val scored = t(s, d0, "embeddings").select(
+        (col("label") % 3).cast("long").as("truth"),
+        (abs(floor(element_at(col("embedding"), 1).cast("double") * 10))
+          .cast("long") % 3).as("pred"))
+      graft.operators.Eval.macroF1Kappa(scored, "truth", "pred")
+    }),
+
+    // Dynamic-factor global index (3_sentiment_global.do): z-score each
+    // country/type daily series, extract the common factor by 3 power
+    // iterations on the K×K Gram matrix of the z panel, global index =
+    // loadings · z per day. Everything after the z floor is EXACT integer
+    // arithmetic — Gram entries are sums of z_e3 products, each iteration
+    // renormalizes v to e3 by a truncating max-abs division (the q132
+    // rescale trick, making an iterative factor model oracle-checkable) —
+    // and the z chain itself is one pinned double expression with an
+    // integer-exact σ²>0 guard (n·Σx² > (Σx)²). Scale shape: the panel
+    // aggregation is the only corpus-size pass; the Gram self-join is
+    // K²·T rows (K = #series, tiny), the iteration touches K rows.
+    // Int64 envelope: |z_e3| ≲ 5e3 ⇒ Gram ≤ T·2.5e7; v_e3 ≤ 1e3 ⇒
+    // matvec ≤ K·T·2.5e10 — safe through K·T ≲ 3e8 series-days.
+    "q185_global_factor_index" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(col("event_type").as("c"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("c", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
+      val st = daily.groupBy("c").agg(count(lit(1)).as("tn"),
+          sum("m_e2").as("s1"), sum(col("m_e2") * col("m_e2")).as("s2"))
+        .where(col("tn") * col("s2") > col("s1") * col("s1"))
+      val mu = d(col("s1")) / d(col("tn"))
+      val z = daily.join(st, "c")
+        .select(col("c"), col("day"),
+          floor((d(col("m_e2")) - mu) /
+            sqrt(d(col("s2")) / d(col("tn")) - mu * mu) * 1000)
+            .cast("long").as("z_e3"))
+      val sMat = z.as("x").join(z.as("y"), col("x.day") === col("y.day"))
+        .groupBy(col("x.c").as("a"), col("y.c").as("b"))
+        .agg(sum(col("x.z_e3") * col("y.z_e3")).as("s"))
+      var v = sMat.select(col("a").as("c")).distinct()
+        .select(col("c"), lit(1000L).as("v"))
+      for (_ <- 1 to 3) {
+        val w = sMat.join(v, sMat("b") === v("c"))
+          .groupBy("a").agg(sum(col("s") * col("v")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("a").as("c"), expr("(w * 1000) div greatest(m, 1)").as("v"))
+      }
+      z.join(v, "c").groupBy("day")
+        .agg(sum(col("z_e3") * col("v")).as("idx_e6"))
+    }),
+
+    // Precision along the confidence-rank distribution
+    // (12-model_training_eval.Rmd:57-76): rank every example by model
+    // score, sample log-spaced windows of ranks overweighting the top
+    // (anchors 4^p, 8 ranks each), and report the positive fraction per
+    // window — the real-world eval for an extremely imbalanced corpus,
+    // where test-set metrics mislead. Ranking goes through the scalable
+    // global-rank path (no single-partition window), is PRUNED to the
+    // max anchor rank before the tiny broadcast range join (the q39
+    // shape), and the fractions are integer micro-divisions.
+    "q186_precision_at_rank" -> ((s, d0) => {
+      import s.implicits._
+      val anchors = (0 to 4).map { p =>
+        val lo = 1L << (2 * p) // 4^p
+        (p.toLong, lo, lo + 7L)
+      }.toDF("point", "lo", "hi")
+      val e = t(s, d0, "embeddings").select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long").as("score_e6"),
+        (col("label") % 2 === 1).as("pos"))
+      val ranked = graft.operators.Ranking.globalRank(
+          e, "rnk", desc("score_e6"), asc("vec_id"))
+        .where(col("rnk") <= 263L)
+      ranked.join(broadcast(anchors), col("rnk").between(col("lo"), col("hi")))
+        .groupBy("point").agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("point"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) div n").as("precision_e6"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q184_macro_f1_kappa" ->
+      """WITH scored AS (
+           SELECT CAST(label % 3 AS BIGINT) AS t,
+             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p
+           FROM embeddings),
+         cells AS (SELECT t, p, count(*) AS c FROM scored GROUP BY 1, 2),
+         rowm AS (SELECT t AS k, CAST(sum(c) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+         colm AS (SELECT p AS k, CAST(sum(c) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+         tp AS (SELECT t AS k, c AS tp FROM cells WHERE t = p),
+         per AS (
+           SELECT r.k, r.row_n, coalesce(colm.col_n, 0) AS col_n,
+             coalesce(tp.tp, 0) AS tp,
+             (2 * coalesce(tp.tp, 0) * 1000000)
+               // (r.row_n + coalesce(colm.col_n, 0)) AS f1_e6
+           FROM rowm r LEFT JOIN colm ON r.k = colm.k LEFT JOIN tp ON r.k = tp.k),
+         s AS (
+           SELECT CAST(sum(row_n) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS agree,
+             count(*) AS k_classes, CAST(sum(f1_e6) AS BIGINT) AS f1_sum,
+             CAST(sum(row_n * col_n) AS BIGINT) AS s_rc
+           FROM per)
+         SELECT n, agree, k_classes, f1_sum // k_classes AS macro_f1_e6,
+           CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
+         FROM s""",
+    "q185_global_factor_index" ->
+      """WITH daily AS (
+           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) // count(*) AS m_e2
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT c, count(*) AS tn, CAST(sum(m_e2) AS BIGINT) AS s1,
+             CAST(sum(m_e2 * m_e2) AS BIGINT) AS s2
+           FROM daily GROUP BY 1
+           HAVING count(*) * CAST(sum(m_e2 * m_e2) AS BIGINT)
+             > CAST(sum(m_e2) AS BIGINT) * CAST(sum(m_e2) AS BIGINT)),
+         z AS (
+           SELECT daily.c, daily.day,
+             CAST(floor((daily.m_e2 - CAST(s1 AS DOUBLE) / tn)
+               / sqrt(CAST(s2 AS DOUBLE) / tn
+                      - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn))
+               * 1000) AS BIGINT) AS z_e3
+           FROM daily JOIN st USING (c)),
+         smat AS (
+           SELECT x.c AS a, y.c AS b, CAST(sum(x.z_e3 * y.z_e3) AS BIGINT) AS s
+           FROM z x JOIN z y USING (day) GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT a AS c, CAST(1000 AS BIGINT) AS v FROM smat),
+         w1 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v0 ON b = c GROUP BY 1),
+         v1 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w1), 1) AS v
+                FROM w1),
+         w2 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v1 ON b = c GROUP BY 1),
+         v2 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w2), 1) AS v
+                FROM w2),
+         w3 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v2 ON b = c GROUP BY 1),
+         v3 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w3), 1) AS v
+                FROM w3)
+         SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS idx_e6
+         FROM z JOIN v3 USING (c) GROUP BY 1""",
+    "q186_precision_at_rank" ->
+      """WITH ranked AS (
+           SELECT vec_id,
+             row_number() OVER (
+               ORDER BY CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) DESC,
+                 vec_id) AS rnk,
+             (label % 2 = 1) AS pos
+           FROM embeddings),
+         anchors AS (SELECT * FROM (VALUES (0, 1, 8), (1, 4, 11), (2, 16, 23),
+           (3, 64, 71), (4, 256, 263)) t(point, lo, hi))
+         SELECT CAST(point AS BIGINT) AS point, count(*) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS precision_e6
+         FROM ranked JOIN anchors ON rnk BETWEEN lo AND hi
+         GROUP BY 1""")
+}

@@ -51,12 +51,15 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-group OLS of event value against time: slope/intercept/r2 of
-    // y = a + b*day per event_type. x = epoch day index (0..29 in the test
-    // data), y = floor(value*100) — integer sums only, so the partial
+    // y = a + b*day per event_type. x = ABSOLUTE epoch day (~19.7k, so
+    // < 2^15), y = floor(value*100) — integer sums only, so the partial
     // aggregation is exact; the closed-form solution is evaluated in one
-    // pinned double chain. Sum bounds (int64-safe): with day < 2^15 and
-    // y_e2 < 2^23, Sxy needs n < 2^25 per group before the x-scale must
-    // drop to weeks; noted, not hit at bench sf.
+    // pinned double chain. Sum bounds (int64-safe): with x < 2^15 and
+    // |y_e2| < 2^23 the tightest sum is Syy <= n*2^46, so n < 2^17 per
+    // group keeps every sum in int64 (Sxy <= n*2^38 and Sxx <= n*2^30 are
+    // looser). Bench data is far below both bounds; at larger n, center x
+    // to a window-relative day (restoring ~2^25 headroom via Sxy) or sum
+    // per-day partials first.
     "q146_ols_group" -> ((s, d0) => {
       val ev = t(s, d0, "events").select(
         col("event_type"),

@@ -738,6 +738,11 @@ object Training {
     "q171_kcore" -> ((s, d) => {
       val pairs = Dedup.lshCandidatePairs(
         t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      // persisted (the q132/q163 pattern): the LSH pair generation would
+      // otherwise replay per peeling round. Caller contract: queries that
+      // persist rely on the harness's spark.catalog.clearCache() after
+      // materialization (Verify/Bench both do); ad-hoc callers embedding
+      // these plans should clearCache or unpersist themselves.
       var edges = pairs.select(col("id1").as("a"), col("id2").as("b")).persist()
       for (_ <- 1 to 3) {
         val deg = edges.select(col("a").as("id"))

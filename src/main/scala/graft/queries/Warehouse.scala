@@ -31,7 +31,10 @@ object Warehouse {
     // day — the engagement ratio product teams track. Reuses q138's
     // bounded slot-explode for the window distinct (each user-day feeds
     // at most 7 slots, never corpus-sized state) and joins the daily
-    // distinct on the slot; ratio in integer micro-units.
+    // distinct on the slot; ratio in integer micro-units. Output is
+    // gated to slot >= mn+6 so every reported WAU window covers a FULL
+    // 7 days — the panel's first 6 days have truncated windows that
+    // would bias the ratio high.
     "q183_stickiness" -> ((s, d) => {
       val ud = t(s, d, "events")
         .select(col("user_id"),
@@ -39,9 +42,10 @@ object Warehouse {
         .distinct()
       val span = ud.agg(min("day").as("mn"), max("day").as("mx"))
       val wau = ud.crossJoin(broadcast(span))
-        .select(col("user_id"),
-          explode(sequence(greatest(col("day"), col("mn")),
+        .select(col("user_id"), col("mn"),
+          explode(sequence(col("day"),
             least(col("day") + 6, col("mx")))).as("slot"))
+        .where(col("slot") >= col("mn") + 6)
         .groupBy("slot").agg(countDistinct("user_id").as("wau"))
       val dau = ud.groupBy(col("day").as("slot"))
         .agg(countDistinct("user_id").as("dau"))
@@ -309,12 +313,16 @@ object Warehouse {
            FROM events),
          span AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
          slots AS (
-           SELECT user_id, unnest(range(greatest(day, mn), least(day + 6, mx) + 1)) AS slot
+           SELECT user_id, unnest(range(day, least(day + 6, mx) + 1)) AS slot
            FROM ud, span),
          wau AS (SELECT slot, count(DISTINCT user_id) AS wau FROM slots GROUP BY 1),
          dau AS (SELECT day AS slot, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+         -- full-window gate applied at output (WHERE on the unnest alias
+         -- inside the slots CTE trips a DuckDB binder bug; gating here is
+         -- equivalent since it only drops rows, never changes a WAU value)
          SELECT d.slot AS day, d.dau, w.wau, (d.dau * 1000000) // w.wau AS stickiness_e6
-         FROM dau d JOIN wau w USING (slot)""",
+         FROM dau d JOIN wau w USING (slot), span
+         WHERE d.slot >= mn + 6""",
     "q170_profile" ->
       """WITH li AS (
            SELECT CAST(l_quantity AS BIGINT) AS quantity,
