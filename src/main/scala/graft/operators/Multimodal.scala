@@ -8,11 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs; decode / feature-extract /
   * resize / frame-sample run as partition-batched JVM ops.
   *
-  * STUB NOTE: no media codecs exist in this build, so `decodeMeta`,
-  * `resizeStub` and `frameSample` are deterministic fakes clearly marked
-  * below — the Spark-side contract (schema, partition batching, typed
-  * output, explode shape) is real and tested; swapping the fake for a codec
-  * (javacv, TwelveMonkeys, ffmpeg-over-pipe) changes only the function body.
+  * CODEC NOTE: image metadata decode is REAL for every format the JDK's
+  * `javax.imageio` registry reads (PNG always; typically JPEG/GIF/BMP too)
+  * — true pixel dimensions and raster band count from the decoded image,
+  * no extra dependency. Payloads no installed reader recognizes (audio,
+  * video, and the oracle fixtures' UTF-8 text payloads) fall back to a
+  * deterministic fake so cross-engine checks stay SQL-replayable.
+  * `resizeStub` and `frameSample` remain deterministic fakes clearly
+  * marked below — the Spark-side contract (schema, partition batching,
+  * typed output, explode shape) is real and tested; swapping a fake for a
+  * codec (javacv, TwelveMonkeys, ffmpeg-over-pipe) changes only the
+  * function body.
   *
   * Scale shape: decode is a map-only pass — no shuffle; `mapPartitions`
   * amortizes any per-batch codec init across the partition (the same reason
@@ -26,19 +32,51 @@ object Multimodal {
     StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("channels", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** STUB decoder — deterministic fake: derives dimensions from content
-    * bytes. A real build decodes the header (JPEG SOF / PNG IHDR / WAV fmt).
+  /** REAL image decode via `javax.imageio`: if any registered reader
+    * recognizes the payload's magic bytes, return its format name, true
+    * pixel dimensions and raster band count (channels). Readers sniff the
+    * signature before committing, so text/audio payloads return None
+    * cheaply; a corrupt image that matches a signature but fails to parse
+    * also returns None rather than poisoning the partition.
     */
-  def decodeMeta(bytes: Array[Byte]): (String, Int, Int, Long) = {
-    if (bytes == null || bytes.isEmpty) ("empty", 0, 0, 0L)
-    else {
+  def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val img = r.read(0)
+          Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            img.getWidth, img.getHeight, img.getRaster.getNumBands,
+            bytes.length.toLong))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Decode metadata: the REAL `decodeImage` when a codec matches, else a
+    * deterministic fake derived from content bytes (kept for payloads with
+    * no JVM codec — and it is what makes the oracle fixtures, which carry
+    * UTF-8 text payloads, SQL-replayable: fake channels are a pure
+    * function of the fake format).
+    */
+  def decodeMeta(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (bytes == null || bytes.isEmpty) ("empty", 0, 0, 0, 0L)
+    else decodeImage(bytes).getOrElse {
       val b0 = bytes(0) & 0xff
       val fmt = if (b0 % 3 == 0) "jpeg" else if (b0 % 3 == 1) "png" else "wav"
+      val channels = fmt match { case "jpeg" => 3; case "png" => 4; case _ => 1 }
       val width = 64 + (bytes.length % 577).toInt
       val height = 64 + ((bytes.length * 31 + b0) % 577).toInt
-      (fmt, width, height, bytes.length.toLong)
+      (fmt, width, height, channels, bytes.length.toLong)
     }
   }
 
@@ -52,8 +90,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       // per-partition init lives here (codec contexts, buffers, ...)
       rows.map { r =>
-        val (fmt, w, h, n) = decodeMeta(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
+        val (fmt, w, h, ch, n) = decodeMeta(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, ch, n))
       }
     }(enc)
   }

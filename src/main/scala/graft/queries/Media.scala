@@ -17,12 +17,16 @@ object Media {
     t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary column -> typed metadata struct via partition-batched decode.
+    // binary column -> typed metadata struct via partition-batched decode
+    // (real javax.imageio decode for image payloads; the text payloads
+    // here take the deterministic fallback so the oracle can replay it —
+    // MultimodalSpec drives the same path over real PNG bytes).
     "q64_multimodal_meta" -> ((s, d) => {
       Multimodal.withDecodedMeta(mediaDocs(s, d), "payload")
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
+          col("meta.channels").cast("long").as("channels"),
           col("meta.n_bytes").as("n_bytes"))
     }),
 
@@ -97,6 +101,7 @@ object Media {
            CASE WHEN b % 3 = 0 THEN 'jpeg' WHEN b % 3 = 1 THEN 'png' ELSE 'wav' END AS format,
            CAST(64 + n % 577 AS BIGINT) AS width,
            CAST(64 + (n * 31 + b) % 577 AS BIGINT) AS height,
+           CAST(CASE WHEN b % 3 = 0 THEN 3 WHEN b % 3 = 1 THEN 4 ELSE 1 END AS BIGINT) AS channels,
            n AS n_bytes
          FROM (SELECT doc_id, ascii(substr(text, 1, 1)) AS b,
                  CAST(octet_length(encode(text)) AS BIGINT) AS n
