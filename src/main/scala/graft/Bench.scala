@@ -88,12 +88,17 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val qs = SparkEntry.queries
+    // optional subset (comma-separated names) — e.g. the scale-proof run
+    // at target/sf1 times only the heavy bucketed-path queries
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // warm-up: JIT, codegen cache, parquet footer reads
     Seq("q01_agg_sum", "q52_lang_id", "q61_cosine_topk")
       .foreach(n => try qs(n)(spark, sfDir).count() catch { case _: Throwable => })
 
-    def onePass(): Seq[(String, Double)] = headline.map { name =>
+    def onePass(): Seq[(String, Double)] = selected.map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -106,7 +111,7 @@ object Bench {
       name -> dt
     }
     val all = (1 to passes).map(_ => onePass())
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       name -> all.map(_.toMap.apply(name)).min
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

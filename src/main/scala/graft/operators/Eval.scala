@@ -32,43 +32,88 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** One row per truth-margin class: tp, row_n (truth count), col_n
-    * (predicted count), f1_e6. `truthCol`/`predCol` may be any orderable,
-    * group-able type (string labels, ints).
+  /** Grouped, weighted form — one confusion-cell reduction per `foldCol`
+    * value, each scored row counting `weightCol` times (bootstrap
+    * multiplicities; pass a lit(1) column for plain counts). Returns one
+    * row per (fold, truth-margin class): tp, row_n, col_n, f1_e6.
     */
-  def perClassF1(scored: DataFrame, truthCol: String, predCol: String): DataFrame = {
-    val cells = scored.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
-      .agg(count(lit(1)).as("c"))
-    val rowm = cells.groupBy(col("t").as("k")).agg(sum("c").as("row_n"))
-    val colm = cells.groupBy(col("p").as("k")).agg(sum("c").as("col_n"))
+  def perClassF1ByFold(scored: DataFrame, foldCol: String,
+      truthCol: String, predCol: String, weightCol: String): DataFrame = {
+    val cells = scored
+      .groupBy(col(foldCol).as("g"), col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(sum(col(weightCol).cast("long")).as("c"))
+    val rowm = cells.groupBy(col("g"), col("t").as("k")).agg(sum("c").as("row_n"))
+    val colm = cells.groupBy(col("g"), col("p").as("k")).agg(sum("c").as("col_n"))
     val tp = cells.where(col("t") === col("p"))
-      .select(col("t").as("k"), col("c").as("tp"))
+      .select(col("g"), col("t").as("k"), col("c").as("tp"))
     // left joins from the truth margin: truth classes define the class
     // set; col_n/tp default to 0 for a class never predicted / never hit.
     // row_n + col_n >= row_n > 0 for every truth class, so the f1
     // division needs no zero guard.
-    rowm.join(colm, Seq("k"), "left").join(tp, Seq("k"), "left")
+    rowm.join(colm, Seq("g", "k"), "left").join(tp, Seq("g", "k"), "left")
       .na.fill(0L, Seq("col_n", "tp"))
-      .select(col("k"), col("row_n"), col("col_n"), col("tp"),
+      .select(col("g"), col("k"), col("row_n"), col("col_n"), col("tp"),
         expr("(2 * tp * 1000000) div (row_n + col_n)").as("f1_e6"))
   }
 
-  /** Single-row summary: n, agree, k_classes, macro_f1_e6, kappa_e6.
+  /** Per-fold summary: (fold, n, agree, k_classes, macro_f1_e6, kappa_e6).
     * kappa_e6 is NULL when the κ denominator n² − Σ row·col is 0 (all
     * mass in one truth×pred cell — chance agreement is total and κ is
     * undefined); both engines agree on the guard.
     */
-  def macroF1Kappa(scored: DataFrame, truthCol: String, predCol: String): DataFrame =
-    perClassF1(scored, truthCol, predCol)
+  def macroF1KappaByFold(scored: DataFrame, foldCol: String,
+      truthCol: String, predCol: String, weightCol: String): DataFrame =
+    perClassF1ByFold(scored, foldCol, truthCol, predCol, weightCol)
+      .groupBy("g")
       .agg(
         sum("row_n").as("n"), // every scored row has a truth class
         sum("tp").as("agree"),
         count(lit(1)).as("k_classes"),
         sum("f1_e6").as("f1_sum"),
         sum(col("row_n") * col("col_n")).as("s_rc"))
-      .select(col("n"), col("agree"), col("k_classes"),
+      .select(col("g").as(foldCol), col("n"), col("agree"), col("k_classes"),
         expr("f1_sum div k_classes").as("macro_f1_e6"),
         expr("CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT) " +
           "ELSE ((n * agree - s_rc) * 1000000) div (n * n - s_rc) END")
           .as("kappa_e6"))
+
+  /** One row per truth-margin class: tp, row_n (truth count), col_n
+    * (predicted count), f1_e6. `truthCol`/`predCol` may be any orderable,
+    * group-able type (string labels, ints).
+    */
+  def perClassF1(scored: DataFrame, truthCol: String, predCol: String): DataFrame =
+    perClassF1ByFold(scored.withColumn("_g", lit(0)).withColumn("_w", lit(1L)),
+      "_g", truthCol, predCol, "_w").drop("g")
+
+  /** Single-row summary of `perClassF1` (see `macroF1KappaByFold`). */
+  def macroF1Kappa(scored: DataFrame, truthCol: String, predCol: String): DataFrame =
+    macroF1KappaByFold(
+      scored.withColumn("_g", lit(0)).withColumn("_w", lit(1L)),
+      "_g", truthCol, predCol, "_w").drop("_g")
+
+  /** Deterministic BALANCED bootstrap multiplicities — the resampling
+    * design of the reference's 100-fold eval
+    * (`08-optimization.Rmd:262-268`), made engine-replayable: across the
+    * `b` folds each row contributes EXACTLY b copies in total (balanced),
+    * appearing twice in one content-chosen fold, zero times in another,
+    * once everywhere else (when the two chosen folds collide the row is
+    * simply once-per-fold). Output = input × b rows with an `m` weight in
+    * {0,1,2}, m > 0 rows only. `idCol` must be a string column uniquely
+    * identifying the row (hash seed).
+    */
+  def balancedBootstrap(scored: DataFrame, idCol: String, b: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val folds = broadcast((0 until b).map(_.toLong).toDF("fold"))
+    scored
+      .withColumn("_h", graft.functions.TextFunctions.hash60(col(idCol)))
+      .withColumn("fd", col("_h") % b) // the doubled fold
+      .withColumn("fz", expr(s"(_h div $b) % $b")) // the zeroed fold
+      .crossJoin(folds)
+      .withColumn("m",
+        lit(1L) + when(col("fold") === col("fd"), 1L).otherwise(0L)
+          - when(col("fold") === col("fz"), 1L).otherwise(0L))
+      .where(col("m") > 0)
+      .drop("_h", "fd", "fz")
+  }
 }

@@ -78,6 +78,25 @@ object Evals {
         .agg(sum(col("z_e3") * col("v")).as("idx_e6"))
     }),
 
+    // Balanced-bootstrap eval distribution — the reference's 100-fold
+    // balanced bootstrap around its grid-search scores
+    // (08-optimization.Rmd:262-268), deterministic so both engines replay
+    // it: each row appears EXACTLY b times across the b folds (twice in
+    // one content-hash-chosen fold, zero in another, once elsewhere), and
+    // each fold's macro-F1/κ comes from the same weighted confusion-cell
+    // identities. The fold spread IS the confidence interval. Scale
+    // shape: one n×b explode (b small), then everything reduces to
+    // b·K² cells.
+    "q187_bootstrap_eval" -> ((s, d0) => {
+      val scored = t(s, d0, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        (col("label") % 3).cast("long").as("truth"),
+        (abs(floor(element_at(col("embedding"), 1).cast("double") * 10))
+          .cast("long") % 3).as("pred"))
+      val boot = graft.operators.Eval.balancedBootstrap(scored, "id", 20)
+      graft.operators.Eval.macroF1KappaByFold(boot, "fold", "truth", "pred", "m")
+    }),
+
     // Precision along the confidence-rank distribution
     // (12-model_training_eval.Rmd:57-76): rank every example by model
     // score, sample log-spaced windows of ranks overweighting the top
@@ -171,6 +190,43 @@ object Evals {
                 FROM w3)
          SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS idx_e6
          FROM z JOIN v3 USING (c) GROUP BY 1""",
+    "q187_bootstrap_eval" ->
+      """WITH scored AS (
+           SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label % 3 AS BIGINT) AS t,
+             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p
+           FROM embeddings),
+         hs AS (SELECT *, CAST(concat('0x', substr(md5(id), 1, 15)) AS BIGINT) AS h
+                FROM scored),
+         expl AS (
+           SELECT t, p, fold,
+             1 + CASE WHEN fold = h % 20 THEN 1 ELSE 0 END
+               - CASE WHEN fold = (h // 20) % 20 THEN 1 ELSE 0 END AS m
+           FROM hs, (SELECT unnest(range(20)) AS fold)),
+         cells AS (SELECT fold, t, p, CAST(sum(m) AS BIGINT) AS c
+                   FROM expl WHERE m > 0 GROUP BY 1, 2, 3),
+         rowm AS (SELECT fold, t AS k, CAST(sum(c) AS BIGINT) AS row_n
+                  FROM cells GROUP BY 1, 2),
+         colm AS (SELECT fold, p AS k, CAST(sum(c) AS BIGINT) AS col_n
+                  FROM cells GROUP BY 1, 2),
+         tp AS (SELECT fold, t AS k, c AS tp FROM cells WHERE t = p),
+         per AS (
+           SELECT r.fold, r.k, r.row_n, coalesce(colm.col_n, 0) AS col_n,
+             coalesce(tp.tp, 0) AS tp,
+             (2 * coalesce(tp.tp, 0) * 1000000)
+               // (r.row_n + coalesce(colm.col_n, 0)) AS f1_e6
+           FROM rowm r
+           LEFT JOIN colm ON r.fold = colm.fold AND r.k = colm.k
+           LEFT JOIN tp ON r.fold = tp.fold AND r.k = tp.k),
+         s AS (
+           SELECT fold, CAST(sum(row_n) AS BIGINT) AS n,
+             CAST(sum(tp) AS BIGINT) AS agree, count(*) AS k_classes,
+             CAST(sum(f1_e6) AS BIGINT) AS f1_sum,
+             CAST(sum(row_n * col_n) AS BIGINT) AS s_rc
+           FROM per GROUP BY 1)
+         SELECT fold, n, agree, k_classes, f1_sum // k_classes AS macro_f1_e6,
+           CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
+         FROM s""",
     "q186_precision_at_rank" ->
       """WITH ranked AS (
            SELECT vec_id,

@@ -56,6 +56,18 @@ class LabelingSweepSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("kappa_e6")))
   }
 
+  test("balanced bootstrap: every row contributes exactly b copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val scored = (1 to 97).map(i => (i.toString, "x", "y")).toDF("id", "truth", "pred")
+    val boot = Eval.balancedBootstrap(scored, "id", 20)
+    val perRow = boot.groupBy("id").agg(sum("m").as("total")).collect()
+    assert(perRow.length == 97)
+    assert(perRow.forall(_.getAs[Long]("total") == 20L))
+    // and the doubling actually happens for some rows (fd != fz usually)
+    assert(boot.where(col("m") === 2L).count() > 0)
+  }
+
   test("sweep recovers the generating params as the strict argmax") {
     val stays = mkStays()
     val golden = Labeling.labelStays(stays, p)

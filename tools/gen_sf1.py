@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Scale-proof fixture: materialize an ~sf1 dataset as 10 content-varied
+replicas of the driver's sf0.1 tables (driver data is read-only; the output
+lives under target/, git-ignored).
+
+Replication is NOT naive row duplication — each replica is keyed into a
+fresh id range and content-varied so per-capita workload characteristics
+match organic growth rather than degenerating:
+
+- documents: words ROTATED by a per-replica offset, so replica texts share
+  a vocabulary (tf-idf/vocab stats scale naturally) but have almost
+  entirely different shingle sets — naive copies would put 10 identical
+  texts in every MinHash bucket and blow the near-dup pair count up ~100x
+  instead of ~10x.
+- customer: names regenerated from the shifted key in the TPC-H pattern
+  ('Customer#' || 9 digits), so the fuzzy-join name space grows the way
+  TPC-H itself grows (new keys = new digit strings), and the derived
+  geo points (acctbal/custkey functions) spread like organic data.
+- embeddings: vectors shifted by a small per-replica constant — distinct
+  points, unchanged scale, so ANN cell occupancy grows ~linearly.
+- orders/lineitem: order keys shifted consistently on both sides so join
+  fan-out per key is preserved exactly.
+
+Usage: python3 tools/gen_sf1.py [outDir=target/sf1]
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+R = 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect(config={"threads": 8})
+rep = "(SELECT unnest(range(%d)) AS r) rep" % R
+
+
+def copy(name: str, select: str) -> None:
+    con.execute(
+        f"COPY ({select}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM '{DST}/{name}.parquet'").fetchone()[0]
+    print(f"{name}: {n} rows")
+
+
+copy("documents", f"""
+  SELECT doc_id + r * 5000 AS doc_id,
+         array_to_string(
+           list_concat(toks[(r % nw) + 1:], toks[:(r % nw)]), ' ') AS text,
+         lang, source, n_chars
+  FROM (SELECT *, string_split(text, ' ') AS toks,
+               greatest(len(string_split(text, ' ')), 1) AS nw
+        FROM '{SRC}/documents.parquet'), {rep}
+""")
+
+copy("customer", f"""
+  SELECT c_custkey + r * 15000 AS c_custkey,
+         'Customer#' || lpad(CAST(c_custkey + r * 15000 AS VARCHAR), 9, '0')
+           AS c_name,
+         c_nationkey, c_acctbal + r * 0.13 AS c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet', {rep}
+""")
+
+copy("embeddings", f"""
+  SELECT vec_id + r * 2000 AS vec_id,
+         list_transform(embedding,
+           x -> CAST(x + r * 0.0017 AS FLOAT)) AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', {rep}
+""")
+
+copy("orders", f"""
+  SELECT o_orderkey + r * 150000 AS o_orderkey,
+         o_custkey + r * 15000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet', {rep}
+""")
+
+copy("lineitem", f"""
+  SELECT l_orderkey + r * 150000 AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet', {rep}
+""")
