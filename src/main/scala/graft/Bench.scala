@@ -70,7 +70,10 @@ object Bench {
     "q153_radius_join", // k-ring candidate cells + exact refine
     "q155_auc", // rank-sum AUC via range-sort + zipWithIndex
     "q157_ewma", // bounded-frame window fold (dyadic EWMA)
-    "q163_best_match") // fuzzy-join linkage + best-match resolution
+    "q163_best_match", // fuzzy-join linkage + best-match resolution
+    "q184_macro_f1_kappa", // confusion-cell eval reduction
+    "q185_global_factor_index", // iterative integer factor extraction
+    "q187_bootstrap_eval") // balanced bootstrap explode + per-fold eval
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

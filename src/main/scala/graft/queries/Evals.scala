@@ -19,6 +19,96 @@ object Evals {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
   private def d(c: Column): Column = c.cast("double")
 
+  /** z-scored daily panel (c, day, z_e3) of the events series — the
+    * `4_merge.do:35-45` standardization. Truncated integer daily means,
+    * one pinned double z chain, integer-exact σ²>0 guard (n·Σx² > (Σx)²).
+    * PERSISTED: the factor queries traverse the panel several times
+    * (Gram self-join, 3 matvec iterations, final projection) — harness
+    * clearCache releases it (the q171-documented contract).
+    */
+  private def zPanel(s: SparkSession, d0: String): DataFrame = {
+    val daily = t(s, d0, "events").select(col("event_type").as("c"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      .groupBy("c", "day")
+      .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
+    val st = daily.groupBy("c").agg(count(lit(1)).as("tn"),
+        sum("m_e2").as("s1"), sum(col("m_e2") * col("m_e2")).as("s2"))
+      .where(col("tn") * col("s2") > col("s1") * col("s1"))
+    val mu = d(col("s1")) / d(col("tn"))
+    daily.join(st, "c")
+      .select(col("c"), col("day"),
+        floor((d(col("m_e2")) - mu) /
+          sqrt(d(col("s2")) / d(col("tn")) - mu * mu) * 1000)
+          .cast("long").as("z_e3"))
+      .persist()
+  }
+
+  /** First-factor loadings (c, v in e3 units) by 3 power iterations on
+    * the integer Gram matrix of the z panel — see q185's scaladoc.
+    */
+  private def factorLoadings(z: DataFrame): DataFrame = {
+    val sMat = z.as("x").join(z.as("y"), col("x.day") === col("y.day"))
+      .groupBy(col("x.c").as("a"), col("y.c").as("b"))
+      .agg(sum(col("x.z_e3") * col("y.z_e3")).as("s"))
+    var v = sMat.select(col("a").as("c")).distinct()
+      .select(col("c"), lit(1000L).as("v"))
+    for (_ <- 1 to 3) {
+      val w = sMat.join(v, sMat("b") === v("c"))
+        .groupBy("a").agg(sum(col("s") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("a").as("c"), expr("(w * 1000) div greatest(m, 1)").as("v"))
+    }
+    v
+  }
+
+  /** Global index (day, idx_e6) = loadings · z per day. */
+  private def factorIndex(z: DataFrame, v: DataFrame): DataFrame =
+    z.join(v, "c").groupBy("day")
+      .agg(sum(col("z_e3") * col("v")).as("idx_e6"))
+
+  /** Shared oracle CTE chain ending at `z` (the panel) and `v3` (the
+    * loadings) — q185/q188 append their own consumers.
+    */
+  private val factorCtes: String =
+    """daily AS (
+           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) // count(*) AS m_e2
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT c, count(*) AS tn, CAST(sum(m_e2) AS BIGINT) AS s1,
+             CAST(sum(m_e2 * m_e2) AS BIGINT) AS s2
+           FROM daily GROUP BY 1
+           HAVING count(*) * CAST(sum(m_e2 * m_e2) AS BIGINT)
+             > CAST(sum(m_e2) AS BIGINT) * CAST(sum(m_e2) AS BIGINT)),
+         z AS (
+           SELECT daily.c, daily.day,
+             CAST(floor((daily.m_e2 - CAST(s1 AS DOUBLE) / tn)
+               / sqrt(CAST(s2 AS DOUBLE) / tn
+                      - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn))
+               * 1000) AS BIGINT) AS z_e3
+           FROM daily JOIN st USING (c)),
+         smat AS (
+           SELECT x.c AS a, y.c AS b, CAST(sum(x.z_e3 * y.z_e3) AS BIGINT) AS s
+           FROM z x JOIN z y USING (day) GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT a AS c, CAST(1000 AS BIGINT) AS v FROM smat),
+         w1 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v0 ON b = c GROUP BY 1),
+         v1 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w1), 1) AS v
+                FROM w1),
+         w2 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v1 ON b = c GROUP BY 1),
+         v2 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w2), 1) AS v
+                FROM w2),
+         w3 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
+                FROM smat JOIN v2 ON b = c GROUP BY 1),
+         v3 AS (SELECT a AS c,
+                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w3), 1) AS v
+                FROM w3)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Macro-F1 + Cohen's κ over a 3-class truth/pred pairing — the
     // reference's grid-search scoring aggregates (08-optimization.Rmd),
@@ -48,34 +138,41 @@ object Evals {
     // Int64 envelope: |z_e3| ≲ 5e3 ⇒ Gram ≤ T·2.5e7; v_e3 ≤ 1e3 ⇒
     // matvec ≤ K·T·2.5e10 — safe through K·T ≲ 3e8 series-days.
     "q185_global_factor_index" -> ((s, d0) => {
-      val daily = t(s, d0, "events").select(col("event_type").as("c"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          floor(col("value") * 100).cast("long").as("v_e2"))
-        .groupBy("c", "day")
-        .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
-      val st = daily.groupBy("c").agg(count(lit(1)).as("tn"),
-          sum("m_e2").as("s1"), sum(col("m_e2") * col("m_e2")).as("s2"))
-        .where(col("tn") * col("s2") > col("s1") * col("s1"))
-      val mu = d(col("s1")) / d(col("tn"))
-      val z = daily.join(st, "c")
-        .select(col("c"), col("day"),
-          floor((d(col("m_e2")) - mu) /
-            sqrt(d(col("s2")) / d(col("tn")) - mu * mu) * 1000)
-            .cast("long").as("z_e3"))
-      val sMat = z.as("x").join(z.as("y"), col("x.day") === col("y.day"))
-        .groupBy(col("x.c").as("a"), col("y.c").as("b"))
-        .agg(sum(col("x.z_e3") * col("y.z_e3")).as("s"))
-      var v = sMat.select(col("a").as("c")).distinct()
-        .select(col("c"), lit(1000L).as("v"))
-      for (_ <- 1 to 3) {
-        val w = sMat.join(v, sMat("b") === v("c"))
-          .groupBy("a").agg(sum(col("s") * col("v")).as("w"))
-        val m = w.agg(max(abs(col("w"))).as("m"))
-        v = w.crossJoin(broadcast(m))
-          .select(col("a").as("c"), expr("(w * 1000) div greatest(m, 1)").as("v"))
-      }
-      z.join(v, "c").groupBy("day")
-        .agg(sum(col("z_e3") * col("v")).as("idx_e6"))
+      val z = zPanel(s, d0)
+      factorIndex(z, factorLoadings(z))
+    }),
+
+    // DFM fit readout (the residual step of 4_merge.do): per-series
+    // loading on the global index by exact least squares
+    // λ_c = Σ z_c·g / Σ g², idiosyncratic residuals r = z − λ·g, and the
+    // variance share the factor explains, R² = 1 − Σr²/Σz² — every
+    // quantity an integer or a truncating integer ratio, so the whole
+    // regression is merge-order-proof. Degenerate guards: Σg² = 0 (factor
+    // identically zero) and Σz² = 0 → NULL in both engines. Int64
+    // envelope: Σ z·g ≤ T·5e3·K·5e6, so the e6-scaled λ numerator stays
+    // in int64 through T·K ≲ 3.6e5 series-days; larger panels drop the
+    // index to e3 units first.
+    "q188_factor_fit" -> ((s, d0) => {
+      val z = zPanel(s, d0)
+      val g = factorIndex(z, factorLoadings(z))
+        .select(col("day"), col("idx_e6").as("g_e6"))
+      val zg = z.join(g, "day")
+      val szg = zg.groupBy("c").agg(
+        sum(col("z_e3") * col("g_e6")).as("szg"),
+        sum(col("z_e3") * col("z_e3")).as("szz"))
+      val sgg = g.agg(sum(col("g_e6") * col("g_e6")).as("sgg"))
+      val lam = szg.crossJoin(broadcast(sgg))
+        .select(col("c"), col("szz"),
+          expr("CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE (szg * 1000000) div sgg END").as("lambda_e6"))
+      val ssr = zg.join(lam, "c")
+        .select(col("c"), col("szz"), col("lambda_e6"),
+          (col("z_e3") - expr("(lambda_e6 * g_e6) div 1000000000")).as("r_e3"))
+        .groupBy("c", "szz", "lambda_e6")
+        .agg(sum(col("r_e3") * col("r_e3")).as("ss_res"))
+      ssr.select(col("c"), col("lambda_e6"),
+        expr("CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE ((szz - ss_res) * 1000000) div szz END").as("r2_e6"))
     }),
 
     // Balanced-bootstrap eval distribution — the reference's 100-fold
@@ -152,44 +249,31 @@ object Evals {
              ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
          FROM s""",
     "q185_global_factor_index" ->
-      """WITH daily AS (
-           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) // count(*) AS m_e2
-           FROM events GROUP BY 1, 2),
-         st AS (
-           SELECT c, count(*) AS tn, CAST(sum(m_e2) AS BIGINT) AS s1,
-             CAST(sum(m_e2 * m_e2) AS BIGINT) AS s2
-           FROM daily GROUP BY 1
-           HAVING count(*) * CAST(sum(m_e2 * m_e2) AS BIGINT)
-             > CAST(sum(m_e2) AS BIGINT) * CAST(sum(m_e2) AS BIGINT)),
-         z AS (
-           SELECT daily.c, daily.day,
-             CAST(floor((daily.m_e2 - CAST(s1 AS DOUBLE) / tn)
-               / sqrt(CAST(s2 AS DOUBLE) / tn
-                      - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn))
-               * 1000) AS BIGINT) AS z_e3
-           FROM daily JOIN st USING (c)),
-         smat AS (
-           SELECT x.c AS a, y.c AS b, CAST(sum(x.z_e3 * y.z_e3) AS BIGINT) AS s
-           FROM z x JOIN z y USING (day) GROUP BY 1, 2),
-         v0 AS (SELECT DISTINCT a AS c, CAST(1000 AS BIGINT) AS v FROM smat),
-         w1 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
-                FROM smat JOIN v0 ON b = c GROUP BY 1),
-         v1 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w1), 1) AS v
-                FROM w1),
-         w2 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
-                FROM smat JOIN v1 ON b = c GROUP BY 1),
-         v2 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w2), 1) AS v
-                FROM w2),
-         w3 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
-                FROM smat JOIN v2 ON b = c GROUP BY 1),
-         v3 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w3), 1) AS v
-                FROM w3)
+      s"""WITH $factorCtes
          SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS idx_e6
          FROM z JOIN v3 USING (c) GROUP BY 1""",
+    "q188_factor_fit" ->
+      s"""WITH $factorCtes,
+         g AS (SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS g_e6
+               FROM z JOIN v3 USING (c) GROUP BY 1),
+         zg AS (SELECT z.c, z.z_e3, g.g_e6 FROM z JOIN g USING (day)),
+         szg AS (SELECT c, CAST(sum(z_e3 * g_e6) AS BIGINT) AS szg,
+                   CAST(sum(z_e3 * z_e3) AS BIGINT) AS szz
+                 FROM zg GROUP BY 1),
+         sgg AS (SELECT CAST(sum(g_e6 * g_e6) AS BIGINT) AS sgg FROM g),
+         lam AS (SELECT c, szz,
+                   CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE (szg * 1000000) // sgg END AS lambda_e6
+                 FROM szg, sgg),
+         ssr AS (SELECT zg.c, lam.szz, lam.lambda_e6,
+                   CAST(sum((zg.z_e3 - (lam.lambda_e6 * zg.g_e6) // 1000000000)
+                     * (zg.z_e3 - (lam.lambda_e6 * zg.g_e6) // 1000000000))
+                     AS BIGINT) AS ss_res
+                 FROM zg JOIN lam ON zg.c = lam.c GROUP BY 1, 2, 3)
+         SELECT c, lambda_e6,
+           CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((szz - ss_res) * 1000000) // szz END AS r2_e6
+         FROM ssr""",
     "q187_bootstrap_eval" ->
       """WITH scored AS (
            SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label % 3 AS BIGINT) AS t,

@@ -191,4 +191,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("q02_filter_project")
     assert(p.contains("*(1) Filter") && p.contains("*(1) Project"), p)
   }
+
+  test("q184/q187 eval reductions plan no Window and no UDF") {
+    // everything reduces over K^2 (x B folds) confusion cells via
+    // hash aggregation — a Window or ScalaUDF here would mean the eval
+    // stopped being a pure groupBy cascade
+    for (q <- Seq("q184_macro_f1_kappa", "q187_bootstrap_eval")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("ScalaUDF"), s"$q: $p")
+    }
+  }
+
+  test("q185 factor extraction iterates via joins, never a Window or cross product") {
+    val p = plan("q185_global_factor_index")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
