@@ -96,6 +96,12 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(headline)
+    // fail fast on typos: the per-query try below would otherwise time the
+    // NoSuchElementException as a fabricated ~0s result
+    selected.filterNot(qs.contains) match {
+      case Seq() =>
+      case bad => sys.error(s"unknown bench queries: ${bad.mkString(", ")}")
+    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // warm-up: JIT, codegen cache, parquet footer reads
     Seq("q01_agg_sum", "q52_lang_id", "q61_cosine_topk")

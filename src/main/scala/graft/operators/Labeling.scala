@@ -178,13 +178,23 @@ object Labeling {
       : Seq[(Params, Long, Option[Long])] = {
     val g = golden.select(col("user_id"), col("cluster"), col("day_s"),
       col("t0"), col("location_type").as("truth"))
+    val nGolden = g.count()
+    require(nGolden > 0, "sweep: golden label set is empty")
     grid.map { p =>
       val labeled = labelStays(stays, p)
         .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
           col("location_type").as("pred"))
-      val r = Eval.macroF1Kappa(
+      val rows = Eval.macroF1Kappa(
         g.join(labeled, Seq("user_id", "cluster", "day_s", "t0")),
-        "truth", "pred").collect()(0)
+        "truth", "pred").collect()
+      // every golden row must have found its labeled stay: a silently
+      // shrunken inner join would score only the intersection, inflating
+      // macro-F1 for exactly the params that fail on the dropped stays
+      require(rows.nonEmpty && rows(0).getAs[Long]("n") == nGolden,
+        s"sweep: golden rows unmatched by labelStays output for $p " +
+          s"(golden=$nGolden, scored=${rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)}); " +
+          "golden must be keyed by (user_id, cluster, day_s, t0) of the same stays input")
+      val r = rows(0)
       (p, r.getAs[Long]("macro_f1_e6"),
         if (r.isNullAt(r.fieldIndex("kappa_e6"))) None
         else Some(r.getAs[Long]("kappa_e6")))

@@ -56,7 +56,13 @@ object Multimodal {
           Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             img.getWidth, img.getHeight, img.getRaster.getNumBands,
             bytes.length.toLong))
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // NonFatal, not just IOException: ImageIO readers throw
+          // IllegalArgument/ArrayIndexOutOfBounds/NegativeArraySize on
+          // garbage that happens to match a signature — any of those must
+          // fall back to the fake, not fail the Spark task.
+          case scala.util.control.NonFatal(_) => None
+        }
         finally r.dispose()
       }
     } finally if (iis != null) iis.close()

@@ -21,7 +21,12 @@ object Evals {
 
   /** z-scored daily panel (c, day, z_e3) of the events series — the
     * `4_merge.do:35-45` standardization. Truncated integer daily means,
-    * one pinned double z chain, integer-exact σ²>0 guard (n·Σx² > (Σx)²).
+    * one pinned double z chain. The σ²>0 guard lives in the DOUBLE
+    * domain, on the exact expression the sqrt consumes: an integer guard
+    * (n·Σx² > (Σx)²) can pass while catastrophic cancellation rounds the
+    * double operand to ≤ 0 — where DuckDB's sqrt THROWS and Spark yields
+    * NaN, diverging. Filtering on the identical double expression keeps
+    * both engines dropping the identical degenerate series.
     * PERSISTED: the factor queries traverse the panel several times
     * (Gram self-join, 3 matvec iterations, final projection) — harness
     * clearCache releases it (the q171-documented contract).
@@ -34,12 +39,12 @@ object Evals {
       .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
     val st = daily.groupBy("c").agg(count(lit(1)).as("tn"),
         sum("m_e2").as("s1"), sum(col("m_e2") * col("m_e2")).as("s2"))
-      .where(col("tn") * col("s2") > col("s1") * col("s1"))
     val mu = d(col("s1")) / d(col("tn"))
+    val varD = d(col("s2")) / d(col("tn")) - mu * mu
     daily.join(st, "c")
+      .where(varD > 0.0)
       .select(col("c"), col("day"),
-        floor((d(col("m_e2")) - mu) /
-          sqrt(d(col("s2")) / d(col("tn")) - mu * mu) * 1000)
+        floor((d(col("m_e2")) - mu) / sqrt(varD) * 1000)
           .cast("long").as("z_e3"))
       .persist()
   }
@@ -68,6 +73,31 @@ object Evals {
     z.join(v, "c").groupBy("day")
       .agg(sum(col("z_e3") * col("v")).as("idx_e6"))
 
+  /** Per-series least-squares fit of z on the factor: λ_c = Σz·g/Σg²,
+    * residuals r = z − λ·g, R² = 1 − Σr²/Σz². `z`: (c, day, z_e3);
+    * `g`: (day, g_e3). Package-private so the spec can pin the unit
+    * bookkeeping on the K=1 identity case (g == z ⇒ λ = 1, R² = 1).
+    */
+  private[graft] def factorFit(z: DataFrame, g: DataFrame): DataFrame = {
+    val zg = z.join(g, "day")
+    val szg = zg.groupBy("c").agg(
+      sum(col("z_e3") * col("g_e3")).as("szg"),
+      sum(col("z_e3") * col("z_e3")).as("szz"))
+    val sgg = g.agg(sum(col("g_e3") * col("g_e3")).as("sgg"))
+    val lam = szg.crossJoin(broadcast(sgg))
+      .select(col("c"), col("szz"),
+        expr("CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (szg * 1000000) div sgg END").as("lambda_e6"))
+    val ssr = zg.join(lam, "c")
+      .select(col("c"), col("szz"), col("lambda_e6"),
+        (col("z_e3") - expr("(lambda_e6 * g_e3) div 1000000")).as("r_e3"))
+      .groupBy("c", "szz", "lambda_e6")
+      .agg(sum(col("r_e3") * col("r_e3")).as("ss_res"))
+    ssr.select(col("c"), col("lambda_e6"),
+      expr("CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE ((szz - ss_res) * 1000000) div szz END").as("r2_e6"))
+  }
+
   /** Shared oracle CTE chain ending at `z` (the panel) and `v3` (the
     * loadings) — q185/q188 append their own consumers.
     */
@@ -79,16 +109,16 @@ object Evals {
          st AS (
            SELECT c, count(*) AS tn, CAST(sum(m_e2) AS BIGINT) AS s1,
              CAST(sum(m_e2 * m_e2) AS BIGINT) AS s2
-           FROM daily GROUP BY 1
-           HAVING count(*) * CAST(sum(m_e2 * m_e2) AS BIGINT)
-             > CAST(sum(m_e2) AS BIGINT) * CAST(sum(m_e2) AS BIGINT)),
+           FROM daily GROUP BY 1),
          z AS (
            SELECT daily.c, daily.day,
              CAST(floor((daily.m_e2 - CAST(s1 AS DOUBLE) / tn)
                / sqrt(CAST(s2 AS DOUBLE) / tn
                       - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn))
                * 1000) AS BIGINT) AS z_e3
-           FROM daily JOIN st USING (c)),
+           FROM daily JOIN st USING (c)
+           WHERE CAST(s2 AS DOUBLE) / tn
+             - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn) > 0),
          smat AS (
            SELECT x.c AS a, y.c AS b, CAST(sum(x.z_e3 * y.z_e3) AS BIGINT) AS s
            FROM z x JOIN z y USING (day) GROUP BY 1, 2),
@@ -147,32 +177,20 @@ object Evals {
     // λ_c = Σ z_c·g / Σ g², idiosyncratic residuals r = z − λ·g, and the
     // variance share the factor explains, R² = 1 − Σr²/Σz² — every
     // quantity an integer or a truncating integer ratio, so the whole
-    // regression is merge-order-proof. Degenerate guards: Σg² = 0 (factor
-    // identically zero) and Σz² = 0 → NULL in both engines. Int64
-    // envelope: Σ z·g ≤ T·5e3·K·5e6, so the e6-scaled λ numerator stays
-    // in int64 through T·K ≲ 3.6e5 series-days; larger panels drop the
-    // index to e3 units first.
+    // regression is merge-order-proof. UNIT BOOKKEEPING (a silent 1000×
+    // bug hid here once — both engines shared it, so oracle parity
+    // couldn't see it; the spec's K=1 identity-fit case now pins it):
+    // the fit uses g_e3 = idx_e6 div 1e3, so szg = Σ z_e3·g_e3 carries
+    // e6 and sgg = Σ g_e3² carries e6 ⇒ (szg·1e6) div sgg is λ·1e6, and
+    // the predicted term (λ_e6 · g_e3) div 1e6 is back in z's e3 units.
+    // Degenerate guards: Σg² = 0 (factor identically zero) and Σz² = 0 →
+    // NULL in both engines. Int64 envelope: |z_e3| ≲ 5e3 and |g_e3| ≤
+    // K·5e3 keep the e6-scaled λ numerator in int64 through T·K ≲ 3.6e5
+    // series-days at the all-rows-at-5σ worst case.
     "q188_factor_fit" -> ((s, d0) => {
       val z = zPanel(s, d0)
-      val g = factorIndex(z, factorLoadings(z))
-        .select(col("day"), col("idx_e6").as("g_e6"))
-      val zg = z.join(g, "day")
-      val szg = zg.groupBy("c").agg(
-        sum(col("z_e3") * col("g_e6")).as("szg"),
-        sum(col("z_e3") * col("z_e3")).as("szz"))
-      val sgg = g.agg(sum(col("g_e6") * col("g_e6")).as("sgg"))
-      val lam = szg.crossJoin(broadcast(sgg))
-        .select(col("c"), col("szz"),
-          expr("CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT) " +
-            "ELSE (szg * 1000000) div sgg END").as("lambda_e6"))
-      val ssr = zg.join(lam, "c")
-        .select(col("c"), col("szz"), col("lambda_e6"),
-          (col("z_e3") - expr("(lambda_e6 * g_e6) div 1000000000")).as("r_e3"))
-        .groupBy("c", "szz", "lambda_e6")
-        .agg(sum(col("r_e3") * col("r_e3")).as("ss_res"))
-      ssr.select(col("c"), col("lambda_e6"),
-        expr("CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT) " +
-          "ELSE ((szz - ss_res) * 1000000) div szz END").as("r2_e6"))
+      factorFit(z, factorIndex(z, factorLoadings(z))
+        .select(col("day"), expr("idx_e6 div 1000").as("g_e3")))
     }),
 
     // Balanced-bootstrap eval distribution — the reference's 100-fold
@@ -223,71 +241,13 @@ object Evals {
           expr("(n_pos * 1000000) div n").as("precision_e6"))
     }))
 
-  val oracles: Map[String, String] = Map(
-    "q184_macro_f1_kappa" ->
-      """WITH scored AS (
-           SELECT CAST(label % 3 AS BIGINT) AS t,
-             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p
-           FROM embeddings),
-         cells AS (SELECT t, p, count(*) AS c FROM scored GROUP BY 1, 2),
-         rowm AS (SELECT t AS k, CAST(sum(c) AS BIGINT) AS row_n FROM cells GROUP BY 1),
-         colm AS (SELECT p AS k, CAST(sum(c) AS BIGINT) AS col_n FROM cells GROUP BY 1),
-         tp AS (SELECT t AS k, c AS tp FROM cells WHERE t = p),
-         per AS (
-           SELECT r.k, r.row_n, coalesce(colm.col_n, 0) AS col_n,
-             coalesce(tp.tp, 0) AS tp,
-             (2 * coalesce(tp.tp, 0) * 1000000)
-               // (r.row_n + coalesce(colm.col_n, 0)) AS f1_e6
-           FROM rowm r LEFT JOIN colm ON r.k = colm.k LEFT JOIN tp ON r.k = tp.k),
-         s AS (
-           SELECT CAST(sum(row_n) AS BIGINT) AS n, CAST(sum(tp) AS BIGINT) AS agree,
-             count(*) AS k_classes, CAST(sum(f1_e6) AS BIGINT) AS f1_sum,
-             CAST(sum(row_n * col_n) AS BIGINT) AS s_rc
-           FROM per)
-         SELECT n, agree, k_classes, f1_sum // k_classes AS macro_f1_e6,
-           CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
-             ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
-         FROM s""",
-    "q185_global_factor_index" ->
-      s"""WITH $factorCtes
-         SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS idx_e6
-         FROM z JOIN v3 USING (c) GROUP BY 1""",
-    "q188_factor_fit" ->
-      s"""WITH $factorCtes,
-         g AS (SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS g_e6
-               FROM z JOIN v3 USING (c) GROUP BY 1),
-         zg AS (SELECT z.c, z.z_e3, g.g_e6 FROM z JOIN g USING (day)),
-         szg AS (SELECT c, CAST(sum(z_e3 * g_e6) AS BIGINT) AS szg,
-                   CAST(sum(z_e3 * z_e3) AS BIGINT) AS szz
-                 FROM zg GROUP BY 1),
-         sgg AS (SELECT CAST(sum(g_e6 * g_e6) AS BIGINT) AS sgg FROM g),
-         lam AS (SELECT c, szz,
-                   CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT)
-                     ELSE (szg * 1000000) // sgg END AS lambda_e6
-                 FROM szg, sgg),
-         ssr AS (SELECT zg.c, lam.szz, lam.lambda_e6,
-                   CAST(sum((zg.z_e3 - (lam.lambda_e6 * zg.g_e6) // 1000000000)
-                     * (zg.z_e3 - (lam.lambda_e6 * zg.g_e6) // 1000000000))
-                     AS BIGINT) AS ss_res
-                 FROM zg JOIN lam ON zg.c = lam.c GROUP BY 1, 2, 3)
-         SELECT c, lambda_e6,
-           CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT)
-             ELSE ((szz - ss_res) * 1000000) // szz END AS r2_e6
-         FROM ssr""",
-    "q187_bootstrap_eval" ->
-      """WITH scored AS (
-           SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label % 3 AS BIGINT) AS t,
-             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p
-           FROM embeddings),
-         hs AS (SELECT *, CAST(concat('0x', substr(md5(id), 1, 15)) AS BIGINT) AS h
-                FROM scored),
-         expl AS (
-           SELECT t, p, fold,
-             1 + CASE WHEN fold = h % 20 THEN 1 ELSE 0 END
-               - CASE WHEN fold = (h // 20) % 20 THEN 1 ELSE 0 END AS m
-           FROM hs, (SELECT unnest(range(20)) AS fold)),
-         cells AS (SELECT fold, t, p, CAST(sum(m) AS BIGINT) AS c
-                   FROM expl WHERE m > 0 GROUP BY 1, 2, 3),
+  /** Shared oracle chain — the SQL mirror of `Eval.macroF1KappaByFold`:
+    * expects a prior CTE `scored0(fold, t, p, m)` and carries the
+    * weighted confusion-cell identities down to `s` (one row per fold).
+    */
+  private val confusionCtes: String =
+    """cells AS (SELECT fold, t, p, CAST(sum(m) AS BIGINT) AS c
+                   FROM scored0 WHERE m > 0 GROUP BY 1, 2, 3),
          rowm AS (SELECT fold, t AS k, CAST(sum(c) AS BIGINT) AS row_n
                   FROM cells GROUP BY 1, 2),
          colm AS (SELECT fold, p AS k, CAST(sum(c) AS BIGINT) AS col_n
@@ -306,7 +266,59 @@ object Evals {
              CAST(sum(tp) AS BIGINT) AS agree, count(*) AS k_classes,
              CAST(sum(f1_e6) AS BIGINT) AS f1_sum,
              CAST(sum(row_n * col_n) AS BIGINT) AS s_rc
-           FROM per GROUP BY 1)
+           FROM per GROUP BY 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "q184_macro_f1_kappa" ->
+      s"""WITH scored0 AS (
+           SELECT 0 AS fold, CAST(label % 3 AS BIGINT) AS t,
+             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p,
+             1 AS m
+           FROM embeddings),
+         $confusionCtes
+         SELECT n, agree, k_classes, f1_sum // k_classes AS macro_f1_e6,
+           CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
+         FROM s""",
+    "q185_global_factor_index" ->
+      s"""WITH $factorCtes
+         SELECT day, CAST(sum(z_e3 * v) AS BIGINT) AS idx_e6
+         FROM z JOIN v3 USING (c) GROUP BY 1""",
+    "q188_factor_fit" ->
+      s"""WITH $factorCtes,
+         g AS (SELECT day, CAST(sum(z_e3 * v) AS BIGINT) // 1000 AS g_e3
+               FROM z JOIN v3 USING (c) GROUP BY 1),
+         zg AS (SELECT z.c, z.z_e3, g.g_e3 FROM z JOIN g USING (day)),
+         szg AS (SELECT c, CAST(sum(z_e3 * g_e3) AS BIGINT) AS szg,
+                   CAST(sum(z_e3 * z_e3) AS BIGINT) AS szz
+                 FROM zg GROUP BY 1),
+         sgg AS (SELECT CAST(sum(g_e3 * g_e3) AS BIGINT) AS sgg FROM g),
+         lam AS (SELECT c, szz,
+                   CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE (szg * 1000000) // sgg END AS lambda_e6
+                 FROM szg, sgg),
+         ssr AS (SELECT zg.c, lam.szz, lam.lambda_e6,
+                   CAST(sum((zg.z_e3 - (lam.lambda_e6 * zg.g_e3) // 1000000)
+                     * (zg.z_e3 - (lam.lambda_e6 * zg.g_e3) // 1000000))
+                     AS BIGINT) AS ss_res
+                 FROM zg JOIN lam ON zg.c = lam.c GROUP BY 1, 2, 3)
+         SELECT c, lambda_e6,
+           CASE WHEN szz = 0 THEN CAST(NULL AS BIGINT)
+             ELSE ((szz - ss_res) * 1000000) // szz END AS r2_e6
+         FROM ssr""",
+    "q187_bootstrap_eval" ->
+      s"""WITH scored AS (
+           SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label % 3 AS BIGINT) AS t,
+             abs(CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)) % 3 AS p
+           FROM embeddings),
+         hs AS (SELECT *, CAST(concat('0x', substr(md5(id), 1, 15)) AS BIGINT) AS h
+                FROM scored),
+         scored0 AS (
+           SELECT t, p, fold,
+             1 + CASE WHEN fold = h % 20 THEN 1 ELSE 0 END
+               - CASE WHEN fold = (h // 20) % 20 THEN 1 ELSE 0 END AS m
+           FROM hs, (SELECT unnest(range(20)) AS fold)),
+         $confusionCtes
          SELECT fold, n, agree, k_classes, f1_sum // k_classes AS macro_f1_e6,
            CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
              ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
