@@ -201,6 +201,34 @@ object Labeling {
     }
   }
 
+  /** The sweep with the reference's bootstrap around each score
+    * (`08-optimization.Rmd:262-268` runs the grid AND a balanced bootstrap
+    * together): every grid cell is scored per bootstrap fold via
+    * `Eval.balancedBootstrap` + `macroF1KappaByFold`, so each candidate
+    * gets a macro-F1 DISTRIBUTION, not a point — two params whose fold
+    * ranges overlap are statistically indistinguishable on this golden
+    * set. Returns (params, per-fold macro_f1_e6 sorted ascending); same
+    * driver-loop shape and coverage contract as `sweep`.
+    */
+  def sweepWithBootstrap(stays: DataFrame, golden: DataFrame,
+      grid: Seq[Params], b: Int = 20): Seq[(Params, Seq[Long])] = {
+    val g = golden.select(col("user_id"), col("cluster"), col("day_s"),
+      col("t0"), col("location_type").as("truth"))
+    require(g.count() > 0, "sweepWithBootstrap: golden label set is empty")
+    grid.map { p =>
+      val labeled = labelStays(stays, p)
+        .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
+          col("location_type").as("pred"))
+      val scored = g.join(labeled, Seq("user_id", "cluster", "day_s", "t0"))
+        .withColumn("bid", concat_ws("|", col("user_id").cast("string"),
+          col("cluster"), col("day_s"), col("t0")))
+      val folds = Eval.macroF1KappaByFold(
+        Eval.balancedBootstrap(scored, "bid", b), "fold", "truth", "pred", "m")
+        .collect().map(_.getAs[Long]("macro_f1_e6")).toSeq.sorted
+      (p, folds)
+    }
+  }
+
   /** H/W/O duration pivot per (user, day) — `get_durations`
     * (`wbgps/labeling.py:201-220`, SURVEY A5).
     */

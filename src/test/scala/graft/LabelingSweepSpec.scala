@@ -68,6 +68,20 @@ class LabelingSweepSpec extends SparkSpec {
     assert(boot.where(col("m") === 2L).count() > 0)
   }
 
+  test("bootstrap sweep separates generating params from a broken threshold") {
+    val stays = mkStays()
+    val golden = Labeling.labelStays(stays, p)
+      .select("user_id", "cluster", "day_s", "t0", "location_type")
+    val res = Labeling.sweepWithBootstrap(stays, golden,
+      Seq(p, p.copy(workActivityAverageSec = 100.0)), b = 10)
+    val (trueFolds, wrongFolds) = (res(0)._2, res(1)._2)
+    assert(trueFolds.size == 10 && wrongFolds.size == 10)
+    // true params fit the golden set perfectly in EVERY resample; the
+    // broken threshold's best fold stays strictly below their worst
+    assert(trueFolds.forall(_ == 1000000L), trueFolds.toString)
+    assert(wrongFolds.max < trueFolds.min, s"$wrongFolds vs $trueFolds")
+  }
+
   test("sweep recovers the generating params as the strict argmax") {
     val stays = mkStays()
     val golden = Labeling.labelStays(stays, p)
