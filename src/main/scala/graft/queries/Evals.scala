@@ -51,11 +51,18 @@ object Evals {
 
   /** First-factor loadings (c, v in e3 units) by 3 power iterations on
     * the integer Gram matrix of the z panel — see q185's scaladoc.
+    * The Gram frame is PERSISTED and each iteration's K-row v is eagerly
+    * localCheckpoint-ed (the Dedup generation-cut pattern; Verify/Bench
+    * release RDD storage after each query): without the cut, every
+    * level's max-abs broadcast re-executes all prior levels' subtrees
+    * (~2^iterations re-execution) and the accumulated lineage makes each
+    * iteration's planning slower than its 25-row execution.
     */
   private def factorLoadings(z: DataFrame): DataFrame = {
     val sMat = z.as("x").join(z.as("y"), col("x.day") === col("y.day"))
       .groupBy(col("x.c").as("a"), col("y.c").as("b"))
       .agg(sum(col("x.z_e3") * col("y.z_e3")).as("s"))
+      .persist()
     var v = sMat.select(col("a").as("c")).distinct()
       .select(col("c"), lit(1000L).as("v"))
     for (_ <- 1 to 3) {
@@ -64,6 +71,7 @@ object Evals {
       val m = w.agg(max(abs(col("w"))).as("m"))
       v = w.crossJoin(broadcast(m))
         .select(col("a").as("c"), expr("(w * 1000) div greatest(m, 1)").as("v"))
+        .localCheckpoint(true)
     }
     v
   }
@@ -79,11 +87,15 @@ object Evals {
     * bookkeeping on the K=1 identity case (g == z ⇒ λ = 1, R² = 1).
     */
   private[graft] def factorFit(z: DataFrame, g: DataFrame): DataFrame = {
-    val zg = z.join(g, "day")
+    // g's subtree is the whole factor chain; the fit reads it from three
+    // branches (zg twice, sgg once) — persist both reused frames
+    // (harness clearCache contract)
+    val gp = g.persist()
+    val zg = z.join(gp, "day").persist()
     val szg = zg.groupBy("c").agg(
       sum(col("z_e3") * col("g_e3")).as("szg"),
       sum(col("z_e3") * col("z_e3")).as("szz"))
-    val sgg = g.agg(sum(col("g_e3") * col("g_e3")).as("sgg"))
+    val sgg = gp.agg(sum(col("g_e3") * col("g_e3")).as("sgg"))
     val lam = szg.crossJoin(broadcast(sgg))
       .select(col("c"), col("szz"),
         expr("CASE WHEN sgg = 0 THEN CAST(NULL AS BIGINT) " +
