@@ -233,6 +233,38 @@ object Evals {
     // global-rank path (no single-partition window), is PRUNED to the
     // max anchor rank before the tiny broadcast range join (the q39
     // shape), and the fractions are integer micro-divisions.
+    // Per-class precision along the rank distribution — the reference
+    // evaluates EACH tweet class this way (the job_search plot et al.).
+    // Scale shape: the per-class candidate cut goes through the
+    // TopKPerKey physical operator (bounded per-class heaps, no
+    // per-class single-partition sort), so only klass·112 rows ever see
+    // the rank window; the window is partitioned by class over that tiny
+    // frame. Anchors are denser but shallower than q186 (4^p up to 64,
+    // window 8) because per-class corpora are 1/K the size.
+    "q189_precision_at_rank_by_class" -> ((s, d0) => {
+      import s.implicits._
+      val anchors = (0 to 3).map { p =>
+        val lo = 1L << (2 * p)
+        (p.toLong, lo, lo + 7L)
+      }.toDF("point", "lo", "hi")
+      val e = t(s, d0, "embeddings").select(
+        (col("label") % 5).cast("long").as("klass"),
+        col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long").as("score_e6"),
+        (col("label") % 2 === 1).as("pos"))
+      val top = graft.plans.TopKPerKey(
+        e, Seq("klass"), Seq(desc("score_e6"), asc("vec_id")), k = 71)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("klass").orderBy(desc("score_e6"), asc("vec_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .join(broadcast(anchors), col("rnk").between(col("lo"), col("hi")))
+        .groupBy("klass", "point").agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("klass"), col("point"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) div n").as("precision_e6"))
+    }),
+
     "q186_precision_at_rank" -> ((s, d0) => {
       import s.implicits._
       val anchors = (0 to 4).map { p =>
@@ -335,6 +367,23 @@ object Evals {
            CASE WHEN n * n - s_rc = 0 THEN CAST(NULL AS BIGINT)
              ELSE ((n * agree - s_rc) * 1000000) // (n * n - s_rc) END AS kappa_e6
          FROM s""",
+    "q189_precision_at_rank_by_class" ->
+      """WITH ranked AS (
+           SELECT label % 5 AS klass, vec_id,
+             row_number() OVER (PARTITION BY label % 5
+               ORDER BY CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) DESC,
+                 vec_id) AS rnk,
+             (label % 2 = 1) AS pos
+           FROM embeddings),
+         anchors AS (SELECT * FROM (VALUES (0, 1, 8), (1, 4, 11), (2, 16, 23),
+           (3, 64, 71)) t(point, lo, hi))
+         SELECT CAST(klass AS BIGINT) AS klass, CAST(point AS BIGINT) AS point,
+           count(*) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS precision_e6
+         FROM ranked JOIN anchors ON rnk BETWEEN lo AND hi
+         GROUP BY 1, 2""",
     "q186_precision_at_rank" ->
       """WITH ranked AS (
            SELECT vec_id,
