@@ -174,27 +174,36 @@ object Labeling {
     * (params, macro_f1_e6, kappa_e6) per grid cell, in input order;
     * kappa is None when undefined (all mass in one truth×pred cell).
     */
+  private val sweepKeys = Seq("user_id", "cluster", "day_s", "t0")
+
+  /** Scored (truth, pred) join for one grid cell, with coverage
+    * enforcement shared by both sweep forms: every golden row must find
+    * its labeled stay — a silently shrunken inner join would score only
+    * the intersection, inflating macro-F1 for exactly the params that
+    * fail on the dropped stays.
+    */
+  private def scoredJoin(stays: DataFrame, golden: DataFrame,
+      nGolden: Long, p: Params): DataFrame = {
+    val g = golden.select(
+      sweepKeys.map(col) :+ col("location_type").as("truth"): _*)
+    val labeled = labelStays(stays, p)
+      .select(sweepKeys.map(col) :+ col("location_type").as("pred"): _*)
+    val scored = g.join(labeled, sweepKeys)
+    val n = scored.count()
+    require(n == nGolden,
+      s"sweep: golden rows unmatched by labelStays output for $p " +
+        s"(golden=$nGolden, scored=$n); golden must be keyed by " +
+        s"(${sweepKeys.mkString(", ")}) of the same stays input")
+    scored
+  }
+
   def sweep(stays: DataFrame, golden: DataFrame, grid: Seq[Params])
       : Seq[(Params, Long, Option[Long])] = {
-    val g = golden.select(col("user_id"), col("cluster"), col("day_s"),
-      col("t0"), col("location_type").as("truth"))
-    val nGolden = g.count()
+    val nGolden = golden.count()
     require(nGolden > 0, "sweep: golden label set is empty")
     grid.map { p =>
-      val labeled = labelStays(stays, p)
-        .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
-          col("location_type").as("pred"))
-      val rows = Eval.macroF1Kappa(
-        g.join(labeled, Seq("user_id", "cluster", "day_s", "t0")),
-        "truth", "pred").collect()
-      // every golden row must have found its labeled stay: a silently
-      // shrunken inner join would score only the intersection, inflating
-      // macro-F1 for exactly the params that fail on the dropped stays
-      require(rows.nonEmpty && rows(0).getAs[Long]("n") == nGolden,
-        s"sweep: golden rows unmatched by labelStays output for $p " +
-          s"(golden=$nGolden, scored=${rows.headOption.map(_.getAs[Long]("n")).getOrElse(0L)}); " +
-          "golden must be keyed by (user_id, cluster, day_s, t0) of the same stays input")
-      val r = rows(0)
+      val r = Eval.macroF1Kappa(
+        scoredJoin(stays, golden, nGolden, p), "truth", "pred").collect()(0)
       (p, r.getAs[Long]("macro_f1_e6"),
         if (r.isNullAt(r.fieldIndex("kappa_e6"))) None
         else Some(r.getAs[Long]("kappa_e6")))
@@ -212,16 +221,14 @@ object Labeling {
     */
   def sweepWithBootstrap(stays: DataFrame, golden: DataFrame,
       grid: Seq[Params], b: Int = 20): Seq[(Params, Seq[Long])] = {
-    val g = golden.select(col("user_id"), col("cluster"), col("day_s"),
-      col("t0"), col("location_type").as("truth"))
-    require(g.count() > 0, "sweepWithBootstrap: golden label set is empty")
+    val nGolden = golden.count()
+    require(nGolden > 0, "sweepWithBootstrap: golden label set is empty")
     grid.map { p =>
-      val labeled = labelStays(stays, p)
-        .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
-          col("location_type").as("pred"))
-      val scored = g.join(labeled, Seq("user_id", "cluster", "day_s", "t0"))
-        .withColumn("bid", concat_ws("|", col("user_id").cast("string"),
-          col("cluster"), col("day_s"), col("t0")))
+      // to_json(struct(...)) is injective on the key tuple (JSON escapes
+      // any delimiter a string user_id could contain), satisfying
+      // balancedBootstrap's unique-id contract
+      val scored = scoredJoin(stays, golden, nGolden, p)
+        .withColumn("bid", to_json(struct(sweepKeys.map(col): _*)))
       val folds = Eval.macroF1KappaByFold(
         Eval.balancedBootstrap(scored, "bid", b), "fold", "truth", "pred", "m")
         .collect().map(_.getAs[Long]("macro_f1_e6")).toSeq.sorted

@@ -237,9 +237,9 @@ object Evals {
     // evaluates EACH tweet class this way (the job_search plot et al.).
     // Scale shape: the per-class candidate cut goes through the
     // TopKPerKey physical operator (bounded per-class heaps, no
-    // per-class single-partition sort), so only klass·112 rows ever see
+    // per-class single-partition sort), so only klass·71 rows ever see
     // the rank window; the window is partitioned by class over that tiny
-    // frame. Anchors are denser but shallower than q186 (4^p up to 64,
+    // frame. Anchors are q186's minus the 256 point (4^p up to 64,
     // window 8) because per-class corpora are 1/K the size.
     "q189_precision_at_rank_by_class" -> ((s, d0) => {
       import s.implicits._
