@@ -324,6 +324,45 @@ object Training {
         .withColumn("contaminated", col("n_shared") * 10 >= col("n_shingles"))
     }),
 
+    // Substring-duplicate span masking (the Lee et al. "Deduplicating
+    // Training Data Makes Language Models Better" shape, approximated
+    // with stride-8 48-char window hashes instead of a suffix array —
+    // the distributed-friendly form): windows whose content hash repeats
+    // anywhere in the corpus mark duplicated character spans, and
+    // overlapping spans merge per doc into the masked intervals a
+    // training pipeline would drop or loss-mask. Scale shape: one
+    // generator explode (len/8 windows per doc), one hash groupBy, one
+    // semi join back, and a PER-DOC window for the interval union
+    // (gaps-and-islands by running max of span ends) — nothing global.
+    "q190_dup_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = t(s, d, "documents")
+        .where(length(col("text")) >= 48)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, length(text) - 47, 8)")).as("pos"),
+          col("text"))
+        .select(col("doc_id"), col("pos"),
+          TextFunctions.hash60(expr("substring(text, pos, 48)")).as("h"))
+      val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select("h")
+      val spans = wins.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          (col("pos") + 47L).as("end"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      spans
+        .withColumn("prev_max_end",
+          max("end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull ||
+            col("pos") > col("prev_max_end") + 1, 1L).otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("span_start"), max("end").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    }),
+
     // Deterministic train/val/test split: the content hash, not rand(),
     // decides membership — reshard-stable, reproducible across retries,
     // and exactly replayable by the oracle. 80/10/10 by hash60 % 100.
@@ -1798,6 +1837,31 @@ object Training {
          SELECT b.w1, b.w2, b.c12, c.c1, b.c12 * 1000000 // c.c1 AS p_e6
          FROM bg b JOIN ctx c USING (w1)
          WHERE b.c12 >= 3""",
+    "q190_dup_spans" ->
+      """WITH wins AS (
+           SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(substring(text, pos, 48)), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 46, 8)) AS pos
+                 FROM documents WHERE len(text) >= 48)),
+         dup AS (SELECT h FROM wins GROUP BY 1 HAVING count(*) > 1),
+         spans AS (SELECT doc_id, pos, pos + 47 AS e FROM wins
+                   WHERE h IN (SELECT h FROM dup)),
+         isl AS (
+           SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+               THEN 1 ELSE 0 END AS new_island
+           FROM spans),
+         isl2 AS (
+           SELECT doc_id, pos, e,
+             CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+           FROM isl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM isl2 GROUP BY doc_id, island""",
     "q108_train_split" ->
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
                 ELSE 'test' END AS split,
