@@ -10,72 +10,95 @@ import graft.functions.TextFunctions
   * oracle-checked operator; this is thin glue plus a per-stage audit
   * trail):
   *
-  *  1. quality + language gate (q53/q52 logic);
-  *  2. exact dedup keep-one by normalized content fingerprint (q56);
+  *  1. quality gate + language TAG (q53/q52 logic — `lang` is a column
+  *     for downstream policy, not a gate: which languages to keep is
+  *     corpus-specific, so `kept` does not consult it);
+  *  2. exact dedup keep-one by normalized content fingerprint
+  *     (`Dedup.exactDupGroups`, q56);
   *  3. near-dup keep-one via MinHash-LSH + distributed connected
-  *     components (q59/q76);
-  *  4. benchmark decontamination by broadcast eval-set shingles (q107);
-  *  5. deterministic content-hash train/val/test split (q108).
+  *     components (`Dedup.dedupNearDupes`, q59/q76) over the
+  *     exact-canonical survivors; every row's `rep_id` is its
+  *     canonical's LSH representative, so exact duplicates trace to the
+  *     same surviving doc as their canonical;
+  *  4. benchmark decontamination by broadcast eval-set shingles with
+  *     q107's RELATIVE rule — contaminated when shared distinct
+  *     3-grams reach `contaminationPct`% of the doc's own distinct
+  *     3-grams (an absolute ≥1 rule would fire on ubiquitous trigrams
+  *     like "one of the" and hollow out any real corpus);
+  *  5. deterministic content-hash train/val/test split (q108 shape).
   *
-  * Every decision is recorded as a flag column rather than dropping rows,
-  * so the output doubles as the curation report (`kept` = survives all
-  * gates; filter on it for the training corpus). All stages are map-side
-  * or key-shuffle shapes — the pipeline inherits each operator's 100-TB
-  * story, and nothing here adds a shuffle beyond them.
+  * Every decision is recorded as a flag column rather than dropping rows
+  * — the output has exactly one row per input row (NULL text is treated
+  * as empty up front so no equi-join can lose it) and doubles as the
+  * curation report; `kept` = survives quality + both dedups +
+  * decontamination. All stages are map-side or key-shuffle shapes — the
+  * pipeline inherits each operator's 100-TB story and adds no shuffle
+  * beyond them.
   */
 object CurationPipeline {
 
   /** `docs`: (idCol, textCol, ...). `evalSet`: benchmark texts to
-    * decontaminate against (same textCol), or empty. Returns input rows +
-    * (lang, keep_quality, is_canonical, rep_id, is_kept, contaminated,
-    * split, kept).
+    * decontaminate against (same textCol), may be empty. Returns input
+    * rows + (lang, keep_quality, canon_id, is_canonical, rep_id,
+    * is_kept, contaminated, split, kept).
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      evalSet: DataFrame, minSharedShingles: Int = 1): DataFrame = {
-    val id = col(idCol); val text = col(textCol)
+      evalSet: DataFrame, contaminationPct: Int = 10): DataFrame = {
+    val id = col(idCol)
+    // NULL text -> "" once, up front: every stage then sees a non-null
+    // value (fingerprint of NULL is NULL and an equi-join on it would
+    // silently drop the row from the report)
+    val src = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val text = col(textCol)
 
-    // 1. quality + language (flags, not filters — the report keeps rows)
-    val scored = docs
+    // 1. quality gate + language tag
+    val scored = src
       .withColumn("lang", TextFunctions.langId(text))
       .withColumn("keep_quality",
         TextFunctions.qualityScore(text).getField("keep"))
 
-    // 2. exact dedup: canonical row per normalized fingerprint
-    val canon = scored
-      .select(TextFunctions.fingerprint(text).as("fp"), id.as("canon_id"))
-      .groupBy("fp").agg(min("canon_id").as("canon_id"))
+    // 2. exact dedup: canonical row per normalized fingerprint (q56 op)
+    val canon = Dedup.exactDupGroups(src, idCol, textCol)
+      .select(col("fp"), col("keep_id").as("canon_id"))
     val exact = scored
       .withColumn("fp", TextFunctions.fingerprint(text))
       .join(canon, "fp")
       .withColumn("is_canonical", id === col("canon_id"))
-      .drop("fp", "canon_id")
+      .drop("fp")
 
     // 3. near-dup keep-one over the exact-canonical survivors only (the
-    // standard ordering: exact dedup first shrinks the LSH input)
+    // standard ordering: exact dedup first shrinks the LSH input); every
+    // canonical id is present in dedupNearDupes' output, so the join on
+    // canon_id keeps all rows and maps each to its component rep
     val near = Dedup.dedupNearDupes(
-      exact.where(col("is_canonical")).select(idCol, textCol),
-      idCol, textCol)
-      .select(id, col("rep_id"), col("is_kept"))
-    val withNear = exact.join(near, Seq(idCol), "left")
-      .withColumn("rep_id", coalesce(col("rep_id"), id))
-      .withColumn("is_kept", coalesce(col("is_kept"), lit(false)))
+        exact.where(col("is_canonical")).select(idCol, textCol),
+        idCol, textCol)
+      .select(id.as("canon_id"), col("rep_id"),
+        col("is_kept").as("canon_kept"))
+    val withNear = exact.join(near, Seq("canon_id"))
+      .withColumn("is_kept", col("is_canonical") && col("canon_kept"))
+      .drop("canon_kept")
 
     // 4. decontamination: benchmark 3-gram shingles broadcast to the
-    // corpus scan — the big side never shuffles (q107 shape)
+    // corpus scan — the big side never shuffles (q107 shape incl. its
+    // relative threshold)
     val bench = evalSet
       .where(size(TextFunctions.tokens(text)) >= 3)
       .select(explode(array_distinct(Dedup.shingles(text, 3))).as("sh"))
       .distinct()
-    val hits = withNear
+      .withColumn("hit", lit(1L))
+    val overlap = withNear
       .where(size(TextFunctions.tokens(text)) >= 3)
       .select(id.as("h_id"),
         explode(array_distinct(Dedup.shingles(text, 3))).as("sh"))
-      .join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy("h_id").agg(count(lit(1)).as("n_shared"))
-    val decon = withNear.join(hits, id === col("h_id"), "left")
-      .withColumn("contaminated",
-        coalesce(col("n_shared"), lit(0L)) >= minSharedShingles)
-      .drop("h_id", "n_shared")
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("h_id").agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    val decon = withNear.join(overlap, id === col("h_id"), "left")
+      .withColumn("contaminated", coalesce(
+        col("n_shared") * 100 >= col("n_sh") * contaminationPct,
+        lit(false))) // sub-3-token docs have no shingles to share
+      .drop("h_id", "n_sh", "n_shared")
 
     // 5. deterministic content-hash split (reshard-stable, q108 shape)
     decon

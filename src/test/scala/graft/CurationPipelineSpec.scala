@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.CurationPipeline
 
 /** End-to-end curation pipeline: each gate must fire on its designated
-  * fixture doc and only that doc.
+  * fixture doc and only that doc, the audit trail must keep every input
+  * row, and a plain unique document (LSH singleton) must survive.
   */
 class CurationPipelineSpec extends SparkSpec {
 
@@ -14,12 +15,14 @@ class CurationPipelineSpec extends SparkSpec {
   def fixture() = {
     import spark.implicits._
     Seq(
-      (1L, base), // survives everything
+      (1L, base), // survives everything (LSH component rep)
       (2L, base), // exact duplicate -> not canonical
       (3L, base + " tomorrow"), // near-dup -> LSH component of 1
       (4L, "too short here"), // quality fail (< 10 tokens)
       (5L, "and then it was agreed that the contamination marker " +
-        "phrase would be shared with an eval benchmark document")
+        "phrase would be shared with an eval benchmark document"),
+      (6L, "meanwhile the annual report of the harvest describes a rise " +
+        "in volumes across several northern valleys and remote farms")
     ).toDF("doc_id", "text")
   }
 
@@ -29,15 +32,18 @@ class CurationPipelineSpec extends SparkSpec {
       "out benchmark question set")).toDF("eid", "text")
   }
 
-  test("each gate fires on its designated doc") {
+  test("each gate fires on its designated doc; singletons survive") {
     val out = CurationPipeline.curate(fixture(), "doc_id", "text", evalSet())
       .select("doc_id", "keep_quality", "is_canonical", "rep_id", "is_kept",
         "contaminated", "split", "kept")
       .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6) // audit trail: one row per input row
 
     assert(out(1L).getAs[Boolean]("kept"), out(1L).toString)
-    // exact dup: same fingerprint, higher id -> not canonical, not kept
+    // exact dup: not canonical, and rep_id traces through its canonical
+    // to the surviving representative
     assert(!out(2L).getAs[Boolean]("is_canonical"))
+    assert(out(2L).getAs[Long]("rep_id") == 1L)
     assert(!out(2L).getAs[Boolean]("kept"))
     // near-dup: canonical (distinct fingerprint) but LSH folds it into 1
     assert(out(3L).getAs[Boolean]("is_canonical"))
@@ -46,12 +52,29 @@ class CurationPipelineSpec extends SparkSpec {
     // quality gate
     assert(!out(4L).getAs[Boolean]("keep_quality"))
     assert(!out(4L).getAs[Boolean]("kept"))
-    // decontamination: shares the marker 3-gram with the eval set
+    // decontamination: 2 of 15 distinct trigrams shared (>= 10%)
     assert(out(5L).getAs[Boolean]("contaminated"))
     assert(!out(5L).getAs[Boolean]("kept"))
     assert(!out(1L).getAs[Boolean]("contaminated"))
+    // unique doc with no duplicate partner anywhere: its own rep, kept
+    assert(out(6L).getAs[Boolean]("kept"), out(6L).toString)
+    assert(out(6L).getAs[Long]("rep_id") == 6L)
     // split is a deterministic label for every row
     assert(out.values.forall(r =>
       Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("NULL text rows stay in the report as their own empty-text group") {
+    import spark.implicits._
+    val docs = Seq((1L, Option(base)), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val out = CurationPipeline.curate(docs, "doc_id", "text", evalSet())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 3) // no row lost to a NULL-key join
+    // the two null-text rows form one exact-dup group, fail quality
+    assert(out(2L).getAs[Boolean]("is_canonical"))
+    assert(!out(3L).getAs[Boolean]("is_canonical"))
+    assert(!out(2L).getAs[Boolean]("keep_quality"))
+    assert(!out(2L).getAs[Boolean]("kept"))
   }
 }
