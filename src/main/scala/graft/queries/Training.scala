@@ -640,11 +640,15 @@ object Training {
     "q132_pagerank" -> ((s, d) => {
       val pairs = Dedup.lshCandidatePairs(
         t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      // persist the symmetric edge list itself, not just the ed join:
+      // edges feeds FOUR consumers (both join sides of ed, deg, ranks
+      // seed) and each union branch replays the MinHash pipeline —
+      // unpersisted, the LSH subtree ran ~4x per execution
       val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      // reused by all three iterations: persist, or the MinHash pair
-      // generation replays per iteration (harness clearCache releases it)
+      // reused by all three iterations (harness clearCache releases it)
       val ed = edges.join(deg, "src").persist()
       var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
@@ -653,6 +657,10 @@ object Training {
           .groupBy("dst").agg(sum("contrib").as("in_r"))
           .select(col("dst").as("id"),
             expr("150000 + (85 * in_r) div 100").as("r"))
+          // generation cut (the q185 lesson): without it each iteration
+          // re-plans the whole accumulated lineage and the LSH pair
+          // subtree dominates planning, not execution
+          .localCheckpoint(true)
       }
       ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
     }),
