@@ -799,6 +799,10 @@ object Training {
         edges = edges
           .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          // generation cut (q132/q185 lesson): each round's edge list
+          // feeds four consumers next round (two union branches for the
+          // degree count and two semi-join probes)
+          .localCheckpoint(true)
       }
       edges.select(col("a").as("id"))
         .unionAll(edges.select(col("b").as("id")))
