@@ -702,6 +702,10 @@ object Training {
             Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("ve"), col("c"))
+          // generation cut (q132/q185 lesson): the next round's centroid
+          // broadcast would otherwise re-execute this whole assignment,
+          // and the final summary reads cur from two more branches
+          .localCheckpoint(true)
       }
       cur.groupBy("c").agg(count(lit(1)).as("n_assigned"))
         .join(centroids(cur).select(col("c"),
