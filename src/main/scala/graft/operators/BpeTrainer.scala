@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding trainer loop — the iterative closure over q151's
+  * single-round pair counts: each round counts adjacent token pairs
+  * weighted by word frequency, picks the most frequent pair
+  * (lexicographic tie-break, so training is deterministic), and merges
+  * it greedily left-to-right in every word.
+  *
+  * Scale shape: training runs on the COLLAPSED (word, freq) vocabulary,
+  * not the corpus (the q151 map-side collapse), so each round is one
+  * explode + one groupBy over vocabulary-sized data; the chosen merge
+  * rule is one driver-collected row per round (trainer state, the same
+  * 1-row pattern as q83's corpus stats — a BPE merge table IS driver
+  * state by nature), and the merged vocabulary is generation-cut per
+  * round (the q132/q185 localCheckpoint lesson).
+  */
+object BpeTrainer {
+
+  /** `words`: (wordCol: String, freqCol: Long). Returns the learned
+    * merge rules in order plus the final tokenized vocabulary
+    * (wordCol, freqCol, toks: Array[String]).
+    */
+  def train(words: DataFrame, wordCol: String, freqCol: String,
+      rounds: Int): (Seq[(String, String)], DataFrame) = {
+    var toks = words.select(col(wordCol), col(freqCol),
+      split(col(wordCol), "").as("toks"))
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val best = toks.select(col(freqCol),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(toks[i - 1] AS l, toks[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(freqCol).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
+        merges += ((l, r))
+        // greedy left-to-right merge: fold each word's tokens, fusing a
+        // token equal to r onto a preceding accumulated token equal to l.
+        // After a fusion the merged token is l+r, so an overlapping
+        // occurrence ("aaa" under (a,a)) correctly yields [aa, a].
+        // Columns (not SQL strings) so token text can't inject syntax.
+        val merged = aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, t) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(lit(l), lit(r)))))
+            .otherwise(concat(acc, array(t))))
+        toks = toks.withColumn("toks", merged).localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, toks)
+  }
+}
