@@ -29,7 +29,12 @@ object BpeTrainer {
       split(col(wordCol), "").as("toks"))
     val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 1 to rounds) {
-      val best = toks.select(col(freqCol),
+      val best = toks
+        // single-token words have no pairs — and sequence(1, 0) DESCENDS
+        // in Spark (the q77/q151 lesson), which would fabricate
+        // null-padded pairs instead of an empty list
+        .where(size(col("toks")) >= 2)
+        .select(col(freqCol),
           explode(expr(
             "transform(sequence(1, size(toks) - 1), " +
               "i -> struct(toks[i - 1] AS l, toks[i] AS r))")).as("p"))

@@ -11,8 +11,10 @@ class BpeTrainerSpec extends SparkSpec {
 
   def vocab() = {
     import spark.implicits._
-    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
-      .toDF("w", "f")
+    // the 1-char word is pair-free and must not perturb training (a
+    // descending sequence(1, 0) would fabricate null pairs — q77 lesson)
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("a", 100L)).toDF("w", "f")
   }
 
   test("learns the canonical merge sequence") {
