@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *
   *  - per-class F1 = 2·tp / (row + col), because fp = col − tp and
   *    fn = row − tp make 2·tp + fp + fn = row + col;
-  *  - macro-F1 = mean of per-class F1 over the classes of the TRUTH
-  *    margin (a class that is predicted but never true has row = 0 and is
-  *    excluded, the usual macro convention; its row·col product is 0 so κ
-  *    below is unaffected);
+  *  - macro-F1 = mean of per-class F1 over the UNION of truth and
+  *    predicted classes (sklearn/caret convention: a class predicted but
+  *    never true contributes F1 = 0 to the mean; its row·col product is
+  *    0 so κ below is unaffected);
   *  - κ = (n·agree − Σ row_k·col_k) / (n² − Σ row_k·col_k), the
   *    common-denominator identity for (po − pe)/(1 − pe) — a ratio of two
   *    exact integers, so the value is merge-order-proof and
@@ -46,14 +46,17 @@ object Eval {
     val colm = cells.groupBy(col("g"), col("p").as("k")).agg(sum("c").as("col_n"))
     val tp = cells.where(col("t") === col("p"))
       .select(col("g"), col("t").as("k"), col("c").as("tp"))
-    // left joins from the truth margin: truth classes define the class
-    // set; col_n/tp default to 0 for a class never predicted / never hit.
-    // row_n + col_n >= row_n > 0 for every truth class, so the f1
-    // division needs no zero guard.
-    rowm.join(colm, Seq("g", "k"), "left").join(tp, Seq("g", "k"), "left")
-      .na.fill(0L, Seq("col_n", "tp"))
+    // FULL outer join of the margins: the class set is the UNION of truth
+    // and predicted labels (sklearn/caret macro convention) — a class
+    // that is predicted but never true joins with row_n = 0 and
+    // contributes F1 = 0 to the macro mean. Every union class has a
+    // positive margin under positive weights, but zero-weight rows can
+    // make both margins 0, so the division carries a guard.
+    rowm.join(colm, Seq("g", "k"), "full").join(tp, Seq("g", "k"), "left")
+      .na.fill(0L, Seq("row_n", "col_n", "tp"))
       .select(col("g"), col("k"), col("row_n"), col("col_n"), col("tp"),
-        expr("(2 * tp * 1000000) div (row_n + col_n)").as("f1_e6"))
+        expr("CASE WHEN row_n + col_n = 0 THEN 0 " +
+          "ELSE (2 * tp * 1000000) div (row_n + col_n) END").as("f1_e6"))
   }
 
   /** Per-fold summary: (fold, n, agree, k_classes, macro_f1_e6, kappa_e6).

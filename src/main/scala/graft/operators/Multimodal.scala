@@ -43,7 +43,10 @@ object Multimodal {
     * also returns None rather than poisoning the partition.
     */
   def decodeImage(bytes: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream: the
+    // factory's default cache writes a temp FILE per payload — a disk
+    // round-trip in the per-row hot path for bytes already on the heap.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -52,10 +55,20 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis)
-          val img = r.read(0)
+          // Header-only reads: width/height/band-count come from the
+          // image header and type specifiers without decoding pixels;
+          // full read(0) only as a last-resort band-count fallback.
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val bands = Option(r.getRawImageType(0)).map(_.getNumBands)
+            .orElse {
+              val it = r.getImageTypes(0)
+              if (it != null && it.hasNext) Some(it.next().getNumBands)
+              else None
+            }
+            .getOrElse(r.read(0).getRaster.getNumBands)
           Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            img.getWidth, img.getHeight, img.getRaster.getNumBands,
-            bytes.length.toLong))
+            w, h, bands, bytes.length.toLong))
         } catch {
           // NonFatal, not just IOException: ImageIO readers throw
           // IllegalArgument/ArrayIndexOutOfBounds/NegativeArraySize on

@@ -69,8 +69,13 @@ object Evals {
       val w = sMat.join(v, sMat("b") === v("c"))
         .groupBy("a").agg(sum(col("s") * col("v")).as("w"))
       val m = w.agg(max(abs(col("w"))).as("m"))
+      // Renormalize WITHOUT pre-multiplying w (w div (m div 1000), not
+      // (w*1000) div m): |w| can reach K·T·2.5e10, so a 1000× blow-up
+      // before the divide would overflow int64 at K·T ≈ 3.7e5 — dividing
+      // first keeps the envelope at the matvec's own K·T ≲ 3.7e8.
       v = w.crossJoin(broadcast(m))
-        .select(col("a").as("c"), expr("(w * 1000) div greatest(m, 1)").as("v"))
+        .select(col("a").as("c"),
+          expr("w div greatest(m div 1000, 1)").as("v"))
         .localCheckpoint(true)
     }
     v
@@ -138,17 +143,17 @@ object Evals {
          w1 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
                 FROM smat JOIN v0 ON b = c GROUP BY 1),
          v1 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w1), 1) AS v
+                  w // greatest((SELECT max(abs(w)) FROM w1) // 1000, 1) AS v
                 FROM w1),
          w2 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
                 FROM smat JOIN v1 ON b = c GROUP BY 1),
          v2 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w2), 1) AS v
+                  w // greatest((SELECT max(abs(w)) FROM w2) // 1000, 1) AS v
                 FROM w2),
          w3 AS (SELECT a, CAST(sum(s * v) AS BIGINT) AS w
                 FROM smat JOIN v2 ON b = c GROUP BY 1),
          v3 AS (SELECT a AS c,
-                  (w * 1000) // greatest((SELECT max(abs(w)) FROM w3), 1) AS v
+                  w // greatest((SELECT max(abs(w)) FROM w3) // 1000, 1) AS v
                 FROM w3)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,8 +182,9 @@ object Evals {
     // integer-exact σ²>0 guard (n·Σx² > (Σx)²). Scale shape: the panel
     // aggregation is the only corpus-size pass; the Gram self-join is
     // K²·T rows (K = #series, tiny), the iteration touches K rows.
-    // Int64 envelope: |z_e3| ≲ 5e3 ⇒ Gram ≤ T·2.5e7; v_e3 ≤ 1e3 ⇒
-    // matvec ≤ K·T·2.5e10 — safe through K·T ≲ 3e8 series-days.
+    // Int64 envelope: |z_e3| ≲ 5e3 ⇒ Gram ≤ T·2.5e7; v_e3 ≈ 1e3 ⇒
+    // matvec ≤ K·T·2.5e10, and the renorm divides w before any scaling
+    // (no w·1000 blow-up) — safe through K·T ≲ 3.7e8 series-days.
     "q185_global_factor_index" -> ((s, d0) => {
       val z = zPanel(s, d0)
       factorIndex(z, factorLoadings(z))
@@ -298,13 +304,13 @@ object Evals {
                   FROM cells GROUP BY 1, 2),
          tp AS (SELECT fold, t AS k, c AS tp FROM cells WHERE t = p),
          per AS (
-           SELECT r.fold, r.k, r.row_n, coalesce(colm.col_n, 0) AS col_n,
-             coalesce(tp.tp, 0) AS tp,
-             (2 * coalesce(tp.tp, 0) * 1000000)
-               // (r.row_n + coalesce(colm.col_n, 0)) AS f1_e6
-           FROM rowm r
-           LEFT JOIN colm ON r.fold = colm.fold AND r.k = colm.k
-           LEFT JOIN tp ON r.fold = tp.fold AND r.k = tp.k),
+           SELECT fold, k, coalesce(row_n, 0) AS row_n,
+             coalesce(col_n, 0) AS col_n, coalesce(tp.tp, 0) AS tp,
+             CASE WHEN coalesce(row_n, 0) + coalesce(col_n, 0) = 0 THEN 0
+               ELSE (2 * coalesce(tp.tp, 0) * 1000000)
+                 // (coalesce(row_n, 0) + coalesce(col_n, 0)) END AS f1_e6
+           FROM rowm FULL JOIN colm USING (fold, k)
+           LEFT JOIN tp USING (fold, k)),
          s AS (
            SELECT fold, CAST(sum(row_n) AS BIGINT) AS n,
              CAST(sum(tp) AS BIGINT) AS agree, count(*) AS k_classes,

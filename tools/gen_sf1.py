@@ -37,6 +37,21 @@ con = duckdb.connect(config={"threads": 8})
 rep = "(SELECT unnest(range(%d)) AS r) rep" % R
 
 
+def stride(table: str, key: str) -> int:
+    """Replica id-shift stride = max(key)+1 of the SOURCE table, so replica
+    key ranges never overlap regardless of the source's scale factor
+    (hardcoded sf0.1 cardinalities would silently collide on larger
+    sources, corrupting dedup groups and join fan-out)."""
+    return con.execute(
+        f"SELECT max({key}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+
+DOC_N = stride("documents", "doc_id")
+CUST_N = stride("customer", "c_custkey")
+VEC_N = stride("embeddings", "vec_id")
+ORD_N = stride("orders", "o_orderkey")
+
+
 def copy(name: str, select: str) -> None:
     con.execute(
         f"COPY ({select}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
@@ -46,7 +61,7 @@ def copy(name: str, select: str) -> None:
 
 
 copy("documents", f"""
-  SELECT doc_id + r * 5000 AS doc_id,
+  SELECT doc_id + r * {DOC_N} AS doc_id,
          array_to_string(
            list_concat(toks[(r % nw) + 1:], toks[:(r % nw)]), ' ') AS text,
          lang, source, n_chars
@@ -56,15 +71,15 @@ copy("documents", f"""
 """)
 
 copy("customer", f"""
-  SELECT c_custkey + r * 15000 AS c_custkey,
-         'Customer#' || lpad(CAST(c_custkey + r * 15000 AS VARCHAR), 9, '0')
+  SELECT c_custkey + r * {CUST_N} AS c_custkey,
+         'Customer#' || lpad(CAST(c_custkey + r * {CUST_N} AS VARCHAR), 9, '0')
            AS c_name,
          c_nationkey, c_acctbal + r * 0.13 AS c_acctbal, c_mktsegment
   FROM '{SRC}/customer.parquet', {rep}
 """)
 
 copy("embeddings", f"""
-  SELECT vec_id + r * 2000 AS vec_id,
+  SELECT vec_id + r * {VEC_N} AS vec_id,
          list_transform(embedding,
            x -> CAST(x + r * 0.0017 AS FLOAT)) AS embedding,
          label
@@ -72,14 +87,14 @@ copy("embeddings", f"""
 """)
 
 copy("orders", f"""
-  SELECT o_orderkey + r * 150000 AS o_orderkey,
-         o_custkey + r * 15000 AS o_custkey,
+  SELECT o_orderkey + r * {ORD_N} AS o_orderkey,
+         o_custkey + r * {CUST_N} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet', {rep}
 """)
 
 copy("lineitem", f"""
-  SELECT l_orderkey + r * 150000 AS l_orderkey, l_partkey, l_suppkey,
+  SELECT l_orderkey + r * {ORD_N} AS l_orderkey, l_partkey, l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet', {rep}
