@@ -289,7 +289,78 @@ object Evals {
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
         .select(col("point"), col("n"), col("n_pos"),
           expr("(n_pos * 1000000) div n").as("precision_e6"))
+    }),
+
+    // Topic-level LOCAL sentiment index (2_sentiment_local.do): raw topic
+    // tags are normalized by the reference's rename chain
+    // (2_sentiment_local.do:27-50: commodity→comm, monetary→money,
+    // market→mkt, …, performance dropped), no-signal topics are excluded
+    // (the `tradeextrnl | ecnind` filter at :53-55), per-article sentiment
+    // = positive − negative hits (:53), collapsed to a per-(country,
+    // topic, day) mean (:63) and z-scored within each (country, topic)
+    // series (the 4_merge.do standardization the global factor also
+    // uses). Mean = truncating integer division to e6; the z chain is the
+    // zPanel pattern — one pinned double expression with the σ² > 0 guard
+    // in the double domain. Scale shape: tag + sentiment are map-side;
+    // the collapse and the per-series moments are key-shuffles on
+    // (country, topic[, day]) — no global state.
+    "q191_topic_sentiment" -> ((s, d0) => {
+      import graft.functions.TextFunctions
+      val pos = TextFunctions.stopwordHits(col("text"), Seq("fast", "big", "spark"))
+      val neg = TextFunctions.stopwordHits(col("text"), Seq("slow", "small", "filter"))
+      val nTok = size(TextFunctions.tokens(col("text")))
+      val daily = t(s, d0, "documents")
+        .select(col("lang").as("country"),
+          expr(normTopicExpr(s"element_at(array($topicTagList), " +
+            "CAST(doc_id % 8 AS INT) + 1)")).as("topic"),
+          expr("doc_id % 30").as("day"),
+          (pos - neg).cast("long").as("sent"),
+          when(nTok > 0, 1L).otherwise(0L).as("has_words"))
+        .where(not(col("topic").isin("trade_extrnl", "ecn_ind")))
+        .groupBy("country", "topic", "day")
+        .agg(count(lit(1)).as("n"), sum("sent").as("s_sum"),
+          sum("has_words").as("n_articles"))
+        .select(col("country"), col("topic"), col("day"), col("n_articles"),
+          expr("(s_sum * 1000000) div n").as("m_e6"))
+      val st = daily.groupBy("country", "topic").agg(count(lit(1)).as("tn"),
+        sum("m_e6").as("s1"), sum(col("m_e6") * col("m_e6")).as("s2"))
+      val mu = d(col("s1")) / d(col("tn"))
+      val varD = d(col("s2")) / d(col("tn")) - mu * mu
+      daily.join(st, Seq("country", "topic"))
+        .where(varD > 0.0)
+        .select(col("country"), col("topic"), col("day"), col("n_articles"),
+          floor((d(col("m_e6")) - mu) / sqrt(varD) * 1000)
+            .cast("long").as("z_e3"))
     }))
+
+  /** The reference's topic-tag rename chain (`2_sentiment_local.do:27-50`)
+    * as ordered string replaces — applied in source order, then the
+    * dropped-segment trim (Stata's `ren *perform* **`). Both engines run
+    * the IDENTICAL nested-replace expression.
+    */
+  private val topicRenames: Seq[(String, String)] = Seq(
+    "commodity" -> "commdty", "monetary" -> "money", "external" -> "extrnl",
+    "political" -> "polit", "general" -> "gen", "policy" -> "pol",
+    "performance" -> "perform", "corporate" -> "corp", "market" -> "mkt",
+    "economic" -> "ecn", "government" -> "govt", "indicators" -> "ind",
+    "financial" -> "fin", "perform" -> "", "commdty" -> "comm")
+
+  private def normTopicExpr(inner: String): String = {
+    val nested = topicRenames.foldLeft(inner) {
+      case (e, (from, to)) => s"replace($e, '$from', '$to')"
+    }
+    s"trim(TRAILING '_' FROM $nested)"
+  }
+
+  /** Deterministic raw topic tags (doc_id mod 8 → long-form tag) — the
+    * synthetic stand-in for the reference's per-article topic feature
+    * columns; two of the eight normalize to the excluded no-signal set.
+    */
+  private val topicTagList: String = Seq(
+    "commodity_market", "monetary_policy", "trade_external",
+    "political_general", "economic_indicators", "financial_market",
+    "government_policy", "corporate_performance")
+    .map(t => s"'$t'").mkString(", ")
 
   /** Shared oracle chain — the SQL mirror of `Eval.macroF1KappaByFold`:
     * expects a prior CTE `scored0(fold, t, p, m)` and carries the
@@ -405,5 +476,41 @@ object Evals {
            (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
              // count(*) AS precision_e6
          FROM ranked JOIN anchors ON rnk BETWEEN lo AND hi
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "q191_topic_sentiment" -> {
+      val rawTag = normTopicExpr(
+        s"list_extract([$topicTagList], CAST(doc_id % 8 AS INT) + 1)")
+      val pos = "len(list_filter(string_split(lower(text), ' '), t -> list_contains(['fast','big','spark'], t)))"
+      val neg = "len(list_filter(string_split(lower(text), ' '), t -> list_contains(['slow','small','filter'], t)))"
+      s"""WITH tagged AS (
+           SELECT lang AS country, $rawTag AS topic, doc_id % 30 AS day,
+             CAST($pos - $neg AS BIGINT) AS sent,
+             CASE WHEN len(string_split(lower(text), ' ')) > 0
+               THEN 1 ELSE 0 END AS has_words
+           FROM documents),
+         dailyt AS (
+           SELECT country, topic, day, count(*) AS n,
+             CAST(sum(sent) AS BIGINT) AS s_sum,
+             CAST(sum(has_words) AS BIGINT) AS n_articles
+           FROM tagged
+           WHERE topic NOT IN ('trade_extrnl', 'ecn_ind')
+           GROUP BY 1, 2, 3),
+         m AS (
+           SELECT country, topic, day, n_articles,
+             (s_sum * 1000000) // n AS m_e6
+           FROM dailyt),
+         st AS (
+           SELECT country, topic, count(*) AS tn,
+             CAST(sum(m_e6) AS BIGINT) AS s1,
+             CAST(sum(m_e6 * m_e6) AS BIGINT) AS s2
+           FROM m GROUP BY 1, 2)
+         SELECT m.country, m.topic, m.day, m.n_articles,
+           CAST(floor((m.m_e6 - CAST(s1 AS DOUBLE) / tn)
+             / sqrt(CAST(s2 AS DOUBLE) / tn
+                    - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn))
+             * 1000) AS BIGINT) AS z_e3
+         FROM m JOIN st USING (country, topic)
+         WHERE CAST(s2 AS DOUBLE) / tn
+           - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn) > 0"""
+    })
 }
