@@ -67,6 +67,21 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Set-level mean-max cosine — the model-eval diversity score of a
+    * selected set (ref `twitter-analytics/code/3-model_evaluation/
+    * diversity/compute_diversity.py:34-39`): for each member, the cosine
+    * to its single closest OTHER member (`bruteForceTopK` k=1,
+    * self-excluded), averaged over the set. Lower mean-max similarity =
+    * more diverse set. Exact integers end-to-end: per-pair cos is floored
+    * to e6 before the max/mean, and the mean is a truncating integer
+    * division — so the score is oracle-checkable. The set rides the
+    * bruteForceTopK broadcast (selections are small by construction).
+    */
+  def meanMaxCos(set: DataFrame): DataFrame =
+    bruteForceTopK(set, set, 1)
+      .agg(count(lit(1)).as("n"), sum("cos_e6").as("s"))
+      .select(col("n"), expr("s div n").as("mean_max_cos_e6"))
+
   /** Sign-pattern bucket id against the first `nPlanes` vectors of the table
     * itself (deterministic and SQL-replayable; a production variant would
     * sample or train pivots). Broadcast the (tiny) plane table and sum sign

@@ -98,6 +98,32 @@ object Training {
       Similarity.lshTopK(t(s, d, "embeddings"), Seq(100L, 200L), 10, 8)
     }),
 
+    // Embedding set-diversity (compute_diversity.py:34-39,163-167): the
+    // mean-max-cosine diversity of the SELECTED set (top-64 by model
+    // score, the threshold_calibrated top-rank cut) against a same-size
+    // RANDOM baseline (hash-ordered — the reference's random_samples
+    // draw, made deterministic). Score proxy = first embedding dim (the
+    // q186 convention); both rank cuts use the scalable Ranking.globalRank
+    // rather than a single-partition window. One output row per set:
+    // lower mean-max similarity = more diverse selection.
+    "q192_set_diversity" -> ((s, d) => {
+      val scored = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6)
+          .cast("long").as("score_e6"))
+      val sel = graft.operators.Ranking
+        .globalRank(scored, "rnk", desc("score_e6"), asc("vec_id"))
+        .where(col("rnk") <= 64).select("vec_id", "embedding")
+      val rnd = graft.operators.Ranking
+        .globalRank(scored.withColumn("h",
+            TextFunctions.hash60(col("vec_id").cast("string"))),
+          "rnk", asc("h"), asc("vec_id"))
+        .where(col("rnk") <= 64).select("vec_id", "embedding")
+      Similarity.meanMaxCos(sel).select(lit("selected").as("set_name"),
+          col("n"), col("mean_max_cos_e6"))
+        .unionAll(Similarity.meanMaxCos(rnd).select(lit("random").as("set_name"),
+          col("n"), col("mean_max_cos_e6")))
+    }),
+
     // cosine near-duplicate pairs above a threshold, bounded range.
     "q63_cosine_neardup" -> ((s, d) => {
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), 200L, 0.25)
@@ -2073,6 +2099,39 @@ object Training {
     "q60_simhash" -> simhashOracle,
     "q61_cosine_topk" -> cosineTopkOracle,
     "q62_ann_lsh" -> annLshOracle,
+    "q192_set_diversity" -> {
+      def mx(set: String) =
+        s"""SELECT x.vec_id,
+             CAST(floor(max((${dotSql("y.embedding", "x.embedding")})
+               / (sqrt(${dotSql("y.embedding", "y.embedding")})
+                  * sqrt(${dotSql("x.embedding", "x.embedding")})))
+               * 1000000.0) AS BIGINT) AS mx
+           FROM $set x JOIN $set y ON y.vec_id <> x.vec_id GROUP BY 1"""
+      s"""WITH scored AS (
+           SELECT vec_id, embedding,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS score_e6
+           FROM embeddings),
+         sel AS (
+           SELECT vec_id, embedding FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY score_e6 DESC, vec_id ASC) AS rnk
+             FROM scored) WHERE rnk <= 64),
+         rnd AS (
+           SELECT vec_id, embedding FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY ${h60("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC)
+                 AS rnk
+             FROM scored) WHERE rnk <= 64),
+         selmx AS (${mx("sel")}),
+         rndmx AS (${mx("rnd")})
+         SELECT 'selected' AS set_name, count(*) AS n,
+           CAST(sum(mx) AS BIGINT) // count(*) AS mean_max_cos_e6 FROM selmx
+         UNION ALL
+         SELECT 'random' AS set_name, count(*) AS n,
+           CAST(sum(mx) AS BIGINT) // count(*) AS mean_max_cos_e6 FROM rndmx"""
+    },
     "q77_kskip_bigrams" ->
       """SELECT bg, count(*) AS n FROM (
            SELECT unnest(flatten(list_transform(range(1, len(w)),

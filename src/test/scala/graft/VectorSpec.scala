@@ -89,4 +89,20 @@ class VectorSpec extends SparkSpec {
     assert(r.getDouble(0) == 25.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
   }
+
+  test("set diversity: mean-max cosine pins the 3-4-5 hand case") {
+    import spark.implicits._
+    // Unit axes + the 3-4-5 vector: cos(a,c) = 3/5, cos(b,c) = 4/5,
+    // cos(a,b) = 0. Per-member max: a -> 3/5, b -> 4/5, c -> 4/5. In
+    // micro-units: 3.0/5.0*1e6 rounds to exactly 600000.0 before the
+    // floor (the nearest-double product lands on the integer), 4/5 ->
+    // 800000. mean = (600000 + 800000 + 800000) div 3 = 733333.
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(3f, 4f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.meanMaxCos(df).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 733333L)
+  }
 }
