@@ -45,21 +45,46 @@ object BpeTrainer {
       if (best.nonEmpty) {
         val (l, r) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
         merges += ((l, r))
-        // greedy left-to-right merge: fold each word's tokens, fusing a
-        // token equal to r onto a preceding accumulated token equal to l.
-        // After a fusion the merged token is l+r, so an overlapping
-        // occurrence ("aaa" under (a,a)) correctly yields [aa, a].
-        // Columns (not SQL strings) so token text can't inject syntax.
-        val merged = aggregate(col("toks"),
-          array().cast("array<string>"),
-          (acc, t) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(lit(l), lit(r)))))
-            .otherwise(concat(acc, array(t))))
-        toks = toks.withColumn("toks", merged).localCheckpoint(true)
+        toks = toks.withColumn("toks", applyMerge(col("toks"), l, r))
+          .localCheckpoint(true)
       }
     }
     (merges.toSeq, toks)
+  }
+
+  /** One greedy left-to-right merge pass: fold the token list, fusing a
+    * token equal to `r` onto a preceding accumulated token equal to `l`.
+    * After a fusion the merged token is l+r, so an overlapping occurrence
+    * ("aaa" under (a,a)) correctly yields [aa, a]. Columns (not SQL
+    * strings) so token text can't inject syntax. Shared by the trainer
+    * and the corpus encoder, which is what makes encode(word) reproduce
+    * the trained tokenization exactly.
+    */
+  def applyMerge(toks: org.apache.spark.sql.Column, l: String, r: String)
+      : org.apache.spark.sql.Column =
+    aggregate(toks,
+      array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && t === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(lit(l), lit(r)))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Corpus-scale ENCODE with a trained merge table — the tokenizer
+    * data-prep step (ref `twitter-analytics/code/2-model_training/
+    * train_bert.py` applies a trained tokenizer to every tweet before
+    * training): split each word to characters and apply the merge rules
+    * in learned rank order. The merge table is baked into the column
+    * expression (literal ranks — the broadcast of a merge table is the
+    * expression tree itself), so encoding is a pure map-side pass: no
+    * shuffle, no state, applicable to any word column regardless of
+    * corpus size. Returns `words` + a `toks` column.
+    */
+  def encode(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(split(col(wordCol), "").as("toks")) {
+      case (acc, (l, r)) => applyMerge(acc, l, r)
+    }
+    words.withColumn("toks", encoded)
   }
 }

@@ -1104,6 +1104,32 @@ object Training {
         .limit(20)
     }),
 
+    // Corpus-scale BPE ENCODE (train_bert.py's tokenizer data-prep step):
+    // train 8 merge rules on the collapsed (word, freq) vocabulary
+    // (BpeTrainer.train — corpus-size-independent), then apply the merge
+    // table to the corpus via BpeTrainer.encode and report per-document
+    // token stats. Scale shape: encoding runs once per DISTINCT word (the
+    // vocabulary, not the corpus), the tokenized vocab is a broadcast dim
+    // joined back to the exploded corpus, and the merge table itself is
+    // literal ranks inside the encode expression — the whole corpus pass
+    // is map-side. Oracle: the 8 training rounds are replayed as
+    // macro-generated SQL (argmax pair + greedy positional merge with the
+    // run-parity rule for l=r merges), so the learned rules — not just
+    // the stats — are cross-checked.
+    "q193_bpe_encode" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("f"))
+      val (merges, _) = graft.operators.BpeTrainer.train(vocab, "w", "f", 8)
+      val wtoks = graft.operators.BpeTrainer
+        .encode(vocab.select(col("w")), "w", merges)
+        .select(col("w"), size(col("toks")).as("ntok"))
+      words.join(broadcast(wtoks), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_tokens"),
+          max("ntok").cast("long").as("max_word_toks"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -1253,6 +1279,66 @@ object Training {
          SELECT doc_id,
            list_transform(string_split(lower(text), ' '), t -> ${h60("t")}) AS hs
          FROM documents WHERE doc_id < 300)"""
+
+  /** q193's oracle: replay the 8 BPE training rounds in SQL. Each round =
+    * argmax pair (freq-weighted, (cnt desc, l, r) tiebreak — the trainer's
+    * exact order) + greedy left-to-right merge done POSITIONALLY: for
+    * l ≠ r adjacent candidates never overlap, so all merge; for l = r a
+    * run of k identical tokens merges at the 1st, 3rd, … candidate — the
+    * run-parity rule (row_number within the gaps-and-islands group must
+    * be odd), which is exactly what the greedy fold produces.
+    */
+  private def bpeEncodeOracle: String = {
+    val rounds = 8
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         SELECT l, r FROM (
+           SELECT tl[j] AS l, tl[j + 1] AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM (SELECT f, tl, unnest(range(1, len(tl))) AS j FROM $prev)
+           GROUP BY 1, 2)
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+       c$i AS MATERIALIZED (
+         SELECT w, f, pos, tok,
+           (tok = (SELECT l FROM p$i) AND
+            lead(tok) OVER (PARTITION BY w ORDER BY pos)
+              = (SELECT r FROM p$i)) AS cand
+         FROM (SELECT w, f, j AS pos, tl[j] AS tok
+               FROM (SELECT w, f, tl, unnest(range(1, len(tl) + 1)) AS j
+                     FROM $prev))),
+       s$i AS (
+         SELECT w, pos,
+           (row_number() OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1) AS sel
+         FROM (
+           SELECT w, pos,
+             pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+           FROM c$i WHERE cand)),
+       m$i AS (
+         SELECT c.w, c.f, c.pos, c.tok, coalesce(s.sel, FALSE) AS sel,
+           coalesce(lag(coalesce(s.sel, FALSE))
+             OVER (PARTITION BY c.w ORDER BY c.pos), FALSE) AS prev_sel
+         FROM c$i c LEFT JOIN s$i s ON c.w = s.w AND c.pos = s.pos),
+       v$i AS MATERIALIZED (
+         SELECT w, f,
+           list(CASE WHEN sel THEN tok || (SELECT r FROM p$i) ELSE tok END
+                ORDER BY pos) FILTER (WHERE NOT prev_sel) AS tl
+         FROM m$i GROUP BY w, f)"""
+    }
+    s"""WITH words AS MATERIALIZED (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       vocab AS MATERIALIZED (SELECT w, count(*) AS f FROM words GROUP BY 1),
+       v0 AS MATERIALIZED (
+         SELECT w, f, list_transform(range(1, length(w) + 1),
+           i -> substr(w, CAST(i AS INT), 1)) AS tl
+         FROM vocab),
+       ${(1 to rounds).map(round).mkString(",\n       ")},
+       wt AS (SELECT w, len(tl) AS ntok FROM v$rounds)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(max(ntok) AS BIGINT) AS max_word_toks
+       FROM words JOIN wt USING (w) GROUP BY 1"""
+  }
 
   private def cosineTopkOracle: String =
     s"""WITH q AS (
@@ -1705,6 +1791,7 @@ object Training {
          SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
          FROM pairs GROUP BY 1
          ORDER BY cnt DESC, pair LIMIT 20""",
+    "q193_bpe_encode" -> bpeEncodeOracle,
     "q152_js_divergence" ->
       """WITH tok AS (
            SELECT source, unnest(string_split(lower(text), ' ')) AS tk

@@ -38,4 +38,21 @@ class BpeTrainerSpec extends SparkSpec {
     val toks = toksDf.collect()(0).getAs[collection.Seq[String]]("toks")
     assert(toks == Seq("aa", "a"))
   }
+
+  test("encode with the trained merge table reproduces the trained tokenization") {
+    val (merges, trained) = BpeTrainer.train(vocab(), "w", "f", rounds = 3)
+    val enc = BpeTrainer.encode(vocab().select(col("w")), "w", merges)
+      .collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[collection.Seq[String]]("toks"))
+      .toMap
+    trained.collect().foreach { r =>
+      assert(enc(r.getAs[String]("w")) == r.getAs[collection.Seq[String]]("toks"),
+        s"encode disagrees with training on '${r.getAs[String]("w")}'")
+    }
+    // and on a word the trainer never saw, merges still apply in order
+    import spark.implicits._
+    val unseen = BpeTrainer.encode(Seq("slowest").toDF("w"), "w", merges)
+      .collect()(0).getAs[collection.Seq[String]]("toks")
+    assert(unseen == Seq("s", "lo", "w", "est"))
+  }
 }
