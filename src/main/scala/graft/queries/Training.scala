@@ -1106,7 +1106,8 @@ object Training {
 
     // Corpus-scale BPE ENCODE (train_bert.py's tokenizer data-prep step):
     // train 8 merge rules on the collapsed (word, freq) vocabulary
-    // (BpeTrainer.train — corpus-size-independent), then apply the merge
+    // (BpeTrainer.trainLocal — one vocab collect, delta-maintained pair
+    // counts, zero per-merge cluster jobs), then apply the merge
     // table to the corpus via BpeTrainer.encode and report per-document
     // token stats. Scale shape: encoding runs once per DISTINCT word (the
     // vocabulary, not the corpus), the tokenized vocab is a broadcast dim
@@ -1120,7 +1121,7 @@ object Training {
       val words = t(s, d, "documents")
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
       val vocab = words.groupBy("w").agg(count(lit(1)).as("f"))
-      val (merges, _) = graft.operators.BpeTrainer.train(vocab, "w", "f", 8)
+      val (merges, _) = graft.operators.BpeTrainer.trainLocal(vocab, "w", "f", 8)
       val wtoks = graft.operators.BpeTrainer
         .encode(vocab.select(col("w")), "w", merges)
         .select(col("w"), size(col("toks")).as("ntok"))

@@ -39,6 +39,29 @@ class BpeTrainerSpec extends SparkSpec {
     assert(toks == Seq("aa", "a"))
   }
 
+  test("trainLocal matches the sequential trainer merge-for-merge") {
+    import spark.implicits._
+    val (m1, _) = BpeTrainer.train(vocab(), "w", "f", rounds = 3)
+    val (m2, _) = BpeTrainer.trainLocal(vocab(), "w", "f", rounds = 3)
+    assert(m2 == m1)
+
+    // 100-merge property on a deterministic 60-word vocabulary (base-4
+    // digit strings, mixed lengths/frequencies): identical merge
+    // sequence AND identical tokenized vocabulary, including identical
+    // early-stop when the pair supply runs dry.
+    val big = (0 until 60)
+      .map(i => (java.lang.Integer.toString(i * 7 + 13, 4), (i % 9 + 1).toLong))
+      .toDF("w", "f")
+    val (s1, t1) = BpeTrainer.train(big, "w", "f", rounds = 100)
+    val (s2, t2) = BpeTrainer.trainLocal(big, "w", "f", rounds = 100)
+    assert(s2 == s1,
+      s"diverged at ${s1.zip(s2).indexWhere(p => p._1 != p._2)}: " +
+        s"${s1.take(5)}... vs ${s2.take(5)}...")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getAs[collection.Seq[String]]("toks")).toMap
+    assert(toMap(t1) == toMap(t2))
+  }
+
   test("encode with the trained merge table reproduces the trained tokenization") {
     val (merges, trained) = BpeTrainer.train(vocab(), "w", "f", rounds = 3)
     val enc = BpeTrainer.encode(vocab().select(col("w")), "w", merges)
