@@ -73,7 +73,12 @@ object Bench {
     "q163_best_match", // fuzzy-join linkage + best-match resolution
     "q184_macro_f1_kappa", // confusion-cell eval reduction
     "q185_global_factor_index", // iterative integer factor extraction
-    "q187_bootstrap_eval") // balanced bootstrap explode + per-fold eval
+    "q187_bootstrap_eval", // balanced bootstrap explode + per-fold eval
+    "q188_factor_fit", // per-series factor fit diagnostics
+    "q190_dup_spans", // substring-dup span masking (gaps-and-islands)
+    "q191_topic_sentiment", // per-(country, topic) z-scored daily index
+    "q192_set_diversity", // mean-max cosine diversity vs random baseline
+    "q193_bpe_encode") // corpus BPE encode with broadcast merge ranks
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

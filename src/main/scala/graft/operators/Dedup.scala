@@ -63,9 +63,13 @@ object Dedup {
     * hashing per perm/band and explode codegen compile time (measured 51s
     * on the sf0.1 bench vs ~1s this way).
     */
-  def bandKeysRows(
+  /** Per-doc signature frame `(doc, s0..s{numPerms-1})` via the exploded
+    * min-aggregate path (one md5 per shingle total — see `bandKeysRows`'s
+    * codegen note). Shared by LSH banding and the estimator-accuracy
+    * measurement (q195).
+    */
+  def signatures(
       docs: DataFrame, idCol: String, textCol: String, p: MinHashParams): DataFrame = {
-    val rows = p.numPerms / p.bands
     val hsRows = docs
       .where(size(TextFunctions.tokens(col(textCol))) >= p.shingleSize)
       .select(col(idCol).as("doc"),
@@ -75,7 +79,13 @@ object Dedup {
       val a = 2L * i + 1; val b = 98765L * i + 12345L
       min((col("h") * a + b) % p.prime).as(s"s$i")
     }
-    val sig = hsRows.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+    hsRows.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def bandKeysRows(
+      docs: DataFrame, idCol: String, textCol: String, p: MinHashParams): DataFrame = {
+    val rows = p.numPerms / p.bands
+    val sig = signatures(docs, idCol, textCol, p)
     val bandStructs = (0 until p.bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"s${bnd * rows + r}")): _*).as("key"))

@@ -1131,6 +1131,133 @@ object Training {
           max("ntok").cast("long").as("max_word_toks"))
     }),
 
+    // Multilingual temperature sampling (the XLM-R / mBERT mixture rule:
+    // sample language l with q_l ∝ p_l^α, α = 0.3, flattening the size
+    // distribution so low-resource languages are up-sampled). N cancels
+    // in q_l = n_l^α / Σ n_l^α; each n^α is floored to an integer e9
+    // unit BEFORE the cross-language sum, so the normalization is an
+    // exact integer division in both engines (a double Σ pow would be
+    // association-order-dependent), and boost_e3 = q/p is a division of
+    // the two already-truncated integers. Scale shape: one key-shuffle
+    // groupBy (#langs rows) + a 1-row broadcast — corpus pass is
+    // map-side countable.
+    "q194_temperature_mix" -> ((s, d) => {
+      val perLang = t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("pow_e9",
+          floor(pow(col("n_docs").cast("double"), 0.3) * 1e9).cast("long"))
+      val tot = perLang.agg(sum("n_docs").as("n_total"), sum("pow_e9").as("spow_e9"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_docs * 1000000) div n_total").as("p_e6"),
+          expr("(pow_e9 * 1000000) div spow_e9").as("q_e6"))
+        .withColumn("boost_e3", expr("(q_e6 * 1000) div p_e6"))
+    }),
+
+    // MinHash estimator accuracy — the Broder estimate measured against
+    // ground truth: for every LSH candidate pair, signature agreement
+    // ĵ = |{i : sig_i(A) = sig_i(B)}| / numPerms vs the exact
+    // distinct-shingle Jaccard. This is the calibration a pipeline runs
+    // before trusting an LSH threshold on a new corpus. Signatures come
+    // from the same exploded min-aggregate path as banding (inlining 32
+    // re-hashes into one expression is the measured codegen blowup), the
+    // candidate set bounds the quadratic term, and exact Jaccard touches
+    // only candidate pairs' shingle sets.
+    "q195_minhash_accuracy" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", p)
+      val sig = Dedup.signatures(docs, "doc_id", "text", p)
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc") "id1" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc") "id2" else s"b_$c"): _*)
+      val sh = docs.where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      val nEq = (0 until p.numPerms)
+        .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs
+        .join(sa, "id1").join(sb, "id2")
+        .withColumn("n_eq", nEq)
+        .select(col("id1"), col("id2"), col("n_eq"))
+        .join(sh.select(col("doc_id").as("id1"), col("shs").as("sh1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("sh2")), "id2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn("uni",
+          size(col("sh1")).cast("long") + size(col("sh2")).cast("long") - col("inter"))
+        .select(col("id1"), col("id2"),
+          expr(s"(n_eq * 1000000) div ${p.numPerms}").as("est_e6"),
+          expr("(inter * 1000000) div uni").as("true_e6"),
+          abs(expr(s"(n_eq * 1000000) div ${p.numPerms}") -
+            expr("(inter * 1000000) div uni")).as("err_e6"))
+    }),
+
+    // Gopher-style quality rule suite (the published pretraining-corpus
+    // format heuristics: word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio, alphabetic-word fraction, stopword
+    // presence) — each rule a NAMED boolean so per-rule pass rates are
+    // auditable, not just the final verdict. Every comparison is an
+    // integer cross-multiplication (no float ratios), so the oracle
+    // replays the booleans exactly. Map-side only — scales trivially.
+    "q196_gopher_rules" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      val nW = size(w).cast("long")
+      val sumLen = aggregate(transform(w, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val nHash = (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).cast("long")
+      val nEllipsis = ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+      val nAlphaW = size(filter(w, t => t.rlike("[a-z]"))).cast("long")
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val nStops = size(array_intersect(array_distinct(w),
+        array(gopherStops.map(lit): _*))).cast("long")
+      t(s, d, "documents").select(col("doc_id"), nW.as("n_words"),
+        (nW >= 50L && nW <= 100000L).as("rule_word_count"),
+        (sumLen >= nW * 3L && sumLen <= nW * 10L).as("rule_mean_word_len"),
+        ((nHash + nEllipsis) * 10L <= nW).as("rule_symbol_ratio"),
+        (nAlphaW * 10L >= nW * 8L).as("rule_alpha_words"),
+        (nStops >= 2L).as("rule_stopwords"))
+        .withColumn("keep",
+          col("rule_word_count") && col("rule_mean_word_len") &&
+            col("rule_symbol_ratio") && col("rule_alpha_words") &&
+            col("rule_stopwords"))
+    }),
+
+    // DSIR importance weights (data selection via hashed-ngram importance
+    // resampling): hashed bigram features (60-bit md5 mod 8192 buckets),
+    // target distribution = the src0 slice, raw = everything else;
+    // per-bucket log-likelihood ratio delta_e9 = floor(1e9·(ln p̂_t −
+    // ln p̂_r)) with add-1 smoothing, and a doc's weight is the INTEGER
+    // sum of its bigram occurrences' deltas — associative, map-side
+    // combinable. Scale shape: the corpus pass is one explode + one
+    // (doc, bucket) key shuffle; the 8192-row ratio table is a broadcast
+    // dim; totals are a 1-row broadcast. The single float op (the ln)
+    // happens once per BUCKET, not per row.
+    "q197_dsir_weights" -> ((s, d) => {
+      val nBuckets = 8192L
+      val docs = t(s, d, "documents")
+      val big = docs.where(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("text"), 2)).as("bg"))
+        .withColumn("bucket", TextFunctions.hash60(col("bg")) % nBuckets)
+      val bc = big.groupBy("bucket").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      val tot = bc.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val delta = bc.crossJoin(broadcast(tot)).select(col("bucket"),
+        floor((log((col("ct") + 1L).cast("double") /
+            (col("nt") + nBuckets).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("nr") + nBuckets).cast("double"))) * 1e9)
+          .cast("long").as("delta_e9"))
+      big.where(col("source") =!= "src0")
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+        .join(broadcast(delta), "bucket")
+        .groupBy("doc_id").agg(sum("c").as("n_bigrams"),
+          sum(col("c") * col("delta_e9")).as("logw_e9"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -1584,6 +1711,106 @@ object Training {
   }
 
   val oracles: Map[String, String] = Map(
+    "q194_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         p AS (SELECT lang, n_docs,
+                 CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.3) * 1e9) AS BIGINT)
+                   AS pow_e9
+               FROM c),
+         t AS (SELECT sum(n_docs) AS n_total, sum(pow_e9) AS spow_e9 FROM p)
+         SELECT lang, n_docs,
+           (n_docs * 1000000) // n_total AS p_e6,
+           (pow_e9 * 1000000) // spow_e9 AS q_e6,
+           (((pow_e9 * 1000000) // spow_e9) * 1000)
+             // ((n_docs * 1000000) // n_total) AS boost_e3
+         FROM p, t""",
+    "q195_minhash_accuracy" -> {
+      val p = Dedup.MinHashParams()
+      val eqSum = (0 until p.numPerms)
+        .map(i => s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         eq AS (
+           SELECT p.id1, p.id2, CAST($eqSum AS BIGINT) AS n_eq
+           FROM pairs p
+           JOIN sig sa ON sa.doc_id = p.id1
+           JOIN sig sb ON sb.doc_id = p.id2),
+         shd AS (SELECT doc_id, list_distinct(shingles) AS shs FROM sh),
+         j AS (
+           SELECT e.id1, e.id2, e.n_eq,
+             CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+             CAST(len(x.shs) + len(y.shs)
+               - len(list_intersect(x.shs, y.shs)) AS BIGINT) AS uni
+           FROM eq e
+           JOIN shd x ON x.doc_id = e.id1
+           JOIN shd y ON y.doc_id = e.id2)
+         SELECT id1, id2,
+           (n_eq * 1000000) // ${p.numPerms} AS est_e6,
+           (inter * 1000000) // uni AS true_e6,
+           abs((n_eq * 1000000) // ${p.numPerms}
+             - (inter * 1000000) // uni) AS err_e6
+         FROM j"""
+    },
+    "q196_gopher_rules" ->
+      """WITH f AS (
+           SELECT doc_id,
+             string_split(lower(text), ' ') AS w,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split(lower(text), ' '),
+               t -> len(t))) AS BIGINT) AS sum_len,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+               AS n_ellipsis,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_w,
+             CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS n_stops
+           FROM documents)
+         SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+           (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+             AS rule_mean_word_len,
+           ((n_hash + n_ellipsis) * 10 <= n_words) AS rule_symbol_ratio,
+           (n_alpha_w * 10 >= n_words * 8) AS rule_alpha_words,
+           (n_stops >= 2) AS rule_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+             AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+             AND ((n_hash + n_ellipsis) * 10 <= n_words)
+             AND (n_alpha_w * 10 >= n_words * 8)
+             AND (n_stops >= 2)) AS keep
+         FROM f""",
+    "q197_dsir_weights" ->
+      s"""WITH toks AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w)),
+               i -> concat(w[i], ' ', w[i+1]))) AS bg
+           FROM toks WHERE len(w) >= 2),
+         bk AS (SELECT doc_id, source, ${h60("bg")} % 8192 AS bucket FROM bg),
+         bc AS (
+           SELECT bucket,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+           FROM bk GROUP BY 1),
+         tt AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+         dl AS (
+           SELECT bucket,
+             CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 8192 AS DOUBLE))
+               - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 8192 AS DOUBLE))) * 1e9)
+               AS BIGINT) AS delta_e9
+           FROM bc, tt),
+         dc AS (
+           SELECT doc_id, bucket, count(*) AS c
+           FROM bk WHERE source <> 'src0' GROUP BY 1, 2)
+         SELECT doc_id, sum(c) AS n_bigrams, sum(c * delta_e9) AS logw_e9
+         FROM dc JOIN dl USING (bucket) GROUP BY 1""",
     "q179_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $minhashCtes,
          $componentCtes,

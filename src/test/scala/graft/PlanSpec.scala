@@ -208,4 +208,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q186 rank-window precision: zipWithIndex rank path, anchors broadcast") {
+    // Ranking.globalRank assigns indices via range-sort + zipWithIndex —
+    // a Window here would mean the single-partition global sort came back
+    val p = plan("q186_precision_at_rank")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188 factor fit reduces via joins — no Window, no cross product") {
+    val p = plan("q188_factor_fit")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q189 per-class rank cut runs through TopKPerKey bounded heaps") {
+    // the residual Window is partitioned by klass over the k-bounded frame;
+    // what must never appear is a single-partition exchange (global sort)
+    val p = plan("q189_precision_at_rank_by_class")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q190 dup spans: semi join back to windows, per-doc interval union only") {
+    val p = plan("q190_dup_spans")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q191 topic sentiment is key-shuffles only — no Window, no global state") {
+    val p = plan("q191_topic_sentiment")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q192 set diversity: rank cuts via zipWithIndex, pairs via broadcast") {
+    // the only Window allowed is bruteForceTopK's per-query window
+    // (partitioned by query_id); the 64-member sets ride a broadcast.
+    // (A SinglePartition exchange DOES appear — it is the final 1-row
+    // mean over the 64-row set, fed by a partial HashAggregate, which is
+    // the correct shape for a global scalar; asserting its absence would
+    // outlaw every global agg.)
+    val p = plan("q192_set_diversity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q193 bpe encode: tokenized vocab broadcasts back to the corpus") {
+    val p = plan("q193_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }

@@ -7,6 +7,11 @@ sf directory, canonicalizes both (columns sorted by name, rows sorted,
 floats rounded), and reports row/schema/value match per query.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [query ...]
+
+With GRAFT_ORACLE_JSON=<path> set, also writes the per-query results as a
+JSON artifact ({"summary": {...}, "queries": {name: status}}) — the
+committed belt-and-suspenders record for rounds where the driver's own
+CORRECTNESS artifact ships empty.
 """
 import sys, os, json, glob
 import duckdb
@@ -82,6 +87,25 @@ def main():
         flag = "PASS" if (v == "OK" or v.startswith("rows-only")) else "FAIL"
         print(f"{flag} {k}: {v}")
     print(f"== {ok}/{len(results)} pass")
+    out_json = os.environ.get("GRAFT_ORACLE_JSON")
+    if out_json:
+        import datetime
+        payload = {
+            "summary": {
+                "pass": ok,
+                "total": len(results),
+                "hash_checked": sum(1 for v in results.values() if v == "OK"),
+                "rows_only": sum(1 for v in results.values()
+                                 if v.startswith("rows-only")),
+                "sf_dir": sf_dir,
+                "checked_at": datetime.datetime.now(
+                    datetime.timezone.utc).isoformat(timespec="seconds"),
+            },
+            "queries": {k: results[k] for k in sorted(results)},
+        }
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {out_json}")
 
 if __name__ == "__main__":
     main()
