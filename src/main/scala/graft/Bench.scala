@@ -78,7 +78,10 @@ object Bench {
     "q190_dup_spans", // substring-dup span masking (gaps-and-islands)
     "q191_topic_sentiment", // per-(country, topic) z-scored daily index
     "q192_set_diversity", // mean-max cosine diversity vs random baseline
-    "q193_bpe_encode") // corpus BPE encode with broadcast merge ranks
+    "q193_bpe_encode", // corpus BPE encode with broadcast merge ranks
+    "q197_dsir_weights", // hashed-bigram importance weights
+    "q198_ccnet_buckets", // perplexity head/middle/tail partition
+    "q200_contamination_report") // multi-benchmark contamination rates
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -639,21 +639,85 @@ object Training {
     // merge-order-dependent; folds over a sorted list are not). Join of
     // token positions with unigram counts is linear; per-doc state is the
     // doc's own token list, bounded by document length.
-    "q127_perplexity" -> ((s, d) => {
-      val tok = t(s, d, "documents").select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
-      val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
-      val tot = uni.agg(sum("c").as("n_tokens_total"))
-      tok.join(uni, "term")
-        .crossJoin(broadcast(tot))
-        .withColumn("lnp", log(col("n_tokens_total").cast("double") / col("c")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
-            x => x.getField("lnp")).as("ls"))
-        .select(col("doc_id"), col("n_tok"),
-          floor(aggregate(col("ls"), lit(0.0d), (acc, x) => acc + x)
-            / col("n_tok") * 1e6).cast("long").as("avg_nll_e6"))
+    "q127_perplexity" -> ((s, d) => docNll(s, d)),
+
+    // CCNet-style perplexity partition: rank every document by its
+    // unigram-LM avg NLL (q127's per-doc score) and split the corpus into
+    // head / middle / tail THIRDS by rank share — the published CCNet
+    // quality partition, where "head" (lowest perplexity) feeds
+    // pretraining first. Rank-share thresholds instead of score
+    // quantiles: integer-exact cross-engine (no interpolated percentile
+    // semantics to match) and the ranking runs through the scalable
+    // zipWithIndex path, not a single-partition window.
+    "q198_ccnet_buckets" -> ((s, d) => {
+      val nll = docNll(s, d).select("doc_id", "avg_nll_e6")
+      val ranked = graft.operators.Ranking.globalRank(
+        nll, "rnk", asc("avg_nll_e6"), asc("doc_id"))
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket", when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle").otherwise("tail"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(avg_nll_e6) div count(1)").as("mean_nll_e6"),
+          min("avg_nll_e6").as("min_nll_e6"),
+          max("avg_nll_e6").as("max_nll_e6"))
+    }),
+
+    // Incremental append dedup — the production cadence where a NEW batch
+    // arrives against an existing fingerprint STORE (here: doc_id < 250 is
+    // the store, the rest is the batch): each batch doc is flagged as a
+    // duplicate of the store, an intra-batch duplicate (not the batch's
+    // first holder of its fingerprint), and gets the composed keep
+    // verdict. Scale shape: the store side is a distinct-fingerprint
+    // equi-join (the Bloom pre-filter of q109 is the 100-TB variant when
+    // the store dwarfs the batch); intra-batch firsts are one key shuffle
+    // over the batch only. Nothing rescans the store's documents — only
+    // its fingerprint index.
+    "q199_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = TextFunctions.fingerprint(col("text"))
+      val store = docs.where(col("doc_id") < 250)
+        .select(fp.as("fp")).distinct().withColumn("in_store", lit(true))
+      val batch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), fp.as("fp"))
+      val firsts = batch.groupBy("fp").agg(min("doc_id").as("first_id"))
+      batch.join(store, Seq("fp"), "left")
+        .join(firsts, "fp")
+        .select(col("doc_id"),
+          coalesce(col("in_store"), lit(false)).as("dup_of_store"),
+          (col("doc_id") =!= col("first_id")).as("dup_in_batch"))
+        .withColumn("keep", !col("dup_of_store") && !col("dup_in_batch"))
+    }),
+
+    // Multi-benchmark contamination report — q107 generalized to SEVERAL
+    // eval sets at once (src0 and src1 stand in for two benchmarks): per
+    // (training source, benchmark), how many docs cross the 10% shared-
+    // shingle threshold and the contamination rate in micro-units. The
+    // report a corpus release publishes per benchmark. Scale shape:
+    // benchmark shingles ride ONE tagged broadcast (eval sets are tiny
+    // next to the corpus), the corpus explodes once, and everything
+    // reduces by (doc, bench) then (source, bench) key shuffles.
+    "q200_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def sh(df: DataFrame) = df
+        .where(size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+      val benches = sh(docs.where(col("source").isin("src0", "src1")))
+        .select(col("source").as("bench"), col("sh")).distinct()
+      val train = sh(docs.where(!col("source").isin("src0", "src1")))
+      val docTotals = train.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_shingles"))
+      val perSource = docTotals.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      train.join(broadcast(benches), "sh")
+        .groupBy("doc_id", "bench").agg(count(lit(1)).as("n_shared"))
+        .join(docTotals, "doc_id")
+        .where(col("n_shared") * 10 >= col("n_shingles"))
+        .groupBy("source", "bench").agg(count(lit(1)).as("n_contaminated"))
+        .join(perSource, "source")
+        .select(col("source"), col("bench"), col("n_docs"), col("n_contaminated"),
+          expr("(n_contaminated * 1000000) div n_docs").as("rate_e6"))
     }),
 
     // Integer PageRank (3 fixed iterations, damping 0.85) over the LSH
@@ -1300,6 +1364,53 @@ object Training {
     }))
 
   // ---- oracle SQL ----
+
+  /** Shared oracle CTEs for the per-doc unigram NLL (q127, q198): tok →
+    * uni → tot → j → agg → nll(doc_id, n_tok, avg_nll_e6). Mirror of
+    * `docNll` (pinned position-order IEEE fold).
+    */
+  private val nllCtes: String =
+    """tok AS (
+           SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+             unnest(w) AS term
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total FROM uni),
+         j AS (
+           SELECT doc_id, pos,
+             ln(CAST(n_tokens_total AS DOUBLE) / c) AS lnp
+           FROM tok JOIN uni USING (term), tot),
+         agg AS (
+           SELECT doc_id, count(*) AS n_tok, list(lnp ORDER BY pos) AS ls
+           FROM j GROUP BY 1),
+         nll AS (
+           SELECT doc_id, n_tok,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls),
+               (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS avg_nll_e6
+           FROM agg)"""
+
+  /** Per-doc unigram-LM negative log likelihood (q127's score; also the
+    * input to the q198 CCNet partition): NLL terms are summed in pinned
+    * position order (collect_list sorted by pos) so the IEEE fold matches
+    * the oracle's ORDER BY pos list fold exactly.
+    */
+  private def docNll(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents").select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n_tokens_total"))
+    tok.join(uni, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lnp", log(col("n_tokens_total").cast("double") / col("c")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+          x => x.getField("lnp")).as("ls"))
+      .select(col("doc_id"), col("n_tok"),
+        floor(aggregate(col("ls"), lit(0.0d), (acc, x) => acc + x)
+          / col("n_tok") * 1e6).cast("long").as("avg_nll_e6"))
+  }
 
   private def hitsSql(words: Seq[String]) = {
     val list = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -2081,24 +2192,62 @@ object Training {
            CAST(floor(score * 1000000.0) AS BIGINT) AS score_e6
          FROM scored ORDER BY score DESC, doc_id LIMIT 50""",
     "q127_perplexity" ->
-      """WITH tok AS (
-           SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
-             unnest(w) AS term
-           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
-                 FROM documents)),
-         uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
-         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total FROM uni),
-         j AS (
-           SELECT doc_id, pos,
-             ln(CAST(n_tokens_total AS DOUBLE) / c) AS lnp
-           FROM tok JOIN uni USING (term), tot),
-         agg AS (
-           SELECT doc_id, count(*) AS n_tok, list(lnp ORDER BY pos) AS ls
-           FROM j GROUP BY 1)
-         SELECT doc_id, n_tok,
-           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ls),
-             (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS avg_nll_e6
-         FROM agg""",
+      s"""WITH $nllCtes
+         SELECT doc_id, n_tok, avg_nll_e6 FROM nll""",
+    "q198_ccnet_buckets" ->
+      s"""WITH $nllCtes,
+         r AS (
+           SELECT doc_id, avg_nll_e6,
+             row_number() OVER (ORDER BY avg_nll_e6, doc_id) AS rnk,
+             count(*) OVER () AS n
+           FROM nll)
+         SELECT CASE WHEN rnk * 3 <= n THEN 'head'
+                     WHEN rnk * 3 <= n * 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           sum(avg_nll_e6) // count(*) AS mean_nll_e6,
+           min(avg_nll_e6) AS min_nll_e6,
+           max(avg_nll_e6) AS max_nll_e6
+         FROM r GROUP BY 1""",
+    "q199_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         store AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250),
+         batch AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250),
+         firsts AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY 1)
+         SELECT b.doc_id,
+           (s.fp IS NOT NULL) AS dup_of_store,
+           (b.doc_id <> fi.first_id) AS dup_in_batch,
+           (s.fp IS NULL AND b.doc_id = fi.first_id) AS keep
+         FROM batch b
+         LEFT JOIN store s ON s.fp = b.fp
+         JOIN firsts fi ON fi.fp = b.fp""",
+    "q200_contamination_report" ->
+      """WITH sh AS (
+           SELECT doc_id, source, unnest(list_distinct(
+             list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS sh
+           FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         benches AS (
+           SELECT DISTINCT source AS bench, sh FROM sh
+           WHERE source IN ('src0', 'src1')),
+         train AS (SELECT * FROM sh WHERE source NOT IN ('src0', 'src1')),
+         dt AS (
+           SELECT doc_id, source, count(*) AS n_shingles
+           FROM train GROUP BY 1, 2),
+         ps AS (SELECT source, count(*) AS n_docs FROM dt GROUP BY 1),
+         hits AS (
+           SELECT t.doc_id, b.bench, count(*) AS n_shared
+           FROM train t JOIN benches b USING (sh) GROUP BY 1, 2),
+         cont AS (
+           SELECT d.source, h.bench, count(*) AS n_contaminated
+           FROM hits h JOIN dt d USING (doc_id)
+           WHERE h.n_shared * 10 >= d.n_shingles
+           GROUP BY 1, 2)
+         SELECT c.source, c.bench, p.n_docs, c.n_contaminated,
+           (c.n_contaminated * 1000000) // p.n_docs AS rate_e6
+         FROM cont c JOIN ps p USING (source)""",
     "q136_fuzzy_join" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed
