@@ -81,7 +81,9 @@ object Bench {
     "q193_bpe_encode", // corpus BPE encode with broadcast merge ranks
     "q197_dsir_weights", // hashed-bigram importance weights
     "q198_ccnet_buckets", // perplexity head/middle/tail partition
-    "q200_contamination_report") // multi-benchmark contamination rates
+    "q200_contamination_report", // multi-benchmark contamination rates
+    "q201_repetition_rules", // Gopher repetition rules (bigram/5-gram)
+    "q202_zipf_fit") // per-source Zipf slope over TopKPerKey top-100
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
