@@ -85,10 +85,14 @@ object FuzzyJoin {
     // compute the distance ONCE: filter and project are separate
     // operators, so codegen CSE would not span a levenshtein in the
     // .where and another in the .select — each surviving pair would pay
-    // the O(l1*l2) DP twice.
+    // the DP twice. The THRESHOLDED built-in runs the banded O(k·l)
+    // recurrence with early exit instead of the full O(l1·l2) table
+    // (returns -1 above the threshold — same accept set, and the kept
+    // distances are exact, so oracles replaying unthresholded
+    // levenshtein(...) <= k agree).
     viaPrefix.union(viaShorts).distinct()
-      .withColumn("ed", levenshtein(col("n1"), col("n2")).cast("long"))
-      .where(col("ed") <= k)
+      .withColumn("ed", levenshtein(col("n1"), col("n2"), k).cast("long"))
+      .where(col("ed") >= 0L)
       .select("id1", "id2", "ed")
   }
 }
