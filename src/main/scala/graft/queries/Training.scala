@@ -110,14 +110,17 @@ object Training {
       val scored = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
         floor(element_at(col("embedding"), 1).cast("double") * 1e6)
           .cast("long").as("score_e6"))
+      // persisted: meanMaxCos uses each 64-row set as BOTH sides of its
+      // self-top-1 — unpersisted, the rank chain (sort + zipWithIndex)
+      // would replay per side. Harness clearCache releases them.
       val sel = graft.operators.Ranking
         .globalRank(scored, "rnk", desc("score_e6"), asc("vec_id"))
-        .where(col("rnk") <= 64).select("vec_id", "embedding")
+        .where(col("rnk") <= 64).select("vec_id", "embedding").persist()
       val rnd = graft.operators.Ranking
         .globalRank(scored.withColumn("h",
             TextFunctions.hash60(col("vec_id").cast("string"))),
           "rnk", asc("h"), asc("vec_id"))
-        .where(col("rnk") <= 64).select("vec_id", "embedding")
+        .where(col("rnk") <= 64).select("vec_id", "embedding").persist()
       Similarity.meanMaxCos(sel).select(lit("selected").as("set_name"),
           col("n"), col("mean_max_cos_e6"))
         .unionAll(Similarity.meanMaxCos(rnd).select(lit("random").as("set_name"),
@@ -362,6 +365,10 @@ object Training {
     // (gaps-and-islands by running max of span ends) — nothing global.
     "q190_dup_spans" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // persisted (the q197 pattern): the hashed-window stream feeds the
+      // duplicate-hash groupBy AND the semi join back — unpersisted, the
+      // explode + per-window md5 would run twice. Harness clearCache
+      // releases it.
       val wins = t(s, d, "documents")
         .where(length(col("text")) >= 48)
         .select(col("doc_id"),
@@ -369,6 +376,7 @@ object Training {
           col("text"))
         .select(col("doc_id"), col("pos"),
           TextFunctions.hash60(expr("substring(text, pos, 48)")).as("h"))
+        .persist()
       val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
         .where(col("n") > 1).select("h")
       val spans = wins.join(dup, Seq("h"), "left_semi")
@@ -650,10 +658,13 @@ object Training {
     // semantics to match) and the ranking runs through the scalable
     // zipWithIndex path, not a single-partition window.
     "q198_ccnet_buckets" -> ((s, d) => {
-      val nll = docNll(s, d).select("doc_id", "avg_nll_e6")
+      // persist the per-doc NLL: it feeds the rank chain AND the corpus
+      // count (which deliberately reads nll, not ranked — counting must
+      // not replay the sort+zipWithIndex). Harness clearCache releases it.
+      val nll = docNll(s, d).select("doc_id", "avg_nll_e6").persist()
       val ranked = graft.operators.Ranking.globalRank(
         nll, "rnk", asc("avg_nll_e6"), asc("doc_id"))
-      val tot = ranked.agg(count(lit(1)).as("n"))
+      val tot = nll.agg(count(lit(1)).as("n"))
       ranked.crossJoin(broadcast(tot))
         .withColumn("bucket", when(col("rnk") * 3 <= col("n"), "head")
           .when(col("rnk") * 3 <= col("n") * 2, "middle").otherwise("tail"))
