@@ -1413,6 +1413,66 @@ object Training {
           .cast("long").as("intercept_e6"))
     }),
 
+    // Language-ID confidence margin — the production companion of q52:
+    // per-language stopword scores sorted, best vs runner-up, and a
+    // low-confidence flag (margin < 2 or no signal) marking docs a real
+    // pipeline routes to a heavier classifier. Map-side only; the score
+    // sort is a 4-element in-row array sort.
+    "q203_langid_margin" -> ((s, d) => {
+      val hits = TextFunctions.langStopwords.map { case (_, ws) =>
+        TextFunctions.stopwordHits(col("text"), ws).cast("long")
+      }
+      val sorted = sort_array(array(hits: _*), asc = false)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("pred_lang"),
+          element_at(sorted, 1).as("best"),
+          element_at(sorted, 2).as("second"))
+        .withColumn("margin", col("best") - col("second"))
+        .withColumn("confident", col("best") > 0L && col("margin") >= 2L)
+    }),
+
+    // Stratified eval-set draw: per (lang, length-bucket) stratum take
+    // the k=5 content-hash-smallest docs — a deterministic, reshard-
+    // stable balanced evaluation sample (the q108/q105 hash-sampling
+    // principle applied per stratum). The per-stratum cut runs through
+    // the TopKPerKey bounded-heap operator — no per-stratum sort, no
+    // global sort, scales to any stratum count.
+    "q204_eval_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 100").as("len_bucket"),
+          TextFunctions.hash60(col("text")).as("h"))
+      graft.plans.TopKPerKey(
+          docs, Seq("lang", "len_bucket"), Seq(asc("h"), asc("doc_id")), k = 5)
+        .select("doc_id", "lang", "len_bucket")
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): for each
+    // query vector, the top-5 most-similar embeddings with a DIFFERENT
+    // label — the negatives that actually move a contrastive loss. Same
+    // broadcast + per-query bounded window shape as q61; the label
+    // inequality rides the broadcast join condition, and self is excluded
+    // by its own label.
+    "q205_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id").isin(10L, 20L, 30L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      e.withColumn("nrm", Similarity.norm2("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"), col("nrm"), col("qn")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neg_id"), col("rnk"),
+          floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2013,6 +2073,55 @@ object Training {
            FROM bk WHERE source <> 'src0' GROUP BY 1, 2)
          SELECT doc_id, sum(c) AS n_bigrams, sum(c * delta_e9) AS logw_e9
          FROM dc JOIN dl USING (bucket) GROUP BY 1""",
+    "q203_langid_margin" -> {
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+         s AS (
+           SELECT doc_id, h_en, h_es, h_fr, h_de,
+             greatest(h_en, h_es, h_fr, h_de) AS mx,
+             list_sort([h_en, h_es, h_fr, h_de], 'DESC') AS sc
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS pred_lang,
+           CAST(sc[1] AS BIGINT) AS best,
+           CAST(sc[2] AS BIGINT) AS second,
+           CAST(sc[1] - sc[2] AS BIGINT) AS margin,
+           (sc[1] > 0 AND sc[1] - sc[2] >= 2) AS confident
+         FROM s"""
+    },
+    "q204_eval_sample" ->
+      s"""WITH f AS (
+           SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             ${h60("text")} AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, len_bucket,
+             row_number() OVER (PARTITION BY lang, len_bucket
+                                ORDER BY h, doc_id) AS rn
+           FROM f)
+         SELECT doc_id, lang, len_bucket FROM r WHERE rn <= 5""",
+    "q205_hard_negatives" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.query_id, e.vec_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.label <> q.qlabel),
+         r AS (
+           SELECT query_id, vec_id AS neg_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM c)
+         SELECT query_id, neg_id, rnk,
+           CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+         FROM r WHERE rnk <= 5""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
