@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         cs(1).eval().asInstanceOf[Number].intValue))
 
     ext.injectOptimizerRule(_ => RectContainsToRange)
+    ext.injectOptimizerRule(_ => WindowTopKToTopKPerKey)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
   }
 }
