@@ -585,6 +585,35 @@ object Analysis {
     // each scan, the customer dim broadcasts, and the top-10 is a bounded
     // TakeOrderedAndProject (never a global sort). Decimal revenue for
     // cross-engine exactness, ties broken on the group keys.
+    // TPC-H Q7 shape (volume shipping): revenue between two nations by
+    // direction and ship year — a 5-table join where BOTH nation dims
+    // broadcast (so the two big fact joins are the only shuffles), the
+    // date range pushes into the lineitem scan, and the symmetric
+    // nation-pair predicate applies after the cheap dim joins. Decimal
+    // money arithmetic as in q141.
+    "q206_tpch_q7" -> ((s, d) => {
+      val vol = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))).cast("double")
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
+        .agg(vol.as("revenue"), count(lit(1)).as("n"))
+    }),
+
     "q141_tpch_q3" -> ((s, d) => {
       val rev = sum((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
@@ -833,6 +862,24 @@ object Analysis {
            week - cohort_week AS weeks_since
          FROM ev JOIN first USING (user_id)
          GROUP BY 1, 2""",
+    "q206_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
     "q141_tpch_q3" ->
       """SELECT o_orderkey, o_orderpriority,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -258,6 +258,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q206 tpch q7: nation dims broadcast, ship-date range reaches the scan") {
+    val p = plan("q206_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
   test("q193 bpe encode: tokenized vocab broadcasts back to the corpus") {
     val p = plan("q193_bpe_encode")
     assert(p.contains("BroadcastHashJoin"), p)
