@@ -33,8 +33,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Like the window form itself, results are deterministic only under a
   * total order (tie-break column): with ties, both plans keep an
   * arbitrary-but-valid k-subset.
+  *
+  * OPT-IN (`spark.sql.graft.topkRewrite=true`, default off): whether the
+  * heap beats the sort depends on rows-per-key, which the optimizer
+  * cannot see without column stats. With heavy fan-in per key (the
+  * group-sampling shape) the heap caps shuffle volume at k per (key,
+  * partition) and wins big; at ~k rows per key (e.g. the Ed-Join prefix
+  * cut: 1-2 grams per string id) the per-key heap machinery loses to the
+  * codegen sort — measured 8x WORSE on q163 when this fired untargeted.
+  * So the rewrite is a per-workload switch; plans that know their
+  * fan-in call `TopKPerKey(...)` directly (q95/q112/q134/q189/q202).
   */
 object WindowTopKToTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ConfKey = "spark.sql.graft.topkRewrite"
 
   private val runningRowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
@@ -50,7 +62,9 @@ object WindowTopKToTopKPerKey extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    else plan.transformUp {
     case p @ Project(projList,
         Filter(cond,
           Window(Seq(al @ Alias(WindowExpression(RowNumber(), spec), _)),

@@ -291,6 +291,45 @@ object Evals {
           expr("(n_pos * 1000000) div n").as("precision_e6"))
     }),
 
+    // Per-series autocorrelation (lags 1-3) of the daily panel — the
+    // persistence diagnostic an economist runs on an indicator before
+    // trusting a factor model on it. Sample ACF with the full-series
+    // mean/variance: r_k = (Σ x_t·x_{t+k} − x̄·(Σ_head + Σ_tail) +
+    // n_k·x̄²) / (Σx² − n·x̄²), every Σ an exact integer from one daily
+    // aggregation (pairs matched by day+k equi-join, so calendar gaps
+    // shrink n_k identically in both engines), and the final ratio ONE
+    // pinned double expression floored to e6. Scale shape: the corpus
+    // pass is the daily groupBy; the lag join is a (c, day) key shuffle
+    // against a 3-row broadcast lag dim; stats are K-row frames.
+    "q207_autocorr" -> ((s, d0) => {
+      import s.implicits._
+      val daily = t(s, d0, "events").select(col("event_type").as("c"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("c", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
+        .persist()
+      val stats = daily.groupBy("c").agg(count(lit(1)).as("n"),
+        sum("m_e2").as("sx"), sum(col("m_e2") * col("m_e2")).as("sxx"))
+      val lags = Seq(1L, 2L, 3L).toDF("k")
+      val a = daily.select(col("c"), col("day"), col("m_e2").as("x"))
+      val b = daily.select(col("c").as("bc"), col("day").as("bday"),
+        col("m_e2").as("y"))
+      val pairs = a.crossJoin(broadcast(lags))
+        .join(b, col("c") === col("bc") && col("day") + col("k") === col("bday"))
+        .groupBy("c", "k")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("x") * col("y")).as("cross"),
+          sum("x").as("sh"), sum("y").as("st"))
+      val xbar = d(col("sx")) / d(col("n"))
+      val den = d(col("sxx")) - d(col("n")) * xbar * xbar
+      val num = d(col("cross")) - xbar * (d(col("sh")) + d(col("st"))) +
+        d(col("n_pairs")) * xbar * xbar
+      pairs.join(stats, "c")
+        .where(den > 0.0)
+        .select(col("c"), col("k"), col("n_pairs"),
+          floor(num / den * 1e6).cast("long").as("acf_e6"))
+    }),
+
     // Topic-level LOCAL sentiment index (2_sentiment_local.do): raw topic
     // tags are normalized by the reference's rename chain
     // (2_sentiment_local.do:27-50: commodity→comm, monetary→money,
@@ -390,6 +429,43 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q207_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m_e2
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT c, count(*) AS n, CAST(sum(m_e2) AS BIGINT) AS sx,
+             CAST(sum(m_e2 * m_e2) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1),
+         lags AS (SELECT unnest([1, 2, 3]) AS k),
+         pairs AS (
+           SELECT a.c, l.k, count(*) AS n_pairs,
+             CAST(sum(a.m_e2 * b.m_e2) AS BIGINT) AS cross_s,
+             CAST(sum(a.m_e2) AS BIGINT) AS sh,
+             CAST(sum(b.m_e2) AS BIGINT) AS st
+           FROM daily a CROSS JOIN lags l
+           JOIN daily b ON a.c = b.c AND a.day + l.k = b.day
+           GROUP BY 1, 2)
+         SELECT p.c, CAST(p.k AS BIGINT) AS k, p.n_pairs,
+           CAST(floor(
+             (CAST(cross_s AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+               + CAST(n_pairs AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(sxx AS DOUBLE)
+               - CAST(n AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1e6) AS BIGINT) AS acf_e6
+         FROM pairs p JOIN stats s USING (c)
+         WHERE CAST(sxx AS DOUBLE)
+           - CAST(n AS DOUBLE)
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0""",
     "q184_macro_f1_kappa" ->
       s"""WITH scored0 AS (
            SELECT 0 AS fold, CAST(label % 3 AS BIGINT) AS t,
