@@ -330,6 +330,36 @@ object Evals {
           floor(num / den * 1e6).cast("long").as("acf_e6"))
     }),
 
+    // CUSUM mean-drift detection per daily series (Page's cumulative-sum
+    // chart, the no-reset form): cs_t = Σ_{τ≤t}(x_τ − x̄), kept EXACTLY
+    // integer by scaling deviations by n (x_t·n − Σx), flagged where
+    // |cs_t/n| exceeds 4σ — the structural-break screen an economist
+    // runs before trusting a z-scored indicator (complements q182's
+    // rolling-median spike detector, which catches outliers, not drift).
+    // Scale shape: one daily groupBy; the cumsum window partitions by
+    // series key; the flag compare is one pinned double expression.
+    "q208_cusum" -> ((s, d0) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = t(s, d0, "events").select(col("event_type").as("c"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("c", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
+      val st = daily.groupBy("c").agg(count(lit(1)).as("n"),
+        sum("m_e2").as("sx"), sum(col("m_e2") * col("m_e2")).as("sxx"))
+      val xbar = d(col("sx")) / d(col("n"))
+      val varD = (d(col("sxx")) - d(col("n")) * xbar * xbar) / d(col("n"))
+      daily.join(st, "c")
+        .withColumn("dev", col("m_e2") * col("n") - col("sx"))
+        .withColumn("cs", sum("dev").over(w))
+        .where(varD > 0.0)
+        .select(col("c"), col("day"), col("cs"),
+          (abs(d(col("cs")) / d(col("n"))) > lit(4.0) * sqrt(varD))
+            .as("drift_flag"))
+    }),
+
     // Topic-level LOCAL sentiment index (2_sentiment_local.do): raw topic
     // tags are normalized by the reference's rename chain
     // (2_sentiment_local.do:27-50: commodity→comm, monetary→money,
@@ -429,6 +459,34 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q208_cusum" ->
+      """WITH daily AS (
+           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m_e2
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT c, count(*) AS n, CAST(sum(m_e2) AS BIGINT) AS sx,
+             CAST(sum(m_e2 * m_e2) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1),
+         j AS (
+           SELECT d.c, d.day, n, sx, sxx,
+             sum(d.m_e2 * n - sx) OVER (PARTITION BY d.c ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+           FROM daily d JOIN st USING (c))
+         SELECT c, day, CAST(cs AS BIGINT) AS cs,
+           (abs(CAST(cs AS DOUBLE) / CAST(n AS DOUBLE)) >
+             4.0 * sqrt((CAST(sxx AS DOUBLE)
+               - CAST(n AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               / CAST(n AS DOUBLE))) AS drift_flag
+         FROM j
+         WHERE (CAST(sxx AS DOUBLE)
+           - CAST(n AS DOUBLE)
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           / CAST(n AS DOUBLE) > 0""",
     "q207_autocorr" ->
       """WITH daily AS (
            SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
