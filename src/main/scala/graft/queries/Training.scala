@@ -525,6 +525,39 @@ object Training {
             .as("est_in_band"))
     }),
 
+    // Heavy-hitter PHRASES per source — the q115 Misra-Gries guarantee
+    // check under GROUPING: one sketch per source via the custom
+    // TypedImperativeAggregate's partial-merge path inside a hash
+    // aggregate (the shape that matters at 100 TB: sketches combine
+    // map-side per group, no exact per-phrase shuffle needed for the
+    // report). Verified the q115 way — every phrase above the n/k
+    // guarantee threshold must appear in its source's sketch with the
+    // estimate inside the MG error band.
+    "q209_heavy_phrases_by_source" -> ((s, d) => {
+      val kCap = 30
+      val phrases = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(col("source"), explode(Dedup.shingles(col("text"), 2)).as("p"))
+        .persist()
+      val exact = phrases.groupBy("source", "p").agg(count(lit(1)).as("c"))
+      val tot = phrases.groupBy("source").agg(count(lit(1)).as("n"))
+      val sketch = phrases.groupBy("source")
+        .agg(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.HeavyHittersAgg(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("p")), kCap)
+            .toAggregateExpression()).as("hh"))
+        .select(col("source"), explode(col("hh")).as("e"))
+        .select(col("source"), col("e.term").as("p"), col("e.est").as("est"))
+      exact.join(tot, "source")
+        .where(col("c") * kCap > col("n"))
+        .join(sketch, Seq("source", "p"), "left")
+        .select(col("source"), col("p"), col("c"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("c") &&
+            col("est") >= col("c") - floor(col("n") / (kCap + 1)))
+            .as("est_in_band"))
+    }),
+
     // Token-distribution entropy per document (information-theoretic
     // quality signal: near-zero = degenerate repetition, high = diverse
     // text). Float summation order is pinned on BOTH engines by folding
@@ -2588,6 +2621,20 @@ object Training {
                  -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))),
              (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS entropy_e6
          FROM agg""",
+    "q209_heavy_phrases_by_source" ->
+      """WITH bg AS (
+           SELECT source,
+             unnest(list_transform(range(1, len(w)),
+               i -> concat(w[i], ' ', w[i+1]))) AS p
+           FROM (SELECT source, string_split(lower(text), ' ') AS w
+                 FROM documents)
+           WHERE len(w) >= 2),
+         tc AS (SELECT source, p, count(*) AS c FROM bg GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                 FROM bg GROUP BY 1)
+         SELECT tc.source, p, c, TRUE AS in_sketch, TRUE AS est_in_band
+         FROM tc JOIN tot ON tc.source = tot.source
+         WHERE c * 30 > n""",
     "q115_heavy_hitters" ->
       """WITH tc AS (
            SELECT t AS term, count(*) AS c FROM (
