@@ -270,4 +270,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q194/q197 mixture & DSIR: totals and ratio tables ride broadcasts") {
+    for (q <- Seq("q194_temperature_mix", "q197_dsir_weights")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("q199 incremental dedup: fingerprint equi-joins, no global state") {
+    val p = plan("q199_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q204 stratified draw runs through TopKPerKey, not a window sort") {
+    val p = plan("q204_eval_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q209 grouped sketch: partial-merge aggregate, no per-phrase window") {
+    // the custom TypedImperativeAggregate must plan partial + final
+    // ObjectHashAggregate (map-side sketch combine), never a Window
+    val p = plan("q209_heavy_phrases_by_source")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q201/q207/q208 key-partitioned shapes: no cross product, no global exchange") {
+    for (q <- Seq("q201_repetition_rules", "q207_autocorr", "q208_cusum")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
+    }
+  }
 }
