@@ -20,6 +20,37 @@ object Training {
   private val posWords = Seq("fast", "big", "spark")
   private val negWords = Seq("slow", "small", "filter")
 
+  /** Seedlist in the reference's mixed shape
+    * (`twitter-analytics/code/3-model_evaluation/preliminary/
+    * check_presence_seedlist_keyword.py:44-75`): plain n-gram substrings
+    * plus gap regexes (`[\w\s]*` between anchor words), matched over the
+    * lowercased text, regexes first. Patterns are drawn from the corpus
+    * vocabulary; the reference's are labor-market phrases.
+    */
+  private val seedNgrams = Seq("slow query", "hash join", "big table")
+  private val seedRegexes =
+    Seq("fast[\\w\\s]* scan", "(^|\\W)sort[\\w\\s]* merge", "stream[\\w\\s]* batch")
+
+  /** (n_regex_hits, n_ngram_hits, flag) columns of the seedlist match —
+    * shared by q210 (tagging) and q211 (recall along the rank cut).
+    */
+  private def seedlistCols: (Column, Column, Column) = {
+    val tl = lower(col("text"))
+    val rx = seedRegexes.map(p => tl.rlike(p).cast("long")).reduce(_ + _)
+    val ng = seedNgrams.map(p => tl.contains(p).cast("long")).reduce(_ + _)
+    (rx, ng, ((rx > 0) || (ng > 0)).cast("long"))
+  }
+
+  private def seedlistSql: (String, String, String) = {
+    val rx = seedRegexes
+      .map(p => s"CAST(regexp_matches(lower(text), '$p') AS BIGINT)")
+      .mkString("(", " + ", ")")
+    val ng = seedNgrams
+      .map(p => s"CAST(contains(lower(text), '$p') AS BIGINT)")
+      .mkString("(", " + ", ")")
+    (rx, ng, s"CAST($rx > 0 OR $ng > 0 AS BIGINT)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID heuristic (argmax stopword hits, first-listed wins ties).
     "q52_lang_id" -> ((s, d) => {
@@ -1506,6 +1537,47 @@ object Training {
           floor(col("cos") * 1e6).cast("long").as("cos_e6"))
     }),
 
+    // Seedlist keyword tagging (the reference's pre-model baseline
+    // classifier, `check_presence_seedlist_keyword.py:24-78`): flag docs
+    // matching ANY seed pattern — gap regexes first, then plain n-gram
+    // containment, exactly the reference's regex_match_string order.
+    // Pure codegen column ops (RLIKE + Contains) — map-side only, no
+    // shuffle, the shape that tags 100 TB at scan speed. Per-family hit
+    // counts keep the flag auditable.
+    "q210_seedlist_tag" -> ((s, d) => {
+      val (rx, ng, flag) = seedlistCols
+      t(s, d, "documents").select(col("doc_id"),
+        rx.as("n_regex_hits"), ng.as("n_ngram_hits"),
+        flag.as("seedlist_keyword"))
+    }),
+
+    // Keyword-based recall along the rank cut (the reference's
+    // model-evaluation step, `recall/estimate_recall.py:64-77`: rank by
+    // model score, cut at top-k, report the share of seedlist-positive
+    // docs captured). The model score is a deterministic stand-in (hits
+    // of the positive tonal list — BERT inference itself is out of
+    // engine scope, SURVEY §2.10 F10). Rank assignment uses the scalable
+    // globalRank (range-partitioned sort + zipWithIndex, q91's pattern);
+    // the k grid and the positives total ride 1-row/4-row broadcasts.
+    "q211_keyword_recall" -> ((s, d) => {
+      import s.implicits._
+      val (_, _, flag) = seedlistCols
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        flag.as("pos"),
+        TextFunctions.stopwordHits(col("text"), posWords).cast("long")
+          .as("score"))
+        .persist()
+      val ranked = graft.operators.Ranking.globalRank(
+        docs, "rnk", desc("score"), asc("doc_id"))
+      val ks = Seq(10L, 50L, 100L, 250L).toDF("topk")
+      val tot = docs.agg(sum("pos").as("n_positives"))
+      ranked.crossJoin(broadcast(ks)).where(col("rnk") <= col("topk"))
+        .groupBy("topk").agg(sum("pos").as("n_captured"))
+        .crossJoin(broadcast(tot))
+        .select(col("topk"), col("n_captured"), col("n_positives"),
+          expr("n_captured * 1000000 div n_positives").as("recall_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2155,6 +2227,28 @@ object Training {
          SELECT query_id, neg_id, rnk,
            CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
          FROM r WHERE rnk <= 5""",
+    "q210_seedlist_tag" -> {
+      val (rx, ng, flag) = seedlistSql
+      s"""SELECT doc_id, $rx AS n_regex_hits, $ng AS n_ngram_hits,
+           $flag AS seedlist_keyword
+         FROM documents"""
+    },
+    "q211_keyword_recall" -> {
+      val (_, _, flag) = seedlistSql
+      s"""WITH f AS (
+           SELECT doc_id, $flag AS pos,
+             ${hitsSql(posWords)} AS score
+           FROM documents),
+         r AS (
+           SELECT pos, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM f),
+         tot AS (SELECT sum(pos) AS n_positives FROM f),
+         ks AS (SELECT * FROM (VALUES (10), (50), (100), (250)) v(topk))
+         SELECT CAST(topk AS BIGINT) AS topk,
+           sum(pos) AS n_captured, any_value(n_positives) AS n_positives,
+           (sum(pos) * 1000000) // any_value(n_positives) AS recall_e6
+         FROM r, ks, tot WHERE rnk <= topk GROUP BY topk"""
+    },
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
