@@ -1578,6 +1578,64 @@ object Training {
           expr("n_captured * 1000000 div n_positives").as("recall_e6"))
     }),
 
+    // SemDeDup — semantic (embedding-space) near-duplicate pruning in the
+    // published shape (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    // embeddings, compute pairwise cosine ONLY within each cluster, and
+    // among semantic duplicates (cos >= tau) keep the example LEAST
+    // similar to its centroid (the paper's keep-low-prototypicality
+    // rule; ties by id). One centroid step seeded from labels + integer
+    // argmin assignment reuse q145's exact-integer k-means machinery, so
+    // every similarity is a deterministic integer micro-unit. Scale
+    // shape: the quadratic is confined to clusters (at corpus scale k
+    // grows so cluster size stays bounded — the paper's own trick);
+    // centroids ride a broadcast; the pair join shuffles on cluster id
+    // only. The engine's lexical complement is q59/q76 MinHash dedup.
+    "q212_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val TauE6 = 250000L
+      def idot(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)")
+      val ve = t(s, d, "embeddings").select(col("vec_id"),
+        expr("""transform(embedding,
+                  v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+          .as("ve"),
+        col("label").cast("long").as("c"))
+      val cents = ve.select(col("c"), posexplode(col("ve")).as(Seq("dim", "v")))
+        .groupBy("c", "dim").agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("c")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("ce"))
+      val assigned = ve.drop("c").crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+             cast(0 as bigint), (acc, x) -> acc + x)"""))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))))
+        .where(col("rn") === 1)
+        .withColumn("n2", idot("ve", "ve"))
+        .withColumn("centsim_e6", floor(idot("ve", "ce").cast("double")
+          / (sqrt(col("n2").cast("double"))
+            * sqrt(idot("ce", "ce").cast("double"))) * 1e6).cast("long"))
+        .select(col("vec_id"), col("ve"), col("c"), col("n2"), col("centsim_e6"))
+        .persist()
+      val x = assigned.select(col("c"), col("vec_id").as("id_x"),
+        col("ve").as("ve_x"), col("n2").as("n2_x"), col("centsim_e6").as("cs_x"))
+      val y = assigned.select(col("c"), col("vec_id").as("id_y"),
+        col("ve").as("ve_y"), col("n2").as("n2_y"), col("centsim_e6").as("cs_y"))
+      val dropped = x.join(y, Seq("c")).where(col("id_x") =!= col("id_y"))
+        .withColumn("cos_e6", floor(idot("ve_x", "ve_y").cast("double")
+          / (sqrt(col("n2_x").cast("double")) * sqrt(col("n2_y").cast("double")))
+          * 1e6).cast("long"))
+        .where(col("cos_e6") >= TauE6)
+        .where(col("cs_y") < col("cs_x") ||
+          (col("cs_y") === col("cs_x") && col("id_y") < col("id_x")))
+        .select(col("id_x").as("vec_id")).distinct()
+        .withColumn("drp", lit(1L))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c"), col("centsim_e6"),
+          (lit(1L) - coalesce(col("drp"), lit(0L))).as("keep"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2248,6 +2306,51 @@ object Training {
            sum(pos) AS n_captured, any_value(n_positives) AS n_positives,
            (sum(pos) * 1000000) // any_value(n_positives) AS recall_e6
          FROM r, ks, tot WHERE rnk <= topk GROUP BY topk"""
+    },
+    "q212_semdedup" -> {
+      val rng = s"range(1, ${Similarity.Dim + 1})"
+      def idot(a: String, b: String) =
+        s"CAST(list_sum(list_transform($rng, i -> $a[i] * $b[i])) AS BIGINT)"
+      s"""WITH ve AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve,
+             CAST(label AS BIGINT) AS c
+           FROM embeddings),
+         cent AS (
+           SELECT c, list(cv ORDER BY dim) AS ce FROM (
+             SELECT c, dim, CAST(sum(v) AS BIGINT) // count(*) AS cv
+             FROM (SELECT c, generate_subscripts(ve, 1) AS dim, unnest(ve) AS v
+                   FROM ve)
+             GROUP BY c, dim)
+           GROUP BY c),
+         a AS (
+           SELECT vec_id, ve, c, n2,
+             CAST(floor(CAST(dotc AS DOUBLE)
+               / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+               * 1e6) AS BIGINT) AS centsim_e6
+           FROM (
+             SELECT v.vec_id, v.ve, ct.c,
+               ${idot("v.ve", "v.ve")} AS n2,
+               ${idot("v.ve", "ct.ce")} AS dotc,
+               ${idot("ct.ce", "ct.ce")} AS cn2,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform($rng,
+                   i -> (v.ve[i] - ct.ce[i]) * (v.ve[i] - ct.ce[i]))), ct.c)
+                 AS rn
+             FROM ve v CROSS JOIN cent ct)
+           WHERE rn = 1),
+         drp AS (
+           SELECT DISTINCT x.vec_id
+           FROM a x JOIN a y ON x.c = y.c AND x.vec_id <> y.vec_id
+           WHERE CAST(floor(CAST(${idot("x.ve", "y.ve")} AS DOUBLE)
+               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+               * 1e6) AS BIGINT) >= 250000
+             AND (y.centsim_e6 < x.centsim_e6
+               OR (y.centsim_e6 = x.centsim_e6 AND y.vec_id < x.vec_id)))
+         SELECT a.vec_id, a.c, a.centsim_e6,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM a LEFT JOIN drp d ON a.vec_id = d.vec_id"""
     },
     "q201_repetition_rules" ->
       """WITH toks AS (
