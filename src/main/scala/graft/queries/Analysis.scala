@@ -648,6 +648,37 @@ object Analysis {
             .as("low_line_count"))
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue): the classic correlated
+    // scalar subquery — l_quantity < 0.2 * avg(l_quantity) over the same
+    // part — decorrelated into a per-part aggregate joined back to the
+    // fact, the rewrite every engine's optimizer race is about. The
+    // brand/size dim filter rides a broadcast BEFORE the per-part agg,
+    // so only matching parts' lineitems are aggregated; the avg
+    // comparison is exact integer cross-multiplication (quantities are
+    // integral: qty * 5 * cnt < sum_qty sidesteps the 0.2 double); both
+    // the agg and the join back shuffle on l_partkey only. The filtered
+    // fact is persisted — it feeds the threshold agg and the final join.
+    "q214_tpch_q17" -> ((s, d) => {
+      val parts = t(s, d, "part")
+        .where(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+        .select("p_partkey")
+      val lf = t(s, d, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .persist()
+      val pq = lf.groupBy("l_partkey").agg(
+        sum(col("l_quantity")).cast("long").as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+      lf.join(pq, Seq("l_partkey"))
+        .where(col("l_quantity").cast("long") * lit(5L) * col("cnt_q") <
+          col("sum_q"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .select(col("n_rows"), col("sum_price"),
+          (col("sum_price") / 7.0).as("avg_yearly"))
+    }),
+
     // Bloom-filter semi-join reduction: probe a Bloom of the small side's
     // keys BEFORE the join shuffles the big side (runtime-filter move,
     // here as a library op). False positives are cleaned by the exact
@@ -895,6 +926,24 @@ object Analysis {
            AND l_shipdate > TIMESTAMP '1997-03-01'
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q214_tpch_q17" ->
+      """WITH parts AS (
+           SELECT p_partkey FROM part
+           WHERE p_brand = 'Brand#23' AND p_size <= 5),
+         lf AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN parts ON l_partkey = p_partkey),
+         pq AS (
+           SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+             count(*) AS cnt_q
+           FROM lf GROUP BY 1)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+         FROM lf JOIN pq USING (l_partkey)
+         WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""",
     "q142_tpch_q12" ->
       """SELECT l_returnflag,
            count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

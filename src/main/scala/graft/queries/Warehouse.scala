@@ -27,6 +27,35 @@ object Warehouse {
     expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Data-quality constraint verification in the Deequ shape (the
+    // public Spark library's Check/VerificationSuite pattern): ONE scan
+    // computes every metric in a single aggregate row — completeness,
+    // uniqueness, range compliance, set containment, min bound, size —
+    // then a stack() generator unpivots it into the per-constraint
+    // verdict table a pipeline gates on. Metric units follow each
+    // constraint (fractions in e6 micro-units, size/min raw). The exact
+    // countDistinct is the oracle-parity choice; at 100 TB the HLL
+    // sketch (q99) is the drop-in uniqueness metric.
+    "q213_constraints" -> ((s, d) => {
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n"),
+        count(col("text")).as("n_text"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(when(col("n_chars").between(1L, 100000L), 1L).otherwise(0L))
+          .as("n_chars_ok"),
+        sum(when(col("lang").isin("en", "es", "fr", "de", "zh"), 1L)
+          .otherwise(0L)).as("n_lang_ok"),
+        min(col("n_chars")).as("min_chars"))
+        .select(expr("""stack(6,
+          'size_gte_100',         n,                           cast(n >= 100 as bigint),
+          'completeness_text',    n_text * 1000000 div n,      cast(n_text = n as bigint),
+          'uniqueness_doc_id',    n_ids * 1000000 div n,       cast(n_ids = n as bigint),
+          'compliance_n_chars',   n_chars_ok * 1000000 div n,  cast(n_chars_ok = n as bigint),
+          'containment_lang',     n_lang_ok * 1000000 div n,   cast(n_lang_ok * 100 >= n * 99 as bigint),
+          'min_n_chars_positive', min_chars,                   cast(min_chars > 0 as bigint)
+          ) as (check_name, metric, passed)"""))
+    }),
+
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
     // day — the engagement ratio product teams track. Reuses q138's
     // bounded slot-explode for the window distinct (each user-day feeds
@@ -307,6 +336,32 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q213_constraints" ->
+      """WITH m AS (
+           SELECT count(*) AS n, count(text) AS n_text,
+             count(DISTINCT doc_id) AS n_ids,
+             sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)
+               AS n_chars_ok,
+             sum(CASE WHEN lang IN ('en','es','fr','de','zh') THEN 1
+                 ELSE 0 END) AS n_lang_ok,
+             min(n_chars) AS min_chars
+           FROM documents)
+         SELECT 'size_gte_100' AS check_name, CAST(n AS BIGINT) AS metric,
+           CAST(n >= 100 AS BIGINT) AS passed FROM m
+         UNION ALL SELECT 'completeness_text',
+           CAST(n_text * 1000000 // n AS BIGINT),
+           CAST(n_text = n AS BIGINT) FROM m
+         UNION ALL SELECT 'uniqueness_doc_id',
+           CAST(n_ids * 1000000 // n AS BIGINT),
+           CAST(n_ids = n AS BIGINT) FROM m
+         UNION ALL SELECT 'compliance_n_chars',
+           CAST(n_chars_ok * 1000000 // n AS BIGINT),
+           CAST(n_chars_ok = n AS BIGINT) FROM m
+         UNION ALL SELECT 'containment_lang',
+           CAST(n_lang_ok * 1000000 // n AS BIGINT),
+           CAST(n_lang_ok * 100 >= n * 99 AS BIGINT) FROM m
+         UNION ALL SELECT 'min_n_chars_positive', CAST(min_chars AS BIGINT),
+           CAST(min_chars > 0 AS BIGINT) FROM m""",
     "q183_stickiness" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
