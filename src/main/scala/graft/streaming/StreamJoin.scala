@@ -33,4 +33,16 @@ object StreamJoin {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSec SECOND"))
       .drop(r(key))
   }
+
+  /** Stream-static dimension enrichment: join each micro-batch of the
+    * stream against a STATIC dim on `key`, broadcast. Unlike the
+    * stream-stream form above this is completely stateless — the dim is
+    * broadcast once per micro-batch plan and the join runs map-side, so
+    * there is no watermark, no state store, and nothing to evict; left
+    * outer keeps stream rows whose key has no dim match (the standard
+    * late-dimension posture). The batch twin is the plain broadcast dim
+    * join (q08).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

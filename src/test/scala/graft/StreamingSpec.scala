@@ -147,6 +147,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich: broadcast dim join per micro-batch, stateless") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val events = MemoryStream[(Long, Long)]
+    val enriched = graft.streaming.StreamJoin.enrich(
+      events.toDF().toDF("user_id", "amount"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 10L), (3L, 30L)) // key 3 has no dim row
+      q.processAllAvailable()
+      events.addData((2L, 20L), (1L, 11L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .as[(Long, Long, Option[String])].collect().toSet
+      // left outer: every stream row survives; missing dim key -> null;
+      // the dim matches identically in every micro-batch (stateless)
+      assert(rows == Set(
+        (1L, 10L, Some("gold")), (3L, 30L, None),
+        (2L, 20L, Some("silver")), (1L, 11L, Some("gold"))), rows.toString)
+      // batch twin (q08 shape) agrees row-for-row
+      val batch = Seq((1L, 10L), (3L, 30L), (2L, 20L), (1L, 11L))
+        .toDF("user_id", "amount")
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming exact-dedup: dropDuplicatesWithinWatermark across batches") {
     // the streaming twin of q56's exact dedup: duplicate fingerprints are
     // suppressed as long as they arrive within the watermark delay, with
