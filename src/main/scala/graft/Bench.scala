@@ -86,7 +86,9 @@ object Bench {
     "q202_zipf_fit", // per-source Zipf slope over TopKPerKey top-100
     "q206_tpch_q7", // TPC-H Q7 shape: 5-table join, 2 broadcast dims
     "q207_autocorr", // per-series ACF lags 1-3, integer sums + lag join
-    "q209_heavy_phrases_by_source") // grouped Misra-Gries sketch merge
+    "q209_heavy_phrases_by_source", // grouped Misra-Gries sketch merge
+    "q212_semdedup", // cluster-confined pairwise cosine pruning
+    "q214_tpch_q17") // decorrelated scalar subquery (per-part avg)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -308,4 +308,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q: $p")
     }
   }
+
+  test("q210 seedlist tagging is a pure map over the scan: no exchange at all") {
+    val p = plan("q210_seedlist_tag")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("q211/q214 ride broadcasts, never a cartesian product") {
+    for (q <- Seq("q211_keyword_recall", "q214_tpch_q17")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q212 semdedup: broadcast centroids, cluster-keyed pair join, persisted assignment") {
+    val p = plan("q212_semdedup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
+    val p = plan("q213_constraints")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Window"), p)
+    // exactly one scan of documents — every metric comes from the same pass
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+  }
 }
