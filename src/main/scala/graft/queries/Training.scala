@@ -1636,6 +1636,51 @@ object Training {
           (lit(1L) - coalesce(col("drp"), lit(0L))).as("keep"))
     }),
 
+    // Weighted sampling WITHOUT replacement, one distributed pass — the
+    // Efraimidis-Spirakis exponential-race (key = ln(u)/w, take the k
+    // largest per stratum), with the uniform u derived from the content
+    // hash so the draw is deterministic and reshard-stable (the same
+    // principle as q79/q204's hash sampling, now with WEIGHTS — the
+    // mixture-sampling primitive that consumes q197's DSIR importance
+    // weights; here w = n_chars, length-proportional). The per-source
+    // cut runs through the TopKPerKey bounded heap: no per-stratum sort,
+    // no global sort, fixed memory per key — the shape that draws a
+    // weighted sample from 100 TB in one pass. Keys are floored to e9
+    // integers BEFORE ordering so both engines rank identical values.
+    "q215_weighted_draw" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        floor(
+          log((TextFunctions.hash60(col("text")) % 1000000L + 1L)
+            .cast("double") / lit(1000001.0d))
+            / col("n_chars").cast("double") * 1e9)
+          .cast("long").as("key_e9"))
+      graft.plans.TopKPerKey(
+          docs, Seq("source"), Seq(desc("key_e9"), asc("doc_id")), k = 10)
+        .select("source", "doc_id", "key_e9")
+    }),
+
+    // Vocabulary coverage / OOV rate per source: the top-V-term
+    // vocabulary (q150's build, cut with TakeOrderedAndProject — a
+    // bounded limit, not a global sort; V=20 against this corpus's
+    // 31-term vocabulary so the OOV tail is non-trivial) broadcast
+    // against the token stream; per source, the share of token
+    // occurrences outside the vocabulary. The tokenizer-health metric a training pipeline
+    // tracks per corpus slice before committing to a vocab size.
+    "q216_oov_rate" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tk"))
+        .persist()
+      val vocab = tok.groupBy("tk").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tk")).limit(20)
+        .select(col("tk"), lit(1L).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("tk"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2352,6 +2397,33 @@ object Training {
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM a LEFT JOIN drp d ON a.vec_id = d.vec_id"""
     },
+    "q215_weighted_draw" ->
+      s"""WITH k AS (
+           SELECT doc_id, source,
+             CAST(floor(ln(CAST(${h60("text")} % 1000000 + 1 AS DOUBLE)
+                 / 1000001.0)
+               / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_e9
+           FROM documents),
+         r AS (
+           SELECT source, doc_id, key_e9,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_e9 DESC, doc_id) AS rn
+           FROM k)
+         SELECT source, doc_id, key_e9 FROM r WHERE rn <= 10""",
+    "q216_oov_rate" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+           FROM documents),
+         vc AS (
+           SELECT tk, row_number() OVER (ORDER BY count(*) DESC, tk) AS rn
+           FROM tok GROUP BY tk),
+         v AS (SELECT tk FROM vc WHERE rn <= 20)
+         SELECT source, count(*) AS n_tokens,
+           sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           (sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS oov_e6
+         FROM tok LEFT JOIN v ON tok.tk = v.tk
+         GROUP BY source""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -330,6 +330,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q215 weighted draw runs through TopKPerKey, not a window sort") {
+    val p = plan("q215_weighted_draw")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q216 oov rate: bounded vocab cut + broadcast join, shared token scan") {
+    val p = plan("q216_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
