@@ -88,7 +88,8 @@ object Bench {
     "q207_autocorr", // per-series ACF lags 1-3, integer sums + lag join
     "q209_heavy_phrases_by_source", // grouped Misra-Gries sketch merge
     "q212_semdedup", // cluster-confined pairwise cosine pruning
-    "q214_tpch_q17") // decorrelated scalar subquery (per-part avg)
+    "q214_tpch_q17", // decorrelated scalar subquery (per-part avg)
+    "q217_jw_linkage") // codegen Jaro-Winkler over blocked pairs
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

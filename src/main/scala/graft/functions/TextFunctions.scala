@@ -34,6 +34,15 @@ object TextFunctions {
         org.apache.spark.sql.GraftSqlBridge.expression(text),
         java.text.Normalizer.Form.NFC))
 
+  /** Jaro-Winkler similarity (native expression, stays in codegen) —
+    * byte-level, bit-identical to DuckDB's builtin; see [[JaroWinkler]].
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.JaroWinklerExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Accent folding via translate (F9, `build_random_sets.py:52-62`). */
   def foldAccents(text: Column): Column =
     translate(text, "áéíóúàèìòùâêîôûäëïöüãõñç", "aeiouaeiouaeiouaeiouaonc")

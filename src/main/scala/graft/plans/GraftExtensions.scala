@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => DotProductExpr(cs(0), cs(1)))
     reg("graft_nfc", classOf[NfcNormalizeExpr],
       cs => NfcNormalizeExpr.fromArgs(cs))
+    reg("graft_jaro_winkler", classOf[JaroWinklerExpr],
+      cs => JaroWinklerExpr(cs(0), cs(1)))
     reg("graft_heavy_hitters", classOf[HeavyHittersAgg],
       cs => HeavyHittersAgg(cs(0),
         cs(1).eval().asInstanceOf[Number].intValue))

@@ -1681,6 +1681,29 @@ object Training {
           expr("n_oov * 1000000 div n_tokens").as("oov_e6"))
     }),
 
+    // Jaro-Winkler best-match linkage: per customer, the highest-JW
+    // partner within a blocking bucket — the prefix-favoring complement
+    // of q163's levenshtein linkage, scored by the engine's native
+    // codegen graft_jaro_winkler (byte-level, bit-identical to DuckDB's
+    // builtin, so floored e6 scores hash-compare). Blocking bounds the
+    // quadratic (fixed bucket width -> pair count linear in customers);
+    // the per-id argmax runs through the TopKPerKey bounded heap; ranks
+    // compare FLOORED integer scores so both engines order identically.
+    "q217_jw_linkage" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          expr("c_custkey div 100").as("bkt"))
+      val a = c.toDF("id1", "name1", "bkt")
+      val b = c.toDF("id2", "name2", "bkt")
+      val pairs = a.join(b, Seq("bkt")).where(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          floor(TextFunctions.jaroWinkler(col("name1"), col("name2")) * 1e6)
+            .cast("long").as("jw_e6"))
+      graft.plans.TopKPerKey(
+          pairs, Seq("id1"), Seq(desc("jw_e6"), asc("id2")), k = 1)
+        .select("id1", "id2", "jw_e6")
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2424,6 +2447,21 @@ object Training {
              // count(*) AS oov_e6
          FROM tok LEFT JOIN v ON tok.tk = v.tk
          GROUP BY source""",
+    "q217_jw_linkage" ->
+      """WITH c AS (
+           SELECT c_custkey AS id, c_name AS name, c_custkey // 100 AS bkt
+           FROM customer),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2,
+             CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1e6)
+               AS BIGINT) AS jw_e6
+           FROM c a JOIN c b ON a.bkt = b.bkt AND a.id <> b.id),
+         r AS (
+           SELECT id1, id2, jw_e6,
+             row_number() OVER (PARTITION BY id1
+                                ORDER BY jw_e6 DESC, id2) AS rn
+           FROM p)
+         SELECT id1, id2, jw_e6 FROM r WHERE rn = 1""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

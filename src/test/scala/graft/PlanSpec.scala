@@ -343,6 +343,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q217 jw linkage: codegen expression in a bucket-keyed join, TopKPerKey argmax") {
+    val p = plan("q217_jw_linkage")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
