@@ -56,6 +56,37 @@ object Warehouse {
           ) as (check_name, metric, passed)"""))
     }),
 
+    // Incremental aggregate maintenance (the materialized-view MERGE
+    // shape, q128's upsert applied to rollups): a per-user aggregate
+    // materialized over the base window is REFRESHED by merging a delta
+    // batch's partial aggregate — full outer on the key, coalesce-summed
+    // — instead of recomputing history. The ORACLE is the full recompute
+    // over all events, so the check IS the IVM invariant
+    // (merge(agg(base), agg(delta)) == agg(base ∪ delta)). Count and
+    // integer-micro-unit sum are the self-maintainable aggregates; the
+    // split day rides a 1-row broadcast. At 100 TB the base agg is a
+    // stored table and only the delta shuffles — this query keeps both
+    // sides' plans (two key-shuffles + merge) honest.
+    "q218_incremental_agg" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        epochBucket("unix_micros(ts)", 86400000000L).as("day"),
+        floor(col("value") * 1e6).cast("long").as("v_e6"))
+      val split = ev.agg((min("day") + lit(5L)).as("cut"))
+      val tagged = ev.crossJoin(broadcast(split)).persist()
+      def agg(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("v_e6").as("s"))
+      val base = agg(tagged.where(col("day") < col("cut")))
+        .withColumnRenamed("n", "n_b").withColumnRenamed("s", "s_b")
+      val delta = agg(tagged.where(col("day") >= col("cut")))
+        .withColumnRenamed("n", "n_d").withColumnRenamed("s", "s_d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+            .as("sum_v_e6"))
+    }),
+
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
     // day — the engagement ratio product teams track. Reuses q138's
     // bounded slot-explode for the window distinct (each user-day feeds
@@ -336,6 +367,12 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    // deliberately the FULL-RECOMPUTE form: equality with the engine's
+    // base+delta merge is the incremental-maintenance invariant
+    "q218_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+           sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_v_e6
+         FROM events GROUP BY user_id""",
     "q213_constraints" ->
       """WITH m AS (
            SELECT count(*) AS n, count(text) AS n_text,
