@@ -93,6 +93,11 @@ copy("orders", f"""
   FROM '{SRC}/orders.parquet', {rep}
 """)
 
+# part is a DIMENSION: lineitem.l_partkey is deliberately NOT shifted per
+# replica, so the part table stays the source's — fact grows 10x against a
+# fixed dim, the realistic warehouse shape (q214's per-part fan-in grows).
+copy("part", f"SELECT * FROM '{SRC}/part.parquet'")
+
 copy("lineitem", f"""
   SELECT l_orderkey + r * {ORD_N} AS l_orderkey, l_partkey, l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
