@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.TextFunctions
 
 /** Warehouse/ELT query shapes a user of the reference's batch pipelines
   * needs around the analytics themselves: native session windows, time
@@ -85,6 +86,59 @@ object Warehouse {
             .as("n_events"),
           (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
             .as("sum_v_e6"))
+    }),
+
+    // Table reconciliation at scale (the anti-entropy / merkle shape
+    // replication checkers use): compare two table versions by
+    // per-bucket fingerprint summaries FIRST — count + sum of row
+    // hashes per key-range bucket — then run the row-level full-outer
+    // diff ONLY inside mismatched buckets (broadcast of the tiny
+    // mismatch list). At 100 TB the bucket pass is a pair of cheap
+    // aggregates and the expensive key-join touches only the drifted
+    // slices. The second version is derived in-query by deterministic
+    // mutations (delete / update / insert per key residue); the ORACLE
+    // is the direct unpruned full diff, so the check proves the pruned
+    // path loses nothing. Money is compared in integer cents (the q02
+    // cross-engine rule); the row fingerprint is the hash60 of the
+    // canonical field concat.
+    "q219_table_reconcile" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("pr")).persist()
+      val mx = base.agg(max("k").as("mxk"))
+      val v1 = base.where(col("k") % 1000 =!= 7)
+        .withColumn("cents",
+          when(col("k") % 1000 === 13, col("cents") + 1L).otherwise(col("cents")))
+        .unionByName(base.where(col("k") % 1000 === 21)
+          .crossJoin(broadcast(mx))
+          .select((col("k") + col("mxk")).as("k"), col("st"), col("cents"),
+            col("pr")))
+      def fp(df: DataFrame) = df.select(col("k"),
+        expr("k div 256").as("bkt"),
+        TextFunctions.hash60(concat_ws("|", col("st"),
+          col("cents").cast("string"), col("pr"))).as("h"))
+      val f0 = fp(base).persist()
+      val f1 = fp(v1).persist()
+      // bit_xor, not sum: the fold over 60-bit hashes must be associative
+      // AND overflow-free under ANSI arithmetic
+      def summary(df: DataFrame) = df.groupBy("bkt")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hs"))
+      val badBkts = summary(f0).toDF("bkt", "n0", "hs0")
+        .join(summary(f1).toDF("bkt", "n1", "hs1"), Seq("bkt"), "full_outer")
+        .where(col("n0").isNull || col("n1").isNull ||
+          col("n0") =!= col("n1") || col("hs0") =!= col("hs1"))
+        .select("bkt")
+      val a = f0.join(broadcast(badBkts), Seq("bkt"))
+        .select(col("k").as("k0"), col("h").as("h0"))
+      val b = f1.join(broadcast(badBkts), Seq("bkt"))
+        .select(col("k").as("k1"), col("h").as("h1"))
+      a.join(b, col("k0") === col("k1"), "full_outer")
+        .select(coalesce(col("k0"), col("k1")).as("o_orderkey"),
+          when(col("k1").isNull, "deleted")
+            .when(col("k0").isNull, "inserted")
+            .when(col("h0") =!= col("h1"), "changed").as("status"))
+        .where(col("status").isNotNull)
     }),
 
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
@@ -367,6 +421,30 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    // deliberately the UNPRUNED direct diff: equality with the engine's
+    // bucket-fingerprint-pruned path proves the pruning loses nothing
+    "q219_table_reconcile" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS pr
+           FROM orders),
+         mx AS (SELECT max(k) AS mxk FROM base),
+         v1 AS (
+           SELECT k, st,
+             CASE WHEN k % 1000 = 13 THEN cents + 1 ELSE cents END AS cents,
+             pr
+           FROM base WHERE k % 1000 <> 7
+           UNION ALL
+           SELECT k + mxk, st, cents, pr FROM base, mx WHERE k % 1000 = 21),
+         d AS (
+           SELECT coalesce(a.k, b.k) AS o_orderkey,
+             CASE WHEN b.k IS NULL THEN 'deleted'
+                  WHEN a.k IS NULL THEN 'inserted'
+                  WHEN a.st <> b.st OR a.cents <> b.cents OR a.pr <> b.pr
+                    THEN 'changed' END AS status
+           FROM base a FULL JOIN v1 b ON a.k = b.k)
+         SELECT o_orderkey, status FROM d WHERE status IS NOT NULL""",
     // deliberately the FULL-RECOMPUTE form: equality with the engine's
     // base+delta merge is the incremental-maintenance invariant
     "q218_incremental_agg" ->

@@ -351,6 +351,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q219 reconcile: mismatch list broadcast, fingerprint scans reused, no cartesian") {
+    val p = plan("q219_table_reconcile")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
