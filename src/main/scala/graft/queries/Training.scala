@@ -1704,6 +1704,38 @@ object Training {
         .select("id1", "id2", "jw_e6")
     }),
 
+    // Corpus datasheet per source — the "datasheets for datasets"
+    // summary a curator publishes with a release: volume (docs, tokens,
+    // mean length), language mix, quality-keep rate, and exact-dup rate,
+    // every rate in integer micro-units. One persisted doc-level pass
+    // feeds two aggregates (per-source core stats; fingerprint dup
+    // groups) joined on source — the whole report costs two key-shuffles
+    // regardless of corpus size. Composes the q53 keep verdict and the
+    // q55/q56 fingerprint.
+    "q220_datasheet" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"),
+          TextFunctions.qualityScore(col("text")).getField("keep").as("keep"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .persist()
+      val core = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("sum_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      val dups = docs.groupBy("source", "fp").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+      core.join(dups, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("sum_chars * 100 div n_docs").as("mean_chars_e2"),
+          expr("n_en * 1000000 div n_docs").as("en_e6"),
+          expr("n_keep * 1000000 div n_docs").as("keep_e6"),
+          expr("n_dup_docs * 1000000 div n_docs").as("dup_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2462,6 +2494,36 @@ object Training {
                                 ORDER BY jw_e6 DESC, id2) AS rn
            FROM p)
          SELECT id1, id2, jw_e6 FROM r WHERE rn = 1""",
+    "q220_datasheet" -> {
+      val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT doc_id, source, lang, n_chars,
+             CAST(len(w) AS BIGINT) AS n_toks,
+             (len(w) >= 10 AND len(w) <= 100000 AND
+              (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                    ELSE 0.0 END) > 0.001) AS keep,
+             md5($normSql) AS fp
+           FROM (SELECT doc_id, source, lang, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         core AS (
+           SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+             sum(n_chars) AS sum_chars,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+           FROM f GROUP BY 1),
+         dups AS (
+           SELECT source,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
+           FROM (SELECT source, fp, count(*) AS c FROM f GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT source, n_docs, n_tokens,
+           (sum_chars * 100) // n_docs AS mean_chars_e2,
+           (n_en * 1000000) // n_docs AS en_e6,
+           (n_keep * 1000000) // n_docs AS keep_e6,
+           (n_dup_docs * 1000000) // n_docs AS dup_e6
+         FROM core JOIN dups USING (source)"""
+    },
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
