@@ -141,6 +141,30 @@ object Warehouse {
         .where(col("status").isNotNull)
     }),
 
+    // Statistical-disclosure-control release (the k-anonymity posture
+    // any public release of the reference's mobility aggregates runs
+    // through): per-cell distinct-user counts with small cells
+    // SUPPRESSED (n < k → null + flag; k=50 sits inside this panel's
+    // 42..67 cell range so both branches carry rows) and released
+    // counts ROUNDED to
+    // base 5 — primary suppression and controlled rounding, the two
+    // standard SDC treatments. One keyed exact-distinct aggregate plus
+    // map-side arithmetic; the release table is what crosses the trust
+    // boundary, so the suppression must be in the engine, not the
+    // presentation layer.
+    "q221_sdc_release" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"),
+          col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("event_type"), col("day"),
+          (col("n_users") < 50L).as("suppressed"),
+          when(col("n_users") < 50L, lit(null).cast("long"))
+            .otherwise(expr("(n_users + 2) div 5 * 5")).as("released"))
+    }),
+
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
     // day — the engagement ratio product teams track. Reuses q138's
     // bounded slot-explode for the window distinct (each user-day feeds
@@ -421,6 +445,15 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q221_sdc_release" ->
+      """WITH c AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(DISTINCT user_id) AS n_users
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, (n_users < 50) AS suppressed,
+           CASE WHEN n_users < 50 THEN NULL
+                ELSE (n_users + 2) // 5 * 5 END AS released
+         FROM c""",
     // deliberately the UNPRUNED direct diff: equality with the engine's
     // bucket-fingerprint-pruned path proves the pruning loses nothing
     "q219_table_reconcile" ->
