@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectOptimizerRule(_ => RectContainsToRange)
     ext.injectOptimizerRule(_ => WindowTopKToTopKPerKey)
+    ext.injectOptimizerRule(_ => CountDistinctToHll)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
   }
 }
