@@ -358,6 +358,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q218 incremental agg: broadcast split, shared scan, key-shuffles only") {
+    val p = plan("q218_incremental_agg")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q220 datasheet: both reports read the one persisted doc pass") {
+    val p = plan("q220_datasheet")
+    // two InMemoryTableScans = both report branches read the cached pass
+    // (the cached relation re-prints its child FileScan, so scan-counting
+    // the plan string would overcount)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q221 sdc release: one keyed aggregate, no window, no cross product") {
+    val p = plan("q221_sdc_release")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
