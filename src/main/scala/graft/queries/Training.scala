@@ -1736,6 +1736,31 @@ object Training {
           expr("n_dup_docs * 1000000 div n_docs").as("dup_e6"))
     }),
 
+    // Class-balanced downsampling: equalize label counts to the MINORITY
+    // class size by keeping each label's hash-order-smallest rows — the
+    // deterministic, reshard-stable undersampling a classifier-training
+    // prep runs (same hash-draw principle as q79/q204, with the cut size
+    // DERIVED from the data: min class count rides a 1-row broadcast).
+    // Per-label cut through the TopKPerKey bounded heap... except k is
+    // dynamic here, so the cut is a filter on the per-label hash rank
+    // (window over label — keyed, never global). Output proves balance:
+    // every label contributes exactly min-class-count rows.
+    "q222_class_balance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        TextFunctions.hash60(col("vec_id").cast("string")).as("h"))
+      val mn = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("k"))
+      val ranked = e.withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(asc("h"), asc("vec_id"))))
+      ranked.crossJoin(broadcast(mn))
+        .where(col("rnk") <= col("k"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("id_sum"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2524,6 +2549,21 @@ object Training {
            (n_dup_docs * 1000000) // n_docs AS dup_e6
          FROM core JOIN dups USING (source)"""
     },
+    "q222_class_balance" ->
+      s"""WITH e AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             ${h60("CAST(vec_id AS VARCHAR)")} AS h
+           FROM embeddings),
+         mn AS (
+           SELECT min(n) AS k
+           FROM (SELECT label, count(*) AS n FROM e GROUP BY 1)),
+         r AS (
+           SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY h, vec_id) AS rnk
+           FROM e)
+         SELECT label, count(*) AS n_kept, sum(vec_id) AS id_sum
+         FROM r, mn WHERE rnk <= k GROUP BY label""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

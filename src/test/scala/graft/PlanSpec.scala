@@ -382,6 +382,15 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q222 class balance: label-keyed window + broadcast cut, no global sort") {
+    val p = plan("q222_class_balance")
+    // the rank window partitions by label (keyed, parallel); the only
+    // global piece is the 1-row min-class-count broadcast
+    assert(p.contains("windowspecdefinition(label"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
