@@ -1761,6 +1761,69 @@ object Training {
           sum(col("vec_id")).as("id_sum"))
     }),
 
+    // Contrastive triplet mining: per anchor, the most-similar SAME-label
+    // embedding (positive) and the most-similar DIFFERENT-label one (the
+    // q205 hard negative), with the triplet margin — the training-pair
+    // construction a metric-learning / embedding-finetune pipeline feeds
+    // on. One broadcast of the anchors, one scan of the corpus, both
+    // argmaxes through per-anchor bounded windows on FLOORED integer
+    // scores (both engines rank identical values); margin < 0 flags the
+    // triplets that actually carry gradient.
+    "q223_triplets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id").isin(10L, 20L, 30L))
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val scored = e.withColumn("nrm", Similarity.norm2("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("anchor_id"))
+        .withColumn("cos_e6", floor(Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"), col("nrm"), col("qn")) * 1e6)
+          .cast("long"))
+        .withColumn("same", col("label") === col("qlabel"))
+        .persist()
+      def top(sameLabel: Boolean, idName: String, cosName: String) = {
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(desc("cos_e6"), asc("vec_id"))
+        scored.where(col("same") === sameLabel)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("anchor_id"), col("vec_id").as(idName),
+            col("cos_e6").as(cosName))
+      }
+      top(sameLabel = true, "pos_id", "pos_cos_e6")
+        .join(top(sameLabel = false, "neg_id", "neg_cos_e6"), Seq("anchor_id"))
+        .withColumn("margin_e6", col("pos_cos_e6") - col("neg_cos_e6"))
+    }),
+
+    // Asymmetric containment over the LSH candidate pairs: |A∩B| / |A|
+    // and / |B| on distinct shingle sets — the quote-expansion /
+    // subset-document case symmetric Jaccard (q58/q195) under-scores: a
+    // doc fully contained in a longer one has low Jaccard but
+    // containment 1.0. Candidates come from the banded LSH buckets (the
+    // q59 path), so the pair set is bounded; sets join in by doc id.
+    "q224_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val p = Dedup.MinHashParams()
+      val sh = docs
+        .where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      pairs
+        .join(sh.select(col("doc_id").as("id1"), col("shs").as("sa")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("sb")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          size(col("sa")).cast("long").as("na"),
+          size(col("sb")).cast("long").as("nb"))
+        .withColumn("cont_a_e6", expr("inter * 1000000 div na"))
+        .withColumn("cont_b_e6", expr("inter * 1000000 div nb"))
+        .withColumn("contained",
+          greatest(col("cont_a_e6"), col("cont_b_e6")) >= 800000L)
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2564,6 +2627,52 @@ object Training {
            FROM e)
          SELECT label, count(*) AS n_kept, sum(vec_id) AS id_sum
          FROM r, mn WHERE rnk <= k GROUP BY label""",
+    "q223_triplets" ->
+      s"""WITH q AS (
+           SELECT vec_id AS anchor_id, embedding AS qemb, label AS qlabel
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.anchor_id, e.vec_id, (e.label = q.qlabel) AS same,
+             CAST(floor((${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) * 1e6) AS BIGINT)
+               AS cos_e6
+           FROM embeddings e, q WHERE e.vec_id <> q.anchor_id),
+         p AS (
+           SELECT anchor_id, vec_id AS pos_id, cos_e6 AS pos_cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cos_e6 DESC, vec_id) AS rn
+                 FROM c WHERE same) WHERE rn = 1),
+         n AS (
+           SELECT anchor_id, vec_id AS neg_id, cos_e6 AS neg_cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cos_e6 DESC, vec_id) AS rn
+                 FROM c WHERE NOT same) WHERE rn = 1)
+         SELECT p.anchor_id, p.pos_id, p.pos_cos_e6, n.neg_id, n.neg_cos_e6,
+           p.pos_cos_e6 - n.neg_cos_e6 AS margin_e6
+         FROM p JOIN n USING (anchor_id)""",
+    "q224_containment" ->
+      s"""WITH $minhashCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         shd AS (SELECT doc_id, list_distinct(shingles) AS shs FROM sh)
+         SELECT p.id1, p.id2,
+           CAST(len(list_intersect(x.shs, y.shs)) AS BIGINT) AS inter,
+           CAST(len(x.shs) AS BIGINT) AS na,
+           CAST(len(y.shs) AS BIGINT) AS nb,
+           (len(list_intersect(x.shs, y.shs)) * 1000000) // len(x.shs)
+             AS cont_a_e6,
+           (len(list_intersect(x.shs, y.shs)) * 1000000) // len(y.shs)
+             AS cont_b_e6,
+           (greatest(
+              (len(list_intersect(x.shs, y.shs)) * 1000000) // len(x.shs),
+              (len(list_intersect(x.shs, y.shs)) * 1000000) // len(y.shs))
+            >= 800000) AS contained
+         FROM pairs p
+         JOIN shd x ON x.doc_id = p.id1
+         JOIN shd y ON y.doc_id = p.id2""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
