@@ -1824,6 +1824,62 @@ object Training {
           greatest(col("cont_a_e6"), col("cont_b_e6")) >= 800000L)
     }),
 
+    // Community detection by synchronous label propagation over the LSH
+    // candidate-pair graph, 3 rounds, fully deterministic: each node
+    // adopts the most frequent neighbor label, ties broken by the
+    // SMALLEST label (the raw LPA coin-flip would never oracle-check).
+    // Complements the graph family (q121 triangles, q132 PageRank, q171
+    // k-core, q76's connected components): LPA finds majority
+    // communities, not mere reachability. Per round: one key-join + one
+    // keyed count + a per-node argmax window; generation cut between
+    // rounds (the q132/q145 lesson). Output is per-node, so a single
+    // flipped label reddens the row.
+    "q225_label_prop" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .persist()
+      var lab = edges.select(col("a").as("id")).distinct()
+        .withColumn("lb", col("id"))
+      for (_ <- 1 to 3) {
+        val nb = edges
+          .join(lab.select(col("id").as("b"), col("lb").as("nlb")), Seq("b"))
+          .groupBy("a", "nlb").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("a").orderBy(desc("c"), asc("nlb"))
+        lab = nb.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("a").as("id"), col("nlb").as("lb"))
+          .localCheckpoint(true)
+      }
+      lab.select(col("id").as("doc_id"), col("lb").as("community"))
+    }),
+
+    // Join-key skew diagnostics: the measurement that decides whether a
+    // key needs q100's salting BEFORE the job falls over — per-key
+    // fan-in on the fact side, bucketed into log2 bands (how bad is the
+    // tail), plus the top-5 heaviest keys with their share of all rows
+    // in e6 micro-units. Two keyed aggregates and a TakeOrdered cut;
+    // runs on the orders fact keyed by customer.
+    "q226_skew_diagnostics" -> ((s, d) => {
+      val counts = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("c")).persist()
+      val tot = counts.agg(sum("c").as("n_rows"))
+      val bands = counts
+        // length(bin(c)) - 1 == floor(log2 c) in EXACT integer arithmetic —
+        // float log2 can land a hair under an integer at powers of two and
+        // floor differently per engine
+        .select(expr("cast(length(bin(c)) - 1 as bigint)").as("log2_band"))
+        .groupBy("log2_band").agg(count(lit(1)).as("n_keys"))
+        .select(lit("band").as("kind"), col("log2_band").as("k"),
+          col("n_keys").as("v"))
+      val top = counts.orderBy(desc("c"), asc("o_custkey")).limit(5)
+        .crossJoin(broadcast(tot))
+        .select(lit("top_key").as("kind"), col("o_custkey").as("k"),
+          expr("c * 1000000 div n_rows").as("v"))
+      bands.unionByName(top)
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2673,6 +2729,45 @@ object Training {
          FROM pairs p
          JOIN shd x ON x.doc_id = p.id1
          JOIN shd y ON y.doc_id = p.id2""",
+    "q225_label_prop" -> {
+      def iter(prev: String, next: String) =
+        s"""$next AS (
+           SELECT id, lb FROM (
+             SELECT t.a AS id, t.nlb AS lb,
+               row_number() OVER (PARTITION BY t.a
+                                  ORDER BY t.c DESC, t.nlb) AS rn
+             FROM (SELECT e.a, p.lb AS nlb, count(*) AS c
+                   FROM edges e JOIN $prev p ON p.id = e.b
+                   GROUP BY e.a, p.lb) t)
+           WHERE rn = 1)"""
+      s"""WITH $minhashCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM cand
+           UNION ALL SELECT id2 AS a, id1 AS b FROM cand),
+         l0 AS (SELECT DISTINCT a AS id, a AS lb FROM edges),
+         ${iter("l0", "l1")},
+         ${iter("l1", "l2")},
+         ${iter("l2", "l3")}
+         SELECT id AS doc_id, lb AS community FROM l3"""
+    },
+    "q226_skew_diagnostics" ->
+      """WITH c AS (
+           SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_rows FROM c),
+         bands AS (
+           SELECT 'band' AS kind,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS k,
+             count(*) AS v
+           FROM c GROUP BY 2),
+         top AS (
+           SELECT 'top_key' AS kind, o_custkey AS k,
+             (c * 1000000) // n_rows AS v
+           FROM c, tot ORDER BY c DESC, o_custkey LIMIT 5)
+         SELECT * FROM bands UNION ALL SELECT * FROM top""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
