@@ -178,6 +178,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.RunningState
+    // the TWS operator runs only on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[RunningState.In]
+      val q = RunningState.totals(input.toDS()).writeStream
+        .format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        input.addData(RunningState.In(1L, 10L), RunningState.In(1L, 5L),
+          RunningState.In(2L, 7L))
+        q.processAllAvailable()
+        input.addData(RunningState.In(1L, 1L), RunningState.In(3L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_out")
+        .as[RunningState.Out].collect().toSet
+      // batch 1 emissions + batch 2 emissions with carried-over state
+      assert(rows == Set(
+        RunningState.Out(1L, 2L, 15L), RunningState.Out(2L, 1L, 7L),
+        RunningState.Out(1L, 3L, 16L), RunningState.Out(3L, 1L, 4L)),
+        rows.toString)
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("foreachBatch upsert sink: exactly-once under batch replay") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
