@@ -89,7 +89,9 @@ object Bench {
     "q209_heavy_phrases_by_source", // grouped Misra-Gries sketch merge
     "q212_semdedup", // cluster-confined pairwise cosine pruning
     "q214_tpch_q17", // decorrelated scalar subquery (per-part avg)
-    "q217_jw_linkage") // codegen Jaro-Winkler over blocked pairs
+    "q217_jw_linkage", // codegen Jaro-Winkler over blocked pairs
+    "q219_table_reconcile", // bucket-fingerprint pruned table diff
+    "q225_label_prop") // 3-round LPA over the LSH pair graph
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

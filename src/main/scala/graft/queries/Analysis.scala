@@ -679,6 +679,35 @@ object Analysis {
           (col("sum_price") / 7.0).as("avg_yearly"))
     }),
 
+    // Multi-touch attribution, linear model: each purchase's value is
+    // split EQUALLY across the user's clicks in the preceding 24 h (the
+    // credit rule marketing warehouses default to; last-touch is q80's
+    // as-of join). One bounded range join per (user, purchase) — the
+    // q81/StreamJoin.interval condition — then credit = value/k via
+    // integer micro-units divided ONCE per purchase (trunc div, so the
+    // rounding residue is identical in the oracle's arithmetic); per-click
+    // credit sums roll up map-side. Range-bounded join keys on user_id —
+    // no window over the full event stream.
+    "q227_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tm"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("tm").as("pt"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"), col("tm").as("ct"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .where(col("ct") <= col("pt") &&
+          col("ct") > col("pt") - lit(86400000000L))
+        .persist()
+      val k = touched.groupBy("pid").agg(count(lit(1)).as("n_touch"))
+      touched.join(k, Seq("pid"))
+        .select(col("cid"), expr("v_e6 div n_touch").as("credit_e6"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum("credit_e6").as("credit_sum_e6"))
+    }),
+
     // Bloom-filter semi-join reduction: probe a Bloom of the small side's
     // keys BEFORE the join shuffles the big side (runtime-filter move,
     // here as a library op). False positives are cleaned by the exact
@@ -944,6 +973,26 @@ object Analysis {
              AS avg_yearly
          FROM lf JOIN pq USING (l_partkey)
          WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""",
+    "q227_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS tm, value
+           FROM events),
+         p AS (
+           SELECT user_id, event_id AS pid, tm AS pt,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM ev WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, event_id AS cid, tm AS ct
+           FROM ev WHERE event_type = 'click'),
+         touched AS (
+           SELECT p.pid, p.v_e6, c.cid
+           FROM p JOIN c ON p.user_id = c.user_id
+           WHERE c.ct <= p.pt AND c.ct > p.pt - 86400000000),
+         k AS (SELECT pid, count(*) AS n_touch FROM touched GROUP BY 1)
+         SELECT cid, count(*) AS n_conversions,
+           sum(v_e6 // n_touch) AS credit_sum_e6
+         FROM touched JOIN k USING (pid)
+         GROUP BY cid""",
     "q142_tpch_q12" ->
       """SELECT l_returnflag,
            count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

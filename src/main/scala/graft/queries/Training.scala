@@ -1880,6 +1880,41 @@ object Training {
       bands.unionByName(top)
     }),
 
+    // Embedding sparsification: keep the top-m absolute-value dims per
+    // vector as (idx, value) pairs — the memory-reduction step before an
+    // inverted-index / sparse-ANN build (8 of 64 dims ≈ 8× smaller
+    // candidates). Map-side only: an in-row struct sort (|v| desc, idx
+    // asc on floored integers) and a slice; the retained-energy fraction
+    // says what the cut cost. Sparse pairs are fingerprinted (md5 of the
+    // ordered idx:val list) for the cross-engine compare — the q145
+    // list-fingerprint trick.
+    "q228_sparsify" -> ((s, d) => {
+      val m = 8
+      t(s, d, "embeddings").select(col("vec_id"),
+        expr(s"""slice(array_sort(
+            zip_with(embedding, sequence(0, ${Similarity.Dim - 1}),
+              (v, i) -> struct(
+                cast(floor(abs(cast(v as double)) * 1000000.0) as bigint) as a,
+                i as idx,
+                cast(floor(cast(v as double) * 1000000.0) as bigint) as ve6)),
+            (x, y) -> case when x.a > y.a then -1 when x.a < y.a then 1
+                           when x.idx < y.idx then -1 else 1 end),
+          1, $m)""").as("top"),
+        expr(s"""aggregate(
+            transform(embedding,
+              v -> cast(floor(abs(cast(v as double)) * 1000000.0) as bigint)),
+            cast(0 as bigint), (acc, x) -> acc + x * x)""").as("total_en"))
+        .select(col("vec_id"),
+          md5(concat_ws(",", expr(
+            "transform(top, t -> concat(cast(t.idx as string), ':', cast(t.ve6 as string)))")))
+            .as("sparse_fp"),
+          expr("aggregate(transform(top, t -> t.a * t.a), cast(0 as bigint), (acc, x) -> acc + x)")
+            .as("kept_en"),
+          col("total_en"))
+        .select(col("vec_id"), col("sparse_fp"),
+          expr("kept_en * 1000 div (total_en div 1000)").as("kept_energy_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2768,6 +2803,31 @@ object Training {
              (c * 1000000) // n_rows AS v
            FROM c, tot ORDER BY c DESC, o_custkey LIMIT 5)
          SELECT * FROM bands UNION ALL SELECT * FROM top""",
+    "q228_sparsify" ->
+      """WITH d0 AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+             unnest(embedding) AS x
+           FROM embeddings),
+         d AS (
+           SELECT vec_id, idx,
+             CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000.0) AS BIGINT) AS a,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS ve6
+           FROM d0),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY a DESC, idx) AS rn
+           FROM d),
+         tot AS (
+           SELECT vec_id, CAST(sum(a * a) AS BIGINT) AS total_en
+           FROM d GROUP BY 1),
+         kept AS (
+           SELECT vec_id,
+             md5(string_agg(idx || ':' || ve6, ',' ORDER BY rn)) AS sparse_fp,
+             CAST(sum(a * a) AS BIGINT) AS kept_en
+           FROM r WHERE rn <= 8 GROUP BY 1)
+         SELECT k.vec_id, k.sparse_fp,
+           (k.kept_en * 1000) // (t.total_en // 1000) AS kept_energy_e6
+         FROM kept k JOIN tot t USING (vec_id)""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
