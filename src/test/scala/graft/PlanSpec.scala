@@ -391,6 +391,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q223/q224/q227 pair constructions: keyed or broadcast joins, never cartesian") {
+    for (q <- Seq("q223_triplets", "q224_containment", "q227_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q225 label propagation: generation cut leaves a materialized-RDD scan") {
+    // each LPA round localCheckpoints, so the FINAL plan must be just the
+    // checkpoint scan — re-planning all 3 rounds here would mean the cut
+    // regressed (the q132/q145 lineage lesson)
+    val p = plan("q225_label_prop")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q226 skew diagnostics: bounded top cut, shared counts pass") {
+    val p = plan("q226_skew_diagnostics")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q228 sparsify is a pure map over the scan: no exchange at all") {
+    val p = plan("q228_sparsify")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
