@@ -1915,6 +1915,56 @@ object Training {
           expr("kept_en * 1000 div (total_en div 1000)").as("kept_energy_e6"))
     }),
 
+    // Cross-source duplication matrix — which sources carry the same
+    // content (syndication / mirror forensics, the provenance question
+    // q220's within-source dup rate can't answer). The fingerprint is
+    // the BAG-OF-WORDS canonicalization (sorted distinct tokens) — the
+    // order-insensitive tier between q55's exact normalization and
+    // q58's Jaccard, catching reorder-paraphrase syndication. Distinct
+    // (source, fp) pairs self-join on the fingerprint (keyed shuffle);
+    // with S sources the output is at most S², never corpus-sized.
+    "q229_source_overlap" -> ((s, d) => {
+      val bow = md5(array_join(
+        array_sort(array_distinct(TextFunctions.tokens(col("text")))), " "))
+      val fps = t(s, d, "documents")
+        .select(col("source"), bow.as("fp"))
+        .distinct().persist()
+      fps.select(col("source").as("src_a"), col("fp"))
+        .join(fps.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared_fps"))
+    }),
+
+    // Inter-event burstiness per user: coefficient of variation of
+    // inter-arrival gaps — CV ≈ 1 is Poisson, ≫ 1 is bursty, the
+    // behavioral statistic bot-detection and capacity models start
+    // from. Gaps via a per-user lag window (keyed); mean and variance
+    // from exact integer sums with one pinned double tail (the q146
+    // OLS recipe); gaps are truncated to whole SECONDS before squaring —
+    // µs² of a month-long gap overflows int64, seconds² never does at
+    // this horizon; users need ≥ 3 events for a defined variance.
+    "q230_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("tm"), col("event_id"))
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tm"))
+        .withColumn("prev", lag("tm", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"), expr("(tm - prev) div 1000000").as("g"))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("g").as("sg"),
+          sum(expr("g * g")).as("sgg"))
+        .where(col("n_gaps") >= 2 && col("sg") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg div n_gaps").as("mean_gap_s"),
+          floor(
+            sqrt((col("sgg").cast("double") * col("n_gaps").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double"))
+              / (col("n_gaps").cast("double") * col("n_gaps").cast("double")))
+            / (col("sg").cast("double") / col("n_gaps").cast("double")) * 1e6)
+            .cast("long").as("cv_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2828,6 +2878,35 @@ object Training {
          SELECT k.vec_id, k.sparse_fp,
            (k.kept_en * 1000) // (t.total_en // 1000) AS kept_energy_e6
          FROM kept k JOIN tot t USING (vec_id)""",
+    "q229_source_overlap" ->
+      s"""WITH fps AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp
+           FROM documents)
+         SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_shared_fps
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2""",
+    "q230_burstiness" ->
+      """WITH g AS (
+           SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)) // 1000000 AS g
+           FROM events),
+         a AS (
+           SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg
+           FROM g WHERE g IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+           CAST(floor(
+             sqrt((CAST(sgg AS DOUBLE) * CAST(n_gaps AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+               / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+             / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e6)
+             AS BIGINT) AS cv_e6
+         FROM a WHERE n_gaps >= 2 AND sg > 0""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
