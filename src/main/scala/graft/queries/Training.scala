@@ -1965,6 +1965,24 @@ object Training {
             .cast("long").as("cv_e6"))
     }),
 
+    // Equi-width histogram of a continuous column per group — the
+    // profiling readout q170's summary stats don't give (shape, not
+    // just moments). Global [min, max] rides a 1-row broadcast; bin
+    // assignment is exact integer arithmetic on micro-unit values
+    // ((v - mn) * B div (mx - mn + 1), so the max lands in the last
+    // bin); counts roll up map-side. One scan + one keyed aggregate at
+    // any scale.
+    "q231_histogram" -> ((s, d) => {
+      val B = 20L
+      val ev = t(s, d, "events").select(col("event_type"),
+        floor(col("value") * 1e6).cast("long").as("v_e6"))
+      val bounds = ev.agg(min("v_e6").as("mn"), max("v_e6").as("mx"))
+      ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          expr(s"(v_e6 - mn) * $B div (mx - mn + 1)").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2907,6 +2925,15 @@ object Training {
              / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e6)
              AS BIGINT) AS cv_e6
          FROM a WHERE n_gaps >= 2 AND sg > 0""",
+    "q231_histogram" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+         b AS (SELECT min(v_e6) AS mn, max(v_e6) AS mx FROM ev)
+         SELECT event_type,
+           (v_e6 - mn) * 20 // (mx - mn + 1) AS bin, count(*) AS n
+         FROM ev, b GROUP BY 1, 2""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
