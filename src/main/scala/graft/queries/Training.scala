@@ -1983,6 +1983,69 @@ object Training {
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
     }),
 
+    // Exact weighted median per group (the reference's
+    // population-weighted wealth percentile generalized — W7's cumsum
+    // applied to weights): within each part-brand, the retail price at
+    // which the cumulative SIZE-weight first reaches half the group
+    // total — lower weighted median, deterministic. One keyed window
+    // cumsum + a per-group total join + an argmin by the crossing
+    // point; nothing global.
+    "q232_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, d, "part").select(col("p_brand"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("w"), col("p_partkey"))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("price_c"), col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = p.withColumn("cw", sum("w").over(w))
+      val tot = p.groupBy("p_brand").agg(sum("w").as("tw"))
+      val w2 = Window.partitionBy("p_brand").orderBy(col("cw"), col("p_partkey"))
+      cum.join(tot, Seq("p_brand"))
+        .where(col("cw") * 2L >= col("tw"))
+        .withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        .select(col("p_brand"), col("price_c").as("wmedian_c"), col("tw"))
+    }),
+
+    // A/B lift with CUPED variance reduction — the experimentation-
+    // platform adjustment (Deng et al. 2013): per user, pre-period and
+    // post-period value sums; theta = cov(pre, post) / var(pre) from
+    // exact integer micro-unit sums (the q146 one-pass recipe, one
+    // pinned double tail); adjusted post = post - theta * (pre -
+    // mean_pre); report per-variant adjusted means and the lift.
+    // Variant assignment is the deterministic user-id parity; the
+    // moment row is a 1-row broadcast. Two keyed aggregates + map-side
+    // arithmetic at any scale.
+    "q233_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1e6).cast("long").as("v_e6"))
+      val span = ev.agg(min("day").as("d0"))
+      val per = ev.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          when(col("day") < col("d0") + 15L, col("v_e6")).otherwise(0L).as("pre"),
+          when(col("day") >= col("d0") + 15L, col("v_e6")).otherwise(0L).as("post"))
+        .groupBy("user_id")
+        .agg(sum("pre").as("pre"), sum("post").as("post"))
+        .withColumn("variant", col("user_id") % 2L)
+        .persist()
+      val m = per.agg(count(lit(1)).as("n"), sum("pre").as("sx"),
+        sum("post").as("sy"), sum(expr("pre div 1000 * (pre div 1000)")).as("sxx"),
+        sum(expr("pre div 1000 * (post div 1000)")).as("sxy"))
+      val theta = (col("sxy").cast("double") * col("n").cast("double")
+        - (col("sx").cast("double") / 1e3) * (col("sy").cast("double") / 1e3))
+        ./(col("sxx").cast("double") * col("n").cast("double")
+          - (col("sx").cast("double") / 1e3) * (col("sx").cast("double") / 1e3))
+      per.crossJoin(broadcast(m))
+        .withColumn("adj_e6", col("post").cast("double") -
+          theta * (col("pre").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          floor(avg(floor(col("adj_e6")).cast("long").cast("double")))
+            .cast("long").as("adj_mean_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -2934,6 +2997,57 @@ object Training {
          SELECT event_type,
            (v_e6 - mn) * 20 // (mx - mn + 1) AS bin, count(*) AS n
          FROM ev, b GROUP BY 1, 2""",
+    "q232_weighted_median" ->
+      """WITH p AS (
+           SELECT p_brand, CAST(floor(p_retailprice * 100) AS BIGINT)
+               AS price_c,
+             CAST(p_size AS BIGINT) AS w, p_partkey
+           FROM part),
+         c AS (
+           SELECT p_brand, price_c, p_partkey, w,
+             sum(w) OVER (PARTITION BY p_brand ORDER BY price_c, p_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cw
+           FROM p),
+         t AS (SELECT p_brand, CAST(sum(w) AS BIGINT) AS tw FROM p GROUP BY 1),
+         r AS (
+           SELECT c.p_brand, c.price_c, t.tw,
+             row_number() OVER (PARTITION BY c.p_brand
+                                ORDER BY c.cw, c.p_partkey) AS rn
+           FROM c JOIN t USING (p_brand) WHERE c.cw * 2 >= t.tw)
+         SELECT p_brand, price_c AS wmedian_c, tw FROM r WHERE rn = 1""",
+    "q233_cuped" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+         span AS (SELECT min(day) AS d0 FROM ev),
+         per AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN day < d0 + 15 THEN v_e6 ELSE 0 END)
+               AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN day >= d0 + 15 THEN v_e6 ELSE 0 END)
+               AS BIGINT) AS post,
+             user_id % 2 AS variant
+           FROM ev, span GROUP BY user_id),
+         m AS (
+           SELECT count(*) AS n, CAST(sum(pre) AS BIGINT) AS sx,
+             CAST(sum(post) AS BIGINT) AS sy,
+             CAST(sum((pre // 1000) * (pre // 1000)) AS BIGINT) AS sxx,
+             CAST(sum((pre // 1000) * (post // 1000)) AS BIGINT) AS sxy
+           FROM per),
+         adj AS (
+           SELECT variant,
+             CAST(floor(CAST(post AS DOUBLE)
+               - ((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / 1e3) * (CAST(sy AS DOUBLE) / 1e3))
+                  / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / 1e3) * (CAST(sx AS DOUBLE) / 1e3)))
+                 * (CAST(pre AS DOUBLE)
+                    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS a
+           FROM per, m)
+         SELECT variant, count(*) AS n_users,
+           CAST(floor(avg(CAST(a AS DOUBLE))) AS BIGINT) AS adj_mean_e6
+         FROM adj GROUP BY variant""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
