@@ -2046,6 +2046,69 @@ object Training {
             .cast("long").as("adj_mean_e6"))
     }),
 
+    // Sample-ratio mismatch check — the FIRST gate of any A/B readout
+    // (a biased assignment invalidates everything downstream): chi2 of
+    // observed variant user counts against the 50/50 design, in exact
+    // micro-units ((o-e)² with e = n/2 cross-multiplied to avoid the
+    // fraction), flagged at the conventional chi2 > 3.84 (alpha 0.05,
+    // 1 df) via integer cross-multiplication. One distinct + one
+    // 2-group aggregate.
+    "q234_srm_check" -> ((s, d) => {
+      // hash-based assignment (how real platforms bucket): organically
+      // NEAR 50/50, so the chi2 is non-zero and the flag has a real
+      // decision to make (id-parity would be exactly balanced -> chi2 0)
+      val users = t(s, d, "events").select(col("user_id")).distinct()
+        .withColumn("variant",
+          TextFunctions.hash60(col("user_id").cast("string")) % 2L)
+      val counts = users.groupBy("variant").agg(count(lit(1)).as("o"))
+      val tot = counts.agg(sum("o").as("n"))
+      // chi2 = sum (o - n/2)^2 / (n/2) = sum (2o - n)^2 / (2n)
+      counts.crossJoin(broadcast(tot))
+        .select(col("variant"), col("o"), col("n"),
+          expr("(2 * o - n) * (2 * o - n)").as("dev2"))
+        .groupBy()
+        .agg(any_value(col("n")).as("n_users"),
+          sum("dev2").as("sum_dev2"))
+        .select(col("n_users"),
+          expr("sum_dev2 * 1000000 div (2 * n_users)").as("chi2_e6"),
+          // srm iff chi2 > 3.84  <=>  sum_dev2 * 100 > 384 * 2 * n
+          expr("cast(sum_dev2 * 100 > 384 * 2 * n_users as bigint)")
+            .as("srm_flag"))
+    }),
+
+    // Difference-in-differences — the 2x2 causal readout (treat/control
+    // x pre/post): DID = (T_post - T_pre) - (C_post - C_pre) on
+    // per-cell mean outcomes in exact micro-units (sums and counts
+    // exact; each mean one trunc div; the DID one integer subtraction
+    // chain). Same deterministic id-parity assignment and day split as
+    // q233; one keyed aggregate over (variant, period).
+    "q235_did" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 1e6).cast("long").as("v_e6"))
+      val span = ev.agg(min("day").as("d0"))
+      val cells = ev.crossJoin(broadcast(span))
+        .select((col("user_id") % 2L).as("variant"),
+          (col("day") >= col("d0") + 15L).cast("long").as("post"),
+          col("v_e6"))
+        .groupBy("variant", "post")
+        .agg(sum("v_e6").as("sv"), count(lit(1)).as("n"))
+        .select(col("variant"), col("post"),
+          expr("sv div n").as("mean_e6"))
+      val wide = cells.groupBy()
+        .agg(sum(when(col("variant") === 1L && col("post") === 1L,
+            col("mean_e6"))).as("t_post"),
+          sum(when(col("variant") === 1L && col("post") === 0L,
+            col("mean_e6"))).as("t_pre"),
+          sum(when(col("variant") === 0L && col("post") === 1L,
+            col("mean_e6"))).as("c_post"),
+          sum(when(col("variant") === 0L && col("post") === 0L,
+            col("mean_e6"))).as("c_pre"))
+      wide.select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+        ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+          .as("did_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -3048,6 +3111,43 @@ object Training {
          SELECT variant, count(*) AS n_users,
            CAST(floor(avg(CAST(a AS DOUBLE))) AS BIGINT) AS adj_mean_e6
          FROM adj GROUP BY variant""",
+    "q234_srm_check" ->
+      s"""WITH u AS (
+           SELECT DISTINCT user_id,
+             ${h60("CAST(user_id AS VARCHAR)")} % 2 AS variant
+           FROM events),
+         c AS (SELECT variant, count(*) AS o FROM u GROUP BY 1),
+         t AS (SELECT sum(o) AS n FROM c),
+         d AS (
+           SELECT CAST((2 * o - n) * (2 * o - n) AS BIGINT) AS dev2,
+             CAST(n AS BIGINT) AS n
+           FROM c, t)
+         SELECT any_value(n) AS n_users,
+           (sum(dev2) * 1000000) // (2 * any_value(n)) AS chi2_e6,
+           CAST(sum(dev2) * 100 > 384 * 2 * any_value(n) AS BIGINT)
+             AS srm_flag
+         FROM d""",
+    "q235_did" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+         span AS (SELECT min(day) AS d0 FROM ev),
+         cells AS (
+           SELECT user_id % 2 AS variant,
+             CAST(day >= d0 + 15 AS BIGINT) AS post,
+             CAST(sum(v_e6) AS BIGINT) // count(*) AS mean_e6
+           FROM ev, span GROUP BY 1, 2),
+         w AS (
+           SELECT
+             sum(CASE WHEN variant = 1 AND post = 1 THEN mean_e6 END) AS t_post,
+             sum(CASE WHEN variant = 1 AND post = 0 THEN mean_e6 END) AS t_pre,
+             sum(CASE WHEN variant = 0 AND post = 1 THEN mean_e6 END) AS c_post,
+             sum(CASE WHEN variant = 0 AND post = 0 THEN mean_e6 END) AS c_pre
+           FROM cells)
+         SELECT t_pre, t_post, c_pre, c_post,
+           (t_post - t_pre) - (c_post - c_pre) AS did_e6
+         FROM w""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
