@@ -419,6 +419,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q229-q235 analytics batch: keyed shuffles and broadcasts only") {
+    for (q <- Seq("q229_source_overlap", "q230_burstiness", "q231_histogram",
+        "q232_weighted_median", "q233_cuped", "q234_srm_check", "q235_did")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+    }
+  }
+
   test("q213 constraint suite: one aggregate pass unpivoted by a generator") {
     val p = plan("q213_constraints")
     assert(p.contains("Generate"), p)
