@@ -2109,6 +2109,54 @@ object Training {
           .as("did_e6"))
     }),
 
+    // Benford first-digit forensics on order totals — the synthetic-data
+    // / fraud screen auditors run: observed first-digit shares vs the
+    // Benford expectation (log10(1 + 1/d), broadcast as a 9-row integer
+    // dim), with the per-digit deviation in micro-units. First digit by
+    // string head of the integer cents (exact — no float log in the
+    // digit extraction). One scan + one 9-group aggregate.
+    "q236_benford" -> ((s, d) => {
+      import s.implicits._
+      val digits = (1 to 9).map(dd =>
+        (dd.toLong, math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong))
+        .toDF("digit", "exp_e6")
+      val obs = t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("o"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(broadcast(digits), Seq("digit"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("o"),
+          expr("o * 1000000 div n").as("obs_e6"), col("exp_e6"),
+          abs(expr("o * 1000000 div n") - col("exp_e6")).as("dev_e6"))
+    }),
+
+    // Gini coefficient per customer segment — THE inequality statistic
+    // of the reference's wealth analyses (`wbgps/analysis.py`'s wealth
+    // percentiles feed exactly this): per mktsegment over account
+    // balances shifted to non-negative cents, G = (2·Σ i·x_i) /
+    // (n·Σx) − (n+1)/n on the within-group rank (keyed window; exact
+    // integer rank-weighted sums — i·x_i ≤ 6e3·1e7·6e3 keeps the sum
+    // under 2^53-in-double and well under int64; one pinned double
+    // tail).
+    "q237_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+        floor((col("c_acctbal") + lit(1000.0)) * 100).cast("long").as("x"),
+        col("c_custkey"))
+      val w = Window.partitionBy("seg").orderBy(col("x"), col("c_custkey"))
+      val ranked = c.withColumn("i", row_number().over(w).cast("long"))
+      ranked.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("i * x")).as("six"))
+        .select(col("seg"), col("n"),
+          floor((lit(2.0) * col("six").cast("double")
+            / (col("n").cast("double") * col("sx").cast("double"))
+            - (col("n") + 1L).cast("double") / col("n").cast("double"))
+            * 1e6).cast("long").as("gini_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -3148,6 +3196,45 @@ object Training {
          SELECT t_pre, t_post, c_pre, c_post,
            (t_post - t_pre) - (c_post - c_pre) AS did_e6
          FROM w""",
+    "q236_benford" -> {
+      val rows = (1 to 9).map(dd =>
+        s"($dd, ${math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong})")
+        .mkString(", ")
+      s"""WITH digits AS (
+           SELECT * FROM (VALUES $rows) v(digit, exp_e6)),
+         obs AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS o
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(o) AS n FROM obs)
+         SELECT obs.digit, obs.o,
+           (obs.o * 1000000) // n AS obs_e6,
+           CAST(exp_e6 AS BIGINT) AS exp_e6,
+           abs((obs.o * 1000000) // n - exp_e6) AS dev_e6
+         FROM obs JOIN digits ON obs.digit = digits.digit, t"""
+    },
+    "q237_gini" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg,
+             CAST(floor((c_acctbal + 1000.0) * 100) AS BIGINT) AS x,
+             c_custkey
+           FROM customer),
+         r AS (
+           SELECT seg, x,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey)
+               AS BIGINT) AS i
+           FROM c),
+         a AS (
+           SELECT seg, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+           FROM r GROUP BY 1)
+         SELECT seg, n,
+           CAST(floor((2.0 * CAST(six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+             AS BIGINT) AS gini_e6
+         FROM a""",
     "q201_repetition_rules" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
