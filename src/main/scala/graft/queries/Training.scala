@@ -2157,6 +2157,59 @@ object Training {
             * 1e6).cast("long").as("gini_e6"))
     }),
 
+    // Time-weighted average value per (user, event_type) series — each
+    // observation holds until the next one (the sensor/price TWAP,
+    // where a plain mean over-weights bursts): hold duration via a
+    // keyed lead window in whole seconds, value·duration products in
+    // exact integer micro-unit-seconds, one trunc div per series. The
+    // last observation of a series has no successor and drops out —
+    // the standard open-interval convention.
+    "q238_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tm"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("tm"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+        .withColumn("nxt", lead("tm", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          (col("nxt") - col("tm")).as("dur_s"), col("v_e6"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_holds"), sum("dur_s").as("total_s"),
+          sum(expr("v_e6 * dur_s")).as("vd"))
+        .where(col("total_s") > 0L)
+        .select(col("user_id"), col("event_type"), col("n_holds"),
+          col("total_s"), expr("vd div total_s").as("twap_e6"))
+    }),
+
+    // Herfindahl-Hirschman concentration index per market segment —
+    // the market-concentration statistic (sum of squared revenue
+    // shares) antitrust and market-structure analyses report, natural
+    // next to q237's Gini: per segment, customer revenue totals in
+    // whole dollars (cents² of a big customer overflows int64; the
+    // truncation is part of the metric's definition here and identical
+    // in both engines), HHI = Σx² / (Σx)² from the exact integer sums
+    // with the single squared-total double tail. Two keyed aggregates.
+    "q239_hhi" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .join(t(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("seg", "o_custkey").agg(sum("cents").as("x"))
+      rev.groupBy("seg")
+        .agg(count(lit(1)).as("n_firms"),
+          sum(expr("x div 100")).as("sx"),
+          sum(expr("(x div 100) * (x div 100)")).as("sxx"))
+        .select(col("seg"), col("n_firms"),
+          floor(col("sxx").cast("double")
+            / (col("sx").cast("double") * col("sx").cast("double")) * 1e6)
+            .cast("long").as("hhi_e6"))
+    }),
+
     // Corpus-drift metric: Jensen-Shannon divergence between the unigram
     // distributions of two sources. Cross-engine float determinism WITHOUT
     // the q116 single-row array fold: each term's contribution is floored
@@ -3234,6 +3287,42 @@ object Training {
              / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
              AS BIGINT) AS gini_e6
+         FROM a""",
+    "q238_twap" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+             epoch_us(ts) // 1000000 AS tm,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+         h AS (
+           SELECT user_id, event_type, v_e6,
+             lead(tm) OVER (PARTITION BY user_id, event_type
+                            ORDER BY tm, event_id) - tm AS dur_s
+           FROM e),
+         a AS (
+           SELECT user_id, event_type, count(*) AS n_holds,
+             CAST(sum(dur_s) AS BIGINT) AS total_s,
+             CAST(sum(v_e6 * dur_s) AS BIGINT) AS vd
+           FROM h WHERE dur_s IS NOT NULL GROUP BY 1, 2)
+         SELECT user_id, event_type, n_holds, total_s,
+           vd // total_s AS twap_e6
+         FROM a WHERE total_s > 0""",
+    "q239_hhi" ->
+      """WITH rev AS (
+           SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         a AS (
+           SELECT seg, count(*) AS n_firms,
+             CAST(sum(x // 100) AS BIGINT) AS sx,
+             CAST(sum((x // 100) * (x // 100)) AS BIGINT) AS sxx
+           FROM rev GROUP BY 1)
+         SELECT seg, n_firms,
+           CAST(floor(CAST(sxx AS DOUBLE)
+             / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6)
+             AS BIGINT) AS hhi_e6
          FROM a""",
     "q201_repetition_rules" ->
       """WITH toks AS (
