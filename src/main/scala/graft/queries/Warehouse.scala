@@ -272,6 +272,66 @@ object Warehouse {
         .select(col("user_id"), col("event_id"), col("t"), col("v_filled"))
     }),
 
+    // Linear interpolation of missing days (the fill between q124's
+    // zero-fill and q125's carry-forward): per user's daily value-sum
+    // series, a missing day gets the exact integer linear blend of the
+    // PREVIOUS and NEXT observed days — v_prev + (v_next - v_prev) *
+    // (d - d_prev) div (d_next - d_prev), every term integer, so both
+    // engines land the same micro-unit. Neighbors come from two keyed
+    // running windows (last/first ignoreNulls), no self-join; scaffold
+    // ends are always observed so no extrapolation case exists.
+    "q240_interpolate" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("user_id"),
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+        .groupBy("user_id", "day").agg(sum("v_e6").as("v"))
+        // thin the series so gaps exist to interpolate: keep even days
+        .where(col("day") % 2L === 0L)
+        .persist()
+      val scaffold = daily.groupBy("user_id")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      val joined = scaffold.join(daily, Seq("user_id", "day"), "left")
+      val back = Window.partitionBy("user_id").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("v_prev", last("v", ignoreNulls = true).over(back))
+        .withColumn("d_prev",
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+        .withColumn("v_next", first("v", ignoreNulls = true).over(fwd))
+        .withColumn("d_next",
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("day"),
+          col("v").isNotNull.as("observed"),
+          coalesce(col("v"), expr(
+            "v_prev + (v_next - v_prev) * (day - d_prev) div (d_next - d_prev)"))
+            .as("v_e6"))
+    }),
+
+    // Seasonal-naive forecast backtest — forecast(d) = actual(d - 7),
+    // the baseline every real forecast must beat, scored by MAE per
+    // series: daily totals self-joined on (event_type, day - 7) (an
+    // equi-join, gap-safe where a row-lag would misalign), absolute
+    // errors in integer micro-units, one trunc div per series.
+    "q241_snaive_backtest" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          epochBucket("unix_micros(ts)", 86400000000L).as("day"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+        .groupBy("event_type", "day").agg(sum("v_e6").as("v"))
+        .persist()
+      val fc = daily.select(col("event_type"),
+        (col("day") + 7L).as("day"), col("v").as("v_hat"))
+      daily.join(fc, Seq("event_type", "day"))
+        .select(col("event_type"), abs(col("v") - col("v_hat")).as("ae"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(ae) div count(1)").as("mae_e6"))
+    }),
+
     // MERGE-style upsert (Delta MERGE re-expressed as a plan): target
     // full-outer-joined with an updates frame on the key; matched rows
     // take the update, unmatched updates insert, unmatched target rows
@@ -566,6 +626,49 @@ object Warehouse {
          SELECT user_id, min(t) AS s_start, max(t) + 1800000000 AS s_end,
            count(*) AS n_events, min(event_id) AS first_event
          FROM s GROUP BY user_id, sid""",
+    "q240_interpolate" ->
+      """WITH daily AS (
+           SELECT user_id, day, CAST(sum(v_e6) AS BIGINT) AS v FROM (
+             SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+             FROM events)
+           GROUP BY 1, 2 HAVING day % 2 = 0),
+         scaffold AS (
+           SELECT user_id, unnest(ds) AS day FROM (
+             SELECT user_id, range(min(day), max(day) + 1) AS ds
+             FROM daily GROUP BY user_id)),
+         j AS (
+           SELECT s.user_id, s.day, d.v
+           FROM scaffold s LEFT JOIN daily d
+             ON s.user_id = d.user_id AND s.day = d.day),
+         w AS (
+           SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER back AS v_prev,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER back AS d_prev,
+             first_value(v IGNORE NULLS) OVER fwd AS v_next,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER fwd AS d_next
+           FROM j
+           WINDOW back AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fwd AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, day, (v IS NOT NULL) AS observed,
+           COALESCE(v, v_prev + (v_next - v_prev) * (day - d_prev)
+             // (d_next - d_prev)) AS v_e6
+         FROM w""",
+    "q241_snaive_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type, count(*) AS n_days,
+           CAST(sum(abs(a.v - f.v)) AS BIGINT) // count(*) AS mae_e6
+         FROM daily a JOIN daily f
+           ON a.event_type = f.event_type AND a.day = f.day + 7
+         GROUP BY 1""",
     "q124_gapfill" ->
       """WITH c AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
