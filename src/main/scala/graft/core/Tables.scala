@@ -13,17 +13,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark cannot
-    * read natively; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * and we rebuild a microsecond timestamp here (all queries operate at
-    * >= second granularity, so the truncation is lossless for results).
+  /** Timestamp normalization across driver testdata generations: the
+    * events table has shipped as TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and, in later rounds,
+    * as TIMESTAMP(MICROS) without isAdjustedToUTC (read as
+    * TIMESTAMP_NTZ). Queries are written against a plain UTC
+    * `TimestampType`, so rebuild one here either way — sessions pin the
+    * UTC session timezone, so the NTZ→TZ cast is the identity on the
+    * wall-clock value.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType)) {
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else df
+    val withTs =
+      if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    withTs.schema.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(withTs)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
