@@ -990,7 +990,7 @@ object Analysis {
            WHERE c.ct <= p.pt AND c.ct > p.pt - 86400000000),
          k AS (SELECT pid, count(*) AS n_touch FROM touched GROUP BY 1)
          SELECT cid, count(*) AS n_conversions,
-           sum(v_e6 // n_touch) AS credit_sum_e6
+           CAST(sum(v_e6 // n_touch) AS BIGINT) AS credit_sum_e6
          FROM touched JOIN k USING (pid)
          GROUP BY cid""",
     "q142_tpch_q12" ->

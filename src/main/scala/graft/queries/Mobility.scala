@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Labeling, Stops, TimeZones}
+import graft.operators.{GpsPipeline, Labeling, Stops, TimeZones}
 
 /** Mobility-pipeline operators (SURVEY §2.10 F1/F2/F3).
   *
@@ -82,6 +83,55 @@ object Mobility {
     // events, shift epochs, derive local hour/day. Offsets include
     // half-hour zones; the dim derives from `nation` (the testdata's
     // country table).
+    // The composed 5-stage reference DAG (gps_pipeline.py:43-78) as ONE
+    // entry: geocodePings → tzOffset → Stops.detect → geocodeStops →
+    // HWlabeling, via GpsPipeline.run. Rows-only here (stop detection is
+    // the non-SQL stage); the stage contracts and hand-computed golden
+    // labels are spec-gated in GpsPipelineSpec. Admin polygons are four
+    // lon-band rectangles covering the derived-ping sites; tz offsets
+    // differ per band so localization is load-bearing.
+    "q242_gps_pipeline" -> ((s, d) => {
+      val admin = Seq(
+        ("A0", 0.0, 41.0, 0L), ("A1", 41.0, 81.0, 3600L),
+        ("A2", 81.0, 121.0, 7200L), ("A3", 121.0, 161.0, -3600L))
+      import s.implicits._
+      val adminDf = admin.map { case (id, lo0, lo1, _) =>
+        (id, s"POLYGON (($lo0 -41, $lo1 -41, $lo1 41, $lo0 41, $lo0 -41))")
+      }.toDF("admin_id", "wkt")
+      val offsets = admin.map { case (id, _, _, off) => (id, off) }
+        .toDF("admin_id", "offset_sec")
+      val cfg = GpsPipeline.Config(
+        stops = Stops.Params(r1Meters = 100.0, minStayingTimeSec = 600,
+          maxTimeBetweenSec = 6 * 86400, minSize = 2,
+          maxAccuracyMeters = 100.0, epsMeters = 100.0),
+        labeling = labelParams, gridRes = 6)
+      GpsPipeline.run(derivedPings(s, d), adminDf, offsets, cfg)
+        .labeledStays
+        .select(col("user_id"), col("cluster"), col("day_s"), col("t0"),
+          col("t1"), col("admin_id"), col("location_type"))
+    }),
+
+    // Origin–destination migration flow matrix — the q70 lag machinery
+    // kept at (period, from, to) grain, matching the reference's
+    // admin-to-admin flow matrices (gps-analytics/src/analysis/
+    // migration_flows.ipynb): per-user monthly home-geom sequence,
+    // lag-detect the moves, count by destination month × geom pair.
+    // Exact integer counts — no float tail. Scale shape: one keyed
+    // window per user plus one (m, from, to) key shuffle.
+    "q243_od_flows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("m")
+      t(s, d, "events")
+        .select(col("user_id"),
+          ((unix_timestamp(col("ts")) / (30L * 86400)).cast("long")).as("m"))
+        .distinct()
+        .withColumn("geom", (col("user_id") + col("m")) % 4)
+        .withColumn("prev_geom", lag("geom", 1).over(w))
+        .where(col("prev_geom").isNotNull && col("prev_geom") =!= col("geom"))
+        .groupBy(col("m"), col("prev_geom").as("from_geom"),
+          col("geom").as("to_geom"))
+        .agg(count(lit(1)).as("n_moves"))
+    }),
+
     "q96_tz_localize" -> ((s, d) => {
       val offsets = t(s, d, "nation").select(
         col("n_nationkey").cast("long").as("zone"),
@@ -114,6 +164,20 @@ object Mobility {
       .drop("dur")
 
   val oracles: Map[String, String] = Map(
+    "q243_od_flows" ->
+      """WITH um AS (
+           SELECT DISTINCT user_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) // 2592000 AS m
+           FROM events),
+         g AS (
+           SELECT user_id, m, (user_id + m) % 4 AS geom,
+             lag((user_id + m) % 4, 1)
+               OVER (PARTITION BY user_id ORDER BY m) AS prev_geom
+           FROM um)
+         SELECT m, prev_geom AS from_geom, geom AS to_geom,
+           count(*) AS n_moves
+         FROM g WHERE prev_geom IS NOT NULL AND prev_geom <> geom
+         GROUP BY 1, 2, 3""",
     "q96_tz_localize" ->
       """WITH off AS (
            SELECT CAST(n_nationkey AS BIGINT) AS zone,

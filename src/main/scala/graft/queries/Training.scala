@@ -2718,10 +2718,10 @@ object Training {
                FROM c),
          t AS (SELECT sum(n_docs) AS n_total, sum(pow_e9) AS spow_e9 FROM p)
          SELECT lang, n_docs,
-           (n_docs * 1000000) // n_total AS p_e6,
-           (pow_e9 * 1000000) // spow_e9 AS q_e6,
-           (((pow_e9 * 1000000) // spow_e9) * 1000)
-             // ((n_docs * 1000000) // n_total) AS boost_e3
+           CAST((n_docs * 1000000) // n_total AS BIGINT) AS p_e6,
+           CAST((pow_e9 * 1000000) // spow_e9 AS BIGINT) AS q_e6,
+           CAST((((pow_e9 * 1000000) // spow_e9) * 1000)
+             // ((n_docs * 1000000) // n_total) AS BIGINT) AS boost_e3
          FROM p, t""",
     "q195_minhash_accuracy" -> {
       val p = Dedup.MinHashParams()
@@ -2808,7 +2808,8 @@ object Training {
          dc AS (
            SELECT doc_id, bucket, count(*) AS c
            FROM bk WHERE source <> 'src0' GROUP BY 1, 2)
-         SELECT doc_id, sum(c) AS n_bigrams, sum(c * delta_e9) AS logw_e9
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(sum(c * delta_e9) AS BIGINT) AS logw_e9
          FROM dc JOIN dl USING (bucket) GROUP BY 1""",
     "q203_langid_margin" -> {
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>
@@ -2877,8 +2878,10 @@ object Training {
          tot AS (SELECT sum(pos) AS n_positives FROM f),
          ks AS (SELECT * FROM (VALUES (10), (50), (100), (250)) v(topk))
          SELECT CAST(topk AS BIGINT) AS topk,
-           sum(pos) AS n_captured, any_value(n_positives) AS n_positives,
-           (sum(pos) * 1000000) // any_value(n_positives) AS recall_e6
+           CAST(sum(pos) AS BIGINT) AS n_captured,
+           CAST(any_value(n_positives) AS BIGINT) AS n_positives,
+           CAST((sum(pos) * 1000000) // any_value(n_positives) AS BIGINT)
+             AS recall_e6
          FROM r, ks, tot WHERE rnk <= topk GROUP BY topk"""
     },
     "q212_semdedup" -> {
@@ -2948,9 +2951,10 @@ object Training {
            FROM tok GROUP BY tk),
          v AS (SELECT tk FROM vc WHERE rn <= 20)
          SELECT source, count(*) AS n_tokens,
-           sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov,
-           (sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) * 1000000)
-             // count(*) AS oov_e6
+           CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS oov_e6
          FROM tok LEFT JOIN v ON tok.tk = v.tk
          GROUP BY source""",
     "q217_jw_linkage" ->
@@ -2991,11 +2995,11 @@ object Training {
              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs
            FROM (SELECT source, fp, count(*) AS c FROM f GROUP BY 1, 2)
            GROUP BY 1)
-         SELECT source, n_docs, n_tokens,
-           (sum_chars * 100) // n_docs AS mean_chars_e2,
-           (n_en * 1000000) // n_docs AS en_e6,
-           (n_keep * 1000000) // n_docs AS keep_e6,
-           (n_dup_docs * 1000000) // n_docs AS dup_e6
+         SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((sum_chars * 100) // n_docs AS BIGINT) AS mean_chars_e2,
+           CAST((n_en * 1000000) // n_docs AS BIGINT) AS en_e6,
+           CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_e6,
+           CAST((n_dup_docs * 1000000) // n_docs AS BIGINT) AS dup_e6
          FROM core JOIN dups USING (source)"""
     },
     "q222_class_balance" ->
@@ -3011,7 +3015,8 @@ object Training {
              row_number() OVER (PARTITION BY label
                                 ORDER BY h, vec_id) AS rnk
            FROM e)
-         SELECT label, count(*) AS n_kept, sum(vec_id) AS id_sum
+         SELECT label, count(*) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS id_sum
          FROM r, mn WHERE rnk <= k GROUP BY label""",
     "q223_triplets" ->
       s"""WITH q AS (
@@ -3091,11 +3096,11 @@ object Training {
          bands AS (
            SELECT 'band' AS kind,
              CAST(length(bin(c)) - 1 AS BIGINT) AS k,
-             count(*) AS v
+             CAST(count(*) AS BIGINT) AS v
            FROM c GROUP BY 2),
          top AS (
            SELECT 'top_key' AS kind, o_custkey AS k,
-             (c * 1000000) // n_rows AS v
+             CAST((c * 1000000) // n_rows AS BIGINT) AS v
            FROM c, tot ORDER BY c DESC, o_custkey LIMIT 5)
          SELECT * FROM bands UNION ALL SELECT * FROM top""",
     "q228_sparsify" ->
@@ -3224,7 +3229,8 @@ object Training {
              CAST(n AS BIGINT) AS n
            FROM c, t)
          SELECT any_value(n) AS n_users,
-           (sum(dev2) * 1000000) // (2 * any_value(n)) AS chi2_e6,
+           CAST((sum(dev2) * 1000000) // (2 * any_value(n)) AS BIGINT)
+             AS chi2_e6,
            CAST(sum(dev2) * 100 > 384 * 2 * any_value(n) AS BIGINT)
              AS srm_flag
          FROM d""",
@@ -3246,8 +3252,9 @@ object Training {
              sum(CASE WHEN variant = 0 AND post = 1 THEN mean_e6 END) AS c_post,
              sum(CASE WHEN variant = 0 AND post = 0 THEN mean_e6 END) AS c_pre
            FROM cells)
-         SELECT t_pre, t_post, c_pre, c_post,
-           (t_post - t_pre) - (c_post - c_pre) AS did_e6
+         SELECT CAST(t_pre AS BIGINT) AS t_pre, CAST(t_post AS BIGINT) AS t_post,
+           CAST(c_pre AS BIGINT) AS c_pre, CAST(c_post AS BIGINT) AS c_post,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_e6
          FROM w""",
     "q236_benford" -> {
       val rows = (1 to 9).map(dd =>
@@ -3262,9 +3269,9 @@ object Training {
            FROM orders GROUP BY 1),
          t AS (SELECT sum(o) AS n FROM obs)
          SELECT obs.digit, obs.o,
-           (obs.o * 1000000) // n AS obs_e6,
+           CAST((obs.o * 1000000) // n AS BIGINT) AS obs_e6,
            CAST(exp_e6 AS BIGINT) AS exp_e6,
-           abs((obs.o * 1000000) // n - exp_e6) AS dev_e6
+           CAST(abs((obs.o * 1000000) // n - exp_e6) AS BIGINT) AS dev_e6
          FROM obs JOIN digits ON obs.digit = digits.digit, t"""
     },
     "q237_gini" ->
@@ -3352,11 +3359,14 @@ object Training {
              coalesce(f.n_5grams, 0) AS n_5grams,
              coalesce(f.dup_5gram_occ, 0) AS dup_5gram_occ
            FROM bia b LEFT JOIN fva f USING (doc_id))
-         SELECT doc_id, n_bigrams, top_bigram_c, n_5grams, dup_5gram_occ,
-           (top_bigram_c * 1000000) // n_bigrams AS top_bigram_frac_e6,
-           CASE WHEN n_5grams > 0
+         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, top_bigram_c,
+           CAST(n_5grams AS BIGINT) AS n_5grams,
+           CAST(dup_5gram_occ AS BIGINT) AS dup_5gram_occ,
+           CAST((top_bigram_c * 1000000) // n_bigrams AS BIGINT)
+             AS top_bigram_frac_e6,
+           CAST(CASE WHEN n_5grams > 0
                 THEN (dup_5gram_occ * 1000000) // n_5grams ELSE 0
-           END AS dup_5gram_frac_e6,
+           END AS BIGINT) AS dup_5gram_frac_e6,
            (top_bigram_c * 5 <= n_bigrams) AS rule_top_bigram,
            (dup_5gram_occ * 20 <= n_5grams * 3) AS rule_dup_5gram,
            ((top_bigram_c * 5 <= n_bigrams)
@@ -3407,17 +3417,21 @@ object Training {
          SELECT cluster_size, count(*) AS n_clusters
          FROM sizes GROUP BY 1""",
     "q171_kcore" -> {
+      // MATERIALIZED is load-bearing: each round references the previous
+      // edge set 3x (two degree-union branches + the next prune), so an
+      // inlining planner recomputes the whole minhash subtree ~3^i times —
+      // measured OOM-at-8GB inlined vs 0.8 s / <4GB materialized.
       def round(i: Int): String =
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
              SELECT id, count(*) AS deg FROM (
                SELECT a AS id FROM e${i - 1} UNION ALL SELECT b AS id FROM e${i - 1})
              GROUP BY 1),
-           k$i AS (SELECT id FROM d$i WHERE deg >= 3),
-           e$i AS (
+           k$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 3),
+           e$i AS MATERIALIZED (
              SELECT a, b FROM e${i - 1}
              WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
       s"""WITH $minhashCtes,
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -3682,7 +3696,7 @@ object Training {
                      WHEN rnk * 3 <= n * 2 THEN 'middle'
                      ELSE 'tail' END AS bucket,
            count(*) AS n_docs,
-           sum(avg_nll_e6) // count(*) AS mean_nll_e6,
+           CAST(sum(avg_nll_e6) // count(*) AS BIGINT) AS mean_nll_e6,
            min(avg_nll_e6) AS min_nll_e6,
            max(avg_nll_e6) AS max_nll_e6
          FROM r GROUP BY 1""",

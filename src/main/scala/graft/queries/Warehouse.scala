@@ -542,7 +542,8 @@ object Warehouse {
     // base+delta merge is the incremental-maintenance invariant
     "q218_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,
-           sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_v_e6
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_v_e6
          FROM events GROUP BY user_id""",
     "q213_constraints" ->
       """WITH m AS (

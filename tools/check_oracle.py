@@ -3,22 +3,131 @@
 
 Reads each `<outDir>/<name>` parquet (written by graft.Verify), runs the
 matching oracle SQL from `<outDir>/oracle_sql.json` in DuckDB over the same
-sf directory, canonicalizes both (columns sorted by name, rows sorted,
-floats rounded), and reports row/schema/value match per query.
+sf directory, and compares under the DRIVER'S semantics: columns sorted by
+name, rows sorted, and an EXACT type-sensitive value hash — no float
+tolerance, and `6` (int64) does NOT equal `6.0` (float64).
+
+Why exact by default: round 6 shipped 13 queries self-green under a
+round(6)/atol compare that arrived driver-hash-red. Root cause was not
+values but TYPES — DuckDB `sum(BIGINT)` returns HUGEINT, which pandas
+renders as float64, so the oracle emitted 857142.0 where the engine wrote
+857142. The tolerant compare masked exactly the class of bug the driver
+gate catches. This checker now (a) audits every oracle's DECLARED column
+types and fails on HUGEINT/DECIMAL outputs (the fix is CAST(... AS BIGINT)
+in the oracle SQL), and (b) hashes values with their type tag.
+
+Hardening against host memory pressure (round 6 OOM'd 42 rows on a
+starved host): explicit PRAGMA memory_limit, threads=1, a FRESH connection
+per query (one query's allocation failure cannot poison the rest), and an
+end-of-run retry pass for err'd rows.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [query ...]
 
-With GRAFT_ORACLE_JSON=<path> set, also writes the per-query results as a
-JSON artifact ({"summary": {...}, "queries": {name: status}}) — the
-committed belt-and-suspenders record for rounds where the driver's own
-CORRECTNESS artifact ships empty.
+Env:
+  GRAFT_ORACLE_JSON      write per-query results JSON artifact here
+  GRAFT_ORACLE_THREADS   DuckDB threads (default 1)
+  GRAFT_ORACLE_MEMLIMIT  DuckDB memory_limit (default 4GB)
+  GRAFT_ORACLE_TOLERANT  "1" → legacy tolerant compare (diagnostics only)
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+# Declared oracle output types that survive fetchdf() with a stable dtype.
+SAFE_TYPES = ("BIGINT","INTEGER","SMALLINT","TINYINT","DOUBLE","FLOAT",
+              "VARCHAR","BOOLEAN","TIMESTAMP","DATE","TIMESTAMP_NS",
+              "TIMESTAMP WITH TIME ZONE")
+
+def connect(sf_dir):
+    # spill instead of dying: the graph oracles (k-core etc.) carry
+    # working sets past any fixed limit on a loaded host. The directory
+    # must be UNIQUE per connection — two DuckDB processes sharing one
+    # temp dir corrupt each other's spill files.
+    tmp = os.path.join(
+        os.environ.get("GRAFT_ORACLE_TMP", "/tmp/graft_duckdb_spill"),
+        f"pid{os.getpid()}_{connect.seq}")
+    connect.seq += 1
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect(config={
+        "threads": int(os.environ.get("GRAFT_ORACLE_THREADS", "1")),
+        "memory_limit": os.environ.get("GRAFT_ORACLE_MEMLIMIT", "4GB"),
+        "temp_directory": tmp})
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return con
+connect.seq = 0
+
+def cell(v, kind):
+    """Type-tagged canonical rendering — the exact-hash unit."""
+    if v is None:
+        return "~"
+    if kind == "f":
+        f = float(v)
+        if f != f:
+            return "~nan"
+        return "f:" + repr(f)
+    if kind == "i":
+        return "i:" + str(int(v))
+    if kind == "b":
+        return "b:" + str(bool(v))
+    if kind == "t":
+        return "t:" + str(v)
+    return "s:" + str(v)
+
+def canon_exact(df: pd.DataFrame):
+    """Columns sorted by name; each cell rendered with a type tag; rows
+    sorted. Returns (colnames, list-of-row-tuples)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    cols, kinds = list(df.columns), []
+    for c in cols:
+        dt = df[c].dtype
+        k = getattr(dt, "kind", "O")
+        if str(dt).startswith(("datetime", "Datetime")):
+            kinds.append("t")
+            df[c] = df[c].astype("datetime64[us]")
+        elif k in "iu" or str(dt) in ("Int64", "Int32", "UInt64"):
+            kinds.append("i")
+        elif k == "f" or str(dt) in ("Float64",):
+            kinds.append("f")
+        elif k == "b" or str(dt) == "boolean":
+            kinds.append("b")
+        elif k == "O":
+            # object column: ints stay ints (duckdb HUGEINT on some
+            # versions); render per-value by python type
+            kinds.append("O")
+        else:
+            kinds.append("s")
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        out = []
+        for v, k in zip(tup, kinds):
+            if k == "O":
+                if v is None or (isinstance(v, float) and v != v):
+                    out.append("~")
+                elif isinstance(v, bool):
+                    out.append(cell(v, "b"))
+                elif isinstance(v, (int, np.integer)):
+                    out.append(cell(v, "i"))
+                elif isinstance(v, (float, np.floating)):
+                    out.append(cell(v, "f"))
+                else:
+                    out.append(cell(v, "s"))
+            else:
+                if v is None or (isinstance(v, float) and v != v and k != "f"):
+                    out.append("~")
+                elif k != "f" and v != v:  # pandas NaT etc.
+                    out.append("~")
+                else:
+                    out.append(cell(v, k))
+        rows.append(tuple(out))
+    rows.sort()
+    return cols, rows
+
+def canon_tolerant(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
@@ -32,61 +141,107 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def type_audit(con, sql):
+    """Flag oracle output columns whose declared DuckDB type converts to
+    an unstable pandas dtype (HUGEINT→float64 is the round-6 killer)."""
+    bad = []
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:
+        return None  # DESCRIBE unsupported for this statement shape
+    for row in desc:
+        cname, ctype = row[0], row[1].upper()
+        if ctype.startswith(SAFE_TYPES):
+            continue
+        bad.append(f"{cname}:{ctype}")
+    return bad
+
+def check_one(sf_dir, out_dir, name, sql, tolerant):
+    qdir = os.path.join(out_dir, name)
+    try:
+        mine = pd.read_parquet(qdir)
+    except Exception as e:
+        return f"ENGINE-READ-FAIL {e}"
+    if sql is None:
+        return f"rows-only ({len(mine)} rows)" + (" EMPTY!" if len(mine) == 0 else "")
+    con = connect(sf_dir)
+    try:
+        bad = type_audit(con, sql)
+        if bad:
+            return ("TYPE-AUDIT unstable oracle column type(s) "
+                    + ", ".join(bad) + " — CAST to BIGINT/DOUBLE in the SQL")
+        try:
+            ref = con.execute(sql).fetchdf()
+        except Exception as e:
+            return f"ORACLE-SQL-FAIL {e}"
+    finally:
+        con.close()
+    if tolerant:
+        a, b = canon_tolerant(mine), canon_tolerant(ref)
+        if len(a) != len(b):
+            return f"ROWCOUNT {len(a)} vs {len(b)}"
+        if list(a.columns) != list(b.columns):
+            return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
+            return "OK"
+        except AssertionError as e:
+            return "VALUES-DIFF " + " | ".join(str(e).split("\n")[0:3])
+    acols, arows = canon_exact(mine)
+    bcols, brows = canon_exact(ref)
+    if len(arows) != len(brows):
+        return f"ROWCOUNT {len(arows)} vs {len(brows)}"
+    if acols != bcols:
+        return f"SCHEMA {acols} vs {bcols}"
+    if arows == brows:
+        return "OK"
+    # exact hash failed — distinguish type-drift from value error
+    diffs = [(i, x, y) for i, (x, y) in enumerate(zip(arows, brows)) if x != y]
+    i, x, y = diffs[0]
+    detail = f"{len(diffs)} rows differ; first: mine={x} ref={y}"
+    stripped_a = [tuple(v.split(":", 1)[-1].rstrip("0").rstrip(".")
+                        if v.startswith("f:") else v.split(":", 1)[-1]
+                        for v in r) for r in arows]
+    stripped_b = [tuple(v.split(":", 1)[-1].rstrip("0").rstrip(".")
+                        if v.startswith("f:") else v.split(":", 1)[-1]
+                        for v in r) for r in brows]
+    if sorted(stripped_a) == sorted(stripped_b):
+        return "HASH-DIFF-TYPE-ONLY (values equal, dtype drifted) " + detail
+    return "VALUES-DIFF " + detail
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    # Few worker threads by default: per-query work at these SFs is tiny,
-    # and under host pressure DuckDB's default thread pool has been seen
-    # dying with std::system_error EAGAIN (thread creation) / segfaults.
-    con = duckdb.connect(
-        config={"threads": int(os.environ.get("GRAFT_ORACLE_THREADS", "2"))})
-    for name in ["region","nation","customer","supplier","part","orders",
-                 "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    tolerant = os.environ.get("GRAFT_ORACLE_TOLERANT") == "1"
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    names = [os.path.basename(q) for q in
+             sorted(glob.glob(os.path.join(out_dir, "q*")))]
+    if only:
+        names = [n for n in names if n in only]
     results = {}
-    for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
-        name = os.path.basename(qdir)
-        if only and name not in only:
-            continue
+    for name in names:
         try:
-            mine = pd.read_parquet(qdir)
+            results[name] = check_one(sf_dir, out_dir, name,
+                                      oracles.get(name), tolerant)
         except Exception as e:
-            results[name] = f"ENGINE-READ-FAIL {e}"
-            continue
-        if name not in oracles:
-            results[name] = f"rows-only ({len(mine)} rows)" + (" EMPTY!" if len(mine)==0 else "")
-            continue
-        try:
-            ref = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            results[name] = f"ORACLE-SQL-FAIL {e}"
-            continue
-        a, b = canon(mine), canon(ref)
-        if len(a) != len(b):
-            results[name] = f"ROWCOUNT {len(a)} vs {len(b)}"
-        elif list(a.columns) != list(b.columns):
-            results[name] = f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
-        else:
+            results[name] = f"CHECKER-FAIL {e}"
+    # retry pass: transient host-pressure failures get one more shot
+    for name, v in list(results.items()):
+        if "FAIL" in v and "TYPE-AUDIT" not in v:
             try:
-                pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                              check_exact=False, rtol=0, atol=1e-9)
-                results[name] = "OK"
-            except AssertionError as e:
-                msg = str(e).split("\n")[0:3]
-                results[name] = "VALUES-DIFF " + " | ".join(msg)
-                # show first differing rows
-                neq = (a != b) & ~(a.isna() & b.isna())
-                bad = neq.any(axis=1)
-                if bad.any():
-                    i = bad.idxmax()
-                    results[name] += f" | row{i} mine={a.loc[i].to_dict()} ref={b.loc[i].to_dict()}"
-    ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
+                results[name] = check_one(sf_dir, out_dir, name,
+                                          oracles.get(name), tolerant)
+            except Exception as e:
+                results[name] = f"CHECKER-FAIL {e}"
+    ok = sum(1 for v in results.values()
+             if v == "OK" or v.startswith("rows-only"))
     for k, v in sorted(results.items()):
         flag = "PASS" if (v == "OK" or v.startswith("rows-only")) else "FAIL"
         print(f"{flag} {k}: {v}")
-    print(f"== {ok}/{len(results)} pass")
+    print(f"== {ok}/{len(results)} pass"
+          + ("" if not tolerant else " (TOLERANT mode — weaker than driver)"))
     out_json = os.environ.get("GRAFT_ORACLE_JSON")
     if out_json:
         import datetime
@@ -97,6 +252,7 @@ def main():
                 "hash_checked": sum(1 for v in results.values() if v == "OK"),
                 "rows_only": sum(1 for v in results.values()
                                  if v.startswith("rows-only")),
+                "mode": "tolerant" if tolerant else "exact-hash",
                 "sf_dir": sf_dir,
                 "checked_at": datetime.datetime.now(
                     datetime.timezone.utc).isoformat(timespec="seconds"),
