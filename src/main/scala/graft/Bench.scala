@@ -91,7 +91,9 @@ object Bench {
     "q214_tpch_q17", // decorrelated scalar subquery (per-part avg)
     "q217_jw_linkage", // codegen Jaro-Winkler over blocked pairs
     "q219_table_reconcile", // bucket-fingerprint pruned table diff
-    "q225_label_prop") // 3-round LPA over the LSH pair graph
+    "q225_label_prop", // 3-round LPA over the LSH pair graph
+    "q242_gps_pipeline", // composed 5-stage GPS DAG (geocode→tz→stops→label)
+    "q243_od_flows") // origin-destination flow matrix (per-user lag window)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

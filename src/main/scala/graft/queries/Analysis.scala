@@ -98,6 +98,24 @@ object Analysis {
           col("n"), col("ma7_e6"), col("n_in_win"))
     }),
 
+    // The composed active-learning SELECT step (ActiveLearning.select):
+    // the reference's three per-iteration strategies — exploitation
+    // top-k, uncertainty band around the decision threshold, hash-seeded
+    // exploration — each anti-joined against the already-labeled set
+    // (5-active_learning/{exploitation,uncertainty_sampling,exploration},
+    // discard_already_labelled_tweets). The iterate() loop around it is
+    // spec-gated in ActiveLearningSpec (param recovery under a planted
+    // boundary); this entry oracle-checks the selection semantics.
+    "q244_active_learning_select" -> ((s, d) => {
+      val pool = t(s, d, "events").select(col("event_id").as("id"),
+        floor(col("value") * 1e6).cast("long").as("score_e6"))
+      val labeled = pool.where(col("id") % 7 === 0).select("id")
+      graft.operators.ActiveLearning.select(pool, labeled,
+        graft.operators.ActiveLearning.Config(
+          kExploit = 25, kUncertain = 25, kExplore = 25),
+        1000000L)
+    }),
+
     // O3: uncertainty sampling around a threshold
     // (retrieve_tweets_around_threshold.py:154-155): 25 closest above ∪
     // 25 closest below.
@@ -1089,6 +1107,25 @@ object Analysis {
          FROM daily
          WINDOW w AS (PARTITION BY event_type ORDER BY day
                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
+    "q244_active_learning_select" ->
+      """WITH pool AS (
+           SELECT event_id AS id,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS score_e6
+           FROM events WHERE event_id % 7 <> 0)
+         (SELECT id, score_e6, 'exploit' AS strategy FROM pool
+          ORDER BY score_e6 DESC, id ASC LIMIT 25)
+         UNION ALL
+         (SELECT id, score_e6, 'uncertain' AS strategy FROM pool
+          WHERE score_e6 >= 1000000
+          ORDER BY score_e6 ASC, id ASC LIMIT 25)
+         UNION ALL
+         (SELECT id, score_e6, 'uncertain' AS strategy FROM pool
+          WHERE score_e6 < 1000000
+          ORDER BY score_e6 DESC, id ASC LIMIT 25)
+         UNION ALL
+         (SELECT id, score_e6, 'explore' AS strategy FROM pool
+          ORDER BY CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+            AS BIGINT) ASC, id ASC LIMIT 25)""",
     "q74_threshold_sample" ->
       """(SELECT event_id, CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
            'above' AS side
