@@ -30,6 +30,9 @@ object Tables {
       if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else df
+    // NOTE: matches TOP-LEVEL NTZ fields only; an NTZ timestamp nested in
+    // a struct/array/map would pass through unconverted. No current
+    // testdata table has one — recurse into nested types if that changes.
     withTs.schema.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }.foldLeft(withTs)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))

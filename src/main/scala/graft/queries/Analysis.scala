@@ -337,8 +337,9 @@ object Analysis {
       val asofDay = lit(20000L) // fixed epoch-day after the data window
       val rfm = t(s, d, "orders")
         .groupBy(col("o_custkey").as("custkey"))
-        // o_orderdate is TIMESTAMP_NTZ (ms parquet); the session is pinned
-        // UTC so the cast is an identity relabel
+        // Tables.apply pre-normalizes the parquet's TIMESTAMP_NTZ columns
+        // to TimestampType on load, so the cast here is a no-op kept for
+        // robustness against a raw-read caller
         .agg((asofDay - max(expr(
             "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")))
             .as("recency"),
@@ -643,8 +644,9 @@ object Analysis {
         .where(col("l_shipdate") > lit("1997-03-01").cast("timestamp"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(rev.as("revenue"), count(lit(1)).as("n"))
-        // o_orderdate is TIMESTAMP_NTZ in the parquet; unix_micros wants
-        // TIMESTAMP — the cast is identity under the session's UTC zone
+        // Tables.apply pre-normalizes the parquet's TIMESTAMP_NTZ columns
+        // to TimestampType on load, so the cast here is a no-op kept for
+        // robustness against a raw-read caller
         .withColumn("odate_us", unix_micros(col("o_orderdate").cast("timestamp")))
         .drop("o_orderdate")
         .orderBy(desc("revenue"), asc("o_orderkey"))

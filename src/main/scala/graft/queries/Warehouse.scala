@@ -68,6 +68,40 @@ object Warehouse {
     // split day rides a 1-row broadcast. At 100 TB the base agg is a
     // stored table and only the delta shuffles — this query keeps both
     // sides' plans (two key-shuffles + merge) honest.
+    // S7 made real: the log-structured transactional table (TxTable —
+    // atomic commits, snapshot isolation, time travel, file-pruned MERGE,
+    // OPTIMIZE) driven through its full lifecycle: two appends, a
+    // copy-on-write upsert, a compaction — then EVERY version read back
+    // via time travel and aggregated. The oracle derives each snapshot
+    // directly from `orders`, so the check proves the log replay: a torn
+    // commit, a mis-pruned merge, or a lossy compaction all break a row.
+    // ACID edge cases (crash orphans, CAS conflicts, vacuum) are
+    // spec-gated in TxTableSpec.
+    "q245_txtable_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"/root/repo/target/tmp/txtable_q245_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      graft.sources.TxTable.append(o.where(col("r") <= 3).drop("r"), dir)
+      graft.sources.TxTable.append(
+        o.where(col("r").between(4, 7)).drop("r"), dir)
+      graft.sources.TxTable.merge(s, dir,
+        o.where(col("r") >= 6).select(col("k"),
+          (col("cents") + 1L).as("cents")), Seq("k"))
+      graft.sources.TxTable.compact(s, dir)
+      (0L to 3L).map { v =>
+        graft.sources.TxTable.read(s, dir, Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select("version", "n_rows", "sum_cents")
+    }),
+
     "q218_incremental_agg" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("user_id"),
         epochBucket("unix_micros(ts)", 86400000000L).as("day"),
@@ -540,6 +574,24 @@ object Warehouse {
          SELECT o_orderkey, status FROM d WHERE status IS NOT NULL""",
     // deliberately the FULL-RECOMPUTE form: equality with the engine's
     // base+delta merge is the incremental-maintenance invariant
+    "q245_txtable_lifecycle" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders)
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents FROM o WHERE r <= 3
+         UNION ALL
+         SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM o WHERE r <= 7
+         UNION ALL
+         SELECT 2, count(*),
+           CAST(sum(CASE WHEN r >= 6 THEN cents + 1 ELSE cents END) AS BIGINT)
+         FROM o
+         UNION ALL
+         SELECT 3, count(*),
+           CAST(sum(CASE WHEN r >= 6 THEN cents + 1 ELSE cents END) AS BIGINT)
+         FROM o""",
     "q218_incremental_agg" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
