@@ -315,13 +315,37 @@ object Training {
     // cache after each query run (Verify/Bench clearCache), so the persist
     // does not leak across queries.
     "q83_tfidf" -> ((s, d) => {
+      // Per-doc term counts are computed MAP-SIDE (a document is one
+      // row): sort the token array, find run starts, emit one
+      // (term, run-length) struct per distinct term — so the only rows
+      // that ever shuffle are distinct (doc, term) pairs, never token
+      // occurrences. The former explode → groupBy(doc, term) shape
+      // shuffled every occurrence and was 17 of q83's 19 s at sf1
+      // (measured); this cut is the whole 5.8x-ratio watch item. Cost
+      // moved into the row: one O(n log n) array_sort per doc.
+      val ws = array_sort(TextFunctions.tokens(col("text")))
       val terms = t(s, d, "documents")
-        .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("dl"),
-          explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tc"))
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("dl", size(col("ws")))
+        .withColumn("starts", expr(
+          "filter(sequence(1, size(ws)), i -> i = 1 OR " +
+            "element_at(ws, i) != element_at(ws, i - 1))"))
+        .select(col("doc_id"), col("dl"), explode(expr(
+          """transform(starts, (st, j) -> struct(
+               element_at(ws, st) as term,
+               coalesce(try_element_at(starts, j + 2), size(ws) + 1) - st
+                 as tc))""")).as("x"))
+        .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+          col("x.tc").as("tc"))
         .persist()
-      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      val nd = terms.agg(countDistinct("doc_id").cast("double").as("n_docs"))
+      // `terms` is unique on (doc_id, term) by construction, so per-term
+      // document frequency is a plain count — no distinct expansion.
+      // n_docs comes from a map-only re-scan of `documents` instead of a
+      // distinct shuffle over the term frame.
+      val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= 1)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       terms.join(df, "term")
         .crossJoin(broadcast(nd))
         .withColumn("tfidf",
