@@ -233,9 +233,15 @@ object TxTable {
     * matched key are rewritten; the rest carry over untouched.
     */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String], expectedVersion: Option[Long] = None): Long = {
+      keys: Seq[String], expectedVersion: Option[Long] = None,
+      opTag: Option[String] = None): Long = {
+    Files.createDirectories(Paths.get(dir))
     val base = currentVersion(dir)
-    requireVersion(dir, expectedVersion, base, "merge")
+    val op = "merge" + opTag.map(":" + _).getOrElse("")
+    requireVersion(dir, expectedVersion, base, op)
+    if (base < 0) // first commit: MERGE into an empty table is an insert
+      return publish(dir, op, stage(source, dir), Nil, source.schema.json,
+        basedOn = Some(base))
     // bare file NAME (the log's unit), not the URI input_file_name returns
     val snap = read(spark, dir, Some(base)).withColumn("__name",
       element_at(split(input_file_name(), "/"), -1))
@@ -249,9 +255,13 @@ object TxTable {
       else snap.where(col("__name").isin(touched: _*)).drop("__name")
         .join(srcKeys, keys, "left_anti")
     val newData = kept.unionByName(source)
-    publish(dir, "merge", stage(newData, dir), touched,
+    publish(dir, op, stage(newData, dir), touched,
       source.schema.json, basedOn = Some(base))
   }
+
+  /** True if some commit carries `opTag` (idempotence lookup for sinks). */
+  def hasCommitTag(dir: String, opTag: String): Boolean =
+    readLog(dir, None).exists(_.op.endsWith(":" + opTag))
 
   /** Commit history as a DataFrame: (version, op, n_adds, n_removes). */
   def history(spark: SparkSession, dir: String): DataFrame = {

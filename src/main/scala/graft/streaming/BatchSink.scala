@@ -25,6 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object BatchSink {
 
+  /** The transactional form of `upsertBatch`: MERGE each micro-batch into
+    * a `TxTable`, the batchId riding the commit's op tag — so the COMMIT
+    * IS THE MARKER and exactly-once needs no separate marker file or
+    * directory swap. Recovery cases collapse to the table's own ACID
+    * story: a crash after staging but before publish leaves invisible
+    * orphans (vacuum reclaims); a replayed batchId finds its tag in the
+    * log and no-ops; the file-pruned MERGE keeps the rewrite proportional
+    * to touched files at any table size. This is the "marker rides the
+    * table's own log" production path the parquet-swap `upsertBatch`
+    * stands in for.
+    */
+  def upsertBatchTx(batch: DataFrame, batchId: Long, dir: String,
+      key: String): Unit = {
+    val tag = s"batch=$batchId"
+    if (graft.sources.TxTable.hasCommitTag(dir, tag)) return // replay
+    val b = batch.persist()
+    try {
+      require(b.groupBy(key).count().where(col("count") > 1).isEmpty,
+        s"batch $batchId carries duplicate keys — last-writer-wins undefined")
+      graft.sources.TxTable.merge(
+        b.sparkSession, dir, b, Seq(key), opTag = Some(tag))
+      ()
+    } finally { b.unpersist(); () }
+  }
+
   def upsertBatch(batch: DataFrame, batchId: Long, path: String,
       key: String): Unit = {
     val dir = new File(path)

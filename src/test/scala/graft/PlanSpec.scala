@@ -435,4 +435,40 @@ class PlanSpec extends SparkSpec {
     // exactly one scan of documents — every metric comes from the same pass
     assert("FileScan parquet".r.findAllIn(p).length == 1, p)
   }
+
+  test("q242 GPS pipeline: polygon cells and tz offsets broadcast; the " +
+      "only shuffles are keyed (stops, labeling) — never a global sort") {
+    val p = plan("q242_gps_pipeline")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // 2x geocode + tz
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange is hash partitioning on keys — the pings never
+    // range-shuffle through a global sort
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q243 O-D flows: per-user window, no single-partition window") {
+    val p = plan("q243_od_flows")
+    assert(p.contains("Window"), p)
+    // the lag window is keyed by user_id — a Window with an empty
+    // partition spec would print 'Window [...], [m ASC' with no
+    // partition expressions and plan a SinglePartition exchange
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q244 active-learning select: every strategy cut is a bounded " +
+      "top-k (TakeOrderedAndProject), never a global sort") {
+    val p = plan("q244_active_learning_select")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("q83 tfidf: term counts are map-side (no explode before the " +
+      "pair aggregate) and the df join broadcasts under AQE sizes") {
+    val p = plan("q83_tfidf")
+    // one generator only — the per-doc (term, tc) struct explode; the
+    // old occurrence-level explode + re-aggregate shape had Generate
+    // feeding a HashAggregate keyed on (doc_id, dl, term)
+    assert(!p.contains("HashAggregate(keys=[doc_id"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -247,6 +247,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch TxTable sink: the commit IS the marker (exactly-once)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txsink").toString
+    val tbl = s"$dir/table"
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.BatchSink.upsertBatchTx(df, id, tbl, "k"))
+      .option("checkpointLocation", s"$dir/_chk")
+      .start()
+    try {
+      input.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      input.addData((2L, 21L), (3L, 30L)) // key 2 updated, key 3 inserted
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = graft.sources.TxTable.read(spark, tbl)
+      .as[(Long, Long)].collect().toSet
+    val afterStream = state()
+    assert(afterStream == Set((1L, 10L), (2L, 21L), (3L, 30L)), afterStream)
+    val vAfter = graft.sources.TxTable.currentVersion(tbl)
+
+    // REPLAY batch 1 (at-least-once recovery): its tag is already in the
+    // log, so the sink publishes NOTHING — not even a new version
+    graft.streaming.BatchSink.upsertBatchTx(
+      Seq((2L, 21L), (3L, 30L)).toDF("k", "v"), 1L, tbl, "k")
+    assert(graft.sources.TxTable.currentVersion(tbl) == vAfter)
+    assert(state() == afterStream)
+
+    // each micro-batch is one time-travelable commit
+    assert(graft.sources.TxTable.read(spark, tbl, Some(0L))
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    val ops = graft.sources.TxTable.history(spark, tbl)
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("merge:batch=0", "merge:batch=1"), ops)
+
+    // duplicate keys within one batch are rejected before any commit
+    intercept[IllegalArgumentException] {
+      graft.streaming.BatchSink.upsertBatchTx(
+        Seq((5L, 1L), (5L, 2L)).toDF("k", "v"), 9L, tbl, "k")
+    }
+    assert(graft.sources.TxTable.currentVersion(tbl) == vAfter)
+  }
+
   test("streaming exact-dedup: dropDuplicatesWithinWatermark across batches") {
     // the streaming twin of q56's exact dedup: duplicate fingerprints are
     // suppressed as long as they arrive within the watermark delay, with
