@@ -163,7 +163,115 @@ object Mobility {
       .withColumn("t1", col("t0") + col("dur"))
       .drop("dur")
 
+  /** Shared oracle CTE chain replicating `Labeling.labelStays` end to end
+    * — including the nearest-day gap fill, which IS SQL-expressible with
+    * the q240 ignore-nulls window idiom (scaffold days, last/first
+    * non-null neighbor on each side, nearest with ties to the earlier
+    * day). Weekday is pure integer arithmetic off the epoch day number
+    * (1970-01-01 = Thursday = ISO 4), so no engine timezone is involved.
+    * This upgrades q50/q51 from rows-only to fully hash-checked.
+    */
+  private val labeledCtes: String =
+    """stays AS (
+         SELECT user_id, event_id % 3 AS cluster,
+           CAST(floor(date_part('epoch', date_trunc('day', ts))) AS BIGINT) AS day_s,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t0,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT)
+             + CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) AS t1
+         FROM events
+         WHERE CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) > 0),
+       night AS (
+         SELECT user_id, cluster, day_s, sum(t1 - t0) AS d_night
+         FROM stays
+         WHERE (t0 % 86400) // 3600 >= 21 OR (t1 % 86400) // 3600 <= 9
+         GROUP BY 1, 2, 3),
+       rolled AS (
+         SELECT user_id, cluster, day_s,
+           sum(d_night) OVER w AS roll_sum, count(*) OVER w AS roll_cnt
+         FROM night
+         WINDOW w AS (PARTITION BY user_id, cluster ORDER BY day_s
+                      RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)),
+       home0 AS (
+         SELECT user_id, day_s, cluster AS home_cluster FROM (
+           SELECT user_id, day_s, cluster,
+             row_number() OVER (PARTITION BY user_id, day_s
+                                ORDER BY roll_sum DESC, cluster ASC) AS rn
+           FROM rolled WHERE roll_cnt >= 3) WHERE rn = 1),
+       scaffold AS (
+         SELECT user_id, unnest(range(mn, mx + 86400, 86400)) AS day_s FROM (
+           SELECT user_id, min(day_s) AS mn, max(day_s) AS mx
+           FROM home0 GROUP BY 1)),
+       fj AS (
+         SELECT s.user_id, s.day_s, h.home_cluster
+         FROM scaffold s LEFT JOIN home0 h
+           ON s.user_id = h.user_id AND s.day_s = h.day_s),
+       fw AS (
+         SELECT user_id, day_s, home_cluster,
+           last_value(home_cluster IGNORE NULLS) OVER back AS c_prev,
+           last_value(CASE WHEN home_cluster IS NOT NULL THEN day_s END
+             IGNORE NULLS) OVER back AS d_prev,
+           first_value(home_cluster IGNORE NULLS) OVER fwd AS c_next,
+           first_value(CASE WHEN home_cluster IS NOT NULL THEN day_s END
+             IGNORE NULLS) OVER fwd AS d_next
+         FROM fj
+         WINDOW back AS (PARTITION BY user_id ORDER BY day_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY day_s
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       home AS (
+         SELECT user_id, day_s,
+           CAST(CASE
+             WHEN home_cluster IS NOT NULL THEN home_cluster
+             WHEN d_prev IS NULL THEN c_next
+             WHEN d_next IS NULL THEN c_prev
+             WHEN day_s - d_prev <= d_next - day_s THEN c_prev
+             ELSE c_next END AS BIGINT) AS home_cluster
+         FROM fw),
+       dayw AS (
+         SELECT st.user_id, st.cluster, st.day_s,
+           sum(st.t1 - st.t0) AS d_work
+         FROM stays st LEFT JOIN home h
+           ON st.user_id = h.user_id AND st.day_s = h.day_s
+         WHERE NOT ((st.t0 % 86400) // 3600 >= 21
+                 OR (st.t1 % 86400) // 3600 <= 9)
+           AND (((st.day_s // 86400) + 3) % 7) + 1 BETWEEN 1 AND 5
+           AND (h.home_cluster IS NULL OR st.cluster <> h.home_cluster)
+         GROUP BY 1, 2, 3),
+       wrolled AS (
+         SELECT user_id, cluster, day_s,
+           avg(d_work) OVER w AS roll_avg, count(*) OVER w AS roll_cnt
+         FROM dayw
+         WINDOW w AS (PARTITION BY user_id, cluster ORDER BY day_s
+                      RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)),
+       work AS (
+         SELECT user_id, day_s, cluster AS work_cluster
+         FROM wrolled WHERE roll_cnt >= 3 AND roll_avg >= 1800.0),
+       labeled AS (
+         SELECT st.user_id, st.cluster, st.day_s, st.t0, st.t1,
+           CASE WHEN st.cluster = h.home_cluster THEN 'H'
+                WHEN w.work_cluster IS NOT NULL THEN 'W'
+                ELSE 'O' END AS location_type
+         FROM stays st
+         LEFT JOIN home h ON st.user_id = h.user_id AND st.day_s = h.day_s
+         LEFT JOIN work w ON st.user_id = w.user_id AND st.day_s = w.day_s
+           AND st.cluster = w.work_cluster)"""
+
   val oracles: Map[String, String] = Map(
+    "q50_home_work_label" ->
+      s"""WITH $labeledCtes
+         SELECT user_id, CAST(cluster AS BIGINT) AS cluster, day_s, t0, t1,
+           location_type
+         FROM labeled""",
+    "q51_durations_pivot" ->
+      s"""WITH $labeledCtes
+         SELECT user_id, day_s,
+           CAST(coalesce(sum(CASE WHEN location_type = 'H'
+             THEN t1 - t0 END), 0) AS BIGINT) AS "H",
+           CAST(coalesce(sum(CASE WHEN location_type = 'W'
+             THEN t1 - t0 END), 0) AS BIGINT) AS "W",
+           CAST(coalesce(sum(CASE WHEN location_type = 'O'
+             THEN t1 - t0 END), 0) AS BIGINT) AS "O"
+         FROM labeled GROUP BY 1, 2""",
     "q243_od_flows" ->
       """WITH um AS (
            SELECT DISTINCT user_id,

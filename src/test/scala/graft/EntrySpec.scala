@@ -16,8 +16,8 @@ class EntrySpec extends SparkSpec {
     assert(os.subsetOf(qs), (os -- qs).toString)
     val rowsOnly = qs -- os
     assert(rowsOnly == Set("q40_sample_seeded", "q41_stratified_sample",
-      "q42_rand_jitter", "q47_stop_detection", "q50_home_work_label",
-      "q51_durations_pivot", "q242_gps_pipeline"), rowsOnly.toString)
+      "q42_rand_jitter", "q47_stop_detection", "q242_gps_pipeline"),
+      rowsOnly.toString)
   }
 
   test("query names are unique across files (no map-key collisions)") {
