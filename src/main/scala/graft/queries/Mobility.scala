@@ -33,18 +33,28 @@ object Mobility {
       (lit(10.0) + abs(col("value") % 50.0)).as("accuracy"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // F2+F3: stop detection + DBSCAN(min_samples=1) clustering, flatMapGroups.
-    // Sparse event times need a wide gap tolerance to form stops.
+    // F2+F3: stop detection + DBSCAN(min_samples=1) clustering,
+    // flatMapGroups. Sparse event times need a wide gap tolerance to form
+    // stops. HASH-CHECKED against a recursive-CTE sequential replay (the
+    // oracle walks each user's pings in the same order, carrying the same
+    // running centroid state, then closes the single-linkage components
+    // to fixpoint) — the centroid in the output is the SEQUENTIAL
+    // time-order sum both sides accumulate, so the doubles are
+    // bit-identical, and outputs are floored micro-units. The haversine
+    // thresholds (r1=100 m, eps=100 m) sit >= 55 m from every distance
+    // the derived pings produce, so libm trig differences (~1e-10
+    // relative) cannot flip a membership decision.
     "q47_stop_detection" -> ((s, d) => {
       val p = Stops.Params(
         r1Meters = 100.0, minStayingTimeSec = 600, maxTimeBetweenSec = 6 * 86400,
         minSize = 2, maxAccuracyMeters = 100.0, epsMeters = 100.0)
       Stops.detect(derivedPings(s, d), p).toDF()
         .select(col("userId").as("user_id"), col("tStart").as("t_start"),
-          col("tEnd").as("t_end"), col("nPings").as("n_pings"),
-          col("clusterLabel").as("cluster_label"),
-          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
-          round(col("medianAccuracy"), 4).as("median_accuracy"))
+          col("tEnd").as("t_end"), col("nPings").cast("long").as("n_pings"),
+          col("clusterLabel").cast("long").as("cluster_label"),
+          floor(col("lat") * 1e6).cast("long").as("lat_e6"),
+          floor(col("lon") * 1e6).cast("long").as("lon_e6"),
+          floor(col("medianAccuracy") * 1e4).cast("long").as("acc_e4"))
     }),
 
     // F1: day-splitter — declarative sequence+explode, oracle-checked.
@@ -256,7 +266,100 @@ object Mobility {
          LEFT JOIN work w ON st.user_id = w.user_id AND st.day_s = w.day_s
            AND st.cluster = w.work_cluster)"""
 
+  /** Haversine meters between the running centroid carried in `r` and
+    * ping `p` — spelled exactly like `Stops.haversineM`. Inlined (the
+    * recursive term cannot bind a lateral alias portably).
+    */
+  private def havJoin: String = {
+    val cLat = "(r.sum_lat / r.cnt)"
+    val cLon = "(r.sum_lon / r.cnt)"
+    s"""(p.t - r.t <= 518400 AND
+       2 * 6371000 * asin(sqrt(
+         pow(sin(radians(p.lat - $cLat) / 2), 2)
+         + cos(radians($cLat)) * cos(radians(p.lat))
+           * pow(sin(radians(p.lon - $cLon) / 2), 2))) <= 100.0)"""
+  }
+
+  /** q47's oracle: a WITH RECURSIVE sequential replay of the stationary-
+    * event scan (same ping order, same running-centroid state, so the
+    * output centroid doubles are bit-identical sequential sums), then a
+    * second recursion closing the single-linkage components to fixpoint.
+    * Both haversine thresholds sit >= 55 m from every distance the
+    * derived pings can produce, so trig-library differences cannot flip
+    * a membership decision.
+    */
+  private def stopOracle: String = {
+    val havStops =
+      """2 * 6371000 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100.0"""
+    s"""WITH RECURSIVE dp AS (
+         SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,
+           ((user_id % 80 - 40)
+             + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
+             + (value % 0.0002) AS lat,
+           ((user_id % 160)
+             + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
+             + (value % 0.0002) AS lon,
+           10.0 + abs(value % 50.0) AS accuracy
+         FROM events),
+       pg AS (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+                                      ORDER BY t, lat, lon) AS i
+         FROM dp),
+       rec AS (
+         SELECT user_id, i, t, lat, lon, accuracy,
+           i AS g, lat AS sum_lat, lon AS sum_lon, CAST(1 AS BIGINT) AS cnt
+         FROM pg WHERE i = 1
+         UNION ALL
+         SELECT p.user_id, p.i, p.t, p.lat, p.lon, p.accuracy,
+           CASE WHEN $havJoin THEN r.g ELSE p.i END,
+           CASE WHEN $havJoin THEN r.sum_lat + p.lat ELSE p.lat END,
+           CASE WHEN $havJoin THEN r.sum_lon + p.lon ELSE p.lon END,
+           CASE WHEN $havJoin THEN r.cnt + 1 ELSE CAST(1 AS BIGINT) END
+         FROM rec r JOIN pg p ON p.user_id = r.user_id AND p.i = r.i + 1),
+       glast AS (SELECT user_id, g, max(i) AS li FROM rec GROUP BY 1, 2),
+       accs AS (
+         SELECT user_id, g, list(accuracy ORDER BY accuracy) AS arr
+         FROM rec GROUP BY 1, 2),
+       stops0 AS (
+         SELECT r.user_id, r.g, p0.t AS t_start, r.t AS t_end,
+           r.cnt AS n_pings, r.sum_lat / r.cnt AS lat,
+           r.sum_lon / r.cnt AS lon,
+           (a.arr[CAST((len(a.arr) + 1) // 2 AS INT)]
+             + a.arr[CAST(len(a.arr) // 2 + 1 AS INT)]) / 2.0 AS med
+         FROM rec r
+         JOIN glast gl ON r.user_id = gl.user_id AND r.i = gl.li
+           AND r.g = gl.g
+         JOIN pg p0 ON p0.user_id = r.user_id AND p0.i = r.g
+         JOIN accs a ON a.user_id = r.user_id AND a.g = r.g),
+       sid AS (
+         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY g) AS s
+         FROM stops0
+         WHERE n_pings >= 2 AND t_end - t_start >= 600 AND med <= 100.0),
+       edges AS (
+         SELECT a.user_id, a.s AS x, b.s AS y
+         FROM sid a JOIN sid b ON a.user_id = b.user_id AND $havStops),
+       cc AS (
+         SELECT user_id, s AS node, s AS lbl FROM sid
+         UNION
+         SELECT e.user_id, e.x, c.lbl
+         FROM cc c JOIN edges e ON e.user_id = c.user_id AND e.y = c.node),
+       comp AS (
+         SELECT user_id, node AS s, min(lbl) AS root FROM cc GROUP BY 1, 2)
+       SELECT si.user_id, si.t_start, si.t_end, si.n_pings,
+         CAST(dense_rank() OVER (PARTITION BY si.user_id ORDER BY c.root)
+           - 1 AS BIGINT) AS cluster_label,
+         CAST(floor(si.lat * 1e6) AS BIGINT) AS lat_e6,
+         CAST(floor(si.lon * 1e6) AS BIGINT) AS lon_e6,
+         CAST(floor(si.med * 1e4) AS BIGINT) AS acc_e4
+       FROM sid si JOIN comp c ON c.user_id = si.user_id AND c.s = si.s"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q47_stop_detection" -> stopOracle,
     "q50_home_work_label" ->
       s"""WITH $labeledCtes
          SELECT user_id, CAST(cluster AS BIGINT) AS cluster, day_s, t0, t1,
