@@ -56,7 +56,8 @@ object TxTable {
     val ld = logDir(dir)
     if (!Files.isDirectory(ld)) -1L
     else Files.list(ld).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
   }
@@ -101,33 +102,75 @@ object TxTable {
     }
   }
 
+  /** Commit interval for log checkpoints: at every multiple, publish
+    * also writes `<v>.checkpoint.json` holding the FULL live file list
+    * at that version, so readers replay at most `CheckpointEvery` JSON
+    * entries instead of the whole history — the standard bounded-replay
+    * extension for long-lived tables (a 100k-commit table replays 9
+    * entries, not 100k).
+    */
+  val CheckpointEvery = 10L
+
+  private def checkpointPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"$v%020d.checkpoint.json")
+
+  /** Latest checkpoint at or before `top`, if any: (version, files). */
+  private def latestCheckpoint(dir: String, top: Long): Option[(Long, Seq[String])] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) return None
+    val vs = Files.list(ld).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(_ <= top).toSeq
+    vs.sorted.lastOption.map { v =>
+      val c = parse(Files.readString(checkpointPath(dir, v)))
+      (v, c.adds)
+    }
+  }
+
   /** Live file names at `asOf` (default latest): replay adds minus
-    * removes in version order.
+    * removes in version order, starting from the newest checkpoint at or
+    * before `asOf`.
     */
   def activeFiles(dir: String, asOf: Option[Long] = None): Seq[String] = {
+    val top = asOf.getOrElse(currentVersion(dir))
+    val (from, seed) = latestCheckpoint(dir, top)
+      .map { case (v, fs) => (v + 1, fs) }.getOrElse((0L, Seq.empty[String]))
     val live = collection.mutable.LinkedHashSet.empty[String]
-    readLog(dir, asOf).foreach { c =>
+    live ++= seed
+    (from to top).foreach { v =>
+      val c = parse(Files.readString(entryPath(dir, v)))
       c.removes.foreach(live.remove); live ++= c.adds
     }
     live.toSeq
   }
 
-  /** Snapshot read (time travel with `asOf`). An empty snapshot still
-    * carries the committed schema.
+  /** Committed schema at `asOf` (default latest), if any commit exists. */
+  def schemaAt(dir: String, asOf: Option[Long] = None): Option[StructType] = {
+    val commits = readLog(dir, asOf)
+    commits.lastOption.filter(_.schemaJson.nonEmpty).map(c =>
+      org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[StructType])
+  }
+
+  /** Snapshot read (time travel with `asOf`). The scan is PINNED to the
+    * snapshot's committed schema, which is what makes additive schema
+    * evolution work: files written before a column existed read it as
+    * null, exactly like the published log-structured design. An empty
+    * snapshot still carries the committed schema.
     */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
     val files = activeFiles(dir, asOf)
+    val schema = schemaAt(dir, asOf)
     if (files.nonEmpty)
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-    else {
-      val commits = readLog(dir, asOf)
-      val schema =
-        if (commits.isEmpty) new StructType()
-        else org.apache.spark.sql.types.DataType
-          .fromJson(commits.last.schemaJson).asInstanceOf[StructType]
+      schema.map(s => spark.read.schema(s))
+        .getOrElse(spark.read)
+        .parquet(files.map(f => s"$dir/$f"): _*)
+    else
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new StructType()))
   }
 
   /** Stage `df` as parquet under UUID-prefixed names in `dir`; returns
@@ -174,7 +217,21 @@ object TxTable {
             Files.delete(tmp)
             false
         }
-      if (landed) return v
+      if (landed) {
+        // best-effort bounded-replay checkpoint; a crash before this
+        // write only means readers replay from the previous checkpoint
+        if (v > 0 && v % CheckpointEvery == 0) {
+          val ct = logDir(dir).resolve(s".ckpt-${java.util.UUID.randomUUID()}")
+          Files.writeString(ct, render(Commit(v, "checkpoint",
+            activeFiles(dir, Some(v)), Nil,
+            schemaAt(dir, Some(v)).map(_.json).getOrElse(""))))
+          try Files.move(ct, checkpointPath(dir, v),
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            Files.delete(ct) }
+        }
+        return v
+      }
       if (basedOn.isDefined)
         throw new java.util.ConcurrentModificationException(
           s"TxTable $dir: version $v committed concurrently; " +
@@ -196,10 +253,36 @@ object TxTable {
           "re-derive and retry")
     }
 
+  /** Additive schema evolution: the committed snapshot schema is the
+    * existing fields (order kept) plus any NEW fields of the write, so a
+    * narrow late append can never drop columns from earlier files and a
+    * wider one surfaces its columns as null over old files. A same-name
+    * field with a different type is refused — that is a rewrite, not an
+    * evolution.
+    */
+  private def evolve(dir: String, incoming: StructType): StructType =
+    schemaAt(dir, None) match {
+      case None => incoming
+      case Some(old) =>
+        val byName = incoming.fields.map(f => f.name -> f).toMap
+        old.fields.foreach { f =>
+          byName.get(f.name).filter(_.dataType != f.dataType).foreach { g =>
+            throw new IllegalArgumentException(
+              s"TxTable $dir: column ${f.name} type change " +
+                s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+                "is not additive evolution")
+          }
+        }
+        val oldNames = old.fieldNames.toSet
+        StructType(old.fields ++ incoming.fields.filterNot(f =>
+          oldNames(f.name)))
+    }
+
   /** Atomic append (order-independent — claims the next free version). */
   def append(df: DataFrame, dir: String): Long = {
     Files.createDirectories(Paths.get(dir))
-    publish(dir, "append", stage(df, dir), Nil, df.schema.json, basedOn = None)
+    val schema = evolve(dir, df.schema)
+    publish(dir, "append", stage(df, dir), Nil, schema.json, basedOn = None)
   }
 
   /** Atomic full overwrite (snapshot replace). `expectedVersion` is the
@@ -240,8 +323,8 @@ object TxTable {
     val op = "merge" + opTag.map(":" + _).getOrElse("")
     requireVersion(dir, expectedVersion, base, op)
     if (base < 0) // first commit: MERGE into an empty table is an insert
-      return publish(dir, op, stage(source, dir), Nil, source.schema.json,
-        basedOn = Some(base))
+      return publish(dir, op, stage(source, dir), Nil,
+        evolve(dir, source.schema).json, basedOn = Some(base))
     // bare file NAME (the log's unit), not the URI input_file_name returns
     val snap = read(spark, dir, Some(base)).withColumn("__name",
       element_at(split(input_file_name(), "/"), -1))
@@ -256,7 +339,7 @@ object TxTable {
         .join(srcKeys, keys, "left_anti")
     val newData = kept.unionByName(source)
     publish(dir, op, stage(newData, dir), touched,
-      source.schema.json, basedOn = Some(base))
+      evolve(dir, source.schema).json, basedOn = Some(base))
   }
 
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */

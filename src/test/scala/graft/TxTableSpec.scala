@@ -133,6 +133,42 @@ class TxTableSpec extends SparkSpec {
     assert(slurp(dir) == Set(9L -> "z"))
   }
 
+  test("log checkpoint at the interval: bounded replay, same snapshots") {
+    val dir = freshDir("ckpt")
+    (0 until 12).foreach(i => TxTable.append(df(i.toLong -> s"v$i"), dir))
+    // checkpoint landed at version 10
+    assert(Files.exists(Paths.get(dir, "_txlog",
+      f"${10L}%020d.checkpoint.json")))
+    // reads through the checkpoint equal full replay at every version
+    assert(slurp(dir) == (0 until 12).map(i => i.toLong -> s"v$i").toSet)
+    assert(slurp(dir, Some(10L)) == (0 until 11).map(i => i.toLong -> s"v$i").toSet)
+    // pre-checkpoint time travel never touches it
+    assert(slurp(dir, Some(4L)) == (0 until 5).map(i => i.toLong -> s"v$i").toSet)
+  }
+
+  test("additive schema evolution: wide reads over narrow files and back") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("evolve")
+    TxTable.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    TxTable.append(Seq((2L, "b", 7L)).toDF("k", "v", "extra"), dir)
+    val wide = TxTable.read(spark, dir)
+    assert(wide.columns.toSeq == Seq("k", "v", "extra"))
+    val rows = wide.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(7L))))
+    // a LATER narrow append must not shrink the table schema
+    TxTable.append(Seq((3L, "c")).toDF("k", "v"), dir)
+    val after = TxTable.read(spark, dir)
+    assert(after.columns.toSeq == Seq("k", "v", "extra"))
+    assert(after.where(col("k") === 3L).collect()(0).isNullAt(2))
+    // a type change is a rewrite, not evolution
+    intercept[IllegalArgumentException] {
+      TxTable.append(Seq((4L, 9L)).toDF("k", "v"), dir)
+    }
+  }
+
   test("vacuum with a horizon drops pre-horizon history only") {
     val dir = freshDir("vacuum")
     TxTable.append(df(1L -> "a"), dir) // v0
