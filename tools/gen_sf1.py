@@ -104,3 +104,18 @@ copy("lineitem", f"""
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet', {rep}
 """)
+
+# events grow by USERS (10x population, per-user series kept intact), not
+# by densifying each user's history — stop detection / sessionization /
+# O-D flows then scale the way organic growth scales them: more
+# independent per-user scans, same per-user state. A small per-replica
+# value shift varies the derived ping jitters and durations.
+EVT_N = stride("events", "event_id")
+USR_N = stride("events", "user_id")
+
+copy("events", f"""
+  SELECT event_id + r * {EVT_N} AS event_id, ts,
+         user_id + r * {USR_N} AS user_id, event_type,
+         value + r * 0.000017 AS value, props
+  FROM '{SRC}/events.parquet', {rep}
+""")
