@@ -95,15 +95,23 @@ object Mobility {
     // country table).
     // The composed 5-stage reference DAG (gps_pipeline.py:43-78) as ONE
     // entry: geocodePings → tzOffset → Stops.detect → geocodeStops →
-    // HWlabeling, via GpsPipeline.run. Rows-only here (stop detection is
-    // the non-SQL stage); the stage contracts and hand-computed golden
-    // labels are spec-gated in GpsPipelineSpec. Admin polygons are four
-    // lon-band rectangles covering the derived-ping sites; tz offsets
-    // differ per band so localization is load-bearing.
+    // HWlabeling, via GpsPipeline.run — HASH-CHECKED end to end: the
+    // oracle replays geocode as a band comparison (edge-free polygon
+    // placement), localization as an epoch shift, stop detection as the
+    // q47 recursive walk, and labeling as the q50 chain. Hand-computed
+    // golden labels are additionally spec-gated in GpsPipelineSpec.
+    // Admin polygons are four lon-band rectangles covering the
+    // derived-ping sites; tz offsets differ per band so localization is
+    // load-bearing.
     "q242_gps_pipeline" -> ((s, d) => {
+      // Band edges at x.0035: derived-ping lon fractional parts live in
+      // [0, 0.0002) ∪ [0.01, 0.0102), so NO ping can sit on a polygon
+      // boundary — geocode assignment is uniquely a band comparison,
+      // which is what lets the oracle replay it as a CASE and makes the
+      // whole composed DAG hash-checkable.
       val admin = Seq(
-        ("A0", 0.0, 41.0, 0L), ("A1", 41.0, 81.0, 3600L),
-        ("A2", 81.0, 121.0, 7200L), ("A3", 121.0, 161.0, -3600L))
+        ("A0", -0.0005, 41.0035, 0L), ("A1", 41.0035, 81.0035, 3600L),
+        ("A2", 81.0035, 121.0035, 7200L), ("A3", 121.0035, 161.0035, -3600L))
       import s.implicits._
       val adminDf = admin.map { case (id, lo0, lo1, _) =>
         (id, s"POLYGON (($lo0 -41, $lo1 -41, $lo1 41, $lo0 41, $lo0 -41))")
@@ -181,16 +189,20 @@ object Mobility {
     * (1970-01-01 = Thursday = ISO 4), so no engine timezone is involved.
     * This upgrades q50/q51 from rows-only to fully hash-checked.
     */
-  private val labeledCtes: String =
-    """stays AS (
-         SELECT user_id, event_id % 3 AS cluster,
-           CAST(floor(date_part('epoch', date_trunc('day', ts))) AS BIGINT) AS day_s,
-           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t0,
-           CAST(floor(date_part('epoch', ts)) AS BIGINT)
-             + CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) AS t1
-         FROM events
-         WHERE CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) > 0),
-       night AS (
+  private val eventStaysSql: String =
+    """SELECT user_id, event_id % 3 AS cluster,
+         CAST(floor(date_part('epoch', date_trunc('day', ts))) AS BIGINT) AS day_s,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t0,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT)
+           + CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) AS t1
+       FROM events
+       WHERE CAST(floor(least(abs(value)*3600.0, 21600.0)) AS BIGINT) > 0"""
+
+  /** Label chain over a predefined CTE `stays` (user_id, cluster, day_s,
+    * t0, t1, extra columns carried through to `labeled`).
+    */
+  private val labelChain: String =
+    """night AS (
          SELECT user_id, cluster, day_s, sum(t1 - t0) AS d_night
          FROM stays
          WHERE (t0 % 86400) // 3600 >= 21 OR (t1 % 86400) // 3600 <= 9
@@ -249,15 +261,15 @@ object Mobility {
          GROUP BY 1, 2, 3),
        wrolled AS (
          SELECT user_id, cluster, day_s,
-           avg(d_work) OVER w AS roll_avg, count(*) OVER w AS roll_cnt
+           avg(d_work) OVER w2 AS roll_avg, count(*) OVER w2 AS roll_cnt
          FROM dayw
-         WINDOW w AS (PARTITION BY user_id, cluster ORDER BY day_s
-                      RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)),
+         WINDOW w2 AS (PARTITION BY user_id, cluster ORDER BY day_s
+                       RANGE BETWEEN 2332800 PRECEDING AND CURRENT ROW)),
        work AS (
          SELECT user_id, day_s, cluster AS work_cluster
          FROM wrolled WHERE roll_cnt >= 3 AND roll_avg >= 1800.0),
        labeled AS (
-         SELECT st.user_id, st.cluster, st.day_s, st.t0, st.t1,
+         SELECT st.*,
            CASE WHEN st.cluster = h.home_cluster THEN 'H'
                 WHEN w.work_cluster IS NOT NULL THEN 'W'
                 ELSE 'O' END AS location_type
@@ -280,32 +292,38 @@ object Mobility {
            * pow(sin(radians(p.lon - $cLon) / 2), 2))) <= 100.0)"""
   }
 
-  /** q47's oracle: a WITH RECURSIVE sequential replay of the stationary-
-    * event scan (same ping order, same running-centroid state, so the
-    * output centroid doubles are bit-identical sequential sums), then a
-    * second recursion closing the single-linkage components to fixpoint.
-    * Both haversine thresholds sit >= 55 m from every distance the
-    * derived pings can produce, so trig-library differences cannot flip
-    * a membership decision.
+  /** The derived-ping projection (`Mobility.derivedPings`) in oracle SQL;
+    * t is shifted by `tShift` (q242 localizes epochs before detection).
     */
-  private def stopOracle: String = {
+  private def derivedPingsSql(tShift: String = ""): String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT)$tShift AS t,
+         ((user_id % 80 - 40)
+           + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
+           + (value % 0.0002) AS lat,
+         ((user_id % 160)
+           + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
+           + (value % 0.0002) AS lon,
+         10.0 + abs(value % 50.0) AS accuracy
+       FROM events"""
+
+  /** Stop-detection CTE chain: a WITH RECURSIVE sequential replay of the
+    * stationary-event scan (same ping order, same running-centroid state,
+    * so the output centroid doubles are bit-identical sequential sums),
+    * then a second recursion closing the single-linkage DBSCAN components
+    * to fixpoint. Expects a CTE `dp` (user_id, t, lat, lon, accuracy);
+    * yields `stopsOut` (user_id, t_start, t_end, n_pings, cluster_label,
+    * lat, lon, med). Both haversine thresholds sit >= 55 m from every
+    * distance the derived pings can produce, so trig-library differences
+    * cannot flip a membership decision.
+    */
+  private def stopChain: String = {
     val havStops =
       """2 * 6371000 * asin(sqrt(
            pow(sin(radians(b.lat - a.lat) / 2), 2)
            + cos(radians(a.lat)) * cos(radians(b.lat))
              * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100.0"""
-    s"""WITH RECURSIVE dp AS (
-         SELECT CAST(user_id AS VARCHAR) AS user_id,
-           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,
-           ((user_id % 80 - 40)
-             + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
-             + (value % 0.0002) AS lat,
-           ((user_id % 160)
-             + CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 0.01 ELSE 0.0 END)
-             + (value % 0.0002) AS lon,
-           10.0 + abs(value % 50.0) AS accuracy
-         FROM events),
-       pg AS (
+    s"""pg AS (
          SELECT *, row_number() OVER (PARTITION BY user_id
                                       ORDER BY t, lat, lon) AS i
          FROM dp),
@@ -348,25 +366,74 @@ object Mobility {
          SELECT e.user_id, e.x, c.lbl
          FROM cc c JOIN edges e ON e.user_id = c.user_id AND e.y = c.node),
        comp AS (
-         SELECT user_id, node AS s, min(lbl) AS root FROM cc GROUP BY 1, 2)
-       SELECT si.user_id, si.t_start, si.t_end, si.n_pings,
-         CAST(dense_rank() OVER (PARTITION BY si.user_id ORDER BY c.root)
-           - 1 AS BIGINT) AS cluster_label,
-         CAST(floor(si.lat * 1e6) AS BIGINT) AS lat_e6,
-         CAST(floor(si.lon * 1e6) AS BIGINT) AS lon_e6,
-         CAST(floor(si.med * 1e4) AS BIGINT) AS acc_e4
-       FROM sid si JOIN comp c ON c.user_id = si.user_id AND c.s = si.s"""
+         SELECT user_id, node AS s, min(lbl) AS root FROM cc GROUP BY 1, 2),
+       stopsOut AS (
+         SELECT si.user_id, si.t_start, si.t_end, si.n_pings,
+           CAST(dense_rank() OVER (PARTITION BY si.user_id ORDER BY c.root)
+             - 1 AS BIGINT) AS cluster_label,
+           si.lat, si.lon, si.med
+         FROM sid si JOIN comp c ON c.user_id = si.user_id AND c.s = si.s)"""
   }
 
   val oracles: Map[String, String] = Map(
-    "q47_stop_detection" -> stopOracle,
+    "q47_stop_detection" ->
+      s"""WITH RECURSIVE dp AS (${derivedPingsSql()}),
+         $stopChain
+         SELECT user_id, t_start, t_end, n_pings, cluster_label,
+           CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6,
+           CAST(floor(lon * 1e6) AS BIGINT) AS lon_e6,
+           CAST(floor(med * 1e4) AS BIGINT) AS acc_e4
+         FROM stopsOut""",
+    // The COMPOSED 5-stage DAG, fully replayed: geocode is a pure band
+    // comparison (the polygons were placed so no ping can sit on an
+    // edge), tz localization shifts the epoch before the recursive
+    // stop-detection walk, stop centroids re-geocode by the same bands,
+    // day-split is integer day arithmetic, and the H/W/O chain is the
+    // q50 label machinery over the pipeline's stays.
+    "q242_gps_pipeline" -> {
+      val offsetOf = (lonCol: String) =>
+        s"""CASE WHEN $lonCol < 41.0035 THEN 0
+             WHEN $lonCol < 81.0035 THEN 3600
+             WHEN $lonCol < 121.0035 THEN 7200
+             ELSE -3600 END"""
+      val adminOf = (lonCol: String) =>
+        s"""CASE WHEN $lonCol < 41.0035 THEN 'A0'
+             WHEN $lonCol < 81.0035 THEN 'A1'
+             WHEN $lonCol < 121.0035 THEN 'A2'
+             ELSE 'A3' END"""
+      s"""WITH RECURSIVE dp0 AS (${derivedPingsSql()}),
+         dp AS (
+           SELECT user_id, t + ${offsetOf("lon")} AS t, lat, lon, accuracy
+           FROM dp0),
+         $stopChain,
+         gstops AS (
+           SELECT *, ${adminOf("lon")} AS admin_id FROM stopsOut),
+         sdays AS (
+           SELECT *, unnest(range(t_start // 86400, t_end // 86400 + 1))
+             AS dayn
+           FROM gstops),
+         stays AS (
+           SELECT user_id, cluster_label AS cluster,
+             dayn * 86400 AS day_s,
+             greatest(t_start, dayn * 86400) AS t0,
+             least(t_end, dayn * 86400 + 86400) AS t1,
+             admin_id
+           FROM sdays
+           WHERE least(t_end, dayn * 86400 + 86400)
+               > greatest(t_start, dayn * 86400)),
+         $labelChain
+         SELECT user_id, cluster, day_s, t0, t1, admin_id, location_type
+         FROM labeled"""
+    },
     "q50_home_work_label" ->
-      s"""WITH $labeledCtes
+      s"""WITH stays AS ($eventStaysSql),
+         $labelChain
          SELECT user_id, CAST(cluster AS BIGINT) AS cluster, day_s, t0, t1,
            location_type
          FROM labeled""",
     "q51_durations_pivot" ->
-      s"""WITH $labeledCtes
+      s"""WITH stays AS ($eventStaysSql),
+         $labelChain
          SELECT user_id, day_s,
            CAST(coalesce(sum(CASE WHEN location_type = 'H'
              THEN t1 - t0 END), 0) AS BIGINT) AS "H",

@@ -16,7 +16,7 @@ class EntrySpec extends SparkSpec {
     assert(os.subsetOf(qs), (os -- qs).toString)
     val rowsOnly = qs -- os
     assert(rowsOnly == Set("q40_sample_seeded", "q41_stratified_sample",
-      "q42_rand_jitter", "q242_gps_pipeline"),
+      "q42_rand_jitter"),
       rowsOnly.toString)
   }
 
