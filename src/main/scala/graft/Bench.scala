@@ -93,7 +93,9 @@ object Bench {
     "q219_table_reconcile", // bucket-fingerprint pruned table diff
     "q225_label_prop", // 3-round LPA over the LSH pair graph
     "q242_gps_pipeline", // composed 5-stage GPS DAG (geocode→tz→stops→label)
-    "q243_od_flows") // origin-destination flow matrix (per-user lag window)
+    "q243_od_flows", // origin-destination flow matrix (per-user lag window)
+    "q247_mmr_rerank", // greedy MMR over per-query bounded pools
+    "q249_doremi_mixture") // domain mixture reweighting off the NLL scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

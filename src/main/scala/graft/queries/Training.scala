@@ -2260,6 +2260,142 @@ object Training {
         .agg(count(lit(1)).as("n_terms"), sum("c_e12").as("jsd_e12"))
     }),
 
+    // Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of two retrieval
+    // rankings — the standard hybrid-search merge step (lexical + dense)
+    // a retrieval pipeline runs before rerank. Two genuinely different
+    // rankers over the same candidate set: cosine (normalized) and raw
+    // dot product (unnormalized) against each query vector; each
+    // contributes floor(1e9/(60+rank)) for its top-50 — integer
+    // micro-units, so the fused ordering is exact cross-engine. Scale
+    // shape: the per-query windows are keyed on query_id (millions of
+    // queries parallelize); the candidate set per query is the ANN
+    // stage's bounded output, not the corpus.
+    "q246_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id").isin(10L, 20L, 30L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val scored = e.withColumn("nrm", Similarity.norm2("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("dp", Similarity.dot("embedding", "qemb"))
+        .withColumn("cos",
+          Similarity.cosineWithNorms(col("dp"), col("nrm"), col("qn")))
+      val wCos = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      val wDot = Window.partitionBy("query_id").orderBy(desc("dp"), asc("vec_id"))
+      scored
+        .withColumn("r_cos", row_number().over(wCos))
+        .withColumn("r_dot", row_number().over(wDot))
+        .where(col("r_cos") <= 50 || col("r_dot") <= 50)
+        .withColumn("rrf_e9",
+          expr("CASE WHEN r_cos <= 50 THEN 1000000000 div (60 + r_cos) ELSE 0 END")
+            + expr("CASE WHEN r_dot <= 50 THEN 1000000000 div (60 + r_dot) ELSE 0 END"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("rrf_e9"), asc("vec_id"))))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rnk"), col("rrf_e9"))
+    }),
+
+    // Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    // of the per-query top-20 cosine candidates: greedy diversified
+    // selection of 10, score = rel − max-sim-to-selected, every score an
+    // integer micro-unit quantized BEFORE the greedy walk (so the
+    // sequential argmax is exactly replayable by the oracle's unrolled
+    // per-step SQL). The pairwise-sim stage is confined WITHIN each
+    // query's bounded pool — O(queries × pool²), never corpus².
+    "q247_mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pool = Similarity.bruteForceTopK(
+          e, e.where(col("vec_id").isin(10L, 20L, 30L)), 20)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"),
+          col("cos_e6").as("rel_e6"))
+      val pe = pool.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("nrm", Similarity.norm2("embedding"))
+      val a = pe.select(col("query_id"), col("vec_id").as("a"),
+        col("rel_e6").as("rel_a_e6"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = pe.select(col("query_id").as("qb"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, col("query_id") === col("qb") && col("a") =!= col("b"))
+        .withColumn("sim_e6", floor(Similarity.cosineWithNorms(
+          Similarity.dot("ea", "eb"), col("na"), col("nb")) * 1e6).cast("long"))
+        .select("query_id", "a", "b", "rel_a_e6", "sim_e6")
+      graft.operators.Mmr.rerank(pairs, 10)
+    }),
+
+    // Token-budget corpus fill — the "select the best N tokens" step of
+    // training-mix assembly: order documents by type-token ratio
+    // (integer micro-units, doc_id tiebreak), take the prefix whose
+    // cumulative token count fits the budget. The cumulative sum is a
+    // two-level distributed prefix sum — scalable global rank, coarse
+    // 64-row buckets, per-bucket totals prefix-summed on the (n/64-row)
+    // bucket frame, then a KEYED within-bucket window — not one global
+    // single-partition window; at 100 TB the bucket level recurses
+    // (log₆₄ n levels), same shape.
+    "q248_token_budget_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+        .withColumn("prio_e6", expr("n_uniq * 1000000 div n_tok"))
+      val ranked = graft.operators.Ranking.globalRank(
+        docs, "rnk", desc("prio_e6"), asc("doc_id"))
+      val bucketed = ranked.withColumn("bkt", expr("(rnk - 1) div 64"))
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bktPre = bucketed.groupBy("bkt").agg(sum("n_tok").as("bt"))
+        .withColumn("pre_tok", coalesce(sum("bt").over(wB), lit(0L)))
+        .select("bkt", "pre_tok")
+      val wIn = Window.partitionBy("bkt").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(bktPre), "bkt")
+        .withColumn("cum_tok", col("pre_tok") + sum("n_tok").over(wIn))
+        .where(col("cum_tok") <= 20000L)
+        .select("doc_id", "source", "rnk", "n_tok", "prio_e6", "cum_tok")
+    }),
+
+    // DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    // arXiv:2305.10429): per-source excess loss (mean q127 unigram NLL
+    // above the best source) drives 3 rounds of a damped multiplicative-
+    // weights update — w ← w·(1 + η·excess·(1 − share)), η = 0.1 — and
+    // the final normalized shares are the training mixture. The
+    // reference alg retrains a proxy model between rounds (out of engine
+    // scope); the damping term stands in for the diminishing return of a
+    // domain already dominating the mix, and makes the rounds genuinely
+    // sequential. Every step is integer-exact (micro-unit trunc
+    // divisions on non-negative operands), so the oracle replays all 3
+    // rounds bit-for-bit. Scale shape: the corpus-scale work is the NLL
+    // scan; the iteration runs on the per-source aggregate frame
+    // (#domains rows) with broadcast totals.
+    "q249_doremi_mixture" -> ((s, d) => {
+      val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val loss = docNll(s, d).join(srcOf, "doc_id")
+        .groupBy("source")
+        .agg(expr("sum(avg_nll_e6) div count(1)").as("loss_e6"))
+      val base = loss.agg(min("loss_e6").as("base_e6"))
+      var w = loss.crossJoin(broadcast(base))
+        .withColumn("excess_e6", col("loss_e6") - col("base_e6"))
+        .withColumn("w", lit(1000000L))
+        .select("source", "loss_e6", "excess_e6", "w")
+      for (_ <- 1 to 3) {
+        val tot = w.agg(sum("w").as("tw"))
+        w = w.crossJoin(broadcast(tot))
+          .withColumn("share_e6", expr("w * 1000000 div tw"))
+          .withColumn("exc_t", expr("excess_e6 * (1000000 - share_e6) div 1000000"))
+          .withColumn("w2", expr("w * (1000000 + exc_t div 10) div 1000000"))
+          .select(col("source"), col("loss_e6"), col("excess_e6"), col("w2").as("w"))
+      }
+      val tot3 = w.agg(sum("w").as("tw"))
+      w.crossJoin(broadcast(tot3))
+        .withColumn("share_e6", expr("w * 1000000 div tw"))
+        .select(col("source"), col("loss_e6"), col("excess_e6"),
+          col("w").as("w_final"), col("share_e6"))
+    }),
+
     // Unicode NFC normalization (native codegen expression): every "e" is
     // mangled into decomposed "e"+U+0301 and normalized back — NFC must
     // recompose the pair to precomposed "é" (U+00E9), so len_nfc is
@@ -2733,7 +2869,165 @@ object Training {
        JOIN cent2 ct USING (c)"""
   }
 
+  /** Shared CTEs for the q246/q247 retrieval stages: queries (10/20/30),
+    * per-candidate dp + cos (explicit 64-term IEEE chains, mirror of
+    * `Similarity.dot`/`cosineWithNorms`).
+    */
+  private def retrievalCtes: String =
+    s"""q AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS MATERIALIZED (
+           SELECT q.query_id, e.vec_id,
+             (${dotSql("e.embedding", "q.qemb")}) AS dp,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id)"""
+
+  private def rrfOracle: String =
+    s"""WITH $retrievalCtes,
+         r AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS r_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dp DESC, vec_id ASC) AS r_dot
+           FROM c),
+         f AS (
+           SELECT query_id, vec_id,
+             CAST(CASE WHEN r_cos <= 50 THEN 1000000000 // (60 + r_cos)
+                       ELSE 0 END
+                + CASE WHEN r_dot <= 50 THEN 1000000000 // (60 + r_dot)
+                       ELSE 0 END AS BIGINT) AS rrf_e9
+           FROM r WHERE r_cos <= 50 OR r_dot <= 50),
+         o AS (
+           SELECT query_id, vec_id AS neighbor_id, rrf_e9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_e9 DESC, vec_id ASC) AS rnk
+           FROM f)
+         SELECT query_id, neighbor_id, rnk, rrf_e9 FROM o WHERE rnk <= 10"""
+
+  /** q247 oracle: the greedy MMR walk unrolled as 10 per-step CTE blocks
+    * (the q193 macro-generation pattern — aggregates per step, so no
+    * recursive-CTE aggregate restriction applies). Each step scores the
+    * remaining pool rel − max(sim to selected) and picks max score, ties
+    * to the lower vec_id; all quantities integer micro-units.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to 10).map { st =>
+      s"""rem$st AS MATERIALIZED (
+           SELECT p.* FROM pool p
+           WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} s
+                             WHERE s.query_id = p.query_id
+                               AND s.vec_id = p.vec_id)),
+         sc$st AS MATERIALIZED (
+           SELECT r.query_id, r.vec_id,
+             r.rel_e6 - max(pr.sim_e6) AS score
+           FROM rem$st r
+           JOIN pairs pr ON pr.query_id = r.query_id AND pr.a = r.vec_id
+           JOIN sel${st - 1} s ON s.query_id = pr.query_id
+             AND s.vec_id = pr.b
+           GROUP BY r.query_id, r.vec_id, r.rel_e6),
+         pk$st AS (
+           SELECT s.query_id, $st AS pos, min(s.vec_id) AS vec_id,
+             m.m AS score
+           FROM sc$st s
+           JOIN (SELECT query_id, max(score) AS m FROM sc$st GROUP BY 1) m
+             ON m.query_id = s.query_id AND s.score = m.m
+           GROUP BY s.query_id, m.m),
+         sel$st AS MATERIALIZED (
+           SELECT * FROM sel${st - 1}
+           UNION ALL SELECT query_id, pos, vec_id, score FROM pk$st)"""
+    }.mkString(",\n         ")
+    s"""WITH $retrievalCtes,
+         pool AS MATERIALIZED (
+           SELECT query_id, vec_id,
+             CAST(floor(cos * 1000000.0) AS BIGINT) AS rel_e6
+           FROM (SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rnk
+                 FROM c)
+           WHERE rnk <= 20),
+         pe AS MATERIALIZED (
+           SELECT p.query_id, p.vec_id, p.rel_e6, e.embedding
+           FROM pool p JOIN embeddings e USING (vec_id)),
+         pairs AS MATERIALIZED (
+           SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+             CAST(floor((${dotSql("x.embedding", "y.embedding")})
+               / (sqrt(${dotSql("x.embedding", "x.embedding")})
+                  * sqrt(${dotSql("y.embedding", "y.embedding")}))
+               * 1000000.0) AS BIGINT) AS sim_e6
+           FROM pe x JOIN pe y ON x.query_id = y.query_id
+             AND x.vec_id <> y.vec_id),
+         sel1 AS MATERIALIZED (
+           SELECT s.query_id, 1 AS pos, min(s.vec_id) AS vec_id, m.m AS score
+           FROM pool s
+           JOIN (SELECT query_id, max(rel_e6) AS m FROM pool GROUP BY 1) m
+             ON m.query_id = s.query_id AND s.rel_e6 = m.m
+           GROUP BY s.query_id, m.m),
+         $steps
+         SELECT query_id, pos, vec_id, CAST(score AS BIGINT) AS score_e6
+         FROM sel10"""
+  }
+
+  private def budgetFillOracle: String =
+    """WITH dv AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         d2 AS (
+           SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+           FROM dv),
+         d3 AS (SELECT *, n_uniq * 1000000 // n_tok AS prio_e6 FROM d2),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY prio_e6 DESC, doc_id ASC)
+             AS rnk
+           FROM d3),
+         cm AS (
+           SELECT doc_id, source, rnk, n_tok, prio_e6,
+             CAST(sum(n_tok) OVER (ORDER BY rnk) AS BIGINT) AS cum_tok
+           FROM r)
+         SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, n_tok,
+           CAST(prio_e6 AS BIGINT) AS prio_e6, cum_tok
+         FROM cm WHERE cum_tok <= 20000"""
+
+  /** q249 oracle: the 3 damped multiplicative-weights rounds unrolled —
+    * every operand non-negative, so DuckDB `//` (floor) and Spark `div`
+    * (trunc) agree; every sum CAST to BIGINT before it divides.
+    */
+  private def doremiOracle: String = {
+    val rounds = (1 to 3).map { rd =>
+      s"""t$rd AS (
+           SELECT source, loss_e6, excess_e6,
+             (w * (1000000
+                + ((excess_e6 * (1000000 - (w * 1000000 // tw))) // 1000000)
+                  // 10)) // 1000000 AS w
+           FROM t${rd - 1},
+             (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t${rd - 1}))"""
+    }.mkString(",\n         ")
+    s"""WITH $nllCtes,
+         src AS (SELECT doc_id, source FROM documents),
+         loss AS (
+           SELECT source,
+             CAST(sum(avg_nll_e6) // count(*) AS BIGINT) AS loss_e6
+           FROM nll JOIN src USING (doc_id) GROUP BY 1),
+         base AS (SELECT min(loss_e6) AS b FROM loss),
+         t0 AS (
+           SELECT source, loss_e6, loss_e6 - b AS excess_e6,
+             CAST(1000000 AS BIGINT) AS w
+           FROM loss, base),
+         $rounds
+         SELECT source, loss_e6, excess_e6, w AS w_final,
+           CAST(w * 1000000 // tw AS BIGINT) AS share_e6
+         FROM t3, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t3)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q246_rrf_fusion" -> rrfOracle,
+    "q247_mmr_rerank" -> mmrOracle,
+    "q248_token_budget_fill" -> budgetFillOracle,
+    "q249_doremi_mixture" -> doremiOracle,
     "q194_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          p AS (SELECT lang, n_docs,
