@@ -95,7 +95,8 @@ object Bench {
     "q242_gps_pipeline", // composed 5-stage GPS DAG (geocode→tz→stops→label)
     "q243_od_flows", // origin-destination flow matrix (per-user lag window)
     "q247_mmr_rerank", // greedy MMR over per-query bounded pools
-    "q249_doremi_mixture") // domain mixture reweighting off the NLL scan
+    "q249_doremi_mixture", // domain mixture reweighting off the NLL scan
+    "q250_training_mix") // composed mix: gate -> shares -> budget fill
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2372,36 +2372,23 @@ object Training {
     // scan; the iteration runs on the per-source aggregate frame
     // (#domains rows) with broadcast totals.
     "q249_doremi_mixture" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
       val loss = docNll(s, d).join(srcOf, "doc_id")
         .groupBy("source")
         .agg(expr("sum(avg_nll_e6) div count(1)").as("loss_e6"))
-      // The iteration runs on the per-DOMAIN aggregate frame, whose size
-      // is the domain count (dozens) by definition — so the per-round
-      // global sums are window aggregates over one deliberately bounded
-      // partition, and the whole 3-round update is ONE plan with no
-      // broadcast/persist round-trips (the broadcast-per-round form
-      // measured 3.4 s vs 1.5 s here: 8 tiny jobs of pure scheduling
-      // overhead). A thousand-domain corpus still fits; this is the
-      // ≤100-row top-k posture, not a data-sized window.
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      var w = loss
-        .withColumn("excess_e6", col("loss_e6") - min("loss_e6").over(wAll))
-        .withColumn("w", lit(1000000L))
-      for (_ <- 1 to 3) {
-        w = w.withColumn("tw", sum("w").over(wAll))
-          .withColumn("share_e6", expr("w * 1000000 div tw"))
-          .withColumn("exc_t", expr("excess_e6 * (1000000 - share_e6) div 1000000"))
-          .withColumn("w", expr("w * (1000000 + exc_t div 10) div 1000000"))
-          .select("source", "loss_e6", "excess_e6", "w")
-      }
-      w.withColumn("tw", sum("w").over(wAll))
-        .withColumn("share_e6", expr("w * 1000000 div tw"))
-        .select(col("source"), col("loss_e6"), col("excess_e6"),
-          col("w").as("w_final"), col("share_e6"))
+      graft.operators.Mixture.doremiShares(loss)
     }),
+
+    // The composed training-mix assembly (`Mixture.assemble`) — the step
+    // after curation: quality gate (q53 keep rule) → per-source DoReMi
+    // shares from the kept corpus's unigram NLL (q249) → per-source
+    // token-budget fill by type-token-ratio priority (q248's priority,
+    // but KEYED per source — each source fills share·budget tokens with
+    // its own windows, no global prefix sum). Hash-checked end to end:
+    // every stage is integer-exact, so the oracle replays gate, NLL,
+    // all 3 mixture rounds, and the fill in one SQL chain.
+    "q250_training_mix" -> ((s, d) =>
+      graft.operators.Mixture.assemble(t(s, d, "documents"), 10000L)),
 
     // Unicode NFC normalization (native codegen expression): every "e" is
     // mangled into decomposed "e"+U+0301 and normalized back — NFC must
@@ -2420,16 +2407,15 @@ object Training {
 
   // ---- oracle SQL ----
 
-  /** Shared oracle CTEs for the per-doc unigram NLL (q127, q198): tok →
+  /** NLL CTE chain over a relation `rel` exposing (doc_id, w): tok →
     * uni → tot → j → agg → nll(doc_id, n_tok, avg_nll_e6). Mirror of
-    * `docNll` (pinned position-order IEEE fold).
+    * `Mixture.docNll` (pinned position-order IEEE fold).
     */
-  private val nllCtes: String =
-    """tok AS (
+  private def nllChain(rel: String): String =
+    s"""tok AS (
            SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
              unnest(w) AS term
-           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
-                 FROM documents)),
+           FROM $rel),
          uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total FROM uni),
          j AS (
@@ -2445,27 +2431,21 @@ object Training {
                (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS avg_nll_e6
            FROM agg)"""
 
+  /** Shared oracle CTEs for the per-doc unigram NLL over the whole
+    * documents table (q127, q198, q249).
+    */
+  private val nllCtes: String =
+    s"""dw0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+         ${nllChain("dw0")}"""
+
   /** Per-doc unigram-LM negative log likelihood (q127's score; also the
     * input to the q198 CCNet partition): NLL terms are summed in pinned
     * position order (collect_list sorted by pos) so the IEEE fold matches
     * the oracle's ORDER BY pos list fold exactly.
     */
-  private def docNll(s: SparkSession, d: String): DataFrame = {
-    val tok = t(s, d, "documents").select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
-    val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = uni.agg(sum("c").as("n_tokens_total"))
-    tok.join(uni, "term")
-      .crossJoin(broadcast(tot))
-      .withColumn("lnp", log(col("n_tokens_total").cast("double") / col("c")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
-          x => x.getField("lnp")).as("ls"))
-      .select(col("doc_id"), col("n_tok"),
-        floor(aggregate(col("ls"), lit(0.0d), (acc, x) => acc + x)
-          / col("n_tok") * 1e6).cast("long").as("avg_nll_e6"))
-  }
+  private def docNll(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mixture.docNll(t(s, d, "documents"))
 
   private def hitsSql(words: Seq[String]) = {
     val list = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -2999,11 +2979,13 @@ object Training {
            CAST(prio_e6 AS BIGINT) AS prio_e6, cum_tok
          FROM cm WHERE cum_tok <= 20000"""
 
-  /** q249 oracle: the 3 damped multiplicative-weights rounds unrolled —
+  /** The 3 damped multiplicative-weights rounds unrolled (t0 → t3) —
     * every operand non-negative, so DuckDB `//` (floor) and Spark `div`
-    * (trunc) agree; every sum CAST to BIGINT before it divides.
+    * (trunc) agree; every sum CAST to BIGINT before it divides. Expects
+    * a CTE `loss` (source, loss_e6); yields t0..t3 with (source,
+    * loss_e6, excess_e6, w). Shared by q249 and q250.
     */
-  private def doremiOracle: String = {
+  private def doremiRoundCtes: String = {
     val rounds = (1 to 3).map { rd =>
       s"""t$rd AS (
            SELECT source, loss_e6, excess_e6,
@@ -3013,21 +2995,76 @@ object Training {
            FROM t${rd - 1},
              (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t${rd - 1}))"""
     }.mkString(",\n         ")
+    s"""base AS (SELECT min(loss_e6) AS b FROM loss),
+         t0 AS (
+           SELECT source, loss_e6, loss_e6 - b AS excess_e6,
+             CAST(1000000 AS BIGINT) AS w
+           FROM loss, base),
+         $rounds"""
+  }
+
+  private def doremiOracle: String =
     s"""WITH $nllCtes,
          src AS (SELECT doc_id, source FROM documents),
          loss AS (
            SELECT source,
              CAST(sum(avg_nll_e6) // count(*) AS BIGINT) AS loss_e6
            FROM nll JOIN src USING (doc_id) GROUP BY 1),
-         base AS (SELECT min(loss_e6) AS b FROM loss),
-         t0 AS (
-           SELECT source, loss_e6, loss_e6 - b AS excess_e6,
-             CAST(1000000 AS BIGINT) AS w
-           FROM loss, base),
-         $rounds
+         $doremiRoundCtes
          SELECT source, loss_e6, excess_e6, w AS w_final,
            CAST(w * 1000000 // tw AS BIGINT) AS share_e6
          FROM t3, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t3)"""
+
+  /** q250 oracle: the composed mix — q53 keep gate, NLL over the KEPT
+    * corpus, the 3 mixture rounds, per-source budget fill by keyed
+    * windows. One SQL chain, every stage integer-exact.
+    */
+  private def trainingMixOracle: String = {
+    val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+    s"""WITH dv AS (
+           SELECT doc_id, source, text,
+             string_split(lower(text), ' ') AS w
+           FROM documents),
+         kept AS MATERIALIZED (
+           SELECT doc_id, source, w FROM dv
+           WHERE len(w) >= 10 AND len(w) <= 100000
+             AND (CASE WHEN len(w) > 0
+                  THEN CAST($stopAll AS DOUBLE) / len(w)
+                  ELSE 0.0 END) > 0.001),
+         ${nllChain("kept")},
+         loss AS (
+           SELECT source,
+             CAST(sum(avg_nll_e6) // count(*) AS BIGINT) AS loss_e6
+           FROM nll JOIN (SELECT doc_id, source FROM kept) sk USING (doc_id)
+           GROUP BY 1),
+         $doremiRoundCtes,
+         shares AS (
+           SELECT source, CAST(w * 1000000 // tw AS BIGINT) AS share_e6
+           FROM t3, (SELECT CAST(sum(w) AS BIGINT) AS tw FROM t3)),
+         toks AS (
+           SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+           FROM kept),
+         pr AS (
+           SELECT doc_id, source, n_tok,
+             n_uniq * 1000000 // n_tok AS prio_e6
+           FROM toks),
+         budg AS (
+           SELECT source, share_e6 * 10000 // 1000000 AS src_budget
+           FROM shares),
+         r AS (
+           SELECT p.doc_id, p.source, p.n_tok, p.prio_e6, b.src_budget,
+             row_number() OVER (PARTITION BY p.source
+                                ORDER BY p.prio_e6 DESC, p.doc_id ASC)
+               AS rnk_in_src,
+             CAST(sum(p.n_tok) OVER (PARTITION BY p.source
+                                     ORDER BY p.prio_e6 DESC, p.doc_id ASC)
+               AS BIGINT) AS cum_tok
+           FROM pr p JOIN budg b USING (source))
+         SELECT doc_id, source, n_tok, CAST(prio_e6 AS BIGINT) AS prio_e6,
+           CAST(src_budget AS BIGINT) AS src_budget,
+           CAST(rnk_in_src AS BIGINT) AS rnk_in_src, cum_tok
+         FROM r WHERE cum_tok <= src_budget"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -3035,6 +3072,7 @@ object Training {
     "q247_mmr_rerank" -> mmrOracle,
     "q248_token_budget_fill" -> budgetFillOracle,
     "q249_doremi_mixture" -> doremiOracle,
+    "q250_training_mix" -> trainingMixOracle,
     "q194_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          p AS (SELECT lang, n_docs,
