@@ -96,7 +96,8 @@ object Bench {
     "q243_od_flows", // origin-destination flow matrix (per-user lag window)
     "q247_mmr_rerank", // greedy MMR over per-query bounded pools
     "q249_doremi_mixture", // domain mixture reweighting off the NLL scan
-    "q250_training_mix") // composed mix: gate -> shares -> budget fill
+    "q250_training_mix", // composed mix: gate -> shares -> budget fill
+    "q251_ann_ivf_kmeans") // trained-codebook IVF + recall readout
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -182,6 +182,84 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Exact-integer Lloyd iterations (the q145 k-means machinery):
+    * vectors quantized to µ-units, per-cell trunc-div centroid means,
+    * tie-broken integer L2 argmin — merge-order-proof, so a SQL oracle
+    * replays every round. Seeded by the `label` column (the data-derived
+    * init both engines share). Returns (assignments (vec_id, ve, c),
+    * final centroids (c, ce)). Each round is one explode-aggregate and
+    * one broadcast argmin; `localCheckpoint` cuts the generation so the
+    * next round's broadcast doesn't replay the assignment.
+    */
+  def lloyd(embs: DataFrame, rounds: Int = 2): (DataFrame, DataFrame) = {
+    val ve = embs.select(col("vec_id"),
+      expr("""transform(embedding,
+                v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+        .as("ve"),
+      col("label").cast("long").as("c"))
+    def centroids(assigned: DataFrame): DataFrame =
+      assigned.select(col("c"), posexplode(col("ve")).as(Seq("dim", "v")))
+        .groupBy("c", "dim")
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("c")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("c"))
+    var cur = ve
+    for (_ <- 1 to rounds) {
+      val cents = centroids(cur)
+      cur = ve.drop("c").crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+             cast(0 as bigint), (acc, x) -> acc + x)"""))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("ve"), col("c"))
+        .localCheckpoint(true)
+    }
+    (cur, centroids(cur))
+  }
+
+  /** IVF with a k-means-TRAINED codebook (2 exact Lloyd rounds) and
+    * multi-probe — the recall-improvement path over `ivfTopK`'s
+    * label-mean codebook (q117 measured that at 30–70% recall@10):
+    * trained cells fit the data's actual clusters, and `nProbe` trades
+    * candidate volume for recall. Cell probing is integer L2 on the
+    * quantized vectors (exactly replayable); final ranking is float
+    * cosine on the original embeddings, as everywhere else.
+    */
+  def ivfKmeansTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame = {
+    val (assigned, cents) = lloyd(embs, 2)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("c"))
+    val probe = assigned.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("ve").as("qve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qve, ce, (a, b) -> (a - b) * (a - b)),
+           cast(0 as bigint), (acc, x) -> acc + x)"""))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select("query_id", "c")
+    val qe = embs.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      .withColumn("qn", norm2("qemb"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    assigned.select("vec_id", "c").join(broadcast(probe), "c")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(embs.select("vec_id", "embedding"), "vec_id")
+      .withColumn("nrm", norm2("embedding"))
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos", cosineWithNorms(dot("embedding", "qemb"), col("nrm"), col("qn")))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Near-duplicate pairs by cosine threshold over a bounded id range
     * (all-pairs; use the LSH bucket variant beyond toy scale).
     */

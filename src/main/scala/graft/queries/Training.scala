@@ -869,39 +869,33 @@ object Training {
     // for centroids (k×64 rows, broadcast back) and one argmin over a
     // k-way crossJoin — linear in vectors, no pairwise anything.
     "q145_kmeans" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ve = t(s, d, "embeddings").select(col("vec_id"),
-        expr("""transform(embedding,
-                  v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
-          .as("ve"),
-        col("label").cast("long").as("c"))
-      def centroids(assigned: DataFrame): DataFrame =
-        assigned.select(col("c"), posexplode(col("ve")).as(Seq("dim", "v")))
-          .groupBy("c", "dim")
-          .agg(expr("sum(v) div count(1)").as("cv"))
-          .groupBy("c")
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("ce"))
-      var cur = ve
-      for (_ <- 1 to 2) {
-        val cents = centroids(cur)
-        cur = ve.drop("c").crossJoin(broadcast(cents))
-          .withColumn("dist", expr(
-            """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
-               cast(0 as bigint), (acc, x) -> acc + x)"""))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dist"), col("c"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("ve"), col("c"))
-          // generation cut (q132/q185 lesson): the next round's centroid
-          // broadcast would otherwise re-execute this whole assignment,
-          // and the final summary reads cur from two more branches
-          .localCheckpoint(true)
-      }
+      val (cur, cents) = Similarity.lloyd(t(s, d, "embeddings"), 2)
       cur.groupBy("c").agg(count(lit(1)).as("n_assigned"))
-        .join(centroids(cur).select(col("c"),
+        .join(cents.select(col("c"),
           md5(array_join(transform(col("ce"), _.cast("string")), ","))
             .as("cfp")), Seq("c"))
+    }),
+
+    // IVF ANN with a k-means-TRAINED codebook + 4-probe — the designated
+    // recall path the q117 readout motivates (label-mean ivf2 measured
+    // 30–70% recall@10): 2 exact Lloyd rounds (q145 machinery) fit the
+    // codebook to the data's clusters, queries probe their 4 nearest
+    // cells by integer L2, candidates rank by float cosine. Same recall
+    // readout shape as q117 so the artifacts compare directly.
+    "q251_ann_ivf_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ids = Seq(100L, 200L)
+      val ann = Similarity.ivfKmeansTopK(e, ids, 10, 4)
+      val bf = Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(ids: _*)), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      bf.join(ann.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit("ivfkm4").as("method"), col("query_id"), col("k"),
+          col("n_hit"), expr("n_hit * 1000000 DIV k").as("recall_e6"))
     }),
 
     // Edit-distance similarity self-join (Ed-Join prefix filtering): all
@@ -2819,7 +2813,10 @@ object Training {
     * mirrors q145 (floor-divided centroid means, argmin with centroid
     * tie-break, assignments always recomputed from the original vectors).
     */
-  private def kmeansOracle: String = {
+  /** The 2-round exact-integer Lloyd chain (mirror of `Similarity.lloyd`):
+    * ve → cent0 → a1 → cent1 → a2 → cent2. Shared by q145 and q251.
+    */
+  private def kmeansCtes: String = {
     val sq = "(v.ve[i] - ct.ce[i]) * (v.ve[i] - ct.ce[i])"
     def cent(src: String, name: String) =
       s"""$name AS (
@@ -2830,7 +2827,7 @@ object Training {
              GROUP BY c, dim)
            GROUP BY c)"""
     def assign(cents: String, name: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
            SELECT vec_id, ve, c FROM (
              SELECT v.vec_id, v.ve, ct.c,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -2838,7 +2835,7 @@ object Training {
                    i -> $sq)), ct.c) AS rn
              FROM ve v CROSS JOIN $cents ct)
            WHERE rn = 1)"""
-    s"""WITH ve AS (
+    s"""ve AS (
            SELECT vec_id,
              list_transform(embedding,
                v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve,
@@ -2848,12 +2845,74 @@ object Training {
          ${assign("cent0", "a1")},
          ${cent("a1", "cent1")},
          ${assign("cent1", "a2")},
-         ${cent("a2", "cent2")}
+         ${cent("a2", "cent2")}"""
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH $kmeansCtes
        SELECT a.c, a.n_assigned,
          md5(array_to_string(list_transform(ct.ce,
            x -> CAST(x AS VARCHAR)), ',')) AS cfp
        FROM (SELECT c, count(*) AS n_assigned FROM a2 GROUP BY c) a
        JOIN cent2 ct USING (c)"""
+
+  /** q251 oracle: the trained-codebook IVF — Lloyd chain, 4-probe by
+    * integer L2, float-cosine rank inside the probed cells, recall@10
+    * against the brute-force truth.
+    */
+  private def annIvfKmeansOracle: String = {
+    val sq = "(q.qve[i] - ct.ce[i]) * (q.qve[i] - ct.ce[i])"
+    s"""WITH $kmeansCtes,
+         qv AS (SELECT vec_id AS query_id, ve AS qve FROM ve
+                WHERE vec_id IN (100, 200)),
+         probe AS (
+           SELECT query_id, c FROM (
+             SELECT q.query_id, ct.c,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+                   i -> $sq)), ct.c) AS rn
+             FROM qv q CROSS JOIN cent2 ct)
+           WHERE rn <= 4),
+         qe AS (SELECT vec_id AS query_id, embedding AS qemb
+                FROM embeddings WHERE vec_id IN (100, 200)),
+         sc AS (
+           SELECT cd.query_id, cd.vec_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM (SELECT p.query_id, a.vec_id
+                 FROM probe p JOIN a2 a ON a.c = p.c
+                 WHERE a.vec_id <> p.query_id) cd
+           JOIN embeddings e ON e.vec_id = cd.vec_id
+           JOIN qe q ON q.query_id = cd.query_id),
+         ann AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rnk
+             FROM sc)
+           WHERE rnk <= 10),
+         bfs AS (
+           SELECT q.query_id, e.vec_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, qe q WHERE e.vec_id <> q.query_id),
+         bf AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rnk
+             FROM bfs)
+           WHERE rnk <= 10)
+         SELECT 'ivfkm4' AS method, b.query_id, count(*) AS k,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS BIGINT) AS recall_e6
+         FROM bf b LEFT JOIN ann a
+           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id"""
   }
 
   /** Shared CTEs for the q246/q247 retrieval stages: queries (10/20/30),
@@ -3073,6 +3132,7 @@ object Training {
     "q248_token_budget_fill" -> budgetFillOracle,
     "q249_doremi_mixture" -> doremiOracle,
     "q250_training_mix" -> trainingMixOracle,
+    "q251_ann_ivf_kmeans" -> annIvfKmeansOracle,
     "q194_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          p AS (SELECT lang, n_docs,
