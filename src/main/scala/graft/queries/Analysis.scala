@@ -699,6 +699,45 @@ object Analysis {
           (col("sum_price") / 7.0).as("avg_yearly"))
     }),
 
+    // Equi-DEPTH histogram of order totals — the ANALYZE-stats companion
+    // to q231's equi-width buckets: B=10 buckets of equal ROW count via
+    // the scalable global rank (range-sort + zipWithIndex, no
+    // single-partition window), bucket = (rnk−1)·B div n. Per bucket:
+    // population and exact [min, max] cent bounds — the boundary list a
+    // cost-based optimizer stores.
+    "q252_equidepth_hist" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ranked = graft.operators.Ranking.globalRank(
+        o, "rnk", asc("cents"), asc("o_orderkey"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket", expr("(rnk - 1) * 10 div n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+    // qualifying orders (total quantity > 250) found by ONE per-order
+    // aggregate whose small survivor set broadcasts back onto orders,
+    // then the customer dim joins; bounded top-100 by order value plans
+    // TakeOrderedAndProject. Quantities cast to long BEFORE the sum so
+    // the threshold compare is integer-exact.
+    "q253_tpch_q18" -> ((s, d) => {
+      val qual = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 250L)
+      t(s, d, "orders").join(broadcast(qual), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_cents"),
+          col("sum_qty"))
+        .orderBy(desc("total_cents"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     // Multi-touch attribution, linear model: each purchase's value is
     // split EQUALLY across the user's clicks in the preceding 24 h (the
     // credit rule marketing warehouses default to; last-touch is q80's
@@ -993,6 +1032,31 @@ object Analysis {
              AS avg_yearly
          FROM lf JOIN pq USING (l_partkey)
          WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""",
+    "q252_equidepth_hist" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rnk
+           FROM o),
+         n AS (SELECT count(*) AS n FROM o)
+         SELECT (rnk - 1) * 10 // n AS bucket, count(*) AS n_rows,
+           min(cents) AS min_cents, max(cents) AS max_cents
+         FROM r, n GROUP BY 1""",
+    "q253_tpch_q18" ->
+      """WITH qual AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 250)
+         SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS odate_us,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+         FROM orders JOIN qual ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_cents DESC, o_orderkey LIMIT 100""",
     "q227_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS tm, value
