@@ -471,4 +471,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate(keys=[doc_id"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q246 RRF: both ranker windows keyed on query_id — never a " +
+      "single-partition window") {
+    val p = plan("q246_rrf_fusion")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q248 budget fill: bucket-prefix frame broadcasts; the scan reads " +
+      "only the needed columns") {
+    val p = plan("q248_token_budget_fill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("n_chars"), p) // pruned ReadSchema
+    assert(!p.contains("lang"), p)
+  }
+
+  test("q250 training mix: shares broadcast onto the token stream; no " +
+      "cartesian product anywhere in the composition") {
+    val p = plan("q250_training_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q251 trained-codebook IVF: codebook and probe cells broadcast") {
+    val p = plan("q251_ann_ivf_kmeans")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q253 TPC-H Q18: qualifier set broadcasts, top-100 plans " +
+      "TakeOrderedAndProject (no global sort)") {
+    val p = plan("q253_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p)
+  }
 }
