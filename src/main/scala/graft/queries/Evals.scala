@@ -127,7 +127,7 @@ object Evals {
            SELECT c, count(*) AS tn, CAST(sum(m_e2) AS BIGINT) AS s1,
              CAST(sum(m_e2 * m_e2) AS BIGINT) AS s2
            FROM daily GROUP BY 1),
-         z AS (
+         z AS MATERIALIZED (
            SELECT daily.c, daily.day,
              CAST(floor((daily.m_e2 - CAST(s1 AS DOUBLE) / tn)
                / sqrt(CAST(s2 AS DOUBLE) / tn
@@ -136,7 +136,7 @@ object Evals {
            FROM daily JOIN st USING (c)
            WHERE CAST(s2 AS DOUBLE) / tn
              - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn) > 0),
-         smat AS (
+         smat AS MATERIALIZED (
            SELECT x.c AS a, y.c AS b, CAST(sum(x.z_e3 * y.z_e3) AS BIGINT) AS s
            FROM z x JOIN z y USING (day) GROUP BY 1, 2),
          v0 AS (SELECT DISTINCT a AS c, CAST(1000 AS BIGINT) AS v FROM smat),

@@ -323,7 +323,7 @@ object Mobility {
            pow(sin(radians(b.lat - a.lat) / 2), 2)
            + cos(radians(a.lat)) * cos(radians(b.lat))
              * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100.0"""
-    s"""pg AS (
+    s"""pg AS MATERIALIZED (
          SELECT *, row_number() OVER (PARTITION BY user_id
                                       ORDER BY t, lat, lon) AS i
          FROM dp),
@@ -353,11 +353,11 @@ object Mobility {
            AND r.g = gl.g
          JOIN pg p0 ON p0.user_id = r.user_id AND p0.i = r.g
          JOIN accs a ON a.user_id = r.user_id AND a.g = r.g),
-       sid AS (
+       sid AS MATERIALIZED (
          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY g) AS s
          FROM stops0
          WHERE n_pings >= 2 AND t_end - t_start >= 600 AND med <= 100.0),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT a.user_id, a.s AS x, b.s AS y
          FROM sid a JOIN sid b ON a.user_id = b.user_id AND $havStops),
        cc AS (
@@ -377,7 +377,7 @@ object Mobility {
 
   val oracles: Map[String, String] = Map(
     "q47_stop_detection" ->
-      s"""WITH RECURSIVE dp AS (${derivedPingsSql()}),
+      s"""WITH RECURSIVE dp AS MATERIALIZED (${derivedPingsSql()}),
          $stopChain
          SELECT user_id, t_start, t_end, n_pings, cluster_label,
            CAST(floor(lat * 1e6) AS BIGINT) AS lat_e6,
@@ -401,8 +401,8 @@ object Mobility {
              WHEN $lonCol < 81.0035 THEN 'A1'
              WHEN $lonCol < 121.0035 THEN 'A2'
              ELSE 'A3' END"""
-      s"""WITH RECURSIVE dp0 AS (${derivedPingsSql()}),
-         dp AS (
+      s"""WITH RECURSIVE dp0 AS MATERIALIZED (${derivedPingsSql()}),
+         dp AS MATERIALIZED (
            SELECT user_id, t + ${offsetOf("lon")} AS t, lat, lon, accuracy
            FROM dp0),
          $stopChain,

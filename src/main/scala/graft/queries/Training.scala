@@ -2799,7 +2799,7 @@ object Training {
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
                    UNION ALL SELECT id2, id1 FROM pairs),
          deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
          r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
@@ -3503,7 +3503,7 @@ object Training {
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT id1 AS a, id2 AS b FROM cand
            UNION ALL SELECT id2 AS a, id1 AS b FROM cand),
          l0 AS (SELECT DISTINCT a AS id, a AS lb FROM edges),
