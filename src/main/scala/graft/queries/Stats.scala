@@ -50,6 +50,27 @@ object Stats {
            FROM lineitem"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quantile (rank-CDF) transform per series — the sklearn
+    // QuantileTransformer shape feature pipelines run before training on
+    // heavy-tailed inputs: within each event_type, value → its empirical
+    // CDF position (rank−1)/(n−1), computed as an exact integer
+    // (rank−1)·1e6 div (n−1) over a keyed rank window with event_id
+    // tiebreak (percent_rank's float division would be the only
+    // engine-sensitive step — integerized it is exact). Keyed windows
+    // only; groups parallelize.
+    "q254_quantile_transform" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val n = Window.partitionBy("event_type")
+      t(s, d0, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .where(col("cnt") > 1)
+        .select(col("event_id"), col("event_type"), col("rnk"),
+          expr("(rnk - 1) * 1000000 div (cnt - 1)").as("cdf_e6"))
+    }),
     // Per-group OLS of event value against time: slope/intercept/r2 of
     // y = a + b*day per event_type. x = ABSOLUTE epoch day (~19.7k, so
     // < 2^15), y = floor(value*100) — integer sums only, so the partial
@@ -257,6 +278,16 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q254_quantile_transform" ->
+      """WITH r AS (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM events)
+         SELECT event_id, event_type, rnk,
+           (rnk - 1) * 1000000 // (cnt - 1) AS cdf_e6
+         FROM r WHERE cnt > 1""",
     "q146_ols_group" ->
       """WITH ev AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS x,
