@@ -594,8 +594,12 @@ object Training {
         .where(size(TextFunctions.tokens(col("text"))) >= 2)
         .select(col("source"), explode(Dedup.shingles(col("text"), 2)).as("p"))
         .persist()
+      // per-source totals roll up from the exact counts — a scan of the
+      // small distinct-(source, phrase) frame, not a third pass over the
+      // raw occurrence stream
       val exact = phrases.groupBy("source", "p").agg(count(lit(1)).as("c"))
-      val tot = phrases.groupBy("source").agg(count(lit(1)).as("n"))
+        .persist()
+      val tot = exact.groupBy("source").agg(sum("c").as("n"))
       val sketch = phrases.groupBy("source")
         .agg(org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.HeavyHittersAgg(
@@ -1399,8 +1403,11 @@ object Training {
       // persisted (the q163 pattern): the exploded bigram stream feeds the
       // bucket counts AND the per-doc counts, and the tiny bucket-count
       // frame feeds totals AND deltas — unpersisted, the corpus explode
-      // would run 4x (measured ~2x wall on the sf0.1 bench). Harness
-      // clearCache releases both.
+      // would run 4x (measured ~2x wall on the sf0.1 bench). A pre-
+      // aggregated (doc, source, bucket) variant was measured SLOWER
+      // (3.1s → 4.6s at sf0.1): distinct (doc, bucket) is nearly the raw
+      // occurrence count here, so the extra wide-key hash aggregate buys
+      // no compression. Harness clearCache releases both.
       val big = docs.where(size(TextFunctions.tokens(col("text"))) >= 2)
         .select(col("doc_id"), col("source"),
           explode(Dedup.shingles(col("text"), 2)).as("bg"))
