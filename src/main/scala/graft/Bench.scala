@@ -97,7 +97,9 @@ object Bench {
     "q247_mmr_rerank", // greedy MMR over per-query bounded pools
     "q249_doremi_mixture", // domain mixture reweighting off the NLL scan
     "q250_training_mix", // composed mix: gate -> shares -> budget fill
-    "q251_ann_ivf_kmeans") // trained-codebook IVF + recall readout
+    "q251_ann_ivf_kmeans", // trained-codebook IVF + recall readout
+    "q255_tpch_q21", // Q21 shape: exists/not-exists collapsed to one agg
+    "q256_link_prediction") // wedge-join CN/RA scores over the LSH graph
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -738,6 +738,36 @@ object Analysis {
         .limit(100)
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema (no commitdate/receiptdate: a line is LATE when it
+    // ships > 60 days after the order date). For finished multi-supplier
+    // orders, find the supplier who was the ONLY late one — the classic
+    // EXISTS / NOT-EXISTS double lineitem self-join collapsed into ONE
+    // per-order aggregate (supplier count, late-supplier count, the late
+    // supplier's id): lineitem shuffles once on l_orderkey instead of
+    // three self-join passes, and the supplier dim broadcasts.
+    "q255_tpch_q21" -> ((s, d) => {
+      val l = t(s, d, "lineitem").join(
+          t(s, d, "orders").where(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val perOrder = l.groupBy("l_orderkey").agg(
+          countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      perOrder.groupBy(col("late_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          "s_suppkey")
+        .orderBy(desc("numwait"), asc("s_suppkey"))
+        .limit(20)
+        .select("s_suppkey", "s_name", "numwait")
+    }),
+
     // Multi-touch attribution, linear model: each purchase's value is
     // split EQUALLY across the user's clicks in the preceding 24 h (the
     // credit rule marketing warehouses default to; last-touch is q80's
@@ -1057,6 +1087,26 @@ object Analysis {
          FROM orders JOIN qual ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_cents DESC, o_orderkey LIMIT 100""",
+    "q255_tpch_q21" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         per_order AS (
+           SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+             max(CASE WHEN late THEN l_suppkey END) AS late_supp
+           FROM l GROUP BY 1),
+         waits AS (
+           SELECT late_supp AS s_suppkey, count(*) AS numwait
+           FROM per_order
+           WHERE n_supp >= 2 AND n_late_supp = 1
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, numwait
+         FROM waits JOIN supplier USING (s_suppkey)
+         ORDER BY numwait DESC, s_suppkey LIMIT 20""",
     "q227_attribution" ->
       """WITH ev AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS tm, value

@@ -680,6 +680,35 @@ object Training {
           sum(coalesce(col("closed"), lit(0L))).as("n_triangles"))
     }),
 
+    // Link prediction over the same LSH pair graph: for every
+    // NON-adjacent pair sharing >= 1 neighbor, the common-neighbor count
+    // and the Resource-Allocation index (Zhou, Lü, Zhang 2009) in exact
+    // fixed point — ra_e6 = sum over shared z of (1e6 div deg(z)). The
+    // per-term integer floor keeps the sum associative and engine-exact
+    // (Adamic-Adar's 1/ln(deg) would put a libm knife-edge in every
+    // term). Wedge enumeration keys every join on a node id (fan-in
+    // bounded by degree, the q121 shape); known edges are removed by one
+    // anti-join on the canonical pair; bounded top-50 output.
+    "q256_link_prediction" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // feeds wedge sides AND the anti-join
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val zu = edges.select(col("src").as("z"), col("dst").as("u"))
+      val zw = edges.select(col("src").as("z"), col("dst").as("w"))
+      val cand = zu.join(zw, "z").where(col("u") < col("w"))
+        .join(deg.withColumnRenamed("src", "z"), "z")
+        .groupBy("u", "w")
+        .agg(count(lit(1)).as("cn"), sum(expr("1000000 div deg")).as("ra_e6"))
+      cand.join(pairs,
+          cand("u") === pairs("id1") && cand("w") === pairs("id2"), "left_anti")
+        .orderBy(desc("cn"), desc("ra_e6"), asc("u"), asc("w"))
+        .limit(50)
+        .select(col("u").as("id1"), col("w").as("id2"), col("cn"), col("ra_e6"))
+    }),
+
     // near-dup pairs *within LSH buckets* — the linear-scale form of q63:
     // candidates come from the sign-pattern bucket, not an all-pairs join.
     "q86_bucketed_neardup" -> ((s, d) => {
@@ -2790,6 +2819,30 @@ object Training {
          JOIN pairs e2 ON e1.id2 = e2.id1
          LEFT JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""
 
+  /** Common-neighbor / Resource-Allocation link prediction over the LSH
+    * pair graph — mirrors q256 (same per-term `//` fixed-point floor).
+    */
+  private def linkPredictionOracle: String =
+    s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         cand AS (
+           SELECT zu.dst AS u, zw.dst AS w, count(*) AS cn,
+             CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+           FROM edges zu JOIN edges zw ON zu.src = zw.src AND zu.dst < zw.dst
+           JOIN deg d ON d.src = zu.src
+           GROUP BY 1, 2)
+         SELECT u AS id1, w AS id2, cn, ra_e6
+         FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.id1 = c.u AND p.id2 = c.w)
+         ORDER BY cn DESC, ra_e6 DESC, u, w LIMIT 50"""
+
   /** 3 unrolled integer-PageRank iterations over the LSH pair graph —
     * mirrors q132 exactly (same `//` truncations, same 85/100 damping).
     */
@@ -4197,6 +4250,7 @@ object Training {
     "q98_ann_ivf" -> ivfOracle,
     "q117_ann_recall" -> annRecallOracle,
     "q121_triangles" -> trianglesOracle,
+    "q256_link_prediction" -> linkPredictionOracle,
     "q107_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split(lower(text), ' ') AS w

@@ -508,4 +508,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Sort ["), p)
   }
+
+  test("q255 TPC-H Q21 shape: one lineitem aggregate (no self-joins), " +
+      "supplier dim broadcasts, bounded top-k") {
+    val p = plan("q255_tpch_q21")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // lineitem is scanned ONCE — the exists/not-exists collapse
+    assert("FileScan parquet".r.findAllIn(p).count(_ => true) <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q256 link prediction: wedge joins keyed on node ids, no " +
+      "cartesian product, bounded top-k output") {
+    val p = plan("q256_link_prediction")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
