@@ -50,6 +50,44 @@ object Stats {
            FROM lineitem"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spearman rank correlation per group (quantity vs price within each
+    // return flag) — the robust monotone-association companion to q147's
+    // Pearson matrix. Tie-aware: each value gets its DOUBLED average rank
+    // (2·cnt_less + cnt_eq + 1 = 2·rank + cnt_eq − 1, an exact integer),
+    // so the moment sums are integers and cross-engine exact; the
+    // centered moments come from the algebraic identity Σ(r−(n+1))(s−
+    // (n+1)) = Σrs − n(n+1)² (no per-row mean subtraction, no float in
+    // the aggregation). rho's float tail is one pinned IEEE chain
+    // (div/sqrt are exactly rounded). Int64 bound: moments ≤ 4n³ per
+    // group, safe to n ≈ 1.3e6; beyond that switch the three sums to
+    // DECIMAL(38,0) accumulators. Keyed windows only — groups
+    // parallelize, nothing global.
+    "q257_spearman" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d0, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val wx = Window.partitionBy("flag").orderBy("x")
+      val wy = Window.partitionBy("flag").orderBy("cents")
+      val r = li.select(col("flag"),
+        (lit(2L) * rank().over(wx) +
+          count(lit(1)).over(Window.partitionBy("flag", "x")) - 1L).as("r2x"),
+        (lit(2L) * rank().over(wy) +
+          count(lit(1)).over(Window.partitionBy("flag", "cents")) - 1L).as("r2y"))
+      val sums = r.groupBy("flag").agg(count(lit(1)).as("n"),
+        sum(col("r2x") * col("r2y")).as("sxy"),
+        sum(col("r2x") * col("r2x")).as("sxx"),
+        sum(col("r2y") * col("r2y")).as("syy"))
+      val m = col("n") * (col("n") + 1L) * (col("n") + 1L)
+      sums.select(col("flag"), col("n"),
+          (col("sxy") - m).as("cov2"), (col("sxx") - m).as("varx2"),
+          (col("syy") - m).as("vary2"))
+        .withColumn("rho_e6",
+          when(col("varx2") > 0L && col("vary2") > 0L,
+            floor(d(col("cov2")) /
+              sqrt(d(col("varx2")) * d(col("vary2"))) * 1e6).cast("long")))
+    }),
+
     // Quantile (rank-CDF) transform per series — the sklearn
     // QuantileTransformer shape feature pipelines run before training on
     // heavy-tailed inputs: within each event_type, value → its empirical
@@ -278,6 +316,34 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q257_spearman" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         r AS (
+           SELECT flag,
+             2 * rank() OVER (PARTITION BY flag ORDER BY x)
+               + count(*) OVER (PARTITION BY flag, x) - 1 AS r2x,
+             2 * rank() OVER (PARTITION BY flag ORDER BY cents)
+               + count(*) OVER (PARTITION BY flag, cents) - 1 AS r2y
+           FROM li),
+         sums AS (
+           SELECT flag, count(*) AS n,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy
+           FROM r GROUP BY 1),
+         cm AS (
+           SELECT flag, n, sxy - n*(n+1)*(n+1) AS cov2,
+             sxx - n*(n+1)*(n+1) AS varx2, syy - n*(n+1)*(n+1) AS vary2
+           FROM sums)
+         SELECT flag, n, cov2, varx2, vary2,
+           CASE WHEN varx2 > 0 AND vary2 > 0 THEN
+             CAST(floor(CAST(cov2 AS DOUBLE) /
+               sqrt(CAST(varx2 AS DOUBLE) * CAST(vary2 AS DOUBLE)) * 1000000.0)
+               AS BIGINT) END AS rho_e6
+         FROM cm""",
     "q254_quantile_transform" ->
       """WITH r AS (
            SELECT event_id, event_type,

@@ -549,6 +549,40 @@ object Training {
           expr("c12 * 1000000 DIV c1").as("p_e6"))
     }),
 
+    // Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995, the
+    // smoothing under every n-gram LM used for perplexity filtering) with
+    // discount D = 3/4 — chosen so EVERY probability is an exact rational:
+    // P(w2|w1) = max(c12−D,0)/c1 + D·N₊(w1,·)/c1 · N₊(·,w2)/T over common
+    // denominator 4·c1·T gives p_num = max(4c12−3,0)·T + 3·nf·nc and
+    // p_den = 4·c1·T, both BIGINT (bound: 4·corpus_bigrams·types ≪ 2^63
+    // here; at web scale emit num/den and divide downstream). One bigram
+    // aggregate persisted feeds all four marginals — context totals,
+    // follower fan-out, continuation fan-in, and the 1-row type count
+    // broadcast. Linear in corpus size, keyed shuffles only.
+    "q258_kneser_ney" -> ((s, d) => {
+      val w = TextFunctions.tokens(col("text"))
+      val bg = t(s, d, "documents")
+        .where(size(w) >= 2)
+        .select(explode(transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist()
+      val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"),
+        count(lit(1)).as("nf"))
+      val cont = bg.groupBy("w2").agg(count(lit(1)).as("nc"))
+      val tot = bg.agg(count(lit(1)).as("tt"))
+      bg.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+        .where(col("c12") >= 3)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("nf"), col("nc"),
+          (greatest(lit(4L) * col("c12") - 3L, lit(0L)) * col("tt") +
+            lit(3L) * col("nf") * col("nc")).as("p_num"),
+          (lit(4L) * col("c1") * col("tt")).as("p_den"))
+        .withColumn("p_e6", expr("p_num * 1000000 div p_den"))
+    }),
+
     // Misra-Gries heavy hitters via the custom TypedImperativeAggregate:
     // fixed-k state per partial, k-row exchanges — the mergeable-sketch
     // alternative to a domain-sized exact groupBy at 100 TB. Estimates
@@ -4331,6 +4365,25 @@ object Training {
          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1)
          SELECT b.w1, b.w2, b.c12, c.c1, b.c12 * 1000000 // c.c1 AS p_e6
          FROM bg b JOIN ctx c USING (w1)
+         WHERE b.c12 >= 3""",
+    "q258_kneser_ney" ->
+      """WITH bg AS MATERIALIZED (
+           SELECT w1, w2, count(*) AS c12 FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+                 i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true)
+             FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+             WHERE len(w) >= 2)
+           GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   count(*) AS nf FROM bg GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS nc FROM bg GROUP BY 1),
+         tot AS (SELECT count(*) AS tt FROM bg)
+         SELECT b.w1, b.w2, b.c12, c.c1, c.nf, co.nc,
+           greatest(4 * b.c12 - 3, 0) * tt + 3 * c.nf * co.nc AS p_num,
+           4 * c.c1 * tt AS p_den,
+           (greatest(4 * b.c12 - 3, 0) * tt + 3 * c.nf * co.nc) * 1000000
+             // (4 * c.c1 * tt) AS p_e6
+         FROM bg b JOIN ctx c USING (w1) JOIN cont co USING (w2), tot
          WHERE b.c12 >= 3""",
     "q190_dup_spans" ->
       """WITH wins AS (

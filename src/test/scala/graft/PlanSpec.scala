@@ -526,4 +526,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q257 Spearman: rank windows keyed by group (no single-partition " +
+      "window), integer moment sums") {
+    val p = plan("q257_spearman")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q258 Kneser-Ney: the type-count scalar broadcasts; marginal " +
+      "joins are keyed, no cartesian product") {
+    val p = plan("q258_kneser_ney")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
