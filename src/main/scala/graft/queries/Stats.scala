@@ -88,6 +88,61 @@ object Stats {
               sqrt(d(col("varx2")) * d(col("vary2"))) * 1e6).cast("long")))
     }),
 
+    // Kaplan-Meier survival curves per market segment — the churn/
+    // retention estimator warehouses run on "time to second order".
+    // Subject: each ordering customer; duration = days from first to
+    // second order day (event), censored at the corpus's last order day
+    // when no second order exists. The risk table ((t, at-risk, events,
+    // censored) per segment) is EXACT integer window math; the survival
+    // prefix product Π(1 − dᵢ/nᵢ) is the one float tail, folded LEFT in
+    // t order inside each segment's collected curve array — the q116
+    // order-pinning rule, so both engines multiply the same exactly-
+    // rounded factors in the same order and the e9 floor is stable.
+    // Scale shape: curves have one row per DISTINCT duration per segment
+    // (bounded by the observation window, not by row count), so the
+    // per-segment collect is a bounded array; everything before it is
+    // keyed aggregation.
+    "q260_kaplan_meier" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d0, "orders").select(col("o_custkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      val firsts = o.groupBy("o_custkey").agg(min("day").as("d1"))
+      val second = o.join(firsts, "o_custkey").where(col("day") > col("d1"))
+        .groupBy("o_custkey").agg(min("day").as("d2"))
+      val maxd = o.agg(max("day").as("dmax"))
+      val seg = t(s, d0, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+      val subj = firsts.join(second, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(maxd)).join(seg, "o_custkey")
+        .select(col("segment"),
+          when(col("d2").isNotNull, col("d2") - col("d1"))
+            .otherwise(col("dmax") - col("d1")).as("t"),
+          col("d2").isNotNull.as("event"))
+      val cells = subj.groupBy("segment", "t").agg(
+        sum(when(col("event"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("n_censor"))
+      val wTot = Window.partitionBy("segment")
+      val wPrev = Window.partitionBy("segment").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = cells.withColumn("n_risk",
+        sum(col("n_event") + col("n_censor")).over(wTot) -
+          coalesce(sum(col("n_event") + col("n_censor")).over(wPrev), lit(0L)))
+      risk.groupBy("segment")
+        .agg(array_sort(collect_list(struct(col("t"), col("n_event"),
+          col("n_censor"), col("n_risk")))).as("arr"))
+        .select(col("segment"), explode(expr(
+          """transform(arr, (x, i) -> struct(
+               x.t as t, x.n_risk as n_risk, x.n_event as n_event,
+               x.n_censor as n_censor,
+               cast(floor(aggregate(slice(arr, 1, i + 1), cast(1.0 as double),
+                 (acc, y) -> acc * ((cast(y.n_risk as double)
+                    - cast(y.n_event as double)) / cast(y.n_risk as double)))
+                 * 1000000000.0) as bigint) as s_e9))""")).as("r"))
+        .select(col("segment"), col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+          col("r.n_event").as("n_event"), col("r.n_censor").as("n_censor"),
+          col("r.s_e9").as("s_e9"))
+    }),
+
     // Quantile (rank-CDF) transform per series — the sklearn
     // QuantileTransformer shape feature pipelines run before training on
     // heavy-tailed inputs: within each event_type, value → its empirical
@@ -316,6 +371,52 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q260_kaplan_meier" ->
+      """WITH o AS (
+           SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+         f AS (SELECT o_custkey, min(day) AS d1 FROM o GROUP BY 1),
+         s2 AS (
+           SELECT o.o_custkey, min(day) AS d2
+           FROM o JOIN f USING (o_custkey) WHERE day > d1 GROUP BY 1),
+         mx AS (SELECT max(day) AS dmax FROM o),
+         subj AS (
+           SELECT c.c_mktsegment AS segment,
+             CASE WHEN s2.d2 IS NOT NULL THEN s2.d2 - f.d1
+                  ELSE mx.dmax - f.d1 END AS t,
+             s2.d2 IS NOT NULL AS event
+           FROM f LEFT JOIN s2 USING (o_custkey)
+           JOIN customer c ON c.c_custkey = f.o_custkey, mx),
+         cells AS (
+           SELECT segment, t,
+             CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+             CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+           FROM subj GROUP BY 1, 2),
+         risk AS (
+           SELECT segment, t, n_event, n_censor,
+             CAST(sum(n_event + n_censor) OVER (PARTITION BY segment)
+               - coalesce(sum(n_event + n_censor) OVER (PARTITION BY segment
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n_risk
+           FROM cells),
+         seqs AS (
+           SELECT segment,
+             list({'t': t, 'n_event': n_event, 'n_censor': n_censor,
+                   'n_risk': n_risk} ORDER BY t) AS arr
+           FROM risk GROUP BY 1),
+         ex AS (
+           SELECT segment, arr, unnest(arr) AS x,
+             generate_subscripts(arr, 1) AS i
+           FROM seqs)
+         SELECT segment, x.t AS t, x.n_risk AS n_risk, x.n_event AS n_event,
+           x.n_censor AS n_censor,
+           CAST(floor(list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(arr[1:i],
+                 y -> (CAST(y.n_risk AS DOUBLE) - CAST(y.n_event AS DOUBLE))
+                   / CAST(y.n_risk AS DOUBLE))),
+             (a, b) -> a * b) * 1000000000.0) AS BIGINT) AS s_e9
+         FROM ex""",
     "q257_spearman" ->
       """WITH li AS (
            SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,

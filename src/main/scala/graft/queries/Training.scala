@@ -856,6 +856,37 @@ object Training {
         .withColumn("keep", !col("dup_of_store") && !col("dup_in_batch"))
     }),
 
+    // Incremental NEAR-dup — q199's cadence for fuzzy duplicates: a new
+    // batch (doc_id >= 400) probes the LSH band-key INDEX of the standing
+    // corpus (doc_id < 400). Strictly asymmetric: the corpus never
+    // self-joins and its documents are never re-read — only its
+    // (band, key) index rows, which a production deployment keeps
+    // bucketed by key so the probe is a co-located join. Per batch doc:
+    // how many corpus docs share a band bucket, the smallest such id
+    // (the canonical "duplicate of"), and the verdict. Intra-batch
+    // near-dups are q59/q86's symmetric path, deliberately not rerun
+    // here.
+    "q259_incremental_neardup" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents")
+      val corpus = Dedup.bandKeysRows(
+          docs.where(col("doc_id") < 400), "doc_id", "text", p)
+        .select(col("doc").as("old_id"), col("band"), col("key"))
+      val batch = Dedup.bandKeysRows(
+          docs.where(col("doc_id") >= 400), "doc_id", "text", p)
+        .select(col("doc").as("new_id"), col("band"), col("key"))
+      val hits = batch.join(corpus, Seq("band", "key"))
+        .select("new_id", "old_id").distinct()
+        .groupBy("new_id").agg(count(lit(1)).as("n_matches"),
+          min("old_id").as("first_match"))
+      docs.where(col("doc_id") >= 400).select(col("doc_id").as("new_id"))
+        .join(hits, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_match"),
+          col("first_match").isNotNull.as("is_dup"))
+    }),
+
     // Multi-benchmark contamination report — q107 generalized to SEVERAL
     // eval sets at once (src0 and src1 stand in for two benchmarks): per
     // (training source, benchmark), how many docs cross the 10% shared-
@@ -2537,7 +2568,13 @@ object Training {
       .mkString(" + ")
 
   /** Shared CTE prelude (toks -> bands) of the MinHash oracles. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFor("doc_id < 300")
+
+  /** The MinHash band prelude over a parameterized doc population —
+    * `minhashCtes` (doc_id < 300) is the shared graph-query instance;
+    * q259 probes the full population split into corpus and batch.
+    */
+  private def minhashCtesFor(pred: String): String = {
     val p = Dedup.MinHashParams()
     val sigs = (0 until p.numPerms).map { i =>
       val a = 2L * i + 1; val b = 98765L * i + 12345L
@@ -2550,7 +2587,7 @@ object Training {
     }.mkString("\n           UNION ALL ")
     s"""toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS w
-           FROM documents WHERE doc_id < 300),
+           FROM documents WHERE $pred),
          sh AS (
            SELECT doc_id,
              list_transform(range(1, len(w) - 1),
@@ -4285,6 +4322,22 @@ object Training {
     "q117_ann_recall" -> annRecallOracle,
     "q121_triangles" -> trianglesOracle,
     "q256_link_prediction" -> linkPredictionOracle,
+    "q259_incremental_neardup" ->
+      s"""WITH ${minhashCtesFor("TRUE")},
+         hits AS (
+           SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+           WHERE a.doc_id < 400 AND b.doc_id >= 400),
+         agg AS (
+           SELECT new_id, count(*) AS n_matches,
+             min(old_id) AS first_match
+           FROM hits GROUP BY 1)
+         SELECT d.doc_id AS new_id,
+           CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+           a.first_match,
+           a.first_match IS NOT NULL AS is_dup
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
+         WHERE d.doc_id >= 400""",
     "q107_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, source, string_split(lower(text), ' ') AS w

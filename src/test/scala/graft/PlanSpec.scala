@@ -541,4 +541,21 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q259 incremental near-dup: asymmetric index probe — the corpus " +
+      "documents are scanned once for band keys, never re-read") {
+    val p = plan("q259_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("q260 Kaplan-Meier: keyed windows and bounded per-segment curve " +
+      "arrays — no single-partition window, no UDF in the fold") {
+    val p = plan("q260_kaplan_meier")
+    // every window spec is keyed on segment (the only SinglePartition
+    // exchange is the deliberate 1-row dmax scalar broadcast)
+    assert(p.contains("windowspecdefinition(segment"), p)
+    assert(!"windowspecdefinition\\((?!segment)".r.findFirstIn(p).isDefined, p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
