@@ -101,7 +101,8 @@ object Bench {
     "q255_tpch_q21", // Q21 shape: exists/not-exists collapsed to one agg
     "q256_link_prediction", // wedge-join CN/RA scores over the LSH graph
     "q258_kneser_ney", // KN-smoothed bigram LM (4 marginals off one agg)
-    "q260_kaplan_meier") // KM survival curves (order-pinned prefix product)
+    "q260_kaplan_meier", // KM survival curves (order-pinned prefix product)
+    "q262_ppmi") // skip-gram co-occurrence PPMI ratios
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -549,6 +549,61 @@ object Training {
           expr("c12 * 1000000 DIV c1").as("p_e6"))
     }),
 
+    // Flesch reading-ease per document — the readability gate quality
+    // pipelines run next to the Gopher rules (q196). Heuristic counts:
+    // words = whitespace tokens, sentences = '.' characters (min 1),
+    // syllables = vowel groups. The score 206.835 − 1.015·W/S − 84.6·Y/W
+    // is ONE exact rational over the common denominator S·W in e3 fixed
+    // point: num = 206835·S·W − 1015·W² − 84600·Y·S — integer end to
+    // end, no float anywhere. Map-only: scales embarrassingly.
+    "q261_readability" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+          greatest(length(col("text")) -
+            length(regexp_replace(col("text"), "\\.", "")), lit(1))
+            .cast("long").as("n_sents"),
+          regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+            .as("n_syll"))
+        .withColumn("fre_e3", expr(
+          """(206835 * n_sents * n_words - 1015 * n_words * n_words
+              - 84600 * n_syll * n_sents) div (n_sents * n_words)"""))
+    }),
+
+    // Skip-gram co-occurrence PPMI (the word2vec/GloVe counting step):
+    // directed center→context pairs within a +2 token window, and the
+    // pointwise-mutual-information RATIO p(x,y)/(p(x)p(y)) =
+    // c_xy·N_pairs/(row_x·col_y) as an exact integer in e6 fixed point —
+    // the log is monotone, so ranking and thresholding on the ratio is
+    // ranking on PMI without the libm tail. One generator pass emits
+    // both window offsets; marginals are two key shuffles over the
+    // (small) distinct-pair frame; the 1-row total broadcasts. Top-100
+    // by ratio bounds the output (support floor c >= 5 first).
+    "q262_ppmi" -> ((s, d) => {
+      val pairs = t(s, d, "documents")
+        .select(TextFunctions.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(w) - 1), i ->
+               if(i + 2 <= size(w),
+                 array(struct(element_at(w, i) as x, element_at(w, i + 1) as y),
+                       struct(element_at(w, i) as x, element_at(w, i + 2) as y)),
+                 array(struct(element_at(w, i) as x, element_at(w, i + 1) as y)))))"""
+          )).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+        .persist() // feeds both marginals, the total, and the ratio join
+      val rowm = pairs.groupBy("x").agg(sum("c").as("row_c"))
+      val colm = pairs.groupBy("y").agg(sum("c").as("col_c"))
+      val tot = pairs.agg(sum("c").as("np"))
+      pairs.where(col("c") >= 5)
+        .join(rowm, "x").join(colm, "y").crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("c"), col("row_c"), col("col_c"),
+          expr("c * np * 1000000 div (row_c * col_c)").as("ratio_e6"))
+        .orderBy(desc("ratio_e6"), asc("x"), asc("y"))
+        .limit(100)
+    }),
+
     // Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995, the
     // smoothing under every n-gram LM used for perplexity filtering) with
     // discount D = 3/4 — chosen so EVERY probability is an exact rational:
@@ -4419,6 +4474,37 @@ object Training {
          SELECT b.w1, b.w2, b.c12, c.c1, b.c12 * 1000000 // c.c1 AS p_e6
          FROM bg b JOIN ctx c USING (w1)
          WHERE b.c12 >= 3""",
+    "q261_readability" ->
+      """SELECT doc_id, n_words, n_sents, n_syll,
+           (206835 * n_sents * n_words - 1015 * n_words * n_words
+             - 84600 * n_syll * n_sents) // (n_sents * n_words) AS fre_e3
+         FROM (
+           SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(text) - len(replace(text, '.', '')), 1)
+               AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+               AS BIGINT) AS n_syll
+           FROM documents)""",
+    "q262_ppmi" ->
+      """WITH toks AS (
+           SELECT string_split(lower(text), ' ') AS w FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 2),
+         prs AS (
+           SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+             CASE WHEN i + 2 <= len(w)
+               THEN [{'x': w[i], 'y': w[i+1]}, {'x': w[i], 'y': w[i+2]}]
+               ELSE [{'x': w[i], 'y': w[i+1]}] END)), recursive := true)
+           FROM toks),
+         cc AS (SELECT x, y, count(*) AS c FROM prs GROUP BY 1, 2),
+         rowm AS (SELECT x, CAST(sum(c) AS BIGINT) AS row_c FROM cc GROUP BY 1),
+         colm AS (SELECT y, CAST(sum(c) AS BIGINT) AS col_c FROM cc GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS np FROM cc)
+         SELECT cc.x, cc.y, cc.c, rowm.row_c, colm.col_c,
+           cc.c * np * 1000000 // (row_c * col_c) AS ratio_e6
+         FROM cc JOIN rowm USING (x) JOIN colm USING (y), tot
+         WHERE cc.c >= 5
+         ORDER BY ratio_e6 DESC, x, y LIMIT 100""",
     "q258_kneser_ney" ->
       """WITH bg AS MATERIALIZED (
            SELECT w1, w2, count(*) AS c12 FROM (

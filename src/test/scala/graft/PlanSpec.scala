@@ -558,4 +558,20 @@ class PlanSpec extends SparkSpec {
     assert(!"windowspecdefinition\\((?!segment)".r.findFirstIn(p).isDefined, p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q261 readability: map-only — no exchange, no join, no window") {
+    val p = plan("q261_readability")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q262 PPMI: marginals join the distinct-pair frame (not the " +
+      "occurrence stream); total broadcasts; bounded top-k") {
+    val p = plan("q262_ppmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
