@@ -1051,6 +1051,38 @@ object Training {
           col("n_hit"), expr("n_hit * 1000000 DIV k").as("recall_e6"))
     }),
 
+    // Product-quantization ANN (q251's compression-side complement): 4
+    // blocks × 16-centroid codebooks trained by one exact integer Lloyd
+    // round, corpus ranked by INTEGER asymmetric distance (per-query
+    // 64-entry lookup table broadcast, codes joined, 4 adds per vector)
+    // — and each ADC hit checked against the exact integer-L2 top-10.
+    // Bit-exact end to end: the entire index build and search replay in
+    // the oracle, not just the readout.
+    "q263_product_quantization" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ids = Seq(100L, 200L)
+      val pq = Similarity.pqTopK(e, ids, 10)
+      val ve = e.select(col("vec_id"), expr(
+        """transform(embedding,
+             v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+        .as("ve"))
+      val q = ve.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+      val bf = ve.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(ve, qve, (a, b2) -> (a - b2) * (a - b2)),
+             cast(0 as bigint), (acc, x) -> acc + x)"""))
+        .withColumn("rn", row_number().over(wb)).where(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("hit"))
+      pq.join(bf, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          col("adc_dist"), col("hit").isNotNull.as("exact_hit"))
+    }),
+
     // Edit-distance similarity self-join (Ed-Join prefix filtering): all
     // customer-name pairs within edit distance 1 via rarity-ordered
     // positional q-gram candidates + exact levenshtein verify — the
@@ -2612,6 +2644,68 @@ object Training {
     (1 to Similarity.Dim).map(i =>
       s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
 
+  /** Unrolled INTEGER squared-L2 between two BIGINT list columns —
+    * exact, so any association order agrees with Spark's zip_with fold.
+    */
+  private def il2Sql(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"(($a[$i] - $b[$i]) * ($a[$i] - $b[$i]))")
+      .mkString(" + ")
+
+  /** Full PQ replay — codebook training (one integer Lloyd round from
+    * the vec_id % 16 seeding), code assignment, per-query ADC lookup
+    * sums, and the exact integer-L2 brute-force hit check. Mirrors
+    * Similarity.pqTopK + q263 bit for bit.
+    */
+  private def pqOracle: String =
+    s"""WITH ve AS MATERIALIZED (
+         SELECT vec_id, list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve
+         FROM embeddings),
+       flat AS (
+         SELECT vec_id, (dim - 1) // 16 AS b, (dim - 1) % 16 AS bd, v,
+           vec_id % 16 AS c0
+         FROM (SELECT vec_id, unnest(ve) AS v,
+                 generate_subscripts(ve, 1) AS dim FROM ve)),
+       cm AS (
+         SELECT b, c0 AS c, bd, CAST(sum(v) AS BIGINT) // count(*) AS cv
+         FROM flat GROUP BY 1, 2, 3),
+       centv AS (SELECT b, c, list(cv ORDER BY bd) AS ce FROM cm GROUP BY 1, 2),
+       bvs AS MATERIALIZED (
+         SELECT vec_id, b, list(v ORDER BY bd) AS bv FROM flat GROUP BY 1, 2),
+       asg AS (
+         SELECT vec_id, b, c FROM (
+           SELECT bvs.vec_id, bvs.b, cv.c,
+             row_number() OVER (PARTITION BY bvs.vec_id, bvs.b
+               ORDER BY ${il2Sql("bv", "ce", 16)}, cv.c) AS rn
+           FROM bvs JOIN centv cv USING (b)) WHERE rn = 1),
+       lut AS (
+         SELECT q.vec_id AS query_id, q.b, cv.c,
+           ${il2Sql("q.bv", "cv.ce", 16)} AS dd
+         FROM bvs q JOIN centv cv USING (b) WHERE q.vec_id IN (100, 200)),
+       adc AS (
+         SELECT l.query_id, a.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc_dist
+         FROM asg a JOIN lut l ON a.b = l.b AND a.c = l.c
+           AND a.vec_id <> l.query_id
+         GROUP BY 1, 2),
+       topk AS (
+         SELECT query_id, vec_id AS neighbor_id, rnk, adc_dist FROM (
+           SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) AS rnk
+           FROM adc) WHERE rnk <= 10),
+       q2 AS (SELECT vec_id AS query_id, ve AS qve FROM ve
+              WHERE vec_id IN (100, 200)),
+       bf AS (
+         SELECT query_id, vec_id FROM (
+           SELECT q2.query_id, ve.vec_id,
+             row_number() OVER (PARTITION BY q2.query_id
+               ORDER BY ${il2Sql("ve.ve", "q2.qve", 64)}, ve.vec_id) AS rn
+           FROM ve, q2 WHERE ve.vec_id <> q2.query_id) WHERE rn <= 10)
+       SELECT t.query_id, t.neighbor_id, t.rnk, t.adc_dist,
+         bf.vec_id IS NOT NULL AS exact_hit
+       FROM topk t LEFT JOIN bf ON bf.query_id = t.query_id
+         AND bf.vec_id = t.neighbor_id"""
+
   /** Integer dot product of floor(x*64)-quantized vectors (q160): BIGINT
     * products summed — exact, so any association order matches Spark's
     * zip_with/aggregate loop.
@@ -3319,6 +3413,7 @@ object Training {
     "q249_doremi_mixture" -> doremiOracle,
     "q250_training_mix" -> trainingMixOracle,
     "q251_ann_ivf_kmeans" -> annIvfKmeansOracle,
+    "q263_product_quantization" -> pqOracle,
     "q194_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          p AS (SELECT lang, n_docs,

@@ -574,4 +574,12 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q263 PQ: codebooks and per-query lookup tables broadcast onto " +
+      "the code stream; no cartesian product, no UDF") {
+    val p = plan("q263_product_quantization")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
