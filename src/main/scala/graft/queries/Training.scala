@@ -1302,6 +1302,59 @@ object Training {
         .withColumn("frac_e6", expr("(n_pos * 1000000) div n"))
     }),
 
+    // Isotonic (PAV) calibration — the monotone fit sklearn's
+    // IsotonicRegression applies on top of q164's raw reliability table.
+    // The pool-adjacent-violators solution is computed CLOSED-FORM via
+    // the minimax characterization fit_i = max_{j<=i} min_{k>=i}
+    // mean(y[j..k]), entirely in integer FRACTION arithmetic: prefix
+    // sums make every candidate mean an exact (num, den) pair and every
+    // comparison a cross-multiplication — zero floats, so the whole fit
+    // replays bit-exactly. O(B³) over B score buckets is trivial because
+    // B is bounded by the bucketing (~20), NOT by row count — the
+    // distributed work is only the per-bucket aggregation; the collect
+    // is the bounded bucket table (the q91 bounded-form rule).
+    "q264_isotonic_calibration" -> ((s, d) => {
+      val cells = t(s, d, "embeddings")
+        .select(expr("floor(CAST(embedding[0] AS DOUBLE) * 10)")
+          .cast("long").as("bucket"), (col("label") % 2 === 1).as("pos"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val withCum = cells
+        .withColumn("cp", sum("npos").over(wcum))
+        .withColumn("cc", sum("n").over(wcum))
+      withCum
+        .agg(array_sort(collect_list(struct(col("bucket"), col("n"),
+          col("npos"), col("cp"), col("cc")))).as("arr"))
+        .select(explode(expr(
+          """transform(sequence(1, size(arr)), i -> named_struct(
+               'bucket', element_at(arr, i).bucket,
+               'n', element_at(arr, i).n,
+               'npos', element_at(arr, i).npos,
+               'fit', aggregate(
+                 transform(sequence(1, i), j -> aggregate(
+                   transform(sequence(i, size(arr)), k -> named_struct(
+                     'fn', element_at(arr, k).cp - (case when j = 1
+                       then cast(0 as bigint)
+                       else element_at(arr, j - 1).cp end),
+                     'fd', element_at(arr, k).cc - (case when j = 1
+                       then cast(0 as bigint)
+                       else element_at(arr, j - 1).cc end))),
+                   named_struct('fn', cast(2 as bigint), 'fd', cast(1 as bigint)),
+                   (mn, f) -> case when f.fn * mn.fd < mn.fn * f.fd
+                     then f else mn end)),
+                 named_struct('fn', cast(-1 as bigint), 'fd', cast(1 as bigint)),
+                 (best, mf) -> case when mf.fn * best.fd > best.fn * mf.fd
+                   then mf else best end)))""")).as("r"))
+        .select(col("r.bucket").as("bucket"), col("r.n").as("n"),
+          col("r.npos").as("npos"), col("r.fit.fn").as("fit_num"),
+          col("r.fit.fd").as("fit_den"))
+        .withColumn("fit_e6", expr("fit_num * 1000000 div fit_den"))
+    }),
+
     // Population stability index between the hash-split train and test
     // score distributions — the drift gate run before every model
     // refresh. Fixed n_chars bins; per-bin contribution (p-q)*ln(p/q)
@@ -4221,6 +4274,45 @@ object Training {
            (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
              // count(*) AS frac_e6
          FROM s GROUP BY 1""",
+    "q264_isotonic_calibration" ->
+      """WITH cells AS (
+           SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT)
+               AS bucket,
+             count(*) AS n,
+             CAST(sum(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos
+           FROM embeddings GROUP BY 1),
+         cum AS (
+           SELECT bucket, n, npos,
+             CAST(sum(npos) OVER (ORDER BY bucket) AS BIGINT) AS cp,
+             CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cc
+           FROM cells),
+         arr_t AS (
+           SELECT list({'bucket': bucket, 'n': n, 'npos': npos,
+                        'cp': cp, 'cc': cc} ORDER BY bucket) AS arr
+           FROM cum),
+         ex AS (
+           SELECT unnest(list_transform(range(1, len(arr) + 1), i -> {
+             'bucket': arr[i].bucket, 'n': arr[i].n, 'npos': arr[i].npos,
+             'fit': list_reduce(
+               list_prepend({'fn': CAST(-1 AS BIGINT), 'fd': CAST(1 AS BIGINT)},
+                 list_transform(range(1, i + 1), j -> list_reduce(
+                   list_prepend({'fn': CAST(2 AS BIGINT),
+                                 'fd': CAST(1 AS BIGINT)},
+                     list_transform(range(i, len(arr) + 1), k -> {
+                       'fn': arr[k].cp - CASE WHEN j = 1 THEN 0
+                         ELSE arr[j-1].cp END,
+                       'fd': arr[k].cc - CASE WHEN j = 1 THEN 0
+                         ELSE arr[j-1].cc END})),
+                   (mn, f) -> CASE WHEN f.fn * mn.fd < mn.fn * f.fd
+                     THEN f ELSE mn END))),
+               (best, mf) -> CASE WHEN mf.fn * best.fd > best.fn * mf.fd
+                 THEN mf ELSE best END)})) AS x
+           FROM arr_t)
+         SELECT x.bucket AS bucket, x.n AS n, x.npos AS npos,
+           x.fit.fn AS fit_num, x.fit.fd AS fit_den,
+           x.fit.fn * 1000000 // x.fit.fd AS fit_e6
+         FROM ex""",
     "q165_psi" ->
       s"""WITH binned AS (
            SELECT CASE WHEN ${h60("text")} % 100 < 80 THEN 'train' ELSE 'test' END AS split,

@@ -575,6 +575,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q264 isotonic: distributed work is the bucket aggregate; the " +
+      "PAV minimax runs in HOF expressions over the bounded bucket " +
+      "array, not a UDF") {
+    val p = plan("q264_isotonic_calibration")
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q263 PQ: codebooks and per-query lookup tables broadcast onto " +
       "the code stream; no cartesian product, no UDF") {
     val p = plan("q263_product_quantization")
