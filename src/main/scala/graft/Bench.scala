@@ -103,7 +103,8 @@ object Bench {
     "q258_kneser_ney", // KN-smoothed bigram LM (4 marginals off one agg)
     "q260_kaplan_meier", // KM survival curves (order-pinned prefix product)
     "q262_ppmi", // skip-gram co-occurrence PPMI ratios
-    "q263_product_quantization") // PQ codebooks + integer ADC search
+    "q263_product_quantization", // PQ codebooks + integer ADC search
+    "q265_theil_sen") // robust slope: median of bounded pairwise pool
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,6 +88,33 @@ object Stats {
               sqrt(d(col("varx2")) * d(col("vary2"))) * 1e6).cast("long")))
     }),
 
+    // Theil-Sen robust trend per series — the median of all pairwise
+    // slopes, the estimator that shrugs off the outliers OLS (q146)
+    // chases. Points are the DAILY value sums (integer cents), so the
+    // pair pool per series is bounded by the observation window squared
+    // (~150 days → ~11k pairs), NOT by row count — the only unbounded
+    // work is the daily pre-aggregation. Each pair slope is integerized
+    // once (dy·1e6 div dx, exact trunc in both engines) and the median
+    // is the exact lower-median element by rank — no float anywhere.
+    "q265_theil_sen" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d0, "events").groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      val a = daily.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+      val b = daily.select(col("event_type"), col("x").as("x2"), col("y").as("y2"))
+      val slopes = a.join(b, Seq("event_type")).where(col("x1") < col("x2"))
+        .select(col("event_type"),
+          expr("(y2 - y1) * 1000000 div (x2 - x1)").as("slope_e6"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("slope_e6"))
+      slopes.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(expr("rn = (cnt + 1) div 2"))
+        .select(col("event_type"), col("cnt").as("n_pairs"),
+          col("slope_e6").as("med_slope_e6"))
+    }),
+
     // Kaplan-Meier survival curves per market segment — the churn/
     // retention estimator warehouses run on "time to second order".
     // Subject: each ordering customer; duration = days from first to
@@ -371,6 +398,24 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q265_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         slopes AS (
+           SELECT a.event_type,
+             (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_e6
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.x < b.x),
+         r AS (
+           SELECT event_type, slope_e6,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY slope_e6) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM slopes)
+         SELECT event_type, cnt AS n_pairs, slope_e6 AS med_slope_e6
+         FROM r WHERE rn = (cnt + 1) // 2""",
     "q260_kaplan_meier" ->
       """WITH o AS (
            SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day

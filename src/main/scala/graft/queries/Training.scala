@@ -819,6 +819,39 @@ object Training {
         .select(col("id1"), col("id2"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
     }),
 
+    // Incremental EMBEDDING-space dedup — q259's cadence in vector
+    // space: a new batch (vec_id >= 400) probes the standing corpus's
+    // (vec_id < 400) sign-pattern LSH buckets and flags semantic
+    // near-dups by max cosine against co-bucketed corpus vectors. For
+    // NEAR-IDENTICAL vectors (the dedup regime, cos ≫ the q117 ANN
+    // regime) sign patterns agree with high probability, so the bucket
+    // probe is the right cheap filter here even though q117 measured it
+    // useless for top-k recall. Asymmetric: the corpus side contributes
+    // only its (vec_id, bucket, embedding) index rows; no corpus
+    // self-join.
+    "q266_incremental_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val withB = e.join(Similarity.withBucket(e, 8), "vec_id")
+        .withColumn("nrm", Similarity.norm2("embedding"))
+      val corpus = withB.where(col("vec_id") < 400)
+        .select(col("vec_id").as("old_id"), col("embedding").as("eo"),
+          col("nrm").as("no"), col("bucket"))
+      val batch = withB.where(col("vec_id") >= 400)
+        .select(col("vec_id").as("new_id"), col("embedding").as("en"),
+          col("nrm").as("nn"), col("bucket"))
+      val hits = batch.join(corpus, Seq("bucket"))
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("en", "eo"), col("nn"), col("no")))
+        .groupBy("new_id").agg(count(lit(1)).as("n_candidates"),
+          floor(max(col("cos")) * 1e6).cast("long").as("max_cos_e6"))
+      e.where(col("vec_id") >= 400).select(col("vec_id").as("new_id"))
+        .join(hits, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("max_cos_e6"),
+          coalesce(col("max_cos_e6") >= 180000L, lit(false)).as("is_dup"))
+    }),
+
     // BM25 retrieval scoring for a fixed two-term query ("spark fast"),
     // k1=1.2, b=0.75 — the lexical-retrieval baseline every RAG corpus
     // pipeline needs next to the ANN path. Per-doc term frequencies come
@@ -4927,6 +4960,32 @@ object Training {
          WHERE (${dotSql("a.embedding", "w.embedding")})
              / (sqrt(${dotSql("a.embedding", "a.embedding")})
                 * sqrt(${dotSql("w.embedding", "w.embedding")})) > 0.18"""
+    },
+    "q266_incremental_semdedup" -> {
+      s"""WITH b AS (
+           SELECT e.vec_id,
+             sum(CASE WHEN (${dotSql("e.embedding", "p.embedding")}) > 0
+                 THEN (CAST(1 AS BIGINT) << CAST(p.vec_id AS INT)) ELSE 0 END) AS bucket
+           FROM embeddings e, embeddings p WHERE p.vec_id < 8
+           GROUP BY e.vec_id),
+         wb AS (
+           SELECT e.vec_id, e.embedding, b.bucket
+           FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+         hits AS (
+           SELECT n.vec_id AS new_id, count(*) AS n_candidates,
+             CAST(floor(max((${dotSql("n.embedding", "o.embedding")})
+               / (sqrt(${dotSql("n.embedding", "n.embedding")})
+                  * sqrt(${dotSql("o.embedding", "o.embedding")})))
+               * 1000000.0) AS BIGINT) AS max_cos_e6
+           FROM wb n JOIN wb o ON n.bucket = o.bucket
+           WHERE n.vec_id >= 400 AND o.vec_id < 400
+           GROUP BY 1)
+         SELECT e.vec_id AS new_id,
+           CAST(coalesce(h.n_candidates, 0) AS BIGINT) AS n_candidates,
+           h.max_cos_e6,
+           coalesce(h.max_cos_e6 >= 180000, false) AS is_dup
+         FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.new_id
+         WHERE e.vec_id >= 400"""
     },
     "q60_simhash" -> simhashOracle,
     "q61_cosine_topk" -> cosineTopkOracle,

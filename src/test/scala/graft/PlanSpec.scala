@@ -575,6 +575,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q265 Theil-Sen: pair pool is keyed per series; median rank " +
+      "windows are keyed too — no single-partition window") {
+    val p = plan("q265_theil_sen")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!"windowspecdefinition\\((?!event_type)".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q266 incremental embedding dedup: bucket-keyed probe join, no " +
+      "cartesian product outside the 8-plane broadcast") {
+    val p = plan("q266_incremental_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("q264 isotonic: distributed work is the bucket aggregate; the " +
       "PAV minimax runs in HOF expressions over the bounded bucket " +
       "array, not a UDF") {
