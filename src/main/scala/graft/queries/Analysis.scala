@@ -484,6 +484,78 @@ object Analysis {
             .cast("long").as("ewma_e2_x128"))
     }),
 
+    // Holt double-exponential smoothing (level + trend) per series with a
+    // 3-step-ahead forecast — the next rung above q241's seasonal-naive
+    // baseline. α = β = 1/2 (dyadic, the q157 rule): every update is
+    // adds and a *0.5, so both engines produce IDENTICAL doubles and the
+    // x4096 floors are exact. The recurrence folds LEFT over each
+    // series' collected daily array (bounded by the observation window,
+    // not row count); the distributed work is the daily aggregation.
+    "q267_holt_forecast" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("arr"))
+        .select(col("event_type"), size(col("arr")).cast("long").as("n_days"),
+          expr("""aggregate(slice(arr, 2, size(arr) - 1),
+            named_struct('l', cast(element_at(arr, 1).y as double),
+                         'b', cast(0.0 as double)),
+            (acc, p) -> named_struct(
+              'l', (cast(p.y as double) + (acc.l + acc.b)) * 0.5d,
+              'b', (acc.b + ((cast(p.y as double) + (acc.l + acc.b)) * 0.5d
+                     - acc.l)) * 0.5d))""").as("st"))
+        .select(col("event_type"), col("n_days"),
+          floor(col("st.l") * 4096).cast("long").as("level_x4096"),
+          floor(col("st.b") * 4096).cast("long").as("trend_x4096"),
+          floor((col("st.l") + col("st.b")) * 4096).cast("long").as("fc1_x4096"),
+          floor((col("st.l") + col("st.b") * 2.0) * 4096).cast("long")
+            .as("fc2_x4096"),
+          floor((col("st.l") + col("st.b") * 3.0) * 4096).cast("long")
+            .as("fc3_x4096"))
+    }),
+
+    // Banded dynamic-time-warping distance between every pair of daily
+    // event-type series (Sakoe-Chiba band w=7) — "which metrics move
+    // together allowing small phase shifts", the alignment question
+    // plain correlation (q147) can't answer. The DP is EXACT INTEGER
+    // (|Δcents| cell costs, 1e15 as the out-of-band sentinel) and runs
+    // as a row-by-row fold in HOF expressions over the two collected
+    // series arrays — O(n·m) per pair but n, m are bounded by the
+    // observation window, and the pair grid is #series², not rows.
+    // Distributed work = the daily aggregation; no UDF.
+    "q268_dtw" -> ((s, d) => {
+      val daily = t(s, d, "events").groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      val series = daily.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
+          x => x.getField("y")).as("ys"))
+      val a = series.select(col("event_type").as("type_a"), col("ys").as("ya"))
+      val b = series.select(col("event_type").as("type_b"), col("ys").as("yb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .withColumn("dtw_dist", expr(
+          """element_at(
+               aggregate(sequence(1, size(ya)),
+                 transform(sequence(1, size(yb)),
+                   x -> cast(1000000000000000 as bigint)),
+                 (prev, i) -> aggregate(sequence(1, size(yb)),
+                   cast(array() as array<bigint>),
+                   (st, j) -> concat(st, array(
+                     if(abs(i - j) > 7, cast(1000000000000000 as bigint),
+                       abs(element_at(ya, i) - element_at(yb, j)) + least(
+                         element_at(prev, j),
+                         if(j > 1, element_at(st, j - 1),
+                           cast(1000000000000000 as bigint)),
+                         if(j > 1, element_at(prev, j - 1),
+                           if(i = 1 and j = 1, cast(0 as bigint),
+                             cast(1000000000000000 as bigint))))))))),
+               size(yb))"""))
+        .select(col("type_a"), col("type_b"),
+          size(col("ya")).cast("long").as("n_a"),
+          size(col("yb")).cast("long").as("n_b"), col("dtw_dist"))
+    }),
+
     // Gaps-and-islands: longest consecutive-day activity streak per user.
     // The island key is day - row_number() within user (consecutive days
     // share it); a per-user partitioned window plus two grouped
@@ -932,6 +1004,73 @@ object Analysis {
            GROUP BY event_type, d2.dow)
          SELECT event_type, day, n, n * 1000000 - mean_e6 AS adj_e6
          FROM d2 JOIN dm USING (event_type, dow)""",
+    "q268_dtw" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         series AS (
+           SELECT event_type, list(y ORDER BY day) AS ys
+           FROM daily GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS type_a, a.ys AS ya,
+                  b.event_type AS type_b, b.ys AS yb
+           FROM series a JOIN series b ON a.event_type < b.event_type)
+         SELECT type_a, type_b,
+           CAST(len(ya) AS BIGINT) AS n_a, CAST(len(yb) AS BIGINT) AS n_b,
+           list_reduce(
+             list_prepend(
+               list_transform(range(1, len(yb) + 1),
+                 x -> CAST(1000000000000000 AS BIGINT)),
+               list_transform(range(1, len(ya) + 1), i -> [CAST(i AS BIGINT)])),
+             (prev, ib) -> list_reduce(
+               list_prepend(CAST([] AS BIGINT[]),
+                 list_transform(range(1, len(yb) + 1),
+                   j -> [CAST(j AS BIGINT)])),
+               (st, jb) -> list_append(st,
+                 CASE WHEN abs(ib[1] - jb[1]) > 7
+                   THEN CAST(1000000000000000 AS BIGINT)
+                   ELSE abs(ya[ib[1]] - yb[jb[1]]) + least(
+                     prev[jb[1]],
+                     CASE WHEN jb[1] > 1 THEN st[jb[1] - 1]
+                       ELSE CAST(1000000000000000 AS BIGINT) END,
+                     CASE WHEN jb[1] > 1 THEN prev[jb[1] - 1]
+                       WHEN ib[1] = 1 AND jb[1] = 1 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(1000000000000000 AS BIGINT) END)
+                 END)))[len(yb)] AS dtw_dist
+         FROM pairs""",
+    "q267_holt_forecast" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         arrs AS (
+           SELECT event_type, list({'day': day, 'y': y} ORDER BY day) AS arr
+           FROM daily GROUP BY 1),
+         st AS (
+           -- LIST accumulator, not a struct: this DuckDB build's
+           -- list_reduce mis-evaluates per-field struct construction in
+           -- the lambda when folding > 1 step (second field sees a
+           -- half-updated accumulator); list element construction is
+           -- sound and matches Spark's fold exactly
+           SELECT event_type, len(arr) AS n_days,
+             list_reduce(
+               list_prepend(
+                 [CAST(arr[1].y AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(arr[2:len(arr)],
+                   p -> [CAST(p.y AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+               (acc, p) -> [
+                 (p[1] + (acc[1] + acc[2])) * 0.5,
+                 (acc[2] + ((p[1] + (acc[1] + acc[2])) * 0.5 - acc[1])) * 0.5])
+               AS s
+           FROM arrs)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(floor(s[1] * 4096) AS BIGINT) AS level_x4096,
+           CAST(floor(s[2] * 4096) AS BIGINT) AS trend_x4096,
+           CAST(floor((s[1] + s[2]) * 4096) AS BIGINT) AS fc1_x4096,
+           CAST(floor((s[1] + s[2] * 2.0) * 4096) AS BIGINT) AS fc2_x4096,
+           CAST(floor((s[1] + s[2] * 3.0) * 4096) AS BIGINT) AS fc3_x4096
+         FROM st""",
     "q157_ewma" ->
       """WITH ev AS (
            SELECT event_id, user_id, ts,

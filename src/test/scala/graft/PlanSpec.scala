@@ -575,6 +575,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q267 Holt and q268 DTW: folds run in HOF expressions over " +
+      "bounded per-series arrays — no UDF, no cartesian beyond the " +
+      "series-pair grid") {
+    for (q <- Seq("q267_holt_forecast", "q268_dtw")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$q: $p")
+    }
+  }
+
   test("q265 Theil-Sen: pair pool is keyed per series; median rank " +
       "windows are keyed too — no single-partition window") {
     val p = plan("q265_theil_sen")
