@@ -93,10 +93,12 @@ copy("orders", f"""
   FROM '{SRC}/orders.parquet', {rep}
 """)
 
-# part is a DIMENSION: lineitem.l_partkey is deliberately NOT shifted per
-# replica, so the part table stays the source's — fact grows 10x against a
-# fixed dim, the realistic warehouse shape (q214's per-part fan-in grows).
+# part and supplier are DIMENSIONS: lineitem.l_partkey / l_suppkey are
+# deliberately NOT shifted per replica, so these tables stay the source's —
+# fact grows 10x against fixed dims, the realistic warehouse shape (q214's
+# per-part fan-in grows; q255's per-supplier wait counts grow).
 copy("part", f"SELECT * FROM '{SRC}/part.parquet'")
+copy("supplier", f"SELECT * FROM '{SRC}/supplier.parquet'")
 
 copy("lineitem", f"""
   SELECT l_orderkey + r * {ORD_N} AS l_orderkey, l_partkey, l_suppkey,
