@@ -580,18 +580,23 @@ object Training {
     // (small) distinct-pair frame; the 1-row total broadcasts. Top-100
     // by ratio bounds the output (support floor c >= 5 first).
     "q262_ppmi" -> ((s, d) => {
+      // pair strings, not per-occurrence structs (the q258 lesson — 1.9×
+      // at both scales): one concat per occurrence, split into (x, y)
+      // AFTER the aggregate on the vocabulary²-bounded frame
       val pairs = t(s, d, "documents")
         .select(TextFunctions.tokens(col("text")).as("w"))
         .where(size(col("w")) >= 2)
         .select(explode(expr(
-          """flatten(transform(sequence(1, size(w) - 1), i ->
-               if(i + 2 <= size(w),
-                 array(struct(element_at(w, i) as x, element_at(w, i + 1) as y),
-                       struct(element_at(w, i) as x, element_at(w, i + 2) as y)),
-                 array(struct(element_at(w, i) as x, element_at(w, i + 1) as y)))))"""
-          )).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+          """concat(
+               transform(sequence(1, size(w) - 1),
+                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),
+               if(size(w) >= 3,
+                 transform(sequence(1, size(w) - 2),
+                   i -> concat(element_at(w, i), ' ', element_at(w, i + 2))),
+                 cast(array() as array<string>)))""")).as("ps"))
+        .groupBy("ps").agg(count(lit(1)).as("c"))
+        .select(expr("substring_index(ps, ' ', 1)").as("x"),
+          expr("substring(ps, instr(ps, ' ') + 1)").as("y"), col("c"))
         .persist() // feeds both marginals, the total, and the ratio join
       val rowm = pairs.groupBy("x").agg(sum("c").as("row_c"))
       val colm = pairs.groupBy("y").agg(sum("c").as("col_c"))
@@ -615,14 +620,17 @@ object Training {
     // follower fan-out, continuation fan-in, and the 1-row type count
     // broadcast. Linear in corpus size, keyed shuffles only.
     "q258_kneser_ney" -> ((s, d) => {
-      val w = TextFunctions.tokens(col("text"))
+      // bigrams ride the single-string shingle path (one array_join per
+      // occurrence, no per-occurrence struct), and split back into
+      // (w1, w2) only AFTER the aggregate — on the vocabulary²-bounded
+      // frame, not the occurrence stream. Tokens are space-split, so
+      // "w1 w2" ↔ (w1, w2) is a bijection and the grouping is identical.
       val bg = t(s, d, "documents")
-        .where(size(w) >= 2)
-        .select(explode(transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .where(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bgs"))
+        .groupBy("bgs").agg(count(lit(1)).as("c12"))
+        .select(expr("substring_index(bgs, ' ', 1)").as("w1"),
+          expr("substring(bgs, instr(bgs, ' ') + 1)").as("w2"), col("c12"))
         .persist()
       val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"),
         count(lit(1)).as("nf"))
