@@ -534,14 +534,14 @@ object Training {
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
     "q114_bigram_lm" -> ((s, d) => {
-      val w = TextFunctions.tokens(col("text"))
+      // the q258 string-path lesson: one concat per occurrence, the
+      // (w1, w2) split AFTER the aggregate on the vocab²-bounded frame
       val bg = t(s, d, "documents")
-        .where(size(w) >= 2)
-        .select(explode(transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .where(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bgs"))
+        .groupBy("bgs").agg(count(lit(1)).as("c12"))
+        .select(expr("substring_index(bgs, ' ', 1)").as("w1"),
+          expr("substring(bgs, instr(bgs, ' ') + 1)").as("w2"), col("c12"))
       val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"))
       bg.join(ctx, "w1")
         .where(col("c12") >= 3)
