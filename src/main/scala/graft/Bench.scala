@@ -104,7 +104,9 @@ object Bench {
     "q260_kaplan_meier", // KM survival curves (order-pinned prefix product)
     "q262_ppmi", // skip-gram co-occurrence PPMI ratios
     "q263_product_quantization", // PQ codebooks + integer ADC search
-    "q265_theil_sen") // robust slope: median of bounded pairwise pool
+    "q265_theil_sen", // robust slope: median of bounded pairwise pool
+    "q269_pit_join", // SCD2 point-in-time dimension probe
+    "q271_dirichlet_ql") // LM retrieval scorer next to BM25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

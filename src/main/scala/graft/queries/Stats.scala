@@ -88,6 +88,26 @@ object Stats {
               sqrt(d(col("varx2")) * d(col("vary2"))) * 1e6).cast("long")))
     }),
 
+    // UCB1 bandit scores per arm (Auer, Cesa-Bianchi, Fischer 2002) —
+    // the batch scoring step of an explore/exploit loop: each arm
+    // (event type) gets mean reward + sqrt(2 ln N / n). Counts and the
+    // integerized mean are exact; the confidence-bound tail is one
+    // pinned IEEE chain (the q127 libm-parity precedent), floored to e6.
+    // One keyed aggregate + a 1-row broadcast: nothing scales past the
+    // arm count.
+    "q270_ucb_bandit" -> ((s, d0) => {
+      val arms = t(s, d0, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 5.0, 1L).otherwise(0L)).as("n_reward"))
+      val tot = arms.agg(sum("n").as("n_total"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("n_reward"),
+          expr("(n_reward * 1000000) div n").as("mean_e6"),
+          floor((d(col("n_reward")) / d(col("n")) +
+            sqrt(lit(2.0) * log(d(col("n_total"))) / d(col("n")))) * 1e6)
+            .cast("long").as("ucb_e6"))
+    }),
+
     // Theil-Sen robust trend per series — the median of all pairwise
     // slopes, the estimator that shrugs off the outliers OLS (q146)
     // chases. Points are the DAILY value sums (integer cents), so the
@@ -398,6 +418,19 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q270_ucb_bandit" ->
+      """WITH arms AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reward
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM arms)
+         SELECT event_type, n, n_reward,
+           (n_reward * 1000000) // n AS mean_e6,
+           CAST(floor((CAST(n_reward AS DOUBLE) / CAST(n AS DOUBLE)
+             + sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / CAST(n AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS ucb_e6
+         FROM arms, tot""",
     "q265_theil_sen" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS x,

@@ -891,6 +891,32 @@ object Training {
           floor(col("score") * 1e6).cast("long").as("score_e6"))
     }),
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001), μ=2000
+    // — the language-modeling retrieval scorer next to q126's BM25: same
+    // fixed two-term query, same one-scan per-doc tf extraction and
+    // 1-row corpus-stats broadcast; score = Σ_t ln((tf + μ·cf_t/|C|) /
+    // (dl + μ)) written with identical op order in both engines (the
+    // q127 libm precedent), bounded top-50.
+    "q271_dirichlet_ql" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("dl"),
+        size(filter(toks, x => x === "spark")).cast("long").as("tf1"),
+        size(filter(toks, x => x === "fast")).cast("long").as("tf2"))
+      val stats = base.agg(sum("dl").as("c"),
+        sum("tf1").as("cf1"), sum("tf2").as("cf2"))
+      def term(tf: String, cf: String): Column =
+        log((col(tf) + lit(2000.0) * col(cf) / col("c")) /
+          (col("dl") + lit(2000.0)))
+      base.crossJoin(broadcast(stats))
+        .where(col("tf1") > 0 || col("tf2") > 0)
+        .withColumn("score", term("tf1", "cf1") + term("tf2", "cf2"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("tf1"), col("tf2"), col("dl"),
+          floor(col("score") * 1e6).cast("long").as("score_e6"))
+    }),
+
     // Per-document mean negative log-likelihood under the corpus unigram
     // model — the perplexity-style quality score that ranks documents by
     // how "surprising" their tokens are. The NLL fold is order-pinned by
@@ -4522,6 +4548,27 @@ object Training {
     "q127_perplexity" ->
       s"""WITH $nllCtes
          SELECT doc_id, n_tok, avg_nll_e6 FROM nll""",
+    "q271_dirichlet_ql" ->
+      """WITH base AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark')) AS tf1,
+             len(list_filter(w, x -> x = 'fast')) AS tf2
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         stats AS (
+           SELECT CAST(sum(dl) AS BIGINT) AS c,
+             CAST(sum(tf1) AS BIGINT) AS cf1,
+             CAST(sum(tf2) AS BIGINT) AS cf2
+           FROM base),
+         scored AS (
+           SELECT doc_id, tf1, tf2, dl,
+             ln((tf1 + 2000.0 * cf1 / c) / (dl + 2000.0))
+             + ln((tf2 + 2000.0 * cf2 / c) / (dl + 2000.0)) AS score
+           FROM base, stats
+           WHERE tf1 > 0 OR tf2 > 0)
+         SELECT doc_id, tf1, tf2, dl,
+           CAST(floor(score * 1000000.0) AS BIGINT) AS score_e6
+         FROM scored ORDER BY score DESC, doc_id LIMIT 50""",
     "q198_ccnet_buckets" ->
       s"""WITH $nllCtes,
          r AS (

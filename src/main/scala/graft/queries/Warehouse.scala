@@ -450,6 +450,40 @@ object Warehouse {
           col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
     }),
 
+    // Point-in-time (AS OF) dimension join — what q135's SCD2 history is
+    // FOR: each purchase fact picks up the dimension version that was
+    // valid at its timestamp. Versions build from the user's CLICK value
+    // changes (q135's two-window pass); the temporal probe is an
+    // equi-join on user_id plus the half-open validity predicate, so the
+    // shuffle is keyed and per-user version fan-in is bounded by change
+    // count — never a range-shuffle. Purchases before any click survive
+    // with a NULL dimension (left join): silent fact loss is the classic
+    // PIT-join bug.
+    "q269_pit_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val clicks = t(s, d, "events").where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+      val versions = clicks
+        .withColumn("prev_v", lag("v_e2", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 || !(col("v_e2") <=> col("prev_v")))
+        .withColumn("valid_to", lead("t", 1).over(
+          Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))))
+        .select(col("user_id"), col("t").as("valid_from"), col("valid_to"),
+          col("v_e2").as("dim_v_e2"))
+      val purchases = t(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pt"))
+      purchases.join(versions,
+          purchases("user_id") === versions("user_id") &&
+            col("valid_from") <= col("pt") &&
+            (col("valid_to").isNull || col("pt") < col("valid_to")), "left")
+        .select(col("pid"), purchases("user_id").as("user_id"), col("pt"),
+          col("dim_v_e2"), col("dim_v_e2").isNotNull.as("matched"))
+    }),
+
     // Correlated EXISTS / NOT EXISTS subqueries — the SQL-surface form of
     // semi/anti joins. Catalyst decorrelates both into joins (the plan
     // should carry LeftSemi and LeftAnti, never a per-row subquery loop),
@@ -813,6 +847,35 @@ object Warehouse {
            FROM ud, span)
          SELECT slot, count(DISTINCT user_id) AS n_active_7d
          FROM sl GROUP BY 1""",
+    "q269_pit_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events WHERE event_type = 'click'),
+         marked AS (
+           SELECT user_id, event_id, t, v_e2,
+             lag(v_e2) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS prev_v,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS rn
+           FROM clicks),
+         vers0 AS (
+           SELECT user_id, event_id, t, v_e2 FROM marked
+           WHERE rn = 1 OR v_e2 IS DISTINCT FROM prev_v),
+         versions AS (
+           SELECT user_id, t AS valid_from,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to,
+             v_e2 AS dim_v_e2
+           FROM vers0),
+         p AS (
+           SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.pid, p.user_id, p.pt, v.dim_v_e2,
+           v.dim_v_e2 IS NOT NULL AS matched
+         FROM p LEFT JOIN versions v ON p.user_id = v.user_id
+           AND v.valid_from <= p.pt
+           AND (v.valid_to IS NULL OR p.pt < v.valid_to)""",
     "q135_scd2" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS t, value,

@@ -575,6 +575,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q269 PIT join: versions probe is an equi-join on user_id (no " +
+      "range shuffle), keyed windows only") {
+    val p = plan("q269_pit_join")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!"Exchange rangepartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q271 Dirichlet QL: one scan, stats broadcast, bounded top-k") {
+    val p = plan("q271_dirichlet_ql")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), p) // tf comes off the token array, no explode
+  }
+
   test("q267 Holt and q268 DTW: folds run in HOF expressions over " +
       "bounded per-series arrays — no UDF, no cartesian beyond the " +
       "series-pair grid") {
