@@ -106,7 +106,10 @@ object Bench {
     "q263_product_quantization", // PQ codebooks + integer ADC search
     "q265_theil_sen", // robust slope: median of bounded pairwise pool
     "q269_pit_join", // SCD2 point-in-time dimension probe
-    "q271_dirichlet_ql") // LM retrieval scorer next to BM25
+    "q271_dirichlet_ql", // LM retrieval scorer next to BM25
+    "q272_ngram_novelty", // held-out n-gram novelty vs train slice
+    "q273_blocking_quality", // reduction ratio + pair completeness
+    "q274_label_noise") // centroid-disagreement noise screening
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -891,6 +891,31 @@ object Training {
           floor(col("score") * 1e6).cast("long").as("score_e6"))
     }),
 
+    // n-gram novelty of the held-out slice (src0) against the training
+    // remainder — the memorization/novelty readout LLM evals run on
+    // generated text (a high share of seen n-grams = copying). Per n in
+    // {2, 3}: the fraction of src0's DISTINCT n-grams that never occur
+    // in the rest of the corpus, as exact integer counts and one e6
+    // division. Scale shape: the train side contributes only its
+    // distinct-shingle set (the q107/q200 broadcast posture); the test
+    // side is the small slice.
+    "q272_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def grams(df: DataFrame, n: Int) = df
+        .where(size(TextFunctions.tokens(col("text"))) >= n)
+        .select(explode(array_distinct(Dedup.shingles(col("text"), n)))
+          .as("g")).distinct()
+      def novelty(n: Int): DataFrame = {
+        val test = grams(docs.where(col("source") === "src0"), n)
+        val train = grams(docs.where(col("source") =!= "src0"), n)
+        test.join(train, Seq("g"), "left_anti").agg(count(lit(1)).as("n_novel"))
+          .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+          .select(lit(n.toLong).as("n"), col("n_test"), col("n_novel"),
+            expr("(n_novel * 1000000) div n_test").as("novelty_e6"))
+      }
+      novelty(2).unionAll(novelty(3))
+    }),
+
     // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001), μ=2000
     // — the language-modeling retrieval scorer next to q126's BM25: same
     // fixed two-term query, same one-scan per-doc tf extraction and
@@ -1158,9 +1183,14 @@ object Training {
     // candidate reddens the row: the prefix filter's completeness is
     // what's being checked, not just the verifier.
     "q136_fuzzy_join" -> ((s, d) => {
+      // persisted even though consumed once: measured 26.7s unpersisted
+      // vs ~3.6s persisted at sf0.1 (same factor as q273 before/after,
+      // and q163's persisted path) — the materialization point stops
+      // whatever re-execution the un-persisted Ed-Join subtree suffers
+      // under AQE. Harness clearCache releases it.
       graft.operators.FuzzyJoin.selfJoin(
         t(s, d, "customer"), "c_custkey", "c_name", k = 1)
-        .select(col("id1"), col("id2"), col("ed"))
+        .select(col("id1"), col("id2"), col("ed")).persist()
     }),
 
     // Count-Min frequency estimation for the corpus term counts: d×w
@@ -2028,6 +2058,68 @@ object Training {
       graft.plans.TopKPerKey(
           pairs, Seq("id1"), Seq(desc("jw_e6"), asc("id2")), k = 1)
         .select("id1", "id2", "jw_e6")
+    }),
+
+    // Label-noise screening (the confident-learning intuition, integer
+    // form): assign every embedding to its nearest LABEL-MEAN centroid
+    // by exact integer L2 on micro-unit vectors; a vector whose nearest
+    // centroid is another label's is a noise suspect. Per label: count,
+    // disagreements, noise rate in e6 — the triage list an annotation
+    // team re-reviews. k-way broadcast argmin, linear in vectors (the
+    // q145/q82 machinery), every intermediate merge-order-proof.
+    "q274_label_noise" -> ((s, d) => {
+      val ve = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"), expr(
+          """transform(embedding,
+               v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+          .as("ve"))
+      val cents = ve.select(col("label").as("c"),
+          posexplode(col("ve")).as(Seq("dim", "v")))
+        .groupBy("c", "dim").agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy("c")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("c"))
+      ve.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          """aggregate(zip_with(ve, ce, (a, b2) -> (a - b2) * (a - b2)),
+             cast(0 as bigint), (acc, x) -> acc + x)"""))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy("label").agg(count(lit(1)).as("n"),
+          sum(when(col("c") =!= col("label"), 1L).otherwise(0L))
+            .as("n_disagree"))
+        .withColumn("noise_e6", expr("(n_disagree * 1000000) div n"))
+    }),
+
+    // Blocking-quality report for the q217 linkage blocking — the two
+    // numbers every record-linkage design doc must publish (Christen
+    // 2012): REDUCTION RATIO (how much of the quadratic pair space the
+    // blocking prunes; from bucket sizes, no pair materialization) and
+    // PAIR COMPLETENESS (what fraction of true ed<=1 matches the
+    // blocking keeps; truth from the Ed-Join prefix filter, q136's
+    // machinery). Exact integers and two e6 divisions.
+    "q273_blocking_quality" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          expr("c_custkey div 100").as("bkt"))
+      val nTotal = c.agg(count(lit(1)).as("n"))
+        .select(expr("n * (n - 1) div 2").as("n_all_pairs"))
+      val nBlocked = c.groupBy("bkt").agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) div 2")).as("n_blocked_pairs"))
+      val truth = graft.operators.FuzzyJoin.selfJoin(
+          t(s, d, "customer"), "c_custkey", "c_name", k = 1)
+        .select(col("id1"), col("id2")).persist()
+      val truthStats = truth.agg(count(lit(1)).as("n_true"),
+        sum(when(expr("id1 div 100") === expr("id2 div 100"), 1L)
+          .otherwise(0L)).as("n_true_blocked"))
+      nTotal.crossJoin(broadcast(nBlocked)).crossJoin(broadcast(truthStats))
+        .select(col("n_all_pairs"), col("n_blocked_pairs"),
+          col("n_true"), col("n_true_blocked"),
+          expr("((n_all_pairs - n_blocked_pairs) * 1000000) div n_all_pairs")
+            .as("reduction_ratio_e6"),
+          expr("(n_true_blocked * 1000000) div n_true")
+            .as("pair_completeness_e6"))
     }),
 
     // Corpus datasheet per source — the "datasheets for datasets"
@@ -4548,6 +4640,38 @@ object Training {
     "q127_perplexity" ->
       s"""WITH $nllCtes
          SELECT doc_id, n_tok, avg_nll_e6 FROM nll""",
+    "q272_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+         g2 AS (
+           SELECT DISTINCT source, unnest(list_distinct(
+             list_transform(range(1, len(w)),
+               i -> concat(w[i], ' ', w[i+1])))) AS g
+           FROM toks WHERE len(w) >= 2),
+         g3 AS (
+           SELECT DISTINCT source, unnest(list_distinct(
+             list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
+           FROM toks WHERE len(w) >= 3),
+         t2 AS (SELECT DISTINCT g FROM g2 WHERE source = 'src0'),
+         r2 AS (SELECT DISTINCT g FROM g2 WHERE source <> 'src0'),
+         t3 AS (SELECT DISTINCT g FROM g3 WHERE source = 'src0'),
+         r3 AS (SELECT DISTINCT g FROM g3 WHERE source <> 'src0'),
+         n2 AS (
+           SELECT count(*) AS n_test,
+             CAST(sum(CASE WHEN r2.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+           FROM t2 LEFT JOIN r2 ON t2.g = r2.g),
+         n3 AS (
+           SELECT count(*) AS n_test,
+             CAST(sum(CASE WHEN r3.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+           FROM t3 LEFT JOIN r3 ON t3.g = r3.g)
+         SELECT CAST(2 AS BIGINT) AS n, n_test, n_novel,
+           (n_novel * 1000000) // n_test AS novelty_e6 FROM n2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT) AS n, n_test, n_novel,
+           (n_novel * 1000000) // n_test AS novelty_e6 FROM n3""",
     "q271_dirichlet_ql" ->
       """WITH base AS (
            SELECT doc_id, len(w) AS dl,
@@ -4623,6 +4747,54 @@ object Training {
          SELECT c.source, c.bench, p.n_docs, c.n_contaminated,
            (c.n_contaminated * 1000000) // p.n_docs AS rate_e6
          FROM cont c JOIN ps p USING (source)""",
+    "q274_label_noise" ->
+      s"""WITH ve AS MATERIALIZED (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve
+           FROM embeddings),
+         flat AS (
+           SELECT label, unnest(ve) AS v, generate_subscripts(ve, 1) AS dim
+           FROM ve),
+         cm AS (
+           SELECT label AS c, dim, CAST(sum(v) AS BIGINT) // count(*) AS cv
+           FROM flat GROUP BY 1, 2),
+         centv AS (SELECT c, list(cv ORDER BY dim) AS ce FROM cm GROUP BY 1),
+         asg AS (
+           SELECT vec_id, label, c FROM (
+             SELECT ve.vec_id, ve.label, centv.c,
+               row_number() OVER (PARTITION BY ve.vec_id
+                 ORDER BY ${il2Sql("ve.ve", "centv.ce", 64)}, centv.c) AS rn
+             FROM ve, centv) WHERE rn = 1)
+         SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN c <> label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disagree,
+           (CAST(sum(CASE WHEN c <> label THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS noise_e6
+         FROM asg GROUP BY 1""",
+    "q273_blocking_quality" ->
+      """WITH n AS (SELECT count(*) AS n FROM customer),
+         tot AS (SELECT n * (n - 1) // 2 AS n_all_pairs FROM n),
+         blk AS (
+           SELECT CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_blocked_pairs
+           FROM (SELECT c_custkey // 100 AS bkt, count(*) AS sz
+                 FROM customer GROUP BY 1)),
+         truth AS (
+           SELECT a.c_custkey AS id1, b.c_custkey AS id2
+           FROM customer a JOIN customer b
+             ON a.c_custkey < b.c_custkey
+            AND abs(len(a.c_name) - len(b.c_name)) <= 1
+           WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         ts AS (
+           SELECT count(*) AS n_true,
+             CAST(sum(CASE WHEN id1 // 100 = id2 // 100 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true_blocked
+           FROM truth)
+         SELECT n_all_pairs, n_blocked_pairs, n_true, n_true_blocked,
+           ((n_all_pairs - n_blocked_pairs) * 1000000) // n_all_pairs
+             AS reduction_ratio_e6,
+           (n_true_blocked * 1000000) // n_true AS pair_completeness_e6
+         FROM tot, blk, ts""",
     "q136_fuzzy_join" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed

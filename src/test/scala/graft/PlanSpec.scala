@@ -575,6 +575,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q272-q274 eval reports: keyed joins and broadcasts only, no " +
+      "cartesian products, no UDFs") {
+    for (q <- Seq("q272_ngram_novelty", "q273_blocking_quality",
+        "q274_label_noise")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+    }
+  }
+
   test("q269 PIT join: versions probe is an equi-join on user_id (no " +
       "range shuffle), keyed windows only") {
     val p = plan("q269_pit_join")
