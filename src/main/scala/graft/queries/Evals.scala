@@ -400,6 +400,66 @@ object Evals {
         .select(col("country"), col("topic"), col("day"), col("n_articles"),
           floor((d(col("m_e6")) - mu) / sqrt(varD) * 1000)
             .cast("long").as("z_e3"))
+    }),
+
+    // pass@k estimator (Chen et al. 2021, Codex): per task with n samples
+    // of which c are correct, pass@k = 1 − C(n−c,k)/C(n,k), computed as
+    // the telescoped product Π_{j<k} (n−c−j)/(n−j). Task = user_id,
+    // "correct" = value > 50. pass@1 stays in exact integers (c/n);
+    // pass@5's product is a pinned chain of IEEE divisions/multiplies of
+    // exact integers — correctly-rounded ops, no libm, so both engines
+    // produce the bit-identical double and the e6 floor cannot diverge.
+    // Scale shape: one groupBy(user) — n is samples-per-task (small by
+    // construction in pass@k evals), everything else is map-side.
+    "q275_pass_at_k" -> ((s, d0) => {
+      val st = t(s, d0, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 5)
+      def f(off: Int): Column =
+        d(col("n") - col("c") - lit(off.toLong)) / d(col("n") - lit(off.toLong))
+      val r5 = f(0) * f(1) * f(2) * f(3) * f(4)
+      st.select(col("user_id"), col("n"), col("c"),
+        expr("(c * 1000000) div n").as("pass1_e6"),
+        when(col("n") - col("c") < 5, lit(1000000L))
+          .otherwise(floor((lit(1.0) - r5) * 1e6).cast("long")).as("pass5_e6"))
+    }),
+
+    // Split-conformal prediction intervals (Vovk; Lei et al. 2018): fit on
+    // a train split (per-type truncated-integer mean), take the
+    // ⌈(n+1)(1−α)⌉-th smallest absolute residual on a disjoint
+    // calibration split as the radius q̂ (α = 0.1), and report empirical
+    // coverage on a held-out test split. Splits are event_id mod 4 —
+    // deterministic cross-engine. Everything is exact integer arithmetic:
+    // centi-unit residuals, an integer ceil identity for the rank, and an
+    // e6 coverage share. Scale shape: the order statistic is a keyed
+    // (per-event_type) window, never a global sort; splits are map-side.
+    "q276_conformal" -> ((s, d0) => {
+      val base = t(s, d0, "events").select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_e2"),
+        (col("event_id") % 4).as("bucket"))
+      val pred = base.where(col("bucket") < 2).groupBy("event_type")
+        .agg(expr("sum(v_e2) div count(1)").as("pred_e2"))
+      val cal = base.where(col("bucket") === 2).join(broadcast(pred), "event_type")
+        .select(col("event_type"), abs(col("v_e2") - col("pred_e2")).as("s"),
+          col("event_id"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("s", "event_id")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val qh = cal
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("n_cal", count(lit(1)).over(wAll))
+        .where(col("rnk") ===
+          least(col("n_cal"), expr("((n_cal + 1) * 9 + 9) div 10")))
+        .select(col("event_type"), col("n_cal"), col("s").as("qhat_e2"))
+      base.where(col("bucket") === 3).join(broadcast(pred), "event_type")
+        .join(broadcast(qh), "event_type")
+        .groupBy("event_type", "n_cal", "qhat_e2")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("v_e2") - col("pred_e2")) <= col("qhat_e2"), 1L)
+            .otherwise(0L)).as("n_cov"))
+        .select(col("event_type"), col("n_cal"), col("qhat_e2"), col("n_test"),
+          expr("(n_cov * 1000000) div n_test").as("cov_e6"))
     }))
 
   /** The reference's topic-tag rename chain (`2_sentiment_local.do:27-50`)
@@ -646,5 +706,52 @@ object Evals {
          FROM m JOIN st USING (country, topic)
          WHERE CAST(s2 AS DOUBLE) / tn
            - (CAST(s1 AS DOUBLE) / tn) * (CAST(s1 AS DOUBLE) / tn) > 0"""
-    })
+    },
+
+    "q275_pass_at_k" ->
+      """WITH st AS (
+           SELECT user_id, count(*) AS n,
+             CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM events GROUP BY 1)
+         SELECT user_id, n, c,
+           (c * 1000000) // n AS pass1_e6,
+           CASE WHEN n - c < 5 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(floor((1.0 -
+               CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE)
+               * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+               * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+               * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+               * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE)))
+               * 1000000.0) AS BIGINT) END AS pass5_e6
+         FROM st WHERE n >= 5""",
+
+    "q276_conformal" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2,
+             event_id % 4 AS bucket
+           FROM events),
+         pred AS (
+           SELECT event_type,
+             CAST(sum(v_e2) AS BIGINT) // count(*) AS pred_e2
+           FROM base WHERE bucket < 2 GROUP BY 1),
+         ranked AS (
+           SELECT b.event_type, abs(v_e2 - pred_e2) AS s,
+             row_number() OVER (PARTITION BY b.event_type
+               ORDER BY abs(v_e2 - pred_e2), event_id) AS rnk,
+             count(*) OVER (PARTITION BY b.event_type) AS n_cal
+           FROM base b JOIN pred USING (event_type) WHERE bucket = 2),
+         qh AS (
+           SELECT event_type, n_cal, s AS qhat_e2
+           FROM ranked
+           WHERE rnk = least(n_cal, ((n_cal + 1) * 9 + 9) // 10))
+         SELECT b.event_type, q.n_cal, q.qhat_e2,
+           count(*) AS n_test,
+           (CAST(sum(CASE WHEN abs(v_e2 - pred_e2) <= qhat_e2
+                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS cov_e6
+         FROM base b JOIN pred USING (event_type) JOIN qh q USING (event_type)
+         WHERE bucket = 3
+         GROUP BY 1, 2, 3""")
 }

@@ -2797,6 +2797,83 @@ object Training {
         length(mangled).as("len_raw"),
         length(TextFunctions.nfc(mangled)).as("len_nfc"),
         md5(TextFunctions.nfc(mangled)).as("nfc_md5"))
+    }),
+
+    // Clipped n-gram precision (the BLEU mechanic, Papineni et al. 2002)
+    // between adjacent document pairs within each source — the
+    // similarity readout generation evals run between candidate and
+    // reference text, here repurposed as an intra-source redundancy
+    // probe. For n ∈ {1, 2}: per pair, each candidate n-gram counts at
+    // most min(count_cand, count_ref) times ("clipping"), rolled up per
+    // source to exact integer clip/total counts and one e6 division.
+    // Scale shape: pairing is a keyed lead() window (source, doc_id);
+    // n-gram counting is explode → groupBy(pair, gram) — linear, no
+    // all-pairs product anywhere.
+    "q277_bleu_pairs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("ref_text", lead("text", 1).over(w))
+        .where(col("ref_text").isNotNull)
+        .persist() // both n-gram orders re-read the pair frame
+      def prec(n: Int): DataFrame = {
+        val cand = pairs
+          .where(size(TextFunctions.tokens(col("text"))) >= n)
+          .select(col("source"), col("doc_id"),
+            explode(Dedup.shingles(col("text"), n)).as("g"))
+          .groupBy("source", "doc_id", "g").agg(count(lit(1)).as("c_cand"))
+        val ref = pairs
+          .where(size(TextFunctions.tokens(col("ref_text"))) >= n)
+          .select(col("doc_id"),
+            explode(Dedup.shingles(col("ref_text"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c_ref"))
+        cand.join(ref, Seq("doc_id", "g"), "left")
+          .groupBy("source")
+          .agg(sum("c_cand").as("tot"),
+            sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
+              .as("clip"))
+          .where(col("tot") > 0)
+          .select(col("source"), lit(n.toLong).as("n"), col("tot"),
+            col("clip"), expr("(clip * 1000000) div tot").as("prec_e6"))
+      }
+      prec(1).unionAll(prec(2))
+    }),
+
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // against the corpus distribution — the drift readout a data-mixture
+    // pipeline tracks when a new source lands (e.g. Dolma/RedPajama
+    // composition audits). Per (source, token over the CORPUS vocab):
+    // p = c/tot, q = gc/gtot, m = (p+q)/2; both KL halves are summed as
+    // e9-floored integers (per-term floor → the sum is merge-order-free,
+    // the q116 entropy lesson), and 2·JSD is reported as their integer
+    // sum — no trailing division, no float aggregation. Scale shape:
+    // token counts are one explode + two keyed groupBys; the grid is
+    // corpus-vocab × #sources (linear in vocab) with the tiny per-source
+    // totals broadcast.
+    "q278_js_divergence" -> ((s, d) => {
+      val sc = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .persist() // vocab totals, source totals and the grid all read it
+      val g = sc.groupBy("tok").agg(sum("c").as("gc"))
+      val st = sc.groupBy("source").agg(sum("c").as("tot"))
+      val gt = sc.agg(sum("c").as("gtot"))
+      val p = col("c").cast("double") / col("tot").cast("double")
+      val q = col("gc").cast("double") / col("gtot").cast("double")
+      val m = (p + q) / lit(2.0)
+      g.crossJoin(broadcast(st)).crossJoin(broadcast(gt))
+        .join(sc, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .select(col("source"), col("tot"),
+          when(col("c") > 0, 1L).otherwise(0L).as("inv"),
+          when(col("c") > 0, floor(p * log(p / m) * 1e9).cast("long"))
+            .otherwise(0L).as("tp"),
+          floor(q * log(q / m) * 1e9).cast("long").as("tq"))
+        .groupBy("source", "tot")
+        .agg(sum("inv").as("vocab"), sum("tp").as("klp_e9"),
+          sum("tq").as("klq_e9"))
+        .withColumn("jsd2_e9", col("klp_e9") + col("klq_e9"))
     }))
 
   // ---- oracle SQL ----
@@ -5313,5 +5390,84 @@ object Training {
          WHERE (${dotSql("a.embedding", "b.embedding")})
              / (sqrt(${dotSql("a.embedding", "a.embedding")})
                 * sqrt(${dotSql("b.embedding", "b.embedding")})) > 0.25"""
-    })
+    },
+
+    "q277_bleu_pairs" ->
+      """WITH docs AS (
+           SELECT source, doc_id, string_split(lower(text), ' ') AS w,
+             lead(string_split(lower(text), ' ')) OVER
+               (PARTITION BY source ORDER BY doc_id) AS rw
+           FROM documents),
+         p AS (SELECT source, doc_id, w, rw FROM docs WHERE rw IS NOT NULL),
+         cc1 AS (
+           SELECT source, doc_id, unnest(w) AS g FROM p),
+         rr1 AS (
+           SELECT doc_id, unnest(rw) AS g FROM p),
+         cc2 AS (
+           SELECT source, doc_id, unnest(list_transform(range(1, len(w)),
+             i -> concat(w[i], ' ', w[i+1]))) AS g
+           FROM p WHERE len(w) >= 2),
+         rr2 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(rw)),
+             i -> concat(rw[i], ' ', rw[i+1]))) AS g
+           FROM p WHERE len(rw) >= 2),
+         c1 AS (SELECT source, doc_id, g, count(*) AS c_cand
+                FROM cc1 GROUP BY 1, 2, 3),
+         r1 AS (SELECT doc_id, g, count(*) AS c_ref FROM rr1 GROUP BY 1, 2),
+         c2 AS (SELECT source, doc_id, g, count(*) AS c_cand
+                FROM cc2 GROUP BY 1, 2, 3),
+         r2 AS (SELECT doc_id, g, count(*) AS c_ref FROM rr2 GROUP BY 1, 2),
+         a1 AS (
+           SELECT source, CAST(1 AS BIGINT) AS n,
+             CAST(sum(c_cand) AS BIGINT) AS tot,
+             CAST(sum(least(c_cand, coalesce(c_ref, 0))) AS BIGINT) AS clip
+           FROM c1 LEFT JOIN r1 USING (doc_id, g) GROUP BY 1),
+         a2 AS (
+           SELECT source, CAST(2 AS BIGINT) AS n,
+             CAST(sum(c_cand) AS BIGINT) AS tot,
+             CAST(sum(least(c_cand, coalesce(c_ref, 0))) AS BIGINT) AS clip
+           FROM c2 LEFT JOIN r2 USING (doc_id, g) GROUP BY 1)
+         SELECT source, n, tot, clip, (clip * 1000000) // tot AS prec_e6
+         FROM a1 WHERE tot > 0
+         UNION ALL
+         SELECT source, n, tot, clip, (clip * 1000000) // tot AS prec_e6
+         FROM a2 WHERE tot > 0""",
+
+    "q278_js_divergence" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         sc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM sc GROUP BY 1),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+                FROM sc GROUP BY 1),
+         gt AS (SELECT CAST(sum(c) AS BIGINT) AS gtot FROM sc),
+         grid AS (
+           SELECT st.source, st.tot, g.tok, g.gc, gt.gtot,
+             coalesce(sc.c, 0) AS c
+           FROM g CROSS JOIN st CROSS JOIN gt
+           LEFT JOIN sc ON sc.source = st.source AND sc.tok = g.tok),
+         terms AS (
+           SELECT source, tot,
+             CASE WHEN c > 0 THEN 1 ELSE 0 END AS inv,
+             CASE WHEN c > 0 THEN CAST(floor(
+                 (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                      / (((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          + (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) ELSE 0 END AS tp,
+             CAST(floor(
+                 (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE))
+                 * ln((CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE))
+                      / (((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          + (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) AS tq
+           FROM grid)
+         SELECT source, tot, CAST(sum(inv) AS BIGINT) AS vocab,
+           CAST(sum(tp) AS BIGINT) AS klp_e9,
+           CAST(sum(tq) AS BIGINT) AS klq_e9,
+           CAST(sum(tp) + sum(tq) AS BIGINT) AS jsd2_e9
+         FROM terms GROUP BY 1, 2""")
 }

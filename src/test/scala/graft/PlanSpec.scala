@@ -640,4 +640,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q275 pass@k: one groupBy(user) with partial aggregation; the " +
+      "product estimator is a codegen expression, no UDF, no window") {
+    val p = plan("q275_pass_at_k")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("q276 conformal: the order statistic is a keyed per-type window; " +
+      "pred and q-hat dims broadcast onto the test split") {
+    val p = plan("q276_conformal")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!"windowspecdefinition\\((?!event_type)".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q277 BLEU pairs: keyed lead() pairing, n-gram counting is " +
+      "explode + keyed groupBy — no cartesian, no global window") {
+    val p = plan("q277_bleu_pairs")
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!"windowspecdefinition\\((?!source)".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("q278 JSD: token counts are keyed groupBys; only the tiny " +
+      "per-source totals cross-join (broadcast), terms sum as integers") {
+    val p = plan("q278_js_divergence")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
