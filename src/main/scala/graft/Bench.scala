@@ -109,7 +109,10 @@ object Bench {
     "q271_dirichlet_ql", // LM retrieval scorer next to BM25
     "q272_ngram_novelty", // held-out n-gram novelty vs train slice
     "q273_blocking_quality", // reduction ratio + pair completeness
-    "q274_label_noise") // centroid-disagreement noise screening
+    "q274_label_noise", // centroid-disagreement noise screening
+    "q276_conformal", // split-conformal order statistic + coverage
+    "q277_bleu_pairs", // clipped n-gram precision over adjacent pairs
+    "q278_js_divergence") // per-source unigram JSD drift vs corpus
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
