@@ -112,7 +112,10 @@ object Bench {
     "q274_label_noise", // centroid-disagreement noise screening
     "q276_conformal", // split-conformal order statistic + coverage
     "q277_bleu_pairs", // clipped n-gram precision over adjacent pairs
-    "q278_js_divergence") // per-source unigram JSD drift vs corpus
+    "q278_js_divergence", // per-source unigram JSD drift vs corpus
+    "q279_tpch_q5", // 6-table co-located-nation join
+    "q282_tpch_q8", // market share: exact-decimal national volume split
+    "q283_tpch_q4") // EXISTS as semi-join with residual date condition
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,9 +154,14 @@ object Bench {
     Seq("q01_agg_sum", "q52_lang_id", "q61_cosine_topk")
       .foreach(n => try qs(n)(spark, sfDir).count() catch { case _: Throwable => })
 
-    def onePass(): Seq[(String, Double)] = selected.map { name =>
+    // A throwing query must NOT be timed: the failure returns in
+    // milliseconds and would read as a flattering ~0 s entry (observed
+    // when a fixture was missing a dim table). Failures surface as -1
+    // plus an explicit "failed" list in the JSON.
+    def onePass(): Seq[(String, Option[Double])] = selected.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { qs(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // free any persist() a query made (untimed)
       // RDD-level storage (lineage-cut generations, localCheckpoints) is
@@ -161,17 +169,21 @@ object Bench {
       // into the next query's timing.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
+      name -> (if (ok) Some(dt) else None)
     }
     val all = (1 to passes).map(_ => onePass())
     val results = selected.map { name =>
-      name -> all.map(_.toMap.apply(name)).min
+      val ts = all.flatMap(_.toMap.apply(name))
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""passes":$passes,"queries":$qjson,"sf":"$sfDir"}""")
+      f""""passes":$passes,"queries":$qjson,"failed":$fjson,""" +
+      f""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -883,6 +883,138 @@ object Analysis {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table join where the
+    // revenue only counts when the supplier sits in the CUSTOMER's
+    // nation (c_nationkey = s_nationkey) inside one region. Both dims of
+    // the nation/region subtree broadcast, the region + date filters
+    // prune before the fact joins, and the only shuffles are the two
+    // big-fact equi-joins. Decimal money arithmetic as in q141; no
+    // global sort — the result is #nations rows, hashed unordered.
+    "q279_tpch_q5" -> ((s, d) => {
+      val rev = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))).cast("double")
+      val asiaNations = broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(rev.as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to 'R'
+    // returns per customer in one quarter, top 20. The returnflag and
+    // date filters push into the two fact scans, nation broadcasts, and
+    // the top-20 plans TakeOrderedAndProject — never a global sort.
+    // acctbal is carried as exact cents (both engines floor the
+    // identical IEEE product).
+    "q280_tpch_q10" -> ((s, d) => {
+      val rev = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")))).cast("double")
+      t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("n_name"))
+        .agg(rev.as("revenue"), count(lit(1)).as("n"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct suppliers
+    // per (brand, type, size) bucket, excluding a brand, a type prefix,
+    // and a supplier denylist. partsupp doesn't exist in this schema —
+    // lineitem IS the part↔supplier relationship (same join algebra).
+    // The part dim filter broadcasts BEFORE the fact scan, the denylist
+    // is a broadcast anti-join, and the exact distinct-supplier count
+    // shuffles once on the 3-part group key.
+    "q281_tpch_q16" -> ((s, d) => {
+      val parts = broadcast(t(s, d, "part")
+        .where(col("p_brand") =!= "Brand#9" &&
+          !col("p_type").startsWith("PROMO") && col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val badSupp = broadcast(t(s, d, "supplier")
+        .where(col("s_acctbal") < 0).select("s_suppkey"))
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+
+    // TPC-H Q8 shape (national market share): NATION_1's share of ASIA's
+    // STANDARD-part import volume by order year. Shares stay EXACT: the
+    // decimal volume has scale 4, so vol·10⁴ is an integer — numerator
+    // and denominator are exact BIGINT e4-cents and the share is one
+    // integer e6 division (no double division to knife-edge). Dims
+    // (part filter, both nation maps, region) all broadcast; the two
+    // fact joins are the only shuffles.
+    "q282_tpch_q8" -> ((s, d) => {
+      val volE4 = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))))
+      val parts = broadcast(t(s, d, "part")
+        .where(col("p_type") === "STANDARD").select("p_partkey"))
+      val asiaCust = broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk")))
+      val suppNation = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+      t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(asiaCust, col("c_nationkey") === col("cust_nk"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("supp_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((volE4 * lit(10000)).cast("long").as("den_e4"),
+          (sum(when(col("supp_nation") === "NATION_1",
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                  col("l_discount").cast("decimal(18,2)")))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+            * lit(10000)).cast("long").as("num_e4"))
+        .withColumn("share_e6", expr("(num_e4 * 1000000) div den_e4"))
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): orders in one quarter
+    // with at least one "late" line (shipped > 30 days after the order
+    // date — this schema's stand-in for commitdate < receiptdate),
+    // counted per priority. The EXISTS is a LEFT SEMI join with an
+    // equi-key plus a residual date condition — the fact never
+    // duplicates, no distinct needed.
+    "q283_tpch_q4" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      o.join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1444,5 +1576,93 @@ object Analysis {
                  event_id FROM events) b
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
+         GROUP BY 1""",
+
+    "q279_tpch_q5" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+
+    "q280_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q281_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#9'
+           AND p_type NOT LIKE 'PROMO%'
+           AND p_size <= 25
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+
+    "q282_tpch_q8" ->
+      """WITH f AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS vol,
+             n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT o_year,
+           CAST(sum(vol) * 10000 AS BIGINT) AS den_e4,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000
+             AS BIGINT) AS num_e4,
+           (CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000
+              AS BIGINT) * 1000000)
+             // CAST(sum(vol) * 10000 AS BIGINT) AS share_e6
+         FROM f GROUP BY 1""",
+
+    "q283_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+               AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY 1""")
 }

@@ -675,4 +675,35 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q279 Q5 / q282 Q8: nation/region/part dims broadcast; date " +
+      "filters push into the fact scans; no cartesian product") {
+    for (q <- Seq("q279_tpch_q5", "q282_tpch_q8")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(p.contains("PushedFilters: [IsNotNull"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q280 Q10: returnflag + date filters push down; top-20 plans " +
+      "TakeOrderedAndProject, never a global sort") {
+    val p = plan("q280_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q281 Q16: part filter and supplier denylist broadcast; distinct " +
+      "suppliers shuffle once on the group key") {
+    val p = plan("q281_tpch_q16")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q283 Q4: the EXISTS runs as a LEFT SEMI equi-join with a " +
+      "residual date condition — no duplication, no distinct") {
+    val p = plan("q283_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -99,6 +99,8 @@ copy("orders", f"""
 # per-part fan-in grows; q255's per-supplier wait counts grow).
 copy("part", f"SELECT * FROM '{SRC}/part.parquet'")
 copy("supplier", f"SELECT * FROM '{SRC}/supplier.parquet'")
+copy("nation", f"SELECT * FROM '{SRC}/nation.parquet'")
+copy("region", f"SELECT * FROM '{SRC}/region.parquet'")
 
 copy("lineitem", f"""
   SELECT l_orderkey + r * {ORD_N} AS l_orderkey, l_partkey, l_suppkey,
