@@ -115,7 +115,8 @@ object Bench {
     "q278_js_divergence", // per-source unigram JSD drift vs corpus
     "q279_tpch_q5", // 6-table co-located-nation join
     "q282_tpch_q8", // market share: exact-decimal national volume split
-    "q283_tpch_q4") // EXISTS as semi-join with residual date condition
+    "q283_tpch_q4", // EXISTS as semi-join with residual date condition
+    "q284_winnowing") // MOSS fingerprint selection + sharing counts
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2799,6 +2799,65 @@ object Training {
         md5(TextFunctions.nfc(mangled)).as("nfc_md5"))
     }),
 
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm): hash every word 4-gram, slide a window of 4
+    // hashes, keep each window's minimum — the guaranteed-coverage
+    // fingerprint selection plagiarism/near-dup detectors use (any match
+    // of 7+ tokens shares a fingerprint). Per doc: gram/fingerprint
+    // counts and how many of its fingerprints appear in ≥2 documents.
+    // Scale shape: selection is per-row HOF expressions (map-side); the
+    // only shuffles are the fingerprint groupBy and one keyed join of
+    // (doc, fp) against fingerprint doc-counts — linear, no pairwise
+    // comparison anywhere.
+    "q284_winnowing" -> ((s, d) => {
+      val kG = 4; val wWin = 4
+      val ex = t(s, d, "documents")
+        // ≥ k + w - 1 tokens ⇔ at least one window of w gram hashes
+        .where(size(TextFunctions.tokens(col("text"))) >= kG + wWin - 1)
+        .select(col("doc_id"),
+          (size(TextFunctions.tokens(col("text"))) - (kG - 1)).cast("long")
+            .as("n_grams"),
+          transform(Dedup.shingles(col("text"), kG),
+            g => TextFunctions.hash60(g)).as("hs"))
+        .select(col("doc_id"), col("n_grams"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("hs")) - (wWin - 1)),
+            i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
+      val sh = ex.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+      ex.join(sh, "fp")
+        .groupBy("doc_id")
+        .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fps"),
+          min("fp").as("fp_min"), max("fp").as("fp_max"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    }),
+
+    // Vocabulary-richness suite per source — the corpus-linguistics
+    // readouts a datasheet quotes: V (distinct tokens), hapax/dis
+    // legomena F1/F2, the Chao1 richness estimate V + F1²/2F2 (how much
+    // vocabulary sampling hasn't seen yet), and Simpson concentration
+    // Σc(c−1)/N(N−1). Everything stays exact: counts are integers and
+    // both estimates are single integer divisions at e2/e9 scale.
+    // Scale shape: one token groupBy then a per-source aggregate —
+    // two keyed shuffles, nothing global.
+    "q285_vocab_richness" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("v"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+          sum("c").as("n_tok"),
+          sum(col("c") * (col("c") - 1L)).as("sum_cc1"))
+        .select(col("source"), col("v"), col("f1"), col("f2"), col("n_tok"),
+          expr("CASE WHEN f2 > 0 THEN v * 100 + (f1 * f1 * 100) div (2 * f2) " +
+            "ELSE v * 100 END").as("chao1_e2"),
+          // two-stage division: sum_cc1·10⁹ would overflow int64 on a
+          // large corpus; ÷(N−1) first keeps every intermediate ≲ c̄·10⁹
+          expr("((sum_cc1 * 1000) div (n_tok - 1) * 1000000) div n_tok")
+            .as("simpson_e9"))
+    }),
+
     // Clipped n-gram precision (the BLEU mechanic, Papineni et al. 2002)
     // between adjacent document pairs within each source — the
     // similarity readout generation evals run between candidate and
@@ -5469,5 +5528,50 @@ object Training {
            CAST(sum(tp) AS BIGINT) AS klp_e9,
            CAST(sum(tq) AS BIGINT) AS klq_e9,
            CAST(sum(tp) + sum(tq) AS BIGINT) AS jsd2_e9
-         FROM terms GROUP BY 1, 2""")
+         FROM terms GROUP BY 1, 2""",
+
+    "q284_winnowing" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 7),
+         hs AS (
+           SELECT doc_id, CAST(len(w) - 3 AS BIGINT) AS n_grams,
+             list_transform(range(1, len(w) - 2),
+               i -> CAST(concat('0x', substr(md5(concat(
+                 w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3])), 1, 15))
+                 AS BIGINT)) AS h
+           FROM base),
+         fps AS (
+           SELECT doc_id, n_grams, unnest(list_distinct(
+             list_transform(range(1, len(h) - 2),
+               i -> list_min(h[i:i+3])))) AS fp
+           FROM hs),
+         sh AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY 1)
+         SELECT doc_id, max(n_grams) AS n_grams, count(*) AS n_fps,
+           min(fp) AS fp_min, max(fp) AS fp_max,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+         FROM fps JOIN sh USING (fp)
+         GROUP BY 1""",
+
+    "q285_vocab_richness" ->
+      """WITH tc AS (
+           SELECT source, tok, count(*) AS c
+           FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT source, count(*) AS v,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc1
+           FROM tc GROUP BY 1)
+         SELECT source, v, f1, f2, n_tok,
+           CASE WHEN f2 > 0 THEN v * 100 + (f1 * f1 * 100) // (2 * f2)
+                ELSE v * 100 END AS chao1_e2,
+           ((sum_cc1 * 1000) // (n_tok - 1) * 1000000) // n_tok
+             AS simpson_e9
+         FROM agg""")
 }

@@ -706,4 +706,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q284 winnowing: fingerprint selection is map-side HOFs; the " +
+      "shuffles are the fp groupBy and one keyed join — no cartesian, " +
+      "no UDF, no window") {
+    val p = plan("q284_winnowing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q285 vocab richness: two keyed aggregates with partial " +
+      "aggregation, nothing global") {
+    val p = plan("q285_vocab_richness")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
