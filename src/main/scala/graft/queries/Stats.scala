@@ -415,6 +415,75 @@ object Stats {
           val e = d(c.getField("rt")) * d(c.getField("ct")) / d(col("n"))
           acc + (d(c.getField("o")) - e) * (d(c.getField("o")) - e) / e
         })).as("chi2_e6"))
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) per event_type, comparing the
+    // two user-parity cohorts — the nonparametric twin of q161's Welch
+    // t-test. Tie handling is exact: per distinct value, the 2×-scaled
+    // midrank 2s+c+1 is an INTEGER (s = count of strictly smaller), so
+    // the rank sum R₂, U₂ = R₂ − nₐ(nₐ+1), and the tie term Σ(t³−t)
+    // are all exact integers; only the final z (tie-corrected normal
+    // approximation) is a pinned double chain. Scale shape: one
+    // groupBy(type, value) then a cumsum window over the DISTINCT-value
+    // frame (bounded by value cardinality, keyed per type).
+    "q286_mann_whitney" -> ((s, d0) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v_e2")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val grp = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v_e2"),
+          (col("user_id") % 2 === 0).as("in_a"))
+        .groupBy("event_type", "v_e2")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+        .withColumn("c", col("c_a") + col("c_b"))
+        .withColumn("cum", sum("c").over(w))
+      val st = grp.groupBy("event_type").agg(
+        sum("c_a").as("n_a"), sum("c_b").as("n_b"),
+        // midrank2 = 2·(cum − c) + c + 1 = 2·cum − c + 1
+        sum(col("c_a") * (lit(2L) * col("cum") - col("c") + 1L)).as("r2_a"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val nn = d(col("n_a")) + d(col("n_b"))
+      val u = (d(col("u2_a"))) / 2.0
+      val mu = d(col("n_a")) * d(col("n_b")) / 2.0
+      val varU = d(col("n_a")) * d(col("n_b")) / (nn * (nn - 1.0)) *
+        ((nn * nn * nn - nn - d(col("ties"))) / 12.0)
+      st.withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+          col("ties"),
+          e6(when(col("n_a") > 0 && col("n_b") > 0 && varU > 0.0,
+            (u - mu) / sqrt(varU))).as("z_e6"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov distance per event_type (same
+    // parity cohorts): D = max|ECDFₐ − ECDF_b| evaluated at every
+    // distinct value — EXACT, because the comparison is done on the
+    // common denominator nₐ·n_b: D_num = max|cumₐ·n_b − cum_b·nₐ| is an
+    // integer (safe to ~10⁹ rows per side per type in int64). No normal
+    // approximation, no float anywhere but the final e6 report division,
+    // which is integer too. Same bounded keyed-window shape as q286.
+    "q287_ks_test" -> ((s, d0) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v_e2")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val grp = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v_e2"),
+          (col("user_id") % 2 === 0).as("in_a"))
+        .groupBy("event_type", "v_e2")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+        .withColumn("cum_a", sum("c_a").over(w))
+        .withColumn("cum_b", sum("c_b").over(w))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      grp
+        .withColumn("n_a", sum("c_a").over(wAll))
+        .withColumn("n_b", sum("c_b").over(wAll))
+        .groupBy("event_type").agg(
+          max("n_a").as("n_a"), max("n_b").as("n_b"),
+          max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("d_num"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+          expr("(d_num * 1000000) div (n_a * n_b)").as("d_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -711,5 +780,79 @@ object Stats {
                  (os[i] - rcs[i] / CAST(n AS DOUBLE)) * (os[i] - rcs[i] / CAST(n AS DOUBLE))
                    / (rcs[i] / CAST(n AS DOUBLE)))),
              (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS chi2_e6
-         FROM folded""")
+         FROM folded""",
+
+    "q286_mann_whitney" ->
+      """WITH base AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_e2,
+             user_id % 2 = 0 AS in_a
+           FROM events),
+         grp AS (
+           SELECT event_type, v_e2,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+           FROM base GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, c_a, c_a + c_b AS c,
+             CAST(sum(c_a + c_b) OVER (PARTITION BY event_type
+               ORDER BY v_e2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM grp),
+         st AS (
+           SELECT event_type,
+             CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c - c_a) AS BIGINT) AS n_b,
+             CAST(sum(c_a * (2 * cum - c + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+           FROM cum GROUP BY 1),
+         uu AS (SELECT event_type, n_a, n_b, ties,
+                  r2_a - n_a * (n_a + 1) AS u2_a FROM st)
+         SELECT event_type, n_a, n_b, u2_a, ties,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 1.0))
+               * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   - CAST(ties AS DOUBLE)) / 12.0) > 0.0
+           THEN CAST(floor(
+             (CAST(u2_a AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 1.0))
+               * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   - CAST(ties AS DOUBLE)) / 12.0))
+             * 1000000.0) AS BIGINT)
+           ELSE NULL END AS z_e6
+         FROM uu""",
+
+    "q287_ks_test" ->
+      """WITH base AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_e2,
+             user_id % 2 = 0 AS in_a
+           FROM events),
+         grp AS (
+           SELECT event_type, v_e2,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+           FROM base GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type,
+             CAST(sum(c_a) OVER (PARTITION BY event_type
+               ORDER BY v_e2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(sum(c_b) OVER (PARTITION BY event_type
+               ORDER BY v_e2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+             CAST(sum(c_a) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+             CAST(sum(c_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+           FROM grp)
+         SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+           max(abs(cum_a * n_b - cum_b * n_a)) AS d_num,
+           (max(abs(cum_a * n_b - cum_b * n_a)) * 1000000)
+             // (max(n_a) * max(n_b)) AS d_e6
+         FROM cum GROUP BY 1""")
 }

@@ -723,4 +723,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q286 Mann-Whitney / q287 KS: rank windows run on the bounded " +
+      "distinct-value frame, keyed per event_type — no global window, " +
+      "no cartesian") {
+    for (q <- Seq("q286_mann_whitney", "q287_ks_test")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(event_type"), s"$q: $p")
+      assert(!"windowspecdefinition\\((?!event_type)".r.findFirstIn(p).isDefined,
+        s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
 }
