@@ -2831,6 +2831,38 @@ object Training {
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
     }),
 
+    // Population Stability Index per event_type — the industry-standard
+    // drift readout between a reference and a current period (here the
+    // deterministic even/odd-day split): fixed-width value deciles,
+    // +1-smoothed shares over the FULL 10-bin grid (an absent bin still
+    // contributes — its smoothed shares differ when n_ref ≠ n_cur), and
+    // PSI = Σ(p−q)·ln(p/q) summed as e9-floored integers (the q278
+    // merge-order-free rule). Scale shape: one bucket groupBy; the grid
+    // is #types × 10 rows with totals broadcast.
+    "q288_psi" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0).as("is_ref"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+        .persist() // counts, totals and the type list all read it
+      val cnt = ev.groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_r"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_c"))
+      val grid = ev.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = ev.groupBy("event_type").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_r"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_c"))
+      val p = (col("c_r") + 1L).cast("double") / (col("n_r") + 10L).cast("double")
+      val q = (col("c_c") + 1L).cast("double") / (col("n_c") + 10L).cast("double")
+      grid.join(cnt, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c_r", "c_c"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("n_r"), col("n_c"),
+          floor((p - q) * log(p / q) * 1e9).cast("long").as("term_e9"))
+        .groupBy("event_type", "n_r", "n_c")
+        .agg(sum("term_e9").as("psi_e9"))
+    }),
+
     // Vocabulary-richness suite per source — the corpus-linguistics
     // readouts a datasheet quotes: V (distinct tokens), hapax/dis
     // legomena F1/F2, the Chao1 richness estimate V + F1²/2F2 (how much
@@ -5554,6 +5586,40 @@ object Training {
              AS n_shared
          FROM fps JOIN sh USING (fp)
          GROUP BY 1""",
+
+    "q288_psi" ->
+      """WITH ev AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 2 = 0 AS is_ref,
+             least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+           FROM events),
+         cnt AS (
+           SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_r,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_c
+           FROM ev GROUP BY 1, 2),
+         grid AS (
+           SELECT event_type, CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+           FROM (SELECT DISTINCT event_type FROM ev)),
+         tot AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+           FROM ev GROUP BY 1),
+         terms AS (
+           SELECT g.event_type, n_r, n_c,
+             CAST(floor(
+               ((CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / CAST(n_r + 10 AS DOUBLE))
+                - (CAST(coalesce(c_c, 0) + 1 AS DOUBLE) / CAST(n_c + 10 AS DOUBLE)))
+               * ln((CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / CAST(n_r + 10 AS DOUBLE))
+                    / (CAST(coalesce(c_c, 0) + 1 AS DOUBLE) / CAST(n_c + 10 AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS term_e9
+           FROM grid g
+           LEFT JOIN cnt ON g.event_type = cnt.event_type AND g.bin = cnt.bin
+           JOIN tot ON g.event_type = tot.event_type)
+         SELECT event_type, n_r, n_c,
+           CAST(sum(term_e9) AS BIGINT) AS psi_e9
+         FROM terms GROUP BY 1, 2, 3""",
 
     "q285_vocab_richness" ->
       """WITH tc AS (

@@ -199,6 +199,27 @@ object Warehouse {
             .otherwise(expr("(n_users + 2) div 5 * 5")).as("released"))
     }),
 
+    // Differentially-private count release (Laplace mechanism, ε = 0.5,
+    // sensitivity 1) — q221's suppression sibling for when the trust
+    // model wants calibrated noise instead of cell suppression. The
+    // Laplace draw is DETERMINISTIC per release cell: u comes from the
+    // md5-based hash of a salted cell key (seeded DP — reproducible
+    // releases, and the oracle replays the identical inverse-CDF chain
+    // noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)). Everything is map-side
+    // after one keyed count.
+    "q289_dp_release" -> ((s, d) => {
+      val h = TextFunctions.hash60(concat(lit("dp1|"), col("event_type")))
+      val u = ((h % 1000000L).cast("double") + 0.5) / 1000000.0
+      val noise = lit(-2.0) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("event_type"), col("n_true"),
+          floor(noise * 1e6).cast("long").as("noise_e6"),
+          (col("n_true") * 1000000L + floor(noise * 1e6).cast("long"))
+            .as("released_e6"))
+    }),
+
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
     // day — the engagement ratio product teams track. Reuses q138's
     // bounded slot-explode for the window distinct (each user-day feeds
@@ -582,6 +603,23 @@ object Warehouse {
            CASE WHEN n_users < 50 THEN NULL
                 ELSE (n_users + 2) // 5 * 5 END AS released
          FROM c""",
+    "q289_dp_release" ->
+      """WITH c AS (
+           SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+         n AS (
+           SELECT event_type, n_true,
+             CAST(floor(
+               -2.0 * sign((CAST(CAST(concat('0x', substr(md5(
+                   concat('dp1|', event_type)), 1, 15)) AS BIGINT)
+                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5)
+               * ln(1.0 - 2.0 * abs((CAST(CAST(concat('0x', substr(md5(
+                   concat('dp1|', event_type)), 1, 15)) AS BIGINT)
+                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5))
+               * 1000000.0) AS BIGINT) AS noise_e6
+           FROM c)
+         SELECT event_type, n_true, noise_e6,
+           n_true * 1000000 + noise_e6 AS released_e6
+         FROM n""",
     // deliberately the UNPRUNED direct diff: equality with the engine's
     // bucket-fingerprint-pruned path proves the pruning loses nothing
     "q219_table_reconcile" ->

@@ -735,4 +735,15 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("q288 PSI / q289 DP release: one keyed aggregate each; PSI's " +
+      "grid join broadcasts the totals; noise/terms are codegen " +
+      "expressions, no UDF") {
+    for (q <- Seq("q288_psi", "q289_dp_release")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("HashAggregate"), s"$q: $p")
+    }
+  }
 }
