@@ -999,6 +999,73 @@ object Analysis {
         .withColumn("share_e6", expr("(num_e4 * 1000000) div den_e4"))
     }),
 
+    // Interval-union coverage per user (gaps-and-islands): each event
+    // opens an interval [ts, ts + value minutes]; overlapping intervals
+    // merge into islands (an island starts where st exceeds the running
+    // max end of everything BEFORE it), and the user's covered time is
+    // the exact integer sum of island spans — the de-overlapped "time on
+    // site" every warehouse computes. Scale shape: two keyed windows and
+    // one keyed aggregate, all partitioned by user_id.
+    "q291_interval_union" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("st", "en", "event_id")
+      val wPrev = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          floor(col("value")).cast("long") * 60000000L).as("en"))
+      iv.withColumn("new_island",
+          // first row per user: no preceding max → st > st−1 is TRUE,
+          // avoiding a MinValue literal the oracle can't parse as BIGINT
+          when(col("st") > coalesce(max("en").over(wPrev), col("st") - 1L),
+            1L).otherwise(0L))
+        .withColumn("island", sum("new_island").over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("st").as("i_st"), max("en").as("i_en"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_en") - col("i_st")).as("covered_us"))
+    }),
+
+    // First-order Markov user-journey model: transition counts between
+    // consecutive event_types per user (lag over the user's time line),
+    // the row-stochastic matrix in exact e6 integers, and the stationary
+    // distribution by 3 power iterations replayed in integer micro-units
+    // (trunc divisions — the doremiShares convention, so the oracle
+    // replays every round bit-for-bit). Scale shape: the corpus-scale
+    // work is one keyed lag window + one groupBy; the iteration runs on
+    // the #states² aggregate frame with tiny joins.
+    "q292_markov_stationary" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_s"))
+        .withColumn("from_s", lag("to_s", 1).over(w))
+        .where(col("from_s").isNotNull)
+        .groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+      val rowTot = trans.groupBy("from_s").agg(sum("c").as("c_out"))
+      val p = trans.join(rowTot, "from_s")
+        .select(col("from_s"), col("to_s"),
+          expr("(c * 1000000) div c_out").as("p_e6"))
+      val states = rowTot.select(col("from_s").as("s0"), col("c_out"))
+      val nStates = states.agg(count(lit(1)).as("k"))
+      var v = states.crossJoin(broadcast(nStates))
+        .select(col("s0").as("st"), expr("1000000 div k").as("v_e6"))
+      for (_ <- 1 to 3) {
+        v = v.join(p, col("st") === col("from_s"))
+          .groupBy(col("to_s"))
+          .agg(sum(col("v_e6") * col("p_e6")).as("num"))
+          .select(col("to_s").as("st"), expr("num div 1000000").as("v_e6"))
+      }
+      states.select(col("s0").as("st"), col("c_out"))
+        .join(v, Seq("st"), "left")
+        .na.fill(0L, Seq("v_e6"))
+    }),
+
     // TPC-H Q4 shape (order-priority checking): orders in one quarter
     // with at least one "late" line (shipped > 30 days after the order
     // date — this schema's stand-in for commitdate < receiptdate),
@@ -1577,6 +1644,60 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q291_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS st,
+             epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS en
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id
+                 ORDER BY st, en, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               st - 1) THEN 1 ELSE 0 END AS new_island
+           FROM iv),
+         isl AS (
+           SELECT user_id, st, en,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+               ORDER BY st, en, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM m),
+         g AS (
+           SELECT user_id, island, min(st) AS i_st, max(en) AS i_en
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_islands,
+           CAST(sum(i_en - i_st) AS BIGINT) AS covered_us
+         FROM g GROUP BY 1""",
+
+    "q292_markov_stationary" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_id,
+             event_type AS to_s
+           FROM events),
+         tr AS (
+           SELECT lag(to_s) OVER (PARTITION BY user_id
+             ORDER BY tm, event_id) AS from_s, to_s
+           FROM ev),
+         cnt AS (SELECT from_s, to_s, count(*) AS c
+                 FROM tr WHERE from_s IS NOT NULL GROUP BY 1, 2),
+         rowt AS (SELECT from_s, CAST(sum(c) AS BIGINT) AS c_out
+                  FROM cnt GROUP BY 1),
+         p AS (SELECT cnt.from_s, to_s, (c * 1000000) // c_out AS p_e6
+               FROM cnt JOIN rowt USING (from_s)),
+         kk AS (SELECT count(*) AS k FROM rowt),
+         v0 AS (SELECT from_s AS st, 1000000 // k AS v_e6 FROM rowt, kk),
+         v1 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v0 JOIN p ON v0.st = p.from_s GROUP BY 1),
+         v2 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v1 JOIN p ON v1.st = p.from_s GROUP BY 1),
+         v3 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v2 JOIN p ON v2.st = p.from_s GROUP BY 1)
+         SELECT rowt.from_s AS st, c_out, coalesce(v3.v_e6, 0) AS v_e6
+         FROM rowt LEFT JOIN v3 ON rowt.from_s = v3.st""",
 
     "q279_tpch_q5" ->
       """SELECT n_name,

@@ -88,6 +88,27 @@ object Geo {
     "q153_radius_join" -> ((s, d) => {
       SpatialJoin.radiusSelfJoin(custPoints(s, d), "c_custkey",
         "lat", "lon", radiusDeg = 2.0, res = 6)
+    }),
+
+    // k-nearest-neighbor geo join: the 3 closest customer points to each
+    // of the 25 anchor sites (q43's derived nation coordinates), by
+    // squared-degree distance with id tie-break. Scale shape: anchors
+    // are a broadcast dim fanned onto one linear scan of the point set,
+    // and the per-anchor top-3 runs through the custom bounded-heap
+    // operator (TopKPerKey, q95's plan): partial map-side heaps, ≤ k
+    // rows per (anchor, partition) shuffle, no sort and no per-anchor
+    // window over the full candidate stream.
+    "q290_geo_knn" -> ((s, d) => {
+      val anchors = broadcast(t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("a_id"),
+        (col("n_nationkey") * 7.0 - 84.0).as("a_lat"),
+        (col("n_nationkey") * 14.0 - 168.0).as("a_lon")))
+      val cand = custPoints(s, d).crossJoin(anchors)
+        .select(col("a_id"), col("c_custkey"),
+          ((col("lat") - col("a_lat")) * (col("lat") - col("a_lat")) +
+            (col("lon") - col("a_lon")) * (col("lon") - col("a_lon"))).as("d2"))
+      graft.plans.TopKPerKey(cand, Seq("a_id"),
+        Seq(asc("d2"), asc("c_custkey")), 3)
     }))
 
   private val havSql =
@@ -138,5 +159,26 @@ object Geo {
     "q46_spatial_join" ->
       s"""WITH pts AS (SELECT c_custkey, c_acctbal % 90.0 AS lat,
             CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon FROM customer)
-         $rectOracle""")
+         $rectOracle""",
+    "q290_geo_knn" ->
+      """WITH a AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS a_id,
+             n_nationkey * 7.0 - 84.0 AS a_lat,
+             n_nationkey * 14.0 - 168.0 AS a_lon
+           FROM nation),
+         p AS (
+           SELECT c_custkey, c_acctbal % 90.0 AS lat,
+             CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cand AS (
+           SELECT a_id, c_custkey,
+             (lat - a_lat) * (lat - a_lat)
+               + (lon - a_lon) * (lon - a_lon) AS d2
+           FROM p CROSS JOIN a),
+         r AS (
+           SELECT a_id, c_custkey, d2,
+             row_number() OVER (PARTITION BY a_id
+               ORDER BY d2, c_custkey) AS rnk
+           FROM cand)
+         SELECT a_id, c_custkey, d2 FROM r WHERE rnk <= 3""")
 }

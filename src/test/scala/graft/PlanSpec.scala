@@ -746,4 +746,25 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("HashAggregate"), s"$q: $p")
     }
   }
+
+  test("q290 geo kNN: anchors broadcast onto one linear point scan; " +
+      "top-3 per anchor runs the bounded-heap operator, no window, " +
+      "no sort of the candidate stream") {
+    val p = plan("q290_geo_knn")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q291 interval union / q292 Markov: windows keyed by user_id " +
+      "only; the Markov iteration joins the tiny state frame") {
+    for (q <- Seq("q291_interval_union", "q292_markov_stationary")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(user_id"), s"$q: $p")
+      assert(!"windowspecdefinition\\((?!user_id)".r.findFirstIn(p).isDefined,
+        s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
 }
