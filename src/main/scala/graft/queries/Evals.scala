@@ -460,6 +460,41 @@ object Evals {
             .otherwise(0L)).as("n_cov"))
         .select(col("event_type"), col("n_cal"), col("qhat_e2"), col("n_test"),
           expr("(n_cov * 1000000) div n_test").as("cov_e6"))
+    }),
+
+    // Decile lift/gains table — the scoring-model eval a marketing or
+    // risk team reads first: rank by model score (first embedding dim),
+    // split into 10 equal-depth deciles, and report per-decile and
+    // cumulative response rates plus cumulative lift vs the base rate.
+    // Ranking runs through Ranking.globalRank (range-sort +
+    // zipWithIndex — no single-partition window); every rate and the
+    // lift are exact integer divisions (lift = rate_e6·10⁶ div
+    // base_e6, two-stage so nothing outgrows int64). The final cumsum
+    // runs on the 10-row decile frame (deliberately bounded partition).
+    "q293_decile_lift" -> ((s, d0) => {
+      val scored = t(s, d0, "embeddings").select(col("vec_id"),
+        (col("label") % 2).cast("long").as("resp"),
+        element_at(col("embedding"), 1).cast("double").as("score"))
+      val ranked = graft.operators.Ranking.globalRank(
+        scored, "rnk", desc("score"), asc("vec_id"))
+      val tot = scored.agg(count(lit(1)).as("n_total"),
+        sum("resp").as("tot_resp"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .select(expr("(rnk - 1) * 10 div n_total").as("decile"),
+          col("resp"), col("n_total"), col("tot_resp"))
+        .groupBy("decile", "n_total", "tot_resp")
+        .agg(count(lit(1)).as("n_rows"), sum("resp").as("n_resp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cum_rows", sum("n_rows").over(w))
+        .withColumn("cum_resp", sum("n_resp").over(w))
+        .select(col("decile"), col("n_rows"), col("n_resp"),
+          expr("(n_resp * 1000000) div n_rows").as("rate_e6"),
+          expr("(cum_resp * 1000000) div cum_rows").as("cum_rate_e6"),
+          expr("(((cum_resp * 1000000) div cum_rows) * 1000000) " +
+            "div ((tot_resp * 1000000) div n_total)").as("cum_lift_e6"))
     }))
 
   /** The reference's topic-tag rename chain (`2_sentiment_local.do:27-50`)
@@ -753,5 +788,35 @@ object Evals {
              // count(*) AS cov_e6
          FROM base b JOIN pred USING (event_type) JOIN qh q USING (event_type)
          WHERE bucket = 3
-         GROUP BY 1, 2, 3""")
+         GROUP BY 1, 2, 3""",
+
+    "q293_decile_lift" ->
+      """WITH scored AS (
+           SELECT vec_id, CAST(label % 2 AS BIGINT) AS resp,
+             CAST(embedding[1] AS DOUBLE) AS score
+           FROM embeddings),
+         ranked AS (
+           SELECT resp,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+           FROM scored),
+         tot AS (
+           SELECT count(*) AS n_total, CAST(sum(resp) AS BIGINT) AS tot_resp
+           FROM scored),
+         dec AS (
+           SELECT (rnk - 1) * 10 // n_total AS decile, n_total, tot_resp,
+             count(*) AS n_rows, CAST(sum(resp) AS BIGINT) AS n_resp
+           FROM ranked, tot GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT decile, n_rows, n_resp, n_total, tot_resp,
+             CAST(sum(n_rows) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+             CAST(sum(n_resp) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+           FROM dec)
+         SELECT decile, n_rows, n_resp,
+           (n_resp * 1000000) // n_rows AS rate_e6,
+           (cum_resp * 1000000) // cum_rows AS cum_rate_e6,
+           (((cum_resp * 1000000) // cum_rows) * 1000000)
+             // ((tot_resp * 1000000) // n_total) AS cum_lift_e6
+         FROM cum""")
 }

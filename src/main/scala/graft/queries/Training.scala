@@ -2831,6 +2831,36 @@ object Training {
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
     }),
 
+    // Per-node local clustering coefficient over the shared LSH pair
+    // graph (the q121/q132/q256 bounded-slice convention): for each node
+    // with degree ≥ 2, coeff = 2·T(v)/(d(v)(d(v)−1)) where T(v) counts
+    // closed wedges centered at v — the per-node tightness score that
+    // complements q121's global triangle count. Exact integers
+    // throughout (e6 division at the end). Scale shape: the wedge
+    // enumeration keys every join on a node id (fan-in bounded by
+    // degree); the closure probe is one join on the canonical pair.
+    "q294_clustering_coeff" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // wedge sides + closure probe + degree all read it
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val zu = edges.select(col("src").as("z"), col("dst").as("u"))
+      val zw = edges.select(col("src").as("z"), col("dst").as("w"))
+      val closed = pairs.select(col("id1").as("u"), col("id2").as("w"))
+        .withColumn("hit", lit(1L))
+      val tv = zu.join(zw, "z").where(col("u") < col("w"))
+        .join(closed, Seq("u", "w"), "left")
+        .groupBy(col("z").as("src"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("t_v"))
+      deg.where(col("deg") >= 2)
+        .join(tv, Seq("src"), "left")
+        .na.fill(0L, Seq("t_v"))
+        .select(col("src").as("doc_id"), col("deg"), col("t_v"),
+          expr("(2 * t_v * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
+    }),
+
     // Population Stability Index per event_type — the industry-standard
     // drift readout between a reference and a current period (here the
     // deterministic even/odd-day split): fixed-width value deciles,
@@ -5586,6 +5616,31 @@ object Training {
              AS n_shared
          FROM fps JOIN sh USING (fp)
          GROUP BY 1""",
+
+    "q294_clustering_coeff" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         tv AS (
+           SELECT zu.z AS src,
+             CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS t_v
+           FROM (SELECT src AS z, dst AS u FROM edges) zu
+           JOIN (SELECT src AS z, dst AS w FROM edges) zw USING (z)
+           LEFT JOIN pairs c ON c.id1 = zu.u AND c.id2 = zw.w
+           WHERE zu.u < zw.w
+           GROUP BY 1)
+         SELECT deg.src AS doc_id, deg, coalesce(t_v, 0) AS t_v,
+           (2 * coalesce(t_v, 0) * 1000000) // (deg * (deg - 1)) AS coeff_e6
+         FROM deg LEFT JOIN tv ON deg.src = tv.src
+         WHERE deg >= 2""",
 
     "q288_psi" ->
       """WITH ev AS (

@@ -767,4 +767,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("q293 decile lift: ranking is the range-sort zipWithIndex path; " +
+      "the only window runs on the 10-row decile frame") {
+    val p = plan("q293_decile_lift")
+    assert(!p.contains("windowspecdefinition(score"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q294 clustering coefficient: wedge joins key on node ids, " +
+      "closure probe on the canonical pair — no cartesian, no UDF") {
+    val p = plan("q294_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
