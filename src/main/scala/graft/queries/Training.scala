@@ -2861,6 +2861,62 @@ object Training {
           expr("(2 * t_v * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
     }),
 
+    // 3-hop BFS distances from the graph's smallest node id over the
+    // shared LSH pair graph — the bounded-frontier traversal shape
+    // (k-hop neighborhood expansion) a graph warehouse runs without a
+    // graph engine: each hop is one frontier-edges join plus a min-dist
+    // aggregate, all keyed on node id. The hop count is a fixed literal,
+    // so the oracle replays the exact staged expansion.
+    "q295_khop_bfs" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // seed, edges and every hop read it
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val seed = pairs.agg(least(min("id1"), min("id2")).as("id"))
+      var reached = seed.select(col("id"), lit(0L).as("dist"))
+      for (h <- 1 to 3) {
+        val frontier = reached.where(col("dist") === (h - 1))
+        val nxt = frontier.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), lit(h.toLong).as("dist"))
+        // cut lineage each generation (the q132 iteration lesson):
+        // `reached` feeds BOTH the next frontier and the union, so an
+        // uncut plan doubles per hop and re-plans the whole LSH subtree
+        // every round (measured 7.4 s → 1.6 s at sf0.1). The frame is
+        // ≤ |nodes| rows, so the eager checkpoint is cheap.
+        reached = reached.unionAll(nxt)
+          .groupBy("id").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      reached.select(col("id").as("doc_id"), col("dist"))
+    }),
+
+    // Heaps'-law vocabulary growth curve: how many NEW types each corpus
+    // prefix contributes. Running-distinct is a scale killer done
+    // naively; the distributed form is exact and one-pass — every
+    // token's FIRST occurrence position (min doc bucket) is a keyed
+    // aggregate, and the curve is the per-bucket count of firsts with a
+    // 10-row cumsum. Output per decile bucket of doc_id order: tokens in
+    // bucket, new types, cumulative types/tokens.
+    "q296_heaps_law" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(max("doc_id").as("mx"))
+      val tok = docs.crossJoin(broadcast(nDocs))
+        .select(expr("least(doc_id * 10 div (mx + 1), 9)").as("bucket"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .persist() // per-bucket token counts AND first-occurrence buckets
+      val perBucket = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy("tok").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perBucket.join(firsts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new_types"))
+        .withColumn("cum_types", sum("n_new_types").over(w))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+    }),
+
     // Population Stability Index per event_type — the industry-standard
     // drift readout between a reference and a current period (here the
     // deterministic even/odd-day split): fixed-width value deciles,
@@ -5641,6 +5697,62 @@ object Training {
            (2 * coalesce(t_v, 0) * 1000000) // (deg * (deg - 1)) AS coeff_e6
          FROM deg LEFT JOIN tv ON deg.src = tv.src
          WHERE deg >= 2""",
+
+    "q295_khop_bfs" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         d0 AS (
+           SELECT least(min(id1), min(id2)) AS id, CAST(0 AS BIGINT) AS dist
+           FROM pairs),
+         r1 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM d0
+             UNION ALL
+             SELECT e.dst AS id, 1 AS dist
+             FROM edges e JOIN d0 ON e.src = d0.id AND d0.dist = 0)
+           GROUP BY 1),
+         r2 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM r1
+             UNION ALL
+             SELECT e.dst AS id, 2 AS dist
+             FROM edges e JOIN r1 ON e.src = r1.id AND r1.dist = 1)
+           GROUP BY 1),
+         r3 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM r2
+             UNION ALL
+             SELECT e.dst AS id, 3 AS dist
+             FROM edges e JOIN r2 ON e.src = r2.id AND r2.dist = 2)
+           GROUP BY 1)
+         SELECT id AS doc_id, dist FROM r3""",
+
+    "q296_heaps_law" ->
+      """WITH nd AS (SELECT max(doc_id) AS mx FROM documents),
+         tok AS (
+           SELECT least(doc_id * 10 // (mx + 1), 9) AS bucket,
+             unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents, nd),
+         per_bucket AS (
+           SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+         firsts AS (
+           SELECT bucket, count(*) AS n_new_types FROM (
+             SELECT tok, min(bucket) AS bucket FROM tok GROUP BY 1)
+           GROUP BY 1)
+         SELECT p.bucket, n_tokens,
+           coalesce(n_new_types, 0) AS n_new_types,
+           CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY p.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+           CAST(sum(n_tokens) OVER (ORDER BY p.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         FROM per_bucket p LEFT JOIN firsts f ON p.bucket = f.bucket""",
 
     "q288_psi" ->
       """WITH ev AS (

@@ -781,4 +781,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q295 BFS / q296 Heaps: hop joins key on node id, firsts are a " +
+      "keyed min aggregate — no cartesian, no UDF, no global window " +
+      "beyond the 10-row curve cumsum") {
+    for (q <- Seq("q295_khop_bfs", "q296_heaps_law")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+    }
+  }
 }
