@@ -1066,6 +1066,38 @@ object Analysis {
         .na.fill(0L, Seq("v_e6"))
     }),
 
+    // Skyline (Pareto frontier) over (price, order day), minimizing
+    // both: an order survives iff nothing is both cheaper-or-equal and
+    // earlier-or-equal (one strictly). On DISTINCT (price, day) pairs
+    // sorted by (price, day), dominance collapses to one comparison
+    // against the EXCLUSIVE running min of day — computed by the
+    // distributed two-phase PrefixScan, never a single-partition
+    // window. Output: frontier pairs with their order counts.
+    "q297_skyline" -> ((s, d) => {
+      val pairs = t(s, d, "orders").select(
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+        .groupBy("price_cents", "day").agg(count(lit(1)).as("n_orders"))
+      graft.operators.PrefixScan.scanLong(pairs, "prefmin", "day", "min",
+          inclusive = false, asc("price_cents"), asc("day"))
+        .where(col("prefmin") > col("day"))
+        .select("price_cents", "day", "n_orders")
+    }),
+
+    // Scalable global cumulative revenue — the q91-style twin of a
+    // running total ordered over the WHOLE table (q19's cumsum is
+    // keyed; the unkeyed form would single-partition the window). The
+    // two-phase PrefixScan ranges the sort in parallel and stitches
+    // per-partition offsets; identical to the window form by totality
+    // of the (day, o_orderkey) order.
+    "q298_cumsum_scalable" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.PrefixScan.scanLong(o, "cum_cents", "cents", "sum",
+        inclusive = true, asc("day"), asc("o_orderkey"))
+    }),
+
     // TPC-H Q4 shape (order-priority checking): orders in one quarter
     // with at least one "late" line (shipped > 30 days after the order
     // date — this schema's stand-in for commitdate < receiptdate),
@@ -1644,6 +1676,28 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q297_skyline" ->
+      """WITH pairs AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             count(*) AS n_orders
+           FROM orders GROUP BY 1, 2),
+         sc AS (
+           SELECT price_cents, day, n_orders,
+             min(day) OVER (ORDER BY price_cents, day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefmin
+           FROM pairs)
+         SELECT price_cents, day, n_orders
+         FROM sc WHERE prefmin IS NULL OR prefmin > day""",
+
+    "q298_cumsum_scalable" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             OVER (ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+         FROM orders""",
 
     "q291_interval_union" ->
       """WITH iv AS (

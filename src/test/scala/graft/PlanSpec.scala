@@ -791,4 +791,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
     }
   }
+
+  test("q297 skyline / q298 global cumsum: the running aggregate is the " +
+      "two-phase PrefixScan — NO window operator in the plan at all") {
+    for (q <- Seq("q297_skyline", "q298_cumsum_scalable")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
 }
