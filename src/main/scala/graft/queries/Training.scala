@@ -2060,6 +2060,19 @@ object Training {
         .select("id1", "id2", "jw_e6")
     }),
 
+    // Composed entity resolution (EntityResolution.resolve): q273's
+    // blocking → q217's Jaro-Winkler scoring at a 0.98 threshold →
+    // q76's distributed connected components → canonical entity per
+    // record with entity sizes. Hash-checked end to end against a
+    // recursive-CTE transitive closure — the record-linkage counterpart
+    // of the curation/GPS/mixture compositions.
+    "q299_entity_resolution" -> ((s, d) => {
+      graft.operators.EntityResolution.resolve(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+          expr("c_custkey div 100").as("bkt")),
+        "c_custkey", "c_name", "bkt", 980000L)
+    }),
+
     // Label-noise screening (the confident-learning intuition, integer
     // form): assign every embedding to its nearest LABEL-MEAN centroid
     // by exact integer L2 on micro-unit vectors; a vector whose nearest
@@ -5697,6 +5710,34 @@ object Training {
            (2 * coalesce(t_v, 0) * 1000000) // (deg * (deg - 1)) AS coeff_e6
          FROM deg LEFT JOIN tv ON deg.src = tv.src
          WHERE deg >= 2""",
+
+    "q299_entity_resolution" ->
+      """WITH RECURSIVE c AS (
+           SELECT c_custkey AS id, c_name AS name, c_custkey // 100 AS bkt
+           FROM customer),
+         m AS (
+           SELECT a.id AS id1, b.id AS id2
+           FROM c a JOIN c b ON a.bkt = b.bkt AND a.id < b.id
+           WHERE CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1e6)
+             AS BIGINT) >= 980000),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM m
+           UNION SELECT id2, id1 FROM m),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src WHERE e.dst <> r.src),
+         rep AS (
+           SELECT src AS id, least(src, min(dst)) AS entity
+           FROM reach GROUP BY src),
+         ent AS (
+           SELECT c.id, c.name, c.bkt, coalesce(rep.entity, c.id) AS entity
+           FROM c LEFT JOIN rep USING (id)),
+         sz AS (SELECT entity, count(*) AS n_entity FROM ent GROUP BY 1)
+         SELECT id, name, bkt, entity, (entity = id) AS is_canonical,
+           n_entity
+         FROM ent JOIN sz USING (entity)""",
 
     "q295_khop_bfs" ->
       s"""WITH $minhashCtes,

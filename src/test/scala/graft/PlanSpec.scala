@@ -800,4 +800,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
   }
+
+  test("q299 entity resolution: no cartesian, no UDF — the CC stage is " +
+      "checkpointed (its JW/block-join plan is q217's, asserted there)") {
+    val p = plan("q299_entity_resolution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
