@@ -116,7 +116,10 @@ object Bench {
     "q279_tpch_q5", // 6-table co-located-nation join
     "q282_tpch_q8", // market share: exact-decimal national volume split
     "q283_tpch_q4", // EXISTS as semi-join with residual date condition
-    "q284_winnowing") // MOSS fingerprint selection + sharing counts
+    "q284_winnowing", // MOSS fingerprint selection + sharing counts
+    "q294_clustering_coeff", // wedge-join tightness over the LSH graph
+    "q295_khop_bfs", // 3-hop frontier expansion, lineage-cut per hop
+    "q299_entity_resolution") // blocking -> JW -> CC composition
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
