@@ -1066,6 +1066,59 @@ object Analysis {
         .na.fill(0L, Seq("v_e6"))
     }),
 
+    // Rolling 7-day OLS slope per daily series — the trend detector a
+    // monitoring stack runs next to q182's spike screen: all four
+    // regression sums (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT
+    // integers inside one keyed rolling window, and the slope is a
+    // single pinned double division floored to e6. Windows partition by
+    // event_type; guarded to full 7-day windows (shorter prefixes have
+    // unstable slopes and would differ only in noise).
+    "q300_rolling_slope" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c").orderBy("day").rowsBetween(-6, 0)
+      val daily = t(s, d, "events").select(col("event_type").as("c"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("c", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("y"))
+      val n = count(lit(1)).over(w)
+      val sx = sum("day").over(w)
+      val sy = sum("y").over(w)
+      val sxy = sum(col("day") * col("y")).over(w)
+      val sxx = sum(col("day") * col("day")).over(w)
+      daily
+        .withColumn("n", n).withColumn("sx", sx).withColumn("sy", sy)
+        .withColumn("sxy", sxy).withColumn("sxx", sxx)
+        .where(col("n") === 7 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("c"), col("day"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6)
+            .cast("long").as("slope_e6"))
+    }),
+
+    // Day-of-week seasonality profile per event_type: each weekday's
+    // mean value as an e6 index against the series' overall mean —
+    // exact integers end to end (sums cross-multiplied instead of
+    // divided: index = (sum_dow · n_all · 10⁶) div (n_dow · sum_all)).
+    // One groupBy cube-free pass plus a broadcast of per-type totals.
+    "q301_dow_seasonality" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type").as("c"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val byDow = ev.groupBy("c", "dow")
+        .agg(count(lit(1)).as("n_dow"), sum("v_e2").as("s_dow"))
+      val tot = ev.groupBy("c")
+        .agg(count(lit(1)).as("n_all"), sum("v_e2").as("s_all"))
+      byDow.join(broadcast(tot), "c")
+        .where(col("s_all") > 0)
+        .select(col("c"), col("dow"), col("n_dow"), col("s_dow"),
+          // two-stage: truncated e6 means first, then one e6 ratio —
+          // s_dow·n_all·10⁶ in one term would outgrow int64 at scale
+          expr("(((s_dow * 1000000) div n_dow) * 1000000) " +
+            "div ((s_all * 1000000) div n_all)").as("index_e6"))
+    }),
+
     // Skyline (Pareto frontier) over (price, order day), minimizing
     // both: an order survives iff nothing is both cheaper-or-equal and
     // earlier-or-equal (one strictly). On DISTINCT (price, day) pairs
@@ -1676,6 +1729,48 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q300_rolling_slope" ->
+      """WITH daily AS (
+           SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS y
+           FROM events GROUP BY 1, 2),
+         wsum AS (
+           SELECT c, day,
+             count(*) OVER w AS n,
+             CAST(sum(day) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(day * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+           FROM daily
+           WINDOW w AS (PARTITION BY c ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT c, day,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS slope_e6
+         FROM wsum
+         WHERE n = 7 AND n * sxx - sx * sx > 0""",
+
+    "q301_dow_seasonality" ->
+      """WITH ev AS (
+           SELECT event_type AS c,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         by_dow AS (
+           SELECT c, dow, count(*) AS n_dow,
+             CAST(sum(v_e2) AS BIGINT) AS s_dow
+           FROM ev GROUP BY 1, 2),
+         tot AS (
+           SELECT c, count(*) AS n_all, CAST(sum(v_e2) AS BIGINT) AS s_all
+           FROM ev GROUP BY 1)
+         SELECT c, dow, n_dow, s_dow,
+           (((s_dow * 1000000) // n_dow) * 1000000)
+             // ((s_all * 1000000) // n_all) AS index_e6
+         FROM by_dow JOIN tot USING (c)
+         WHERE s_all > 0""",
 
     "q297_skyline" ->
       """WITH pairs AS (

@@ -807,4 +807,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("q300 rolling slope / q301 DoW profile: keyed windows/aggregates " +
+      "only, totals broadcast — no global window, no cartesian") {
+    val p300 = plan("q300_rolling_slope")
+    assert(p300.contains("windowspecdefinition(c#"), p300)
+    assert(!"windowspecdefinition\\((?!c#)".r.findFirstIn(p300).isDefined, p300)
+    val p301 = plan("q301_dow_seasonality")
+    assert(!p301.contains("Window"), p301)
+    assert(p301.contains("BroadcastHashJoin"), p301)
+    assert(!p301.contains("SortMergeJoin"), p301)
+  }
 }
