@@ -45,4 +45,24 @@ object StreamJoin {
     */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** LEFT OUTER stream-stream interval join: like `interval`, plus every
+    * unmatched left row is emitted WITH NULLS once the watermark proves
+    * no partner can still arrive (left_ts + window has passed both
+    * watermarks) — the "impressions that never converted" stream, which
+    * an inner join can never produce. The watermark + time-range bound
+    * is what makes outer emission decidable with finite state: state for
+    * a left row is dropped exactly when its null-or-not fate is sealed.
+    */
+  def intervalOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowSec: Long,
+      delay: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSec SECOND"),
+        "left_outer")
+      .drop(r(key))
+  }
 }

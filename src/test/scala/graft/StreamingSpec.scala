@@ -147,6 +147,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream interval join emits never-converted " +
+      "rows with NULLs once the watermark seals their fate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalOuter(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts"),
+      "ad_id", "imp_ts", "click_ts", windowSec = 600)
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // matched row emits immediately; ad 2's fate is still open
+      val rows1 = spark.table("outer_attr")
+        .select(col("ad_id"), col("click_ts").cast("string"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows1 == Set((1L, Some("2024-01-01 10:05:00"))), rows1.toString)
+
+      // advance BOTH watermarks far past 10:00 + 600 s + delay: ad 2's
+      // window can no longer be hit, so the outer join must now emit it
+      // with a NULL click — the row an inner join can never produce
+      imps.addData((8L, ts("2024-01-01 12:00:00")))
+      clicks.addData((9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      q.processAllAvailable() // outer emission lands on the watermark-advanced batch
+      val rows2 = spark.table("outer_attr")
+        .select(col("ad_id"), col("click_ts").cast("string"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows2.contains((2L, None)), rows2.toString)
+      assert(rows2.contains((1L, Some("2024-01-01 10:05:00"))), rows2.toString)
+      assert(!rows2.contains((9L, None)), "right-only rows never emit on left outer")
+    } finally q.stop()
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch, stateless") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
