@@ -119,7 +119,9 @@ object Bench {
     "q284_winnowing", // MOSS fingerprint selection + sharing counts
     "q294_clustering_coeff", // wedge-join tightness over the LSH graph
     "q295_khop_bfs", // 3-hop frontier expansion, lineage-cut per hop
-    "q299_entity_resolution") // blocking -> JW -> CC composition
+    "q299_entity_resolution", // blocking -> JW -> CC composition
+    "q302_winnow_matches", // capped fingerprint-bucket pair matching
+    "q303_hits") // integer HITS iterations over the LSH graph
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

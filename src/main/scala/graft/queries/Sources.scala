@@ -108,6 +108,36 @@ object Sources {
           graft.functions.GeoFunctions.stContains(col("wkt"), c, c).as("contains_center"))
     }),
 
+    // PERMISSIVE corrupt-record handling: a JSONL file with
+    // deterministically broken lines (every n_nationkey ≡ 2 mod 5) read
+    // back with an explicit schema + _corrupt_record column — the
+    // don't-fail-the-job ingest posture for dirty feeds (FAILFAST's
+    // sibling, q38/q97). The oracle derives the same verdict from the
+    // injection rule, so good/corrupt counts and the good-key sum are
+    // exact.
+    "q304_corrupt_json" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val p = tmp("nation_corrupt_json")
+      val line = when(col("n_nationkey") % 5 === 2,
+          concat(lit("{\"n_nationkey\": "),
+            col("n_nationkey").cast("string"), lit(", BROKEN")))
+        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+      t(s, d, "nation").select(line.as("value"))
+        .coalesce(1).write.mode("overwrite").text(p)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").json(p)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_nationkey")))
+            .as("sum_good_keys"))
+    }),
+
     // XML round-trip (format built into spark-sql since Spark 4): write
     // nation as one <row> element per record, read it back, compare to
     // the original table — equality proves the trip is lossless.
@@ -185,5 +215,14 @@ object Sources {
          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     "q68_partitioned_sink" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-         FROM events WHERE event_type = 'click' GROUP BY event_type""")
+         FROM events WHERE event_type = 'click' GROUP BY event_type""",
+    "q304_corrupt_json" ->
+      """SELECT
+           CAST(sum(CASE WHEN n_nationkey % 5 = 2 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN n_nationkey % 5 = 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN n_nationkey % 5 = 2 THEN NULL
+                         ELSE n_nationkey END) AS BIGINT) AS sum_good_keys
+         FROM nation""")
 }

@@ -2962,6 +2962,71 @@ object Training {
         .agg(sum("term_e9").as("psi_e9"))
     }),
 
+    // Winnowing MATCH stage (the second half of MOSS): document pairs
+    // sharing ≥ 3 selected fingerprints, with the shared count — the
+    // report a plagiarism screen hands a reviewer. Pair generation is
+    // confined to fingerprint buckets with an occupancy cap (the LSH
+    // band-cap convention: a fingerprint carried by > 16 docs is a
+    // boilerplate artifact, not evidence), so fan-in is bounded and no
+    // all-pairs product exists. Reuses q284's selection exactly.
+    "q302_winnow_matches" -> ((s, d) => {
+      val kG = 4; val wWin = 4
+      val fps = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= kG + wWin - 1)
+        .select(col("doc_id"),
+          transform(Dedup.shingles(col("text"), kG),
+            g => TextFunctions.hash60(g)).as("hs"))
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("hs")) - (wWin - 1)),
+            i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
+      val occ = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") <= 16)
+      val inCap = fps.join(occ, "fp")
+      val a = inCap.select(col("fp"), col("doc_id").as("id1"))
+      val b = inCap.select(col("fp"), col("doc_id").as("id2"))
+      a.join(b, Seq("fp")).where(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+    }),
+
+    // HITS hubs & authorities (Kleinberg) over the shared LSH graph —
+    // two fixed iterations in integer fixed point: start uniform e6,
+    // authority a = Σ h(in-neighbors), hub h = Σ a(out-neighbors),
+    // rescaled each half-step by the max (integer div, so the oracle
+    // replays bit-for-bit). On the undirected LSH graph hubs equal
+    // authorities at convergence; the two-step scores already separate
+    // well-connected nodes. The iteration is per-round keyed joins on
+    // node id — the q132 PageRank shape.
+    "q303_hits" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist()
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      var auth = nodes.select(col("id"), lit(1000000L).as("a"))
+      var hub = nodes.select(col("id"), lit(1000000L).as("h"))
+      for (_ <- 1 to 2) {
+        val aRaw = edges.join(hub.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("raw"))
+        val aMax = aRaw.agg(max("raw").as("mx"))
+        auth = aRaw.crossJoin(broadcast(aMax))
+          .select(col("id"), expr("(raw * 1000000) div mx").as("a"))
+          .localCheckpoint()
+        val hRaw = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("raw"))
+        val hMax = hRaw.agg(max("raw").as("mx"))
+        hub = hRaw.crossJoin(broadcast(hMax))
+          .select(col("id"), expr("(raw * 1000000) div mx").as("h"))
+          .localCheckpoint()
+      }
+      auth.join(hub, "id")
+        .select(col("id").as("doc_id"), col("a").as("auth_e6"),
+          col("h").as("hub_e6"))
+    }),
+
     // Vocabulary-richness suite per source — the corpus-linguistics
     // readouts a datasheet quotes: V (distinct tokens), hapax/dis
     // legomena F1/F2, the Chao1 richness estimate V + F1²/2F2 (how much
@@ -5738,6 +5803,66 @@ object Training {
          SELECT id, name, bkt, entity, (entity = id) AS is_canonical,
            n_entity
          FROM ent JOIN sz USING (entity)""",
+
+    "q302_winnow_matches" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 7),
+         hs AS (
+           SELECT doc_id,
+             list_transform(range(1, len(w) - 2),
+               i -> CAST(concat('0x', substr(md5(concat(
+                 w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3])), 1, 15))
+                 AS BIGINT)) AS h
+           FROM base),
+         fps AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(h) - 2),
+               i -> list_min(h[i:i+3])))) AS fp
+           FROM hs),
+         occ AS (
+           SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 16),
+         inc AS (SELECT fps.doc_id, fps.fp FROM fps JOIN occ USING (fp))
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           count(*) AS n_shared
+         FROM inc a JOIN inc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "q303_hits" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         a1r AS (
+           SELECT e.dst AS id, CAST(sum(h) AS BIGINT) AS raw
+           FROM edges e JOIN h0 ON e.src = h0.id GROUP BY 1),
+         a1 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM a1r) AS a FROM a1r),
+         h1r AS (
+           SELECT e.src AS id, CAST(sum(a) AS BIGINT) AS raw
+           FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+         h1 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM h1r) AS h FROM h1r),
+         a2r AS (
+           SELECT e.dst AS id, CAST(sum(h) AS BIGINT) AS raw
+           FROM edges e JOIN h1 ON e.src = h1.id GROUP BY 1),
+         a2 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM a2r) AS a FROM a2r),
+         h2r AS (
+           SELECT e.src AS id, CAST(sum(a) AS BIGINT) AS raw
+           FROM edges e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+         h2 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM h2r) AS h FROM h2r)
+         SELECT a2.id AS doc_id, a2.a AS auth_e6, h2.h AS hub_e6
+         FROM a2 JOIN h2 USING (id)""",
 
     "q295_khop_bfs" ->
       s"""WITH $minhashCtes,

@@ -808,6 +808,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q302 winnow matches: pair space confined to capped fingerprint " +
+      "buckets — no cartesian, no UDF, no window") {
+    val p = plan("q302_winnow_matches")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q303 HITS / q304 corrupt JSON: iteration joins key on node id / " +
+      "single-scan aggregate — no cartesian beyond 1-row max broadcasts") {
+    for (q <- Seq("q303_hits", "q304_corrupt_json")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+    }
+  }
+
   test("q300 rolling slope / q301 DoW profile: keyed windows/aggregates " +
       "only, totals broadcast — no global window, no cartesian") {
     val p300 = plan("q300_rolling_slope")
