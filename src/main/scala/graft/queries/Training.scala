@@ -3006,21 +3006,25 @@ object Training {
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
         .persist()
       val nodes = edges.select(col("src").as("id")).distinct()
+      // the max-rescale rides a window over ONE deliberately bounded
+      // partition (the score frame is |nodes| ≤ 300 rows — the
+      // doremiShares convention): a separate max-aggregate + crossJoin
+      // per half-step costs 8 extra job barriers and measured 2× wall
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       var auth = nodes.select(col("id"), lit(1000000L).as("a"))
       var hub = nodes.select(col("id"), lit(1000000L).as("h"))
       for (_ <- 1 to 2) {
-        val aRaw = edges.join(hub.select(col("id").as("src"), col("h")), "src")
+        auth = edges.join(hub.select(col("id").as("src"), col("h")), "src")
           .groupBy(col("dst").as("id")).agg(sum("h").as("raw"))
-        val aMax = aRaw.agg(max("raw").as("mx"))
-        auth = aRaw.crossJoin(broadcast(aMax))
+          .withColumn("mx", max("raw").over(wAll))
           .select(col("id"), expr("(raw * 1000000) div mx").as("a"))
-          .localCheckpoint()
-        val hRaw = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        hub = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("raw"))
-        val hMax = hRaw.agg(max("raw").as("mx"))
-        hub = hRaw.crossJoin(broadcast(hMax))
+          .withColumn("mx", max("raw").over(wAll))
           .select(col("id"), expr("(raw * 1000000) div mx").as("h"))
-          .localCheckpoint()
       }
       auth.join(hub, "id")
         .select(col("id").as("doc_id"), col("a").as("auth_e6"),
