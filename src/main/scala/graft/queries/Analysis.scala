@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -1066,6 +1066,105 @@ object Analysis {
         .na.fill(0L, Seq("v_e6"))
     }),
 
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    // OR of three (brand, size-range, quantity-range) conjunctions —
+    // the predicate form that breaks naive pushdown. The part dim
+    // filter (union of the brand clauses) broadcasts; the residual OR
+    // evaluates after the join; revenue in exact e4 integer decimals.
+    "q305_tpch_q19" -> ((s, d) => {
+      val volE4 = (sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))) * lit(10000)).cast("long")
+      val parts = broadcast(t(s, d, "part")
+        .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size"))
+      t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30))
+        .agg(count(lit(1)).as("n"), volE4.as("revenue_e4"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers with
+    // above-average positive balance and NO orders — a scalar-subquery
+    // threshold (1-row broadcast) plus a broadcast ANTI join, counted
+    // per balance decile band. Exact: the avg threshold is compared in
+    // cross-multiplied integers (cents·n vs sum·1), never a float mean.
+    "q306_tpch_q22" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val thr = cust.where(col("cents") > 0)
+        .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      val active = t(s, d, "orders").select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(thr))
+        .where(col("cents") * col("n") > col("s")) // cents > s/n, exact
+        .join(broadcast(active), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(expr("cents div 100000").as("bal_band"))
+        .agg(count(lit(1)).as("numcust"), sum("cents").as("totacctbal_cents"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the max-revenue supplier(s) — the view + scalar-max pattern,
+    // decorrelated to one aggregate and a 1-row broadcast probe. Exact
+    // e4 integer revenue so the max comparison cannot knife-edge.
+    "q307_tpch_q15" -> ((s, d) => {
+      val volE4 = (sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))) * lit(10000)).cast("long")
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey").agg(volE4.as("total_e4"))
+        .persist() // feeds the max AND the probe
+      val mx = rev.agg(max("total_e4").as("mx"))
+      rev.crossJoin(broadcast(mx)).where(col("total_e4") === col("mx"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_e4"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join
+    // customers to their order counts, then the histogram of counts —
+    // the two-level aggregate (count per customer, then count per
+    // count) with zero-order customers kept by the outer join.
+    "q308_tpch_q13" -> ((s, d) => {
+      val perCust = t(s, d, "orders")
+        .where(!col("o_orderpriority").startsWith("4"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one month's revenue split
+    // by PROMO part type — the CASE-inside-aggregate share, exact via
+    // e4 integer decimal sums and one e6 integer division (the q282
+    // convention; no 100.0·x/y float).
+    "q309_tpch_q14" -> ((s, d) => {
+      def volE4(c: Column) = (sum(when(c,
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")))
+        * lit(10000)).cast("long")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(volE4(col("p_type") === "PROMO").as("promo_e4"),
+          volE4(lit(true)).as("total_e4"))
+        .select(col("promo_e4"), col("total_e4"),
+          expr("(promo_e4 * 1000000) div total_e4").as("promo_share_e6"))
+    }),
+
     // Rolling 7-day OLS slope per daily series — the trend detector a
     // monitoring stack runs next to q182's spike screen: all four
     // regression sums (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT
@@ -1729,6 +1828,79 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q305_tpch_q19" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             * 10000 AS BIGINT) AS revenue_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 20 AND l_quantity <= 30)""",
+
+    "q306_tpch_q22" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         thr AS (
+           SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+           FROM cust WHERE cents > 0),
+         active AS (SELECT DISTINCT o_custkey FROM orders)
+         SELECT cents // 100000 AS bal_band, count(*) AS numcust,
+           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+         FROM cust, thr
+         WHERE cents * n > s
+           AND c_custkey NOT IN (SELECT o_custkey FROM active)
+         GROUP BY 1""",
+
+    "q307_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               * 10000 AS BIGINT) AS total_e4
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_e4
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_e4 = (SELECT max(total_e4) FROM rev)""",
+
+    "q308_tpch_q13" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, count(*) AS c_count
+           FROM orders WHERE o_orderpriority NOT LIKE '4%'
+           GROUP BY 1)
+         SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+         FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+         GROUP BY 1""",
+
+    "q309_tpch_q14" ->
+      """SELECT
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+             AS promo_e4,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             * 10000 AS BIGINT) AS total_e4,
+           (CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) * 1000000)
+             // CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               * 10000 AS BIGINT) AS promo_share_e6
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
 
     "q300_rolling_slope" ->
       """WITH daily AS (

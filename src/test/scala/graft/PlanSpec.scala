@@ -808,6 +808,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q305 Q19 / q309 Q14: part dim broadcasts, the disjunctive / " +
+      "CASE predicates stay post-join residuals — no cartesian") {
+    for (q <- Seq("q305_tpch_q19", "q309_tpch_q14")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q306 Q22 / q307 Q15: scalar thresholds ride 1-row broadcasts; " +
+      "Q22's no-orders test is a broadcast anti join") {
+    val p6 = plan("q306_tpch_q22")
+    assert(p6.contains("LeftAnti"), p6)
+    assert(p6.contains("BroadcastHashJoin") ||
+      p6.contains("BroadcastNestedLoopJoin"), p6)
+    val p7 = plan("q307_tpch_q15")
+    assert(!p7.contains("CartesianProduct") ||
+      p7.contains("BroadcastNestedLoopJoin"), p7)
+  }
+
+  test("q308 Q13: left outer keeps zero-order customers; two-level " +
+      "aggregate with partial aggregation") {
+    val p = plan("q308_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q302 winnow matches: pair space confined to capped fingerprint " +
       "buckets — no cartesian, no UDF, no window") {
     val p = plan("q302_winnow_matches")
