@@ -1165,6 +1165,24 @@ object Analysis {
           expr("(promo_e4 * 1000000) div total_e4").as("promo_share_e6"))
     }),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure single-table
+    // conditional aggregate — every predicate pushes into the scan, no
+    // join at all; revenue = Σ price·discount in exact e4 integer
+    // decimals. With q305/q306/q307/q308/q309 this completes the TPC-H
+    // suite minus the four partsupp-dependent queries (no partsupp
+    // table in this schema).
+    "q310_tpch_q6" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")) * lit(10000))
+            .cast("long").as("revenue_e4"))
+    }),
+
     // Rolling 7-day OLS slope per daily series — the trend detector a
     // monitoring stack runs next to q182's spike screen: all four
     // regression sums (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT
@@ -1828,6 +1846,17 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q310_tpch_q6" ->
+      """SELECT count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+             AS revenue_e4
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
 
     "q305_tpch_q19" ->
       """SELECT count(*) AS n,

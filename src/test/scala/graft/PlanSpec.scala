@@ -808,6 +808,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q310 Q6: all predicates push into the single scan — no join, " +
+      "no shuffle beyond the final 1-row aggregate") {
+    val p = plan("q310_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q305 Q19 / q309 Q14: part dim broadcasts, the disjunctive / " +
       "CASE predicates stay post-join residuals — no cartesian") {
     for (q <- Seq("q305_tpch_q19", "q309_tpch_q14")) {
