@@ -999,6 +999,89 @@ object Analysis {
         .withColumn("share_e6", expr("(num_e4 * 1000000) div den_e4"))
     }),
 
+    // Propensity-score 1-NN matching with an ATT readout — the causal
+    // companion to q235's DiD and q233's CUPED: per event_type, each
+    // TREATED user (odd user_id) matches the nearest CONTROL by
+    // propensity (mean engagement, exact centi-units), found via two
+    // keyed ignore-nulls neighbor windows (last control ≤ score, next
+    // control ≥ score) with the closer one winning (control id breaks
+    // exact ties). Output per type: matched count and the exact summed
+    // treated-minus-matched-control outcome gap. No pairwise product —
+    // matching is two window passes over the per-type score order.
+    "q311_psm_att" -> ((s, d) => {
+      val users = t(s, d, "events")
+        .groupBy("event_type", "user_id")
+        .agg(expr("sum(cast(floor(value * 100) as bigint)) div count(1)")
+            .as("score_e2"),
+          sum(floor(col("value") * 100).cast("long")).as("outcome_e2"))
+        .withColumn("treated", col("user_id") % 2 === 1)
+      val ctl = when(!col("treated"), struct(col("score_e2"), col("user_id"),
+        col("outcome_e2")))
+      // BOTH neighbor passes as RUNNING (unboundedPreceding → −1) frames
+      // — the next-control side traverses in reversed order, because a
+      // shrinking (1 → unboundedFollowing) frame is recomputed from
+      // scratch per row in Spark's WindowExec: O(n²) per partition,
+      // measured 30 s at sf1 vs 1.5 s with the reversal.
+      val prev = last(ctl, ignoreNulls = true)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(asc("score_e2"), asc("user_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      val next = last(ctl, ignoreNulls = true)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(desc("score_e2"), desc("user_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      users
+        .withColumn("prevc", prev).withColumn("nextc", next)
+        .where(col("treated"))
+        .withColumn("pick",
+          when(col("prevc").isNull, col("nextc"))
+            .when(col("nextc").isNull, col("prevc"))
+            .when(abs(col("prevc.score_e2") - col("score_e2")) <
+              abs(col("nextc.score_e2") - col("score_e2")), col("prevc"))
+            .when(abs(col("nextc.score_e2") - col("score_e2")) <
+              abs(col("prevc.score_e2") - col("score_e2")), col("nextc"))
+            .otherwise(when(col("prevc.user_id") < col("nextc.user_id"),
+              col("prevc")).otherwise(col("nextc"))))
+        .where(col("pick").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("outcome_e2") - col("pick.outcome_e2")).as("att_sum_e2"))
+    }),
+
+    // windowFunnel (the ClickHouse sequence-match aggregate): per user,
+    // the deepest prefix of view → click → purchase completed IN ORDER
+    // within 1 h of the first step — per-user greedy fold over the
+    // time-sorted event list (bounded by the user's own events, the
+    // q116 order-pinned-list rule), then a funnel histogram per level.
+    "q312_window_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("tm"),
+          col("event_type"), col("event_id"))
+      val folded = ev.groupBy("user_id")
+        .agg(transform(array_sort(collect_list(struct(col("tm"),
+          col("event_id"), col("event_type")))),
+          x => struct(x.getField("tm").as("tm"),
+            x.getField("event_type").as("et"))).as("seq"))
+        // fold state: (level, t0) — t0 pins the 1-hour deadline to the
+        // FIRST step's time; a step counts only in order and in window
+        .withColumn("level", expr(
+          """aggregate(seq,
+               named_struct('lvl', 0L, 't0', -1L),
+               (acc, e) -> CASE
+                 WHEN acc.lvl = 0 AND e.et = 'view'
+                   THEN named_struct('lvl', 1L, 't0', e.tm)
+                 WHEN acc.lvl = 1 AND e.et = 'click'
+                      AND e.tm <= acc.t0 + 3600000000
+                   THEN named_struct('lvl', 2L, 't0', acc.t0)
+                 WHEN acc.lvl = 2 AND e.et = 'purchase'
+                      AND e.tm <= acc.t0 + 3600000000
+                   THEN named_struct('lvl', 3L, 't0', acc.t0)
+                 ELSE acc END,
+               acc -> acc.lvl)"""))
+      folded.groupBy("level").agg(count(lit(1)).as("n_users"))
+    }),
+
     // Interval-union coverage per user (gaps-and-islands): each event
     // opens an interval [ts, ts + value minutes]; overlapping intervals
     // merge into islands (an island starts where st exceeds the running
@@ -1994,6 +2077,91 @@ object Analysis {
              OVER (ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
          FROM orders""",
+
+    "q311_psm_att" ->
+      """WITH users AS (
+           SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS score_e2,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS outcome_e2,
+             user_id % 2 = 1 AS treated
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN NOT treated THEN score_e2 END IGNORE NULLS)
+               OVER wp AS p_score,
+             last_value(CASE WHEN NOT treated THEN user_id END IGNORE NULLS)
+               OVER wp AS p_uid,
+             last_value(CASE WHEN NOT treated THEN outcome_e2 END IGNORE NULLS)
+               OVER wp AS p_out,
+             first_value(CASE WHEN NOT treated THEN score_e2 END IGNORE NULLS)
+               OVER wn AS n_score,
+             first_value(CASE WHEN NOT treated THEN user_id END IGNORE NULLS)
+               OVER wn AS n_uid,
+             first_value(CASE WHEN NOT treated THEN outcome_e2 END IGNORE NULLS)
+               OVER wn AS n_out
+           FROM users
+           WINDOW wp AS (PARTITION BY event_type ORDER BY score_e2, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY score_e2, user_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         sel AS (
+           SELECT event_type, outcome_e2,
+             CASE WHEN p_uid IS NULL THEN n_out
+                  WHEN n_uid IS NULL THEN p_out
+                  WHEN abs(p_score - score_e2) < abs(n_score - score_e2)
+                    THEN p_out
+                  WHEN abs(n_score - score_e2) < abs(p_score - score_e2)
+                    THEN n_out
+                  ELSE CASE WHEN p_uid < n_uid THEN p_out ELSE n_out END
+             END AS m_out
+           FROM w WHERE treated)
+         SELECT event_type, count(*) AS n_matched,
+           CAST(sum(outcome_e2 - m_out) AS BIGINT) AS att_sum_e2
+         FROM sel WHERE m_out IS NOT NULL GROUP BY 1""",
+
+    "q312_window_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_type AS et,
+             event_id AS eid
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         v AS (
+           SELECT user_id, tm AS vt, eid AS vid FROM (
+             SELECT user_id, tm, eid, row_number() OVER
+               (PARTITION BY user_id ORDER BY tm, eid) AS rn
+             FROM ev WHERE et = 'view') x WHERE rn = 1),
+         c AS (
+           SELECT user_id, tm AS ct, eid AS cid FROM (
+             SELECT e.user_id, e.tm, e.eid, row_number() OVER
+               (PARTITION BY e.user_id ORDER BY e.tm, e.eid) AS rn
+             FROM ev e JOIN v ON e.user_id = v.user_id
+             WHERE e.et = 'click'
+               AND (e.tm > v.vt OR (e.tm = v.vt AND e.eid > v.vid))
+               AND e.tm <= v.vt + 3600000000) x WHERE rn = 1),
+         p AS (
+           SELECT user_id FROM (
+             SELECT e.user_id, row_number() OVER
+               (PARTITION BY e.user_id ORDER BY e.tm, e.eid) AS rn
+             FROM ev e
+             JOIN v ON e.user_id = v.user_id
+             JOIN c ON e.user_id = c.user_id
+             WHERE e.et = 'purchase'
+               AND (e.tm > c.ct OR (e.tm = c.ct AND e.eid > c.cid))
+               AND e.tm <= v.vt + 3600000000) x WHERE rn = 1),
+         lv AS (
+           SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+           FROM (SELECT DISTINCT user_id FROM ev) u
+           LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id)
+         SELECT CAST(level AS BIGINT) AS level, count(*) AS n_users
+         FROM lv GROUP BY 1""",
 
     "q291_interval_union" ->
       """WITH iv AS (

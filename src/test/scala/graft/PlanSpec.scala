@@ -808,6 +808,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q311 PSM: matching is two keyed ignore-nulls neighbor windows " +
+      "per event_type — no pairwise product, no global window") {
+    val p = plan("q311_psm_att")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!"windowspecdefinition\\((?!event_type)".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q312 windowFunnel: per-user fold over the sorted own-event list " +
+      "— one keyed aggregate, no UDF, no join") {
+    val p = plan("q312_window_funnel")
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), p)
+  }
+
   test("q310 Q6: all predicates push into the single scan — no join, " +
       "no shuffle beyond the final 1-row aggregate") {
     val p = plan("q310_tpch_q6")
