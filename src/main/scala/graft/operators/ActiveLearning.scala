@@ -89,9 +89,14 @@ object ActiveLearning {
       .withColumn("neg_before",
         sum(when(col("label") === 0L, 1L).otherwise(0L)).over(
           byScore.rowsBetween(Window.unboundedPreceding, -1)))
+      // pos_from = total positives − positives strictly before: keeps
+      // both passes on RUNNING frames (a currentRow→unboundedFollowing
+      // frame is recomputed per row in WindowExec — the q311 O(n²)
+      // lesson), same value by complement
       .withColumn("pos_from",
-        sum(when(col("label") === 1L, 1L).otherwise(0L)).over(
-          byScore.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).over(n1) -
+          coalesce(sum(when(col("label") === 1L, 1L).otherwise(0L)).over(
+            byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("correct",
         coalesce(col("neg_before"), lit(0L)) + col("pos_from"))
       .withColumn("rn", row_number().over(

@@ -350,15 +350,18 @@ object Warehouse {
       val joined = scaffold.join(daily, Seq("user_id", "day"), "left")
       val back = Window.partitionBy("user_id").orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = Window.partitionBy("user_id").orderBy(col("day"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // next-neighbor pass on the REVERSED sort with a running frame —
+      // a currentRow→unboundedFollowing frame is recomputed per row in
+      // WindowExec (the q311 O(n²) lesson); same values by symmetry
+      val fwdR = Window.partitionBy("user_id").orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       joined
         .withColumn("v_prev", last("v", ignoreNulls = true).over(back))
         .withColumn("d_prev",
           last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
-        .withColumn("v_next", first("v", ignoreNulls = true).over(fwd))
+        .withColumn("v_next", last("v", ignoreNulls = true).over(fwdR))
         .withColumn("d_next",
-          first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwdR))
         .select(col("user_id"), col("day"),
           col("v").isNotNull.as("observed"),
           coalesce(col("v"), expr(
