@@ -390,6 +390,25 @@ object Relational {
           col("n"), col("sum_price"))
     }),
 
+    // Explicit GROUPING SETS with grouping_id — the irregular-set form
+    // rollup/cube can't express ((status, priority), (status), ()) plus
+    // the bitmask that disambiguates real NULL-group rows from
+    // aggregate rows (SQL-over-table per the q67 precedent; identical
+    // SQL runs in the oracle). One expand + hash aggregate in Spark.
+    "q314_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          coalesce(o_orderpriority, 'ALL') AS pri,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), ())""")
+    }),
+
     // from_json into a typed struct (vs q33's get_json_object path).
     "q88_from_json" -> ((s, d) => {
       t(s, d, "events")
@@ -625,6 +644,17 @@ object Relational {
            coalesce(o_orderpriority, 'ALL') AS pri,
            count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q314_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           coalesce(o_orderpriority, 'ALL') AS pri,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           (o_orderstatus), ())""",
     "q88_from_json" ->
       """SELECT event_type,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

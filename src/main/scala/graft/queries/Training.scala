@@ -2966,6 +2966,48 @@ object Training {
         .agg(sum("term_e9").as("psi_e9"))
     }),
 
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs (1–3 words); each word
+    // scores deg(w)/freq(w) over the candidate corpus (deg = summed
+    // length of phrases containing w) and a phrase scores the sum of
+    // its words — in e6 fixed point with per-term integer floor, so the
+    // phrase sum is associative. Top-20 phrases, bounded
+    // TakeOrderedAndProject. Scale shape: phrase segmentation is a
+    // posexplode + keyed running count per doc; freq/deg are word-key
+    // aggregates; the score join keys on word then phrase.
+    "q313_rake" -> ((s, d) => {
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it",
+        "as", "for", "on", "with")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+        .withColumn("is_stop", col("word").isin(stops: _*))
+        .withColumn("phrase_id", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+        .where(!col("is_stop") && col("word") =!= "")
+      val phrases = toks.groupBy("doc_id", "phrase_id")
+        .agg(count(lit(1)).as("plen"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"),
+            col("word")))), x => x.getField("word")), " ").as("phrase"))
+        .where(col("plen") <= 3)
+        .persist() // word stats AND the score join read it
+      val words = phrases
+        .select(col("doc_id"), col("phrase_id"), col("plen"),
+          explode(split(col("phrase"), " ")).as("word"))
+      val stats = words.groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      words.join(stats, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(sum(expr("(deg * 1000000) div freq")).as("score_e6"))
+        .join(phrases, Seq("doc_id", "phrase_id"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), max("score_e6").as("score_e6"))
+        .orderBy(desc("score_e6"), asc("phrase"))
+        .limit(20)
+    }),
+
     // Winnowing MATCH stage (the second half of MOSS): document pairs
     // sharing ≥ 3 selected fingerprints, with the shared count — the
     // report a plagiarism screen hands a reviewer. Pair generation is
@@ -5811,6 +5853,44 @@ object Training {
          SELECT id, name, bkt, entity, (entity = id) AS is_canonical,
            n_entity
          FROM ent JOIN sz USING (entity)""",
+
+    "q313_rake" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+           FROM documents),
+         ph AS (
+           SELECT doc_id, pos, word,
+             word IN ('the','a','and','of','to','in','is','it','as',
+               'for','on','with') AS is_stop,
+             CAST(sum(CASE WHEN word IN ('the','a','and','of','to','in',
+               'is','it','as','for','on','with') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+           FROM toks),
+         cand AS (
+           SELECT doc_id, phrase_id, pos, word
+           FROM ph WHERE NOT is_stop AND word <> ''),
+         phrases AS (
+           SELECT doc_id, phrase_id, count(*) AS plen,
+             string_agg(word, ' ' ORDER BY pos) AS phrase
+           FROM cand GROUP BY 1, 2 HAVING count(*) <= 3),
+         words AS (
+           SELECT doc_id, phrase_id, plen,
+             unnest(string_split(phrase, ' ')) AS word
+           FROM phrases),
+         stats AS (
+           SELECT word, count(*) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+           FROM words GROUP BY 1),
+         sc AS (
+           SELECT doc_id, phrase_id,
+             CAST(sum((deg * 1000000) // freq) AS BIGINT) AS score_e6
+           FROM words JOIN stats USING (word) GROUP BY 1, 2)
+         SELECT phrase, count(*) AS n_occ, max(score_e6) AS score_e6
+         FROM sc JOIN phrases USING (doc_id, phrase_id)
+         GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""",
 
     "q302_winnow_matches" ->
       """WITH base AS (

@@ -808,6 +808,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q313 RAKE: segmentation is a keyed per-doc running count; " +
+      "word stats are key aggregates; top-20 plans TakeOrdered") {
+    val p = plan("q313_rake")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!"windowspecdefinition\\((?!doc_id)".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q314 grouping sets: one Expand + hash aggregate, no join") {
+    val p = plan("q314_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q311 PSM: matching is two keyed ignore-nulls neighbor windows " +
       "per event_type — no pairwise product, no global window") {
     val p = plan("q311_psm_att")
