@@ -417,6 +417,27 @@ object Stats {
         })).as("chi2_e6"))
     }),
 
+    // Median-of-means per event_type — the heavy-tail-robust mean
+    // estimator (sub-Gaussian deviation bounds without moment
+    // assumptions): 10 deterministic hash buckets, truncated-integer
+    // bucket means, exact 2×-median of the 10 means via the sorted
+    // bounded bucket array (the q182 twice-median trick — no fractional
+    // interpolation to match cross-engine).
+    "q315_median_of_means" -> ((s, d0) => {
+      val bm = t(s, d0, "events")
+        .select(col("event_type"), (col("event_id") % 10).as("bkt"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("sum(v_e2) div count(1)").as("m_e2"))
+      bm.groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sort_array(collect_list("m_e2")).as("ms"))
+        .select(col("event_type"), col("n_buckets"),
+          expr("element_at(ms, cast((size(ms) + 1) div 2 as int)) + " +
+            "element_at(ms, cast(size(ms) div 2 + 1 as int))")
+            .as("mom_x2_e2"))
+    }),
+
     // Mann–Whitney U (Wilcoxon rank-sum) per event_type, comparing the
     // two user-parity cohorts — the nonparametric twin of q161's Welch
     // t-test. Tie handling is exact: per distinct value, the 2×-scaled
@@ -781,6 +802,21 @@ object Stats {
                    / (rcs[i] / CAST(n AS DOUBLE)))),
              (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS chi2_e6
          FROM folded""",
+
+    "q315_median_of_means" ->
+      """WITH bm AS (
+           SELECT event_type, event_id % 10 AS bkt,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m_e2
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS n_buckets,
+             list_sort(list(m_e2)) AS ms
+           FROM bm GROUP BY 1)
+         SELECT event_type, n_buckets,
+           ms[CAST((len(ms) + 1) // 2 AS INT)]
+             + ms[CAST(len(ms) // 2 + 1 AS INT)] AS mom_x2_e2
+         FROM g""",
 
     "q286_mann_whitney" ->
       """WITH base AS (

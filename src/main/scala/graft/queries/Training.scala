@@ -2966,6 +2966,35 @@ object Training {
         .agg(sum("term_e9").as("psi_e9"))
     }),
 
+    // Newman–Girvan modularity of a partition over the shared LSH graph
+    // (community = doc_id div 50 blocks): per community, within-edges
+    // e_c and degree mass d_c, with the contribution scaled to the 4m²
+    // common denominator — Q·4m² = Σ(4m·e_c − d_c²) — so the quality
+    // score of a graph partition is EXACT integers end to end (the
+    // metric Louvain maximizes, here as the evaluation readout). One
+    // pair scan + one degree aggregate, keyed joins only.
+    "q316_modularity" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // m, within-edges and degrees all read it
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val within = pairs
+        .where(expr("id1 div 50") === expr("id2 div 50"))
+        .groupBy(expr("id1 div 50").as("comm"))
+        .agg(count(lit(1)).as("e_c"))
+      val dC = pairs.select(col("id1").as("id"))
+        .unionAll(pairs.select(col("id2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .groupBy(expr("id div 50").as("comm"))
+        .agg(sum("deg").as("d_c"))
+      dC.join(within, Seq("comm"), "left")
+        .na.fill(0L, Seq("e_c"))
+        .crossJoin(broadcast(m))
+        .select(col("comm"), col("e_c"), col("d_c"), col("m"),
+          (lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+            .as("q4m2_contrib"))
+    }),
+
     // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs (1–3 words); each word
     // scores deg(w)/freq(w) over the candidate corpus (deg = summed
@@ -5853,6 +5882,28 @@ object Training {
          SELECT id, name, bkt, entity, (entity = id) AS is_canonical,
            n_entity
          FROM ent JOIN sz USING (entity)""",
+
+    "q316_modularity" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         m AS (SELECT count(*) AS m FROM pairs),
+         w AS (
+           SELECT id1 // 50 AS comm, count(*) AS e_c
+           FROM pairs WHERE id1 // 50 = id2 // 50 GROUP BY 1),
+         deg AS (
+           SELECT id, count(*) AS deg FROM (
+             SELECT id1 AS id FROM pairs
+             UNION ALL SELECT id2 AS id FROM pairs)
+           GROUP BY 1),
+         dc AS (
+           SELECT id // 50 AS comm, CAST(sum(deg) AS BIGINT) AS d_c
+           FROM deg GROUP BY 1)
+         SELECT dc.comm, coalesce(e_c, 0) AS e_c, d_c, m.m,
+           4 * m.m * coalesce(e_c, 0) - d_c * d_c AS q4m2_contrib
+         FROM dc LEFT JOIN w ON dc.comm = w.comm, m""",
 
     "q313_rake" ->
       """WITH toks AS (

@@ -808,6 +808,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("q315 median-of-means / q316 modularity: keyed aggregates with " +
+      "partial aggregation; bounded bucket arrays / 1-row m broadcast") {
+    for (q <- Seq("q315_median_of_means", "q316_modularity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: $p")
+    }
+  }
+
   test("q313 RAKE: segmentation is a keyed per-doc running count; " +
       "word stats are key aggregates; top-20 plans TakeOrdered") {
     val p = plan("q313_rake")
