@@ -182,6 +182,46 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Mutual nearest neighbors, cell-confined: each vector's top-1 cosine
+    * neighbor WITHIN its IVF cell, kept only when the choice is
+    * reciprocal — the bitext/paraphrase-mining retrieval shape (cf.
+    * Artetxe & Schwenk 2019's margin-based mining, whose candidate stage
+    * is exactly mutual-kNN; ref uses embedding retrieval in
+    * `twitter-analytics/code/5-active_learning/adaptive_retrieval`).
+    * Scale shape: the pair join never leaves a cell (cost = Σ cell²,
+    * bounded by the codebook granularity — grow k to cap cells, the q212
+    * SemDeDup posture), the top-1 window keys per vec_id, and the mutual
+    * filter is a self-join on the (vec_id, nid) pair — all keyed, no
+    * global structure. Cosine is symmetric at the IEEE level here
+    * (commuted products, same fold order), so one cos_e6 describes the
+    * pair regardless of which side reports it.
+    */
+  def mutualTop1(embs: DataFrame): DataFrame = {
+    val cents = ivfCentroids(embs)
+    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .withColumn("nrm", norm2("embedding"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .persist() // both sides of the in-cell pair join read it
+    val rhs = withC.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
+    val top1 = withC.join(rhs, "cell")
+      .where(col("nid") =!= col("vec_id"))
+      .withColumn("cos",
+        cosineWithNorms(dot("embedding", "nemb"), col("nrm"), col("nn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("nid"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .persist() // probed from both directions by the mutual filter
+    val rev = top1.select(col("nid").as("vec_id"), col("vec_id").as("nid"))
+    top1.join(rev, Seq("vec_id", "nid"))
+      .where(col("vec_id") < col("nid"))
+      .select(col("cell"), col("vec_id").as("id_a"), col("nid").as("id_b"),
+        col("cos_e6"))
+  }
+
   /** Exact-integer Lloyd iterations (the q145 k-means machinery):
     * vectors quantized to µ-units, per-cell trunc-div centroid means,
     * tie-broken integer L2 argmin — merge-order-proof, so a SQL oracle

@@ -1367,9 +1367,108 @@ object Analysis {
           "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // OHLC candlestick bars per (event_type, hour): open/close by the
+    // total (ts, event_id) order, high/low/volume/n as plain min/max/
+    // sum/count — the time-bucketed first/last aggregation every
+    // market-data or metrics warehouse emits. Spark's first()/last()
+    // aggregates are shuffle-order-nondeterministic, so open and close
+    // ride two row_number windows over the TOTAL order instead (exact
+    // and cross-engine). Integer e2 cents throughout. Scale shape: the
+    // windows and the groupBy share one (type, hour) key — a single
+    // shuffle, and bar count is bounded by #types × #hours, not rows.
+    "q317_ohlc_bars" -> ((s, d) => {
+      val base = t(s, d, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val wa = Window.partitionBy("event_type", "hr")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wd = Window.partitionBy("event_type", "hr")
+        .orderBy(desc("ts"), desc("event_id"))
+      base.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy("event_type", "hr")
+        .agg(max(when(col("ra") === 1, col("v_e2"))).as("open_e2"),
+          max("v_e2").as("high_e2"),
+          min("v_e2").as("low_e2"),
+          max(when(col("rd") === 1, col("v_e2"))).as("close_e2"),
+          sum("v_e2").as("volume_e2"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Maximum drawdown per user over a signed equity curve (event parity
+    // as the buy/sell sign — a deterministic random walk both engines
+    // share): running cumsum, running peak, drawdown = peak − equity,
+    // report the deepest trough plus the peak and final equity — the
+    // risk statistic any portfolio/metrics layer computes next to q238's
+    // TWAP. Exact BIGINT end to end (no float touches the curve).
+    // Scale shape: two stacked windows and the final groupBy all key on
+    // user_id with one (ts, event_id) order — a single shuffle, state
+    // bounded per user.
+    "q318_max_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (when(col("event_id") % 2 === 0, 1L).otherwise(-1L) *
+            floor(col("value") * 100).cast("long")).as("delta_e2"))
+        .withColumn("equity", sum("delta_e2").over(w))
+        .withColumn("peak", max("equity").over(w))
+        .groupBy("user_id")
+        .agg(max(col("peak") - col("equity")).as("max_drawdown_e2"),
+          max("peak").as("peak_e2"),
+          sum("delta_e2").as("final_e2"),
+          count(lit(1)).as("n_events"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q317_ohlc_bars" ->
+      """WITH base AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         rn AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type, hr
+               ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, hr
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM base)
+         SELECT event_type, hr,
+           max(CASE WHEN ra = 1 THEN v_e2 END) AS open_e2,
+           max(v_e2) AS high_e2,
+           min(v_e2) AS low_e2,
+           max(CASE WHEN rd = 1 THEN v_e2 END) AS close_e2,
+           CAST(sum(v_e2) AS BIGINT) AS volume_e2,
+           count(*) AS n
+         FROM rn GROUP BY 1, 2""",
+
+    "q318_max_drawdown" ->
+      """WITH base AS (
+           SELECT user_id, ts, event_id,
+             (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END)
+               * CAST(floor(value * 100) AS BIGINT) AS delta_e2
+           FROM events),
+         eq AS (
+           SELECT user_id, ts, event_id, delta_e2,
+             CAST(sum(delta_e2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS equity
+           FROM base),
+         pk AS (
+           SELECT user_id, delta_e2, equity,
+             max(equity) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS peak
+           FROM eq)
+         SELECT user_id,
+           CAST(max(peak - equity) AS BIGINT) AS max_drawdown_e2,
+           CAST(max(peak) AS BIGINT) AS peak_e2,
+           CAST(sum(delta_e2) AS BIGINT) AS final_e2,
+           count(*) AS n_events
+         FROM pk GROUP BY 1""",
+
     "q182_spike_detection" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n

@@ -505,9 +505,80 @@ object Stats {
             .as("d_num"))
         .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
           expr("(d_num * 1000000) div (n_a * n_b)").as("d_e6"))
+    }),
+
+    // Lead–lag cross-correlation (CCF at lags −2..+2) between each
+    // event_type's daily series and the all-type "market" daily series —
+    // does a type lead the aggregate, follow it, or move with it? The
+    // per-day values are trunc-div integer daily means (bounded ~1e5, so
+    // n·Σx² stays far inside int64 even at sf1000); all five Pearson
+    // moments are exact BIGINT sums and only the final r is one pinned
+    // double chain floored to e6. Scale shape: two daily groupBys, a
+    // 5-way lag explode of the SMALL per-type daily frame, one join on
+    // the shifted day key, and a per-(type, lag) 5-sum aggregate —
+    // everything keys on day or (type, lag), nothing global.
+    "q319_lead_lag_ccf" -> ((s, d0) => {
+      val base = t(s, d0, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val daily = base.groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("y"))
+      val market = base.groupBy("day")
+        .agg(expr("sum(v_e2) div count(1)").as("x"))
+        .select(col("day").as("mday"), col("x"))
+      val st = daily
+        .withColumn("lg", explode(array((-2 to 2).map(l => lit(l.toLong)): _*)))
+        .join(market, col("mday") === col("day") + col("lg"))
+        .groupBy("event_type", "lg")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      st.where(col("n") > 2 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("event_type"), col("lg"), col("n"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))) *
+            1e6).cast("long").as("ccf_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q319_lead_lag_ccf" ->
+      """WITH base AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         daily AS (
+           SELECT event_type, day,
+             CAST(sum(v_e2) AS BIGINT) // count(*) AS y
+           FROM base GROUP BY 1, 2),
+         market AS (
+           SELECT day AS mday,
+             CAST(sum(v_e2) AS BIGINT) // count(*) AS x
+           FROM base GROUP BY 1),
+         lagged AS (
+           SELECT d.event_type, l.lg, d.y, m.x
+           FROM daily d
+           CROSS JOIN (SELECT CAST(unnest([-2, -1, 0, 1, 2]) AS BIGINT) AS lg) l
+           JOIN market m ON m.mday = d.day + l.lg),
+         st AS (
+           SELECT event_type, lg, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM lagged GROUP BY 1, 2)
+         SELECT event_type, lg, n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS ccf_e6
+         FROM st
+         WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+
     "q270_ucb_bandit" ->
       """WITH arms AS (
            SELECT event_type, count(*) AS n,

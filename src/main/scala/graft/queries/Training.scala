@@ -3208,6 +3208,51 @@ object Training {
         .agg(sum("inv").as("vocab"), sum("tp").as("klp_e9"),
           sum("tq").as("klq_e9"))
         .withColumn("jsd2_e9", col("klp_e9") + col("klq_e9"))
+    }),
+
+    // Degree assortativity of the LSH near-dup graph (Newman 2002): the
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list — do similar-degree documents link to each other (duplicate
+    // "cliques") or do hubs attach to leaves (template + variants)? All
+    // four moments are exact BIGINT sums over one degree-annotated edge
+    // pass; only the final r is a pinned double chain floored to e6.
+    // Scale shape: two keyed joins of the edge list against the degree
+    // table (fan-in = degree), one global 4-sum aggregate — map-side
+    // combinable, no structure wider than the edge list itself.
+    "q320_assortativity" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist() // degree count + both endpoint probes read it
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val st = edges
+        .join(deg.select(col("src").as("u"), col("deg").as("j")),
+          col("src") === col("u"))
+        .join(deg.select(col("src").as("v"), col("deg").as("k")),
+          col("dst") === col("v"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("j") * col("k")).as("s_jk"),
+          sum(col("j") + col("k")).as("s_jpk"),
+          sum(col("j") * col("j") + col("k") * col("k")).as("s_j2k2"))
+      val mD = col("m2").cast("double")
+      val t1 = col("s_jk").cast("double") / mD
+      val t2 = col("s_jpk").cast("double") / (mD * 2.0)
+      val t3 = col("s_j2k2").cast("double") / (mD * 2.0)
+      st.select(col("m2"), col("s_jk"), col("s_jpk"), col("s_j2k2"),
+        when(t3 - t2 * t2 > 0.0,
+          floor((t1 - t2 * t2) / (t3 - t2 * t2) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_e6"))
+    }),
+
+    // Mutual nearest neighbors within IVF cells — the candidate stage of
+    // margin-based bitext/paraphrase mining (Artetxe & Schwenk 2019):
+    // reciprocal top-1 pairs only, so one bad hub vector cannot claim
+    // the whole cell. Cell-confined pair join + keyed top-1 window +
+    // pair-keyed mutual filter; see Similarity.mutualTop1 for the
+    // 100-TB shape notes.
+    "q321_mutual_nn" -> ((s, d) => {
+      Similarity.mutualTop1(t(s, d, "embeddings"))
     }))
 
   // ---- oracle SQL ----
@@ -3572,6 +3617,48 @@ object Training {
          SELECT query_id, neighbor_id, rnk,
            CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
          FROM r WHERE rnk <= 10"""
+  }
+
+  /** Mutual-NN oracle: the q98 IVF centroid/assignment replay, then the
+    * within-cell pairwise top-1 and the reciprocity filter — mirrors
+    * Similarity.mutualTop1 stage for stage.
+    */
+  private def mutualNnOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         wc AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding, a.cell
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         scored AS (
+           SELECT x.cell, x.vec_id, y.vec_id AS nid,
+             ${cos("x.embedding", "y.embedding")} AS cos
+           FROM wc x JOIN wc y
+             ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         top1 AS MATERIALIZED (
+           SELECT cell, vec_id, nid,
+             CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nid ASC) AS rn
+                 FROM scored)
+           WHERE rn = 1)
+         SELECT t.cell, t.vec_id AS id_a, t.nid AS id_b, t.cos_e6
+         FROM top1 t JOIN top1 r ON r.vec_id = t.nid AND r.nid = t.vec_id
+         WHERE t.vec_id < t.nid"""
   }
 
   /** Recall@10 oracle: brute-force, LSH (8 planes) and IVF (2 probes)
@@ -6111,5 +6198,41 @@ object Training {
                 ELSE v * 100 END AS chao1_e2,
            ((sum_cc1 * 1000) // (n_tok - 1) * 1000000) // n_tok
              AS simpson_e9
-         FROM agg""")
+         FROM agg""",
+
+    "q320_assortativity" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         st AS (
+           SELECT count(*) AS m2,
+             CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s_jk,
+             CAST(sum(dj.deg + dk.deg) AS BIGINT) AS s_jpk,
+             CAST(sum(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS s_j2k2
+           FROM edges e
+           JOIN deg dj ON e.src = dj.src
+           JOIN deg dk ON e.dst = dk.src)
+         SELECT m2, s_jk, s_jpk, s_j2k2,
+           CASE WHEN CAST(s_j2k2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)
+                  - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                    * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)) > 0.0
+             THEN CAST(floor(
+               (CAST(s_jk AS DOUBLE) / CAST(m2 AS DOUBLE)
+                 - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                   * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)))
+               / (CAST(s_j2k2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)
+                 - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                   * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)))
+               * 1000000.0) AS BIGINT)
+             ELSE NULL END AS r_e6
+         FROM st""",
+
+    "q321_mutual_nn" -> mutualNnOracle)
 }
