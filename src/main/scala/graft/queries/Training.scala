@@ -3253,6 +3253,50 @@ object Training {
     // 100-TB shape notes.
     "q321_mutual_nn" -> ((s, d) => {
       Similarity.mutualTop1(t(s, d, "embeddings"))
+    }),
+
+    // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
+    // personalized PageRank with the restart mass pinned to a trusted
+    // seed set (doc_id < 20) — the seeded quality-propagation pass a web
+    // corpus curator runs to score unlabeled pages by proximity to
+    // vetted ones. Three power-iteration rounds replayed entirely in e6
+    // integer micro-units with trunc divisions (the q292/q132
+    // convention), so a SQL oracle unrolls every round bit-for-bit.
+    // Scale shape: each round is one edge-keyed join + groupBy (fan-in
+    // = degree) against the persisted seed frame; nothing global, no
+    // driver-side state.
+    "q324_trustrank" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist() // degree count + one probe per iteration round
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = deg.select(col("src").as("node"), col("deg"),
+        (col("src") < 20L).as("is_seed"))
+      val nSeeds = nodes.agg(
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+      val seedBase = nodes.crossJoin(broadcast(nSeeds))
+        .select(col("node"), col("deg"), col("is_seed"),
+          when(col("is_seed"), expr("1000000 div ns")).otherwise(0L)
+            .as("s_e6"))
+        .persist() // restart vector re-read every round + final join
+      var v = seedBase.select(col("node"), col("s_e6").as("v_e6"))
+      for (_ <- 1 to 3) {
+        val inflow = edges
+          .join(v, col("src") === col("node"))
+          .join(deg, "src")
+          .select(col("dst"), expr("v_e6 div deg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+        v = seedBase.join(inflow, col("node") === col("dst"), "left")
+          .na.fill(0L, Seq("inflow"))
+          .select(col("node"),
+            expr("(15 * s_e6) div 100 + (85 * inflow) div 100").as("v_e6"))
+      }
+      seedBase
+        .join(v.withColumnRenamed("v_e6", "trust_e6"), Seq("node"))
+        .select(col("node").as("doc_id"), col("deg"), col("is_seed"),
+          col("trust_e6"))
     }))
 
   // ---- oracle SQL ----
@@ -6234,5 +6278,49 @@ object Training {
              ELSE NULL END AS r_e6
          FROM st""",
 
-    "q321_mutual_nn" -> mutualNnOracle)
+    "q321_mutual_nn" -> mutualNnOracle,
+
+    "q324_trustrank" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         nodes AS (SELECT src AS node, deg, src < 20 AS is_seed FROM deg),
+         ns AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ns FROM nodes),
+         sb AS MATERIALIZED (
+           SELECT node, deg, is_seed,
+             CASE WHEN is_seed THEN 1000000 // ns ELSE CAST(0 AS BIGINT) END
+               AS s_e6
+           FROM nodes, ns),
+         v0 AS (SELECT node, s_e6 AS v_e6 FROM sb),
+         i1 AS (SELECT e.dst, CAST(sum(v.v_e6 // d.deg) AS BIGINT) AS inflow
+                FROM edges e JOIN v0 v ON e.src = v.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         v1 AS (SELECT sb.node,
+                  (15 * sb.s_e6) // 100
+                    + (85 * coalesce(i1.inflow, 0)) // 100 AS v_e6
+                FROM sb LEFT JOIN i1 ON sb.node = i1.dst),
+         i2 AS (SELECT e.dst, CAST(sum(v.v_e6 // d.deg) AS BIGINT) AS inflow
+                FROM edges e JOIN v1 v ON e.src = v.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         v2 AS (SELECT sb.node,
+                  (15 * sb.s_e6) // 100
+                    + (85 * coalesce(i2.inflow, 0)) // 100 AS v_e6
+                FROM sb LEFT JOIN i2 ON sb.node = i2.dst),
+         i3 AS (SELECT e.dst, CAST(sum(v.v_e6 // d.deg) AS BIGINT) AS inflow
+                FROM edges e JOIN v2 v ON e.src = v.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         v3 AS (SELECT sb.node,
+                  (15 * sb.s_e6) // 100
+                    + (85 * coalesce(i3.inflow, 0)) // 100 AS v_e6
+                FROM sb LEFT JOIN i3 ON sb.node = i3.dst)
+         SELECT sb.node AS doc_id, sb.deg, sb.is_seed, v3.v_e6 AS trust_e6
+         FROM sb JOIN v3 ON sb.node = v3.node""")
 }

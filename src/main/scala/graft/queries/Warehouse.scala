@@ -594,9 +594,87 @@ object Warehouse {
         .select(col("gen").cast("long").as("gen"),
           col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
           col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // Largest-remainder (Hare quota) proportional allocation: split a
+    // fixed budget of B=1000 sample slots across nations exactly
+    // proportionally to their customer populations — the exact
+    // stratified allocator (q108's hash split hits strata only in
+    // expectation; this hits Σalloc = B exactly). base = (c·B) div tot;
+    // the B − Σbase leftover slots go to the largest integer remainders
+    // (ties by nation key). Exact integers end-to-end. Scale shape: one
+    // corpus groupBy; everything after runs on the #strata-row frame —
+    // the remainder-rank window is a deliberately bounded single
+    // partition (dozens of rows), the Mixture convention.
+    "q322_quota_split" -> ((s, d) => {
+      val b = 1000L
+      val counts = t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum("c").as("tot"))
+      val withBase = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"(c * ${b}L) div tot"))
+        .withColumn("rem", expr(s"(c * ${b}L) % tot"))
+      val left = withBase.agg((lit(b) - sum("base")).as("l"))
+      val w = Window.orderBy(desc("rem"), asc("nation"))
+      withBase.crossJoin(broadcast(left))
+        .withColumn("rr", row_number().over(w).cast("long"))
+        .select(col("nation"), col("c"), col("base"), col("rem"),
+          (col("base") + when(col("rr") <= col("l"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
+    // k-anonymity audit over the quasi-identifier (nation, market
+    // segment, balance band): group sizes k, the re-identification risk
+    // 1/k, and the suppression verdict for k < 5 — the privacy gate a
+    // release pipeline runs before q221's cell suppression and q289's
+    // DP noise. Exact integers (risk as a trunc e6 division). Scale
+    // shape: one hash groupBy on the QI tuple; group count is bounded
+    // by the QI domain, not rows.
+    "q323_k_anonymity" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+        .groupBy("nation", "segment", "bal_band")
+        .agg(count(lit(1)).as("k"))
+        .select(col("nation"), col("segment"), col("bal_band"), col("k"),
+          expr("1000000 div k").as("risk_e6"),
+          (col("k") < 5L).as("suppressed"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q322_quota_split" ->
+      """WITH counts AS (
+           SELECT c_nationkey AS nation, count(*) AS c
+           FROM customer GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+         wb AS (
+           SELECT nation, c,
+             (c * 1000) // tot AS base,
+             (c * 1000) % tot AS rem
+           FROM counts, tot),
+         lf AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS l FROM wb),
+         rk AS (
+           SELECT wb.*, l,
+             row_number() OVER (ORDER BY rem DESC, nation ASC) AS rr
+           FROM wb, lf)
+         SELECT nation, c, base, rem,
+           base + (CASE WHEN rr <= l THEN 1 ELSE 0 END) AS alloc
+         FROM rk""",
+
+    "q323_k_anonymity" ->
+      """WITH qi AS (
+           SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+           FROM customer),
+         g AS (
+           SELECT nation, segment, bal_band, count(*) AS k
+           FROM qi GROUP BY 1, 2, 3)
+         SELECT nation, segment, bal_band, k,
+           1000000 // k AS risk_e6,
+           k < 5 AS suppressed
+         FROM g""",
+
     "q221_sdc_release" ->
       """WITH c AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
