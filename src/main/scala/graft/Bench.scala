@@ -121,7 +121,16 @@ object Bench {
     "q295_khop_bfs", // 3-hop frontier expansion, lineage-cut per hop
     "q299_entity_resolution", // blocking -> JW -> CC composition
     "q302_winnow_matches", // capped fingerprint-bucket pair matching
-    "q303_hits") // integer HITS iterations over the LSH graph
+    "q303_hits", // integer HITS iterations over the LSH graph
+    "q305_tpch_q19", // disjunctive predicate pushdown + broadcast dim
+    "q311_psm_att", // propensity-score 1-NN matching + ATT readout
+    "q313_rake", // RAKE keyphrase extraction (phrase windows + degree)
+    "q316_modularity", // community modularity over the LSH graph
+    "q317_ohlc_bars", // total-order open/close OHLC windows
+    "q319_lead_lag_ccf", // lead-lag CCF vs the market series
+    "q320_assortativity", // degree-degree correlation over the LSH graph
+    "q321_mutual_nn", // cell-confined reciprocal top-1 mining
+    "q324_trustrank") // seeded trust propagation, 3 integer rounds
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1421,6 +1421,35 @@ object Analysis {
           max("peak").as("peak_e2"),
           sum("delta_e2").as("final_e2"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // Item-item collaborative-filtering similarity: cosine between
+    // event_types' user-interaction count vectors — the classic
+    // neighborhood-CF scorer (Sarwar et al. 2001), distinct from q177's
+    // basket lift (co-occurrence counts) in that it compares FULL
+    // engagement profiles. The dot products and squared norms are exact
+    // BIGINT sums; only the final cosine is one pinned double floored
+    // to e6. Scale shape: the self-join keys on user_id with fan-in
+    // bounded by the item cardinality per user, the norms frame is tiny
+    // and broadcast — no all-pairs structure over users.
+    "q325_item_cf" -> ((s, d) => {
+      val c = t(s, d, "events")
+        .groupBy(col("user_id").as("u"), col("event_type").as("it"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // both sides of the user-keyed self-join + norms
+      val dots = c.select(col("u"), col("it").as("i1"), col("c").as("c1"))
+        .join(c.select(col("u"), col("it").as("i2"), col("c").as("c2")), "u")
+        .where(col("i1") < col("i2"))
+        .groupBy("i1", "i2")
+        .agg(sum(col("c1") * col("c2")).as("dot"), count(lit(1)).as("n_users"))
+      val norms = c.groupBy("it").agg(sum(col("c") * col("c")).as("nn"))
+      dots
+        .join(broadcast(norms.select(col("it").as("i1"), col("nn").as("nn1"))), "i1")
+        .join(broadcast(norms.select(col("it").as("i2"), col("nn").as("nn2"))), "i2")
+        .select(col("i1"), col("i2"), col("dot"), col("n_users"),
+          floor(col("dot").cast("double") /
+            sqrt((col("nn1") * col("nn2")).cast("double")) * 1e6)
+            .cast("long").as("cos_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1468,6 +1497,27 @@ object Analysis {
            CAST(sum(delta_e2) AS BIGINT) AS final_e2,
            count(*) AS n_events
          FROM pk GROUP BY 1""",
+
+    "q325_item_cf" ->
+      """WITH c AS (
+           SELECT user_id AS u, event_type AS it, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         dots AS (
+           SELECT a.it AS i1, b.it AS i2,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             count(*) AS n_users
+           FROM c a JOIN c b ON a.u = b.u AND a.it < b.it
+           GROUP BY 1, 2),
+         norms AS (
+           SELECT it, CAST(sum(c * c) AS BIGINT) AS nn
+           FROM c GROUP BY 1)
+         SELECT i1, i2, dot, n_users,
+           CAST(floor(CAST(dot AS DOUBLE)
+             / sqrt(CAST(n1.nn * n2.nn AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS cos_e6
+         FROM dots
+         JOIN norms n1 ON dots.i1 = n1.it
+         JOIN norms n2 ON dots.i2 = n2.it""",
 
     "q182_spike_detection" ->
       """WITH daily AS (
