@@ -3297,6 +3297,50 @@ object Training {
         .join(v.withColumnRenamed("v_e6", "trust_e6"), Seq("node"))
         .select(col("node").as("doc_id"), col("deg"), col("is_seed"),
           col("trust_e6"))
+    }),
+
+    // UMass topic coherence (Mimno et al. 2011) of each source's top-5
+    // document-frequency terms: Σ_{l<m} ln((D(w_m,w_l)+1)/D(w_l)) over
+    // the rank-ordered pairs — the intrinsic "do these terms co-occur"
+    // readout a topic/cluster pipeline runs on its keyword lists (q313
+    // RAKE, q83 TF-IDF). Each pair's log term is e9-floored BEFORE the
+    // sum (the q278 rule), so the aggregate is merge-order-free. Scale
+    // shape: doc-frequency is one groupBy; the top-k window keys per
+    // source; the co-document self-join runs only over docs' TOP-TERM
+    // postings (left_semi prefilter), with fan-in ≤ k per doc.
+    "q326_umass_coherence" -> ((s, d) => {
+      val dt = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text"))))
+            .as("term"))
+        .persist() // df counts + the co-doc self-join both read it
+      val dfr = dt.groupBy("source", "term").agg(count(lit(1)).as("df"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("df"), asc("term"))
+      val top = dfr.withColumn("rk", row_number().over(wR).cast("long"))
+        .where(col("rk") <= 5)
+        .persist() // pair frame (twice) + postings prefilter
+      val dtop = dt.join(top.select("source", "term"),
+        Seq("source", "term"), "left_semi")
+      val co = dtop.select(col("source"), col("doc_id"), col("term").as("t1"))
+        .join(dtop.select(col("source"), col("doc_id"), col("term").as("t2")),
+          Seq("source", "doc_id"))
+        .where(col("t1") < col("t2"))
+        .groupBy("source", "t1", "t2").agg(count(lit(1)).as("d12"))
+      val lo = top.select(col("source"), col("term").as("wl"),
+        col("rk").as("l"), col("df").as("dfl"))
+      val hi = top.select(col("source"), col("term").as("wm"),
+        col("rk").as("m"))
+      lo.join(hi, "source").where(col("l") < col("m"))
+        .withColumn("t1", least(col("wl"), col("wm")))
+        .withColumn("t2", greatest(col("wl"), col("wm")))
+        .join(co, Seq("source", "t1", "t2"), "left")
+        .na.fill(0L, Seq("d12"))
+        .select(col("source"),
+          floor(log((col("d12") + lit(1L)).cast("double") /
+            col("dfl").cast("double")) * 1e9).cast("long").as("term_e9"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"), sum("term_e9").as("coherence_e9"))
     }))
 
   // ---- oracle SQL ----
@@ -6322,5 +6366,41 @@ object Training {
                     + (85 * coalesce(i3.inflow, 0)) // 100 AS v_e6
                 FROM sb LEFT JOIN i3 ON sb.node = i3.dst)
          SELECT sb.node AS doc_id, sb.deg, sb.is_seed, v3.v_e6 AS trust_e6
-         FROM sb JOIN v3 ON sb.node = v3.node""")
+         FROM sb JOIN v3 ON sb.node = v3.node""",
+
+    "q326_umass_coherence" ->
+      """WITH dt AS MATERIALIZED (
+           SELECT DISTINCT source, doc_id, term FROM (
+             SELECT source, doc_id,
+               unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)),
+         dfr AS (SELECT source, term, count(*) AS df FROM dt GROUP BY 1, 2),
+         top AS MATERIALIZED (
+           SELECT source, term, df, rk FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY df DESC, term ASC) AS rk
+             FROM dfr) WHERE rk <= 5),
+         dtop AS (
+           SELECT dt.source, dt.doc_id, dt.term
+           FROM dt JOIN top ON dt.source = top.source AND dt.term = top.term),
+         co AS (
+           SELECT a.source, a.term AS t1, b.term AS t2, count(*) AS d12
+           FROM dtop a JOIN dtop b
+             ON a.source = b.source AND a.doc_id = b.doc_id
+               AND a.term < b.term
+           GROUP BY 1, 2, 3),
+         prs AS (
+           SELECT l.source, least(l.term, m.term) AS t1,
+             greatest(l.term, m.term) AS t2, l.df AS dfl
+           FROM top l JOIN top m
+             ON l.source = m.source AND l.rk < m.rk),
+         scored AS (
+           SELECT prs.source,
+             CAST(floor(ln(CAST(coalesce(d12, 0) + 1 AS DOUBLE)
+               / CAST(dfl AS DOUBLE)) * 1000000000.0) AS BIGINT) AS term_e9
+           FROM prs LEFT JOIN co ON prs.source = co.source
+             AND prs.t1 = co.t1 AND prs.t2 = co.t2)
+         SELECT source, count(*) AS n_pairs,
+           CAST(sum(term_e9) AS BIGINT) AS coherence_e9
+         FROM scored GROUP BY 1""")
 }
