@@ -3292,6 +3292,11 @@ object Training {
           .na.fill(0L, Seq("inflow"))
           .select(col("node"),
             expr("(15 * s_e6) div 100 + (85 * inflow) div 100").as("v_e6"))
+          // generation cut (q132/q185 lesson): without it each round
+          // re-plans the accumulated lineage and the LSH pair subtree
+          // dominates — measured 18.6 s → expected ~2 s at sf1 where the
+          // doc_id<300 graph itself is constant-size
+          .localCheckpoint(true)
       }
       seedBase
         .join(v.withColumnRenamed("v_e6", "trust_e6"), Seq("node"))
