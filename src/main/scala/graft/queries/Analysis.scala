@@ -1450,6 +1450,35 @@ object Analysis {
           floor(col("dot").cast("double") /
             sqrt((col("nn1") * col("nn2")).cast("double")) * 1e6)
             .cast("long").as("cos_e6"))
+    }),
+
+    // SAX symbolic approximation (Lin et al. 2003) of each event_type's
+    // daily series: PAA-compress days into 7-day segment means, then map
+    // each segment onto a 4-symbol alphabet by min/max-normalized
+    // integer bucketing — the dimensionality reduction that turns a time
+    // series into a short string for indexing/motif search (the q268 DTW
+    // companion). Everything is trunc-div integer arithmetic: daily
+    // means, segment means, and the bucket ((m−mn)·4) div (mx−mn+1) —
+    // no z-normalization float in sight, so the SAX strings are
+    // cross-engine exact. Scale shape: two keyed groupBys and one tiny
+    // broadcast of per-type min/max; the per-type string assembles from
+    // a sorted bounded segment list (weeks, not rows).
+    "q327_sax" -> ((s, d) => {
+      val daily = t(s, d, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("v"))
+      val paa = daily.groupBy(col("event_type"), expr("day div 7").as("seg"))
+        .agg(expr("sum(v) div count(1)").as("m"))
+      val mm = paa.groupBy("event_type").agg(min("m").as("mn"), max("m").as("mx"))
+      paa.join(broadcast(mm), "event_type")
+        .withColumn("sym", expr("((m - mn) * 4) div (mx - mn + 1)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("seg"), col("sym")))),
+              x => x.getField("sym").cast("string")), "").as("sax"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1518,6 +1547,27 @@ object Analysis {
          FROM dots
          JOIN norms n1 ON dots.i1 = n1.it
          JOIN norms n2 ON dots.i2 = n2.it""",
+
+    "q327_sax" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS v
+           FROM events GROUP BY 1, 2),
+         paa AS (
+           SELECT event_type, day // 7 AS seg,
+             CAST(sum(v) AS BIGINT) // count(*) AS m
+           FROM daily GROUP BY 1, 2),
+         mm AS (
+           SELECT event_type, min(m) AS mn, max(m) AS mx
+           FROM paa GROUP BY 1),
+         sym AS (
+           SELECT p.event_type, p.seg,
+             ((p.m - mn) * 4) // (mx - mn + 1) AS sym
+           FROM paa p JOIN mm ON p.event_type = mm.event_type)
+         SELECT event_type, count(*) AS n_segments,
+           string_agg(CAST(sym AS VARCHAR), '' ORDER BY seg) AS sax
+         FROM sym GROUP BY 1""",
 
     "q182_spike_detection" ->
       """WITH daily AS (

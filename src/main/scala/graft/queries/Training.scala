@@ -3346,6 +3346,54 @@ object Training {
             col("dfl").cast("double")) * 1e9).cast("long").as("term_e9"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_pairs"), sum("term_e9").as("coherence_e9"))
+    }),
+
+    // Burrows' Delta (2002) stylometric distance between every source
+    // pair: per-source relative frequencies of the corpus top-20 terms,
+    // z-scored per term across sources, delta = Σ_t |z_a − z_b| — and
+    // since the per-term mean cancels in the difference, each term
+    // contributes |f_a − f_b|/σ_t directly. Frequencies are exact e6
+    // integer shares, σ² is the exact integer moment chain
+    // (n·Σf²−(Σf)²)/n², and each term's contribution is floored to e6
+    // BEFORE the sum (merge-order-free, the q278 rule). The
+    // authorship/provenance-attribution readout over q83's TF machinery.
+    // Scale shape: one corpus token scan; everything after runs on the
+    // #sources × 20 grid with the top-term and per-source-total frames
+    // broadcast — the pair join fan-in is #sources per term, not rows.
+    "q328_burrows_delta" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val st = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .persist() // source totals + top-term probe both read it
+      val srcTot = st.groupBy("source").agg(sum("c").as("tot"))
+      val top = st.groupBy("term").agg(sum("c").as("gc"))
+        .orderBy(desc("gc"), asc("term")).limit(20)
+      val f = st.join(broadcast(top.select("term")), "term")
+        .join(broadcast(srcTot), "source")
+        .select(col("source"), col("term"),
+          expr("(c * 1000000) div tot").as("f_e6"))
+      val grid = srcTot.select("source")
+        .crossJoin(broadcast(top.select("term")))
+        .join(f, Seq("source", "term"), "left")
+        .na.fill(0L, Seq("f_e6"))
+        .persist() // per-term moments + both pair sides read it
+      val sigma = grid.groupBy("term").agg(count(lit(1)).as("ns"),
+          sum("f_e6").as("sf"), sum(col("f_e6") * col("f_e6")).as("sff"))
+        .select(col("term"),
+          ((col("ns") * col("sff") - col("sf") * col("sf")).cast("double") /
+            (col("ns") * col("ns")).cast("double")).as("v"))
+        .where(col("v") > 0.0)
+      val a = grid.select(col("source").as("src_a"), col("term"),
+        col("f_e6").as("fa"))
+      val b = grid.select(col("source").as("src_b"), col("term"),
+        col("f_e6").as("fb"))
+      a.join(b, "term").where(col("src_a") < col("src_b"))
+        .join(broadcast(sigma), "term")
+        .select(col("src_a"), col("src_b"),
+          floor(abs(col("fa") - col("fb")).cast("double") / sqrt(col("v"))
+            * 1e6).cast("long").as("t_e6"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_terms"), sum("t_e6").as("delta_sum_e6"))
     }))
 
   // ---- oracle SQL ----
@@ -6407,5 +6455,46 @@ object Training {
              AND prs.t1 = co.t1 AND prs.t2 = co.t2)
          SELECT source, count(*) AS n_pairs,
            CAST(sum(term_e9) AS BIGINT) AS coherence_e9
-         FROM scored GROUP BY 1""")
+         FROM scored GROUP BY 1""",
+
+    "q328_burrows_delta" ->
+      """WITH st AS MATERIALIZED (
+           SELECT source, term, count(*) AS c FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)
+           GROUP BY 1, 2),
+         src_tot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS tot
+           FROM st GROUP BY 1),
+         top AS (
+           SELECT term FROM (
+             SELECT term, CAST(sum(c) AS BIGINT) AS gc,
+               row_number() OVER (ORDER BY sum(c) DESC, term ASC) AS rk
+             FROM st GROUP BY term) WHERE rk <= 20),
+         f AS (
+           SELECT st.source, st.term, (st.c * 1000000) // tot AS f_e6
+           FROM st JOIN top ON st.term = top.term
+           JOIN src_tot ON st.source = src_tot.source),
+         grid AS MATERIALIZED (
+           SELECT s.source, t.term, coalesce(f.f_e6, 0) AS f_e6
+           FROM (SELECT source FROM src_tot) s
+           CROSS JOIN top t
+           LEFT JOIN f ON f.source = s.source AND f.term = t.term),
+         sigma AS (
+           SELECT term,
+             CAST(count(*) * sum(f_e6 * f_e6) - sum(f_e6) * sum(f_e6)
+               AS DOUBLE)
+               / CAST(count(*) * count(*) AS DOUBLE) AS v
+           FROM grid GROUP BY 1),
+         prs AS (
+           SELECT a.source AS src_a, b.source AS src_b, a.term,
+             CAST(floor(CAST(abs(a.f_e6 - b.f_e6) AS DOUBLE) / sqrt(v)
+               * 1000000.0) AS BIGINT) AS t_e6
+           FROM grid a
+           JOIN grid b ON a.term = b.term AND a.source < b.source
+           JOIN sigma ON sigma.term = a.term
+           WHERE v > 0.0)
+         SELECT src_a, src_b, count(*) AS n_terms,
+           CAST(sum(t_e6) AS BIGINT) AS delta_sum_e6
+         FROM prs GROUP BY 1, 2""")
 }
