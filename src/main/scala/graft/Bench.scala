@@ -130,7 +130,10 @@ object Bench {
     "q319_lead_lag_ccf", // lead-lag CCF vs the market series
     "q320_assortativity", // degree-degree correlation over the LSH graph
     "q321_mutual_nn", // cell-confined reciprocal top-1 mining
-    "q324_trustrank") // seeded trust propagation, 3 integer rounds
+    "q324_trustrank", // seeded trust propagation, 3 integer rounds
+    "q325_item_cf", // item-item CF cosine off user count vectors
+    "q326_umass_coherence", // top-term co-document coherence
+    "q328_burrows_delta") // stylometric source-pair distance
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2836,6 +2836,9 @@ object Training {
           explode(array_distinct(transform(
             sequence(lit(1), size(col("hs")) - (wWin - 1)),
             i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
+        // persisted: the md5-per-gram window-min explode dominates and
+        // both the sharing count and the join probe read it (q302 twin)
+        .persist()
       val sh = ex.groupBy("fp").agg(count(lit(1)).as("ndocs"))
       ex.join(sh, "fp")
         .groupBy("doc_id")
@@ -3055,6 +3058,10 @@ object Training {
           explode(array_distinct(transform(
             sequence(lit(1), size(col("hs")) - (wWin - 1)),
             i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
+        // persisted: the md5-per-gram window-min explode is the dominant
+        // cost and three consumers read it (the occupancy count and both
+        // sides of the bucket pair join) — unpersisted it executes 3x
+        .persist()
       val occ = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") <= 16)
       val inCap = fps.join(occ, "fp")
