@@ -1479,6 +1479,25 @@ object Analysis {
           array_join(
             transform(array_sort(collect_list(struct(col("seg"), col("sym")))),
               x => x.getField("sym").cast("string")), "").as("sax"))
+    }),
+
+    // Top-20 frequent 3-step user journeys: sliding event-type trigrams
+    // over each user's (ts, event_id)-ordered stream via two stacked
+    // lags — the sequence-mining readout (flows into a Sankey) that
+    // extends q174's Markov bigrams one step deeper. Exact counts, and
+    // the bounded top-k plans TakeOrderedAndProject (the q24 invariant),
+    // never a global sort. Scale shape: one keyed lag window + one hash
+    // groupBy on the trigram (domain ≤ #types³).
+    "q330_journey_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e3"))
+        .withColumn("e2", lag("e3", 1).over(w))
+        .withColumn("e1", lag("e3", 2).over(w))
+        .where(col("e1").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3")).limit(20)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1568,6 +1587,21 @@ object Analysis {
          SELECT event_type, count(*) AS n_segments,
            string_agg(CAST(sym AS VARCHAR), '' ORDER BY seg) AS sax
          FROM sym GROUP BY 1""",
+
+    "q330_journey_trigrams" ->
+      """WITH seq AS (
+           SELECT user_id,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e1,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             event_type AS e3
+           FROM events)
+         SELECT e1, e2, e3, count(*) AS n
+         FROM seq WHERE e1 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+         LIMIT 20""",
 
     "q182_spike_detection" ->
       """WITH daily AS (

@@ -640,6 +640,40 @@ object Warehouse {
         .select(col("nation"), col("segment"), col("bal_band"), col("k"),
           expr("1000000 div k").as("risk_e6"),
           (col("k") < 5L).as("suppressed"))
+    }),
+
+    // Columnar encoding cost model: delta + zigzag + varint size of each
+    // event_type's value stream in the (ts, event_id) total order — the
+    // what-if a storage engine answers before picking an encoding
+    // (Parquet DELTA_BINARY_PACKED's cousin, sized in exact bytes).
+    // zigzag(d) = 2d for d ≥ 0 else −2d−1 maps small signed deltas to
+    // small unsigned ints; varint bytes follow the 7-bit-per-byte CASE
+    // ladder. Everything is integer CASE arithmetic on a lag window —
+    // cross-engine exact, no floats. Scale shape: one keyed lag window
+    // and one groupBy on the same key; a single shuffle.
+    "q329_delta_encoding" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val vz = t(s, d, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .withColumn("delta", coalesce(col("v") - lag("v", 1).over(w), col("v")))
+        .withColumn("z", when(col("delta") >= 0, col("delta") * 2)
+          .otherwise(-col("delta") * 2 - 1))
+        .withColumn("vb",
+          when(col("z") < 128L, 1L)
+            .when(col("z") < 16384L, 2L)
+            .when(col("z") < 2097152L, 3L)
+            .when(col("z") < 268435456L, 4L)
+            .when(col("z") < 34359738368L, 5L)
+            .otherwise(10L))
+      vz.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) * 8L).as("raw_bytes"),
+          sum("vb").as("varint_bytes"))
+        .select(col("event_type"), col("n"), col("raw_bytes"),
+          col("varint_bytes"),
+          expr("((raw_bytes - varint_bytes) * 1000000) div raw_bytes")
+            .as("savings_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -674,6 +708,37 @@ object Warehouse {
            1000000 // k AS risk_e6,
            k < 5 AS suppressed
          FROM g""",
+
+    "q329_delta_encoding" ->
+      """WITH base AS (
+           SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dz AS (
+           SELECT event_type,
+             coalesce(v - lag(v, 1) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id), v) AS delta
+           FROM base),
+         z AS (
+           SELECT event_type,
+             CASE WHEN delta >= 0 THEN delta * 2
+                  ELSE -delta * 2 - 1 END AS z
+           FROM dz),
+         vb AS (
+           SELECT event_type,
+             CASE WHEN z < 128 THEN 1
+                  WHEN z < 16384 THEN 2
+                  WHEN z < 2097152 THEN 3
+                  WHEN z < 268435456 THEN 4
+                  WHEN z < 34359738368 THEN 5
+                  ELSE 10 END AS vb
+           FROM z)
+         SELECT event_type, count(*) AS n,
+           count(*) * 8 AS raw_bytes,
+           CAST(sum(vb) AS BIGINT) AS varint_bytes,
+           ((count(*) * 8 - CAST(sum(vb) AS BIGINT)) * 1000000)
+             // (count(*) * 8) AS savings_e6
+         FROM vb GROUP BY 1""",
 
     "q221_sdc_release" ->
       """WITH c AS (
