@@ -904,9 +904,15 @@ object Training {
       def grams(df: DataFrame, n: Int) = df
         .where(size(TextFunctions.tokens(col("text"))) >= n)
         .select(explode(array_distinct(Dedup.shingles(col("text"), n)))
-          .as("g")).distinct()
+          .as("g"))
       def novelty(n: Int): DataFrame = {
+        // test is distinct'd (its cardinality IS the denominator) and
+        // persisted (anti-join probe + count both read it); train stays
+        // RAW — LEFT ANTI semantics ignore right-side duplicates, so a
+        // distinct there would only add a full extra shuffle of the big
+        // side for nothing
         val test = grams(docs.where(col("source") === "src0"), n)
+          .distinct().persist()
         val train = grams(docs.where(col("source") =!= "src0"), n)
         test.join(train, Seq("g"), "left_anti").agg(count(lit(1)).as("n_novel"))
           .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
