@@ -543,6 +543,38 @@ object Stats {
             (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))) *
             1e6).cast("long").as("ccf_e6"))
+    }),
+
+    // Minimum detectable effect (80% power, two-sided α=0.05) for the
+    // q161 two-cohort setup: MDE = (z_{α/2}+z_β)·√(s²ₐ/nₐ + s²_b/n_b)
+    // with the z-sum pinned as the literal 2.8016 (1.96 + 0.8416 — a
+    // constant both engines parse identically, no inverse-CDF at
+    // runtime) — the experiment-sizing readout that belongs next to
+    // q233 CUPED and q234 SRM. Sample variances come from exact integer
+    // moment sums; the √ chain is one pinned double expression floored
+    // to e2 cents. One map-side-combinable aggregation per type.
+    "q332_power_mde" -> ((s, d0) => {
+      val base = t(s, d0, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"),
+          (col("user_id") % 2 === 0).as("in_a"))
+      val st = base.groupBy("event_type").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a"), col("v")).otherwise(0L)).as("s_a"),
+        sum(when(col("in_a"), col("v") * col("v")).otherwise(0L)).as("ss_a"),
+        sum(when(!col("in_a"), col("v")).otherwise(0L)).as("s_b"),
+        sum(when(!col("in_a"), col("v") * col("v")).otherwise(0L)).as("ss_b"))
+      def svar(n: Column, sv: Column, ss: Column): Column =
+        (n * ss - sv * sv).cast("double") / (n * (n - 1L)).cast("double")
+      val va = svar(col("n_a"), col("s_a"), col("ss_a"))
+      val vb = svar(col("n_b"), col("s_b"), col("ss_b"))
+      st.where(col("n_a") > 1 && col("n_b") > 1)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("s_a"), col("ss_a"), col("s_b"), col("ss_b"),
+          floor(lit(2.8016) *
+            sqrt(va / col("n_a").cast("double") + vb / col("n_b").cast("double")))
+            .cast("long").as("mde_e2"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -578,6 +610,32 @@ object Stats {
              * 1000000.0) AS BIGINT) AS ccf_e6
          FROM st
          WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+
+    "q332_power_mde" ->
+      """WITH base AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+             user_id % 2 = 0 AS in_a
+           FROM events),
+         st AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN in_a THEN v ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN in_a THEN v * v ELSE 0 END) AS BIGINT)
+               AS ss_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE v END) AS BIGINT) AS s_b,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE v * v END) AS BIGINT)
+               AS ss_b
+           FROM base GROUP BY 1)
+         SELECT event_type, n_a, n_b, s_a, ss_a, s_b, ss_b,
+           CAST(floor(2.8016 * sqrt(
+             CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) / CAST(n_a AS DOUBLE)
+             + CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+               / CAST(n_b * (n_b - 1) AS DOUBLE) / CAST(n_b AS DOUBLE)))
+             AS BIGINT) AS mde_e2
+         FROM st
+         WHERE n_a > 1 AND n_b > 1""",
 
     "q270_ucb_bandit" ->
       """WITH arms AS (

@@ -3407,6 +3407,39 @@ object Training {
             * 1e6).cast("long").as("t_e6"))
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_terms"), sum("t_e6").as("delta_sum_e6"))
+    }),
+
+    // word2vec-style negative sampling (Mikolov et al. 2013) with an
+    // exact integer cumulative table: unigram weights c^(3/4) computed
+    // as floor(sqrt(c·sqrt(c))·1000) — sqrt is IEEE-CORRECTLY-ROUNDED
+    // in both engines (pow/exp/ln are not), so the 3/4 power carries no
+    // libm knife edge — cumulative [lo, hi) ranges built with the
+    // distributed PrefixScan (no single-partition window over the
+    // vocab), and each (doc, pos, j) draw mapped into the table by a
+    // 60-bit md5 hash mod total weight: seeded, reproducible, and
+    // SQL-replayable. Output: per-term draw counts vs target weight,
+    // the sampler's empirical-vs-target readout. Scale shape: one token
+    // scan, the PrefixScan two-phase ranged cumsum, a broadcast range
+    // probe per draw — draws never shuffle.
+    "q331_negative_sampling" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .withColumn("w", floor(sqrt(col("c").cast("double") *
+          sqrt(col("c").cast("double"))) * 1000).cast("long"))
+      val ranges = graft.operators.PrefixScan.scanLong(
+          vocab, "hi", "w", "sum", inclusive = true, asc("term"))
+        .withColumn("lo", col("hi") - col("w"))
+      val tot = ranges.agg(max("hi").as("wtot"))
+      val draws = tok.where(col("pos") < 5)
+        .withColumn("j", explode(array(lit(1L), lit(2L))))
+        .crossJoin(broadcast(tot))
+        .withColumn("h", pmod(TextFunctions.hash60(
+          concat_ws(":", col("doc_id"), col("pos"), col("j"))), col("wtot")))
+      draws.join(broadcast(ranges.select(col("term").as("neg"),
+          col("lo"), col("hi"), col("w"))),
+          col("h") >= col("lo") && col("h") < col("hi"))
+        .groupBy("neg", "w").agg(count(lit(1)).as("n_draws"))
     }))
 
   // ---- oracle SQL ----
@@ -6509,5 +6542,37 @@ object Training {
            WHERE v > 0.0)
          SELECT src_a, src_b, count(*) AS n_terms,
            CAST(sum(t_e6) AS BIGINT) AS delta_sum_e6
-         FROM prs GROUP BY 1, 2""")
+         FROM prs GROUP BY 1, 2""",
+
+    "q331_negative_sampling" ->
+      """WITH tok AS MATERIALIZED (
+           SELECT doc_id,
+             generate_subscripts(string_split(lower(text), ' '), 1) - 1
+               AS pos,
+             unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         vocab AS (
+           SELECT term, count(*) AS c,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)
+               * sqrt(CAST(count(*) AS DOUBLE))) * 1000) AS BIGINT) AS w
+           FROM tok GROUP BY 1),
+         ranges AS (
+           SELECT term, w,
+             CAST(sum(w) OVER (ORDER BY term ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS hi
+           FROM vocab),
+         r2 AS (SELECT term, w, hi, hi - w AS lo FROM ranges),
+         tot AS (SELECT max(hi) AS wtot FROM r2),
+         draws AS (
+           SELECT t.doc_id, t.pos, j.j,
+             CAST(concat('0x', substr(md5(
+               concat_ws(':', t.doc_id, t.pos, j.j)), 1, 15)) AS BIGINT)
+               % wtot AS h
+           FROM tok t
+           CROSS JOIN (SELECT unnest([1, 2]) AS j) j
+           CROSS JOIN tot
+           WHERE t.pos < 5)
+         SELECT r2.term AS neg, r2.w, count(*) AS n_draws
+         FROM draws JOIN r2 ON h >= lo AND h < hi
+         GROUP BY 1, 2""")
 }
