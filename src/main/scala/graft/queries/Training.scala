@@ -3440,6 +3440,52 @@ object Training {
           col("lo"), col("hi"), col("w"))),
           col("h") >= col("lo") && col("h") < col("hi"))
         .groupBy("neg", "w").agg(count(lit(1)).as("n_draws"))
+    }),
+
+    // Good–Turing count re-estimation (the classical LM smoother next
+    // to q258's Kneser–Ney): adjusted count c* = (c+1)·N_{c+1}/N_c from
+    // the count-of-counts table, reported for c ≤ 5 where the estimator
+    // is meaningful — exact e6 integer division, the N_{c+1} lookup is
+    // a self-join on the tiny count-of-counts frame. Scale shape: one
+    // token groupBy, one count-of-counts groupBy (domain = distinct
+    // counts), one keyed join on that bounded frame.
+    "q333_good_turing" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val coc = tc.groupBy("c").agg(count(lit(1)).as("n_c"))
+      val next = coc.select((col("c") - 1L).as("c"), col("n_c").as("n_c1"))
+      coc.join(next, Seq("c"), "left")
+        .where(col("c") <= 5)
+        .withColumn("n_c1", coalesce(col("n_c1"), lit(0L)))
+        .select(col("c"), col("n_c"), col("n_c1"),
+          expr("((c + 1) * n_c1 * 1000000) div n_c").as("c_star_e6"))
+    }),
+
+    // Brier reliability bins — q164's calibration table upgraded with
+    // the forecast mean, the calibration gap, and the per-bin Brier
+    // contribution: forecast p = (emb[0]+1)/2 in e3 milli-units (the
+    // per-row squared error (p−o)² then fits int64 to ~10¹² rows),
+    // outcome = label parity, deciles of p. f̄, ō, and the gap are
+    // trunc e3 integer divisions; the Brier sum is an exact integer.
+    // One map-side-combinable groupBy — nothing wider than 10 bins.
+    "q334_brier_bins" -> ((s, d) => {
+      val p = expr("""greatest(0L, least(1000L,
+        cast(floor((CAST(embedding[0] AS DOUBLE) + 1.0) / 2.0 * 1000) as bigint)))""")
+      t(s, d, "embeddings")
+        .select(p.as("p_e3"), (col("label") % 2 === 1).as("pos"))
+        .withColumn("o_e3", when(col("pos"), 1000L).otherwise(0L))
+        .groupBy(expr("least(p_e3 div 100, 9L)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("p_e3").as("sp_e3"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum((col("p_e3") - col("o_e3")) * (col("p_e3") - col("o_e3")))
+            .as("brier_sum_e6"))
+        .select(col("bucket"), col("n"), col("sp_e3"), col("n_pos"),
+          expr("sp_e3 div n").as("fbar_e3"),
+          expr("(n_pos * 1000) div n").as("obar_e3"),
+          expr("sp_e3 div n - (n_pos * 1000) div n").as("gap_e3"),
+          col("brier_sum_e6"))
     }))
 
   // ---- oracle SQL ----
@@ -6574,5 +6620,44 @@ object Training {
            WHERE t.pos < 5)
          SELECT r2.term AS neg, r2.w, count(*) AS n_draws
          FROM draws JOIN r2 ON h >= lo AND h < hi
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+
+    "q333_good_turing" ->
+      """WITH tc AS (
+           SELECT term, count(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)
+           GROUP BY 1),
+         coc AS (SELECT c, count(*) AS n_c FROM tc GROUP BY 1),
+         nxt AS (SELECT c - 1 AS c, n_c AS n_c1 FROM coc)
+         SELECT coc.c, coc.n_c, coalesce(nxt.n_c1, 0) AS n_c1,
+           ((coc.c + 1) * coalesce(nxt.n_c1, 0) * 1000000) // coc.n_c
+             AS c_star_e6
+         FROM coc LEFT JOIN nxt ON coc.c = nxt.c
+         WHERE coc.c <= 5""",
+
+    "q334_brier_bins" ->
+      """WITH base AS (
+           SELECT greatest(0, least(1000,
+               CAST(floor((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0
+                 * 1000) AS BIGINT))) AS p_e3,
+             label % 2 = 1 AS pos
+           FROM embeddings),
+         b2 AS (
+           SELECT p_e3, pos,
+             CASE WHEN pos THEN 1000 ELSE 0 END AS o_e3,
+             least(p_e3 // 100, 9) AS bucket
+           FROM base)
+         SELECT bucket, count(*) AS n,
+           CAST(sum(p_e3) AS BIGINT) AS sp_e3,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(p_e3) AS BIGINT) // count(*) AS fbar_e3,
+           (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // count(*) AS obar_e3,
+           CAST(sum(p_e3) AS BIGINT) // count(*)
+             - (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000) // count(*) AS gap_e3,
+           CAST(sum((p_e3 - o_e3) * (p_e3 - o_e3)) AS BIGINT)
+             AS brier_sum_e6
+         FROM b2 GROUP BY 1""")
 }
