@@ -575,6 +575,65 @@ object Stats {
           floor(lit(2.8016) *
             sqrt(va / col("n_a").cast("double") + vb / col("n_b").cast("double")))
             .cast("long").as("mde_e2"))
+    }),
+
+    // Page–Hinkley drift detector per daily series — the sequential
+    // mean-shift test next to q208's CUSUM: at each step the deviation
+    // from the RUNNING mean (minus a δ=50 e2-cents slack) accumulates,
+    // and an alarm fires when the accumulator exceeds its running
+    // minimum by λ=500. The running mean is a trunc integer division of
+    // the prefix sum, so every step replays exactly in SQL. Scale
+    // shape: four stacked windows sharing one (type, day) key+order —
+    // a single shuffle, state linear in days per type.
+    "q335_page_hinkley" -> ((s, d0) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d0, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("y"))
+        .withColumn("t", count(lit(1)).over(w))
+        .withColumn("cum", sum("y").over(w))
+        .withColumn("dev", col("y") - expr("cum div t") - lit(50L))
+        .withColumn("ph", sum("dev").over(w))
+        .withColumn("mn", min("ph").over(w))
+        .select(col("event_type"), col("day"), col("ph"),
+          (col("ph") - col("mn")).as("excursion"),
+          (col("ph") - col("mn") > 500L).as("alarm"))
+    }),
+
+    // Multiwindow SLO burn-rate alert (the SRE-book pattern): hourly
+    // error rates (value > 150 ≈ p95 as the "bad" predicate) against a
+    // 5% error budget, burn = rate/budget = rate×20, and the alert
+    // fires only when BOTH the 6-hour and 24-hour burns exceed 2× —
+    // the two-window AND that suppresses blips without missing slow
+    // burns. RANGE-framed windows over the integer hour key handle
+    // gapped hours exactly; everything is integer e6 arithmetic.
+    // Scale shape: one hourly groupBy + two range windows on the same
+    // (type, hour) key — a single shuffle.
+    "q336_slo_burn" -> ((s, d0) => {
+      def rw(h: Long) = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hr").rangeBetween(-(h - 1), 0)
+      val hourly = t(s, d0, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          when(col("value") > 150.0, 1L).otherwise(0L).as("bad"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), sum("bad").as("nbad"))
+      hourly
+        .withColumn("n6", sum("n").over(rw(6)))
+        .withColumn("bad6", sum("nbad").over(rw(6)))
+        .withColumn("n24", sum("n").over(rw(24)))
+        .withColumn("bad24", sum("nbad").over(rw(24)))
+        .select(col("event_type"), col("hr"), col("n6"), col("bad6"),
+          col("n24"), col("bad24"),
+          expr("(bad6 * 1000000 div n6) * 20").as("burn6_e6"),
+          expr("(bad24 * 1000000 div n24) * 20").as("burn24_e6"),
+          (expr("(bad6 * 1000000 div n6) * 20") > 2000000L &&
+            expr("(bad24 * 1000000 div n24) * 20") > 2000000L).as("alarm"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -636,6 +695,64 @@ object Stats {
              AS BIGINT) AS mde_e2
          FROM st
          WHERE n_a > 1 AND n_b > 1""",
+
+    "q335_page_hinkley" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS y
+           FROM events GROUP BY 1, 2),
+         acc AS (
+           SELECT event_type, day, y,
+             count(*) OVER w AS t,
+             CAST(sum(y) OVER w AS BIGINT) AS cum
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING)),
+         dev AS (
+           SELECT event_type, day, y - cum // t - 50 AS dev
+           FROM acc),
+         ph AS (
+           SELECT event_type, day,
+             CAST(sum(dev) OVER w AS BIGINT) AS ph
+           FROM dev
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING)),
+         mn AS (
+           SELECT event_type, day, ph,
+             min(ph) OVER w AS mn
+           FROM ph
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING))
+         SELECT event_type, day, ph, ph - mn AS excursion,
+           ph - mn > 500 AS alarm
+         FROM mn""",
+
+    "q336_slo_burn" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             count(*) AS n,
+             CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nbad
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, hr,
+             CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+             CAST(sum(nbad) OVER w6 AS BIGINT) AS bad6,
+             CAST(sum(n) OVER w24 AS BIGINT) AS n24,
+             CAST(sum(nbad) OVER w24 AS BIGINT) AS bad24
+           FROM hourly
+           WINDOW
+             w6 AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+             w24 AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_type, hr, n6, bad6, n24, bad24,
+           (bad6 * 1000000 // n6) * 20 AS burn6_e6,
+           (bad24 * 1000000 // n24) * 20 AS burn24_e6,
+           (bad6 * 1000000 // n6) * 20 > 2000000
+             AND (bad24 * 1000000 // n24) * 20 > 2000000 AS alarm
+         FROM win""",
 
     "q270_ucb_bandit" ->
       """WITH arms AS (
