@@ -634,6 +634,38 @@ object Stats {
           expr("(bad24 * 1000000 div n24) * 20").as("burn24_e6"),
           (expr("(bad6 * 1000000 div n6) * 20") > 2000000L &&
             expr("(bad24 * 1000000 div n24) * 20") > 2000000L).as("alarm"))
+    }),
+
+    // Two-proportion z-test per event_type (conversion = value > 150,
+    // cohorts by user parity) — the binary-outcome A/B readout next to
+    // q161's Welch t (continuous) and q332's MDE: pooled
+    // p = (cₐ+c_b)/(nₐ+n_b), z = (p̂ₐ−p̂_b)/√(p(1−p)(1/nₐ+1/n_b)).
+    // All counts exact integers; the z is one pinned double chain
+    // floored to e6, guarded to non-degenerate pooled rates. One
+    // map-side-combinable aggregation.
+    "q338_two_prop_z" -> ((s, d0) => {
+      val st = t(s, d0, "events")
+        .select(col("event_type"),
+          when(col("value") > 150.0, 1L).otherwise(0L).as("conv"),
+          (col("user_id") % 2 === 0).as("in_a"))
+        .groupBy("event_type").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("in_a"), col("conv")).otherwise(0L)).as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a").cast("double")
+      val pb = col("c_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      st.where(col("n_a") > 0 && col("n_b") > 0 &&
+          col("c_a") + col("c_b") > 0 &&
+          col("c_a") + col("c_b") < col("n_a") + col("n_b"))
+        .select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
+          col("c_b"),
+          floor((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double"))) * 1e6)
+            .cast("long").as("z_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -753,6 +785,31 @@ object Stats {
            (bad6 * 1000000 // n6) * 20 > 2000000
              AND (bad24 * 1000000 // n24) * 20 > 2000000 AS alarm
          FROM win""",
+
+    "q338_two_prop_z" ->
+      """WITH st AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 150.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > 150.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+           FROM events GROUP BY 1)
+         SELECT event_type, n_a, c_a, n_b, c_b,
+           CAST(floor(
+             (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS z_e6
+         FROM st
+         WHERE n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+           AND c_a + c_b < n_a + n_b""",
 
     "q270_ucb_bandit" ->
       """WITH arms AS (

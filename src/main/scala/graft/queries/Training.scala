@@ -3486,6 +3486,32 @@ object Training {
           expr("(n_pos * 1000) div n").as("obar_e3"),
           expr("sp_e3 div n - (n_pos * 1000) div n").as("gap_e3"),
           col("brier_sum_e6"))
+    }),
+
+    // ROC curve points at decile thresholds — the curve behind q155's
+    // scalar AUC: score-bucket the corpus once, then TP/FP at each cut
+    // are descending cumulative sums over the 11-row bucket frame (a
+    // deliberately bounded single-partition window, like every ≤100-row
+    // top-k form here), with TPR/FPR as exact e6 divisions against the
+    // broadcast class totals. One groupBy shuffles; the sweep itself
+    // touches 11 rows.
+    "q337_roc_points" -> ((s, d) => {
+      val per = t(s, d, "embeddings")
+        .select(expr("""cast(floor((CAST(embedding[0] AS DOUBLE) + 1.0)
+            / 2.0 * 10) as bigint)""").as("bkt"),
+          (col("label") % 2 === 1).as("pos"))
+        .groupBy("bkt")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      val tot = per.agg(sum("np").as("p_tot"), sum("nn").as("n_tot"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(desc("bkt"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      per.withColumn("tp", sum("np").over(w))
+        .withColumn("fp", sum("nn").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bkt").as("threshold_bkt"), col("tp"), col("fp"),
+          expr("(tp * 1000000) div p_tot").as("tpr_e6"),
+          expr("(fp * 1000000) div n_tot").as("fpr_e6"))
     }))
 
   // ---- oracle SQL ----
@@ -6659,5 +6685,30 @@ object Training {
                 * 1000) // count(*) AS gap_e3,
            CAST(sum((p_e3 - o_e3) * (p_e3 - o_e3)) AS BIGINT)
              AS brier_sum_e6
-         FROM b2 GROUP BY 1""")
+         FROM b2 GROUP BY 1""",
+
+    "q337_roc_points" ->
+      """WITH per AS (
+           SELECT CAST(floor((CAST(embedding[1] AS DOUBLE) + 1.0)
+               / 2.0 * 10) AS BIGINT) AS bkt,
+             CAST(sum(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS np,
+             CAST(sum(CASE WHEN label % 2 = 1 THEN 0 ELSE 1 END)
+               AS BIGINT) AS nn
+           FROM embeddings GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(np) AS BIGINT) AS p_tot,
+             CAST(sum(nn) AS BIGINT) AS n_tot
+           FROM per),
+         cum AS (
+           SELECT bkt,
+             CAST(sum(np) OVER (ORDER BY bkt DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+             CAST(sum(nn) OVER (ORDER BY bkt DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+           FROM per)
+         SELECT bkt AS threshold_bkt, tp, fp,
+           (tp * 1000000) // p_tot AS tpr_e6,
+           (fp * 1000000) // n_tot AS fpr_e6
+         FROM cum, tot""")
 }
