@@ -666,6 +666,75 @@ object Stats {
             (lit(1.0) / col("n_a").cast("double") +
               lit(1.0) / col("n_b").cast("double"))) * 1e6)
             .cast("long").as("z_e6"))
+    }),
+
+    // MASE (mean absolute SCALED error, Hyndman & Koehler 2006) of the
+    // seasonal-naive forecast against the naive-1 scale, per daily
+    // series — the scale-free accuracy metric q241's backtest should be
+    // read through: both MAE numerators are exact integer |y−lag| sums
+    // over one keyed window pass, and the ratio is one e6 integer
+    // division. < 1e6 means weekly seasonality beats persistence.
+    "q339_mase" -> ((s, d0) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      t(s, d0, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("y"))
+        .withColumn("l1", lag("y", 1).over(w))
+        .withColumn("l7", lag("y", 7).over(w))
+        .where(col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("y") - col("l1"))).as("mae1_num"),
+          sum(abs(col("y") - col("l7"))).as("mae7_num"))
+        .where(col("mae1_num") > 0)
+        .select(col("event_type"), col("n"), col("mae1_num"),
+          col("mae7_num"),
+          expr("(mae7_num * 1000000) div mae1_num").as("mase_e6"))
+    }),
+
+    // Kendall's τ-b between each daily series and the market series —
+    // the rank-correlation twin of q257's Spearman, EXACT in its
+    // combinatorial core: concordant, discordant, and tie-pair counts
+    // are integer sums over the per-type day-pair frame (bounded by the
+    // calendar², not rows — it does NOT grow with data volume), and
+    // only the final τ-b is one pinned double chain. Scale shape: the
+    // pair join keys on event_type over the SMALL daily frame; the raw
+    // corpus only ever passes through the two daily groupBys.
+    "q340_kendall_tau" -> ((s, d0) => {
+      val base = t(s, d0, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val daily = base.groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("y"))
+      val market = base.groupBy("day")
+        .agg(expr("sum(v_e2) div count(1)").as("x"))
+      val dm = daily.join(market, "day")
+      val a = dm.select(col("event_type"), col("day").as("d1"),
+        col("y").as("y1"), col("x").as("x1"))
+      val b = dm.select(col("event_type"), col("day").as("d2"),
+        col("y").as("y2"), col("x").as("x2"))
+      val st = a.join(b, "event_type").where(col("d1") < col("d2"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n0"),
+          sum(when((col("y1") < col("y2") && col("x1") < col("x2")) ||
+            (col("y1") > col("y2") && col("x1") > col("x2")), 1L)
+            .otherwise(0L)).as("nc"),
+          sum(when((col("y1") < col("y2") && col("x1") > col("x2")) ||
+            (col("y1") > col("y2") && col("x1") < col("x2")), 1L)
+            .otherwise(0L)).as("nd"),
+          sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ty"),
+          sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"))
+      st.where(col("n0") > col("ty") && col("n0") > col("tx"))
+        .select(col("event_type"), col("n0"), col("nc"), col("nd"),
+          col("ty"), col("tx"),
+          floor((col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("ty")).cast("double") *
+              (col("n0") - col("tx")).cast("double")) * 1e6)
+            .cast("long").as("tau_b_e6"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -810,6 +879,64 @@ object Stats {
          FROM st
          WHERE n_a > 0 AND n_b > 0 AND c_a + c_b > 0
            AND c_a + c_b < n_a + n_b""",
+
+    "q339_mase" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS y
+           FROM events GROUP BY 1, 2),
+         lg AS (
+           SELECT event_type, day, y,
+             lag(y, 1) OVER w AS l1,
+             lag(y, 7) OVER w AS l7
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         st AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(abs(y - l1)) AS BIGINT) AS mae1_num,
+             CAST(sum(abs(y - l7)) AS BIGINT) AS mae7_num
+           FROM lg WHERE l7 IS NOT NULL GROUP BY 1)
+         SELECT event_type, n, mae1_num, mae7_num,
+           (mae7_num * 1000000) // mae1_num AS mase_e6
+         FROM st WHERE mae1_num > 0""",
+
+    "q340_kendall_tau" ->
+      """WITH base AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         daily AS (
+           SELECT event_type, day,
+             CAST(sum(v_e2) AS BIGINT) // count(*) AS y
+           FROM base GROUP BY 1, 2),
+         market AS (
+           SELECT day, CAST(sum(v_e2) AS BIGINT) // count(*) AS x
+           FROM base GROUP BY 1),
+         dm AS (
+           SELECT d.event_type, d.day, d.y, m.x
+           FROM daily d JOIN market m ON d.day = m.day),
+         st AS (
+           SELECT a.event_type, count(*) AS n0,
+             CAST(sum(CASE WHEN (a.y < b.y AND a.x < b.x)
+               OR (a.y > b.y AND a.x > b.x) THEN 1 ELSE 0 END)
+               AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (a.y < b.y AND a.x > b.x)
+               OR (a.y > b.y AND a.x < b.x) THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS ty,
+             CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+               AS BIGINT) AS tx
+           FROM dm a JOIN dm b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1)
+         SELECT event_type, n0, nc, nd, ty, tx,
+           CAST(floor(CAST(nc - nd AS DOUBLE)
+             / sqrt(CAST(n0 - ty AS DOUBLE) * CAST(n0 - tx AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS tau_b_e6
+         FROM st
+         WHERE n0 > ty AND n0 > tx""",
 
     "q270_ucb_bandit" ->
       """WITH arms AS (
