@@ -46,16 +46,23 @@ object Analysis {
     }),
 
     // Wealth percentile by cumulative population share (analysis.py:73-81)
-    // + fixed-bin regrouping (pd.cut, analysis.py:194-196).
+    // + fixed-bin regrouping (pd.cut, analysis.py:194-196). Scale shape:
+    // the global cumulative count runs through the two-phase distributed
+    // PrefixScan (range-sort + broadcast per-partition offsets), never a
+    // single-partition window; the population total rides a broadcast
+    // 1-row aggregate, not a driver count() action; and the 40%/80%
+    // boundaries compare in integers (cum*5 vs n*2 / n*4) so there is no
+    // float knife-edge at an exact quantile boundary.
     "q71_wealth_percentile" -> ((s, d) => {
-      val w = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val n = t(s, d, "customer").count() // driver scalar, embedded as literal
-      t(s, d, "customer")
-        .withColumn("cum", count(lit(1)).over(w))
-        .withColumn("pct", col("cum").cast("double") / n)
+      val cust = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val scanned = graft.operators.PrefixScan.scanLong(
+        cust.withColumn("one", lit(1L)), "cum", "one", "sum",
+        inclusive = true, desc("c_acctbal"), asc("c_custkey"))
+      val nDf = cust.agg(count(lit(1)).as("n_total"))
+      scanned.crossJoin(broadcast(nDf))
         .withColumn("wealth_group",
-          when(col("pct") <= 0.4, "top").when(col("pct") <= 0.8, "mid")
+          when(col("cum") * 5 <= col("n_total") * 2, "top")
+            .when(col("cum") * 5 <= col("n_total") * 4, "mid")
             .otherwise("bottom"))
         .groupBy("wealth_group")
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
@@ -326,13 +333,15 @@ object Analysis {
 
     // RFM customer segmentation: recency (days since last order at a
     // fixed asof day), frequency, monetary (centi-units) per customer,
-    // each scored into quintiles — ntile over a total order (metric +
-    // custkey tiebreak) so both engines assign identical ranks — and
-    // combined into the classic 3-digit segment code. The three global
-    // ntiles are the q17-style single-partition form, fine to customer-
-    // dimension cardinality; at fact-table scale each becomes the q91
-    // range-sort global rank with quintile = ((rank-1)*5) div n — same
-    // answer, no single partition.
+    // each scored into quintiles over a total order (metric + custkey
+    // tiebreak) and combined into the classic 3-digit segment code.
+    // Scale shape: each quintile score is a two-phase distributed global
+    // rank (Ranking.globalRank range-sort, no single-partition window)
+    // plus the exact ntile(5) allocation formula from (rank, n) — the
+    // first n%5 buckets get ceil(n/5) rows, the rest floor(n/5) — so the
+    // DuckDB ntile oracle is reproduced bit-for-bit; n rides a broadcast
+    // 1-row aggregate, and the three scores re-join on the customer key
+    // (keyed shuffles only).
     "q176_rfm" -> ((s, d) => {
       val asofDay = lit(20000L) // fixed epoch-day after the data window
       val rfm = t(s, d, "orders")
@@ -348,12 +357,28 @@ object Analysis {
       // classic convention: 5 = best. ntile bucket 1 goes to the FIRST
       // rows of the order, so the worst values must sort first — largest
       // recency (least recent), lowest frequency, lowest spend.
-      def score(c: String, asc0: Boolean) = ntile(5).over(
-        Window.orderBy(if (asc0) asc(c) else desc(c), asc("custkey")))
-      rfm
-        .withColumn("r_score", score("recency", asc0 = false))
-        .withColumn("f_score", score("frequency", asc0 = true))
-        .withColumn("m_score", score("monetary_e2", asc0 = true))
+      val rfmP = rfm.persist() // 3 rank passes + final join share one agg
+      val nDf = rfmP.agg(count(lit(1)).as("n_total"))
+      // exact ntile(5) from a 1-based total-order rank: with q = n div 5
+      // and rem = n % 5, ranks 1..rem*(q+1) land in buckets of size q+1,
+      // the rest in buckets of size q (guarded for the n<5 edge, where
+      // the first branch always fires).
+      val ntileFromRank =
+        """CASE WHEN rnk <= (n_total % 5) * (n_total div 5 + 1)
+                THEN (rnk - 1) div (n_total div 5 + 1) + 1
+                ELSE (n_total % 5) + 1 +
+                     (rnk - 1 - (n_total % 5) * (n_total div 5 + 1))
+                       div greatest(n_total div 5, 1)
+           END"""
+      def score(c: String, asc0: Boolean, out: String): DataFrame =
+        graft.operators.Ranking.globalRank(rfmP.select("custkey", c), "rnk",
+            if (asc0) asc(c) else desc(c), asc("custkey"))
+          .crossJoin(broadcast(nDf))
+          .select(col("custkey"), expr(ntileFromRank).cast("long").as(out))
+      rfmP
+        .join(score("recency", asc0 = false, "r_score"), "custkey")
+        .join(score("frequency", asc0 = true, "f_score"), "custkey")
+        .join(score("monetary_e2", asc0 = true, "m_score"), "custkey")
         .select(col("custkey"), col("recency"), col("frequency"),
           col("monetary_e2"),
           (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
@@ -2044,8 +2069,8 @@ object Analysis {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
              count(*) OVER () AS n
            FROM customer)
-         SELECT CASE WHEN CAST(cum AS DOUBLE)/n <= 0.4 THEN 'top'
-                     WHEN CAST(cum AS DOUBLE)/n <= 0.8 THEN 'mid'
+         SELECT CASE WHEN cum * 5 <= n * 2 THEN 'top'
+                     WHEN cum * 5 <= n * 4 THEN 'mid'
                      ELSE 'bottom' END AS wealth_group,
            count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
          FROM ranked GROUP BY 1""",

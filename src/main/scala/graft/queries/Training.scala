@@ -2742,10 +2742,10 @@ object Training {
     // (integer micro-units, doc_id tiebreak), take the prefix whose
     // cumulative token count fits the budget. The cumulative sum is a
     // two-level distributed prefix sum — scalable global rank, coarse
-    // 64-row buckets, per-bucket totals prefix-summed on the (n/64-row)
-    // bucket frame, then a KEYED within-bucket window — not one global
-    // single-partition window; at 100 TB the bucket level recurses
-    // (log₆₄ n levels), same shape.
+    // 64-row buckets, per-bucket totals exclusive-scanned by the same
+    // two-phase distributed PrefixScan (range-sort + broadcast offsets,
+    // never a single-partition window), then a KEYED within-bucket
+    // window. Both levels stay distributed at any n.
     "q248_token_budget_fill" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
@@ -2758,10 +2758,9 @@ object Training {
       val ranked = graft.operators.Ranking.globalRank(
         docs, "rnk", desc("prio_e6"), asc("doc_id"))
       val bucketed = ranked.withColumn("bkt", expr("(rnk - 1) div 64"))
-      val wB = Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bktPre = bucketed.groupBy("bkt").agg(sum("n_tok").as("bt"))
-        .withColumn("pre_tok", coalesce(sum("bt").over(wB), lit(0L)))
+      val bktPre = graft.operators.PrefixScan.scanLong(
+          bucketed.groupBy("bkt").agg(sum("n_tok").as("bt")),
+          "pre_tok", "bt", "sum", inclusive = false, asc("bkt"))
         .select("bkt", "pre_tok")
       val wIn = Window.partitionBy("bkt").orderBy("rnk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

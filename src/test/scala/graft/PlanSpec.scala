@@ -911,4 +911,21 @@ class PlanSpec extends SparkSpec {
     assert(p301.contains("BroadcastHashJoin"), p301)
     assert(!p301.contains("SortMergeJoin"), p301)
   }
+
+  test("q71/q176 global cumulative/quintile scores plan NO Window at all") {
+    // both ride the two-phase distributed scan/rank (PrefixScan /
+    // Ranking.globalRank); a Window node here would mean the
+    // single-partition global-order form crept back in
+    for (q <- Seq("q71_wealth_percentile", "q176_rfm")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("q248 budget fill: only KEYED windows remain (bucket prefix is a " +
+      "distributed PrefixScan)") {
+    val p = plan("q248_token_budget_fill")
+    assert(p.contains("windowspecdefinition(bkt#"), p)
+    assert(!"windowspecdefinition\\((?!bkt#)".r.findFirstIn(p).isDefined, p)
+  }
 }
