@@ -133,7 +133,14 @@ object Bench {
     "q324_trustrank", // seeded trust propagation, 3 integer rounds
     "q325_item_cf", // item-item CF cosine off user count vectors
     "q326_umass_coherence", // top-term co-document coherence
-    "q328_burrows_delta") // stylometric source-pair distance
+    "q328_burrows_delta", // stylometric source-pair distance
+    "q330_journey_trigrams", // event-type trigram paths per user
+    "q331_negative_sampling", // cumulative-table draws, celled equi-probe
+    "q333_good_turing", // count-of-counts re-estimation
+    "q339_mase", // MASE scaled forecast error
+    "q340_kendall_tau", // Kendall tau-b vs the market series
+    "q341_tpch_q1", // the canonical lineitem pricing summary
+    "q342_lr_expansion") // regex features x K broadcast linear models
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

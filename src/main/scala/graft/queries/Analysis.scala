@@ -1279,6 +1279,38 @@ object Analysis {
     // decimals. With q305/q306/q307/q308/q309 this completes the TPC-H
     // suite minus the four partsupp-dependent queries (no partsupp
     // table in this schema).
+    // TPC-H Q1 — the canonical lineitem pricing summary: the date
+    // predicate pushes into the parquet scan, then ONE map-side partial
+    // + final hash aggregate over the 6-value (returnflag, linestatus)
+    // key — the textbook fully-distributed shape (no join, no window,
+    // combine-heavy shuffle of 6 rows per partition). Money math in
+    // narrow decimals (triple product stays well under both engines'
+    // 38-digit cap), scaled to integer units; the three averages are
+    // integer trunc divisions of the scaled sums, so every output cell
+    // is engine-independent BIGINT. e2-sum × 1e4 bounds: safe to ~1e12
+    // filtered rows per group (sum_base_e2 ~1e15 at TPC-H SF10k).
+    "q341_tpch_q1" -> ((s, d) => {
+      val qty = col("l_quantity").cast("decimal(12,2)")
+      val price = col("l_extendedprice").cast("decimal(14,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax = col("l_tax").cast("decimal(4,2)")
+      val one = lit(1).cast("decimal(4,2)")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(qty) * 100).cast("long").as("sum_qty_e2"),
+          (sum(price) * 100).cast("long").as("sum_base_e2"),
+          (sum(price * (one - disc)) * 10000).cast("long").as("sum_disc_e4"),
+          (sum(price * (one - disc) * (one + tax)) * 1000000).cast("long")
+            .as("sum_charge_e6"),
+          (sum(disc) * 100).cast("long").as("sum_discount_e2"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty_e6", expr("sum_qty_e2 * 10000 div n"))
+        .withColumn("avg_price_e6", expr("sum_base_e2 * 10000 div n"))
+        .withColumn("avg_disc_e6", expr("sum_discount_e2 * 10000 div n"))
+    }),
+
     "q310_tpch_q6" -> ((s, d) => {
       t(s, d, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1472,8 +1504,14 @@ object Analysis {
         .join(broadcast(norms.select(col("it").as("i1"), col("nn").as("nn1"))), "i1")
         .join(broadcast(norms.select(col("it").as("i2"), col("nn").as("nn2"))), "i2")
         .select(col("i1"), col("i2"), col("dot"), col("n_users"),
+          // sqrt(nn1)·sqrt(nn2), NOT sqrt(nn1*nn2): the BIGINT product
+          // of two sum-of-squares can pass int64 at scale, where Spark
+          // (non-ANSI) wraps silently while DuckDB raises — the split
+          // keeps every factor in range and both sqrts are IEEE
+          // correctly rounded, so the pinned double chain stays exact
+          // cross-engine (same posture as q319/q340).
           floor(col("dot").cast("double") /
-            sqrt((col("nn1") * col("nn2")).cast("double")) * 1e6)
+            (sqrt(col("nn1").cast("double")) * sqrt(col("nn2").cast("double"))) * 1e6)
             .cast("long").as("cos_e6"))
     }),
 
@@ -1586,8 +1624,8 @@ object Analysis {
            FROM c GROUP BY 1)
          SELECT i1, i2, dot, n_users,
            CAST(floor(CAST(dot AS DOUBLE)
-             / sqrt(CAST(n1.nn * n2.nn AS DOUBLE)) * 1000000.0) AS BIGINT)
-             AS cos_e6
+             / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS cos_e6
          FROM dots
          JOIN norms n1 ON dots.i1 = n1.it
          JOIN norms n2 ON dots.i2 = n2.it""",
@@ -2187,6 +2225,33 @@ object Analysis {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
               AND abs(a.t - b.t) <= 3600
          GROUP BY 1""",
+
+    "q341_tpch_q1" ->
+      """WITH a AS (
+           SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS sum_qty_e2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS sum_base_e2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+               (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               * 10000 AS BIGINT) AS sum_disc_e4,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+               (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+               (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+               * 1000000 AS BIGINT) AS sum_charge_e6,
+             CAST(sum(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT)
+               AS sum_discount_e2,
+             count(*) AS n
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2,
+           sum_disc_e4, sum_charge_e6, sum_discount_e2, n,
+           sum_qty_e2 * 10000 // n AS avg_qty_e6,
+           sum_base_e2 * 10000 // n AS avg_price_e6,
+           sum_discount_e2 * 10000 // n AS avg_disc_e6
+         FROM a""",
 
     "q310_tpch_q6" ->
       """SELECT count(*) AS n,

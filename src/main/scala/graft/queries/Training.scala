@@ -41,6 +41,15 @@ object Training {
     (rx, ng, ((rx > 0) || (ng > 0)).cast("long"))
   }
 
+  /** Fixture logistic-model weights for q342 (model_id, per-pattern
+    * w_e6 — 3 regex then 3 ngram features, in seedlist order — b_e6).
+    * Values are arbitrary but fixed; the spec plants its own.
+    */
+  private val lrModelRows: Seq[(Long, Seq[Long], Long)] = Seq(
+    (0L, Seq(900000L, 750000L, 600000L, 450000L, 300000L, 150000L), -500000L),
+    (1L, Seq(-300000L, 800000L, -200000L, 700000L, 100000L, 400000L), -250000L),
+    (2L, Seq(120000L, -340000L, 560000L, -780000L, 910000L, -130000L), 50000L))
+
   private def seedlistSql: (String, String, String) = {
     val rx = seedRegexes
       .map(p => s"CAST(regexp_matches(lower(text), '$p') AS BIGINT)")
@@ -1913,6 +1922,18 @@ object Training {
         flag.as("seedlist_keyword"))
     }),
 
+    // Regex-feature linear scorer (the reference's expansion step,
+    // `lr_prediction.py:22-27`: presence features over the seedlist
+    // patterns through K trained logistic models, predict_proba > 0.5).
+    // Weights are a fixture dim (training is offline, F10 posture); see
+    // operators/LinearScorer for the exact-integer threshold design.
+    "q342_lr_expansion" -> ((s, d) => {
+      import s.implicits._
+      val models = lrModelRows.toDF("model_id", "w_e6", "b_e6")
+      graft.operators.LinearScorer.score(t(s, d, "documents"), col("text"),
+        seedRegexes, seedNgrams, models, col("doc_id"))
+    }),
+
     // Keyword-based recall along the rank cut (the reference's
     // model-evaluation step, `recall/estimate_recall.py:64-77`: rank by
     // model score, cut at top-k, report the share of seedlist-positive
@@ -3418,9 +3439,15 @@ object Training {
     // 60-bit md5 hash mod total weight: seeded, reproducible, and
     // SQL-replayable. Output: per-term draw counts vs target weight,
     // the sampler's empirical-vs-target readout. Scale shape: one token
-    // scan, the PrefixScan two-phase ranged cumsum, a broadcast range
-    // probe per draw — draws never shuffle.
+    // scan, the PrefixScan two-phase ranged cumsum, and an EQUI-join
+    // probe: the cumulative axis is cut into fixed-stride cells, each
+    // [lo, hi) range explodes onto the cells it spans (wtot/stride + V
+    // rows, still broadcast-sized), a draw hashes to cell h div stride,
+    // and the range check is a post-filter on the hash-joined cell — a
+    // BroadcastHashJoin, not the O(draws x vocab) nested-loop probe the
+    // raw range predicate would plan. Draws never shuffle.
     "q331_negative_sampling" -> ((s, d) => {
+      val stride = 1000000L // ~1k tokens' weight per cell
       val tok = t(s, d, "documents").select(col("doc_id"),
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
       val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
@@ -3430,14 +3457,18 @@ object Training {
           vocab, "hi", "w", "sum", inclusive = true, asc("term"))
         .withColumn("lo", col("hi") - col("w"))
       val tot = ranges.agg(max("hi").as("wtot"))
+      val cells = ranges.where(col("w") > 0)
+        .select(col("term").as("neg"), col("lo"), col("hi"), col("w"),
+          explode(sequence(expr(s"lo div $stride"),
+            expr(s"(hi - 1) div $stride"))).as("cell"))
       val draws = tok.where(col("pos") < 5)
         .withColumn("j", explode(array(lit(1L), lit(2L))))
         .crossJoin(broadcast(tot))
         .withColumn("h", pmod(TextFunctions.hash60(
           concat_ws(":", col("doc_id"), col("pos"), col("j"))), col("wtot")))
-      draws.join(broadcast(ranges.select(col("term").as("neg"),
-          col("lo"), col("hi"), col("w"))),
-          col("h") >= col("lo") && col("h") < col("hi"))
+        .withColumn("cell", expr(s"h div $stride"))
+      draws.join(broadcast(cells), "cell")
+        .where(col("h") >= col("lo") && col("h") < col("hi"))
         .groupBy("neg", "w").agg(count(lit(1)).as("n_draws"))
     }),
 
@@ -4537,6 +4568,21 @@ object Training {
       s"""SELECT doc_id, $rx AS n_regex_hits, $ng AS n_ngram_hits,
            $flag AS seedlist_keyword
          FROM documents"""
+    },
+    "q342_lr_expansion" -> {
+      val feats =
+        seedRegexes.map(p => s"CAST(regexp_matches(lower(text), '$p') AS BIGINT)") ++
+        seedNgrams.map(p => s"CAST(contains(lower(text), '$p') AS BIGINT)")
+      val vals = lrModelRows.map { case (id, ws, b) =>
+        s"($id, ${ws.mkString("[", ", ", "]")}, $b)"
+      }.mkString(", ")
+      val logit = feats.zipWithIndex // DuckDB lists are 1-based
+        .map { case (f, i) => s"w_e6[${i + 1}] * $f" }.mkString(" + ")
+      s"""WITH m(model_id, w_e6, b_e6) AS (VALUES $vals)
+         SELECT doc_id, CAST(model_id AS BIGINT) AS model_id,
+           CAST($logit + b_e6 AS BIGINT) AS logit_e6,
+           CAST(($logit + b_e6) > 0 AS BIGINT) AS pred
+         FROM documents CROSS JOIN m"""
     },
     "q211_keyword_recall" -> {
       val (_, _, flag) = seedlistSql

@@ -928,4 +928,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(bkt#"), p)
     assert(!"windowspecdefinition\\((?!bkt#)".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q331 negative-sampling probe is a hash join on the cell id, " +
+      "not a nested-loop range probe") {
+    val p = plan("q331_negative_sampling")
+    // the probe: equi-join on the fixed-stride cell with the range check
+    // as a post-condition of the HASH join
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined, p)
+    // no nested-loop carries the range predicate (the only allowed BNLJ
+    // is the 1-row wtot scalar cross join)
+    assert(!"BroadcastNestedLoopJoin [^\\n]*>=".r.findFirstIn(p).isDefined, p)
+  }
 }
