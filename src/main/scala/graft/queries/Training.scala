@@ -41,6 +41,67 @@ object Training {
     (rx, ng, ((rx > 0) || (ng > 0)).cast("long"))
   }
 
+  /** Winnowing fingerprint frame (doc_id, n_grams, fp) shared by q284 /
+    * q302 — word 4-grams, window-of-4 minima (Schleimer et al. 2003).
+    * Gram hashing is a 64-bit-safe polynomial over per-TOKEN hashes
+    * instead of one md5 per gram string: each token is md5'd ONCE
+    * (hash60 mod 2^30) and the 4 grams spanning it reuse that value
+    * through Horner's rule mod p = 2^31-1 (B = 1000003; intermediates
+    * bound by ~2^52 — exact BIGINT in both engines, so the oracle
+    * replays it as plain integer arithmetic). Cuts the dominant hash
+    * cost ~4x in hashed bytes vs md5-per-gram; selection stays per-row
+    * HOF expressions (map-side, no shuffle).
+    */
+  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    val kG = 4; val wWin = 4
+    val toks = TextFunctions.tokens(col("text"))
+    t(s, d, "documents")
+      // ≥ k + w - 1 tokens ⇔ at least one window of w gram hashes
+      .where(size(toks) >= kG + wWin - 1)
+      .select(col("doc_id"),
+        (size(toks) - (kG - 1)).cast("long").as("n_grams"),
+        transform(toks,
+          tk => pmod(TextFunctions.hash60(tk), lit(1073741824L))).as("ht"))
+      // ht[] is 0-based in Spark SQL exprs; gram i (1-based) = tokens
+      // i-1 .. i+2
+      .withColumn("hs", expr(s"""transform(sequence(1, size(ht) - 3),
+          i -> ((((ht[i-1] * $WinnowB + ht[i]) % $WinnowP) * $WinnowB
+                 + ht[i+1]) % $WinnowP * $WinnowB + ht[i+2]) % $WinnowP)"""))
+      .select(col("doc_id"), col("n_grams"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - (wWin - 1)),
+          i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
+  }
+  private val WinnowP = 2147483647L // 2^31 - 1
+  private val WinnowB = 1000003L
+
+  /** The matching DuckDB CTE chain (base → ht → hs → fps) for the
+    * winnowing oracles; DuckDB lists are 1-based.
+    */
+  private val winnowFpsCtes: String =
+    s"""base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS w
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 7),
+       tokh AS (
+         SELECT doc_id, CAST(len(w) - 3 AS BIGINT) AS n_grams,
+           list_transform(w, t ->
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+               % 1073741824) AS ht
+         FROM base),
+       hs AS (
+         SELECT doc_id, n_grams,
+           list_transform(range(1, len(ht) - 2),
+             i -> ((((ht[i] * $WinnowB + ht[i+1]) % $WinnowP) * $WinnowB
+                    + ht[i+2]) % $WinnowP * $WinnowB + ht[i+3]) % $WinnowP)
+             AS h
+         FROM tokh),
+       fps AS (
+         SELECT doc_id, n_grams, unnest(list_distinct(
+           list_transform(range(1, len(h) - 2),
+             i -> list_min(h[i:i+3])))) AS fp
+         FROM hs)"""
+
   /** Fixture logistic-model weights for q342 (model_id, per-pattern
     * w_e6 — 3 regex then 3 ngram features, in seedlist order — b_e6).
     * Values are arbitrary but fixed; the spec plants its own.
@@ -2849,22 +2910,9 @@ object Training {
     // (doc, fp) against fingerprint doc-counts — linear, no pairwise
     // comparison anywhere.
     "q284_winnowing" -> ((s, d) => {
-      val kG = 4; val wWin = 4
-      val ex = t(s, d, "documents")
-        // ≥ k + w - 1 tokens ⇔ at least one window of w gram hashes
-        .where(size(TextFunctions.tokens(col("text"))) >= kG + wWin - 1)
-        .select(col("doc_id"),
-          (size(TextFunctions.tokens(col("text"))) - (kG - 1)).cast("long")
-            .as("n_grams"),
-          transform(Dedup.shingles(col("text"), kG),
-            g => TextFunctions.hash60(g)).as("hs"))
-        .select(col("doc_id"), col("n_grams"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(col("hs")) - (wWin - 1)),
-            i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
-        // persisted: the md5-per-gram window-min explode dominates and
-        // both the sharing count and the join probe read it (q302 twin)
-        .persist()
+      // persisted: the hash + window-min explode dominates and both the
+      // sharing count and the join probe read it (q302 twin)
+      val ex = winnowFingerprints(s, d).persist()
       val sh = ex.groupBy("fp").agg(count(lit(1)).as("ndocs"))
       ex.join(sh, "fp")
         .groupBy("doc_id")
@@ -3074,20 +3122,10 @@ object Training {
     // boilerplate artifact, not evidence), so fan-in is bounded and no
     // all-pairs product exists. Reuses q284's selection exactly.
     "q302_winnow_matches" -> ((s, d) => {
-      val kG = 4; val wWin = 4
-      val fps = t(s, d, "documents")
-        .where(size(TextFunctions.tokens(col("text"))) >= kG + wWin - 1)
-        .select(col("doc_id"),
-          transform(Dedup.shingles(col("text"), kG),
-            g => TextFunctions.hash60(g)).as("hs"))
-        .select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(col("hs")) - (wWin - 1)),
-            i => array_min(slice(col("hs"), i, lit(wWin)))))).as("fp"))
-        // persisted: the md5-per-gram window-min explode is the dominant
-        // cost and three consumers read it (the occupancy count and both
-        // sides of the bucket pair join) — unpersisted it executes 3x
-        .persist()
+      // persisted: the hash + window-min explode is the dominant cost
+      // and three consumers read it (the occupancy count and both sides
+      // of the bucket pair join) — unpersisted it executes 3x
+      val fps = winnowFingerprints(s, d).select("doc_id", "fp").persist()
       val occ = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") <= 16)
       val inCap = fps.join(occ, "fp")
@@ -6197,22 +6235,7 @@ object Training {
          FROM terms GROUP BY 1, 2""",
 
     "q284_winnowing" ->
-      """WITH base AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS w
-           FROM documents
-           WHERE len(string_split(lower(text), ' ')) >= 7),
-         hs AS (
-           SELECT doc_id, CAST(len(w) - 3 AS BIGINT) AS n_grams,
-             list_transform(range(1, len(w) - 2),
-               i -> CAST(concat('0x', substr(md5(concat(
-                 w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3])), 1, 15))
-                 AS BIGINT)) AS h
-           FROM base),
-         fps AS (
-           SELECT doc_id, n_grams, unnest(list_distinct(
-             list_transform(range(1, len(h) - 2),
-               i -> list_min(h[i:i+3])))) AS fp
-           FROM hs),
+      s"""WITH $winnowFpsCtes,
          sh AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY 1)
          SELECT doc_id, max(n_grams) AS n_grams, count(*) AS n_fps,
            min(fp) AS fp_min, max(fp) AS fp_max,
@@ -6335,22 +6358,7 @@ object Training {
          GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""",
 
     "q302_winnow_matches" ->
-      """WITH base AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS w
-           FROM documents
-           WHERE len(string_split(lower(text), ' ')) >= 7),
-         hs AS (
-           SELECT doc_id,
-             list_transform(range(1, len(w) - 2),
-               i -> CAST(concat('0x', substr(md5(concat(
-                 w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3])), 1, 15))
-                 AS BIGINT)) AS h
-           FROM base),
-         fps AS (
-           SELECT doc_id, unnest(list_distinct(
-             list_transform(range(1, len(h) - 2),
-               i -> list_min(h[i:i+3])))) AS fp
-           FROM hs),
+      s"""WITH $winnowFpsCtes,
          occ AS (
            SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 16),
          inc AS (SELECT fps.doc_id, fps.fp FROM fps JOIN occ USING (fp))
