@@ -74,6 +74,38 @@ object Training {
   }
   private val WinnowP = 2147483647L // 2^31 - 1
   private val WinnowB = 1000003L
+  private val WinnowP2 = 2147483629L // the next 31-bit prime down
+
+  /** 62-bit polynomial k-gram hash expr over a per-token hash array
+    * `ht` (hash60 mod 2^30 — ONE md5 per token): two Horner chains mod
+    * distinct 31-bit primes packed into one BIGINT (intermediates
+    * ≤ ~2^52, the pack ≤ ~2^62 — exact in both engines). `i0` is the
+    * first token index of the gram — `"i-1"` for Spark's 0-based SQL
+    * arrays, `"i"` for DuckDB's 1-based lists — so the same builder
+    * emits both sides. Collision odds over 62 bits at 10^8 distinct
+    * grams are ~10^-3 per corpus: the standard hashed-shingle identity
+    * for dedup/contamination work at scale, replacing per-gram md5 AND
+    * gram-string materialization/shuffle.
+    */
+  private def gramHash62(i0: String, k: Int): String = {
+    def chain(p: Long) = (1 until k).foldLeft(s"ht[$i0]")((acc, j) =>
+      s"(($acc) * $WinnowB + ht[$i0 + $j]) % $p")
+    s"(${chain(WinnowP)}) * 2147483648 + (${chain(WinnowP2)})"
+  }
+
+  /** Spark-side (doc_id, source, ht) stage: tokens → per-token hashes. */
+  private def tokenHashes(df: DataFrame, minToks: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    df.where(size(toks) >= minToks)
+      .select(col("doc_id"), col("source"),
+        transform(toks,
+          tk => pmod(TextFunctions.hash60(tk), lit(1073741824L))).as("ht"))
+  }
+
+  /** The matching DuckDB token-hash list expr. */
+  private val tokenHashesSql: String =
+    s"""list_transform(string_split(lower(text), ' '),
+        t -> ${h60("t")} % 1073741824)"""
 
   /** The matching DuckDB CTE chain (base → ht → hs → fps) for the
     * winnowing oracles; DuckDB lists are 1-based.
@@ -461,13 +493,18 @@ object Training {
     // side is DISTINCT shingles broadcast to the candidate scan — eval
     // sets are tiny next to a training corpus, so the big side never
     // shuffles; overlap >= 10% of a doc's shingles marks contamination.
+    // Shingle identity is the 62-bit polynomial gram hash (one md5 per
+    // token, integer Horner chains — see gramHash62): no gram strings
+    // are ever built or broadcast, the hashed-n-gram posture every
+    // production decontaminator uses.
     "q107_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def sh(df: DataFrame) = df
+      def sh(df: DataFrame) = tokenHashes(df, 3)
         // sequence(1, 0) DESCENDS in Spark (q77 lesson) — gate short docs
-        .where(size(TextFunctions.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+          explode(array_distinct(expr(s"""transform(
+            sequence(1, size(ht) - 2), i -> ${gramHash62("i-1", 3)})""")))
+            .as("sh"))
       val bench = sh(docs.where(col("source") === "src0"))
         .select("sh").distinct().withColumn("hit", lit(1L))
       sh(docs.where(col("source") =!= "src0"))
@@ -493,7 +530,11 @@ object Training {
       // persisted (the q197 pattern): the hashed-window stream feeds the
       // duplicate-hash groupBy AND the semi join back — unpersisted, the
       // explode + per-window md5 would run twice. Harness clearCache
-      // releases it.
+      // releases it. (A block-hash variant — md5 per aligned 8-char
+      // block + 62-bit polynomial per window — was measured SLOWER at
+      // both SFs (sf1 7.0 → 9.5 s): materializing the per-doc block and
+      // window arrays costs more than the md5 bytes it saves, the same
+      // generator-vs-materialized lesson as the LSH signatures.)
       val wins = t(s, d, "documents")
         .where(length(col("text")) >= 48)
         .select(col("doc_id"),
@@ -971,9 +1012,11 @@ object Training {
     // side is the small slice.
     "q272_ngram_novelty" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def grams(df: DataFrame, n: Int) = df
-        .where(size(TextFunctions.tokens(col("text"))) >= n)
-        .select(explode(array_distinct(Dedup.shingles(col("text"), n)))
+      // hashed gram identity (gramHash62): the anti-join probes 62-bit
+      // BIGINTs instead of gram strings — same q107 posture
+      def grams(df: DataFrame, n: Int) = tokenHashes(df, n)
+        .select(explode(array_distinct(expr(s"""transform(
+          sequence(1, size(ht) - ${n - 1}), i -> ${gramHash62("i-1", n)})""")))
           .as("g"))
       def novelty(n: Int): DataFrame = {
         // test is distinct'd (its cardinality IS the denominator) and
@@ -1120,10 +1163,12 @@ object Training {
     // reduces by (doc, bench) then (source, bench) key shuffles.
     "q200_contamination_report" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def sh(df: DataFrame) = df
-        .where(size(TextFunctions.tokens(col("text"))) >= 3)
+      // hashed shingle identity (gramHash62) — same posture as q107
+      def sh(df: DataFrame) = tokenHashes(df, 3)
         .select(col("doc_id"), col("source"),
-          explode(array_distinct(Dedup.shingles(col("text"), 3))).as("sh"))
+          explode(array_distinct(expr(s"""transform(
+            sequence(1, size(ht) - 2), i -> ${gramHash62("i-1", 3)})""")))
+            .as("sh"))
       val benches = sh(docs.where(col("source").isin("src0", "src1")))
         .select(col("source").as("bench"), col("sh")).distinct()
       // persisted: the exploded training-shingle stream feeds the per-doc
@@ -1815,10 +1860,19 @@ object Training {
       // (3.1s → 4.6s at sf0.1): distinct (doc, bucket) is nearly the raw
       // occurrence count here, so the extra wide-key hash aggregate buys
       // no compression. Harness clearCache releases both.
-      val big = docs.where(size(TextFunctions.tokens(col("text"))) >= 2)
+      // bigram buckets via the winnowing trick: one md5 per TOKEN
+      // (reused by both bigrams spanning it) + a Horner step mod 2^31-1
+      // instead of one md5 per bigram STRING — same map-side shape,
+      // ~half the hashed bytes and no bigram string materialization
+      val toks = TextFunctions.tokens(col("text"))
+      val big = docs.where(size(toks) >= 2)
         .select(col("doc_id"), col("source"),
-          explode(Dedup.shingles(col("text"), 2)).as("bg"))
-        .withColumn("bucket", TextFunctions.hash60(col("bg")) % nBuckets)
+          transform(toks,
+            tk => pmod(TextFunctions.hash60(tk), lit(1073741824L))).as("ht"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(s"""transform(sequence(1, size(ht) - 1),
+            i -> ((ht[i-1] * $WinnowB + ht[i]) % $WinnowP) % $nBuckets)"""))
+            .as("bucket"))
         .persist()
       val bc = big.groupBy("bucket").agg(
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
@@ -1846,20 +1900,40 @@ object Training {
     // integer cross-multiplications. Scale shape: two generator explodes
     // and (doc, gram) key shuffles — per-doc state never leaves its key.
     "q201_repetition_rules" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      def gramCounts(n: Int) = docs
-        .where(size(TextFunctions.tokens(col("text"))) >= n)
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val bi = gramCounts(2).groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_c"))
-      val five = gramCounts(5).groupBy("doc_id")
-        .agg(sum("c").as("n_5grams"),
-          sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("dup_5gram_occ"))
-      bi.join(five, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_c"),
-          coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
-          coalesce(col("dup_5gram_occ"), lit(0L)).as("dup_5gram_occ"))
+      // Per-doc gram-repetition stats computed ENTIRELY map-side (the
+      // q83 sorted-runs trick, upgraded with gramHash62): sort each
+      // doc's 62-bit gram hashes and fold the runs — max run length =
+      // top-gram count, occurrences in runs >1 = duplicated-gram mass.
+      // No (doc, gram) rows ever exist, no explode shuffle, no per-gram
+      // md5; the only exchange left is whatever reads the output.
+      // runStats folds (prev, cur, mx, sgl=singleton runs) over the
+      // sorted array; empty arrays yield (mx 0, sgl 0).
+      def sortedGrams(k: Int): String =
+        s"""array_sort(transform(sequence(1, size(ht) - ${k - 1}),
+            i -> ${gramHash62("i-1", k)}))"""
+      def runStats(arr: String): String = {
+        val one = "CAST(1 AS BIGINT)"
+        s"""aggregate($arr,
+          named_struct('prev', CAST(-1 AS BIGINT), 'cur', CAST(0 AS BIGINT),
+            'mx', CAST(0 AS BIGINT), 'sgl', CAST(0 AS BIGINT)),
+          (st, x) -> IF(x = st.prev,
+            named_struct('prev', x, 'cur', st.cur + $one, 'mx', st.mx,
+              'sgl', st.sgl),
+            named_struct('prev', x, 'cur', $one,
+              'mx', greatest(st.mx, st.cur),
+              'sgl', st.sgl + IF(st.cur = 1, $one, CAST(0 AS BIGINT)))),
+          st -> named_struct('mx', greatest(st.mx, st.cur),
+            'sgl', st.sgl + IF(st.cur = 1, $one, CAST(0 AS BIGINT))))"""
+      }
+      tokenHashes(t(s, d, "documents"), 2)
+        .select(col("doc_id"),
+          (size(col("ht")) - 1).cast("long").as("n_bigrams"),
+          expr(s"${runStats(sortedGrams(2))}.mx").as("top_bigram_c"),
+          greatest(size(col("ht")) - 4, lit(0)).cast("long").as("n_5grams"),
+          expr(s"""CASE WHEN size(ht) >= 5 THEN
+              CAST(size(ht) - 4 AS BIGINT)
+                - ${runStats(sortedGrams(5))}.sgl
+            ELSE CAST(0 AS BIGINT) END""").as("dup_5gram_occ"))
         .withColumn("top_bigram_frac_e6",
           expr("(top_bigram_c * 1000000) div n_bigrams"))
         .withColumn("dup_5gram_frac_e6",
@@ -4528,12 +4602,16 @@ object Training {
       s"""WITH toks AS (
            SELECT doc_id, source, string_split(lower(text), ' ') AS w
            FROM documents),
-         bg AS (
+         tokh AS (
            SELECT doc_id, source,
-             unnest(list_transform(range(1, len(w)),
-               i -> concat(w[i], ' ', w[i+1]))) AS bg
+             list_transform(w, t -> ${h60("t")} % 1073741824) AS ht
            FROM toks WHERE len(w) >= 2),
-         bk AS (SELECT doc_id, source, ${h60("bg")} % 8192 AS bucket FROM bg),
+         bk AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(1, len(ht)),
+               i -> ((ht[i] * $WinnowB + ht[i+1]) % $WinnowP) % 8192))
+               AS bucket
+           FROM tokh),
          bc AS (
            SELECT bucket,
              sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
@@ -5088,23 +5166,22 @@ object Training {
              AS BIGINT) AS hhi_e6
          FROM a""",
     "q201_repetition_rules" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      s"""WITH toks AS (
+           SELECT doc_id, $tokenHashesSql AS ht FROM documents),
          bi AS (
            SELECT doc_id, g, count(*) AS c FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w)),
-               i -> concat(w[i], ' ', w[i+1]))) AS g
-             FROM toks WHERE len(w) >= 2)
+             SELECT doc_id, unnest(list_transform(range(1, len(ht)),
+               i -> ${gramHash62("i", 2)})) AS g
+             FROM toks WHERE len(ht) >= 2)
            GROUP BY 1, 2),
          bia AS (
            SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c
            FROM bi GROUP BY 1),
          fv AS (
            SELECT doc_id, g, count(*) AS c FROM (
-             SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3],
-                 ' ', w[i+4]))) AS g
-             FROM toks WHERE len(w) >= 5)
+             SELECT doc_id, unnest(list_transform(range(1, len(ht) - 3),
+               i -> ${gramHash62("i", 5)})) AS g
+             FROM toks WHERE len(ht) >= 5)
            GROUP BY 1, 2),
          fva AS (
            SELECT doc_id, sum(c) AS n_5grams,
@@ -5481,18 +5558,18 @@ object Training {
       s"""WITH $nllCtes
          SELECT doc_id, n_tok, avg_nll_e6 FROM nll""",
     "q272_ngram_novelty" ->
-      """WITH toks AS (
-           SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+      s"""WITH toks AS (
+           SELECT source, $tokenHashesSql AS ht FROM documents),
          g2 AS (
            SELECT DISTINCT source, unnest(list_distinct(
-             list_transform(range(1, len(w)),
-               i -> concat(w[i], ' ', w[i+1])))) AS g
-           FROM toks WHERE len(w) >= 2),
+             list_transform(range(1, len(ht)),
+               i -> ${gramHash62("i", 2)}))) AS g
+           FROM toks WHERE len(ht) >= 2),
          g3 AS (
            SELECT DISTINCT source, unnest(list_distinct(
-             list_transform(range(1, len(w) - 1),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
-           FROM toks WHERE len(w) >= 3),
+             list_transform(range(1, len(ht) - 1),
+               i -> ${gramHash62("i", 3)}))) AS g
+           FROM toks WHERE len(ht) >= 3),
          t2 AS (SELECT DISTINCT g FROM g2 WHERE source = 'src0'),
          r2 AS (SELECT DISTINCT g FROM g2 WHERE source <> 'src0'),
          t3 AS (SELECT DISTINCT g FROM g3 WHERE source = 'src0'),
@@ -5561,13 +5638,13 @@ object Training {
          LEFT JOIN store s ON s.fp = b.fp
          JOIN firsts fi ON fi.fp = b.fp""",
     "q200_contamination_report" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
            SELECT doc_id, source, unnest(list_distinct(
-             list_transform(range(1, len(w) - 1),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS sh
-           FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+             list_transform(range(1, len(ht) - 1),
+               i -> ${gramHash62("i", 3)}))) AS sh
+           FROM (SELECT doc_id, source, $tokenHashesSql AS ht
                  FROM documents)
-           WHERE len(w) >= 3),
+           WHERE len(ht) >= 3),
          benches AS (
            SELECT DISTINCT source AS bench, sh FROM sh
            WHERE source IN ('src0', 'src1')),
@@ -5681,14 +5758,14 @@ object Training {
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
          WHERE d.doc_id >= 400""",
     "q107_decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      s"""WITH toks AS (
+           SELECT doc_id, source, $tokenHashesSql AS ht
            FROM documents),
          sh AS (
            SELECT doc_id, source,
-             list_distinct(list_transform(range(1, len(w) - 1),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
-           FROM toks WHERE len(w) >= 3),
+             list_distinct(list_transform(range(1, len(ht) - 1),
+               i -> ${gramHash62("i", 3)})) AS shs
+           FROM toks WHERE len(ht) >= 3),
          bench AS (
            SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE source = 'src0'),
          cand AS (
