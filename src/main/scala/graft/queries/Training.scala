@@ -87,9 +87,9 @@ object Training {
     * for dedup/contamination work at scale, replacing per-gram md5 AND
     * gram-string materialization/shuffle.
     */
-  private def gramHash62(i0: String, k: Int): String = {
-    def chain(p: Long) = (1 until k).foldLeft(s"ht[$i0]")((acc, j) =>
-      s"(($acc) * $WinnowB + ht[$i0 + $j]) % $p")
+  private def gramHash62(i0: String, k: Int, arr: String = "ht"): String = {
+    def chain(p: Long) = (1 until k).foldLeft(s"$arr[$i0]")((acc, j) =>
+      s"(($acc) * $WinnowB + $arr[$i0 + $j]) % $p")
     s"(${chain(WinnowP)}) * 2147483648 + (${chain(WinnowP2)})"
   }
 
@@ -3296,16 +3296,24 @@ object Training {
         .withColumn("ref_text", lead("text", 1).over(w))
         .where(col("ref_text").isNotNull)
         .persist() // both n-gram orders re-read the pair frame
+      // gram identity is gramHash62 (one md5 per token, integer Horner
+      // chains): the (doc, gram) groupBys and the clip join shuffle
+      // BIGINTs, never gram strings — the q107/q272 posture
+      def hts(c: String) = transform(TextFunctions.tokens(col(c)),
+        tk => pmod(TextFunctions.hash60(tk), lit(1073741824L)))
+      def gramsExpr(n: Int) =
+        s"transform(sequence(1, size(ht) - ${n - 1}), i -> ${gramHash62("i-1", n)})"
       def prec(n: Int): DataFrame = {
         val cand = pairs
           .where(size(TextFunctions.tokens(col("text"))) >= n)
+          .select(col("source"), col("doc_id"), hts("text").as("ht"))
           .select(col("source"), col("doc_id"),
-            explode(Dedup.shingles(col("text"), n)).as("g"))
+            explode(expr(gramsExpr(n))).as("g"))
           .groupBy("source", "doc_id", "g").agg(count(lit(1)).as("c_cand"))
         val ref = pairs
           .where(size(TextFunctions.tokens(col("ref_text"))) >= n)
-          .select(col("doc_id"),
-            explode(Dedup.shingles(col("ref_text"), n)).as("g"))
+          .select(col("doc_id"), hts("ref_text").as("ht"))
+          .select(col("doc_id"), explode(expr(gramsExpr(n))).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c_ref"))
         cand.join(ref, Seq("doc_id", "g"), "left")
           .groupBy("source")
@@ -6233,24 +6241,29 @@ object Training {
     },
 
     "q277_bleu_pairs" ->
-      """WITH docs AS (
-           SELECT source, doc_id, string_split(lower(text), ' ') AS w,
-             lead(string_split(lower(text), ' ')) OVER
-               (PARTITION BY source ORDER BY doc_id) AS rw
+      s"""WITH docs AS (
+           SELECT source, doc_id, $tokenHashesSql AS ht,
+             lead($tokenHashesSql) OVER
+               (PARTITION BY source ORDER BY doc_id) AS rht
            FROM documents),
-         p AS (SELECT source, doc_id, w, rw FROM docs WHERE rw IS NOT NULL),
+         p AS (SELECT source, doc_id, ht, rht FROM docs
+               WHERE rht IS NOT NULL),
          cc1 AS (
-           SELECT source, doc_id, unnest(w) AS g FROM p),
+           SELECT source, doc_id, unnest(list_transform(
+             range(1, len(ht) + 1), i -> ${gramHash62("i", 1)})) AS g
+           FROM p),
          rr1 AS (
-           SELECT doc_id, unnest(rw) AS g FROM p),
+           SELECT doc_id, unnest(list_transform(
+             range(1, len(rht) + 1), i -> ${gramHash62("i", 1, "rht")})) AS g
+           FROM p),
          cc2 AS (
-           SELECT source, doc_id, unnest(list_transform(range(1, len(w)),
-             i -> concat(w[i], ' ', w[i+1]))) AS g
-           FROM p WHERE len(w) >= 2),
+           SELECT source, doc_id, unnest(list_transform(range(1, len(ht)),
+             i -> ${gramHash62("i", 2)})) AS g
+           FROM p WHERE len(ht) >= 2),
          rr2 AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(rw)),
-             i -> concat(rw[i], ' ', rw[i+1]))) AS g
-           FROM p WHERE len(rw) >= 2),
+           SELECT doc_id, unnest(list_transform(range(1, len(rht)),
+             i -> ${gramHash62("i", 2, "rht")})) AS g
+           FROM p WHERE len(rht) >= 2),
          c1 AS (SELECT source, doc_id, g, count(*) AS c_cand
                 FROM cc1 GROUP BY 1, 2, 3),
          r1 AS (SELECT doc_id, g, count(*) AS c_ref FROM rr1 GROUP BY 1, 2),
