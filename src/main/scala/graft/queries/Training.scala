@@ -2069,6 +2069,114 @@ object Training {
         seedRegexes, seedNgrams, models, col("doc_id"))
     }),
 
+    // Stupid Backoff bigram LM scoring (Brants et al. 2007 — the
+    // web-scale LM that drops normalization so every probe is a count
+    // ratio): score the src0 slice against the LM trained on everything
+    // else. Per distinct doc bigram (h1,h2): if the bigram is in the
+    // train table, s_e6 = c12·1e6 div c1; else back off to the unigram,
+    // s_e6 = 2·c2·1e6 div (5·N) (the canonical α=0.4 as the exact
+    // fraction 2/5); unseen both ways scores 0. Doc score = occurrence-
+    // weighted mean in e6 trunc division — every step integer, so the
+    // oracle replays bit-for-bit (no ln, unlike q127: Stupid Backoff's
+    // whole point is staying in ratio space). Tokens/bigrams are
+    // gramHash62/token-hash keyed — no gram strings anywhere. Scale
+    // shape: train tables are keyed aggregates of the train scan; the
+    // probe joins per DISTINCT doc bigram (pre-aggregated with counts)
+    // against the bigram and unigram tables — three keyed equi-joins,
+    // nothing broadcast-unbounded, nothing quadratic.
+    "q343_stupid_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(df: DataFrame) = tokenHashes(df, 1)
+      val train = toks(docs.where(col("source") =!= "src0")).persist()
+      val uni = train.select(explode(col("ht")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      val nTot = train.select(explode(col("ht")).as("h"))
+        .agg(count(lit(1)).as("n_tot"))
+      val biTrain = train
+        .where(size(col("ht")) >= 2)
+        .select(explode(expr(
+          s"transform(sequence(1, size(ht) - 1), i -> ${gramHash62("i-1", 2)})"))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c12"))
+      val probe = toks(docs.where(col("source") === "src0"))
+        .where(size(col("ht")) >= 2)
+        .select(col("doc_id"), explode(expr(s"""transform(
+            sequence(1, size(ht) - 1),
+            i -> named_struct('g', ${gramHash62("i-1", 2)},
+                              'h1', ht[i-1], 'h2', ht[i]))"""))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.g").as("g"), col("bg.h1").as("h1"),
+          col("bg.h2").as("h2"))
+        .groupBy("doc_id", "g", "h1", "h2").agg(count(lit(1)).as("occ"))
+      probe
+        .join(biTrain, Seq("g"), "left")
+        .join(uni.select(col("h").as("h1"), col("c").as("c1")), Seq("h1"), "left")
+        .join(uni.select(col("h").as("h2"), col("c").as("c2")), Seq("h2"), "left")
+        .crossJoin(broadcast(nTot))
+        .withColumn("s_e6", expr("""CASE
+          WHEN c12 IS NOT NULL AND c1 IS NOT NULL THEN (c12 * 1000000) div c1
+          WHEN c2 IS NOT NULL THEN (2 * c2 * 1000000) div (5 * n_tot)
+          ELSE CAST(0 AS BIGINT) END"""))
+        .groupBy("doc_id")
+        .agg(sum("occ").as("n_bigrams"),
+          expr("sum(occ * s_e6) div sum(occ)").as("score_e6"))
+    }),
+
+    // fastText-style hashed bag-of-tokens classifier (Joulin et al.
+    // 2016): each token hashes into one of 256 feature buckets, a doc's
+    // feature vector is its bucket counts, and 3 linear class scores
+    // pick an argmax label. Weights are a DETERMINISTIC FORMULA dim
+    // (training offline, F10/q342 posture): w_e6(cls, b) =
+    // ((cls·1000003 + b·7919) mod 2001 − 1000)·1000 — replayed
+    // symbolically by the oracle, no literal table to drift. All
+    // arithmetic integer; argmax ties break to the lowest class id via
+    // max_by on the (score, -cls) struct. Scale shape: one map-side
+    // explode + (doc, bucket) count agg, a broadcast 768-row weight
+    // dim, one keyed re-aggregation per doc — the linear-classifier
+    // fan-out pattern that tags a corpus at scan speed.
+    "q344_hashed_bag_score" -> ((s, d) => {
+      val x = tokenHashes(t(s, d, "documents"), 1)
+        .select(col("doc_id"), explode(expr("transform(ht, h -> h % 256)"))
+          .as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+      val wts = s.range(0, 3).select(col("id").as("cls"))
+        .crossJoin(s.range(0, 256).select(col("id").as("b")))
+        .select(col("cls"), col("b"),
+          expr("((cls * 1000003 + b * 7919) % 2001 - 1000) * 1000").as("w_e6"))
+      x.join(broadcast(wts), "b")
+        .groupBy("doc_id", "cls").agg(sum(expr("x * w_e6")).as("score_e6"))
+        .groupBy("doc_id")
+        .agg(expr("max_by(cls, named_struct('s', score_e6, 'c', -cls))")
+          .as("best_cls"),
+          max("score_e6").as("best_score_e6"))
+    }),
+
+    // Temperature-scaled multilingual mixture (the mT5 / UniMax
+    // sampling-rate shape, Xue et al. 2021 §3.1 with τ=2): language
+    // sampling weight ∝ c_l^(1/2). floor(sqrt(c)) is exact in both
+    // engines (sqrt IS correctly rounded; the floor lands on an
+    // integer), so shares and the token-budget allocation are pure
+    // integer trunc divisions; the UniMax-style cap alloc ≤ c_l (never
+    // oversample past one epoch) is a single least() — the one-round
+    // form, no iterative redistribution (documented divergence: UniMax
+    // proper redistributes the capped surplus; at these shares the
+    // fixed point is reached in one round). Scale shape: one token-count
+    // groupBy by lang, then arithmetic on a #langs-row frame with a
+    // 1-row broadcast total.
+    "q345_temperature_mix" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("lang"), size(TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+        .groupBy("lang").agg(sum("n").as("c"))
+        .withColumn("s", floor(sqrt(col("c").cast("double"))).cast("long"))
+      val tot = counts.agg(sum("s").as("st"), sum("c").as("ct"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("c"), col("s"),
+          expr("(c * 1000000) div ct").as("p_e6"),
+          expr("(s * 1000000) div st").as("q_e6"),
+          least(expr("(50000 * s) div st"), col("c")).as("alloc_tokens"))
+    }),
+
     // Keyword-based recall along the rank cut (the reference's
     // model-evaluation step, `recall/estimate_recall.py:64-77`: rank by
     // model score, cut at top-k, report the share of seedlist-positive
@@ -4708,6 +4816,85 @@ object Training {
            CAST(($logit + b_e6) > 0 AS BIGINT) AS pred
          FROM documents CROSS JOIN m"""
     },
+    "q343_stupid_backoff" ->
+      s"""WITH docs AS (
+           SELECT doc_id, source, $tokenHashesSql AS ht FROM documents),
+         train AS (SELECT ht FROM docs WHERE source <> 'src0'),
+         uni AS (
+           SELECT h, count(*) AS c
+           FROM (SELECT unnest(ht) AS h FROM train) GROUP BY 1),
+         nt AS (
+           SELECT count(*) AS n_tot
+           FROM (SELECT unnest(ht) AS h FROM train)),
+         bi AS (
+           SELECT g, count(*) AS c12 FROM (
+             SELECT unnest(list_transform(range(1, len(ht)),
+               i -> ${gramHash62("i", 2)})) AS g
+             FROM train WHERE len(ht) >= 2)
+           GROUP BY 1),
+         probe AS (
+           SELECT doc_id, g, h1, h2, count(*) AS occ FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(ht)),
+                 i -> ${gramHash62("i", 2)})) AS g,
+               unnest(list_transform(range(1, len(ht)), i -> ht[i])) AS h1,
+               unnest(list_transform(range(1, len(ht)), i -> ht[i+1])) AS h2
+             FROM docs WHERE source = 'src0' AND len(ht) >= 2)
+           GROUP BY 1, 2, 3, 4),
+         scored AS (
+           SELECT doc_id, occ, CAST(CASE
+             WHEN b.c12 IS NOT NULL AND u1.c IS NOT NULL
+               THEN (b.c12 * 1000000) // u1.c
+             WHEN u2.c IS NOT NULL
+               THEN (2 * u2.c * 1000000) // (5 * nt.n_tot)
+             ELSE 0 END AS BIGINT) AS s_e6
+           FROM probe p
+           LEFT JOIN bi b USING (g)
+           LEFT JOIN uni u1 ON p.h1 = u1.h
+           LEFT JOIN uni u2 ON p.h2 = u2.h
+           CROSS JOIN nt)
+         SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           CAST(sum(occ * s_e6) // sum(occ) AS BIGINT) AS score_e6
+         FROM scored GROUP BY 1""",
+    "q344_hashed_bag_score" ->
+      s"""WITH x AS (
+           SELECT doc_id, b, count(*) AS x FROM (
+             SELECT doc_id,
+               unnest(list_transform($tokenHashesSql, h -> h % 256)) AS b
+             FROM documents)
+           GROUP BY 1, 2),
+         wts AS (
+           SELECT cls.range AS cls, bb.range AS b,
+             ((cls.range * 1000003 + bb.range * 7919) % 2001 - 1000) * 1000
+               AS w_e6
+           FROM range(0, 3) cls CROSS JOIN range(0, 256) bb),
+         sc AS (
+           SELECT doc_id, cls, CAST(sum(x.x * w_e6) AS BIGINT) AS score_e6
+           FROM x JOIN wts USING (b) GROUP BY 1, 2),
+         r AS (
+           SELECT doc_id, cls, score_e6, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_e6 DESC, cls ASC) AS rn
+           FROM sc)
+         SELECT doc_id, CAST(cls AS BIGINT) AS best_cls,
+           score_e6 AS best_score_e6
+         FROM r WHERE rn = 1""",
+    "q345_temperature_mix" ->
+      """WITH cnt AS (
+           SELECT lang,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+         sq AS (
+           SELECT lang, c,
+             CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s
+           FROM cnt),
+         tt AS (
+           SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct
+           FROM sq)
+         SELECT lang, c, s,
+           CAST((c * 1000000) // ct AS BIGINT) AS p_e6,
+           CAST((s * 1000000) // st AS BIGINT) AS q_e6,
+           CAST(least((50000 * s) // st, c) AS BIGINT) AS alloc_tokens
+         FROM sq, tt""",
     "q211_keyword_recall" -> {
       val (_, _, flag) = seedlistSql
       s"""WITH f AS (
