@@ -140,7 +140,12 @@ object Bench {
     "q339_mase", // MASE scaled forecast error
     "q340_kendall_tau", // Kendall tau-b vs the market series
     "q341_tpch_q1", // the canonical lineitem pricing summary
-    "q342_lr_expansion") // regex features x K broadcast linear models
+    "q342_lr_expansion", // regex features x K broadcast linear models
+    "q343_stupid_backoff", // count-ratio bigram LM scoring vs train corpus
+    "q344_hashed_bag_score", // fastText-style hashed-bag linear argmax
+    "q71_wealth_percentile", // PrefixScan cumulative share (r8 rewrite)
+    "q176_rfm", // 3x globalRank exact-ntile quintiles (r8 rewrite)
+    "q248_token_budget_fill") // two-level distributed prefix sum (r8 rewrite)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
