@@ -798,26 +798,47 @@ object Training {
     // estimate inside the MG error band.
     "q209_heavy_phrases_by_source" -> ((s, d) => {
       val kCap = 30
-      val phrases = t(s, d, "documents")
-        .where(size(TextFunctions.tokens(col("text"))) >= 2)
-        .select(col("source"), explode(Dedup.shingles(col("text"), 2)).as("p"))
-        .persist()
-      // per-source totals roll up from the exact counts — a scan of the
-      // small distinct-(source, phrase) frame, not a third pass over the
-      // raw occurrence stream
-      val exact = phrases.groupBy("source", "p").agg(count(lit(1)).as("c"))
-        .persist()
+      // phrase identity is gramHash62 (one md5 per token): the exact
+      // counts, totals, and MG sketch all run over BIGINTs — phrase
+      // STRINGS are never shuffled or persisted. The heavy survivors
+      // (≤ kCap per source by the n/k guarantee) recover their text by
+      // re-probe: pick the min-(doc_id, pos) occurrence per heavy hash,
+      // broadcast those few rows back against the documents scan, and
+      // slice the two tokens out — the standard way production
+      // heavy-hitter reports materialize display strings at scale.
+      val grams = tokenHashes(t(s, d, "documents"), 2)
+        .select(col("doc_id"), col("source"),
+          posexplode(expr(s"""transform(sequence(1, size(ht) - 1),
+            i -> ${gramHash62("i-1", 2)})""")).as(Seq("i0", "g")))
+        .select(col("doc_id"), col("source"), (col("i0") + 1).as("i"),
+          col("g"))
+        .persist() // exact counts + sketch + heavy re-probe read it
+      val exact = grams.groupBy("source", "g").agg(count(lit(1)).as("c"))
       val tot = exact.groupBy("source").agg(sum("c").as("n"))
-      val sketch = phrases.groupBy("source")
+      val sketch = grams.groupBy("source")
         .agg(org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.HeavyHittersAgg(
-            org.apache.spark.sql.GraftSqlBridge.expression(col("p")), kCap)
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              col("g").cast("string")), kCap)
             .toAggregateExpression()).as("hh"))
         .select(col("source"), explode(col("hh")).as("e"))
-        .select(col("source"), col("e.term").as("p"), col("e.est").as("est"))
-      exact.join(tot, "source")
-        .where(col("c") * kCap > col("n"))
-        .join(sketch, Seq("source", "p"), "left")
+        .select(col("source"), col("e.term").cast("long").as("g"),
+          col("e.est").as("est"))
+      val heavy = exact.join(tot, "source")
+        .where(col("c") * kCap > col("n")).persist() // ≤ kCap per source
+      val reps = grams
+        .join(broadcast(heavy.select("source", "g")), Seq("source", "g"))
+        .groupBy("source", "g")
+        .agg(min(struct(col("doc_id"), col("i"))).as("r"))
+        .select(col("source"), col("g"), col("r.doc_id").as("doc_id"),
+          col("r.i").as("i"))
+      val withP = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .join(broadcast(reps), "doc_id")
+        .select(col("source"), col("g"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), col("i"),
+            lit(2))).as("p"))
+      heavy.join(withP, Seq("source", "g"))
+        .join(sketch, Seq("source", "g"), "left")
         .select(col("source"), col("p"), col("c"),
           col("est").isNotNull.as("in_sketch"),
           (col("est").isNotNull && col("est") <= col("c") &&
@@ -5990,19 +6011,34 @@ object Training {
              (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS entropy_e6
          FROM agg""",
     "q209_heavy_phrases_by_source" ->
-      """WITH bg AS (
-           SELECT source,
-             unnest(list_transform(range(1, len(w)),
-               i -> concat(w[i], ' ', w[i+1]))) AS p
-           FROM (SELECT source, string_split(lower(text), ' ') AS w
-                 FROM documents)
-           WHERE len(w) >= 2),
-         tc AS (SELECT source, p, count(*) AS c FROM bg GROUP BY 1, 2),
-         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-                 FROM bg GROUP BY 1)
-         SELECT tc.source, p, c, TRUE AS in_sketch, TRUE AS est_in_band
-         FROM tc JOIN tot ON tc.source = tot.source
-         WHERE c * 30 > n""",
+      s"""WITH base AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+             $tokenHashesSql AS ht
+           FROM documents),
+         bg AS (
+           SELECT doc_id, source, unnest(range(1, len(ht))) AS i, w, ht
+           FROM base WHERE len(ht) >= 2),
+         bh AS (
+           SELECT doc_id, source, i, ${gramHash62("i", 2)} AS g,
+             concat(w[i], ' ', w[i+1]) AS p
+           FROM bg),
+         tc AS (SELECT source, g, count(*) AS c FROM bh GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                 FROM tc GROUP BY 1),
+         heavy AS (
+           SELECT tc.source, g, c, n FROM tc JOIN tot USING (source)
+           WHERE c * 30 > n),
+         rep AS (
+           SELECT source, g, p FROM (
+             SELECT bh.source, bh.g, bh.p, row_number() OVER (
+               PARTITION BY bh.source, bh.g
+               ORDER BY bh.doc_id, bh.i) AS rn
+             FROM bh JOIN heavy ON bh.source = heavy.source
+               AND bh.g = heavy.g)
+           WHERE rn = 1)
+         SELECT heavy.source, p, c, TRUE AS in_sketch, TRUE AS est_in_band
+         FROM heavy JOIN rep ON heavy.source = rep.source
+           AND heavy.g = rep.g""",
     "q115_heavy_hitters" ->
       """WITH tc AS (
            SELECT t AS term, count(*) AS c FROM (
