@@ -145,7 +145,8 @@ object Bench {
     "q344_hashed_bag_score", // fastText-style hashed-bag linear argmax
     "q71_wealth_percentile", // PrefixScan cumulative share (r8 rewrite)
     "q176_rfm", // 3x globalRank exact-ntile quintiles (r8 rewrite)
-    "q248_token_budget_fill") // two-level distributed prefix sum (r8 rewrite)
+    "q248_token_budget_fill", // two-level distributed prefix sum (r8 rewrite)
+    "q346_quantile_sketch") // MRL mergeable decile sketch + exact-rank audit
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

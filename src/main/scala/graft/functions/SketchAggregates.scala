@@ -148,3 +148,186 @@ case class HeavyHittersAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Mutable state of `QuantileSketchAgg`: MRL compactor buffers — level l
+  * holds items of weight 2^l; `parity(l)` alternates which half survives
+  * each compaction (the classic bias halver; still fully deterministic
+  * for a given update/merge order).
+  */
+final class QuantileSketchState {
+  var n: Long = 0L
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Long]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Long])
+  val parity: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(0)
+}
+
+/** `graft_quantile_sketch(x, k)` — deterministic mergeable quantile
+  * sketch (the Manku–Rajagopalan–Lindsay compactor scheme KLL
+  * derandomizes): level-l buffers hold items of weight 2^l; a full
+  * buffer sorts and promotes an alternating half to level l+1. Partials
+  * merge by buffer concatenation + re-compaction, so the plan keeps the
+  * standard partial → tiny exchange → final aggregate shape — this is
+  * how a 100 TB percentile runs without q14's full sort or an exact
+  * per-value groupBy.
+  *
+  * Deterministic error bound (holds for ANY merge tree — each level-l
+  * compaction perturbs any rank by ≤ 2^l, and level l sees at most
+  * ~2n/(k·2^l) compactions): every reported decile's TRUE rank is
+  * within 2·L·n/(k−1) + k of its target, L = ⌈log2(2n/k)⌉ + 2. Like
+  * the Misra-Gries estimates (HeavyHittersAgg), the VALUES depend on
+  * Spark's nondeterministic merge order, so oracle-checked queries
+  * assert the guarantee band (computed against EXACT ranks), never the
+  * raw estimates.
+  *
+  * eval() returns array<long>: the 9 decile estimates (smallest item
+  * whose cumulative weight reaches max(1, (d·n) div 10), d = 1..9).
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketchState] {
+
+  require(k >= 8, s"graft_quantile_sketch: capacity must be >= 8, got $k")
+
+  override def prettyName: String = "graft_quantile_sketch"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_sketch expects a bigint column, got $other")
+  }
+
+  override def createAggregationBuffer(): QuantileSketchState =
+    new QuantileSketchState
+
+  private def ensureLevel(st: QuantileSketchState, l: Int): Unit =
+    while (st.levels.size <= l) {
+      st.levels += mutable.ArrayBuffer.empty[Long]
+      st.parity += 0
+    }
+
+  /** Sort level l, promote an alternating half of its even prefix to
+    * l+1 (an odd leftover stays at level l — total weight is preserved
+    * exactly), cascade upward while any buffer is full.
+    */
+  private def compact(st: QuantileSketchState, l0: Int): Unit = {
+    var l = l0
+    while (l < st.levels.size && st.levels(l).size >= k) {
+      ensureLevel(st, l + 1)
+      val buf = st.levels(l)
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val even = arr.length - (arr.length % 2)
+      val off = st.parity(l)
+      st.parity(l) = 1 - off
+      val up = st.levels(l + 1)
+      var i = off
+      while (i < even) { up += arr(i); i += 2 }
+      buf.clear()
+      if (even < arr.length) buf += arr(arr.length - 1) // odd leftover
+      l += 1
+    }
+  }
+
+  override def update(st: QuantileSketchState, input: InternalRow): QuantileSketchState = {
+    val v = child.eval(input)
+    if (v != null) {
+      st.n += 1L
+      st.levels(0) += v.asInstanceOf[Long]
+      if (st.levels(0).size >= k) compact(st, 0)
+    }
+    st
+  }
+
+  override def merge(st: QuantileSketchState, other: QuantileSketchState): QuantileSketchState = {
+    st.n += other.n
+    var l = 0
+    while (l < other.levels.size) {
+      ensureLevel(st, l)
+      st.levels(l) ++= other.levels(l)
+      l += 1
+    }
+    l = 0
+    while (l < st.levels.size) { compact(st, l); l += 1 }
+    st
+  }
+
+  override def eval(st: QuantileSketchState): Any = {
+    // weighted summary, sorted by value
+    val items = mutable.ArrayBuffer.empty[(Long, Long)]
+    var l = 0
+    while (l < st.levels.size) {
+      val w = 1L << l
+      st.levels(l).foreach(v => items += ((v, w)))
+      l += 1
+    }
+    val sorted = items.sortBy(_._1).toArray
+    val ests = new Array[Any](9)
+    var d = 1
+    while (d <= 9) {
+      val target = math.max(1L, (d * st.n) / 10L)
+      var cum = 0L
+      var i = 0
+      var est = if (sorted.nonEmpty) sorted(sorted.length - 1)._1 else 0L
+      var found = false
+      while (i < sorted.length && !found) {
+        cum += sorted(i)._2
+        if (cum >= target) { est = sorted(i)._1; found = true }
+        i += 1
+      }
+      ests(d - 1) = est
+      d += 1
+    }
+    new GenericArrayData(ests)
+  }
+
+  override def serialize(st: QuantileSketchState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(st.n)
+    out.writeInt(st.levels.size)
+    var l = 0
+    while (l < st.levels.size) {
+      out.writeInt(st.parity(l))
+      val buf = st.levels(l)
+      out.writeInt(buf.size)
+      buf.foreach(out.writeLong)
+      l += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketchState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new QuantileSketchState
+    st.n = in.readLong()
+    val nl = in.readInt()
+    st.levels.clear(); st.parity.clear()
+    var l = 0
+    while (l < nl) {
+      st.parity += in.readInt()
+      val sz = in.readInt()
+      val buf = mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < sz) { buf += in.readLong(); i += 1 }
+      st.levels += buf
+      l += 1
+    }
+    if (st.levels.isEmpty) { st.levels += mutable.ArrayBuffer.empty[Long]; st.parity += 0 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

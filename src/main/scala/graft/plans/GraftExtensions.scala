@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_heavy_hitters", classOf[HeavyHittersAgg],
       cs => HeavyHittersAgg(cs(0),
         cs(1).eval().asInstanceOf[Number].intValue))
+    reg("graft_quantile_sketch", classOf[QuantileSketchAgg],
+      cs => QuantileSketchAgg(cs(0),
+        cs(1).eval().asInstanceOf[Number].intValue))
 
     ext.injectOptimizerRule(_ => RectContainsToRange)
     ext.injectOptimizerRule(_ => WindowTopKToTopKPerKey)

@@ -2198,6 +2198,41 @@ object Training {
           least(expr("(50000 * s) div st"), col("c")).as("alloc_tokens"))
     }),
 
+    // Mergeable quantile sketch (MRL compactors — see QuantileSketchAgg):
+    // per-returnflag price deciles as a partial→merge→final aggregate,
+    // the way a 100 TB percentile runs without q14's exact
+    // percentile_approx state or a full sort. Like the q115/q209 MG
+    // pattern, the ESTIMATES are merge-order-dependent, so the output
+    // asserts the sketch's deterministic guarantee instead: each decile
+    // estimate's EXACT rank (one extra indicator pass against the tiny
+    // broadcast estimate frame) must sit within the MRL band
+    // 2·L·n/(k−1) + k of its target rank — theorem-true for any merge
+    // tree, so the oracle replays the verdicts as literal TRUE, and any
+    // sketch regression flips a hash-checked cell.
+    "q346_quantile_sketch" -> ((s, d) => {
+      val kCap = 1024
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        .persist() // sketch pass + exact-rank pass
+      val sk = li.groupBy("flag").agg(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.QuantileSketchAgg(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("v")), kCap)
+            .toAggregateExpression()).as("ests"),
+        count(lit(1)).as("n"))
+      val est = sk.select(col("flag"), col("n"),
+          posexplode(col("ests")).as(Seq("d0", "est")))
+        .select(col("flag"), col("n"), (col("d0") + 1).cast("long").as("d"),
+          col("est"))
+      li.join(broadcast(est), "flag")
+        .groupBy("flag", "d", "n", "est")
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rnk"))
+        .select(col("flag"), col("d"), col("n"),
+          expr(s"""abs(rnk - greatest(1L, (d * n) div 10)) <=
+            (2 * (cast(ceil(log2(cast(2 * n as double) / $kCap)) as bigint) + 2)
+              * n) div ${kCap - 1} + $kCap""").as("in_band"))
+    }),
+
     // Keyword-based recall along the rank cut (the reference's
     // model-evaluation step, `recall/estimate_recall.py:64-77`: rank by
     // model score, cut at top-k, report the share of seedlist-positive
@@ -4899,6 +4934,12 @@ object Training {
          SELECT doc_id, CAST(cls AS BIGINT) AS best_cls,
            score_e6 AS best_score_e6
          FROM r WHERE rn = 1""",
+    "q346_quantile_sketch" ->
+      """WITH c AS (
+           SELECT l_returnflag AS flag, count(*) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT flag, CAST(d.range AS BIGINT) AS d, n, TRUE AS in_band
+         FROM c CROSS JOIN range(1, 10) d""",
     "q345_temperature_mix" ->
       """WITH cnt AS (
            SELECT lang,

@@ -929,6 +929,22 @@ class PlanSpec extends SparkSpec {
     assert(!"windowspecdefinition\\((?!bkt#)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q343 stupid backoff: keyed equi-joins only — no cartesian beyond " +
+      "the 1-row total, no UDF") {
+    val p = plan("q343_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q344 hashed-bag scores: weight dim broadcasts, no global window") {
+    val p = plan("q344_hashed_bag_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q331 negative-sampling probe is a hash join on the cell id, " +
       "not a nested-loop range probe") {
     val p = plan("q331_negative_sampling")
