@@ -196,6 +196,51 @@ object Similarity {
     * (commuted products, same fold order), so one cos_e6 describes the
     * pair regardless of which side reports it.
     */
+  /** q321's candidate stage with a corpus-SCALED cell count: each IVF
+    * label cell subdivides along the first embedding coordinate into
+    * nb = max(1, n/(10·target)) bins, so the expected cell population
+    * stays ~target as the corpus grows and the in-cell pair count stays
+    * LINEAR in n — the "grow k with the corpus" posture whose absence
+    * q321's fixed-k fixture deliberately exhibits (BENCH_SCALE's 100.2×
+    * pair-growth attribution), realized as an operator. Bin boundaries
+    * cost recall (candidate role — a prober widens bins for the final
+    * verify); linearity is the trade. At small n (nb = 1) this
+    * degenerates to exactly mutualTop1.
+    */
+  def mutualTop1Scaled(embs: DataFrame, target: Long): DataFrame = {
+    val cents = ivfCentroids(embs)
+    val nDf = embs.agg(count(lit(1)).as("n_total"))
+    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .crossJoin(broadcast(nDf))
+      .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
+      .withColumn("bin", expr(
+        """least(nb - 1, greatest(0L, cast(floor(
+          (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
+      .withColumn("nrm", norm2("embedding"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("bin"))
+      .persist() // both sides of the in-cell pair join read it
+    val rhs = withC.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"),
+      col("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
+    val top1 = withC.join(rhs, Seq("cell", "bin"))
+      .where(col("nid") =!= col("vec_id"))
+      .withColumn("cos",
+        cosineWithNorms(dot("embedding", "nemb"), col("nrm"), col("nn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("bin"), col("vec_id"), col("nid"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .persist() // probed from both directions by the mutual filter
+    val rev = top1.select(col("nid").as("vec_id"), col("vec_id").as("nid"))
+    top1.join(rev, Seq("vec_id", "nid"))
+      .where(col("vec_id") < col("nid"))
+      .select(col("cell"), col("bin"), col("vec_id").as("id_a"),
+        col("nid").as("id_b"), col("cos_e6"))
+  }
+
   def mutualTop1(embs: DataFrame): DataFrame = {
     val cents = ivfCentroids(embs)
     val withC = embs.join(withIvfCell(embs, cents), "vec_id")

@@ -3572,6 +3572,16 @@ object Training {
       Similarity.mutualTop1(t(s, d, "embeddings"))
     }),
 
+    // q321's production posture realized: the codebook granularity GROWS
+    // with the corpus (each label cell subdivides into n/(10·target)
+    // first-coordinate bins), capping expected cell population at
+    // ~target so the in-cell pair workload stays LINEAR in n — the fix
+    // BENCH_SCALE's 100.2× attribution prescribes. Same mutual top-1
+    // semantics; at small n it degenerates to q321 exactly.
+    "q347_mutual_nn_scaled" -> ((s, d) => {
+      Similarity.mutualTop1Scaled(t(s, d, "embeddings"), 200L)
+    }),
+
     // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
     // personalized PageRank with the restart mass pinned to a trusted
     // seed set (doc_id < 20) — the seeded quality-propagation pass a web
@@ -4230,6 +4240,53 @@ object Training {
                  FROM scored)
            WHERE rn = 1)
          SELECT t.cell, t.vec_id AS id_a, t.nid AS id_b, t.cos_e6
+         FROM top1 t JOIN top1 r ON r.vec_id = t.nid AND r.nid = t.vec_id
+         WHERE t.vec_id < t.nid"""
+  }
+
+  /** q347: the mutual-NN replay with the corpus-scaled bin refinement —
+    * cells are (IVF label, first-coordinate bin), nb = max(1,
+    * n/(10·target)); DuckDB lists are 1-based so embedding[1] mirrors
+    * Spark's embedding[0].
+    */
+  private def mutualNnScaledOracle(target: Long): String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = s"greatest(1, (SELECT count(*) FROM embeddings) // (10 * $target))"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         wc AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding, a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(e.embedding[1] AS DOUBLE) + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         scored AS (
+           SELECT x.cell, x.bin, x.vec_id, y.vec_id AS nid,
+             ${cos("x.embedding", "y.embedding")} AS cos
+           FROM wc x JOIN wc y
+             ON x.cell = y.cell AND x.bin = y.bin AND x.vec_id <> y.vec_id),
+         top1 AS MATERIALIZED (
+           SELECT cell, bin, vec_id, nid,
+             CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nid ASC) AS rn
+                 FROM scored)
+           WHERE rn = 1)
+         SELECT t.cell, t.bin, t.vec_id AS id_a, t.nid AS id_b, t.cos_e6
          FROM top1 t JOIN top1 r ON r.vec_id = t.nid AND r.nid = t.vec_id
          WHERE t.vec_id < t.nid"""
   }
@@ -6901,6 +6958,7 @@ object Training {
          FROM st""",
 
     "q321_mutual_nn" -> mutualNnOracle,
+    "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
 
     "q324_trustrank" ->
       s"""WITH $minhashCtes,
