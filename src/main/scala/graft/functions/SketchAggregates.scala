@@ -161,6 +161,92 @@ final class QuantileSketchState {
   val parity: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer(0)
 }
 
+/** The MRL compactor core, shared by the batch TypedImperativeAggregate
+  * (QuantileSketchAgg) and the streaming twin
+  * (streaming/StreamingQuantiles) so their guarantee analysis is one
+  * piece of code.
+  */
+object MrlOps {
+
+  def ensureLevel(st: QuantileSketchState, l: Int): Unit =
+    while (st.levels.size <= l) {
+      st.levels += mutable.ArrayBuffer.empty[Long]
+      st.parity += 0
+    }
+
+  /** Sort level l, promote an alternating half of its even prefix to
+    * l+1 (an odd leftover stays at level l — total weight is preserved
+    * exactly), cascade upward while any buffer is full.
+    */
+  def compact(st: QuantileSketchState, l0: Int, k: Int): Unit = {
+    var l = l0
+    while (l < st.levels.size && st.levels(l).size >= k) {
+      ensureLevel(st, l + 1)
+      val buf = st.levels(l)
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val even = arr.length - (arr.length % 2)
+      val off = st.parity(l)
+      st.parity(l) = 1 - off
+      val up = st.levels(l + 1)
+      var i = off
+      while (i < even) { up += arr(i); i += 2 }
+      buf.clear()
+      if (even < arr.length) buf += arr(arr.length - 1) // odd leftover
+      l += 1
+    }
+  }
+
+  def insert(st: QuantileSketchState, v: Long, k: Int): Unit = {
+    st.n += 1L
+    st.levels(0) += v
+    if (st.levels(0).size >= k) compact(st, 0, k)
+  }
+
+  def mergeInto(st: QuantileSketchState, other: QuantileSketchState, k: Int): Unit = {
+    st.n += other.n
+    var l = 0
+    while (l < other.levels.size) {
+      ensureLevel(st, l)
+      st.levels(l) ++= other.levels(l)
+      l += 1
+    }
+    l = 0
+    while (l < st.levels.size) { compact(st, l, k); l += 1 }
+  }
+
+  /** The 9 decile estimates: smallest item whose cumulative weight
+    * reaches max(1, (d·n) div 10), d = 1..9.
+    */
+  def deciles(st: QuantileSketchState): Array[Long] = {
+    val items = mutable.ArrayBuffer.empty[(Long, Long)]
+    var l = 0
+    while (l < st.levels.size) {
+      val w = 1L << l
+      st.levels(l).foreach(v => items += ((v, w)))
+      l += 1
+    }
+    val sorted = items.sortBy(_._1).toArray
+    val ests = new Array[Long](9)
+    var d = 1
+    while (d <= 9) {
+      val target = math.max(1L, (d * st.n) / 10L)
+      var cum = 0L
+      var i = 0
+      var est = if (sorted.nonEmpty) sorted(sorted.length - 1)._1 else 0L
+      var found = false
+      while (i < sorted.length && !found) {
+        cum += sorted(i)._2
+        if (cum >= target) { est = sorted(i)._1; found = true }
+        i += 1
+      }
+      ests(d - 1) = est
+      d += 1
+    }
+    ests
+  }
+}
+
 /** `graft_quantile_sketch(x, k)` — deterministic mergeable quantile
   * sketch (the Manku–Rajagopalan–Lindsay compactor scheme KLL
   * derandomizes): level-l buffers hold items of weight 2^l; a full
@@ -205,86 +291,19 @@ case class QuantileSketchAgg(
   override def createAggregationBuffer(): QuantileSketchState =
     new QuantileSketchState
 
-  private def ensureLevel(st: QuantileSketchState, l: Int): Unit =
-    while (st.levels.size <= l) {
-      st.levels += mutable.ArrayBuffer.empty[Long]
-      st.parity += 0
-    }
-
-  /** Sort level l, promote an alternating half of its even prefix to
-    * l+1 (an odd leftover stays at level l — total weight is preserved
-    * exactly), cascade upward while any buffer is full.
-    */
-  private def compact(st: QuantileSketchState, l0: Int): Unit = {
-    var l = l0
-    while (l < st.levels.size && st.levels(l).size >= k) {
-      ensureLevel(st, l + 1)
-      val buf = st.levels(l)
-      val arr = buf.toArray
-      java.util.Arrays.sort(arr)
-      val even = arr.length - (arr.length % 2)
-      val off = st.parity(l)
-      st.parity(l) = 1 - off
-      val up = st.levels(l + 1)
-      var i = off
-      while (i < even) { up += arr(i); i += 2 }
-      buf.clear()
-      if (even < arr.length) buf += arr(arr.length - 1) // odd leftover
-      l += 1
-    }
-  }
-
   override def update(st: QuantileSketchState, input: InternalRow): QuantileSketchState = {
     val v = child.eval(input)
-    if (v != null) {
-      st.n += 1L
-      st.levels(0) += v.asInstanceOf[Long]
-      if (st.levels(0).size >= k) compact(st, 0)
-    }
+    if (v != null) MrlOps.insert(st, v.asInstanceOf[Long], k)
     st
   }
 
   override def merge(st: QuantileSketchState, other: QuantileSketchState): QuantileSketchState = {
-    st.n += other.n
-    var l = 0
-    while (l < other.levels.size) {
-      ensureLevel(st, l)
-      st.levels(l) ++= other.levels(l)
-      l += 1
-    }
-    l = 0
-    while (l < st.levels.size) { compact(st, l); l += 1 }
+    MrlOps.mergeInto(st, other, k)
     st
   }
 
-  override def eval(st: QuantileSketchState): Any = {
-    // weighted summary, sorted by value
-    val items = mutable.ArrayBuffer.empty[(Long, Long)]
-    var l = 0
-    while (l < st.levels.size) {
-      val w = 1L << l
-      st.levels(l).foreach(v => items += ((v, w)))
-      l += 1
-    }
-    val sorted = items.sortBy(_._1).toArray
-    val ests = new Array[Any](9)
-    var d = 1
-    while (d <= 9) {
-      val target = math.max(1L, (d * st.n) / 10L)
-      var cum = 0L
-      var i = 0
-      var est = if (sorted.nonEmpty) sorted(sorted.length - 1)._1 else 0L
-      var found = false
-      while (i < sorted.length && !found) {
-        cum += sorted(i)._2
-        if (cum >= target) { est = sorted(i)._1; found = true }
-        i += 1
-      }
-      ests(d - 1) = est
-      d += 1
-    }
-    new GenericArrayData(ests)
-  }
+  override def eval(st: QuantileSketchState): Any =
+    new GenericArrayData(MrlOps.deciles(st).map(_.asInstanceOf[Any]))
 
   override def serialize(st: QuantileSketchState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
