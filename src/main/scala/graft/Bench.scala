@@ -147,7 +147,8 @@ object Bench {
     "q176_rfm", // 3x globalRank exact-ntile quintiles (r8 rewrite)
     "q248_token_budget_fill", // two-level distributed prefix sum (r8 rewrite)
     "q346_quantile_sketch", // MRL mergeable decile sketch + exact-rank audit
-    "q347_mutual_nn_scaled") // mutual NN with corpus-scaled cell count
+    "q347_mutual_nn_scaled", // mutual NN with corpus-scaled cell count
+    "q348_hard_negatives") // in-cell triplet mining with margins
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

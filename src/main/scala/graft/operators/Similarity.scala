@@ -241,6 +241,45 @@ object Similarity {
         col("nid").as("id_b"), col("cos_e6"))
   }
 
+  /** Triplet mining for contrastive training: for every anchor, the
+    * most-similar SAME-label neighbor (positive) and the most-similar
+    * DIFFERENT-label neighbor (the hard negative) within its IVF cell,
+    * plus the margin between them — the batch hard-negative refresh a
+    * contrastive embedding trainer runs over its corpus each epoch.
+    * Anchors missing either neighbor kind in-cell drop out (inner
+    * join). Scale shape: pairs never leave a cell (bounded by codebook
+    * granularity — the q321/q347 posture), two keyed top-1 windows, and
+    * the margin joins 1-row-per-anchor frames.
+    */
+  def hardNegatives(embs: DataFrame): DataFrame = {
+    val cents = ivfCentroids(embs)
+    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .withColumn("nrm", norm2("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("cell"))
+      .persist() // both sides of the in-cell pair join read it
+    val rhs = withC.select(col("vec_id").as("nid"),
+      col("label").as("nlabel"), col("embedding").as("nemb"),
+      col("nrm").as("nn"), col("cell"))
+    val pairs = withC.join(rhs, "cell")
+      .where(col("nid") =!= col("vec_id"))
+      .withColumn("cos",
+        cosineWithNorms(dot("embedding", "nemb"), col("nrm"), col("nn")))
+      .persist() // the two top-1 windows read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
+    def top1(f: Column, idOut: String, cosOut: String) = pairs.where(f)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("nid").as(idOut),
+        floor(col("cos") * 1e6).cast("long").as(cosOut))
+    top1(col("nlabel") === col("label"), "pos_id", "pos_cos_e6")
+      .join(top1(col("nlabel") =!= col("label"), "neg_id", "neg_cos_e6"),
+        "vec_id")
+      .select(col("vec_id"), col("pos_id"), col("pos_cos_e6"),
+        col("neg_id"), col("neg_cos_e6"),
+        (col("pos_cos_e6") - col("neg_cos_e6")).as("margin_e6"))
+  }
+
   def mutualTop1(embs: DataFrame): DataFrame = {
     val cents = ivfCentroids(embs)
     val withC = embs.join(withIvfCell(embs, cents), "vec_id")

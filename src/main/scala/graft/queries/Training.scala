@@ -3582,6 +3582,15 @@ object Training {
       Similarity.mutualTop1Scaled(t(s, d, "embeddings"), 200L)
     }),
 
+    // Hard-negative triplet mining (the contrastive trainer's per-epoch
+    // batch refresh — SimCSE/E5 posture): per anchor, the most-similar
+    // same-label neighbor and the most-similar different-label neighbor
+    // within its IVF cell, with the margin between them. In-cell pairs
+    // only — q321/q347's bounded-cell candidate posture.
+    "q348_hard_negatives" -> ((s, d) => {
+      Similarity.hardNegatives(t(s, d, "embeddings"))
+    }),
+
     // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
     // personalized PageRank with the restart mass pinned to a trusted
     // seed set (doc_id < 20) — the seeded quality-propagation pass a web
@@ -4289,6 +4298,54 @@ object Training {
          SELECT t.cell, t.bin, t.vec_id AS id_a, t.nid AS id_b, t.cos_e6
          FROM top1 t JOIN top1 r ON r.vec_id = t.nid AND r.nid = t.vec_id
          WHERE t.vec_id < t.nid"""
+  }
+
+  /** q348: the in-cell pair replay with per-anchor same-label and
+    * different-label top-1 picks and the margin.
+    */
+  private def hardNegativesOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         wc AS MATERIALIZED (
+           SELECT e.vec_id, e.label, e.embedding, a.cell
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         scored AS MATERIALIZED (
+           SELECT x.vec_id, x.label, y.vec_id AS nid, y.label AS nlabel,
+             ${cos("x.embedding", "y.embedding")} AS cos
+           FROM wc x JOIN wc y
+             ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         pos AS (
+           SELECT vec_id, nid AS pos_id,
+             CAST(floor(cos * 1000000.0) AS BIGINT) AS pos_cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nid ASC) AS rn
+                 FROM scored WHERE nlabel = label)
+           WHERE rn = 1),
+         neg AS (
+           SELECT vec_id, nid AS neg_id,
+             CAST(floor(cos * 1000000.0) AS BIGINT) AS neg_cos_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nid ASC) AS rn
+                 FROM scored WHERE nlabel <> label)
+           WHERE rn = 1)
+         SELECT vec_id, pos_id, pos_cos_e6, neg_id, neg_cos_e6,
+           pos_cos_e6 - neg_cos_e6 AS margin_e6
+         FROM pos JOIN neg USING (vec_id)"""
   }
 
   /** Recall@10 oracle: brute-force, LSH (8 planes) and IVF (2 probes)
@@ -6959,6 +7016,7 @@ object Training {
 
     "q321_mutual_nn" -> mutualNnOracle,
     "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
+    "q348_hard_negatives" -> hardNegativesOracle,
 
     "q324_trustrank" ->
       s"""WITH $minhashCtes,
