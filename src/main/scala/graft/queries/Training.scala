@@ -3591,6 +3591,31 @@ object Training {
       Similarity.hardNegatives(t(s, d, "embeddings"))
     }),
 
+    // Curriculum ordering — the data-ORDERING step of a training run
+    // (Bengio et al. 2009 posture, length-staged): stage = token-count
+    // bucket (short/easy first), and within a stage the sources
+    // round-robin (rank within (stage, source) — a KEYED window — is
+    // the interleave position) so no stage is a single-source block.
+    // The final training order (stage, position, source, doc_id) is
+    // fully deterministic — reshard/retry-stable, no rand(). The global
+    // position rides the scalable range-sort rank (Ranking.globalRank,
+    // q91's shape, never a single-partition window); output bounded to
+    // the first 100 positions.
+    "q349_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("stage", "source").orderBy("doc_id")
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("stage", expr("least(2L, ntok div 150)"))
+        .withColumn("rr", row_number().over(w).cast("long"))
+      graft.operators.Ranking.globalRank(
+          staged.select("doc_id", "source", "stage", "rr"),
+          "pos", asc("stage"), asc("rr"), asc("source"), asc("doc_id"))
+        .where(col("pos") <= 100)
+        .select("doc_id", "source", "stage", "pos")
+    }),
+
     // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
     // personalized PageRank with the restart mass pinned to a trusted
     // seed set (doc_id < 20) — the seeded quality-propagation pass a web
@@ -7017,6 +7042,21 @@ object Training {
     "q321_mutual_nn" -> mutualNnOracle,
     "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
     "q348_hard_negatives" -> hardNegativesOracle,
+    "q349_curriculum" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             least(2, len(string_split(lower(text), ' ')) // 150) AS stage
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, stage, row_number() OVER (
+             PARTITION BY stage, source ORDER BY doc_id) AS rr
+           FROM s),
+         o AS (
+           SELECT doc_id, source, CAST(stage AS BIGINT) AS stage,
+             row_number() OVER (ORDER BY stage, rr, source, doc_id) AS pos
+           FROM r)
+         SELECT doc_id, source, stage, CAST(pos AS BIGINT) AS pos
+         FROM o WHERE pos <= 100""",
 
     "q324_trustrank" ->
       s"""WITH $minhashCtes,
