@@ -945,6 +945,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q347/q348 in-cell pair joins key on the cell — no cartesian") {
+    for (q <- Seq("q347_mutual_nn_scaled", "q348_hard_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("q331 negative-sampling probe is a hash join on the cell id, " +
       "not a nested-loop range probe") {
     val p = plan("q331_negative_sampling")
