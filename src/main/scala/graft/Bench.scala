@@ -148,7 +148,8 @@ object Bench {
     "q248_token_budget_fill", // two-level distributed prefix sum (r8 rewrite)
     "q346_quantile_sketch", // MRL mergeable decile sketch + exact-rank audit
     "q347_mutual_nn_scaled", // mutual NN with corpus-scaled cell count
-    "q348_hard_negatives") // in-cell triplet mining with margins
+    "q348_hard_negatives", // in-cell triplet mining with margins
+    "q350_rrf_fusion") // dense+sparse reciprocal-rank fusion
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3616,6 +3616,92 @@ object Training {
         .select("doc_id", "source", "stage", "pos")
     }),
 
+    // Reciprocal Rank Fusion (Cormack et al. SIGIR 2009) — the standard
+    // hybrid-retrieval merge: per query, a dense cosine top-50 list and a
+    // sparse lexical-overlap top-50 list, fused by sum(1/(60+rank))
+    // replayed in exact integer micro-units (1000000 div (60+r)). Dense
+    // side rides the broadcast query frame (Similarity.bruteForceTopK);
+    // sparse side broadcasts the query token sets and ranks with a
+    // query-KEYED window. The fuse itself is a (query_id, cand_id) full
+    // outer join of two bounded top-k lists — never corpus-sized — and
+    // every downstream window stays keyed by query_id, so the whole
+    // plan shuffles on query_id only at production query volumes.
+    "q350_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(10L, 20L, 30L)
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val dense = Similarity
+        .bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 50)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("rnk").cast("long").as("r_dense"))
+      val qt = docs.where(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("query_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("qtok"))
+      val wS = Window.partitionBy("query_id").orderBy(desc("ov"), asc("cand_id"))
+      val sparse = docs
+        .select(col("doc_id").as("cand_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ctok"))
+        .crossJoin(broadcast(qt))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("ov", size(array_intersect(col("ctok"), col("qtok"))).cast("long"))
+        .where(col("ov") >= 1L)
+        .withColumn("r_sparse", row_number().over(wS).cast("long"))
+        .where(col("r_sparse") <= 50L)
+        .select("query_id", "cand_id", "r_sparse")
+      val wF = Window.partitionBy("query_id").orderBy(desc("rrf_e6"), asc("cand_id"))
+      dense.join(sparse, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_e6",
+          coalesce(expr("1000000L div (60L + r_dense)"), lit(0L)) +
+            coalesce(expr("1000000L div (60L + r_sparse)"), lit(0L)))
+        .withColumn("pos", row_number().over(wF).cast("long"))
+        .where(col("pos") <= 10L)
+        .select(col("query_id"), col("cand_id"), col("r_dense"),
+          col("r_sparse"), col("rrf_e6"), col("pos"))
+    }),
+
+    // Graded retrieval eval — nDCG@10 + reciprocal rank per query
+    // (Järvelin & Kekäläinen TOIS 2002) over the dense cosine top-10,
+    // with label-derived graded relevance (3 = same label, 1 = adjacent
+    // label, 0 otherwise). The log2 position discount is a 10-entry
+    // integer literal table w_e6 = floor(1e6/log2(pos+1)) shared
+    // verbatim with the oracle, so DCG/IDCG/nDCG/RR are exact integer
+    // arithmetic end-to-end (no cross-engine transcendental). Ideal DCG
+    // is the in-list ideal (retrieved set re-sorted by grade) — the
+    // standard local-ideal variant. Scale shape: per-query keyed windows
+    // and one groupBy(query_id); the discount table is a literal CASE.
+    "q351_ndcg_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(10L, 20L, 30L)
+      val e = t(s, d, "embeddings")
+      def wE6(c: String) = expr(s"CASE $c WHEN 1 THEN 1000000L" +
+        " WHEN 2 THEN 630929L WHEN 3 THEN 500000L WHEN 4 THEN 430676L" +
+        " WHEN 5 THEN 386852L WHEN 6 THEN 356207L WHEN 7 THEN 333333L" +
+        " WHEN 8 THEN 315464L WHEN 9 THEN 301029L WHEN 10 THEN 289064L END")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val wI = Window.partitionBy("query_id").orderBy(desc("rel"), asc("rnk"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 10)
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("lab").as("clab")),
+          "neighbor_id")
+        .join(broadcast(
+          lab.select(col("vec_id").as("query_id"), col("lab").as("qlab"))),
+          "query_id")
+        .withColumn("rel",
+          when(col("clab") === col("qlab"), 3L)
+            .when(abs(col("clab") - col("qlab")) === 1L, 1L).otherwise(0L))
+        .withColumn("irnk", row_number().over(wI))
+        .withColumn("wr_e6", wE6("rnk"))
+        .withColumn("wi_e6", wE6("irnk"))
+        .groupBy("query_id")
+        .agg(sum(col("rel") * col("wr_e6")).as("dcg_e6"),
+          sum(col("rel") * col("wi_e6")).as("idcg_e6"),
+          min(when(col("rel") > 0L, col("rnk").cast("long"))).as("minr"))
+        .select(col("query_id"), col("dcg_e6"), col("idcg_e6"),
+          when(col("idcg_e6") > 0L, expr("dcg_e6 * 1000000L div idcg_e6"))
+            .otherwise(0L).as("ndcg_e6"),
+          coalesce(expr("1000000L div minr"), lit(0L)).as("rr_e6"))
+    }),
+
     // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
     // personalized PageRank with the restart mass pinned to a trusted
     // seed set (doc_id < 20) — the seeded quality-propagation pass a web
@@ -7057,6 +7143,105 @@ object Training {
            FROM r)
          SELECT doc_id, source, stage, CAST(pos AS BIGINT) AS pos
          FROM o WHERE pos <= 100""",
+
+    "q350_rrf_fusion" ->
+      s"""WITH qd AS (
+           SELECT doc_id AS query_id,
+             list_distinct(string_split(lower(text), ' ')) AS qtok
+           FROM documents WHERE doc_id IN (10, 20, 30)),
+         cd AS (
+           SELECT doc_id AS cand_id,
+             list_distinct(string_split(lower(text), ' ')) AS ctok
+           FROM documents),
+         sp0 AS (
+           SELECT query_id, cand_id,
+             CAST(len(list_intersect(ctok, qtok)) AS BIGINT) AS ov
+           FROM qd, cd WHERE cand_id <> query_id),
+         sp AS (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ov DESC, cand_id) AS r_sparse
+           FROM sp0 WHERE ov >= 1
+           QUALIFY r_sparse <= 50),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         dn0 AS (
+           SELECT q.query_id, e.vec_id AS cand_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         dn AS (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS r_dense
+           FROM dn0 QUALIFY r_dense <= 50),
+         f AS (
+           SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+             coalesce(dn.cand_id, sp.cand_id) AS cand_id,
+             CAST(dn.r_dense AS BIGINT) AS r_dense,
+             CAST(sp.r_sparse AS BIGINT) AS r_sparse
+           FROM dn FULL OUTER JOIN sp
+             ON dn.query_id = sp.query_id AND dn.cand_id = sp.cand_id),
+         g AS (
+           SELECT query_id, cand_id, r_dense, r_sparse,
+             coalesce(1000000 // (60 + r_dense), 0)
+               + coalesce(1000000 // (60 + r_sparse), 0) AS rrf_e6
+           FROM f)
+         SELECT query_id, cand_id, r_dense, r_sparse,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e6 DESC, cand_id) AS BIGINT)
+             AS pos
+         FROM g
+         QUALIFY pos <= 10""",
+
+    "q351_ndcg_mrr" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb,
+             CAST(label AS BIGINT) AS qlab
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.query_id, q.qlab, e.vec_id AS cand_id,
+             CAST(e.label AS BIGINT) AS clab,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, cand_id, qlab, clab,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+           FROM c QUALIFY rnk <= 10),
+         g AS (
+           SELECT query_id, rnk,
+             CASE WHEN clab = qlab THEN 3
+                  WHEN abs(clab - qlab) = 1 THEN 1 ELSE 0 END AS rel
+           FROM r),
+         w(pos, w_e6) AS (VALUES
+           (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+           (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+           (9, 301029), (10, 289064)),
+         i AS (
+           SELECT query_id, rnk, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, rnk) AS irnk
+           FROM g),
+         j AS (
+           SELECT i.query_id, i.rel, i.rnk,
+             wr.w_e6 AS wr_e6, wi.w_e6 AS wi_e6
+           FROM i JOIN w wr ON i.rnk = wr.pos JOIN w wi ON i.irnk = wi.pos)
+         SELECT query_id,
+           CAST(sum(rel * wr_e6) AS BIGINT) AS dcg_e6,
+           CAST(sum(rel * wi_e6) AS BIGINT) AS idcg_e6,
+           CAST(CASE WHEN sum(rel * wi_e6) > 0
+                THEN sum(rel * wr_e6) * 1000000 // sum(rel * wi_e6)
+                ELSE 0 END AS BIGINT) AS ndcg_e6,
+           CAST(coalesce(
+             1000000 // min(CASE WHEN rel > 0 THEN rnk END), 0) AS BIGINT)
+             AS rr_e6
+         FROM j GROUP BY query_id""",
 
     "q324_trustrank" ->
       s"""WITH $minhashCtes,
