@@ -3616,16 +3616,19 @@ object Training {
         .select("doc_id", "source", "stage", "pos")
     }),
 
-    // Reciprocal Rank Fusion (Cormack et al. SIGIR 2009) — the standard
-    // hybrid-retrieval merge: per query, a dense cosine top-50 list and a
-    // sparse lexical-overlap top-50 list, fused by sum(1/(60+rank))
-    // replayed in exact integer micro-units (1000000 div (60+r)). Dense
-    // side rides the broadcast query frame (Similarity.bruteForceTopK);
-    // sparse side broadcasts the query token sets and ranks with a
-    // query-KEYED window. The fuse itself is a (query_id, cand_id) full
-    // outer join of two bounded top-k lists — never corpus-sized — and
-    // every downstream window stays keyed by query_id, so the whole
-    // plan shuffles on query_id only at production query volumes.
+    // Cross-source Reciprocal Rank Fusion (Cormack et al. SIGIR 2009):
+    // where q246 fuses two DENSE rankings drawn from one candidate
+    // frame, this is the production lexical+dense hybrid — the sparse
+    // list (distinct-token overlap over `documents`) and the dense list
+    // (cosine over `embeddings`) come from DIFFERENT retrieval sources,
+    // so the fuse is a (query_id, cand_id) FULL OUTER join of two
+    // bounded top-50 lists with a missing rank contributing zero — the
+    // real RRF list-merge semantics. Ranks fuse as exact integer
+    // micro-units (1000000 div (60+r)). Dense side rides the broadcast
+    // query frame (Similarity.bruteForceTopK); sparse side broadcasts
+    // the query token sets and ranks with a query-KEYED window; every
+    // downstream window stays keyed by query_id, so the whole plan
+    // shuffles on query_id only at production query volumes.
     "q350_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val qids = Seq(10L, 20L, 30L)
