@@ -247,34 +247,48 @@ object Similarity {
     * plus the margin between them — the batch hard-negative refresh a
     * contrastive embedding trainer runs over its corpus each epoch.
     * Anchors missing either neighbor kind in-cell drop out (inner
-    * join). Scale shape: pairs never leave a cell (bounded by codebook
-    * granularity — the q321/q347 posture), two keyed top-1 windows, and
-    * the margin joins 1-row-per-anchor frames.
+    * join). Scale shape: cells carry the CORPUS-SCALED first-coordinate
+    * bin refinement (mutualTop1Scaled's nb = max(1, n/(10·target))
+    * scheme) so the in-cell pair count stays LINEAR in n; the pair
+    * frame projects BOTH embeddings away the moment the cosine is
+    * computed (an earlier form persisted 550-byte pair rows through two
+    * window passes and exhausted an 8 GiB heap at sf1); and the two
+    * top-1 picks ride ONE window keyed by (anchor, same-label?) plus a
+    * groupBy pivot — one shuffle, no wide persist. At small n (nb = 1)
+    * the bin is a no-op and this is the plain per-cell mining.
     */
-  def hardNegatives(embs: DataFrame): DataFrame = {
+  def hardNegatives(embs: DataFrame, target: Long = 200L): DataFrame = {
     val cents = ivfCentroids(embs)
+    val nDf = embs.agg(count(lit(1)).as("n_total"))
     val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .crossJoin(broadcast(nDf))
+      .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
+      .withColumn("bin", expr(
+        """least(nb - 1, greatest(0L, cast(floor(
+          (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
       .withColumn("nrm", norm2("embedding"))
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("cell"))
+        col("cell"), col("bin"))
       .persist() // both sides of the in-cell pair join read it
     val rhs = withC.select(col("vec_id").as("nid"),
       col("label").as("nlabel"), col("embedding").as("nemb"),
-      col("nrm").as("nn"), col("cell"))
-    val pairs = withC.join(rhs, "cell")
+      col("nrm").as("nn"), col("cell"), col("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "same").orderBy(desc("cos"), asc("nid"))
+    withC.join(rhs, Seq("cell", "bin"))
       .where(col("nid") =!= col("vec_id"))
       .withColumn("cos",
         cosineWithNorms(dot("embedding", "nemb"), col("nrm"), col("nn")))
-      .persist() // the two top-1 windows read it
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("cos"), asc("nid"))
-    def top1(f: Column, idOut: String, cosOut: String) = pairs.where(f)
+      .select(col("vec_id"), col("nid"),
+        (col("nlabel") === col("label")).as("same"), col("cos"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("vec_id"), col("nid").as(idOut),
-        floor(col("cos") * 1e6).cast("long").as(cosOut))
-    top1(col("nlabel") === col("label"), "pos_id", "pos_cos_e6")
-      .join(top1(col("nlabel") =!= col("label"), "neg_id", "neg_cos_e6"),
-        "vec_id")
+      .withColumn("cos_e6", floor(col("cos") * 1e6).cast("long"))
+      .groupBy("vec_id")
+      .agg(max(when(col("same"), col("nid"))).as("pos_id"),
+        max(when(col("same"), col("cos_e6"))).as("pos_cos_e6"),
+        max(when(!col("same"), col("nid"))).as("neg_id"),
+        max(when(!col("same"), col("cos_e6"))).as("neg_cos_e6"))
+      .where(col("pos_id").isNotNull && col("neg_id").isNotNull)
       .select(col("vec_id"), col("pos_id"), col("pos_cos_e6"),
         col("neg_id"), col("neg_cos_e6"),
         (col("pos_cos_e6") - col("neg_cos_e6")).as("margin_e6"))

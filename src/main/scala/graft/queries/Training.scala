@@ -3585,10 +3585,11 @@ object Training {
     // Hard-negative triplet mining (the contrastive trainer's per-epoch
     // batch refresh — SimCSE/E5 posture): per anchor, the most-similar
     // same-label neighbor and the most-similar different-label neighbor
-    // within its IVF cell, with the margin between them. In-cell pairs
-    // only — q321/q347's bounded-cell candidate posture.
+    // within its IVF cell, with the margin between them. Cells carry
+    // q347's corpus-scaled bin refinement so the in-cell pair frame
+    // stays linear in n (the unbinned form OOM'd an 8 GiB heap at sf1).
     "q348_hard_negatives" -> ((s, d) => {
-      Similarity.hardNegatives(t(s, d, "embeddings"))
+      Similarity.hardNegatives(t(s, d, "embeddings"), 200L)
     }),
 
     // Curriculum ordering — the data-ORDERING step of a training run
@@ -4415,11 +4416,14 @@ object Training {
   }
 
   /** q348: the in-cell pair replay with per-anchor same-label and
-    * different-label top-1 picks and the margin.
+    * different-label top-1 picks and the margin. Cells carry the
+    * corpus-scaled first-coordinate bin (mutualNnScaledOracle's nb
+    * scheme) mirroring Similarity.hardNegatives.
     */
-  private def hardNegativesOracle: String = {
+  private def hardNegativesOracle(target: Long): String = {
     def cos(a: String, b: String) =
       s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = s"greatest(1, (SELECT count(*) FROM embeddings) // (10 * $target))"
     s"""WITH cent AS (
            SELECT label, list(c_e6 ORDER BY dim) AS cvec
            FROM (SELECT label, dim,
@@ -4436,13 +4440,16 @@ object Training {
                  ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
              FROM embeddings e, cent c) WHERE rn = 1),
          wc AS MATERIALIZED (
-           SELECT e.vec_id, e.label, e.embedding, a.cell
+           SELECT e.vec_id, e.label, e.embedding, a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(e.embedding[1] AS DOUBLE) + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin
            FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
          scored AS MATERIALIZED (
            SELECT x.vec_id, x.label, y.vec_id AS nid, y.label AS nlabel,
              ${cos("x.embedding", "y.embedding")} AS cos
            FROM wc x JOIN wc y
-             ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+             ON x.cell = y.cell AND x.bin = y.bin AND x.vec_id <> y.vec_id),
          pos AS (
            SELECT vec_id, nid AS pos_id,
              CAST(floor(cos * 1000000.0) AS BIGINT) AS pos_cos_e6
@@ -7130,7 +7137,7 @@ object Training {
 
     "q321_mutual_nn" -> mutualNnOracle,
     "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
-    "q348_hard_negatives" -> hardNegativesOracle,
+    "q348_hard_negatives" -> hardNegativesOracle(200L),
     "q349_curriculum" ->
       """WITH s AS (
            SELECT doc_id, source,
