@@ -149,7 +149,8 @@ object Bench {
     "q346_quantile_sketch", // MRL mergeable decile sketch + exact-rank audit
     "q347_mutual_nn_scaled", // mutual NN with corpus-scaled cell count
     "q348_hard_negatives", // in-cell triplet mining with margins
-    "q350_rrf_fusion") // dense+sparse reciprocal-rank fusion
+    "q350_rrf_fusion", // dense+sparse reciprocal-rank fusion
+    "q352_margin_ratio") // Artetxe-Schwenk ratio-margin pair scoring
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,6 +241,59 @@ object Similarity {
         col("nid").as("id_b"), col("cos_e6"))
   }
 
+  /** Margin-ratio scoring of in-cell candidate pairs (Artetxe & Schwenk
+    * ACL 2019's ratio margin, the published bitext-mining criterion that
+    * sits on top of the q321/q347 mutual-NN candidate stage): score a
+    * pair by cos(x,y) relative to the mean of each side's top-`k`
+    * in-cell neighborhood — a hub vector that is close to EVERYTHING
+    * scores ~1 and is rejected; a genuinely isolated match scores >1.
+    * All arithmetic is e6-integer off per-pair floored cosines (avg_k =
+    * sum(top-k cos_e6) div k', ratio = cos_e6·2e6 div (avg_a+avg_b)),
+    * restricted to non-negative cosines and positive denominators so
+    * trunc-division replays identically cross-engine. Scale shape: the
+    * pair frame lives inside corpus-scaled (cell, bin) groups (expected
+    * population ~target) and drops embeddings at the cosine; the
+    * neighborhood stats are one keyed window over narrow rows.
+    */
+  def marginRatio(embs: DataFrame, target: Long = 200L, k: Int = 4): DataFrame = {
+    val cents = ivfCentroids(embs)
+    val nDf = embs.agg(count(lit(1)).as("n_total"))
+    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+      .crossJoin(broadcast(nDf))
+      .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
+      .withColumn("bin", expr(
+        """least(nb - 1, greatest(0L, cast(floor(
+          (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
+      .withColumn("nrm", norm2("embedding"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("bin"))
+      .persist() // both sides of the in-cell pair join read it
+    val rhs = withC.select(col("vec_id").as("nid"),
+      col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"),
+      col("bin"))
+    val pairs = withC.join(rhs, Seq("cell", "bin"))
+      .where(col("nid") =!= col("vec_id"))
+      .withColumn("cos",
+        cosineWithNorms(dot("embedding", "nemb"), col("nrm"), col("nn")))
+      .select(col("vec_id"), col("nid"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .persist() // neighborhood stats + the pair emit both read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos_e6"), asc("nid"))
+    val hood = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("vec_id")
+      .agg(expr("sum(cos_e6) div count(1)").as("avg_e6"))
+    pairs.where(col("vec_id") < col("nid") && col("cos_e6") >= 0L)
+      .join(hood.select(col("vec_id"), col("avg_e6").as("avg_a_e6")), "vec_id")
+      .join(hood.select(col("vec_id").as("nid"), col("avg_e6").as("avg_b_e6")),
+        "nid")
+      .where(col("avg_a_e6") + col("avg_b_e6") > 0L)
+      .select(col("vec_id").as("id_a"), col("nid").as("id_b"), col("cos_e6"),
+        col("avg_a_e6"), col("avg_b_e6"),
+        expr("cos_e6 * 2000000L div (avg_a_e6 + avg_b_e6)").as("margin_e6"))
+  }
+
   /** Triplet mining for contrastive training: for every anchor, the
     * most-similar SAME-label neighbor (positive) and the most-similar
     * DIFFERENT-label neighbor (the hard negative) within its IVF cell,

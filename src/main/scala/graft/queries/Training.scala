@@ -3706,6 +3706,18 @@ object Training {
           coalesce(expr("1000000L div minr"), lit(0L)).as("rr_e6"))
     }),
 
+    // Margin-ratio pair scoring (Artetxe & Schwenk ACL 2019) — the
+    // published bitext-mining acceptance criterion on top of the
+    // q321/q347 candidate stage: cos(x,y) against the mean of each
+    // side's top-4 in-cell neighborhood, accepted when the ratio
+    // exceeds 1.0 (hubs score ~1 and drop; isolated true matches score
+    // above). Exact e6-integer replay; corpus-scaled (cell, bin)
+    // groups; see Similarity.marginRatio for the scale notes.
+    "q352_margin_ratio" -> ((s, d) => {
+      Similarity.marginRatio(t(s, d, "embeddings"), 200L, 4)
+        .where(col("margin_e6") >= 1000000L)
+    }),
+
     // TrustRank (Gyöngyi et al. 2004) over the LSH near-dup graph:
     // personalized PageRank with the restart mass pinned to a trusted
     // seed set (doc_id < 20) — the seeded quality-propagation pass a web
@@ -4467,6 +4479,59 @@ object Training {
          SELECT vec_id, pos_id, pos_cos_e6, neg_id, neg_cos_e6,
            pos_cos_e6 - neg_cos_e6 AS margin_e6
          FROM pos JOIN neg USING (vec_id)"""
+  }
+
+  /** q352: the margin-ratio replay — in-(cell,bin) pair cosines floored
+    * to e6, per-anchor top-k neighborhood means as trunc divisions, the
+    * ratio in e6 over the undirected (id_a < id_b) pair set.
+    */
+  private def marginRatioOracle(target: Long, k: Int): String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = s"greatest(1, (SELECT count(*) FROM embeddings) // (10 * $target))"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         wc AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding, a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(e.embedding[1] AS DOUBLE) + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         pairs AS MATERIALIZED (
+           SELECT x.vec_id, y.vec_id AS nid,
+             CAST(floor(${cos("x.embedding", "y.embedding")} * 1000000.0)
+               AS BIGINT) AS cos_e6
+           FROM wc x JOIN wc y
+             ON x.cell = y.cell AND x.bin = y.bin AND x.vec_id <> y.vec_id),
+         hood AS (
+           SELECT vec_id, CAST(sum(cos_e6) // count(*) AS BIGINT) AS avg_e6
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_e6 DESC, nid ASC) AS rn
+                 FROM pairs)
+           WHERE rn <= $k GROUP BY vec_id)
+         SELECT p.vec_id AS id_a, p.nid AS id_b, p.cos_e6,
+           ha.avg_e6 AS avg_a_e6, hb.avg_e6 AS avg_b_e6,
+           CAST(p.cos_e6 * 2000000 // (ha.avg_e6 + hb.avg_e6) AS BIGINT)
+             AS margin_e6
+         FROM pairs p
+         JOIN hood ha ON p.vec_id = ha.vec_id
+         JOIN hood hb ON p.nid = hb.vec_id
+         WHERE p.vec_id < p.nid AND p.cos_e6 >= 0
+           AND ha.avg_e6 + hb.avg_e6 > 0
+           AND p.cos_e6 * 2000000 // (ha.avg_e6 + hb.avg_e6) >= 1000000"""
   }
 
   /** Recall@10 oracle: brute-force, LSH (8 planes) and IVF (2 probes)
@@ -7138,6 +7203,7 @@ object Training {
     "q321_mutual_nn" -> mutualNnOracle,
     "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
     "q348_hard_negatives" -> hardNegativesOracle(200L),
+    "q352_margin_ratio" -> marginRatioOracle(200L, 4),
     "q349_curriculum" ->
       """WITH s AS (
            SELECT doc_id, source,
