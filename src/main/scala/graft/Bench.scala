@@ -150,7 +150,9 @@ object Bench {
     "q347_mutual_nn_scaled", // mutual NN with corpus-scaled cell count
     "q348_hard_negatives", // in-cell triplet mining with margins
     "q350_rrf_fusion", // dense+sparse reciprocal-rank fusion
-    "q352_margin_ratio") // Artetxe-Schwenk ratio-margin pair scoring
+    "q352_margin_ratio", // Artetxe-Schwenk ratio-margin pair scoring
+    "q353_tokenizer_fertility", // bytes/token + tokens/word per group
+    "q354_cell_balance") // IVF occupancy skew + exact pair workload
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3706,6 +3706,58 @@ object Training {
           coalesce(expr("1000000L div minr"), lit(0L)).as("rr_e6"))
     }),
 
+    // Tokenizer fertility audit per (source, lang) — the tokenizer-eval
+    // report a pretraining pipeline runs before committing to a vocab
+    // (fertility = subword tokens per word, bytes per token — the
+    // standard multilingual tokenizer-quality metrics): corpus bytes,
+    // alnum-regex tokens (the BPE-ish tokenizer of the suite) and
+    // whitespace words per group, with bytes/token and tokens/word as
+    // exact e3 trunc divisions. Scale shape: one map-side pass plus one
+    // hash groupBy on (source, lang); output bounded by the group
+    // domain.
+    "q353_tokenizer_fertility" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+          sum(TextFunctions.alnumTokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("n_words"))
+        .where(col("n_tokens") > 0L && col("n_words") > 0L)
+        .select(col("source"), col("lang"), col("n_docs"), col("n_bytes"),
+          col("n_tokens"), col("n_words"),
+          expr("n_bytes * 1000 div n_tokens").as("bytes_per_tok_e3"),
+          expr("n_tokens * 1000 div n_words").as("fertility_e3"))
+    }),
+
+    // IVF (cell, bin) occupancy audit — the health check behind the
+    // whole celled-ANN family (q98/q251/q321/q347/q348/q352): group
+    // populations, the skew factor max/avg, and the EXACT in-cell pair
+    // workload Σ pop·(pop−1) those queries will pay. This is the number
+    // an operator watches to decide when to re-train the codebook or
+    // raise nb. One groupBy on (cell, bin) then a bounded aggregate.
+    "q354_cell_balance" -> ((s, d) => {
+      val cents = Similarity.ivfCentroids(t(s, d, "embeddings"))
+      val e = t(s, d, "embeddings")
+      val nDf = e.agg(count(lit(1)).as("n_total"))
+      val pops = e.join(Similarity.withIvfCell(e, cents), "vec_id")
+        .crossJoin(broadcast(nDf))
+        .withColumn("nb", expr("greatest(1L, n_total div 2000)"))
+        .withColumn("bin", expr(
+          """least(nb - 1, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
+        .groupBy("cell", "bin").agg(count(lit(1)).as("pop"))
+      pops.agg(sum("pop").as("n_total"),
+          count(lit(1)).as("n_groups"),
+          max("pop").as("max_pop"),
+          sum(expr("pop * (pop - 1)")).as("pair_work"))
+        .select(col("n_total"), col("n_groups"), col("max_pop"),
+          expr("n_total div n_groups").as("avg_pop"),
+          expr("max_pop * 1000 div (n_total div n_groups)").as("skew_e3"),
+          col("pair_work"))
+    }),
+
     // Margin-ratio pair scoring (Artetxe & Schwenk ACL 2019) — the
     // published bitext-mining acceptance criterion on top of the
     // q321/q347 candidate stage: cos(x,y) against the mean of each
@@ -4479,6 +4531,49 @@ object Training {
          SELECT vec_id, pos_id, pos_cos_e6, neg_id, neg_cos_e6,
            pos_cos_e6 - neg_cos_e6 AS margin_e6
          FROM pos JOIN neg USING (vec_id)"""
+  }
+
+  /** q354: the (cell, bin) occupancy replay — populations, skew, and
+    * the exact pair workload Σ pop·(pop−1).
+    */
+  private def cellBalanceOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = "greatest(1, (SELECT count(*) FROM embeddings) // 2000)"
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         pops AS (
+           SELECT a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(e.embedding[1] AS DOUBLE) + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin,
+             count(*) AS pop
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT CAST(sum(pop) AS BIGINT) AS n_total,
+             count(*) AS n_groups,
+             CAST(max(pop) AS BIGINT) AS max_pop,
+             CAST(sum(pop * (pop - 1)) AS BIGINT) AS pair_work
+           FROM pops)
+         SELECT n_total, n_groups, max_pop,
+           n_total // n_groups AS avg_pop,
+           max_pop * 1000 // (n_total // n_groups) AS skew_e3,
+           pair_work
+         FROM agg"""
   }
 
   /** q352: the margin-ratio replay — in-(cell,bin) pair cosines floored
@@ -7204,6 +7299,22 @@ object Training {
     "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
     "q348_hard_negatives" -> hardNegativesOracle(200L),
     "q352_margin_ratio" -> marginRatioOracle(200L, 4),
+
+    "q353_tokenizer_fertility" ->
+      """WITH g AS (
+           SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+               AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_words
+           FROM documents GROUP BY 1, 2)
+         SELECT source, lang, n_docs, n_bytes, n_tokens, n_words,
+           n_bytes * 1000 // n_tokens AS bytes_per_tok_e3,
+           n_tokens * 1000 // n_words AS fertility_e3
+         FROM g WHERE n_tokens > 0 AND n_words > 0""",
+
+    "q354_cell_balance" -> cellBalanceOracle,
     "q349_curriculum" ->
       """WITH s AS (
            SELECT doc_id, source,
