@@ -152,7 +152,9 @@ object Bench {
     "q350_rrf_fusion", // dense+sparse reciprocal-rank fusion
     "q352_margin_ratio", // Artetxe-Schwenk ratio-margin pair scoring
     "q353_tokenizer_fertility", // bytes/token + tokens/word per group
-    "q354_cell_balance") // IVF occupancy skew + exact pair workload
+    "q354_cell_balance", // IVF occupancy skew + exact pair workload
+    "q355_phash_neardup", // perceptual-hash Hamming-LSH candidates
+    "q356_phash_scaled") // 120-bit phash, corpus-scaled 30-bit bands
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

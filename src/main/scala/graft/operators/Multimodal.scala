@@ -169,6 +169,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** 60-bit perceptual hash (aHash shape: threshold a downsampled
+    * grayscale raster against its own mean, one bit per cell — the
+    * standard image near-dup fingerprint). The DECODE is the stub: the
+    * "raster" is 60 code points sampled at evenly spaced positions of
+    * the payload text (deterministic and SQL-replayable, the q64/q65
+    * fake-decode convention); a codec swap changes only the sampler.
+    * Built from `transform`/`aggregate` array expressions so the 60
+    * cells stay one codegen'd pass, not 120 inlined substr calls (the
+    * minhash codegen-blowup lesson). Requires length(text) ≥ 60
+    * upstream (the sampler's last position is 1 + 59n div 60 ≤ n only
+    * then). Adds `out` and drops its scratch columns.
+    */
+  def withPerceptualHash(df: DataFrame, textCol: String, out: String): DataFrame =
+    // graft_char_sample is the one-pass native sampler: per-cell
+    // substr(text, pos, 1) costs an O(pos) code-point seek per cell
+    // (measured ~half of q355's sf1 wall), and pre-splitting the chars
+    // allocates an n-element string array per row (measured 3× worse).
+    df.withColumn("_pv", expr(s"graft_char_sample($textCol, 60)"))
+      .withColumn("_pm", expr("aggregate(_pv, 0L, (a, x) -> a + x) div 60"))
+      .withColumn(out, expr(
+        """aggregate(sequence(0L, 59L), 0L,
+             (a, i) -> a + if(element_at(_pv, cast(i + 1 as int)) > _pm,
+                              shiftleft(1L, cast(i as int)), 0L))"""))
+      .drop("_pv", "_pm")
+
+  /** 120-bit perceptual hash as two 60-bit words — the CORPUS-SCALED
+    * twin of `withPerceptualHash` (q355→q356, the q321→q347 pattern):
+    * a fixed 60-bit fingerprint's banded keyspace saturates once
+    * n ≈ 2^15 (collision pairs grow n²/B), so production grows the
+    * fingerprint with the corpus; doubling to 120 bits widens each of
+    * the 4 bands to 30 bits and defers the quadratic regime by 2^15.
+    * Same stub sampler at 120 positions; requires length ≥ 120
+    * upstream. Adds `out0` (bits 0–59) and `out1` (bits 60–119).
+    */
+  def withPerceptualHash120(
+      df: DataFrame, textCol: String, out0: String, out1: String): DataFrame =
+    df.withColumn("_pv", expr(s"graft_char_sample($textCol, 120)"))
+      .withColumn("_pm", expr("aggregate(_pv, 0L, (a, x) -> a + x) div 120"))
+      .withColumn(out0, expr(
+        """aggregate(sequence(0L, 59L), 0L,
+             (a, i) -> a + if(element_at(_pv, cast(i + 1 as int)) > _pm,
+                              shiftleft(1L, cast(i as int)), 0L))"""))
+      .withColumn(out1, expr(
+        """aggregate(sequence(60L, 119L), 0L,
+             (a, i) -> a + if(element_at(_pv, cast(i + 1 as int)) > _pm,
+                              shiftleft(1L, cast(i - 60 as int)), 0L))"""))
+      .drop("_pv", "_pm")
+
   /** Explode each media row into (frame_idx, frame) rows. */
   def withFrames(df: DataFrame, binCol: String, nFrames: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => NfcNormalizeExpr.fromArgs(cs))
     reg("graft_jaro_winkler", classOf[JaroWinklerExpr],
       cs => JaroWinklerExpr(cs(0), cs(1)))
+    reg("graft_char_sample", classOf[CharSampleExpr],
+      cs => CharSampleExpr(cs(0),
+        cs(1).eval().asInstanceOf[Number].intValue))
     reg("graft_heavy_hitters", classOf[HeavyHittersAgg],
       cs => HeavyHittersAgg(cs(0),
         cs(1).eval().asInstanceOf[Number].intValue))

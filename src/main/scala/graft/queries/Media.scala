@@ -44,6 +44,74 @@ object Media {
         .select(col("doc_id"), col("j"), col("feat"))
     }),
 
+    // Perceptual-hash near-duplicate candidates — the image-dedup pass a
+    // multimodal corpus runs (aHash fingerprint → Hamming-ball match),
+    // with the decode stubbed to the deterministic byte sampler
+    // (Multimodal.withPerceptualHash) so the oracle replays it. The
+    // 60-bit hash splits into 4×15-bit bands (any shared band pairs the
+    // docs — Hamming-LSH, same posture as the MinHash bands), bucket
+    // occupancy capped at 64 (Dedup.lshCandidatePairs' cap: pair count
+    // is quadratic in bucket size), then the exact Hamming distance
+    // filters candidates at ≤ 6 bits. Scale shape: map-side hash, one
+    // (band, key) shuffle, capped buckets — never all-pairs.
+    "q355_phash_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Multimodal.withPerceptualHash(
+          t(s, d, "documents").where(length(col("text")) >= 60)
+            .select(col("doc_id"), col("text")), "text", "ph")
+        .select(col("doc_id"), col("ph"))
+      val banded = hashed
+        .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr("shiftright(ph, band * 15) & 32767L"))
+      val w = Window.partitionBy("band", "key").orderBy("doc_id")
+      val capped = banded.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 64).drop("rn")
+      capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.ph").as("h1"), col("b.ph").as("h2"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+        .where(col("hamming") <= 6L)
+        .select("id1", "id2", "hamming")
+    }),
+
+    // q355's corpus-scaled twin (the q321→q347 pattern): a 120-bit
+    // perceptual hash banded as 4×30 bits. The fixed 60-bit form's
+    // 15-bit band keyspace saturates at n ≈ 2^15 docs (measured: pairs
+    // ×27.7 for docs ×8.1 sf0.1→sf1); 30-bit bands defer the n²/B
+    // collision regime by 2^15 — at sf1 the candidate set drops from
+    // 2.1 M pairs to the genuinely-close handful. Hamming cut scales
+    // with the hash width (≤ 12 of 120). Same capped-bucket join.
+    "q356_phash_scaled" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Multimodal.withPerceptualHash120(
+          t(s, d, "documents").where(length(col("text")) >= 120)
+            .select(col("doc_id"), col("text")), "text", "ph0", "ph1")
+        .select(col("doc_id"), col("ph0"), col("ph1"))
+      val banded = hashed
+        .select(col("doc_id"), col("ph0"), col("ph1"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr(
+          """CASE WHEN band < 2 THEN shiftright(ph0, band * 30)
+             ELSE shiftright(ph1, (band - 2) * 30) END & 1073741823L"""))
+      val w = Window.partitionBy("band", "key").orderBy("doc_id")
+      val capped = banded.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 64).drop("rn")
+      capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.ph0").as("h0a"), col("a.ph1").as("h1a"),
+          col("b.ph0").as("h0b"), col("b.ph1").as("h1b"))
+        .distinct()
+        .withColumn("hamming", expr(
+          "cast(bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b) as bigint)"))
+        .where(col("hamming") <= 12L)
+        .select("id1", "id2", "hamming")
+    }),
+
     // gap-based sessionization (batch form; streaming twin in Sessionize).
     "q66_sessionize" -> ((s, d) => {
       Sessionize.batch(t(s, d, "events"), 1800)
@@ -90,6 +158,79 @@ object Media {
            FROM marks)"""
 
   val oracles: Map[String, String] = Map(
+    "q355_phash_neardup" ->
+      """WITH hp AS (
+           SELECT doc_id, pv, CAST(list_sum(pv) AS BIGINT) // 60 AS pm
+           FROM (SELECT doc_id,
+                   list_transform(range(0, 60),
+                     i -> CAST(ascii(substr(text,
+                            CAST(1 + (i * length(text)) // 60 AS INT), 1))
+                          AS BIGINT)) AS pv
+                 FROM documents WHERE length(text) >= 60)),
+         h AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN pv[CAST(i + 1 AS INT)] > pm
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)) AS BIGINT) AS ph
+           FROM hp),
+         banded AS (
+           SELECT doc_id, ph, band,
+             (ph >> CAST(band * 15 AS INT)) & 32767 AS key
+           FROM h, (SELECT unnest(range(0, 4)) AS band)),
+         capped AS (
+           SELECT doc_id, ph, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM banded QUALIFY rn <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.ph AS h1, b.ph AS h2
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         FROM pairs WHERE bit_count(xor(h1, h2)) <= 6""",
+
+    "q356_phash_scaled" ->
+      """WITH hp AS (
+           SELECT doc_id, pv, CAST(list_sum(pv) AS BIGINT) // 120 AS pm
+           FROM (SELECT doc_id,
+                   list_transform(range(0, 120),
+                     i -> CAST(ascii(substr(text,
+                            CAST(1 + (i * length(text)) // 120 AS INT), 1))
+                          AS BIGINT)) AS pv
+                 FROM documents WHERE length(text) >= 120)),
+         h AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN pv[CAST(i + 1 AS INT)] > pm
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)) AS BIGINT) AS ph0,
+             CAST(list_sum(list_transform(range(60, 120),
+               i -> CASE WHEN pv[CAST(i + 1 AS INT)] > pm
+                    THEN (CAST(1 AS BIGINT) << CAST(i - 60 AS INT))
+                    ELSE 0 END)) AS BIGINT) AS ph1
+           FROM hp),
+         banded AS (
+           SELECT doc_id, ph0, ph1, band,
+             (CASE WHEN band < 2 THEN ph0 >> CAST(band * 30 AS INT)
+              ELSE ph1 >> CAST((band - 2) * 30 AS INT) END)
+               & 1073741823 AS key
+           FROM h, (SELECT unnest(range(0, 4)) AS band)),
+         capped AS (
+           SELECT doc_id, ph0, ph1, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM banded QUALIFY rn <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.ph0 AS h0a, a.ph1 AS h1a, b.ph0 AS h0b, b.ph1 AS h1b
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id1, id2,
+           CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b))
+             AS BIGINT) AS hamming
+         FROM pairs
+         WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 12""",
+
     "q101_media_features" ->
       """SELECT doc_id, j, (h + j * 2654435761) % 1000003 AS feat
          FROM (SELECT doc_id,
