@@ -954,6 +954,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q355/q356 phash band joins key on (band, key) — no cartesian; " +
+      "the pair stage is an equi-join") {
+    for (q <- Seq("q355_phash_neardup", "q356_phash_scaled")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("q331 negative-sampling probe is a hash join on the cell id, " +
       "not a nested-loop range probe") {
     val p = plan("q331_negative_sampling")
