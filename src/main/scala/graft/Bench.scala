@@ -154,7 +154,8 @@ object Bench {
     "q353_tokenizer_fertility", // bytes/token + tokens/word per group
     "q354_cell_balance", // IVF occupancy skew + exact pair workload
     "q355_phash_neardup", // perceptual-hash Hamming-LSH candidates
-    "q356_phash_scaled") // 120-bit phash, corpus-scaled 30-bit bands
+    "q356_phash_scaled", // 120-bit phash, corpus-scaled 30-bit bands
+    "q357_frame_energy") // VAD-shape frame energy + voiced islands
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

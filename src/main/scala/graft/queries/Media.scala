@@ -112,6 +112,34 @@ object Media {
         .select("id1", "id2", "hamming")
     }),
 
+    // Frame-energy segmentation — the voice-activity-detection shape of
+    // an audio pipeline (frame the signal, energy per frame, adaptive
+    // threshold, then gaps-and-islands for voiced segments): 8 frames ×
+    // 8 samples ride ONE graft_char_sample(text, 64) pass (the stub
+    // "PCM decode", q64/q65 convention), a frame is voiced when its
+    // energy exceeds the doc mean (energy·8 > total — exact integers),
+    // and the longest voiced run is the islands trick (f − row_number,
+    // doc-KEYED window). Scale shape: map-side decode, one doc_id-keyed
+    // window + two keyed groupBys; 8 rows per doc.
+    "q357_frame_energy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents").where(length(col("text")) >= 64)
+        .select(col("doc_id"), expr("graft_char_sample(text, 64)").as("pv"))
+        .withColumn("tot", expr("aggregate(pv, 0L, (a, x) -> a + x)"))
+      val frames = base.select(col("doc_id"), col("pv"), col("tot"),
+          explode(expr("sequence(0, 7)")).as("f"))
+        .withColumn("energy", expr(
+          """aggregate(transform(sequence(f * 8, f * 8 + 7),
+               i -> element_at(pv, i + 1)), 0L, (a, x) -> a + x)"""))
+        .where(col("energy") * 8 > col("tot"))
+        .select(col("doc_id"), col("f").cast("long").as("f"))
+      val w = Window.partitionBy("doc_id").orderBy("f")
+      frames.withColumn("grp", col("f") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id")
+        .agg(sum("run_len").as("n_voiced"), max("run_len").as("longest_run"))
+    }),
+
     // gap-based sessionization (batch form; streaming twin in Sessionize).
     "q66_sessionize" -> ((s, d) => {
       Sessionize.batch(t(s, d, "events"), 1800)
@@ -230,6 +258,32 @@ object Media {
              AS BIGINT) AS hamming
          FROM pairs
          WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 12""",
+
+    "q357_frame_energy" ->
+      """WITH pvc AS (
+           SELECT doc_id,
+             list_transform(range(0, 64),
+               i -> CAST(ascii(substr(text,
+                      CAST(1 + (i * length(text)) // 64 AS INT), 1))
+                    AS BIGINT)) AS pv
+           FROM documents WHERE length(text) >= 64),
+         fr AS (
+           SELECT doc_id, f,
+             CAST(list_sum(list_transform(range(f * 8, f * 8 + 8),
+               i -> pv[CAST(i + 1 AS INT)])) AS BIGINT) AS energy,
+             CAST(list_sum(pv) AS BIGINT) AS tot
+           FROM pvc, (SELECT unnest(range(0, 8)) AS f)),
+         v AS (SELECT doc_id, f FROM fr WHERE energy * 8 > tot),
+         runs AS (
+           SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+           FROM v),
+         rl AS (
+           SELECT doc_id, grp, count(*) AS run_len
+           FROM runs GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_voiced,
+           CAST(max(run_len) AS BIGINT) AS longest_run
+         FROM rl GROUP BY doc_id""",
 
     "q101_media_features" ->
       """SELECT doc_id, j, (h + j * 2654435761) % 1000003 AS feat
