@@ -3758,6 +3758,56 @@ object Training {
           col("pair_work"))
     }),
 
+    // Weak-supervision labeling-function diagnostics (the Snorkel/
+    // data-programming LF report — Ratner et al. VLDB 2018): three
+    // heuristic labelers vote keep(1)/drop(0)/abstain(null) per doc
+    // (keyword presence, token-count bounds, integer mean-token-length
+    // band), the per-doc label is the majority among non-abstainers,
+    // and the report is per-LF coverage / majority-agreement / conflict
+    // — the table a practitioner reads to decide which heuristic to
+    // fix. Exact integers (rates as e6 trunc divisions). Scale shape:
+    // one map pass, a 3-row explode per doc, one groupBy on the LF
+    // name (3 groups).
+    "q358_weak_supervision" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("tl"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
+          length(col("text")).cast("long").as("n_ch"))
+        .withColumn("lf1",
+          when(col("tl").contains("spark") || col("tl").contains("fast"), 1L)
+            .when(col("tl").contains("slow"), 0L))
+        .withColumn("lf2",
+          when(col("n_ws") > 150L, 1L).when(col("n_ws") < 30L, 0L))
+        .withColumn("lf3",
+          when(expr("(n_ch * 10) div n_ws").between(40L, 80L), 1L)
+            .otherwise(0L))
+      def isv(c: String, v: Long) =
+        when(col(c) === v, 1L).otherwise(0L)
+      val maj = base
+        .withColumn("v1", isv("lf1", 1L) + isv("lf2", 1L) + isv("lf3", 1L))
+        .withColumn("v0", isv("lf1", 0L) + isv("lf2", 0L) + isv("lf3", 0L))
+        .withColumn("maj",
+          when(col("v1") > col("v0"), 1L).when(col("v0") > col("v1"), 0L))
+      maj.select(col("maj"), explode(array(
+          struct(lit("lf_keyword").as("lf"), col("lf1").as("v")),
+          struct(lit("lf_length").as("lf"), col("lf2").as("v")),
+          struct(lit("lf_meanlen").as("lf"), col("lf3").as("v")))).as("x"))
+        .select(col("x.lf").as("lf"), col("x.v").as("v"), col("maj"))
+        .groupBy("lf")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("v")).as("n_votes"),
+          sum(when(col("v") === col("maj"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("v").isNotNull && col("maj").isNotNull &&
+              col("v") =!= col("maj"), 1L).otherwise(0L)).as("n_conflict"),
+          sum(when(col("v").isNotNull && col("maj").isNotNull, 1L)
+            .otherwise(0L)).as("n_lab"))
+        .select(col("lf"), col("n_docs"), col("n_votes"),
+          expr("n_votes * 1000000 div n_docs").as("coverage_e6"),
+          col("n_agree"), col("n_conflict"),
+          when(col("n_lab") > 0L, expr("n_agree * 1000000 div n_lab"))
+            .otherwise(0L).as("agree_e6"))
+    }),
+
     // Margin-ratio pair scoring (Artetxe & Schwenk ACL 2019) — the
     // published bitext-mining acceptance criterion on top of the
     // q321/q347 candidate stage: cos(x,y) against the mean of each
@@ -7315,6 +7365,53 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q358_weak_supervision" ->
+      """WITH base AS (
+           SELECT doc_id, lower(text) AS tl,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+             CAST(length(text) AS BIGINT) AS n_ch
+           FROM documents),
+         lf AS (
+           SELECT doc_id,
+             CASE WHEN tl LIKE '%spark%' OR tl LIKE '%fast%' THEN 1
+                  WHEN tl LIKE '%slow%' THEN 0 END AS lf1,
+             CASE WHEN n_ws > 150 THEN 1 WHEN n_ws < 30 THEN 0 END AS lf2,
+             CASE WHEN (n_ch * 10) // n_ws BETWEEN 40 AND 80 THEN 1
+                  ELSE 0 END AS lf3
+           FROM base),
+         m AS (
+           SELECT *,
+             (CASE WHEN lf1 = 1 THEN 1 ELSE 0 END
+              + CASE WHEN lf2 = 1 THEN 1 ELSE 0 END
+              + CASE WHEN lf3 = 1 THEN 1 ELSE 0 END) AS v1,
+             (CASE WHEN lf1 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN lf2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN lf3 = 0 THEN 1 ELSE 0 END) AS v0
+           FROM lf),
+         mm AS (
+           SELECT *, CASE WHEN v1 > v0 THEN 1 WHEN v0 > v1 THEN 0 END AS maj
+           FROM m),
+         u AS (
+           SELECT 'lf_keyword' AS lf, lf1 AS v, maj FROM mm
+           UNION ALL SELECT 'lf_length', lf2, maj FROM mm
+           UNION ALL SELECT 'lf_meanlen', lf3, maj FROM mm)
+         SELECT lf, count(*) AS n_docs,
+           count(v) AS n_votes,
+           count(v) * 1000000 // count(*) AS coverage_e6,
+           CAST(sum(CASE WHEN v = maj THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(sum(CASE WHEN v IS NOT NULL AND maj IS NOT NULL
+                         AND v <> maj THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflict,
+           CASE WHEN count(CASE WHEN v IS NOT NULL AND maj IS NOT NULL
+                           THEN 1 END) > 0
+             THEN CAST(sum(CASE WHEN v = maj THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000
+                  // count(CASE WHEN v IS NOT NULL AND maj IS NOT NULL
+                          THEN 1 END)
+             ELSE 0 END AS agree_e6
+         FROM u GROUP BY lf""",
     "q349_curriculum" ->
       """WITH s AS (
            SELECT doc_id, source,
