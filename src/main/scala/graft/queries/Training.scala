@@ -3758,6 +3758,39 @@ object Training {
           col("pair_work"))
     }),
 
+    // Content-addressed dataset manifest — the Merkle-style snapshot
+    // fingerprint a dataset-versioning layer (DVC/lakeFS posture, and
+    // the audit twin of q245's TxTable) computes to detect ANY changed
+    // row between two snapshots without diffing them: per-doc leaf =
+    // 60-bit hash of (doc_id : content-md5); per-source digest =
+    // bit_xor of leaves (order-independent, overflow-free — a modular
+    // SUM would wrap int64 at a handful of 2^60 leaves); root = hash of
+    // the source digests concatenated in sorted order. Scale shape: one
+    // map pass + one keyed groupBy; the root combines #sources rows
+    // (bounded domain, the q322 convention).
+    "q359_merkle_manifest" -> ((s, d) => {
+      val leaves = t(s, d, "documents")
+        .select(col("source"),
+          TextFunctions.hash60(
+            concat(col("doc_id").cast("string"), lit(":"), md5(col("text"))))
+            .as("leaf"))
+      val perSource = leaves.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(leaf)").as("digest"))
+      // sort by the SOURCE key, not the combined string: ':' (0x3a)
+      // outranks digits, so sorting "src1:..." strings would order
+      // src10 before src1 — unlike ORDER BY source.
+      val root = perSource
+        .agg(sum("n_docs").as("n_docs"),
+          TextFunctions.hash60(array_join(transform(
+            sort_array(collect_list(struct(col("source"),
+              concat(col("source"), lit(":"), col("digest").cast("string"))
+                .as("s")))),
+            x => x.getField("s")), "|")).as("digest"))
+        .select(lit("(ALL)").as("part"), col("n_docs"), col("digest"))
+      perSource.select(col("source").as("part"), col("n_docs"), col("digest"))
+        .unionAll(root)
+    }),
+
     // Weak-supervision labeling-function diagnostics (the Snorkel/
     // data-programming LF report — Ratner et al. VLDB 2018): three
     // heuristic labelers vote keep(1)/drop(0)/abstain(null) per doc
@@ -7365,6 +7398,22 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q359_merkle_manifest" ->
+      s"""WITH leaves AS (
+           SELECT source,
+             ${h60("concat(doc_id, ':', md5(text))")} AS leaf
+           FROM documents),
+         per_source AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(bit_xor(leaf) AS BIGINT) AS digest
+           FROM leaves GROUP BY source)
+         SELECT source AS part, n_docs, digest FROM per_source
+         UNION ALL
+         SELECT '(ALL)' AS part, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           ${h60("string_agg(source || ':' || digest, '|' ORDER BY source)")}
+             AS digest
+         FROM per_source""",
 
     "q358_weak_supervision" ->
       """WITH base AS (
