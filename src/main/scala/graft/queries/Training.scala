@@ -3758,6 +3758,37 @@ object Training {
           col("pair_work"))
     }),
 
+    // MAUVE-shape distributional eval (Pillutla et al. NeurIPS 2021's
+    // quantize-then-compare recipe, with JS divergence in place of the
+    // frontier integral): quantize both corpora into the shared IVF
+    // codebook's cells, then compare the two cell HISTOGRAMS — here the
+    // even/odd vec_id halves standing in for model-vs-human text. Uses
+    // q278's exact integer convention (per-cell contributions floored
+    // to e9 before the sum, so the aggregate is merge-order-free).
+    // Scale shape: one broadcast cell assignment + one bounded-domain
+    // groupBy; the histogram frame is #cells rows.
+    "q360_mauve_cells" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val counts = e
+        .join(Similarity.withIvfCell(e, Similarity.ivfCentroids(e)), "vec_id")
+        .groupBy("cell")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("cp"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("cq"))
+      val tot = counts.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val p = col("cp").cast("double") / col("np").cast("double")
+      val q = col("cq").cast("double") / col("nq").cast("double")
+      val m = (p + q) / lit(2.0)
+      counts.crossJoin(broadcast(tot))
+        .select(
+          when(col("cp") > 0, floor(p * log(p / m) * 1e9).cast("long"))
+            .otherwise(0L).as("tp"),
+          when(col("cq") > 0, floor(q * log(q / m) * 1e9).cast("long"))
+            .otherwise(0L).as("tq"))
+        .agg(count(lit(1)).as("n_cells"), sum("tp").as("klp_e9"),
+          sum("tq").as("klq_e9"))
+        .withColumn("jsd2_e9", col("klp_e9") + col("klq_e9"))
+    }),
+
     // Content-addressed dataset manifest — the Merkle-style snapshot
     // fingerprint a dataset-versioning layer (DVC/lakeFS posture, and
     // the audit twin of q245's TxTable) computes to detect ANY changed
@@ -7398,6 +7429,59 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q360_mauve_cells" ->
+      s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.embedding", "c.cvec")})
+                   / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                      * sqrt(${dotSql("c.cvec", "c.cvec")})) DESC,
+                 c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         counts AS (
+           SELECT cell,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cq
+           FROM assign GROUP BY cell),
+         tot AS (
+           SELECT CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cq) AS BIGINT) AS nq
+           FROM counts),
+         terms AS (
+           SELECT
+             CASE WHEN cp > 0 THEN CAST(floor(
+                 (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                 * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                      / (((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                          + (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) ELSE 0 END AS tp,
+             CASE WHEN cq > 0 THEN CAST(floor(
+                 (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                 * ln((CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                      / (((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                          + (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) ELSE 0 END AS tq
+           FROM counts CROSS JOIN tot)
+         SELECT count(*) AS n_cells,
+           CAST(sum(tp) AS BIGINT) AS klp_e9,
+           CAST(sum(tq) AS BIGINT) AS klq_e9,
+           CAST(sum(tp) + sum(tq) AS BIGINT) AS jsd2_e9
+         FROM terms""",
 
     "q359_merkle_manifest" ->
       s"""WITH leaves AS (
