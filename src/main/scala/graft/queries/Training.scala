@@ -3802,9 +3802,8 @@ object Training {
     "q359_merkle_manifest" -> ((s, d) => {
       val leaves = t(s, d, "documents")
         .select(col("source"),
-          TextFunctions.hash60(
-            concat(col("doc_id").cast("string"), lit(":"), md5(col("text"))))
-            .as("leaf"))
+          graft.streaming.StreamingManifest
+            .leafCol(col("doc_id"), col("text")).as("leaf"))
       val perSource = leaves.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(leaf)").as("digest"))
       // sort by the SOURCE key, not the combined string: ':' (0x3a)
