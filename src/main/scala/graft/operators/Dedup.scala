@@ -156,6 +156,31 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Per-doc 60-bit SimHash via the exploded one-md5-per-token path —
+    * the `signatures` lesson applied to SimHash: the inline `simhash60`
+    * expression re-hashes every token 60× (once per bit), because each
+    * bit's aggregate re-evaluates the token-hash transform; exploding
+    * the token hashes once and taking 60 `sum` aggregates of the same
+    * row frame computes each md5 exactly once. On the bounded q361
+    * population the win is modest (1.69→1.41 s sf0.1 — codegen compile
+    * dominates at 300 docs) but the per-token cost is 60× lower, which
+    * is what matters on an UNBOUNDED corpus. Same values as `simhash60`
+    * bit for bit.
+    */
+  def simhashRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = docs.select(col(idCol).as("doc"),
+      explode(transform(TextFunctions.tokens(col(textCol)),
+        t => TextFunctions.hash60(t))).as("h"))
+    val bitSums = (0 until 60).map { j =>
+      sum(expr(s"(shiftright(h, $j) % 2) * 2 - 1")).as(s"b$j")
+    }
+    val sim = (0 until 60).map(j =>
+      expr(s"IF(b$j > 0, shiftleft(cast(1 as bigint), $j), 0L)"))
+      .reduce(_ + _)
+    hs.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), sim.as("sim"))
+  }
+
   /** Distributed connected components over an (id1, id2) pair graph by
     * iterative min-label propagation WITH pointer jumping: each round
     * takes label(v) <- min over neighbors' labels, then shortcuts through

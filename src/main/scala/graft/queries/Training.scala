@@ -3758,6 +3758,35 @@ object Training {
           col("pair_work"))
     }),
 
+    // SimHash near-duplicate pairing — completes the SimHash path (q60
+    // only emits fingerprints): Charikar-style 60-bit sketches matched
+    // by 4×15-bit Hamming-LSH bands (any shared band pairs the docs),
+    // bucket occupancy capped at 64, exact bit_count Hamming cut at
+    // ≤ 6 — the q355 banded-join shape over the q60 population. Scale
+    // shape: map-side sketch, one (band, key) shuffle, capped buckets;
+    // a corpus-scale build widens the sketch with n (the q356 posture).
+    "q361_simhash_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Dedup.simhashRows(
+          t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("sim"))
+      val banded = hashed
+        .select(col("doc_id"), col("sim"), explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr("shiftright(sim, band * 15) & 32767L"))
+      val w = Window.partitionBy("band", "key").orderBy("doc_id")
+      val capped = banded.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 64).drop("rn")
+      capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.sim").as("h1"), col("b.sim").as("h2"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+        .where(col("hamming") <= 6L)
+        .select("id1", "id2", "hamming")
+    }),
+
     // MAUVE-shape distributional eval (Pillutla et al. NeurIPS 2021's
     // quantize-then-compare recipe, with JS divergence in place of the
     // frontier integral): quantize both corpora into the shared IVF
@@ -7428,6 +7457,35 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q361_simhash_neardup" ->
+      s"""WITH sims AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               (CASE WHEN list_sum(list_transform(hs,
+                      h -> ((h >> j) % 2) * 2 - 1)) > 0
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+               << j)) AS BIGINT) AS sim
+           FROM (
+             SELECT doc_id,
+               list_transform(string_split(lower(text), ' '),
+                 t -> ${h60("t")}) AS hs
+             FROM documents WHERE doc_id < 300)),
+         banded AS (
+           SELECT doc_id, sim, band,
+             (sim >> CAST(band * 15 AS INT)) & 32767 AS key
+           FROM sims, (SELECT unnest(range(0, 4)) AS band)),
+         capped AS (
+           SELECT doc_id, sim, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM banded QUALIFY rn <= 64),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.sim AS h1, b.sim AS h2
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         FROM pairs WHERE bit_count(xor(h1, h2)) <= 6""",
 
     "q360_mauve_cells" ->
       s"""WITH cent AS (
