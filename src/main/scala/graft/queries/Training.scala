@@ -3758,6 +3758,30 @@ object Training {
           col("pair_work"))
     }),
 
+    // Cross-snapshot manifest diff — the change-detection readout q359's
+    // manifests exist for: snapshot A (docs with doc_id % 10 <> 0, the
+    // pre-ingest state) vs snapshot B (all docs), compared source by
+    // source on (count, xor digest) without diffing any rows. Sources
+    // whose digests agree are PROVEN unchanged (same leaves); the diff
+    // lists only the touched partitions — the incremental-refresh
+    // planning input. One map pass + one keyed groupBy with both
+    // snapshots' aggregates in the same pass (a CASE side, not a second
+    // scan).
+    "q362_manifest_diff" -> ((s, d) => {
+      val leaves = t(s, d, "documents")
+        .select(col("source"), (col("doc_id") % 10 =!= 0).as("in_a"),
+          graft.streaming.StreamingManifest
+            .leafCol(col("doc_id"), col("text")).as("leaf"))
+      leaves.groupBy("source")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          count(lit(1)).as("n_b"),
+          expr("bit_xor(CASE WHEN in_a THEN leaf ELSE 0L END)").as("digest_a"),
+          expr("bit_xor(leaf)").as("digest_b"))
+        .select(col("source"), col("n_a"), col("n_b"), col("digest_a"),
+          col("digest_b"),
+          (col("digest_a") =!= col("digest_b")).as("changed"))
+    }),
+
     // SimHash near-duplicate pairing — completes the SimHash path (q60
     // only emits fingerprints): Charikar-style 60-bit sketches matched
     // by 4×15-bit Hamming-LSH bands (any shared band pairs the docs),
@@ -7457,6 +7481,21 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q362_manifest_diff" ->
+      s"""WITH leaves AS (
+           SELECT source, doc_id % 10 <> 0 AS in_a,
+             ${h60("concat(doc_id, ':', md5(text))")} AS leaf
+           FROM documents)
+         SELECT source,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           count(*) AS n_b,
+           CAST(bit_xor(CASE WHEN in_a THEN leaf ELSE 0 END) AS BIGINT)
+             AS digest_a,
+           CAST(bit_xor(leaf) AS BIGINT) AS digest_b,
+           bit_xor(CASE WHEN in_a THEN leaf ELSE 0 END) <> bit_xor(leaf)
+             AS changed
+         FROM leaves GROUP BY source""",
 
     "q361_simhash_neardup" ->
       s"""WITH sims AS (
