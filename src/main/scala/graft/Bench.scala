@@ -157,7 +157,8 @@ object Bench {
     "q356_phash_scaled", // 120-bit phash, corpus-scaled 30-bit bands
     "q357_frame_energy", // VAD-shape frame energy + voiced islands
     "q360_mauve_cells", // MAUVE-shape cell-histogram JS divergence
-    "q361_simhash_neardup") // simhash Hamming-LSH banded pairing
+    "q361_simhash_neardup", // simhash Hamming-LSH banded pairing
+    "q363_margin_calibration") // same-label rate per margin bin
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3758,6 +3758,34 @@ object Training {
           col("pair_work"))
     }),
 
+    // Margin-criterion calibration — the measured-quality companion to
+    // q352 (the "recall is measured, not asserted" posture): bucket the
+    // UNFILTERED margin scores into 0.1-ratio bins and report the
+    // same-label rate per bin. A well-behaved margin shows same-label
+    // rate rising with the bin — the evidence for the 1.0 acceptance
+    // cut; a flat curve means the criterion adds nothing over raw cos.
+    // (Measured on the synthetic fixture: FLAT at ~20% — its labels are
+    // not cosine-clustered, which is exactly what this audit exists to
+    // catch before anyone trusts a margin cut on a new corpus.)
+    // Scale shape: q352's celled pair machinery + two keyed label joins
+    // + one bounded-domain groupBy.
+    "q363_margin_calibration" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      Similarity.marginRatio(e, 200L, 4)
+        .join(lab.select(col("vec_id").as("id_a"), col("lab").as("lab_a")),
+          "id_a")
+        .join(lab.select(col("vec_id").as("id_b"), col("lab").as("lab_b")),
+          "id_b")
+        .withColumn("bkt", expr("margin_e6 div 100000"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lab_a") === col("lab_b"), 1L).otherwise(0L))
+            .as("n_same"))
+        .select(col("bkt"), col("n_pairs"), col("n_same"),
+          expr("n_same * 1000000 div n_pairs").as("same_rate_e6"))
+    }),
+
     // Cross-snapshot manifest diff — the change-detection readout q359's
     // manifests exist for: snapshot A (docs with doc_id % 10 <> 0, the
     // pre-ingest state) vs snapshot B (all docs), compared source by
@@ -4742,15 +4770,15 @@ object Training {
          FROM agg"""
   }
 
-  /** q352: the margin-ratio replay — in-(cell,bin) pair cosines floored
-    * to e6, per-anchor top-k neighborhood means as trunc divisions, the
-    * ratio in e6 over the undirected (id_a < id_b) pair set.
+  /** Shared margin-ratio CTE prelude (cent → assign → wc → pairs → hood)
+    * — one definition feeding the q352 acceptance oracle and the q363
+    * calibration oracle so the pair/neighborhood semantics cannot drift.
     */
-  private def marginRatioOracle(target: Long, k: Int): String = {
+  private def marginPairsCtes(target: Long, k: Int): String = {
     def cos(a: String, b: String) =
       s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
     val nb = s"greatest(1, (SELECT count(*) FROM embeddings) // (10 * $target))"
-    s"""WITH cent AS (
+    s"""cent AS (
            SELECT label, list(c_e6 ORDER BY dim) AS cvec
            FROM (SELECT label, dim,
                    CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
@@ -4782,18 +4810,23 @@ object Training {
            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY cos_e6 DESC, nid ASC) AS rn
                  FROM pairs)
-           WHERE rn <= $k GROUP BY vec_id)
-         SELECT p.vec_id AS id_a, p.nid AS id_b, p.cos_e6,
-           ha.avg_e6 AS avg_a_e6, hb.avg_e6 AS avg_b_e6,
-           CAST(p.cos_e6 * 2000000 // (ha.avg_e6 + hb.avg_e6) AS BIGINT)
-             AS margin_e6
-         FROM pairs p
-         JOIN hood ha ON p.vec_id = ha.vec_id
-         JOIN hood hb ON p.nid = hb.vec_id
-         WHERE p.vec_id < p.nid AND p.cos_e6 >= 0
-           AND ha.avg_e6 + hb.avg_e6 > 0
-           AND p.cos_e6 * 2000000 // (ha.avg_e6 + hb.avg_e6) >= 1000000"""
+           WHERE rn <= $k GROUP BY vec_id),
+         scored_pairs AS (
+           SELECT p.vec_id AS id_a, p.nid AS id_b, p.cos_e6,
+             ha.avg_e6 AS avg_a_e6, hb.avg_e6 AS avg_b_e6,
+             CAST(p.cos_e6 * 2000000 // (ha.avg_e6 + hb.avg_e6) AS BIGINT)
+               AS margin_e6
+           FROM pairs p
+           JOIN hood ha ON p.vec_id = ha.vec_id
+           JOIN hood hb ON p.nid = hb.vec_id
+           WHERE p.vec_id < p.nid AND p.cos_e6 >= 0
+             AND ha.avg_e6 + hb.avg_e6 > 0)"""
   }
+
+  private def marginRatioOracle(target: Long, k: Int): String =
+    s"""WITH ${marginPairsCtes(target, k)}
+         SELECT id_a, id_b, cos_e6, avg_a_e6, avg_b_e6, margin_e6
+         FROM scored_pairs WHERE margin_e6 >= 1000000"""
 
   /** Recall@10 oracle: brute-force, LSH (8 planes) and IVF (2 probes)
     * top-10 chains — the same CTE shapes as q61/q62/q98's oracles, query
@@ -7481,6 +7514,21 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q363_margin_calibration" ->
+      s"""WITH ${marginPairsCtes(200L, 4)},
+         lab AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         j AS (
+           SELECT sp.margin_e6 // 100000 AS bkt,
+             CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END AS same
+           FROM scored_pairs sp
+           JOIN lab la ON sp.id_a = la.vec_id
+           JOIN lab lb ON sp.id_b = lb.vec_id)
+         SELECT bkt, count(*) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same,
+           CAST(sum(same) AS BIGINT) * 1000000 // count(*) AS same_rate_e6
+         FROM j GROUP BY bkt""",
 
     "q362_manifest_diff" ->
       s"""WITH leaves AS (
