@@ -158,7 +158,8 @@ object Bench {
     "q357_frame_energy", // VAD-shape frame energy + voiced islands
     "q360_mauve_cells", // MAUVE-shape cell-histogram JS divergence
     "q361_simhash_neardup", // simhash Hamming-LSH banded pairing
-    "q363_margin_calibration") // same-label rate per margin bin
+    "q363_margin_calibration", // same-label rate per margin bin
+    "q365_dedup_method_agreement") // pair-set Jaccard across 3 families
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,6 +156,37 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Hamming-LSH banded candidate pairing over any integer sketch
+    * column (SimHash, perceptual hash, …): split the sketch into
+    * `nBands` contiguous `bandBits`-bit keys — any shared (band, key)
+    * pairs the ids — cap bucket occupancy (pair count is quadratic in
+    * bucket size), then filter by the EXACT Hamming distance. Returns
+    * (id1, id2, hamming) with id1 < id2, distinct. One (band, key)
+    * shuffle; never all-pairs. Fixed band width saturates at
+    * n ≈ 2^bandBits — grow the sketch with the corpus (q355→q356).
+    */
+  def hammingBandPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      nBands: Int, bandBits: Int, cap: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1L
+    val banded = hashed
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("key", expr(s"shiftright(_h, band * $bandBits) & $mask"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("_id")
+    val capped = banded.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap).drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        col("a._h").as("h1"), col("b._h").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** Per-doc 60-bit SimHash via the exploded one-md5-per-token path —
     * the `signatures` lesson applied to SimHash: the inline `simhash60`
     * expression re-hashes every token 60× (once per bit), because each

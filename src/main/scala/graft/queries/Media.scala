@@ -55,26 +55,11 @@ object Media {
     // filters candidates at ≤ 6 bits. Scale shape: map-side hash, one
     // (band, key) shuffle, capped buckets — never all-pairs.
     "q355_phash_neardup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hashed = Multimodal.withPerceptualHash(
+      graft.operators.Dedup.hammingBandPairs(
+        Multimodal.withPerceptualHash(
           t(s, d, "documents").where(length(col("text")) >= 60)
-            .select(col("doc_id"), col("text")), "text", "ph")
-        .select(col("doc_id"), col("ph"))
-      val banded = hashed
-        .select(col("doc_id"), col("ph"), explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("shiftright(ph, band * 15) & 32767L"))
-      val w = Window.partitionBy("band", "key").orderBy("doc_id")
-      val capped = banded.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 64).drop("rn")
-      capped.as("a").join(capped.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          col("a.ph").as("h1"), col("b.ph").as("h2"))
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
-        .where(col("hamming") <= 6L)
-        .select("id1", "id2", "hamming")
+            .select(col("doc_id"), col("text")), "text", "ph"),
+        "doc_id", "ph", nBands = 4, bandBits = 15, cap = 64, maxHamming = 6)
     }),
 
     // q355's corpus-scaled twin (the q321→q347 pattern): a 120-bit

@@ -3758,6 +3758,66 @@ object Training {
           col("pair_work"))
     }),
 
+    // Dedup method-agreement report — the methodological audit behind
+    // choosing a near-dup detector: the three candidate-pair families
+    // (MinHash-LSH on shingle sets, SimHash Hamming bands on token
+    // sketches, perceptual-hash bands on the sampled raster) computed
+    // over ONE population, then pairwise set agreement (|A∩B| and the
+    // pair-set Jaccard). Low agreement is the finding — each family
+    // sees a different notion of "near". Scale shape: three banded
+    // candidate stages (each capped, never all-pairs) + one keyed
+    // self-join on the pair id and two 3-row aggregates.
+    "q365_dedup_method_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val mh = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .select(col("id1"), col("id2"), lit("minhash").as("m"))
+      val sh = Dedup.hammingBandPairs(
+          Dedup.simhashRows(docs, "doc_id", "text"),
+          "doc", "sim", nBands = 4, bandBits = 15, cap = 64, maxHamming = 6)
+        .select(col("id1"), col("id2"), lit("simhash").as("m"))
+      val ph = Dedup.hammingBandPairs(
+          graft.operators.Multimodal.withPerceptualHash(
+            docs.where(length(col("text")) >= 60)
+              .select(col("doc_id"), col("text")), "text", "ph"),
+          "doc_id", "ph", nBands = 4, bandBits = 15, cap = 64, maxHamming = 6)
+        .select(col("id1"), col("id2"), lit("phash").as("m"))
+      val tagged = mh.unionAll(sh).unionAll(ph)
+        .persist() // sizes + the pair-id self-join both read it
+      val sizes = tagged.groupBy("m").agg(count(lit(1)).as("n"))
+      val inter = tagged.as("a").join(tagged.as("b"), Seq("id1", "id2"))
+        .where(col("a.m") < col("b.m"))
+        .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+        .agg(count(lit(1)).as("n_inter"))
+      sizes.select(col("m").as("m1"), col("n").as("n1"))
+        .crossJoin(broadcast(sizes.select(col("m").as("m2"), col("n").as("n2"))))
+        .where(col("m1") < col("m2"))
+        .join(inter, Seq("m1", "m2"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("m1"), col("m2"), col("n1"), col("n2"), col("n_inter"),
+          expr("n_inter * 1000000 div (n1 + n2 - n_inter)").as("jaccard_e6"))
+    }),
+
+    // Prompt prefix-sharing audit — the KV-cache planning readout an
+    // LLM-serving/training stack computes over its prompt corpus
+    // (vLLM-style automatic prefix caching): bucket documents by their
+    // leading 32 chars, report per-bucket fan-out and the chars a
+    // shared-prefix cache saves (32·(n−1) per bucket), plus each
+    // bucket's saving share of the corpus total. Buckets with n = 1
+    // save nothing and drop. Scale shape: one map pass (fixed-width
+    // prefix — an O(32) substr, not the q355 positional trap), one
+    // keyed groupBy, broadcast total.
+    "q364_prefix_cache" -> ((s, d) => {
+      val b = t(s, d, "documents").where(length(col("text")) >= 32L)
+        .select(substring(col("text"), 1, 32).as("prefix"))
+        .groupBy("prefix").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1L)
+        .withColumn("saved_chars", expr("32 * (n - 1)"))
+      val tot = b.agg(sum("saved_chars").as("tot_saved"))
+      b.crossJoin(broadcast(tot))
+        .select(col("prefix"), col("n"), col("saved_chars"),
+          expr("saved_chars * 1000000 div tot_saved").as("share_e6"))
+    }),
+
     // Margin-criterion calibration — the measured-quality companion to
     // q352 (the "recall is measured, not asserted" posture): bucket the
     // UNFILTERED margin scores into 0.1-ratio bins and report the
@@ -3818,25 +3878,10 @@ object Training {
     // shape: map-side sketch, one (band, key) shuffle, capped buckets;
     // a corpus-scale build widens the sketch with n (the q356 posture).
     "q361_simhash_neardup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hashed = Dedup.simhashRows(
-          t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
-        .select(col("doc").as("doc_id"), col("sim"))
-      val banded = hashed
-        .select(col("doc_id"), col("sim"), explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key", expr("shiftright(sim, band * 15) & 32767L"))
-      val w = Window.partitionBy("band", "key").orderBy("doc_id")
-      val capped = banded.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 64).drop("rn")
-      capped.as("a").join(capped.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          col("a.sim").as("h1"), col("b.sim").as("h2"))
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
-        .where(col("hamming") <= 6L)
-        .select("id1", "id2", "hamming")
+      Dedup.hammingBandPairs(
+        Dedup.simhashRows(
+          t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text"),
+        "doc", "sim", nBands = 4, bandBits = 15, cap = 64, maxHamming = 6)
     }),
 
     // MAUVE-shape distributional eval (Pillutla et al. NeurIPS 2021's
@@ -7514,6 +7559,99 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q365_dedup_method_agreement" ->
+      s"""WITH $minhashCtes,
+         mpairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         sims AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               (CASE WHEN list_sum(list_transform(shs,
+                      h -> ((h >> j) % 2) * 2 - 1)) > 0
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+               << j)) AS BIGINT) AS sim
+           FROM (
+             SELECT doc_id,
+               list_transform(string_split(lower(text), ' '),
+                 t -> ${h60("t")}) AS shs
+             FROM documents WHERE doc_id < 300)),
+         sbanded AS (
+           SELECT doc_id, sim, band,
+             (sim >> CAST(band * 15 AS INT)) & 32767 AS key
+           FROM sims, (SELECT unnest(range(0, 4)) AS band)),
+         scapped AS (
+           SELECT doc_id, sim, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM sbanded QUALIFY rn <= 64),
+         spairs AS (
+           SELECT id1, id2 FROM (
+             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               a.sim AS h1, b.sim AS h2
+             FROM scapped a JOIN scapped b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           WHERE bit_count(xor(h1, h2)) <= 6),
+         php AS (
+           SELECT doc_id, pv, CAST(list_sum(pv) AS BIGINT) // 60 AS pm
+           FROM (SELECT doc_id,
+                   list_transform(range(0, 60),
+                     i -> CAST(ascii(substr(text,
+                            CAST(1 + (i * length(text)) // 60 AS INT), 1))
+                          AS BIGINT)) AS pv
+                 FROM documents
+                 WHERE doc_id < 300 AND length(text) >= 60)),
+         phh AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN pv[CAST(i + 1 AS INT)] > pm
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)) AS BIGINT) AS ph
+           FROM php),
+         pbanded AS (
+           SELECT doc_id, ph, band,
+             (ph >> CAST(band * 15 AS INT)) & 32767 AS key
+           FROM phh, (SELECT unnest(range(0, 4)) AS band)),
+         pcapped AS (
+           SELECT doc_id, ph, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM pbanded QUALIFY rn <= 64),
+         ppairs AS (
+           SELECT id1, id2 FROM (
+             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               a.ph AS h1, b.ph AS h2
+             FROM pcapped a JOIN pcapped b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           WHERE bit_count(xor(h1, h2)) <= 6),
+         tagged AS (
+           SELECT id1, id2, 'minhash' AS m FROM mpairs
+           UNION ALL SELECT id1, id2, 'simhash' FROM spairs
+           UNION ALL SELECT id1, id2, 'phash' FROM ppairs),
+         sizes AS (SELECT m, count(*) AS n FROM tagged GROUP BY m),
+         inter AS (
+           SELECT a.m AS m1, b.m AS m2, count(*) AS n_inter
+           FROM tagged a JOIN tagged b
+             ON a.id1 = b.id1 AND a.id2 = b.id2 AND a.m < b.m
+           GROUP BY 1, 2)
+         SELECT s1.m AS m1, s2.m AS m2, s1.n AS n1, s2.n AS n2,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) * 1000000
+             // (s1.n + s2.n - coalesce(i.n_inter, 0)) AS jaccard_e6
+         FROM sizes s1 JOIN sizes s2 ON s1.m < s2.m
+         LEFT JOIN inter i ON i.m1 = s1.m AND i.m2 = s2.m""",
+
+    "q364_prefix_cache" ->
+      """WITH b AS (
+           SELECT substr(text, 1, 32) AS prefix, count(*) AS n
+           FROM documents WHERE length(text) >= 32
+           GROUP BY 1 HAVING count(*) > 1),
+         s AS (
+           SELECT prefix, n, 32 * (n - 1) AS saved_chars FROM b),
+         tot AS (SELECT CAST(sum(saved_chars) AS BIGINT) AS tot_saved FROM s)
+         SELECT prefix, n, CAST(saved_chars AS BIGINT) AS saved_chars,
+           CAST(saved_chars AS BIGINT) * 1000000 // tot_saved AS share_e6
+         FROM s CROSS JOIN tot""",
 
     "q363_margin_calibration" ->
       s"""WITH ${marginPairsCtes(200L, 4)},
