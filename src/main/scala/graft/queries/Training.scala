@@ -3758,6 +3758,49 @@ object Training {
           col("pair_work"))
     }),
 
+    // LSH banding S-curve validation — the calibration every MinHash
+    // deployment should run: for all pairs of a bounded population,
+    // the EMPIRICAL candidate rate per exact-Jaccard bucket against
+    // the THEORETICAL 1−(1−j^r)^b collision curve (r=4 rows, b=8
+    // bands). The theory term uses only +,−,×,÷ doubles (three
+    // squarings — j⁴ and (1−j⁴)⁸ via repeated multiplication), every
+    // one IEEE-correctly-rounded, so the floored e6 value replays
+    // bit-exact cross-engine where pow() would not. Scale shape: the
+    // all-pairs ground truth is the definitionally quadratic part and
+    // rides a bounded population (the q58/q273 posture); the candidate
+    // probe is the capped banded join.
+    "q366_lsh_s_curve" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val sh = docs
+        .where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      val pairs = sh.select(col("doc_id").as("id1"), col("shs").as("s1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("s2")),
+          col("id1") < col("id2"))
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("uni",
+          size(col("s1")).cast("long") + size(col("s2")).cast("long") - col("inter"))
+        .select(col("id1"), col("id2"), col("inter"), col("uni"))
+      val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", p)
+        .withColumn("is_cand", lit(1L))
+      val j = col("inter").cast("double") / col("uni").cast("double")
+      val j4 = (j * j) * (j * j)
+      val tc = lit(1.0) - j4
+      val t8 = ((tc * tc) * (tc * tc)) * ((tc * tc) * (tc * tc))
+      pairs.join(cand, Seq("id1", "id2"), "left")
+        .na.fill(0L, Seq("is_cand"))
+        .withColumn("theory_e6", floor((lit(1.0) - t8) * 1e6).cast("long"))
+        .withColumn("bkt", expr("(inter * 1000000 div uni) div 100000"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_pairs"), sum("is_cand").as("n_cand"),
+          sum("theory_e6").as("sum_theory_e6"))
+        .select(col("bkt"), col("n_pairs"), col("n_cand"),
+          expr("n_cand * 1000000 div n_pairs").as("cand_rate_e6"),
+          expr("sum_theory_e6 div n_pairs").as("mean_theory_e6"))
+    }),
+
     // Dedup method-agreement report — the methodological audit behind
     // choosing a near-dup detector: the three candidate-pair families
     // (MinHash-LSH on shingle sets, SimHash Hamming bands on token
@@ -7559,6 +7602,47 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q366_lsh_s_curve" ->
+      s"""WITH $minhashCtes,
+         cpairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         sh100 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id < 300)
+           WHERE len(w) >= 3),
+         allp AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+             CAST(len(a.shs) + len(b.shs)
+               - len(list_intersect(a.shs, b.shs)) AS BIGINT) AS uni
+           FROM sh100 a JOIN sh100 b ON a.doc_id < b.doc_id),
+         jt AS (
+           SELECT id1, id2, inter, uni,
+             CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS j
+           FROM allp),
+         tt AS (SELECT *, 1.0 - ((j * j) * (j * j)) AS t FROM jt),
+         th AS (
+           SELECT id1, id2, inter, uni,
+             CAST(floor((1.0 - (((t * t) * (t * t)) * ((t * t) * (t * t))))
+               * 1000000.0) AS BIGINT) AS theory_e6
+           FROM tt),
+         joined AS (
+           SELECT th.inter, th.uni, th.theory_e6,
+             CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+             (th.inter * 1000000 // th.uni) // 100000 AS bkt
+           FROM th LEFT JOIN cpairs c
+             ON th.id1 = c.id1 AND th.id2 = c.id2)
+         SELECT bkt, count(*) AS n_pairs,
+           CAST(sum(is_cand) AS BIGINT) AS n_cand,
+           CAST(sum(is_cand) AS BIGINT) * 1000000 // count(*) AS cand_rate_e6,
+           CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
+         FROM joined GROUP BY bkt""",
 
     "q365_dedup_method_agreement" ->
       s"""WITH $minhashCtes,
