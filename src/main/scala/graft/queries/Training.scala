@@ -3758,6 +3758,57 @@ object Training {
           col("pair_work"))
     }),
 
+    // Quality-aware dedup representative — production "keep best, not
+    // first": within each near-dup component (q76's distributed CC),
+    // the kept copy is the argmax by content length (alnum tokens, tie
+    // by id), the rule web-corpus dedup actually ships (keep the
+    // longest/cleanest variant, not the smallest id). Scale shape:
+    // q76's component machinery + one component-KEYED argmax window +
+    // one join back — nothing global.
+    "q367_dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val comp = Dedup.dedupNearDupes(docs, "doc_id", "text",
+          maxBucket = Int.MaxValue)
+        .select(col("doc_id"), col("rep_id"))
+      val ntok = docs.select(col("doc_id"),
+        TextFunctions.alnumTokenCount(col("text")).cast("long").as("ntok"))
+      val f = comp.join(ntok, "doc_id")
+      val w = Window.partitionBy("rep_id").orderBy(desc("ntok"), asc("doc_id"))
+      val best = f.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("rep_id"), col("doc_id").as("best_id"))
+      f.join(best, "rep_id")
+        .select(col("doc_id"), col("rep_id"), col("ntok"), col("best_id"),
+          (col("doc_id") === col("best_id")).as("is_kept"))
+    }),
+
+    // Time-decayed popularity — the freshness-weighted ranking a feed /
+    // trending surface computes, with the decay EXACT: score halves per
+    // week of age, realized as an integer shiftright of the e3 value
+    // (floor(value·1e3) >> age_weeks) — no pow(), no float decay, and
+    // a guard at 63 bits where Java's >> would wrap (shift masks to
+    // n & 63) but DuckDB's saturates. Top-10 per event type by decayed
+    // score via a type-KEYED window; the "now" anchor is the corpus
+    // max timestamp (broadcast scalar), so the query is deterministic.
+    "q368_decayed_popularity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        floor(col("value") * 1000).cast("long").as("v_e3"))
+      val anchor = ev.agg(max("ts_s").as("now_s"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("decayed_e3"), asc("event_id"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age_weeks", expr("(now_s - ts_s) div 604800"))
+        .withColumn("decayed_e3", expr(
+          "CASE WHEN age_weeks >= 63 THEN 0L ELSE shiftright(v_e3, cast(age_weeks as int)) END"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("event_type"), col("event_id"), col("age_weeks"),
+          col("decayed_e3"), col("rnk"))
+    }),
+
     // LSH banding S-curve validation — the calibration every MinHash
     // deployment should run: for all pairs of a bounded population,
     // the EMPIRICAL candidate rate per exact-Jaccard bucket against
@@ -7602,6 +7653,48 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q367_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         $componentCtes,
+         d AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS ntok
+           FROM documents WHERE doc_id < 300),
+         f AS (
+           SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id, d.ntok
+           FROM d LEFT JOIN rep r USING (doc_id)),
+         b AS (
+           SELECT rep_id, doc_id AS best_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY rep_id
+               ORDER BY ntok DESC, doc_id) AS rn
+             FROM f) WHERE rn = 1)
+         SELECT f.doc_id, f.rep_id, f.ntok, b.best_id,
+           f.doc_id = b.best_id AS is_kept
+         FROM f JOIN b USING (rep_id)""",
+
+    "q368_decayed_popularity" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 1000) AS BIGINT) AS v_e3
+           FROM events),
+         anchor AS (SELECT max(ts_s) AS now_s FROM ev),
+         scored AS (
+           SELECT event_type, event_id,
+             (now_s - ts_s) // 604800 AS age_weeks,
+             CASE WHEN (now_s - ts_s) // 604800 >= 63 THEN 0
+                  ELSE v_e3 >> CAST((now_s - ts_s) // 604800 AS INT)
+             END AS decayed_e3
+           FROM ev CROSS JOIN anchor)
+         SELECT event_type, event_id, age_weeks,
+           CAST(decayed_e3 AS BIGINT) AS decayed_e3,
+           CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY decayed_e3 DESC, event_id) AS rnk
+               FROM scored)
+         WHERE rnk <= 10""",
 
     "q366_lsh_s_curve" ->
       s"""WITH $minhashCtes,
