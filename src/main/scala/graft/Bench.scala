@@ -161,7 +161,8 @@ object Bench {
     "q363_margin_calibration", // same-label rate per margin bin
     "q365_dedup_method_agreement", // pair-set Jaccard across 3 families
     "q366_lsh_s_curve", // empirical vs theoretical banding S-curve
-    "q367_dedup_keep_best") // quality-aware component representative
+    "q367_dedup_keep_best", // quality-aware component representative
+    "q369_join_cardinality") // exact vs System-R join size estimate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

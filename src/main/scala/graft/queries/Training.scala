@@ -3758,6 +3758,52 @@ object Training {
           col("pair_work"))
     }),
 
+    // Shuffle-key skew audit — the other pre-flight planning readout
+    // (q369's sibling): the row distribution a keyed shuffle on user_id
+    // would produce across 32 buckets, with each bucket's share and the
+    // max/avg skew factor — the number that decides salting (q93/q100)
+    // before the job runs. The bucket hash is the engine-portable
+    // md5-60 (NOT Spark's Murmur3, which an external oracle cannot
+    // replay). One map pass + one 32-group aggregate.
+    "q370_shuffle_skew_audit" -> ((s, d) => {
+      val b = t(s, d, "events")
+        .select((TextFunctions.hash60(col("user_id").cast("string")) % 32)
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val tot = b.agg(sum("n").as("total"), count(lit(1)).as("n_buckets"),
+        max("n").as("max_n"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          expr("n * 1000000 div total").as("share_e6"),
+          expr("max_n * 1000 div (total div n_buckets)").as("skew_e3"))
+    }),
+
+    // Join-cardinality estimator audit — the pre-join planning number
+    // every cost-based optimizer computes, checked against truth: the
+    // EXACT join output size Σ c₁(k)·c₂(k) (two keyed counts + one
+    // key join — never materializing the join itself) vs the System-R
+    // independence estimate |R|·|S| / max(ndv₁, ndv₂), with the error
+    // ratio in e6. On skewed keys the estimate undershoots — this audit
+    // is how you know to switch to a histogram. Scale shape: two
+    // groupBys + one key-keyed join of count frames; the join output is
+    // never built.
+    "q369_join_cardinality" -> ((s, d) => {
+      val o = t(s, d, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("c1"))
+      val l = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("c2"))
+      val actual = o.join(l, "k")
+        .agg(sum(expr("c1 * c2")).as("actual_rows"))
+      val stats = o.agg(sum("c1").as("n1"), count(lit(1)).as("ndv1"))
+        .crossJoin(l.agg(sum("c2").as("n2"), count(lit(1)).as("ndv2")))
+      actual.crossJoin(broadcast(stats))
+        .select(col("actual_rows"), col("n1"), col("n2"), col("ndv1"),
+          col("ndv2"),
+          expr("n1 * n2 div greatest(ndv1, ndv2)").as("estimate_rows"),
+          expr("(n1 * n2 div greatest(ndv1, ndv2)) * 1000000 div actual_rows")
+            .as("est_over_actual_e6"))
+    }),
+
     // Quality-aware dedup representative — production "keep best, not
     // first": within each near-dup component (q76's distributed CC),
     // the kept copy is the argmax by content length (alnum tokens, tie
@@ -7653,6 +7699,38 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q370_shuffle_skew_audit" ->
+      s"""WITH b AS (
+           SELECT ${h60("CAST(user_id AS VARCHAR)")} % 32 AS bucket,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_buckets,
+             CAST(max(n) AS BIGINT) AS max_n
+           FROM b)
+         SELECT bucket, n, n * 1000000 // total AS share_e6,
+           max_n * 1000 // (total // n_buckets) AS skew_e3
+         FROM b CROSS JOIN tot""",
+
+    "q369_join_cardinality" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k, count(*) AS c1 FROM orders GROUP BY 1),
+         l AS (
+           SELECT l_orderkey AS k, count(*) AS c2 FROM lineitem GROUP BY 1),
+         actual AS (
+           SELECT CAST(sum(o.c1 * l.c2) AS BIGINT) AS actual_rows
+           FROM o JOIN l USING (k)),
+         stats AS (
+           SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM o) AS n1,
+             (SELECT CAST(sum(c2) AS BIGINT) FROM l) AS n2,
+             (SELECT count(*) FROM o) AS ndv1,
+             (SELECT count(*) FROM l) AS ndv2)
+         SELECT actual_rows, n1, n2, ndv1, ndv2,
+           n1 * n2 // greatest(ndv1, ndv2) AS estimate_rows,
+           (n1 * n2 // greatest(ndv1, ndv2)) * 1000000 // actual_rows
+             AS est_over_actual_e6
+         FROM actual CROSS JOIN stats""",
 
     "q367_dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
