@@ -162,7 +162,9 @@ object Bench {
     "q365_dedup_method_agreement", // pair-set Jaccard across 3 families
     "q366_lsh_s_curve", // empirical vs theoretical banding S-curve
     "q367_dedup_keep_best", // quality-aware component representative
-    "q369_join_cardinality") // exact vs System-R join size estimate
+    "q369_join_cardinality", // exact vs System-R join size estimate
+    "q371_split_leakage", // cross-fold near-dup leak audit
+    "q372_effective_tokens") // post-dedup dataset size accounting
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3758,6 +3758,71 @@ object Training {
           col("pair_work"))
     }),
 
+    // Split leakage audit — the eval-integrity check behind every
+    // held-out split: assign docs to 5 folds by content-independent
+    // hash, then count near-dup pairs (LSH candidates) whose endpoints
+    // land in DIFFERENT folds — each one is a train/test leak that
+    // inflates eval scores (the GPT-3-era contamination concern, at the
+    // near-dup rather than exact level). Reports per fold-pair counts
+    // and the overall leak share of all near-dup pairs. Scale shape:
+    // the capped candidate join + one map-side fold hash + a 15-group
+    // aggregate.
+    "q371_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val fold = docs.select(col("doc_id"),
+        (TextFunctions.hash60(concat(lit("fold:"), col("doc_id").cast("string")))
+          % 5).as("fold"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(fold.select(col("doc_id").as("id1"), col("fold").as("f1")), "id1")
+        .join(fold.select(col("doc_id").as("id2"), col("fold").as("f2")), "id2")
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L)).as("n_leaks"))
+      pairs.groupBy(least(col("f1"), col("f2")).as("fa"),
+          greatest(col("f1"), col("f2")).as("fb"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("fa"), col("fb"), col("n"), col("n_pairs"), col("n_leaks"),
+          expr("n_leaks * 1000000 div n_pairs").as("leak_rate_e6"),
+          (col("fa") =!= col("fb")).as("is_leak"))
+    }),
+
+    // Effective dataset size accounting — the topline a curation run
+    // reports: per source, raw docs/tokens, tokens surviving EXACT
+    // dedup (one representative per content fingerprint), and tokens
+    // surviving near-dup dedup on top (q76's component keep rule) —
+    // with e6 retention ratios. "How much data do we actually have" is
+    // the first question a pretraining plan asks; answering it without
+    // this accounting double-counts boilerplate. Scale shape: one
+    // fingerprint groupBy + the capped component machinery on the
+    // bounded fixture population + keyed joins; output is #sources
+    // rows.
+    "q372_effective_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.alnumTokenCount(col("text")).cast("long").as("ntok"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+      val exactKeep = docs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")
+            .orderBy("doc_id")))
+        .withColumn("keep_exact", col("rn") === 1).drop("rn")
+      val nearKeep = Dedup.dedupNearDupes(
+          t(s, d, "documents").where(col("doc_id") < 300),
+          "doc_id", "text", maxBucket = Int.MaxValue)
+        .select(col("doc_id"), col("is_kept").as("keep_near"))
+      exactKeep.join(nearKeep, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("raw_tok"),
+          sum(when(col("keep_exact"), col("ntok")).otherwise(0L))
+            .as("exact_tok"),
+          sum(when(col("keep_exact") && col("keep_near"), col("ntok"))
+            .otherwise(0L)).as("near_tok"))
+        .select(col("source"), col("n_docs"), col("raw_tok"),
+          col("exact_tok"), col("near_tok"),
+          expr("exact_tok * 1000000 div raw_tok").as("exact_retention_e6"),
+          expr("near_tok * 1000000 div raw_tok").as("near_retention_e6"))
+    }),
+
     // Shuffle-key skew audit — the other pre-flight planning readout
     // (q369's sibling): the row distribution a keyed shuffle on user_id
     // would produce across 32 buckets, with each bucket's share and the
@@ -7699,6 +7764,64 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q371_split_leakage" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         fold AS (
+           SELECT doc_id, ${h60("concat('fold:', doc_id)")} % 5 AS fold
+           FROM documents WHERE doc_id < 300),
+         j AS (
+           SELECT p.id1, p.id2, fa.fold AS f1, fb.fold AS f2
+           FROM pairs p
+           JOIN fold fa ON p.id1 = fa.doc_id
+           JOIN fold fb ON p.id2 = fb.doc_id),
+         tot AS (
+           SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN f1 <> f2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaks
+           FROM j)
+         SELECT least(f1, f2) AS fa, greatest(f1, f2) AS fb,
+           count(*) AS n, n_pairs, n_leaks,
+           n_leaks * 1000000 // n_pairs AS leak_rate_e6,
+           least(f1, f2) <> greatest(f1, f2) AS is_leak
+         FROM j CROSS JOIN tot
+         GROUP BY 1, 2, n_pairs, n_leaks""",
+
+    "q372_effective_tokens" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         $componentCtes,
+         d AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS ntok,
+             md5($normSql) AS fp
+           FROM documents WHERE doc_id < 300),
+         ek AS (
+           SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+             AS keep_exact
+           FROM d),
+         nk AS (
+           SELECT d2.doc_id,
+             coalesce(r.rep_id, d2.doc_id) = d2.doc_id AS keep_near
+           FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d2
+           LEFT JOIN rep r USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS raw_tok,
+           CAST(sum(CASE WHEN keep_exact THEN ntok ELSE 0 END) AS BIGINT)
+             AS exact_tok,
+           CAST(sum(CASE WHEN keep_exact AND keep_near THEN ntok ELSE 0 END)
+             AS BIGINT) AS near_tok,
+           CAST(sum(CASE WHEN keep_exact THEN ntok ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(ntok) AS BIGINT) AS exact_retention_e6,
+           CAST(sum(CASE WHEN keep_exact AND keep_near THEN ntok ELSE 0 END)
+             AS BIGINT) * 1000000 // CAST(sum(ntok) AS BIGINT)
+             AS near_retention_e6
+         FROM ek JOIN nk USING (doc_id)
+         GROUP BY source""",
 
     "q370_shuffle_skew_audit" ->
       s"""WITH b AS (
