@@ -164,7 +164,8 @@ object Bench {
     "q367_dedup_keep_best", // quality-aware component representative
     "q369_join_cardinality", // exact vs System-R join size estimate
     "q371_split_leakage", // cross-fold near-dup leak audit
-    "q372_effective_tokens") // post-dedup dataset size accounting
+    "q372_effective_tokens", // post-dedup dataset size accounting
+    "q373_component_folds") // leakage-free fold assignment + proof
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3786,6 +3786,67 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Leakage-free fold assignment — the FIX for what q371 measures:
+    // fold by near-dup COMPONENT (hash of the component representative),
+    // not by document, so every near-dup pair lands in the same fold by
+    // construction. Output per fold: docs, components — and the
+    // recomputed cross-fold leak count, which the query proves is ZERO
+    // (the q371 audit run against the fixed assignment). Scale shape:
+    // the component machinery + one rep-keyed hash + a 5-group
+    // aggregate; the leak recheck is the capped candidate join again.
+    "q373_component_folds" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val comp = Dedup.dedupNearDupes(docs, "doc_id", "text",
+          maxBucket = Int.MaxValue)
+        .select(col("doc_id"), col("rep_id"))
+      val fold = comp.select(col("doc_id"),
+        (TextFunctions.hash60(concat(lit("fold:"), col("rep_id").cast("string")))
+          % 5).as("fold"), col("rep_id"))
+      val leaks = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(fold.select(col("doc_id").as("id1"), col("fold").as("f1")), "id1")
+        .join(fold.select(col("doc_id").as("id2"), col("fold").as("f2")), "id2")
+        .agg(coalesce(sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L)),
+          lit(0L)).as("n_leaks"))
+      fold.groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("rep_id").as("n_components"))
+        .crossJoin(broadcast(leaks))
+    }),
+
+    // Content-defined chunking dedup (the FastCDC/rsync posture, at
+    // token granularity): chunk boundaries are CONTENT-derived — a cut
+    // wherever the token's 60-bit hash ≡ 0 (mod 16) — so an insertion
+    // shifts only its own chunk while every other chunk keeps its
+    // identity, which is why storage dedup uses CDC instead of fixed
+    // windows. Chunks fingerprint by md5 over the joined tokens;
+    // cross-document duplicate chunks (count > 1) are the shared spans
+    // dedup can collapse. Scale shape: one explode + a doc-keyed
+    // cumulative-cut window (islands) + one chunk-hash groupBy.
+    "q374_cdc_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("cut",
+          when(TextFunctions.hash60(col("tok")) % 16 === 0L, 1L).otherwise(0L))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("chunk_id", coalesce(sum("cut").over(w), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("chunk_len"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_fp"))
+      val wf = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+      chunks.withColumn("rn", row_number().over(wf))
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_copies"), min("chunk_len").as("chunk_len"),
+          max(when(col("rn") === 1, col("doc_id"))).as("first_doc"),
+          max(when(col("rn") === 1, col("chunk_id"))).as("first_chunk"))
+        .where(col("n_copies") > 1L)
+    }),
+
     // Effective dataset size accounting — the topline a curation run
     // reports: per source, raw docs/tokens, tokens surviving EXACT
     // dedup (one representative per content fingerprint), and tokens
@@ -7764,6 +7825,61 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q373_component_folds" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         $componentCtes,
+         comp AS (
+           SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
+           FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+           LEFT JOIN rep r USING (doc_id)),
+         fold AS (
+           SELECT doc_id, rep_id,
+             ${h60("concat('fold:', rep_id)")} % 5 AS fold
+           FROM comp),
+         cpairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         leaks AS (
+           SELECT CAST(coalesce(sum(CASE WHEN fa.fold <> fb.fold THEN 1
+             ELSE 0 END), 0) AS BIGINT) AS n_leaks
+           FROM cpairs p
+           JOIN fold fa ON p.id1 = fa.doc_id
+           JOIN fold fb ON p.id2 = fb.doc_id)
+         SELECT fold, count(*) AS n_docs,
+           CAST(count(DISTINCT rep_id) AS BIGINT) AS n_components, n_leaks
+         FROM fold CROSS JOIN leaks
+         GROUP BY fold, n_leaks""",
+
+    "q374_cdc_chunks" ->
+      s"""WITH toks374 AS (
+           SELECT doc_id, pos - 1 AS pos, tok,
+             CASE WHEN ${h60("tok")} % 16 = 0 THEN 1 ELSE 0 END AS cut
+           FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+             FROM documents WHERE doc_id < 300)),
+         cids AS (
+           SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_id
+           FROM toks374),
+         chunks AS (
+           SELECT doc_id, chunk_id, count(*) AS chunk_len,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+           FROM cids GROUP BY 1, 2),
+         rn AS (
+           SELECT *, row_number() OVER (PARTITION BY chunk_fp
+             ORDER BY doc_id, chunk_id) AS r
+           FROM chunks)
+         SELECT chunk_fp, count(*) AS n_copies,
+           CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+           max(CASE WHEN r = 1 THEN doc_id END) AS first_doc,
+           max(CASE WHEN r = 1 THEN chunk_id END) AS first_chunk
+         FROM rn GROUP BY chunk_fp
+         HAVING count(*) > 1""",
 
     "q371_split_leakage" ->
       s"""WITH $minhashCtes,
