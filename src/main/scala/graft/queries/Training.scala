@@ -3786,6 +3786,63 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Embedding centroid-drift monitor — the production check that an
+    // embedding space hasn't moved between two snapshots (model
+    // retrain, data shift): per label, the centroid of the even-id half
+    // vs the odd-id half, and the exact integer squared-L2 between them
+    // in e6 micro-units (dims quantized to e6 BEFORE the mean — the
+    // q145 Lloyd convention, so trunc-div centroids replay exactly).
+    // Large dist2 on a label = that region of the space moved. Scale
+    // shape: one posexplode + one (label, half, dim) groupBy + a
+    // label-keyed 64-term fold; no pairwise anything.
+    "q375_centroid_drift" -> ((s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("label").cast("long").as("lab"),
+          (col("vec_id") % 2 === 0).as("even"),
+          posexplode(expr(
+            """transform(embedding,
+                 v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"""))
+            .as(Seq("dim", "v")))
+      val cent = q.groupBy("lab", "even", "dim")
+        .agg(expr("sum(v) div count(1)").as("c"), count(lit(1)).as("n"))
+      cent.groupBy("lab", "dim")
+        .agg(max(when(col("even"), col("c"))).as("ce"),
+          max(when(!col("even"), col("c"))).as("co"),
+          max(when(col("even"), col("n"))).as("ne"),
+          max(when(!col("even"), col("n"))).as("no"))
+        .groupBy("lab")
+        .agg(max("ne").as("n_even"), max("no").as("n_odd"),
+          sum(expr("(ce - co) * (ce - co)")).as("dist2_e12"))
+    }),
+
+    // Diminishing-novelty curve — the "is more data still worth
+    // collecting" readout: order the corpus by doc_id decile (the
+    // collection-time proxy) and report, per decile, the fraction of
+    // its distinct 3-gram hashes NEVER seen in any earlier decile.
+    // Novelty decaying toward zero means new data repeats the old —
+    // the collection-ROI curve (Heaps-law q296's actionable cousin).
+    // First occurrence = min decile per gram (one groupBy over the
+    // exploded gram hashes); per-decile distinct counts are a second
+    // keyed groupBy. All counts exact.
+    "q376_novelty_curve" -> ((s, d) => {
+      val nDf = t(s, d, "documents").agg(max("doc_id").as("max_id"))
+      val grams = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= 3)
+        .crossJoin(broadcast(nDf))
+        .select(expr("least(9L, doc_id * 10 div (max_id + 1))").as("dec"),
+          explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .select(col("dec"), TextFunctions.hash60(col("g")).as("h"))
+      val perDec = grams.select("dec", "h").distinct()
+      val firstDec = perDec.groupBy("h").agg(min("dec").as("first_dec"))
+      perDec.join(firstDec, "h")
+        .groupBy("dec")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_dec") === col("dec"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("dec"), col("n_distinct"), col("n_novel"),
+          expr("n_novel * 1000000 div n_distinct").as("novelty_e6"))
+    }),
+
     // Leakage-free fold assignment — the FIX for what q371 measures:
     // fold by near-dup COMPONENT (hash of the component representative),
     // not by document, so every near-dup pair lands in the same fold by
@@ -7825,6 +7882,51 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q375_centroid_drift" ->
+      """WITH q AS (
+           SELECT CAST(label AS BIGINT) AS lab, vec_id % 2 = 0 AS even,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS v
+           FROM embeddings),
+         cent AS (
+           SELECT lab, even, dim,
+             CAST(sum(v) // count(*) AS BIGINT) AS c, count(*) AS n
+           FROM q GROUP BY 1, 2, 3),
+         p AS (
+           SELECT lab, dim,
+             max(CASE WHEN even THEN c END) AS ce,
+             max(CASE WHEN NOT even THEN c END) AS co,
+             max(CASE WHEN even THEN n END) AS ne,
+             max(CASE WHEN NOT even THEN n END) AS n_o
+           FROM cent GROUP BY 1, 2)
+         SELECT lab, CAST(max(ne) AS BIGINT) AS n_even,
+           CAST(max(n_o) AS BIGINT) AS n_odd,
+           CAST(sum((ce - co) * (ce - co)) AS BIGINT) AS dist2_e12
+         FROM p GROUP BY lab""",
+
+    "q376_novelty_curve" ->
+      s"""WITH nmax AS (SELECT max(doc_id) AS max_id FROM documents),
+         grams AS (
+           SELECT least(9, doc_id * 10 // (max_id + 1)) AS dec,
+             ${h60("g")} AS h
+           FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+             FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                   FROM documents)
+             WHERE len(w) >= 3) CROSS JOIN nmax),
+         per_dec AS (SELECT DISTINCT dec, h FROM grams),
+         first_dec AS (SELECT h, min(dec) AS first_dec FROM per_dec GROUP BY h)
+         SELECT dec, count(*) AS n_distinct,
+           CAST(sum(CASE WHEN first_dec = dec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN first_dec = dec THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS novelty_e6
+         FROM per_dec JOIN first_dec USING (h)
+         GROUP BY dec""",
 
     "q373_component_folds" ->
       s"""WITH RECURSIVE $minhashCtes,
