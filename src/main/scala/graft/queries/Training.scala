@@ -3786,6 +3786,36 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // CDC storage-savings rollup — the number the q374 chunking exists
+    // to produce: total token volume, the volume spent on duplicate
+    // chunk copies beyond the first (Σ (n_copies−1)·len — what a
+    // content-addressed store deduplicates away), and the e6 savings
+    // ratio. One extra bounded aggregate over the q374 chunk frame.
+    "q377_cdc_savings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("cut",
+          when(TextFunctions.hash60(col("tok")) % 16 === 0L, 1L).otherwise(0L))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = toks
+        .withColumn("chunk_id", coalesce(sum("cut").over(w), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("chunk_len"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_fp"))
+      chunks.groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_copies"), min("chunk_len").as("len"))
+        .agg(sum(expr("n_copies * len")).as("total_tok"),
+          sum(expr("(n_copies - 1) * len")).as("dup_tok"),
+          count(lit(1)).as("n_unique_chunks"))
+        .select(col("total_tok"), col("dup_tok"), col("n_unique_chunks"),
+          expr("dup_tok * 1000000 div total_tok").as("savings_e6"))
+    }),
+
     // Embedding centroid-drift monitor — the production check that an
     // embedding space hasn't moved between two snapshots (model
     // retrain, data shift): per label, the centroid of the even-id half
@@ -7882,6 +7912,35 @@ object Training {
          FROM g WHERE n_tokens > 0 AND n_words > 0""",
 
     "q354_cell_balance" -> cellBalanceOracle,
+
+    "q377_cdc_savings" ->
+      s"""WITH toks374 AS (
+           SELECT doc_id, pos - 1 AS pos, tok,
+             CASE WHEN ${h60("tok")} % 16 = 0 THEN 1 ELSE 0 END AS cut
+           FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+             FROM documents WHERE doc_id < 300)),
+         cids AS (
+           SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_id
+           FROM toks374),
+         chunks AS (
+           SELECT doc_id, chunk_id, count(*) AS chunk_len,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+           FROM cids GROUP BY 1, 2),
+         per_fp AS (
+           SELECT chunk_fp, count(*) AS n_copies,
+             CAST(min(chunk_len) AS BIGINT) AS len
+           FROM chunks GROUP BY 1)
+         SELECT CAST(sum(n_copies * len) AS BIGINT) AS total_tok,
+           CAST(sum((n_copies - 1) * len) AS BIGINT) AS dup_tok,
+           count(*) AS n_unique_chunks,
+           CAST(sum((n_copies - 1) * len) AS BIGINT) * 1000000
+             // CAST(sum(n_copies * len) AS BIGINT) AS savings_e6
+         FROM per_fp""",
 
     "q375_centroid_drift" ->
       """WITH q AS (
