@@ -3786,6 +3786,24 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Fusion provenance report — the IR diagnostic behind q350's RRF:
+    // for each query's fused top-10, how many results came from the
+    // dense list only, the sparse list only, or both — the readout
+    // that tells you which retriever actually drives the ranking (a
+    // fusion where one side never contributes is dead weight). One
+    // bounded aggregate over the fused frame.
+    "q378_fusion_provenance" -> ((s, d) => {
+      Training.queries("q350_rrf_fusion")(s, d)
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r_dense").isNotNull && col("r_sparse").isNull, 1L)
+            .otherwise(0L)).as("dense_only"),
+          sum(when(col("r_dense").isNull && col("r_sparse").isNotNull, 1L)
+            .otherwise(0L)).as("sparse_only"),
+          sum(when(col("r_dense").isNotNull && col("r_sparse").isNotNull, 1L)
+            .otherwise(0L)).as("both_lists"))
+    }),
+
     // CDC storage-savings rollup — the number the q374 chunking exists
     // to produce: total token volume, the volume spent on duplicate
     // chunk copies beyond the first (Σ (n_copies−1)·len — what a
@@ -5167,6 +5185,60 @@ object Training {
            pair_work
          FROM agg"""
   }
+
+  /** q350's oracle, shared verbatim with q378's provenance rollup. */
+  private def rrfFusionOracle: String =
+    s"""WITH qd AS (
+           SELECT doc_id AS query_id,
+             list_distinct(string_split(lower(text), ' ')) AS qtok
+           FROM documents WHERE doc_id IN (10, 20, 30)),
+         cd AS (
+           SELECT doc_id AS cand_id,
+             list_distinct(string_split(lower(text), ' ')) AS ctok
+           FROM documents),
+         sp0 AS (
+           SELECT query_id, cand_id,
+             CAST(len(list_intersect(ctok, qtok)) AS BIGINT) AS ov
+           FROM qd, cd WHERE cand_id <> query_id),
+         sp AS (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ov DESC, cand_id) AS r_sparse
+           FROM sp0 WHERE ov >= 1
+           QUALIFY r_sparse <= 50),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         dn0 AS (
+           SELECT q.query_id, e.vec_id AS cand_id,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         dn AS (
+           SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS r_dense
+           FROM dn0 QUALIFY r_dense <= 50),
+         f AS (
+           SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+             coalesce(dn.cand_id, sp.cand_id) AS cand_id,
+             CAST(dn.r_dense AS BIGINT) AS r_dense,
+             CAST(sp.r_sparse AS BIGINT) AS r_sparse
+           FROM dn FULL OUTER JOIN sp
+             ON dn.query_id = sp.query_id AND dn.cand_id = sp.cand_id),
+         g AS (
+           SELECT query_id, cand_id, r_dense, r_sparse,
+             coalesce(1000000 // (60 + r_dense), 0)
+               + coalesce(1000000 // (60 + r_sparse), 0) AS rrf_e6
+           FROM f)
+         SELECT query_id, cand_id, r_dense, r_sparse,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_e6 DESC, cand_id) AS BIGINT)
+             AS pos
+         FROM g
+         QUALIFY pos <= 10"""
 
   /** Shared margin-ratio CTE prelude (cent → assign → wc → pairs → hood)
     * — one definition feeding the q352 acceptance oracle and the q363
@@ -8498,58 +8570,17 @@ object Training {
          SELECT doc_id, source, stage, CAST(pos AS BIGINT) AS pos
          FROM o WHERE pos <= 100""",
 
-    "q350_rrf_fusion" ->
-      s"""WITH qd AS (
-           SELECT doc_id AS query_id,
-             list_distinct(string_split(lower(text), ' ')) AS qtok
-           FROM documents WHERE doc_id IN (10, 20, 30)),
-         cd AS (
-           SELECT doc_id AS cand_id,
-             list_distinct(string_split(lower(text), ' ')) AS ctok
-           FROM documents),
-         sp0 AS (
-           SELECT query_id, cand_id,
-             CAST(len(list_intersect(ctok, qtok)) AS BIGINT) AS ov
-           FROM qd, cd WHERE cand_id <> query_id),
-         sp AS (
-           SELECT query_id, cand_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY ov DESC, cand_id) AS r_sparse
-           FROM sp0 WHERE ov >= 1
-           QUALIFY r_sparse <= 50),
-         q AS (
-           SELECT vec_id AS query_id, embedding AS qemb
-           FROM embeddings WHERE vec_id IN (10, 20, 30)),
-         dn0 AS (
-           SELECT q.query_id, e.vec_id AS cand_id,
-             (${dotSql("e.embedding", "q.qemb")})
-               / (sqrt(${dotSql("e.embedding", "e.embedding")})
-                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
-           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-         dn AS (
-           SELECT query_id, cand_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, cand_id) AS r_dense
-           FROM dn0 QUALIFY r_dense <= 50),
-         f AS (
-           SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
-             coalesce(dn.cand_id, sp.cand_id) AS cand_id,
-             CAST(dn.r_dense AS BIGINT) AS r_dense,
-             CAST(sp.r_sparse AS BIGINT) AS r_sparse
-           FROM dn FULL OUTER JOIN sp
-             ON dn.query_id = sp.query_id AND dn.cand_id = sp.cand_id),
-         g AS (
-           SELECT query_id, cand_id, r_dense, r_sparse,
-             coalesce(1000000 // (60 + r_dense), 0)
-               + coalesce(1000000 // (60 + r_sparse), 0) AS rrf_e6
-           FROM f)
-         SELECT query_id, cand_id, r_dense, r_sparse,
-           CAST(rrf_e6 AS BIGINT) AS rrf_e6,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY rrf_e6 DESC, cand_id) AS BIGINT)
-             AS pos
-         FROM g
-         QUALIFY pos <= 10""",
+    "q350_rrf_fusion" -> rrfFusionOracle,
+
+    "q378_fusion_provenance" ->
+      s"""SELECT query_id, count(*) AS n,
+           CAST(sum(CASE WHEN r_dense IS NOT NULL AND r_sparse IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS dense_only,
+           CAST(sum(CASE WHEN r_dense IS NULL AND r_sparse IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS sparse_only,
+           CAST(sum(CASE WHEN r_dense IS NOT NULL AND r_sparse IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS both_lists
+         FROM ($rrfFusionOracle) GROUP BY query_id""",
 
     "q351_ndcg_mrr" ->
       s"""WITH q AS (

@@ -965,6 +965,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-8 additions: no CartesianProduct anywhere in q350-q378") {
+    val qs = SparkEntry.queries.keys.filter { n =>
+      val id = n.drop(1).takeWhile(_.isDigit).toInt
+      id >= 350 && id <= 378
+    }
+    assert(qs.size >= 25, s"expected the round-8 block, got: $qs")
+    for (q <- qs) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
   test("q331 negative-sampling probe is a hash join on the cell id, " +
       "not a nested-loop range probe") {
     val p = plan("q331_negative_sampling")
