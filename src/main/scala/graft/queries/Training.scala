@@ -3786,6 +3786,28 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Scrub residual verification — the q373-style prove-the-fix query
+    // for q85's PII scrub: run the DETECTORS over the SCRUBBED text and
+    // count residual digit runs and residual email shapes. Residual
+    // digits are zero by construction (every digit run is replaced);
+    // residual email patterns CAN survive (the digit pass rewrites the
+    // local part, leaving letter@letter shapes the email pass then
+    // catches — the audit confirms order matters and the composed
+    // pipeline ends clean). One map pass + one global aggregate.
+    "q380_scrub_residual" -> ((s, d) => {
+      val scrubbed = regexp_replace(
+        regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+        "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+", "<EMAIL>")
+      t(s, d, "documents")
+        .select((scrubbed =!= col("text")).as("changed"),
+          scrubbed.rlike("[0-9]").as("res_digit"),
+          scrubbed.rlike("[a-zA-Z0-9.]+@[a-zA-Z0-9.]+").as("res_email"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("res_digit"), 1L).otherwise(0L)).as("n_residual_digits"),
+          sum(when(col("res_email"), 1L).otherwise(0L)).as("n_residual_emails"))
+    }),
+
     // Fusion provenance report — the IR diagnostic behind q350's RRF:
     // for each query's fused top-10, how many results came from the
     // dense list only, the sparse list only, or both — the readout
@@ -8571,6 +8593,22 @@ object Training {
          FROM o WHERE pos <= 100""",
 
     "q350_rrf_fusion" -> rrfFusionOracle,
+
+    "q380_scrub_residual" ->
+      """WITH s AS (
+           SELECT text,
+             regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+               '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g') AS scrubbed
+           FROM documents)
+         SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN regexp_matches(scrubbed, '[0-9]')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_digits,
+           CAST(sum(CASE WHEN regexp_matches(scrubbed,
+             '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_residual_emails
+         FROM s""",
 
     "q378_fusion_provenance" ->
       s"""SELECT query_id, count(*) AS n,

@@ -642,6 +642,22 @@ object Warehouse {
           (col("k") < 5L).as("suppressed"))
     }),
 
+    // l-diversity audit — k-anonymity's necessary refinement (Machanavajjhala
+    // et al. 2007): a group can be k-large yet reveal everyone's sensitive
+    // value if it is homogeneous. QI = (nation, balance band); sensitive =
+    // market segment; l = distinct sensitive values per group, diverse at
+    // l ≥ 3. Same bounded QI-domain groupBy as q323.
+    "q379_l_diversity" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"),
+          col("c_mktsegment").as("segment"))
+        .groupBy("nation", "bal_band")
+        .agg(count(lit(1)).as("k"), countDistinct("segment").as("l"))
+        .select(col("nation"), col("bal_band"), col("k"), col("l"),
+          (col("l") >= 3L).as("l_diverse"))
+    }),
+
     // Columnar encoding cost model: delta + zigzag + varint size of each
     // event_type's value stream in the (ts, event_id) total order — the
     // what-if a storage engine answers before picking an encoding
@@ -708,6 +724,17 @@ object Warehouse {
            1000000 // k AS risk_e6,
            k < 5 AS suppressed
          FROM g""",
+
+    "q379_l_diversity" ->
+      """WITH qi AS (
+           SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment
+           FROM customer)
+         SELECT nation, bal_band, count(*) AS k,
+           CAST(count(DISTINCT segment) AS BIGINT) AS l,
+           count(DISTINCT segment) >= 3 AS l_diverse
+         FROM qi GROUP BY 1, 2""",
 
     "q329_delta_encoding" ->
       """WITH base AS (
