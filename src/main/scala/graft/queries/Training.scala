@@ -3786,6 +3786,42 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Binary-embedding recall audit — the 32×-memory-saving production
+    // variant (sign-bit codes + Hamming ranking) measured against the
+    // float-cosine truth, the q117 recall posture: 60-of-64 sign bits
+    // pack into one BIGINT (staying under the sign bit, the hash60
+    // convention), candidates rank by bit_count(xor), and recall@10 is
+    // reported per query. Scale shape: the code is one map-side fold;
+    // ranking is the broadcast-query scan with a query-keyed window —
+    // and at corpus scale the 8-byte codes are what makes the scan
+    // cache-resident where float vectors are not.
+    "q381_binary_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val qids = Seq(10L, 20L, 30L)
+      val coded = e.select(col("vec_id"), expr(
+        """aggregate(sequence(0, 59), 0L,
+             (a, i) -> a + if(cast(element_at(embedding, i + 1) as double)
+                              > 0.0, shiftleft(1L, i), 0L))""").as("code"))
+      val q = coded.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+      val w = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+      val hamTop = coded.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("ham", expr("cast(bit_count(code ^ qcode) as bigint)"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(hamTop, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum("hit"), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          expr("n_hit * 1000000 div k").as("recall_e6"))
+    }),
+
     // Scrub residual verification — the q373-style prove-the-fix query
     // for q85's PII scrub: run the DETECTORS over the SCRUBBED text and
     // count residual digit runs and residual email shapes. Residual
@@ -8593,6 +8629,47 @@ object Training {
          FROM o WHERE pos <= 100""",
 
     "q350_rrf_fusion" -> rrfFusionOracle,
+
+    "q381_binary_recall" ->
+      s"""WITH codes AS (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                         > 0.0
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)) AS BIGINT) AS code
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS query_id, code AS qcode
+           FROM codes WHERE vec_id IN (10, 20, 30)),
+         ham AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(c.code, q.qcode)), c.vec_id) AS rnk
+             FROM codes c, q WHERE c.vec_id <> q.query_id)
+           WHERE rnk <= 10),
+         qe AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         bf AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT qe.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY qe.query_id
+                 ORDER BY (${dotSql("e.embedding", "qe.qemb")})
+                   / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                      * sqrt(${dotSql("qe.qemb", "qe.qemb")})) DESC,
+                 e.vec_id ASC) AS rnk
+             FROM embeddings e, qe WHERE e.vec_id <> qe.query_id)
+           WHERE rnk <= 10)
+         SELECT bf.query_id, count(*) AS k,
+           CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS recall_e6
+         FROM bf LEFT JOIN ham h
+           ON bf.query_id = h.query_id AND bf.neighbor_id = h.neighbor_id
+         GROUP BY bf.query_id""",
 
     "q380_scrub_residual" ->
       """WITH s AS (
