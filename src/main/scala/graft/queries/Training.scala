@@ -3822,6 +3822,47 @@ object Training {
           expr("n_hit * 1000000 div k").as("recall_e6"))
     }),
 
+    // Binary-candidate + float-rerank recall — the FIX q381's 10–30%
+    // recall prescribes, proven (the q373 pattern): Hamming top-50 on
+    // the 8-byte codes as the candidate stage, exact float cosine
+    // reranks the 50 to a top-10, recall@10 vs direct brute force. The
+    // production two-stage retrieval shape: the cheap scan touches
+    // every code, the expensive float math touches 50 rows per query.
+    "q382_binary_rerank_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val qids = Seq(10L, 20L, 30L)
+      val coded = e.select(col("vec_id"), col("embedding"), expr(
+        """aggregate(sequence(0, 59), 0L,
+             (a, i) -> a + if(cast(element_at(embedding, i + 1) as double)
+                              > 0.0, shiftleft(1L, i), 0L))""").as("code"))
+      val q = coded.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+          col("embedding").as("qemb"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val wH = Window.partitionBy("query_id").orderBy(asc("ham"), asc("vec_id"))
+      val cand = coded.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("ham", expr("cast(bit_count(code ^ qcode) as bigint)"))
+        .withColumn("hrnk", row_number().over(wH))
+        .where(col("hrnk") <= 50)
+      val wC = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      val reranked = cand
+        .withColumn("nrm", Similarity.norm2("embedding"))
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"), col("nrm"), col("qn")))
+        .withColumn("rnk", row_number().over(wC))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(reranked, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), coalesce(sum("hit"), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          expr("n_hit * 1000000 div k").as("recall_e6"))
+    }),
+
     // Scrub residual verification — the q373-style prove-the-fix query
     // for q85's PII scrub: run the DETECTORS over the SCRUBBED text and
     // count residual digit runs and residual email shapes. Residual
@@ -8629,6 +8670,57 @@ object Training {
          FROM o WHERE pos <= 100""",
 
     "q350_rrf_fusion" -> rrfFusionOracle,
+
+    "q382_binary_rerank_recall" ->
+      s"""WITH codes AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                         > 0.0
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)) AS BIGINT) AS code
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS query_id, code AS qcode, embedding AS qemb
+           FROM codes WHERE vec_id IN (10, 20, 30)),
+         cand AS (
+           SELECT query_id, vec_id, embedding, qemb FROM (
+             SELECT q.query_id, c.vec_id, c.embedding, q.qemb,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(c.code, q.qcode)), c.vec_id) AS hrnk
+             FROM codes c, q WHERE c.vec_id <> q.query_id)
+           WHERE hrnk <= 50),
+         rr AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY (${dotSql("embedding", "qemb")})
+                   / (sqrt(${dotSql("embedding", "embedding")})
+                      * sqrt(${dotSql("qemb", "qemb")})) DESC,
+                 vec_id ASC) AS rnk
+             FROM cand)
+           WHERE rnk <= 10),
+         qe AS (
+           SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         bf AS (
+           SELECT query_id, vec_id AS neighbor_id FROM (
+             SELECT qe.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY qe.query_id
+                 ORDER BY (${dotSql("e.embedding", "qe.qemb")})
+                   / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                      * sqrt(${dotSql("qe.qemb", "qe.qemb")})) DESC,
+                 e.vec_id ASC) AS rnk
+             FROM embeddings e, qe WHERE e.vec_id <> qe.query_id)
+           WHERE rnk <= 10)
+         SELECT bf.query_id, count(*) AS k,
+           CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS recall_e6
+         FROM bf LEFT JOIN rr h
+           ON bf.query_id = h.query_id AND bf.neighbor_id = h.neighbor_id
+         GROUP BY bf.query_id""",
 
     "q381_binary_recall" ->
       s"""WITH codes AS (
