@@ -166,7 +166,8 @@ object Bench {
     "q371_split_leakage", // cross-fold near-dup leak audit
     "q372_effective_tokens", // post-dedup dataset size accounting
     "q373_component_folds", // leakage-free fold assignment + proof
-    "q376_novelty_curve") // per-decile first-occurrence novelty
+    "q376_novelty_curve", // per-decile first-occurrence novelty
+    "q383_jl_distortion") // JL projection concentration histogram
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

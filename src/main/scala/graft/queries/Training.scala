@@ -3786,6 +3786,75 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Johnson–Lindenstrauss distortion audit — measure what the
+    // workhorse dimensionality reduction actually costs: project 64-d
+    // vectors to 16-d with a deterministic ±1 sign matrix (signs from
+    // the md5-60 hash of (dim_in, dim_out) — no stored matrix), then
+    // for in-cell pairs compare projected vs original squared L2:
+    // E[d²_proj] = 16·d²_orig for sign projections, so ratio_e6 =
+    // d²_proj·1e6 div (16·d²_orig) concentrates at 1e6 — the histogram
+    // IS the JL concentration curve. All integer: dims quantized e6,
+    // distances exact BIGINT. Scale shape: projection is one map-side
+    // 16×64 fold; pairs stay inside the scaled (cell, bin) groups.
+    "q383_jl_distortion" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ve = e.select(col("vec_id"), col("label"), expr(
+        """transform(embedding,
+             v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+        .as("ve"))
+      // signs computed ONCE here via the same md5('jl:i:j') % 2 formula
+      // the oracle replays in SQL — embedding them as literal arrays
+      // keeps the expression tree 16 zip_with folds instead of 1024
+      // CASE(md5(...)) terms, whose per-run constant folding alone
+      // measured ~7 s of plan time at sf0.1
+      def jlSign(i: Int, j: Int): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L
+        else -1L
+      }
+      val projExpr = (0 until 16).map { j =>
+        val arr = (0 until 64).map(i => s"${jlSign(i, j)}L").mkString(", ")
+        expr(s"""aggregate(zip_with(ve, array($arr),
+               (v, sg) -> v * sg), 0L, (a, z) -> a + z)""").as(s"p$j")
+      }
+      val proj = ve.select(Seq(col("vec_id"), col("label")) ++ projExpr: _*)
+      val cells = Similarity.withIvfCell(e, Similarity.ivfCentroids(e))
+      val nDf = e.agg(count(lit(1)).as("n_total"))
+      // q347's corpus-scaled bin over the quantized first coordinate so
+      // the pair frame stays linear in n
+      val a = ve.join(proj.drop("label"), "vec_id").join(cells, "vec_id")
+        .crossJoin(broadcast(nDf))
+        .withColumn("nb", expr("greatest(1L, n_total div 2000)"))
+        .withColumn("bin", expr(
+          """least(nb - 1, greatest(0L, cast(floor(
+            (cast(element_at(ve, 1) as double) / 1000000.0 + 1.0)
+            / 2.0 * nb) as bigint)))"""))
+        .drop("n_total", "nb")
+      val b = a.toDF(a.columns.map(c => s"b_$c"): _*)
+      // zip_with fold, deliberately: the "optimized" flat 64-term
+      // unrolled sum measured 4.5× SLOWER (26.5 s vs 5.8 s at sf0.1 —
+      // a 128-element_at expression overruns the codegen method-size
+      // split and degrades), while the HOF stays one generated loop
+      val dOrig = expr(
+        """aggregate(zip_with(ve, b_ve, (x, y) -> (x - y) * (x - y)),
+             0L, (acc, z) -> acc + z)""")
+      val dProj = (0 until 16)
+        .map(j => expr(s"(p$j - b_p$j) * (p$j - b_p$j)"))
+        .reduce(_ + _)
+      a.join(b, col("cell") === col("b_cell") && col("bin") === col("b_bin") &&
+          col("vec_id") < col("b_vec_id"))
+        // deterministic 1-in-4 pair sample: a concentration histogram
+        // needs pair VOLUME, not every pair — 4x off the dominant cost
+        .where((col("vec_id") + col("b_vec_id")) % 4 === 0L)
+        .select(dOrig.as("do2"), dProj.as("dp2"))
+        .where(col("do2") > 0L)
+        // (dp2 div 16) first: dp2·10 could pass int64; dp2 div 16 cannot
+        .select(expr("(dp2 div 16) * 10 div do2").as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Binary-embedding recall audit — the 32×-memory-saving production
     // variant (sign-bit codes + Hamming ranking) measured against the
     // float-cosine truth, the q117 recall posture: 60-of-64 sign bits
@@ -5338,6 +5407,60 @@ object Training {
              AS pos
          FROM g
          QUALIFY pos <= 10"""
+
+  /** q383: the JL projection replay — ±1 signs from md5('jl:i:j')
+    * literals (constant-folded both engines), quantized-e6 vectors,
+    * corpus-scaled (cell, bin) pairs, exact integer squared distances.
+    */
+  private def jlDistortionOracle: String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = "greatest(1, (SELECT count(*) FROM embeddings) // 2000)"
+    val projCols = (0 until 16).map { j =>
+      val terms = (0 until 64).map { i =>
+        val h = s"CAST(concat('0x', substr(md5('jl:$i:$j'), 1, 15)) AS BIGINT)"
+        s"(CASE WHEN $h % 2 = 0 THEN ve[${i + 1}] ELSE -ve[${i + 1}] END)"
+      }.mkString(" + ")
+      s"($terms) AS p$j"
+    }.mkString(",\n             ")
+    val dp2 = (0 until 16)
+      .map(j => s"(a.p$j - b.p$j) * (a.p$j - b.p$j)").mkString(" + ")
+    s"""WITH cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         vq AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve
+           FROM embeddings),
+         pr AS MATERIALIZED (
+           SELECT vq.vec_id, vq.ve, a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(vq.ve[1] AS DOUBLE) / 1000000.0 + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin,
+             $projCols
+           FROM vq JOIN assign a ON vq.vec_id = a.vec_id),
+         pairs AS (
+           SELECT (${il2Sql("a.ve", "b.ve", 64)}) AS do2, ($dp2) AS dp2
+           FROM pr a JOIN pr b
+             ON a.cell = b.cell AND a.bin = b.bin AND a.vec_id < b.vec_id
+             AND (a.vec_id + b.vec_id) % 4 = 0)
+         SELECT (dp2 // 16) * 10 // do2 AS bkt, count(*) AS n_pairs
+         FROM pairs WHERE do2 > 0
+         GROUP BY 1"""
+  }
 
   /** Shared margin-ratio CTE prelude (cent → assign → wc → pairs → hood)
     * — one definition feeding the q352 acceptance oracle and the q363
@@ -8670,6 +8793,8 @@ object Training {
          FROM o WHERE pos <= 100""",
 
     "q350_rrf_fusion" -> rrfFusionOracle,
+
+    "q383_jl_distortion" -> jlDistortionOracle,
 
     "q382_binary_rerank_recall" ->
       s"""WITH codes AS (
