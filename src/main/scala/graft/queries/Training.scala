@@ -3786,6 +3786,32 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Leakage-free churn label construction — the supervised-dataset
+    // generation pattern done right: features come STRICTLY from
+    // [t0−56d, t0−28d) and the label (churned = zero events) from
+    // [t0−28d, t0), so no feature can see the label window — the
+    // time-split discipline whose absence is the classic silent
+    // target-leak. t0 is the broadcast corpus max timestamp. One scan,
+    // both windows aggregated per user via CASE sides; population =
+    // users active in the feature window.
+    "q384_churn_labels" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+      val anchor = ev.agg(max("ts_s").as("t0"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("in_feat",
+          col("ts_s") >= col("t0") - 4838400L && col("ts_s") < col("t0") - 2419200L)
+        .withColumn("in_label", col("ts_s") >= col("t0") - 2419200L)
+        .groupBy("user_id")
+        .agg(sum(when(col("in_feat"), 1L).otherwise(0L)).as("n_feat_events"),
+          sum(when(col("in_feat") && col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("n_feat_purchases"),
+          sum(when(col("in_label"), 1L).otherwise(0L)).as("n_label_events"))
+        .where(col("n_feat_events") > 0L)
+        .select(col("user_id"), col("n_feat_events"), col("n_feat_purchases"),
+          (col("n_label_events") === 0L).as("churned"))
+    }),
+
     // Johnson–Lindenstrauss distortion audit — measure what the
     // workhorse dimensionality reduction actually costs: project 64-d
     // vectors to 16-d with a deterministic ±1 sign matrix (signs from
@@ -8795,6 +8821,27 @@ object Training {
     "q350_rrf_fusion" -> rrfFusionOracle,
 
     "q383_jl_distortion" -> jlDistortionOracle,
+
+    "q384_churn_labels" ->
+      """WITH ev AS (
+           SELECT user_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             event_type
+           FROM events),
+         anchor AS (SELECT max(ts_s) AS t0 FROM ev),
+         g AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN ts_s >= t0 - 4838400 AND ts_s < t0 - 2419200
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_feat_events,
+             CAST(sum(CASE WHEN ts_s >= t0 - 4838400 AND ts_s < t0 - 2419200
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_feat_purchases,
+             CAST(sum(CASE WHEN ts_s >= t0 - 2419200 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_label_events
+           FROM ev CROSS JOIN anchor GROUP BY user_id)
+         SELECT user_id, n_feat_events, n_feat_purchases,
+           n_label_events = 0 AS churned
+         FROM g WHERE n_feat_events > 0""",
 
     "q382_binary_rerank_recall" ->
       s"""WITH codes AS (
