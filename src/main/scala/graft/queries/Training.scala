@@ -3786,6 +3786,29 @@ object Training {
           (col("fa") =!= col("fb")).as("is_leak"))
     }),
 
+    // Cross-source duplication flow matrix — the "who copies whom"
+    // provenance readout: near-dup pairs bucketed by their endpoint
+    // sources (unordered), with each cell's share of all pairs. A heavy
+    // off-diagonal cell means two feeds ingest the same upstream — the
+    // dedup-BEFORE-mixing signal a corpus assembler acts on; heavy
+    // diagonal means a source self-duplicates. Capped candidate join +
+    // two dim joins + one bounded (source, source) aggregate.
+    "q385_dup_flow_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs.groupBy(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n"),
+          expr("n * 1000000 div n_pairs").as("share_e6"),
+          (col("src_a") === col("src_b")).as("self_dup"))
+    }),
+
     // Leakage-free churn label construction — the supervised-dataset
     // generation pattern done right: features come STRICTLY from
     // [t0−56d, t0−28d) and the label (churned = zero events) from
@@ -8821,6 +8844,27 @@ object Training {
     "q350_rrf_fusion" -> rrfFusionOracle,
 
     "q383_jl_distortion" -> jlDistortionOracle,
+
+    "q385_dup_flow_matrix" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         src AS (
+           SELECT doc_id, source FROM documents WHERE doc_id < 300),
+         j AS (
+           SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b
+           FROM pairs p
+           JOIN src sa ON p.id1 = sa.doc_id
+           JOIN src sb ON p.id2 = sb.doc_id),
+         tot AS (SELECT count(*) AS n_pairs FROM j)
+         SELECT src_a, src_b, count(*) AS n,
+           count(*) * 1000000 // n_pairs AS share_e6,
+           src_a = src_b AS self_dup
+         FROM j CROSS JOIN tot
+         GROUP BY src_a, src_b, n_pairs""",
 
     "q384_churn_labels" ->
       """WITH ev AS (
