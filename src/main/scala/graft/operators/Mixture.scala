@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -93,6 +93,53 @@ object Mixture {
       .withColumn("rnk_in_src", row_number().over(order).cast("long"))
       .withColumn("cum_tok", sum("n_tok").over(cum))
       .where(col("cum_tok") <= col("src_budget"))
+  }
+
+  /** UniMax sampling (Chung et al. 2023, arXiv:2304.09151): budget-capped
+    * water filling over sources. Each source's allocation is capped at
+    * `epochCap` epochs of its own corpus (cap = epochCap·n_tok); the total
+    * budget spreads as uniformly as possible subject to the caps. In
+    * ascending-capacity order there is a unique boundary k: sources 1..k
+    * take their full cap, the rest split the leftover evenly — and the
+    * capped test cap_i·(S−i+1) ≤ B − capPrefix_{i−1} is monotone (once it
+    * fails it stays failed, since caps ascend), so the whole scan is two
+    * window passes, no sequential loop. All integer (trunc div on
+    * non-negative operands; the ≤ remainder of the final div stays
+    * unallocated by design), so a SQL oracle replays it exactly.
+    *
+    * Scale shape: the corpus-scale work is the caller's token-count scan;
+    * this runs on the per-SOURCE aggregate (dozens of rows — the one
+    * deliberately bounded single-partition window, same posture as
+    * doremiShares). `counts`: (source, n_tok). Returns (source, n_tok,
+    * cap_tok, alloc_tok, capped, epochs_e6).
+    */
+  def unimaxAllocation(counts: DataFrame, budget: Column,
+      epochCap: Long): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ord = Window.partitionBy(lit(1)).orderBy(asc("cap_tok"), asc("source"))
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1L)
+    counts
+      .withColumn("cap_tok", col("n_tok") * lit(epochCap))
+      .withColumn("budget_tok", budget)
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cap_pre", coalesce(sum("cap_tok").over(pre), lit(0L)))
+      .withColumn("capped",
+        col("cap_tok") * (col("n_src") - col("rnk") + 1L) <=
+          col("budget_tok") - col("cap_pre"))
+      .withColumn("k", coalesce(
+        max(when(col("capped"), col("rnk"))).over(wAll), lit(0L)))
+      .withColumn("cap_sum_k", coalesce(
+        sum(when(col("capped"), col("cap_tok"))).over(wAll), lit(0L)))
+      .withColumn("fair", when(col("n_src") === col("k"), lit(0L))
+        .otherwise(expr("(budget_tok - cap_sum_k) div (n_src - k)")))
+      .select(col("source"), col("n_tok"), col("cap_tok"),
+        when(col("capped"), col("cap_tok")).otherwise(col("fair"))
+          .as("alloc_tok"),
+        col("capped"),
+        expr("(CASE WHEN capped THEN cap_tok ELSE fair END) * 1000000 div n_tok")
+          .as("epochs_e6"))
   }
 
   /** The composed mix step: quality gate (q53 keep rule) → per-source

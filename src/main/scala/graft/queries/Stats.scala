@@ -50,6 +50,44 @@ object Stats {
            FROM lineitem"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Neyman-optimal stratified sample allocation (Neyman 1934 — the
+    // survey-sampling design the reference's World Bank context lives
+    // on): allocate a fixed sample budget (500) across event-type strata
+    // ∝ N_h·S_h, then APPLY it with a deterministic md5-ranked draw and
+    // prove the exact row selection with a bit_xor digest. S_h comes
+    // from exact integer sums (n, Σv, Σv², centi-units) via one pinned
+    // double chain + IEEE sqrt; N_h·S_h is floored per stratum BEFORE
+    // the cross-strata sum, so the shares are merge-order-free. Scale
+    // shape: one map-side-combinable 3-sum aggregate per stratum + a
+    // broadcast of the bounded allocation table; the exact draw ranks
+    // within each stratum (keyed window — the price of exactness;
+    // production approximates with q74 threshold sampling).
+    "q388_neyman_allocation" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d0, "events").select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("v"))
+      val sums = ev.groupBy("event_type").agg(count(lit(1)).as("n_pop"),
+        sum("v").as("sv"), sum(col("v") * col("v")).as("svv"))
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val alloc = sums
+        .withColumn("nhsh", floor(d(col("n_pop")) *
+          sqrt((d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n_pop")))
+            / (d(col("n_pop")) - 1.0))).cast("long"))
+        .withColumn("tot", sum("nhsh").over(wAll))
+        .withColumn("alloc", expr("500 * nhsh div tot"))
+        .select("event_type", "n_pop", "nhsh", "alloc")
+      val ranked = ev.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(md5(col("event_id").cast("string")), col("event_id")))
+        .cast("long"))
+      ranked.join(broadcast(alloc), "event_type")
+        .where(col("rk") <= col("alloc"))
+        .groupBy("event_type", "n_pop", "nhsh", "alloc")
+        .agg(count(lit(1)).as("n_sampled"),
+          expr("bit_xor(event_id)").as("sample_xor"))
+    }),
     // Spearman rank correlation per group (quantity vs price within each
     // return flag) — the robust monotone-association companion to q147's
     // Pearson matrix. Tie-aware: each value gets its DOUBLED average rank
@@ -738,6 +776,39 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q388_neyman_allocation" ->
+      """WITH ev AS (
+           SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         sums AS (
+           SELECT event_type, count(*) AS n_pop,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+           FROM ev GROUP BY event_type),
+         alloc AS (
+           SELECT event_type, n_pop, nhsh,
+             500 * nhsh // CAST(sum(nhsh) OVER () AS BIGINT) AS alloc
+           FROM (
+             SELECT event_type, n_pop,
+               CAST(floor(CAST(n_pop AS DOUBLE) *
+                 sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                     / CAST(n_pop AS DOUBLE))
+                   / (CAST(n_pop AS DOUBLE) - 1.0))) AS BIGINT) AS nhsh
+             FROM sums)),
+         ranked AS (
+           SELECT event_type, event_id,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS BIGINT) AS rk
+           FROM ev)
+         SELECT r.event_type, a.n_pop, a.nhsh, a.alloc,
+           count(*) AS n_sampled,
+           CAST(bit_xor(r.event_id) AS BIGINT) AS sample_xor
+         FROM ranked r JOIN alloc a ON r.event_type = a.event_type
+         WHERE r.rk <= a.alloc
+         GROUP BY r.event_type, a.n_pop, a.nhsh, a.alloc""",
     "q319_lead_lag_ccf" ->
       """WITH base AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

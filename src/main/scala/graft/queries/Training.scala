@@ -3809,6 +3809,170 @@ object Training {
           (col("src_a") === col("src_b")).as("self_dup"))
     }),
 
+    // UniMax budget-capped water filling (Chung et al. 2023,
+    // arXiv:2304.09151) — the fairer alternative to temperature sampling
+    // (q194/q345): no source repeats beyond epochCap epochs, and the
+    // budget spreads as uniformly as the caps allow. Budget = half the
+    // corpus tokens, cap = 2 epochs, so the readout is scale-free.
+    // Scale shape: corpus-scale work is ONE token-count scan; the
+    // water-filling scan runs on the per-source aggregate via
+    // Mixture.unimaxAllocation (bounded-dim frame, two window passes —
+    // the monotone capped test removes the sequential loop).
+    "q386_unimax_mix" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tok"))
+      graft.operators.Mixture.unimaxAllocation(counts,
+        expr("sum(n_tok) OVER () div 2"), 2L)
+    }),
+
+    // Fellegi–Sunter comparison-vector weights (Fellegi & Sunter 1969;
+    // the Splink/record-linkage core): from a labeled candidate-pair set
+    // (LSH candidates labeled match ⟺ token-Jaccard ≥ 1/2 — the
+    // all-integer test 2·|∩| ≥ |∪|), estimate each comparison feature's
+    // m = P(agree|match) and u = P(agree|non-match) and the log-odds
+    // match weight ln(m/u) with Laplace (+1/+2) smoothing. Features:
+    // same source, same lang, |Δn_chars| < 100, equal first token.
+    // Scale shape: pairs come from the capped LSH band join (never
+    // all-pairs); per-pair features are map-side; the estimate is ONE
+    // bounded aggregate (4 features) unpivoted to rows. ln is called on
+    // the SAME pinned double ratio in both engines (q278 posture).
+    "q387_fs_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val side = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"),
+        element_at(TextFunctions.tokens(col("text")), 1).as("tok1"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(side.toDF("id1", "s1", "l1", "c1", "w1", "t1"), "id1")
+        .join(side.toDF("id2", "s2", "l2", "c2", "w2", "t2"), "id2")
+        .withColumn("inter", size(array_intersect(col("w1"), col("w2"))).cast("long"))
+        .withColumn("uni", size(col("w1")) + size(col("w2")) - col("inter"))
+        .select((col("inter") * 2L >= col("uni")).as("is_match"),
+          (col("s1") === col("s2")).cast("long").as("f_source"),
+          (col("l1") === col("l2")).cast("long").as("f_lang"),
+          (abs(col("c1") - col("c2")) < 100L).cast("long").as("f_len"),
+          (col("t1") === col("t2")).cast("long").as("f_tok1"))
+      val agg = pairs.agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("nu"),
+        sum(when(col("is_match"), col("f_source"))).as("m_source"),
+        sum(when(!col("is_match"), col("f_source"))).as("u_source"),
+        sum(when(col("is_match"), col("f_lang"))).as("m_lang"),
+        sum(when(!col("is_match"), col("f_lang"))).as("u_lang"),
+        sum(when(col("is_match"), col("f_len"))).as("m_len"),
+        sum(when(!col("is_match"), col("f_len"))).as("u_len"),
+        sum(when(col("is_match"), col("f_tok1"))).as("m_tok1"),
+        sum(when(!col("is_match"), col("f_tok1"))).as("u_tok1"))
+      agg.select(expr(
+        """stack(4,
+             'source', m_source, u_source,
+             'lang',   m_lang,   u_lang,
+             'len',    m_len,    u_len,
+             'tok1',   m_tok1,   u_tok1) AS (feature, ma, ua)"""),
+        col("nm"), col("nu"))
+        .select(col("feature"), col("ma"), col("ua"), col("nm"), col("nu"),
+          expr("ma * 1000000 div nm").as("m_e6"),
+          expr("ua * 1000000 div nu").as("u_e6"),
+          floor(log(((col("ma") + 1L) * (col("nu") + 2L)).cast("double")
+            / ((col("ua") + 1L) * (col("nm") + 2L)).cast("double")) * 1e6)
+            .cast("long").as("weight_e6"))
+    }),
+
+    // Pseudo-relevance-feedback query expansion (RM3 shape — Lavrenko &
+    // Croft 2001; Abdul-Jaleel et al. 2004): run the q126 BM25 query
+    // ('spark','fast'), take the top-10 docs, and score candidate
+    // expansion terms by the integer relevance-model weight
+    // Σ_d tf(w,d)·1e6 div dl_d over those docs (per-doc term share —
+    // length-normalized so one long doc can't dominate), excluding the
+    // original query terms; keep the top 15. Scale shape: the BM25 scan
+    // is corpus-scale map-side + one bounded stats broadcast; the
+    // feedback explode touches ONLY the 10 selected docs (broadcast
+    // semi-join on the top-k ids), so expansion cost is O(top-k · doc
+    // length), independent of corpus size.
+    "q389_prf_expansion" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("dl"),
+        size(filter(toks, x => x === "spark")).cast("long").as("tf1"),
+        size(filter(toks, x => x === "fast")).cast("long").as("tf2"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"))
+      def term(tf: String, df: String): Column =
+        log((col("n_docs") - col(df) + 0.5) / (col(df) + 0.5) + 1.0) *
+          (col(tf) * 2.2) /
+          (col(tf) + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      val top = base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+        .where(col("tf1") > 0 || col("tf2") > 0)
+        .withColumn("score", term("tf1", "df1") + term("tf2", "df2"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "dl")
+      t(s, d, "documents")
+        .join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("dl"), explode(toks).as("term"))
+        .where(!col("term").isin("spark", "fast"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(sum(expr("tf * 1000000 div dl")).as("w_e6"),
+          count(lit(1)).as("n_docs_term"))
+        .orderBy(desc("w_e6"), asc("term"))
+        .limit(15)
+    }),
+
+    // Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    // Shapley value of each TRAINING point for a K-NN classifier has a
+    // closed form — rank training points by similarity to a validation
+    // point, then s_i = s_{i+1} + (a_i − a_{i+1})·1/max(i,K) with
+    // s_N = a_N/N (a_j = 1 iff labels agree) — i.e. a SUFFIX SUM of
+    // per-rank deltas, which is one window pass, no sequential loop.
+    // Per-term trunc-div at e9 (both engines truncate toward zero) keeps
+    // the suffix sum integer-exact and merge-order-free. The valuation
+    // readout is the curation signal: points with negative value are
+    // mislabeled/harmful candidates for removal. Scale shape: distances
+    // are map-side vs a BROADCAST validation set; each validation point
+    // costs one ranked scan (the q117 brute-force-ground-truth posture —
+    // Q-way parallel across validation points); production truncates the
+    // scan to an ANN candidate set (q251 cells) since the 1/max(j,K)
+    // tail decays — the closed form makes the truncation error bounded.
+    "q390_knn_shapley" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val qids = Seq(10L, 20L, 30L)
+      val q = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val wQ = Window.partitionBy("query_id")
+      val wD = wQ.orderBy(desc("cos"), asc("vec_id"))
+      val wSuf = wQ.orderBy(asc("dist_rnk"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ranked = e.where(!col("vec_id").isin(qids: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"),
+          Similarity.norm2("embedding"), col("qn")))
+        .select(col("query_id"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("a"), col("cos"))
+        .withColumn("dist_rnk", row_number().over(wD).cast("long"))
+        .withColumn("n", count(lit(1)).over(wQ))
+        .withColumn("a_next", lead("a", 1).over(wD))
+        .withColumn("term_e9", when(col("dist_rnk") === col("n"),
+          expr("a * 1000000000 div n")).otherwise(
+          expr("(a - a_next) * 1000000000 div greatest(dist_rnk, 5)")))
+        .withColumn("shap_e9", sum("term_e9").over(wSuf))
+      ranked
+        .withColumn("val_rnk", row_number().over(
+          wQ.orderBy(desc("shap_e9"), asc("vec_id"))).cast("long"))
+        .where(col("val_rnk") <= 10)
+        .select(col("query_id"), col("val_rnk"), col("vec_id"),
+          col("dist_rnk"), (col("a") === 1L).as("same_label"), col("shap_e9"))
+    }),
+
     // Leakage-free churn label construction — the supervised-dataset
     // generation pattern done right: features come STRICTLY from
     // [t0−56d, t0−28d) and the label (churned = zero events) from
@@ -8865,6 +9029,178 @@ object Training {
            src_a = src_b AS self_dup
          FROM j CROSS JOIN tot
          GROUP BY src_a, src_b, n_pairs""",
+
+    "q386_unimax_mix" ->
+      """WITH counts AS (
+           SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY source),
+         base AS (
+           SELECT source, n_tok, n_tok * 2 AS cap_tok,
+             CAST(sum(n_tok) OVER () AS BIGINT) // 2 AS budget_tok,
+             count(*) OVER () AS n_src,
+             CAST(row_number() OVER (ORDER BY n_tok * 2, source)
+               AS BIGINT) AS rnk,
+             COALESCE(CAST(sum(n_tok * 2) OVER (ORDER BY n_tok * 2, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cap_pre
+           FROM counts),
+         flag AS (
+           SELECT *,
+             cap_tok * (n_src - rnk + 1) <= budget_tok - cap_pre AS capped
+           FROM base),
+         kk AS (
+           SELECT *,
+             COALESCE(max(CASE WHEN capped THEN rnk END) OVER (), 0) AS k,
+             COALESCE(CAST(sum(CASE WHEN capped THEN cap_tok END) OVER ()
+               AS BIGINT), 0) AS cap_sum_k
+           FROM flag),
+         fin AS (
+           SELECT *, CASE WHEN n_src = k THEN 0
+             ELSE (budget_tok - cap_sum_k) // (n_src - k) END AS fair
+           FROM kk)
+         SELECT source, n_tok, cap_tok,
+           CASE WHEN capped THEN cap_tok ELSE fair END AS alloc_tok,
+           capped,
+           (CASE WHEN capped THEN cap_tok ELSE fair END) * 1000000 // n_tok
+             AS epochs_e6
+         FROM fin""",
+
+    "q387_fs_weights" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         side AS (
+           SELECT doc_id, source, lang, n_chars,
+             list_distinct(string_split(lower(text), ' ')) AS w,
+             string_split(lower(text), ' ')[1] AS tok1
+           FROM documents WHERE doc_id < 300),
+         feat AS (
+           SELECT
+             2 * len(list_intersect(s1.w, s2.w)) >=
+               len(s1.w) + len(s2.w) - len(list_intersect(s1.w, s2.w))
+               AS is_match,
+             CASE WHEN s1.source = s2.source THEN 1 ELSE 0 END AS f_source,
+             CASE WHEN s1.lang = s2.lang THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN abs(s1.n_chars - s2.n_chars) < 100 THEN 1 ELSE 0 END
+               AS f_len,
+             CASE WHEN s1.tok1 = s2.tok1 THEN 1 ELSE 0 END AS f_tok1
+           FROM pairs p
+           JOIN side s1 ON p.id1 = s1.doc_id
+           JOIN side s2 ON p.id2 = s2.doc_id),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS nu,
+             CAST(sum(CASE WHEN is_match THEN f_source END) AS BIGINT)
+               AS m_source,
+             CAST(sum(CASE WHEN NOT is_match THEN f_source END) AS BIGINT)
+               AS u_source,
+             CAST(sum(CASE WHEN is_match THEN f_lang END) AS BIGINT) AS m_lang,
+             CAST(sum(CASE WHEN NOT is_match THEN f_lang END) AS BIGINT)
+               AS u_lang,
+             CAST(sum(CASE WHEN is_match THEN f_len END) AS BIGINT) AS m_len,
+             CAST(sum(CASE WHEN NOT is_match THEN f_len END) AS BIGINT)
+               AS u_len,
+             CAST(sum(CASE WHEN is_match THEN f_tok1 END) AS BIGINT) AS m_tok1,
+             CAST(sum(CASE WHEN NOT is_match THEN f_tok1 END) AS BIGINT)
+               AS u_tok1
+           FROM feat),
+         un AS (
+           SELECT 'source' AS feature, m_source AS ma, u_source AS ua, nm, nu
+           FROM agg
+           UNION ALL
+           SELECT 'lang', m_lang, u_lang, nm, nu FROM agg
+           UNION ALL
+           SELECT 'len', m_len, u_len, nm, nu FROM agg
+           UNION ALL
+           SELECT 'tok1', m_tok1, u_tok1, nm, nu FROM agg)
+         SELECT feature, ma, ua, nm, nu,
+           ma * 1000000 // nm AS m_e6,
+           ua * 1000000 // nu AS u_e6,
+           CAST(floor(ln(CAST((ma + 1) * (nu + 2) AS DOUBLE)
+             / CAST((ua + 1) * (nm + 2) AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS weight_e6
+         FROM un""",
+
+    "q389_prf_expansion" ->
+      """WITH base AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark')) AS tf1,
+             len(list_filter(w, x -> x = 'fast')) AS tf2
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         stats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+           FROM base),
+         top AS (
+           SELECT doc_id, dl FROM (
+             SELECT doc_id, dl,
+               ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+               + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+                 AS score
+             FROM base, stats
+             WHERE tf1 > 0 OR tf2 > 0)
+           ORDER BY score DESC, doc_id LIMIT 10),
+         ex AS (
+           SELECT d.doc_id, t.dl,
+             unnest(string_split(lower(d.text), ' ')) AS term
+           FROM documents d JOIN top t ON d.doc_id = t.doc_id),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM ex WHERE term NOT IN ('spark', 'fast')
+           GROUP BY doc_id, dl, term)
+         SELECT term, CAST(sum(tf * 1000000 // dl) AS BIGINT) AS w_e6,
+           count(*) AS n_docs_term
+         FROM tf GROUP BY term
+         ORDER BY w_e6 DESC, term LIMIT 15""",
+
+    "q390_knn_shapley" ->
+      s"""WITH tr AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id NOT IN (10, 20, 30)),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         scored AS (
+           SELECT q.query_id, t.vec_id,
+             CAST(CASE WHEN t.label = q.qlabel THEN 1 ELSE 0 END
+               AS BIGINT) AS a,
+             (${dotSql("t.embedding", "qemb")})
+               / (sqrt(${dotSql("t.embedding", "t.embedding")})
+                  * sqrt(${dotSql("qemb", "qemb")})) AS cos
+           FROM tr t CROSS JOIN q),
+         rk AS (
+           SELECT query_id, vec_id, a,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS dist_rnk,
+             count(*) OVER (PARTITION BY query_id) AS n,
+             lead(a) OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS a_next
+           FROM scored),
+         terms AS (
+           SELECT *, CASE WHEN dist_rnk = n THEN (a * 1000000000) // n
+             ELSE ((a - a_next) * 1000000000) // greatest(dist_rnk, 5)
+             END AS term_e9
+           FROM rk),
+         suf AS (
+           SELECT query_id, vec_id, dist_rnk, a,
+             CAST(sum(term_e9) OVER (PARTITION BY query_id ORDER BY dist_rnk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS shap_e9
+           FROM terms)
+         SELECT query_id, val_rnk, vec_id, dist_rnk, a = 1 AS same_label,
+           shap_e9
+         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY shap_e9 DESC, vec_id) AS BIGINT) AS val_rnk FROM suf)
+         WHERE val_rnk <= 10""",
 
     "q384_churn_labels" ->
       """WITH ev AS (

@@ -56,6 +56,35 @@ class MixtureSpec extends SparkSpec {
       (4L, "b", 1L, 30L)))
   }
 
+  test("unimaxAllocation water-fills: caps ascend, prefix capped, rest even") {
+    val s = spark
+    import s.implicits._
+    // caps (2 epochs): a=20, b=40, c=200; budget 90.
+    //   a: 20*3=60 <= 90       -> capped, takes 20
+    //   b: 40*2=80 <= 90-20=70 fails -> fair
+    //   c: monotone, fails too
+    //   fair = (90-20) div 2 = 35
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "n_tok")
+    val out = Mixture.unimaxAllocation(counts, lit(90L), 2L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 20L, true, 2000000L),
+      ("b", 35L, false, 1750000L),
+      ("c", 35L, false, 350000L)))
+  }
+
+  test("unimaxAllocation with a slack budget caps every source") {
+    val s = spark
+    import s.implicits._
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "n_tok")
+    val out = Mixture.unimaxAllocation(counts, lit(1000L), 2L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 20L, 20L, true), ("b", 40L, 40L, true), ("c", 200L, 200L, true)))
+  }
+
   test("assemble gates on quality and respects per-source budgets") {
     val s = spark
     import s.implicits._
