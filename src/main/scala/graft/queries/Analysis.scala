@@ -1174,6 +1174,84 @@ object Analysis {
         .na.fill(0L, Seq("v_e6"))
     }),
 
+    // Markov removal-effect attribution (Anderl et al. 2016 — the
+    // data-driven alternative to q227's rule-based credit): model each
+    // user journey as start → channels → conv/null (truncated at the
+    // first purchase), estimate the transition matrix in exact e6
+    // integers, and compute each channel's removal effect — how much the
+    // start→conv absorption probability drops when that channel is made
+    // non-traversable (its value pinned to 0). Absorption probs by 12
+    // value-iteration rounds in integer micro-units (Σ p_e6·y_e6 is an
+    // exact int sum, ONE trunc div per state per round — the q292
+    // convention, so the oracle replays bit-for-bit; 12 rounds settle
+    // e6 units for sub-0.5 transition masses). Scale shape: corpus-scale
+    // work is one keyed journey window + one groupBy; the iteration runs
+    // on the (#variants × #states) aggregate frame (dozens of rows) with
+    // broadcast joins — per-round localCheckpoint keeps lineage flat.
+    "q392_removal_attribution" -> ((s, d) => {
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tm", "event_id")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tm"),
+          col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(wU).cast("long"))
+      val fp = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("prn"))
+      val seq0 = ev.join(fp, Seq("user_id"), "left")
+        .where(col("prn").isNull || col("rn") <= col("prn"))
+        .withColumn("node", when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")))
+      val seq = seq0
+        .withColumn("prev", coalesce(lag("node", 1).over(wU), lit("start")))
+        .withColumn("mx", max("rn").over(wAll))
+      val trans = seq.select(col("prev").as("from_s"), col("node").as("to_s"))
+        .unionByName(seq.where(col("rn") === col("mx") && col("prn").isNull)
+          .select(col("node").as("from_s"), lit("null").as("to_s")))
+        .groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+      val p = trans
+        .withColumn("c_out", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_s")))
+        .select(col("from_s"), col("to_s"),
+          expr("(c * 1000000) div c_out").as("p_e6"))
+        .localCheckpoint(true)
+      val channels = t(s, d, "events")
+        .where(col("event_type") =!= "purchase")
+        .select(col("event_type").as("vnt")).distinct()
+      val variants = channels.unionByName(
+        channels.sparkSession.range(1).select(lit("full").as("vnt")))
+        .localCheckpoint(true)
+      def convRows = variants.select(col("vnt"), lit("conv").as("st"),
+        lit(1000000L).as("y_e6"))
+      var y = convRows
+      for (_ <- 1 to 12) {
+        y = y.join(broadcast(p), col("st") === col("to_s"))
+          .groupBy(col("vnt"), col("from_s"))
+          .agg(expr("sum(p_e6 * y_e6) div 1000000").as("y_e6"))
+          .select(col("vnt"), col("from_s").as("st"), col("y_e6"))
+          .where(col("st") =!= col("vnt"))
+          .unionByName(convRows)
+          .localCheckpoint(true)
+      }
+      val atStart = y.where(col("st") === "start")
+      val full = atStart.where(col("vnt") === "full")
+        .select(col("y_e6").as("v_full_e6"))
+      val eff = atStart.where(col("vnt") =!= "full")
+        .select(col("vnt").as("channel"), col("y_e6").as("v_removed_e6"))
+        .crossJoin(broadcast(full))
+        .withColumn("effect_e6", col("v_full_e6") - col("v_removed_e6"))
+      eff
+        .withColumn("tot_eff", sum("effect_e6").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .select(col("channel"), col("v_full_e6"), col("v_removed_e6"),
+          col("effect_e6"),
+          expr("CASE WHEN tot_eff = 0 THEN 0 " +
+            "ELSE (effect_e6 * 1000000) div tot_eff END").as("share_e6"))
+    }),
+
     // TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
     // OR of three (brand, size-range, quantity-range) conjunctions —
     // the predicate form that breaks naive pushdown. The part dim
@@ -1563,7 +1641,72 @@ object Analysis {
         .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3")).limit(20)
     }))
 
+  /** 12 unrolled value-iteration CTE rounds for the q392 oracle. */
+  private val removalRounds: String = (1 to 12).map { i =>
+    s"""y$i AS (
+           SELECT vnt, st, y_e6 FROM (
+             SELECT y.vnt, p.from_s AS st,
+               CAST(sum(p_e6 * y_e6) AS BIGINT) // 1000000 AS y_e6
+             FROM y${i - 1} y JOIN p ON y.st = p.to_s
+             GROUP BY y.vnt, p.from_s)
+           WHERE st <> vnt
+           UNION ALL
+           SELECT vnt, 'conv', CAST(1000000 AS BIGINT) FROM variants)"""
+  }.mkString(",\n         ")
+
   val oracles: Map[String, String] = Map(
+    "q392_removal_attribution" ->
+      s"""WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+           FROM events),
+         fp AS (
+           SELECT user_id, min(rn) AS prn FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         kept AS (
+           SELECT e.user_id, e.rn, f.prn,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS node
+           FROM ev e LEFT JOIN fp f USING (user_id)
+           WHERE f.prn IS NULL OR e.rn <= f.prn),
+         seq AS (
+           SELECT user_id, rn, prn, node,
+             coalesce(lag(node) OVER (PARTITION BY user_id ORDER BY rn),
+               'start') AS prev,
+             max(rn) OVER (PARTITION BY user_id) AS mx
+           FROM kept),
+         trans AS (
+           SELECT from_s, to_s, count(*) AS c FROM (
+             SELECT prev AS from_s, node AS to_s FROM seq
+             UNION ALL
+             SELECT node, 'null' FROM seq WHERE rn = mx AND prn IS NULL)
+           GROUP BY 1, 2),
+         rowt AS (
+           SELECT from_s, CAST(sum(c) AS BIGINT) AS c_out
+           FROM trans GROUP BY 1),
+         p AS (
+           SELECT t.from_s, t.to_s, (t.c * 1000000) // r.c_out AS p_e6
+           FROM trans t JOIN rowt r USING (from_s)),
+         variants AS (
+           SELECT DISTINCT event_type AS vnt FROM events
+           WHERE event_type <> 'purchase'
+           UNION ALL SELECT 'full'),
+         y0 AS (
+           SELECT vnt, 'conv' AS st, CAST(1000000 AS BIGINT) AS y_e6
+           FROM variants),
+         $removalRounds,
+         starts AS (SELECT vnt, y_e6 FROM y12 WHERE st = 'start'),
+         fullv AS (SELECT y_e6 AS v_full_e6 FROM starts WHERE vnt = 'full'),
+         eff AS (
+           SELECT s.vnt AS channel, f.v_full_e6, s.y_e6 AS v_removed_e6,
+             f.v_full_e6 - s.y_e6 AS effect_e6
+           FROM starts s CROSS JOIN fullv f WHERE s.vnt <> 'full'),
+         tot AS (SELECT CAST(sum(effect_e6) AS BIGINT) AS tot_eff FROM eff)
+         SELECT channel, v_full_e6, v_removed_e6, effect_e6,
+           CASE WHEN tot_eff = 0 THEN 0
+                ELSE (effect_e6 * 1000000) // tot_eff END AS share_e6
+         FROM eff CROSS JOIN tot""",
     "q317_ohlc_bars" ->
       """WITH base AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hr, ts, event_id,

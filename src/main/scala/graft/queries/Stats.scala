@@ -521,6 +521,50 @@ object Stats {
     // integer (safe to ~10⁹ rows per side per type in int64). No normal
     // approximation, no float anywhere but the final e6 report division,
     // which is integer too. Same bounded keyed-window shape as q286.
+    // Exact pairwise 1-Wasserstein (earth-mover) distance between the
+    // value distributions of every event-type pair — the drift metric
+    // that, unlike KS (q287, sup norm) or PSI (q165, binned), weighs HOW
+    // FAR mass moved: W1 = Σ_segments Δv·|F1−F2|. Over the merged
+    // distinct-value grid the CDF gap is the exact integer
+    // |cum1·n2 − cum2·n1| and each segment contributes
+    // dv·((gap·1e6) div (n1·n2)) — per-term trunc-div, so the sum is
+    // merge-order-free and int64-safe while n1·n2 ≤ 9.2e12 (~3M rows per
+    // type; beyond that switch the gap to per-side e6 CDFs, error ≤2e-6
+    // per segment). Readout is cent·e6 units. Scale shape: one
+    // (type, value)-histogram groupBy, a bounded type-pair broadcast, and
+    // per-PAIR value windows (pairs parallelize; each frame is the
+    // merged distinct-value grid, domain-sized not row-sized — the q287
+    // posture; production with unbounded domains bins first, q231).
+    "q391_wasserstein" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+      val pairs = tot.select(col("event_type").as("ta"), col("n").as("n1"))
+        .crossJoin(tot.select(col("event_type").as("tb"), col("n").as("n2")))
+        .where(col("ta") < col("tb"))
+      val sideA = hist.join(broadcast(pairs), col("event_type") === col("ta"))
+        .select(col("ta"), col("tb"), col("n1"), col("n2"), col("v"),
+          col("c").as("ca"), lit(0L).as("cb"))
+      val sideB = hist.join(broadcast(pairs), col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("n1"), col("n2"), col("v"),
+          lit(0L).as("ca"), col("c").as("cb"))
+      val wPair = Window.partitionBy("ta", "tb").orderBy("v")
+      val wCum = wPair.rowsBetween(Window.unboundedPreceding, 0)
+      sideA.union(sideB)
+        .groupBy("ta", "tb", "n1", "n2", "v")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+        .withColumn("cum1", sum("ca").over(wCum))
+        .withColumn("cum2", sum("cb").over(wCum))
+        .withColumn("dv", lead("v", 1).over(wPair) - col("v"))
+        .withColumn("term", expr(
+          """coalesce(dv, 0) *
+             ((abs(cum1 * n2 - cum2 * n1) * 1000000) div (n1 * n2))"""))
+        .groupBy("ta", "tb", "n1", "n2")
+        .agg(count(lit(1)).as("n_vals"), sum("term").as("w1_cent_e6"))
+    }),
+
     "q287_ks_test" -> ((s, d0) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("v_e2")
@@ -809,6 +853,43 @@ object Stats {
          FROM ranked r JOIN alloc a ON r.event_type = a.event_type
          WHERE r.rk <= a.alloc
          GROUP BY r.event_type, a.n_pop, a.nhsh, a.alloc""",
+    "q391_wasserstein" ->
+      """WITH hist AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+           FROM hist GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS ta, a.n AS n1, b.event_type AS tb,
+             b.n AS n2
+           FROM tot a CROSS JOIN tot b WHERE a.event_type < b.event_type),
+         merged AS (
+           SELECT ta, tb, n1, n2, v,
+             CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+           FROM (
+             SELECT p.ta, p.tb, p.n1, p.n2, h.v, h.c AS ca, 0 AS cb
+             FROM hist h JOIN pairs p ON h.event_type = p.ta
+             UNION ALL
+             SELECT p.ta, p.tb, p.n1, p.n2, h.v, 0 AS ca, h.c AS cb
+             FROM hist h JOIN pairs p ON h.event_type = p.tb)
+           GROUP BY 1, 2, 3, 4, 5),
+         cum AS (
+           SELECT ta, tb, n1, n2, v,
+             CAST(sum(ca) OVER (PARTITION BY ta, tb ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum1,
+             CAST(sum(cb) OVER (PARTITION BY ta, tb ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum2,
+             lead(v) OVER (PARTITION BY ta, tb ORDER BY v) - v AS dv
+           FROM merged)
+         SELECT ta, tb, n1, n2, count(*) AS n_vals,
+           CAST(sum(coalesce(dv, 0) *
+             ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
+             AS BIGINT) AS w1_cent_e6
+         FROM cum GROUP BY ta, tb, n1, n2""",
     "q319_lead_lag_ccf" ->
       """WITH base AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
