@@ -3973,6 +3973,144 @@ object Training {
           col("dist_rnk"), (col("a") === 1L).as("same_label"), col("shap_e9"))
     }),
 
+    // Reference-model data selection (the RHO-loss shape, Mindermann et
+    // al. 2022, arXiv:2206.07137): score each candidate doc by
+    // train-model NLL − reference-model NLL, where the train model is
+    // the full-corpus unigram LM (q127) and the reference model is a
+    // unigram LM fit on the clean 'src0' slice with Laplace (+1 over
+    // n_ref+V) smoothing for OOV. High excess = the doc looks hard to
+    // the corpus model but is well-explained by the clean reference —
+    // learnable, not noise; per-source top-5 is the selection. Both NLL
+    // folds run in pinned position order (the q127 collect_list-sorted
+    // rule) so the IEEE sums replay exactly. Scale shape: one token
+    // explode + two vocab joins (vocab-sized broadcast-able aggregates),
+    // per-doc fold map-side; the top-k is a per-SOURCE keyed window.
+    "q393_rho_selection" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents").select(col("doc_id"), col("source"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n_tot"), count(lit(1)).as("v"))
+      val refUni = tok.where(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("c_ref"))
+      val refTot = tok.where(col("source") === "src0")
+        .agg(count(lit(1)).as("n_ref"))
+      val nll = tok.join(uni, "term")
+        .join(refUni, Seq("term"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(refTot))
+        .withColumn("lnp_tr", log(col("n_tot").cast("double") / col("c")))
+        .withColumn("lnp_ref", log((col("n_ref") + col("v")).cast("double")
+          / (coalesce(col("c_ref"), lit(0L)) + lit(1L))))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"),
+          array_sort(collect_list(struct(col("pos"), col("lnp_tr"),
+            col("lnp_ref")))).as("ps"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor(aggregate(transform(col("ps"), x => x.getField("lnp_tr")),
+            lit(0.0d), (acc, x) => acc + x) / col("n_tok") * 1e6)
+            .cast("long").as("nll_e6"),
+          floor(aggregate(transform(col("ps"), x => x.getField("lnp_ref")),
+            lit(0.0d), (acc, x) => acc + x) / col("n_tok") * 1e6)
+            .cast("long").as("ref_nll_e6"))
+      nll.where(col("source") =!= "src0")
+        .withColumn("excess_e6", col("nll_e6") - col("ref_nll_e6"))
+        .withColumn("sel_rnk", row_number().over(Window.partitionBy("source")
+          .orderBy(desc("excess_e6"), asc("doc_id"))).cast("long"))
+        .where(col("sel_rnk") <= 5)
+        .select("source", "sel_rnk", "doc_id", "n_tok", "nll_e6",
+          "ref_nll_e6", "excess_e6")
+    }),
+
+    // Clustering external validation — purity and NMI of the q145 Lloyd
+    // assignment against the embeddings' true labels (the eval that says
+    // whether unsupervised structure recovers the annotation; NMI is the
+    // standard symmetric readout, Strehl & Ghosh 2002). The contingency
+    // table is exact integer counts; MI and the two entropies are pinned
+    // double folds over the SORTED cell list (the q147 cell-fold rule —
+    // k·L cells, bounded by construction), so both engines sum in the
+    // same order; one final pinned chain turns (mi, hc, hl) into NMI.
+    // Scale shape: Lloyd is the q145 machinery (explode-agg + broadcast
+    // argmin per round); the validation itself is one (cluster, label)
+    // groupBy plus window marginals on the bounded cell frame.
+    "q394_cluster_nmi" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wB = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val (cur, _) = Similarity.lloyd(t(s, d, "embeddings"), 2)
+      val cells = cur.select("vec_id", "c")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("l")), "vec_id")
+        .groupBy("c", "l").agg(count(lit(1)).as("n_cl"))
+        .withColumn("n_c", sum("n_cl").over(Window.partitionBy("c")))
+        .withColumn("n_l", sum("n_cl").over(Window.partitionBy("l")))
+        .withColumn("n", sum("n_cl").over(wB))
+        .localCheckpoint(true)
+      val mi = cells
+        .withColumn("term", (col("n_cl").cast("double") / col("n")) *
+          log((col("n") * col("n_cl")).cast("double")
+            / (col("n_c") * col("n_l")).cast("double")))
+        .agg(max("n").as("n"), countDistinct("c").as("k"),
+          countDistinct("l").as("n_labels"),
+          array_sort(collect_list(struct(col("c"), col("l"), col("term"))))
+            .as("ts"))
+        .select(col("n"), col("k"), col("n_labels"),
+          aggregate(transform(col("ts"), x => x.getField("term")),
+            lit(0.0d), (acc, x) => acc + x).as("mi"))
+      val hc = cells.select("c", "n_c", "n").distinct()
+        .withColumn("term", (col("n_c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("n_c")))
+        .agg(array_sort(collect_list(struct(col("c"), col("term")))).as("ts"))
+        .select(aggregate(transform(col("ts"), x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("hc"))
+      val hl = cells.select("l", "n_l", "n").distinct()
+        .withColumn("term", (col("n_l").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("n_l")))
+        .agg(array_sort(collect_list(struct(col("l"), col("term")))).as("ts"))
+        .select(aggregate(transform(col("ts"), x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("hl"))
+      val pur = cells.groupBy("c").agg(max("n_cl").as("mx"))
+        .agg(sum("mx").as("n_pure"))
+      mi.crossJoin(hc).crossJoin(hl).crossJoin(pur)
+        .select(col("n"), col("k"), col("n_labels"),
+          expr("n_pure * 1000000 div n").as("purity_e6"),
+          floor(col("mi") * 1e6).cast("long").as("mi_e6"),
+          floor(col("hc") * 1e6).cast("long").as("hc_e6"),
+          floor(col("hl") * 1e6).cast("long").as("hl_e6"),
+          floor((col("mi") * 2.0) / (col("hc") + col("hl")) * 1e6)
+            .cast("long").as("nmi_e6"))
+    }),
+
+    // Nucleus (top-p) vocabulary coverage per source — how concentrated
+    // each source's unigram mass is: the number of types needed to cover
+    // 90% of tokens (the integer test cum·10 ≥ tot·9, no floats) and the
+    // mass captured by the top-100 types. The tokenizer-design readout:
+    // a source where 100 types carry most of the mass is template/boiler
+    // -plate-heavy (pairs with q103 repetition and q285 richness).
+    // Scale shape: one (source, term) groupBy, then per-SOURCE windows
+    // over the VOCAB frame (Heaps-law sublinear in corpus size), one
+    // row out per source.
+    "q395_topp_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(desc("c"), asc("term"))
+      val voc = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text")))
+          .as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      voc
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), max("tot").as("n_tok"),
+          min(when(col("cum") * 10L >= col("tot") * 9L, col("rnk")))
+            .as("types_p90"),
+          max(when(col("rnk") <= 100L, col("cum"))).as("cum100"))
+        .select(col("source"), col("n_types"), col("n_tok"),
+          col("types_p90"),
+          expr("cum100 * 1000000 div n_tok").as("mass_top100_e6"))
+    }),
+
     // Leakage-free churn label construction — the supervised-dataset
     // generation pattern done right: features come STRICTLY from
     // [t0−56d, t0−28d) and the label (churned = zero events) from
@@ -9201,6 +9339,111 @@ object Training {
          FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY shap_e9 DESC, vec_id) AS BIGINT) AS val_rnk FROM suf)
          WHERE val_rnk <= 10""",
+
+    "q393_rho_selection" ->
+      """WITH dw0 AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source, generate_subscripts(w, 1) - 1 AS pos,
+             unnest(w) AS term
+           FROM dw0),
+         uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot, count(*) AS v
+                 FROM uni),
+         runi AS (SELECT term, count(*) AS c_ref FROM tok
+                  WHERE source = 'src0' GROUP BY 1),
+         rtot AS (SELECT count(*) AS n_ref FROM tok WHERE source = 'src0'),
+         j AS (
+           SELECT doc_id, source, pos,
+             ln(CAST(n_tot AS DOUBLE) / c) AS lnp_tr,
+             ln(CAST(n_ref + v AS DOUBLE) / (coalesce(c_ref, 0) + 1))
+               AS lnp_ref
+           FROM tok JOIN uni USING (term) LEFT JOIN runi USING (term),
+             tot, rtot),
+         agg AS (
+           SELECT doc_id, source, count(*) AS n_tok,
+             list(lnp_tr ORDER BY pos) AS lt,
+             list(lnp_ref ORDER BY pos) AS lr
+           FROM j GROUP BY 1, 2),
+         nll AS (
+           SELECT doc_id, source, n_tok,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lt),
+               (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS nll_e6,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lr),
+               (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT)
+               AS ref_nll_e6
+           FROM agg)
+         SELECT source, sel_rnk, doc_id, n_tok, nll_e6, ref_nll_e6, excess_e6
+         FROM (SELECT *, nll_e6 - ref_nll_e6 AS excess_e6,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY nll_e6 - ref_nll_e6 DESC, doc_id) AS BIGINT)
+               AS sel_rnk
+           FROM nll WHERE source <> 'src0')
+         WHERE sel_rnk <= 5""",
+
+    "q394_cluster_nmi" ->
+      s"""WITH $kmeansCtes,
+         cells AS (
+           SELECT a.c, CAST(e.label AS BIGINT) AS l, count(*) AS n_cl
+           FROM a2 a JOIN embeddings e USING (vec_id)
+           GROUP BY 1, 2),
+         m AS (
+           SELECT c, l, n_cl,
+             CAST(sum(n_cl) OVER (PARTITION BY c) AS BIGINT) AS n_c,
+             CAST(sum(n_cl) OVER (PARTITION BY l) AS BIGINT) AS n_l,
+             CAST(sum(n_cl) OVER () AS BIGINT) AS n
+           FROM cells),
+         mi AS (
+           SELECT max(n) AS n, count(DISTINCT c) AS k,
+             count(DISTINCT l) AS n_labels,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(n_cl AS DOUBLE) / n) *
+                 ln(CAST(n * n_cl AS DOUBLE) / CAST(n_c * n_l AS DOUBLE))
+                 ORDER BY c, l)), (acc, x) -> acc + x) AS mi
+           FROM m),
+         hcv AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n_c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / n_c)
+               ORDER BY c)), (acc, x) -> acc + x) AS hc
+           FROM (SELECT DISTINCT c, n_c, n FROM m)),
+         hlv AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n_l AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / n_l)
+               ORDER BY l)), (acc, x) -> acc + x) AS hl
+           FROM (SELECT DISTINCT l, n_l, n FROM m)),
+         pur AS (
+           SELECT CAST(sum(mx) AS BIGINT) AS n_pure FROM (
+             SELECT c, max(n_cl) AS mx FROM m GROUP BY c))
+         SELECT n, k, n_labels,
+           n_pure * 1000000 // n AS purity_e6,
+           CAST(floor(mi * 1000000.0) AS BIGINT) AS mi_e6,
+           CAST(floor(hc * 1000000.0) AS BIGINT) AS hc_e6,
+           CAST(floor(hl * 1000000.0) AS BIGINT) AS hl_e6,
+           CAST(floor((mi * 2.0) / (hc + hl) * 1000000.0) AS BIGINT)
+             AS nmi_e6
+         FROM mi CROSS JOIN hcv CROSS JOIN hlv CROSS JOIN pur""",
+
+    "q395_topp_coverage" ->
+      """WITH voc AS (
+           SELECT source, term, count(*) AS c FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)
+           GROUP BY 1, 2),
+         r AS (
+           SELECT source, term, c,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, term) AS BIGINT) AS rnk,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+           FROM voc)
+         SELECT source, count(*) AS n_types, max(tot) AS n_tok,
+           min(CASE WHEN cum * 10 >= tot * 9 THEN rnk END) AS types_p90,
+           max(CASE WHEN rnk <= 100 THEN cum END) * 1000000 // max(tot)
+             AS mass_top100_e6
+         FROM r GROUP BY source""",
 
     "q384_churn_labels" ->
       """WITH ev AS (
