@@ -4111,6 +4111,111 @@ object Training {
           expr("cum100 * 1000000 div n_tok").as("mass_top100_e6"))
     }),
 
+    // Simplified silhouette (Hruschka et al. 2004) — the linear-time
+    // internal clustering validation that replaces all-pairs distances
+    // with distances to CENTROIDS: a(i) = d²(i, own centroid),
+    // b(i) = min d²(i, other centroids), s(i) = (b−a)/max(a,b). On the
+    // q145 Lloyd solution with integer-quantized vectors the distances
+    // are exact BIGINT squared-L2, so s is one trunc-div per point and
+    // the per-cluster means are exact — no float fold at all (squared
+    // -distance variant, documented divergence from the sqrt form;
+    // distances in kilo-µ² units — d² div 1000 — so (b−a)·1e6 stays
+    // inside int64 at Dim=64, worst case 2.6e17).
+    // Scale shape: one broadcast of k centroids, map-side distances, one
+    // groupBy — the validation costs one scan, vs O(n²) for the full
+    // silhouette.
+    "q396_silhouette" -> ((s, d) => {
+      val (cur, cents) = Similarity.lloyd(t(s, d, "embeddings"), 2)
+      val d2 = cur.crossJoin(broadcast(cents
+          .select(col("c").as("c2"), col("ce"))))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+             cast(0 as bigint), (acc, x) -> acc + x) div 1000"""))
+        .groupBy("vec_id", "c")
+        .agg(min(when(col("c2") === col("c"), col("d2"))).as("a"),
+          min(when(col("c2") =!= col("c"), col("d2"))).as("b"))
+        .withColumn("s_e6", expr(
+          "CASE WHEN greatest(a, b) = 0 THEN 0 " +
+          "ELSE ((b - a) * 1000000) div greatest(a, b) END"))
+      d2.groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(s_e6) div count(1)").as("mean_s_e6"),
+          min("s_e6").as("min_s_e6"), max("s_e6").as("max_s_e6"))
+    }),
+
+    // UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler
+    // 1988; the Splink training loop) — where q387 estimated m/u from
+    // labeled pairs, this recovers them from the UNLABELED candidate set:
+    // collapse pairs to their 2⁴ = 16 comparison patterns, then 5 EM
+    // rounds on that bounded frame. E-step: per-pattern match posterior
+    // w = p·Πm / (p·Πm + (1−p)·Πu); M-step: w-weighted refits of p, m_k,
+    // u_k. Every step is e6 integers with a FIXED trunc-div chain
+    // (((p·f1)div 1e6·f2)div 1e6…), so the oracle replays all 5 rounds
+    // bit-for-bit (int64-safe while candidate pairs ≤ 9e6 per the
+    // a_k·1e6 bound; production shards the E-step by pattern — it is 16
+    // rows regardless of corpus size). Scale shape: corpus-scale work is
+    // the capped LSH candidate join + ONE pattern groupBy; the EM itself
+    // is iteration on a 16-row localCheckpoint'd frame.
+    "q398_fs_em" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val side = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        element_at(TextFunctions.tokens(col("text")), 1).as("tok1"))
+      val pat = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(side.toDF("id1", "s1", "l1", "c1", "t1"), "id1")
+        .join(side.toDF("id2", "s2", "l2", "c2", "t2"), "id2")
+        .select((col("s1") === col("s2")).cast("long").as("x1"),
+          (col("l1") === col("l2")).cast("long").as("x2"),
+          (abs(col("c1") - col("c2")) < 100L).cast("long").as("x3"),
+          (col("t1") === col("t2")).cast("long").as("x4"))
+        .groupBy("x1", "x2", "x3", "x4").agg(count(lit(1)).as("npat"))
+        .localCheckpoint(true)
+      def pp(pcol: String, cs: Seq[String]): String =
+        cs.zipWithIndex.foldLeft(s"$pcol") { case (acc, (c, i)) =>
+          s"(($acc * (CASE WHEN x${i + 1} = 1 THEN $c " +
+            s"ELSE 1000000 - $c END)) div 1000000)"
+        }
+      var st = t(s, d, "documents").sparkSession.range(1).select(
+        lit(100000L).as("p"),
+        lit(900000L).as("m1"), lit(900000L).as("m2"),
+        lit(800000L).as("m3"), lit(700000L).as("m4"),
+        lit(500000L).as("u1"), lit(300000L).as("u2"),
+        lit(400000L).as("u3"), lit(100000L).as("u4"))
+      for (_ <- 1 to 5) {
+        val e = pat.crossJoin(broadcast(st))
+          .withColumn("pm", expr(pp("p", Seq("m1", "m2", "m3", "m4"))))
+          .withColumn("pu", expr(pp("(1000000 - p)",
+            Seq("u1", "u2", "u3", "u4"))))
+          .withColumn("w", expr(
+            "CASE WHEN pm + pu = 0 THEN 0 " +
+            "ELSE (pm * 1000000) div (pm + pu) END"))
+        val fit = (1 to 4).flatMap { k =>
+          Seq(
+            expr(s"CASE WHEN sum(npat * w) = 0 THEN 0 ELSE " +
+              s"(sum(CASE WHEN x$k = 1 THEN npat * w ELSE 0 END) * 1000000)" +
+              s" div sum(npat * w) END").as(s"m$k"),
+            expr(s"CASE WHEN sum(npat * (1000000 - w)) = 0 THEN 0 ELSE " +
+              s"(sum(CASE WHEN x$k = 1 THEN npat * (1000000 - w) ELSE 0 END)" +
+              s" * 1000000) div sum(npat * (1000000 - w)) END").as(s"u$k"))
+        }
+        st = e.agg(expr("sum(npat * w) div sum(npat)").as("p"),
+            fit: _*)
+          .localCheckpoint(true)
+      }
+      val np = pat.agg(sum("npat").as("n_pairs"))
+      st.crossJoin(np)
+        .select(expr("""stack(4,
+            'source', m1, u1,
+            'lang',   m2, u2,
+            'len',    m3, u3,
+            'tok1',   m4, u4) AS (feature, m_e6, u_e6)"""),
+          col("p").as("p_e6"), col("n_pairs"))
+        .withColumn("lambda_e6", expr(
+          "CASE WHEN m_e6 = 0 OR u_e6 = 0 THEN 0 ELSE " +
+          "CAST(floor(ln(CAST(m_e6 AS DOUBLE) / u_e6) * 1000000.0) " +
+          "AS BIGINT) END"))
+    }),
+
     // Leakage-free churn label construction — the supervised-dataset
     // generation pattern done right: features come STRICTLY from
     // [t0−56d, t0−28d) and the label (churned = zero events) from
@@ -6016,6 +6121,81 @@ object Training {
   /** The 2-round exact-integer Lloyd chain (mirror of `Similarity.lloyd`):
     * ve → cent0 → a1 → cent1 → a2 → cent2. Shared by q145 and q251.
     */
+  /** q398 oracle: the full 5-round Fellegi–Sunter EM replay on the
+    * 16-pattern frame — trunc-div chains mirror the Spark expr exactly.
+    */
+  private def fsEmOracle: String = {
+    def ppSql(p: String, cs: Seq[String]) = cs.zipWithIndex.foldLeft(p) {
+      case (acc, (c, i)) =>
+        s"(($acc * (CASE WHEN x${i + 1} = 1 THEN $c " +
+          s"ELSE 1000000 - $c END)) // 1000000)"
+    }
+    val rounds = (1 to 5).map { i =>
+      val fits = (1 to 4).map { k =>
+        s"""CASE WHEN CAST(sum(npat * w) AS BIGINT) = 0 THEN 0
+             ELSE (CAST(sum(CASE WHEN x$k = 1 THEN npat * w ELSE 0 END)
+               AS BIGINT) * 1000000)
+               // CAST(sum(npat * w) AS BIGINT) END AS m$k,
+           CASE WHEN CAST(sum(npat * (1000000 - w)) AS BIGINT) = 0 THEN 0
+             ELSE (CAST(sum(CASE WHEN x$k = 1
+               THEN npat * (1000000 - w) ELSE 0 END) AS BIGINT) * 1000000)
+               // CAST(sum(npat * (1000000 - w)) AS BIGINT) END AS u$k"""
+      }.mkString(",\n           ")
+      s"""e$i AS (
+           SELECT x1, x2, x3, x4, npat,
+             ${ppSql("p", Seq("m1", "m2", "m3", "m4"))} AS pm,
+             ${ppSql("(1000000 - p)", Seq("u1", "u2", "u3", "u4"))} AS pu
+           FROM pat CROSS JOIN st${i - 1}),
+         w$i AS (
+           SELECT *, CASE WHEN pm + pu = 0 THEN 0
+             ELSE (pm * 1000000) // (pm + pu) END AS w FROM e$i),
+         st$i AS (
+           SELECT CAST(sum(npat * w) AS BIGINT)
+               // CAST(sum(npat) AS BIGINT) AS p,
+             $fits
+           FROM w$i)"""
+    }.mkString(",\n         ")
+    s"""WITH $minhashCtes,
+         prs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         side AS (
+           SELECT doc_id, source, lang, n_chars,
+             string_split(lower(text), ' ')[1] AS tok1
+           FROM documents WHERE doc_id < 300),
+         pat AS (
+           SELECT x1, x2, x3, x4, count(*) AS npat FROM (
+             SELECT
+               CASE WHEN s1.source = s2.source THEN 1 ELSE 0 END AS x1,
+               CASE WHEN s1.lang = s2.lang THEN 1 ELSE 0 END AS x2,
+               CASE WHEN abs(s1.n_chars - s2.n_chars) < 100 THEN 1 ELSE 0 END
+                 AS x3,
+               CASE WHEN s1.tok1 = s2.tok1 THEN 1 ELSE 0 END AS x4
+             FROM prs p JOIN side s1 ON p.id1 = s1.doc_id
+             JOIN side s2 ON p.id2 = s2.doc_id)
+           GROUP BY 1, 2, 3, 4),
+         st0 AS (
+           SELECT CAST(100000 AS BIGINT) AS p,
+             CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+             CAST(800000 AS BIGINT) AS m3, CAST(700000 AS BIGINT) AS m4,
+             CAST(500000 AS BIGINT) AS u1, CAST(300000 AS BIGINT) AS u2,
+             CAST(400000 AS BIGINT) AS u3, CAST(100000 AS BIGINT) AS u4),
+         $rounds
+         SELECT f.feature, f.m_e6, f.u_e6, s.p AS p_e6, t.n_pairs,
+           CASE WHEN f.m_e6 = 0 OR f.u_e6 = 0 THEN 0
+             ELSE CAST(floor(ln(CAST(f.m_e6 AS DOUBLE) / f.u_e6)
+               * 1000000.0) AS BIGINT) END AS lambda_e6
+         FROM (
+           SELECT 'source' AS feature, m1 AS m_e6, u1 AS u_e6 FROM st5
+           UNION ALL SELECT 'lang', m2, u2 FROM st5
+           UNION ALL SELECT 'len', m3, u3 FROM st5
+           UNION ALL SELECT 'tok1', m4, u4 FROM st5) f
+         CROSS JOIN st5 s
+         CROSS JOIN (SELECT CAST(sum(npat) AS BIGINT) AS n_pairs
+                     FROM pat) t"""
+  }
+
   private def kmeansCtes: String = {
     val sq = "(v.ve[i] - ct.ce[i]) * (v.ve[i] - ct.ce[i])"
     def cent(src: String, name: String) =
@@ -9444,6 +9624,29 @@ object Training {
            max(CASE WHEN rnk <= 100 THEN cum END) * 1000000 // max(tot)
              AS mass_top100_e6
          FROM r GROUP BY source""",
+
+    "q396_silhouette" ->
+      s"""WITH $kmeansCtes,
+         dists AS (
+           SELECT a.vec_id, a.c, ct.c AS c2,
+             CAST((${il2Sql("a.ve", "ct.ce", Similarity.Dim)}) AS BIGINT)
+               // 1000 AS d2
+           FROM a2 a CROSS JOIN cent2 ct),
+         ab AS (
+           SELECT vec_id, c,
+             min(CASE WHEN c2 = c THEN d2 END) AS a,
+             min(CASE WHEN c2 <> c THEN d2 END) AS b
+           FROM dists GROUP BY 1, 2),
+         sil AS (
+           SELECT c, CASE WHEN greatest(a, b) = 0 THEN 0
+             ELSE ((b - a) * 1000000) // greatest(a, b) END AS s_e6
+           FROM ab)
+         SELECT c, count(*) AS n,
+           CAST(sum(s_e6) AS BIGINT) // count(*) AS mean_s_e6,
+           min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
+         FROM sil GROUP BY c""",
+
+    "q398_fs_em" -> fsEmOracle,
 
     "q384_churn_labels" ->
       """WITH ev AS (

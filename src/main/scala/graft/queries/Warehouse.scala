@@ -658,6 +658,37 @@ object Warehouse {
           (col("l") >= 3L).as("l_diverse"))
     }),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    // rung of the release-audit ladder after q323 k-anonymity and q379
+    // l-diversity: a group can be k-large AND l-diverse yet still leak
+    // if its sensitive-value DISTRIBUTION diverges from the table's.
+    // For the categorical sensitive attribute (mktsegment) the EMD
+    // reduces to total-variation distance, which is exact integer:
+    // tvd = Σ_s |c_gs·N − c_s·N_g| / (2·N_g·N), e6-scaled with one trunc
+    // div per group (int64-safe while N_g·N ≤ 9.2e12; beyond, per-side
+    // e6 shares). Zero cells count (the |0 − p_s| term), so the group
+    // grid crosses the bounded segment domain. Scale shape: two keyed
+    // groupBys + a bounded segment×total broadcast; one row per group.
+    "q397_t_closeness" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"),
+        col("c_mktsegment").as("segment"))
+      val cell = base.groupBy("nation", "bal_band", "segment")
+        .agg(count(lit(1)).as("c_gs"))
+      val grp = base.groupBy("nation", "bal_band").agg(count(lit(1)).as("n_g"))
+      val seg = base.groupBy("segment").agg(count(lit(1)).as("c_s"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      grp.crossJoin(broadcast(seg)).crossJoin(broadcast(tot))
+        .join(cell, Seq("nation", "bal_band", "segment"), "left")
+        .withColumn("c_gs", coalesce(col("c_gs"), lit(0L)))
+        .groupBy("nation", "bal_band", "n_g", "n")
+        .agg(sum(abs(col("c_gs") * col("n") - col("c_s") * col("n_g")))
+          .as("num"))
+        .select(col("nation"), col("bal_band"), col("n_g").as("k"),
+          expr("num * 1000000 div (2 * n_g * n)").as("tvd_e6"))
+        .withColumn("t_close", col("tvd_e6") <= 200000L)
+    }),
+
     // Columnar encoding cost model: delta + zigzag + varint size of each
     // event_type's value stream in the (ts, event_id) total order — the
     // what-if a storage engine answers before picking an encoding
@@ -711,6 +742,33 @@ object Warehouse {
          SELECT nation, c, base, rem,
            base + (CASE WHEN rr <= l THEN 1 ELSE 0 END) AS alloc
          FROM rk""",
+
+    "q397_t_closeness" ->
+      """WITH base AS (
+           SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment
+           FROM customer),
+         cell AS (
+           SELECT nation, bal_band, segment, count(*) AS c_gs
+           FROM base GROUP BY 1, 2, 3),
+         grp AS (
+           SELECT nation, bal_band, count(*) AS n_g
+           FROM base GROUP BY 1, 2),
+         seg AS (SELECT segment, count(*) AS c_s FROM base GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM base),
+         grid AS (
+           SELECT g.nation, g.bal_band, g.n_g, s.segment, s.c_s, t.n,
+             coalesce(c.c_gs, 0) AS c_gs
+           FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+           LEFT JOIN cell c ON c.nation = g.nation
+             AND c.bal_band = g.bal_band AND c.segment = s.segment)
+         SELECT nation, bal_band, n_g AS k,
+           CAST(sum(abs(c_gs * n - c_s * n_g)) AS BIGINT) * 1000000
+             // (2 * n_g * n) AS tvd_e6,
+           CAST(sum(abs(c_gs * n - c_s * n_g)) AS BIGINT) * 1000000
+             // (2 * n_g * n) <= 200000 AS t_close
+         FROM grid GROUP BY nation, bal_band, n_g, n""",
 
     "q323_k_anonymity" ->
       """WITH qi AS (
