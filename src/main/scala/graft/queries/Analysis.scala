@@ -1252,6 +1252,61 @@ object Analysis {
             "ELSE (effect_e6 * 1000000) div tot_eff END").as("share_e6"))
     }),
 
+    // Histogram split-finder — the distributed-GBDT primitive (the
+    // XGBoost/LightGBM "hist" algorithm's inner loop, Chen & Guestrin
+    // 2016): bin each feature, build per-bin (count, positives)
+    // histograms in ONE map-combinable groupBy, then score every split
+    // boundary by weighted Gini purity from cumulative sums. The purity
+    // objective is kept as exact integers — maximizing
+    // Σ_side (pos²+neg²)·1e6 div n_side is equivalent to minimizing
+    // weighted Gini impurity (int64-exact while n ≤ ~3M per the
+    // pos²·1e6 bound; production scales to e4 or per-side shares).
+    // Label: mktsegment = 'BUILDING'. Scale shape: the histogram groupBy
+    // is the only corpus-scale pass (map-side combinable, the hist
+    // algorithm's point); the split scan is a per-FEATURE window over
+    // the DOMAIN-sized bin frame.
+    "q400_histogram_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "customer").select(
+        (col("c_mktsegment") === "BUILDING").cast("long").as("y"),
+        floor(col("c_acctbal") / 500.0).cast("long").as("f_bal"),
+        col("c_nationkey").cast("long").as("f_nation"),
+        expr("length(c_name) div 3").cast("long").as("f_clen"))
+      val un = base.select(explode(array(
+          struct(lit("bal_band").as("feature"), col("f_bal").as("bin"),
+            col("y")),
+          struct(lit("nation").as("feature"), col("f_nation").as("bin"),
+            col("y")),
+          struct(lit("name_len").as("feature"), col("f_clen").as("bin"),
+            col("y")))).as("r"))
+        .select(col("r.feature"), col("r.bin"), col("r.y"))
+      val wcum = Window.partitionBy("feature").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy("feature")
+      un.groupBy("feature", "bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .withColumn("nl", sum("n").over(wcum))
+        .withColumn("posl", sum("pos").over(wcum))
+        .withColumn("nt", sum("n").over(wall))
+        .withColumn("post", sum("pos").over(wall))
+        .where(col("nl") < col("nt"))
+        .withColumn("score_e6", expr(
+          """(posl * posl + (nl - posl) * (nl - posl)) * 1000000 div nl
+             + ((post - posl) * (post - posl)
+                + ((nt - nl) - (post - posl)) * ((nt - nl) - (post - posl)))
+               * 1000000 div (nt - nl)"""))
+        .withColumn("base_e6", expr(
+          "(post * post + (nt - post) * (nt - post)) * 1000000 div nt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("feature")
+          .orderBy(desc("score_e6"), asc("bin"))))
+        .where(col("rn") === 1)
+        .select(col("feature"), col("bin").as("split_bin"),
+          col("nl").as("n_l"), (col("nt") - col("nl")).as("n_r"),
+          col("posl").as("pos_l"), (col("post") - col("posl")).as("pos_r"),
+          col("score_e6"), col("base_e6"),
+          (col("score_e6") - col("base_e6")).as("gain_e6"))
+    }),
+
     // TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
     // OR of three (brand, size-range, quantity-range) conjunctions —
     // the predicate form that breaks naive pushdown. The part dim
@@ -1655,6 +1710,50 @@ object Analysis {
   }.mkString(",\n         ")
 
   val oracles: Map[String, String] = Map(
+    "q400_histogram_split" ->
+      """WITH base AS (
+           SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y,
+             CAST(floor(c_acctbal / 500.0) AS BIGINT) AS f_bal,
+             CAST(c_nationkey AS BIGINT) AS f_nation,
+             CAST(length(c_name) // 3 AS BIGINT) AS f_clen
+           FROM customer),
+         un AS (
+           SELECT 'bal_band' AS feature, f_bal AS bin, y FROM base
+           UNION ALL
+           SELECT 'nation', f_nation, y FROM base
+           UNION ALL
+           SELECT 'name_len', f_clen, y FROM base),
+         hist AS (
+           SELECT feature, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM un GROUP BY 1, 2),
+         cum AS (
+           SELECT feature, bin,
+             CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS nl,
+             CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS posl,
+             CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+             CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS post
+           FROM hist),
+         sc AS (
+           SELECT *,
+             (posl * posl + (nl - posl) * (nl - posl)) * 1000000 // nl
+               + ((post - posl) * (post - posl)
+                  + ((nt - nl) - (post - posl))
+                    * ((nt - nl) - (post - posl)))
+                 * 1000000 // (nt - nl) AS score_e6,
+             (post * post + (nt - post) * (nt - post)) * 1000000 // nt
+               AS base_e6
+           FROM cum WHERE nl < nt)
+         SELECT feature, bin AS split_bin, nl AS n_l, nt - nl AS n_r,
+           posl AS pos_l, post - posl AS pos_r, score_e6, base_e6,
+           score_e6 - base_e6 AS gain_e6
+         FROM (SELECT *, row_number() OVER (PARTITION BY feature
+             ORDER BY score_e6 DESC, bin) AS rn FROM sc)
+         WHERE rn = 1""",
+
     "q392_removal_attribution" ->
       s"""WITH ev AS (
            SELECT user_id, epoch_us(ts) AS tm, event_id, event_type,

@@ -565,6 +565,42 @@ object Stats {
         .agg(count(lit(1)).as("n_vals"), sum("term").as("w1_cent_e6"))
     }),
 
+    // Hill tail-index estimator (Hill 1975) per event type — is the
+    // value distribution heavy-tailed, and how heavy? α̂⁻¹ = mean of
+    // ln(x_(i)/x_(k+1)) over the top-k order statistics (k=100). Values
+    // integerized to cents so the order statistics are exact; the k ln
+    // terms fold in pinned rank order (collect_list sorted — the q127
+    // rule) and α comes from one pinned double chain. Ties at the k-th
+    // boundary don't matter: rank order among equal cent values can
+    // differ but the ln multiset is identical. Scale shape: top-(k+1)
+    // per type via keyed window on a count-bounded frame (the q24 top-k
+    // posture: a per-type partial sort, map-side combinable at 100×).
+    "q399_hill_tail" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("v"), asc("event_id"))
+      val top = t(s, d0, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 101L)
+      val thresh = top.where(col("rnk") === 101L)
+        .select(col("event_type"), col("v").as("v_k1"))
+      top.where(col("rnk") <= 100L)
+        .join(thresh, "event_type")
+        .withColumn("lnr", log(col("v").cast("double") / col("v_k1")))
+        .groupBy("event_type", "v_k1")
+        .agg(count(lit(1)).as("k"),
+          array_sort(collect_list(struct(col("rnk"), col("lnr")))).as("ps"))
+        .withColumn("sl", aggregate(transform(col("ps"),
+          x => x.getField("lnr")), lit(0.0d), (acc, x) => acc + x))
+        .select(col("event_type"), col("k"), col("v_k1"),
+          floor(col("sl") / col("k") * 1e6).cast("long").as("alpha_inv_e6"),
+          when(col("sl") === 0.0d, 0L).otherwise(
+            floor(col("k").cast("double") / col("sl") * 1e6).cast("long"))
+            .as("alpha_e6"))
+    }),
+
     "q287_ks_test" -> ((s, d0) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("v_e2")
@@ -890,6 +926,34 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q399_hill_tail" ->
+      """WITH ev AS (
+           SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         top AS (
+           SELECT event_type, event_id, v,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY v DESC, event_id) AS BIGINT) AS rnk
+           FROM ev),
+         thresh AS (
+           SELECT event_type, v AS v_k1 FROM top WHERE rnk = 101),
+         lns AS (
+           SELECT t.event_type, th.v_k1, t.rnk,
+             ln(CAST(t.v AS DOUBLE) / th.v_k1) AS lnr
+           FROM top t JOIN thresh th USING (event_type)
+           WHERE t.rnk <= 100),
+         agg AS (
+           SELECT event_type, v_k1, count(*) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lnr ORDER BY rnk)), (acc, x) -> acc + x) AS sl
+           FROM lns GROUP BY 1, 2)
+         SELECT event_type, k, v_k1,
+           CAST(floor(sl / k * 1000000.0) AS BIGINT) AS alpha_inv_e6,
+           CASE WHEN sl = 0.0 THEN 0
+             ELSE CAST(floor(CAST(k AS DOUBLE) / sl * 1000000.0) AS BIGINT)
+             END AS alpha_e6
+         FROM agg""",
     "q319_lead_lag_ccf" ->
       """WITH base AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
