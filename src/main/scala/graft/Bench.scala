@@ -167,7 +167,17 @@ object Bench {
     "q372_effective_tokens", // post-dedup dataset size accounting
     "q373_component_folds", // leakage-free fold assignment + proof
     "q376_novelty_curve", // per-decile first-occurrence novelty
-    "q383_jl_distortion") // JL projection concentration histogram
+    "q383_jl_distortion", // JL projection concentration histogram
+    "q387_fs_weights", // Fellegi-Sunter m/u from labeled LSH pairs
+    "q388_neyman_allocation", // Neyman stratified allocation + exact draw
+    "q389_prf_expansion", // RM3 pseudo-relevance-feedback expansion
+    "q390_knn_shapley", // closed-form KNN-Shapley data valuation
+    "q391_wasserstein", // exact pairwise W1 drift between types
+    "q392_removal_attribution", // Markov removal effects, 12 int rounds
+    "q393_rho_selection", // reference-model excess-NLL selection
+    "q394_cluster_nmi", // Lloyd purity + NMI external validation
+    "q396_silhouette", // simplified silhouette on integer L2
+    "q398_fs_em") // unsupervised FS EM on the 16-pattern frame
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3949,8 +3949,12 @@ object Training {
         .withColumn("qn", Similarity.norm2("qemb"))
       val wQ = Window.partitionBy("query_id")
       val wD = wQ.orderBy(desc("cos"), asc("vec_id"))
-      val wSuf = wQ.orderBy(asc("dist_rnk"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // Suffix sum as total − exclusive-prefix: Spark's
+      // UnboundedFollowing frame re-aggregates the tail per ROW (O(n²)
+      // per partition — measured 19 s at sf1 vs 0.6 s for this form);
+      // running [unboundedPreceding, currentRow] frames are incremental.
+      val wCum = wQ.orderBy(asc("dist_rnk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val ranked = e.where(!col("vec_id").isin(qids: _*))
         .crossJoin(broadcast(q))
         .withColumn("cos", Similarity.cosineWithNorms(
@@ -3964,7 +3968,9 @@ object Training {
         .withColumn("term_e9", when(col("dist_rnk") === col("n"),
           expr("a * 1000000000 div n")).otherwise(
           expr("(a - a_next) * 1000000000 div greatest(dist_rnk, 5)")))
-        .withColumn("shap_e9", sum("term_e9").over(wSuf))
+        .withColumn("shap_e9",
+          sum("term_e9").over(wQ) - sum("term_e9").over(wCum)
+            + col("term_e9"))
       ranked
         .withColumn("val_rnk", row_number().over(
           wQ.orderBy(desc("shap_e9"), asc("vec_id"))).cast("long"))
