@@ -133,6 +133,133 @@ object Stats {
     // pinned IEEE chain (the q127 libm-parity precedent), floored to e6.
     // One keyed aggregate + a 1-row broadcast: nothing scales past the
     // arm count.
+    // Inverse-propensity-score offline policy evaluation (Horvitz &
+    // Thompson 1952; Li et al. 2011 WSDM — the counterfactual eval that
+    // lets you score a NEW action policy on LOGGED data): contexts are
+    // user cohorts (user_id % 10), actions are event types, reward is
+    // value ≥ 100. The candidate policy is greedy-by-mean-reward fit on
+    // the even-event_id half; it is evaluated on the odd half with
+    // empirical logging propensities p(a|x) = c_xa/c_x, so each matching
+    // event contributes r/p — all integer rationals: w_e6 = c_x·1e6 div
+    // c_xa, ips contribution = Σr·w_e6, per-context estimate div c_x.
+    // Scale shape: two keyed (x, a) aggregates + a broadcast of the
+    // bounded policy table; nothing scales past contexts × actions.
+    "q402_ips_eval" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d0, "events").select(
+        (col("user_id") % 10).as("x"), col("event_type").as("a"),
+        (col("value") >= 100.0).cast("long").as("r"),
+        (col("event_id") % 2 === 0).as("train"))
+      val policy = ev.where(col("train"))
+        .groupBy("x", "a").agg(count(lit(1)).as("n"), sum("r").as("sr"))
+        .withColumn("mean_e6", expr("sr * 1000000 div n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("x")
+          .orderBy(desc("mean_e6"), asc("a"))))
+        .where(col("rn") === 1)
+        .select(col("x"), col("a").as("a_star"))
+      val log = ev.where(!col("train"))
+        .groupBy("x", "a").agg(count(lit(1)).as("c_xa"), sum("r").as("sr"))
+        .withColumn("c_x", sum("c_xa").over(Window.partitionBy("x")))
+      log.join(broadcast(policy),
+          log("x") === policy("x") && log("a") === policy("a_star"))
+        .select(log("x"), col("a_star"), col("c_x"), col("c_xa"),
+          col("sr").as("sum_r_match"),
+          expr("c_x * 1000000 div c_xa").as("w_e6"))
+        .withColumn("ips_x_e6", expr("(sum_r_match * w_e6) div c_x"))
+    }),
+
+    // Sharp regression-discontinuity estimate (Thistlethwaite & Campbell
+    // 1960; Imbens & Lemieux 2008): local-linear fits of discount on
+    // quantity within bandwidth 10 on each side of the quantity-25
+    // cutoff; the effect is the gap between the two intercepts AT the
+    // cutoff. TPC-H discounts are independent of quantity, so the audit
+    // should report ≈0 — the null-calibration read. Both side-fits come
+    // from ONE map-side pass of 10 conditional integer sums (u = qty−25
+    // centered, y in discount cents); slopes/intercepts are pinned
+    // double chains floored at e6, the q146 OLS convention. Scale shape:
+    // a single aggregate, nothing keyed, nothing windowed.
+    "q403_rdd" -> ((s, d0) => {
+      val base = t(s, d0, "lineitem").select(
+        (col("l_quantity").cast("long") - 25L).as("u"),
+        floor(col("l_discount") * 100).cast("long").as("y"))
+        .where(col("u") >= -10L && col("u") <= 10L)
+      def side(name: String, cond: Column) = Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(cond, col("u")).otherwise(0L)).as(s"sx_$name"),
+        sum(when(cond, col("y")).otherwise(0L)).as(s"sy_$name"),
+        sum(when(cond, col("u") * col("u")).otherwise(0L)).as(s"sxx_$name"),
+        sum(when(cond, col("u") * col("y")).otherwise(0L)).as(s"sxy_$name"))
+      val aggs = side("l", col("u") < 0L) ++ side("r", col("u") >= 0L)
+      def fit(p: String): (Column, Column) = {
+        val n = col(s"n_$p").cast("double")
+        val sx = col(s"sx_$p").cast("double")
+        val sy = col(s"sy_$p").cast("double")
+        val sxx = col(s"sxx_$p").cast("double")
+        val sxy = col(s"sxy_$p").cast("double")
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val b0 = (sy - slope * sx) / n
+        (slope, b0)
+      }
+      val a = base.agg(aggs.head, aggs.tail: _*)
+      val (sl, b0l) = fit("l"); val (sr, b0r) = fit("r")
+      a.select(col("n_l"), col("n_r"),
+        floor(sl * 1e6).cast("long").as("slope_l_e6"),
+        floor(b0l * 1e6).cast("long").as("b0_l_e6"),
+        floor(sr * 1e6).cast("long").as("slope_r_e6"),
+        floor(b0r * 1e6).cast("long").as("b0_r_e6"),
+        floor((b0r - b0l) * 1e6).cast("long").as("effect_e6"))
+    }),
+
+    // Wald's sequential probability ratio test (Wald 1945) — the
+    // always-valid alternative to fixed-horizon A/B reads (pairs with
+    // q234 SRM / q338 two-prop z / q332 power): per arm (user_id % 2),
+    // the Bernoulli log-likelihood-ratio walk for H1: p=0.35 vs H0:
+    // p=0.30 accumulates daily (conversion = value ≥ 100), and the
+    // first boundary crossing at ln((1−β)/α) / ln(β/(1−α)) (α=β=.05)
+    // decides. The two per-event increments are CONSTANTS — ln of
+    // identical literal doubles floored at e9 (both engines call ln on
+    // the same IEEE input, the q278 rule), so the walk is an integer
+    // cumulative sum. Scale shape: one daily groupBy + a per-arm keyed
+    // prefix window over the DAY frame (calendar-sized), one row per arm.
+    "q404_sprt" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d0, "events").select(
+        (col("user_id") % 2).as("arm"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value") >= 100.0).cast("long").as("x"))
+        .groupBy("arm", "day")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val wCum = Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        // Scala-side double division (0.35/0.30 etc.): Spark SQL parses
+        // bare decimal literals as DECIMAL, whose division rounds
+        // differently from the IEEE double ratio DuckDB computes.
+        .withColumn("a_e9", floor(log(lit(0.35 / 0.30)) * 1e9).cast("long"))
+        .withColumn("b_e9", floor(log(lit(0.65 / 0.70)) * 1e9).cast("long"))
+        .withColumn("up_e9", floor(log(lit(0.95 / 0.05)) * 1e9).cast("long"))
+        .withColumn("dn_e9", floor(log(lit(0.05 / 0.95)) * 1e9).cast("long"))
+        .withColumn("csx", sum("sx").over(wCum))
+        .withColumn("cn", sum("n").over(wCum))
+        .withColumn("llr_e9",
+          col("csx") * col("a_e9") + (col("cn") - col("csx")) * col("b_e9"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_days"), max("cn").as("n_events"),
+          max("csx").as("n_conv"),
+          expr("max_by(llr_e9, day)").as("llr_final_e9"),
+          min(when(col("llr_e9") >= col("up_e9"), col("day"))).as("up_day"),
+          min(when(col("llr_e9") <= col("dn_e9"), col("day"))).as("dn_day"))
+        .select(col("arm"), col("n_days"), col("n_events"), col("n_conv"),
+          col("llr_final_e9"),
+          coalesce(col("up_day"), lit(-1L)).as("up_day"),
+          coalesce(col("dn_day"), lit(-1L)).as("dn_day"),
+          expr("""CASE
+            WHEN up_day IS NOT NULL AND (dn_day IS NULL OR up_day <= dn_day)
+              THEN 'accept_h1'
+            WHEN dn_day IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END""").as("decision"))
+    }),
+
     "q270_ucb_bandit" -> ((s, d0) => {
       val arms = t(s, d0, "events").groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -926,6 +1053,118 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q402_ips_eval" ->
+      """WITH ev AS (
+           SELECT user_id % 10 AS x, event_type AS a,
+             CAST(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS BIGINT)
+               AS r,
+             event_id % 2 = 0 AS train
+           FROM events),
+         pol AS (
+           SELECT x, a AS a_star FROM (
+             SELECT x, a,
+               row_number() OVER (PARTITION BY x ORDER BY
+                 CAST(sum(r) AS BIGINT) * 1000000 // count(*) DESC, a)
+                 AS rn
+             FROM ev WHERE train GROUP BY x, a)
+           WHERE rn = 1),
+         lg AS (
+           SELECT x, a, count(*) AS c_xa, CAST(sum(r) AS BIGINT) AS sr,
+             CAST(sum(count(*)) OVER (PARTITION BY x) AS BIGINT) AS c_x
+           FROM ev WHERE NOT train GROUP BY x, a)
+         SELECT l.x, p.a_star, l.c_x, l.c_xa, l.sr AS sum_r_match,
+           l.c_x * 1000000 // l.c_xa AS w_e6,
+           (l.sr * (l.c_x * 1000000 // l.c_xa)) // l.c_x AS ips_x_e6
+         FROM lg l JOIN pol p ON l.x = p.x AND l.a = p.a_star""",
+    "q403_rdd" ->
+      """WITH base AS (
+           SELECT CAST(l_quantity AS BIGINT) - 25 AS u,
+             CAST(floor(l_discount * 100) AS BIGINT) AS y
+           FROM lineitem
+           WHERE CAST(l_quantity AS BIGINT) - 25 BETWEEN -10 AND 10),
+         a AS (
+           SELECT
+             CAST(sum(CASE WHEN u < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+             CAST(sum(CASE WHEN u < 0 THEN u ELSE 0 END) AS BIGINT) AS sx_l,
+             CAST(sum(CASE WHEN u < 0 THEN y ELSE 0 END) AS BIGINT) AS sy_l,
+             CAST(sum(CASE WHEN u < 0 THEN u * u ELSE 0 END) AS BIGINT)
+               AS sxx_l,
+             CAST(sum(CASE WHEN u < 0 THEN u * y ELSE 0 END) AS BIGINT)
+               AS sxy_l,
+             CAST(sum(CASE WHEN u >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN u >= 0 THEN u ELSE 0 END) AS BIGINT) AS sx_r,
+             CAST(sum(CASE WHEN u >= 0 THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+             CAST(sum(CASE WHEN u >= 0 THEN u * u ELSE 0 END) AS BIGINT)
+               AS sxx_r,
+             CAST(sum(CASE WHEN u >= 0 THEN u * y ELSE 0 END) AS BIGINT)
+               AS sxy_r
+           FROM base),
+         f AS (
+           SELECT n_l, n_r,
+             (CAST(n_l AS DOUBLE) * CAST(sxy_l AS DOUBLE)
+               - CAST(sx_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+               / (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE)
+                  - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)) AS sl_l,
+             (CAST(n_r AS DOUBLE) * CAST(sxy_r AS DOUBLE)
+               - CAST(sx_r AS DOUBLE) * CAST(sy_r AS DOUBLE))
+               / (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE)
+                  - CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE)) AS sl_r,
+             CAST(sy_l AS DOUBLE) AS syd_l, CAST(sx_l AS DOUBLE) AS sxd_l,
+             CAST(sy_r AS DOUBLE) AS syd_r, CAST(sx_r AS DOUBLE) AS sxd_r
+           FROM a),
+         g AS (
+           SELECT n_l, n_r, sl_l, sl_r,
+             (syd_l - sl_l * sxd_l) / CAST(n_l AS DOUBLE) AS b0_l,
+             (syd_r - sl_r * sxd_r) / CAST(n_r AS DOUBLE) AS b0_r
+           FROM f)
+         SELECT n_l, n_r,
+           CAST(floor(sl_l * 1000000.0) AS BIGINT) AS slope_l_e6,
+           CAST(floor(b0_l * 1000000.0) AS BIGINT) AS b0_l_e6,
+           CAST(floor(sl_r * 1000000.0) AS BIGINT) AS slope_r_e6,
+           CAST(floor(b0_r * 1000000.0) AS BIGINT) AS b0_r_e6,
+           CAST(floor((b0_r - b0_l) * 1000000.0) AS BIGINT) AS effect_e6
+         FROM g""",
+    "q404_sprt" ->
+      """WITH daily AS (
+           SELECT user_id % 2 AS arm,
+             epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n,
+             CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS sx
+           FROM events GROUP BY 1, 2),
+         consts AS (
+           SELECT CAST(floor(ln(0.35 / 0.30) * 1000000000.0) AS BIGINT)
+               AS a_e9,
+             CAST(floor(ln(0.65 / 0.70) * 1000000000.0) AS BIGINT) AS b_e9,
+             CAST(floor(ln(0.95 / 0.05) * 1000000000.0) AS BIGINT) AS up_e9,
+             CAST(floor(ln(0.05 / 0.95) * 1000000000.0) AS BIGINT)
+               AS dn_e9),
+         walk AS (
+           SELECT arm, day, n, sx, a_e9, b_e9, up_e9, dn_e9,
+             CAST(sum(sx) OVER w AS BIGINT) AS csx,
+             CAST(sum(n) OVER w AS BIGINT) AS cn
+           FROM daily CROSS JOIN consts
+           WINDOW w AS (PARTITION BY arm ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         llr AS (
+           SELECT *, csx * a_e9 + (cn - csx) * b_e9 AS llr_e9
+           FROM walk),
+         agg AS (
+           SELECT arm, count(*) AS n_days, max(cn) AS n_events,
+             max(csx) AS n_conv,
+             max_by(llr_e9, day) AS llr_final_e9,
+             min(CASE WHEN llr_e9 >= up_e9 THEN day END) AS up_day0,
+             min(CASE WHEN llr_e9 <= dn_e9 THEN day END) AS dn_day0
+           FROM llr GROUP BY arm)
+         SELECT arm, n_days, n_events, n_conv, llr_final_e9,
+           coalesce(up_day0, -1) AS up_day, coalesce(dn_day0, -1) AS dn_day,
+           CASE
+             WHEN up_day0 IS NOT NULL
+               AND (dn_day0 IS NULL OR up_day0 <= dn_day0)
+               THEN 'accept_h1'
+             WHEN dn_day0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+         FROM agg""",
     "q399_hill_tail" ->
       """WITH ev AS (
            SELECT event_type, event_id,
