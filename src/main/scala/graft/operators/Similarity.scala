@@ -196,29 +196,47 @@ object Similarity {
     * (commuted products, same fold order), so one cos_e6 describes the
     * pair regardless of which side reports it.
     */
-  /** q321's candidate stage with a corpus-SCALED cell count: each IVF
-    * label cell subdivides along the first embedding coordinate into
-    * nb = max(1, n/(10·target)) bins, so the expected cell population
-    * stays ~target as the corpus grows and the in-cell pair count stays
-    * LINEAR in n — the "grow k with the corpus" posture whose absence
-    * q321's fixed-k fixture deliberately exhibits (BENCH_SCALE's 100.2×
-    * pair-growth attribution), realized as an operator. Bin boundaries
-    * cost recall (candidate role — a prober widens bins for the final
-    * verify); linearity is the trade. At small n (nb = 1) this
-    * degenerates to exactly mutualTop1.
+  /** Corpus-scaled (cell, first-coordinate-bin) refinement — the shared
+    * candidate-confinement stage of the celled pair family
+    * (mutualTop1Scaled / marginRatio / hardNegatives here, q354's
+    * balance audit): each IVF label cell subdivides along the first
+    * embedding coordinate into nb = max(1, n/(10·target)) bins, so the
+    * expected group population stays ~target as the corpus grows and
+    * the in-group pair count stays LINEAR in n (fixed codebooks go
+    * quadratic — the q348 sf1 OOM). Returns `vec_id`, the requested
+    * `keep` columns, `embedding`, its `nrm`, and the (cell, bin) key.
+    * Bin boundaries cost recall (candidate role — a prober widens bins
+    * for the final verify); linearity is the trade. Callers persist the
+    * result when both sides of a pair join read it. The oracle-side
+    * twin of this block lives in the shared CTE builders
+    * (marginPairsCtes et al.) — change both together. q383 carries its
+    * own variant over the INTEGER e6 embedding array (different source
+    * column, same nb formula).
     */
-  def mutualTop1Scaled(embs: DataFrame, target: Long): DataFrame = {
+  def withScaledBin(embs: DataFrame, target: Long,
+      keep: Seq[String] = Nil): DataFrame = {
     val cents = ivfCentroids(embs)
     val nDf = embs.agg(count(lit(1)).as("n_total"))
-    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
+    embs.join(withIvfCell(embs, cents), "vec_id")
       .crossJoin(broadcast(nDf))
       .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
       .withColumn("bin", expr(
         """least(nb - 1, greatest(0L, cast(floor(
           (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
       .withColumn("nrm", norm2("embedding"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        col("bin"))
+      .select((Seq("vec_id") ++ keep ++
+        Seq("embedding", "nrm", "cell", "bin")).map(col): _*)
+  }
+
+  /** q321's candidate stage with a corpus-SCALED cell count (see
+    * `withScaledBin`) — the "grow k with the corpus" posture whose
+    * absence q321's fixed-k fixture deliberately exhibits
+    * (BENCH_SCALE's 100.2× pair-growth attribution), realized as an
+    * operator. At small n (nb = 1) this degenerates to exactly
+    * mutualTop1.
+    */
+  def mutualTop1Scaled(embs: DataFrame, target: Long): DataFrame = {
+    val withC = withScaledBin(embs, target)
       .persist() // both sides of the in-cell pair join read it
     val rhs = withC.select(col("vec_id").as("nid"),
       col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"),
@@ -256,17 +274,7 @@ object Similarity {
     * neighborhood stats are one keyed window over narrow rows.
     */
   def marginRatio(embs: DataFrame, target: Long = 200L, k: Int = 4): DataFrame = {
-    val cents = ivfCentroids(embs)
-    val nDf = embs.agg(count(lit(1)).as("n_total"))
-    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
-      .crossJoin(broadcast(nDf))
-      .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
-      .withColumn("bin", expr(
-        """least(nb - 1, greatest(0L, cast(floor(
-          (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
-      .withColumn("nrm", norm2("embedding"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        col("bin"))
+    val withC = withScaledBin(embs, target)
       .persist() // both sides of the in-cell pair join read it
     val rhs = withC.select(col("vec_id").as("nid"),
       col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"),
@@ -311,17 +319,7 @@ object Similarity {
     * the bin is a no-op and this is the plain per-cell mining.
     */
   def hardNegatives(embs: DataFrame, target: Long = 200L): DataFrame = {
-    val cents = ivfCentroids(embs)
-    val nDf = embs.agg(count(lit(1)).as("n_total"))
-    val withC = embs.join(withIvfCell(embs, cents), "vec_id")
-      .crossJoin(broadcast(nDf))
-      .withColumn("nb", expr(s"greatest(1L, n_total div (10 * $target))"))
-      .withColumn("bin", expr(
-        """least(nb - 1, greatest(0L, cast(floor(
-          (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
-      .withColumn("nrm", norm2("embedding"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("cell"), col("bin"))
+    val withC = withScaledBin(embs, target, keep = Seq("label"))
       .persist() // both sides of the in-cell pair join read it
     val rhs = withC.select(col("vec_id").as("nid"),
       col("label").as("nlabel"), col("embedding").as("nemb"),

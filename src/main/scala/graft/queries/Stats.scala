@@ -709,6 +709,10 @@ object Stats {
       val top = t(s, d0, "events")
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 100).cast("long").as("v"))
+        // Hill's estimator is defined over POSITIVE order statistics:
+        // a non-positive 101st value would put a 0/negative into the
+        // ln ratio and silently NaN the whole fold (advisor finding)
+        .where(col("v") > 0L)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 101L)
       val thresh = top.where(col("rnk") === 101L)
@@ -1169,7 +1173,8 @@ object Stats {
       """WITH ev AS (
            SELECT event_type, event_id,
              CAST(floor(value * 100) AS BIGINT) AS v
-           FROM events),
+           FROM events
+           WHERE CAST(floor(value * 100) AS BIGINT) > 0),
          top AS (
            SELECT event_type, event_id, v,
              CAST(row_number() OVER (PARTITION BY event_type

@@ -221,12 +221,16 @@ def main():
     if only:
         names = [n for n in names if n in only]
     results = {}
+    timings = {}
+    import time
     for name in names:
+        t0 = time.monotonic()
         try:
             results[name] = check_one(sf_dir, out_dir, name,
                                       oracles.get(name), tolerant)
         except Exception as e:
             results[name] = f"CHECKER-FAIL {e}"
+        timings[name] = round(time.monotonic() - t0, 3)
     # retry pass: transient host-pressure failures get one more shot
     for name, v in list(results.items()):
         if "FAIL" in v and "TYPE-AUDIT" not in v:
@@ -240,6 +244,9 @@ def main():
     for k, v in sorted(results.items()):
         flag = "PASS" if (v == "OK" or v.startswith("rows-only")) else "FAIL"
         print(f"{flag} {k}: {v}")
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest oracles (s): " +
+          ", ".join(f"{k}={v}" for k, v in slow))
     print(f"== {ok}/{len(results)} pass"
           + ("" if not tolerant else " (TOLERANT mode — weaker than driver)"))
     out_json = os.environ.get("GRAFT_ORACLE_JSON")
@@ -258,6 +265,7 @@ def main():
                     datetime.timezone.utc).isoformat(timespec="seconds"),
             },
             "queries": {k: results[k] for k in sorted(results)},
+            "timings_sec": {k: timings[k] for k in sorted(timings)},
         }
         with open(out_json, "w") as f:
             json.dump(payload, f, indent=1)
