@@ -1,0 +1,2325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.queries.TrainingShared._
+
+/** Training-data pipeline operators: eval/quality audits, scaled celled-ANN operators and the data-valuation family (third quarter of the Training inventory). Query/oracle pairs stay in
+  * the same file so engine and oracle change together.
+  */
+private[queries] object TrainingC {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benford first-digit forensics on order totals — the synthetic-data
+    // / fraud screen auditors run: observed first-digit shares vs the
+    // Benford expectation (log10(1 + 1/d), broadcast as a 9-row integer
+    // dim), with the per-digit deviation in micro-units. First digit by
+    // string head of the integer cents (exact — no float log in the
+    // digit extraction). One scan + one 9-group aggregate.
+    "q236_benford" -> ((s, d) => {
+      import s.implicits._
+      val digits = (1 to 9).map(dd =>
+        (dd.toLong, math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong))
+        .toDF("digit", "exp_e6")
+      val obs = t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("o"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(broadcast(digits), Seq("digit"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("o"),
+          expr("o * 1000000 div n").as("obs_e6"), col("exp_e6"),
+          abs(expr("o * 1000000 div n") - col("exp_e6")).as("dev_e6"))
+    }),
+
+
+    // Gini coefficient per customer segment — THE inequality statistic
+    // of the reference's wealth analyses (`wbgps/analysis.py`'s wealth
+    // percentiles feed exactly this): per mktsegment over account
+    // balances shifted to non-negative cents, G = (2·Σ i·x_i) /
+    // (n·Σx) − (n+1)/n on the within-group rank (keyed window; exact
+    // integer rank-weighted sums — i·x_i ≤ 6e3·1e7·6e3 keeps the sum
+    // under 2^53-in-double and well under int64; one pinned double
+    // tail).
+    "q237_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+        floor((col("c_acctbal") + lit(1000.0)) * 100).cast("long").as("x"),
+        col("c_custkey"))
+      val w = Window.partitionBy("seg").orderBy(col("x"), col("c_custkey"))
+      val ranked = c.withColumn("i", row_number().over(w).cast("long"))
+      ranked.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("i * x")).as("six"))
+        .select(col("seg"), col("n"),
+          floor((lit(2.0) * col("six").cast("double")
+            / (col("n").cast("double") * col("sx").cast("double"))
+            - (col("n") + 1L).cast("double") / col("n").cast("double"))
+            * 1e6).cast("long").as("gini_e6"))
+    }),
+
+
+    // Time-weighted average value per (user, event_type) series — each
+    // observation holds until the next one (the sensor/price TWAP,
+    // where a plain mean over-weights bursts): hold duration via a
+    // keyed lead window in whole seconds, value·duration products in
+    // exact integer micro-unit-seconds, one trunc div per series. The
+    // last observation of a series has no successor and drops out —
+    // the standard open-interval convention.
+    "q238_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tm"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("tm"),
+          floor(col("value") * 1e6).cast("long").as("v_e6"))
+        .withColumn("nxt", lead("tm", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          (col("nxt") - col("tm")).as("dur_s"), col("v_e6"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_holds"), sum("dur_s").as("total_s"),
+          sum(expr("v_e6 * dur_s")).as("vd"))
+        .where(col("total_s") > 0L)
+        .select(col("user_id"), col("event_type"), col("n_holds"),
+          col("total_s"), expr("vd div total_s").as("twap_e6"))
+    }),
+
+
+    // Herfindahl-Hirschman concentration index per market segment —
+    // the market-concentration statistic (sum of squared revenue
+    // shares) antitrust and market-structure analyses report, natural
+    // next to q237's Gini: per segment, customer revenue totals in
+    // whole dollars (cents² of a big customer overflows int64; the
+    // truncation is part of the metric's definition here and identical
+    // in both engines), HHI = Σx² / (Σx)² from the exact integer sums
+    // with the single squared-total double tail. Two keyed aggregates.
+    "q239_hhi" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .join(t(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("seg", "o_custkey").agg(sum("cents").as("x"))
+      rev.groupBy("seg")
+        .agg(count(lit(1)).as("n_firms"),
+          sum(expr("x div 100")).as("sx"),
+          sum(expr("(x div 100) * (x div 100)")).as("sxx"))
+        .select(col("seg"), col("n_firms"),
+          floor(col("sxx").cast("double")
+            / (col("sx").cast("double") * col("sx").cast("double")) * 1e6)
+            .cast("long").as("hhi_e6"))
+    }),
+
+
+    // Corpus-drift metric: Jensen-Shannon divergence between the unigram
+    // distributions of two sources. Cross-engine float determinism WITHOUT
+    // the q116 single-row array fold: each term's contribution is floored
+    // to an INTEGER micro-unit (e12) and the integers are summed — an
+    // associative, fully-distributed aggregation (map-side combinable, no
+    // collect_list), which is the shape that survives a multi-million-term
+    // vocabulary where one giant sorted array per row would not.
+    "q152_js_divergence" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .where(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tk"))
+      val counts = tok.groupBy("tk").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cq"))
+      val tot = counts.agg(sum("cp").as("np"), sum("cq").as("nq"))
+      val p = col("cp").cast("double") / col("np").cast("double")
+      val q = col("cq").cast("double") / col("nq").cast("double")
+      val m = (p + q) / 2.0
+      val contrib =
+        when(col("cp") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+          when(col("cq") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+      counts.crossJoin(broadcast(tot))
+        .select(floor(contrib * 1e12).cast("long").as("c_e12"))
+        .agg(count(lit(1)).as("n_terms"), sum("c_e12").as("jsd_e12"))
+    }),
+
+
+    // Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of two retrieval
+    // rankings — the standard hybrid-search merge step (lexical + dense)
+    // a retrieval pipeline runs before rerank. Two genuinely different
+    // rankers over the same candidate set: cosine (normalized) and raw
+    // dot product (unnormalized) against each query vector; each
+    // contributes floor(1e9/(60+rank)) for its top-50 — integer
+    // micro-units, so the fused ordering is exact cross-engine. Scale
+    // shape: the per-query windows are keyed on query_id (millions of
+    // queries parallelize); the candidate set per query is the ANN
+    // stage's bounded output, not the corpus.
+    "q246_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id").isin(10L, 20L, 30L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val scored = e.withColumn("nrm", Similarity.norm2("embedding"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("dp", Similarity.dot("embedding", "qemb"))
+        .withColumn("cos",
+          Similarity.cosineWithNorms(col("dp"), col("nrm"), col("qn")))
+      val wCos = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+      val wDot = Window.partitionBy("query_id").orderBy(desc("dp"), asc("vec_id"))
+      scored
+        .withColumn("r_cos", row_number().over(wCos))
+        .withColumn("r_dot", row_number().over(wDot))
+        .where(col("r_cos") <= 50 || col("r_dot") <= 50)
+        .withColumn("rrf_e9",
+          expr("CASE WHEN r_cos <= 50 THEN 1000000000 div (60 + r_cos) ELSE 0 END")
+            + expr("CASE WHEN r_dot <= 50 THEN 1000000000 div (60 + r_dot) ELSE 0 END"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("rrf_e9"), asc("vec_id"))))
+        .where(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rnk"), col("rrf_e9"))
+    }),
+
+
+    // Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    // of the per-query top-20 cosine candidates: greedy diversified
+    // selection of 10, score = rel − max-sim-to-selected, every score an
+    // integer micro-unit quantized BEFORE the greedy walk (so the
+    // sequential argmax is exactly replayable by the oracle's unrolled
+    // per-step SQL). The pairwise-sim stage is confined WITHIN each
+    // query's bounded pool — O(queries × pool²), never corpus².
+    "q247_mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pool = Similarity.bruteForceTopK(
+          e, e.where(col("vec_id").isin(10L, 20L, 30L)), 20)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"),
+          col("cos_e6").as("rel_e6"))
+      val pe = pool.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("nrm", Similarity.norm2("embedding"))
+      val a = pe.select(col("query_id"), col("vec_id").as("a"),
+        col("rel_e6").as("rel_a_e6"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = pe.select(col("query_id").as("qb"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, col("query_id") === col("qb") && col("a") =!= col("b"))
+        .withColumn("sim_e6", floor(Similarity.cosineWithNorms(
+          Similarity.dot("ea", "eb"), col("na"), col("nb")) * 1e6).cast("long"))
+        .select("query_id", "a", "b", "rel_a_e6", "sim_e6")
+      graft.operators.Mmr.rerank(pairs, 10)
+    }),
+
+
+    // Token-budget corpus fill — the "select the best N tokens" step of
+    // training-mix assembly: order documents by type-token ratio
+    // (integer micro-units, doc_id tiebreak), take the prefix whose
+    // cumulative token count fits the budget. The cumulative sum is a
+    // two-level distributed prefix sum — scalable global rank, coarse
+    // 64-row buckets, per-bucket totals exclusive-scanned by the same
+    // two-phase distributed PrefixScan (range-sort + broadcast offsets,
+    // never a single-partition window), then a KEYED within-bucket
+    // window. Both levels stay distributed at any n.
+    "q248_token_budget_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+        .withColumn("prio_e6", expr("n_uniq * 1000000 div n_tok"))
+      val ranked = graft.operators.Ranking.globalRank(
+        docs, "rnk", desc("prio_e6"), asc("doc_id"))
+      val bucketed = ranked.withColumn("bkt", expr("(rnk - 1) div 64"))
+      val bktPre = graft.operators.PrefixScan.scanLong(
+          bucketed.groupBy("bkt").agg(sum("n_tok").as("bt")),
+          "pre_tok", "bt", "sum", inclusive = false, asc("bkt"))
+        .select("bkt", "pre_tok")
+      val wIn = Window.partitionBy("bkt").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(bktPre), "bkt")
+        .withColumn("cum_tok", col("pre_tok") + sum("n_tok").over(wIn))
+        .where(col("cum_tok") <= 20000L)
+        .select("doc_id", "source", "rnk", "n_tok", "prio_e6", "cum_tok")
+    }),
+
+
+    // DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    // arXiv:2305.10429): per-source excess loss (mean q127 unigram NLL
+    // above the best source) drives 3 rounds of a damped multiplicative-
+    // weights update — w ← w·(1 + η·excess·(1 − share)), η = 0.1 — and
+    // the final normalized shares are the training mixture. The
+    // reference alg retrains a proxy model between rounds (out of engine
+    // scope); the damping term stands in for the diminishing return of a
+    // domain already dominating the mix, and makes the rounds genuinely
+    // sequential. Every step is integer-exact (micro-unit trunc
+    // divisions on non-negative operands), so the oracle replays all 3
+    // rounds bit-for-bit. Scale shape: the corpus-scale work is the NLL
+    // scan; the iteration runs on the per-source aggregate frame
+    // (#domains rows) with broadcast totals.
+    "q249_doremi_mixture" -> ((s, d) => {
+      val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val loss = docNll(s, d).join(srcOf, "doc_id")
+        .groupBy("source")
+        .agg(expr("sum(avg_nll_e6) div count(1)").as("loss_e6"))
+      graft.operators.Mixture.doremiShares(loss)
+    }),
+
+
+    // The composed training-mix assembly (`Mixture.assemble`) — the step
+    // after curation: quality gate (q53 keep rule) → per-source DoReMi
+    // shares from the kept corpus's unigram NLL (q249) → per-source
+    // token-budget fill by type-token-ratio priority (q248's priority,
+    // but KEYED per source — each source fills share·budget tokens with
+    // its own windows, no global prefix sum). Hash-checked end to end:
+    // every stage is integer-exact, so the oracle replays gate, NLL,
+    // all 3 mixture rounds, and the fill in one SQL chain.
+    "q250_training_mix" -> ((s, d) =>
+      graft.operators.Mixture.assemble(t(s, d, "documents"), 10000L)),
+
+
+    // Unicode NFC normalization (native codegen expression): every "e" is
+    // mangled into decomposed "e"+U+0301 and normalized back — NFC must
+    // recompose the pair to precomposed "é" (U+00E9), so len_nfc is
+    // shorter than len_raw by exactly the number of injected marks and
+    // the md5 matches the oracle's recomposed bytes. The front-of-
+    // pipeline step that makes content fingerprints (q55/q56) stable
+    // across mixed-provenance corpora.
+    "q149_nfc_normalize" -> ((s, d) => {
+      val mangled = expr("replace(text, 'e', 'e\u0301')")
+      t(s, d, "documents").select(col("doc_id"),
+        length(mangled).as("len_raw"),
+        length(TextFunctions.nfc(mangled)).as("len_nfc"),
+        md5(TextFunctions.nfc(mangled)).as("nfc_md5"))
+    }),
+
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm): hash every word 4-gram, slide a window of 4
+    // hashes, keep each window's minimum — the guaranteed-coverage
+    // fingerprint selection plagiarism/near-dup detectors use (any match
+    // of 7+ tokens shares a fingerprint). Per doc: gram/fingerprint
+    // counts and how many of its fingerprints appear in ≥2 documents.
+    // Scale shape: selection is per-row HOF expressions (map-side); the
+    // only shuffles are the fingerprint groupBy and one keyed join of
+    // (doc, fp) against fingerprint doc-counts — linear, no pairwise
+    // comparison anywhere.
+    "q284_winnowing" -> ((s, d) => {
+      // persisted: the hash + window-min explode dominates and both the
+      // sharing count and the join probe read it (q302 twin)
+      val ex = winnowFingerprints(s, d).persist()
+      val sh = ex.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+      ex.join(sh, "fp")
+        .groupBy("doc_id")
+        .agg(max("n_grams").as("n_grams"), count(lit(1)).as("n_fps"),
+          min("fp").as("fp_min"), max("fp").as("fp_max"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    }),
+
+
+    // Per-node local clustering coefficient over the shared LSH pair
+    // graph (the q121/q132/q256 bounded-slice convention): for each node
+    // with degree ≥ 2, coeff = 2·T(v)/(d(v)(d(v)−1)) where T(v) counts
+    // closed wedges centered at v — the per-node tightness score that
+    // complements q121's global triangle count. Exact integers
+    // throughout (e6 division at the end). Scale shape: the wedge
+    // enumeration keys every join on a node id (fan-in bounded by
+    // degree); the closure probe is one join on the canonical pair.
+    "q294_clustering_coeff" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // wedge sides + closure probe + degree all read it
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val zu = edges.select(col("src").as("z"), col("dst").as("u"))
+      val zw = edges.select(col("src").as("z"), col("dst").as("w"))
+      val closed = pairs.select(col("id1").as("u"), col("id2").as("w"))
+        .withColumn("hit", lit(1L))
+      val tv = zu.join(zw, "z").where(col("u") < col("w"))
+        .join(closed, Seq("u", "w"), "left")
+        .groupBy(col("z").as("src"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("t_v"))
+      deg.where(col("deg") >= 2)
+        .join(tv, Seq("src"), "left")
+        .na.fill(0L, Seq("t_v"))
+        .select(col("src").as("doc_id"), col("deg"), col("t_v"),
+          expr("(2 * t_v * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
+    }),
+
+
+    // 3-hop BFS distances from the graph's smallest node id over the
+    // shared LSH pair graph — the bounded-frontier traversal shape
+    // (k-hop neighborhood expansion) a graph warehouse runs without a
+    // graph engine: each hop is one frontier-edges join plus a min-dist
+    // aggregate, all keyed on node id. The hop count is a fixed literal,
+    // so the oracle replays the exact staged expansion.
+    "q295_khop_bfs" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // seed, edges and every hop read it
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      val seed = pairs.agg(least(min("id1"), min("id2")).as("id"))
+      // hop frontiers as separate frames off the CACHED edge list, with
+      // one union + min at the end — a single job instead of three eager
+      // checkpoint generations (the state-carrying loop needed a
+      // lineage cut per round and still paid 3 extra job barriers;
+      // measured 7.4 s uncut / 2.5 s checkpointed / ~1 s this shape).
+      // Each frontier may revisit nodes; the final min-dist aggregate
+      // resolves every duplicate to its first hop.
+      val f0 = seed.select(col("id"), lit(0L).as("dist"))
+      def expand(f: DataFrame, h: Int): DataFrame =
+        f.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), lit(h.toLong).as("dist"))
+      val f1 = expand(f0, 1).persist()
+      val f2 = expand(f1.select("id").distinct()
+        .select(col("id"), lit(1L).as("dist")), 2).persist()
+      val f3 = expand(f2.select("id").distinct()
+        .select(col("id"), lit(2L).as("dist")), 3)
+      f0.unionAll(f1).unionAll(f2).unionAll(f3)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .select(col("id").as("doc_id"), col("dist"))
+    }),
+
+
+    // Heaps'-law vocabulary growth curve: how many NEW types each corpus
+    // prefix contributes. Running-distinct is a scale killer done
+    // naively; the distributed form is exact and one-pass — every
+    // token's FIRST occurrence position (min doc bucket) is a keyed
+    // aggregate, and the curve is the per-bucket count of firsts with a
+    // 10-row cumsum. Output per decile bucket of doc_id order: tokens in
+    // bucket, new types, cumulative types/tokens.
+    "q296_heaps_law" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(max("doc_id").as("mx"))
+      val tok = docs.crossJoin(broadcast(nDocs))
+        .select(expr("least(doc_id * 10 div (mx + 1), 9)").as("bucket"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .persist() // per-bucket token counts AND first-occurrence buckets
+      val perBucket = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy("tok").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perBucket.join(firsts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new_types"))
+        .withColumn("cum_types", sum("n_new_types").over(w))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+    }),
+
+
+    // Population Stability Index per event_type — the industry-standard
+    // drift readout between a reference and a current period (here the
+    // deterministic even/odd-day split): fixed-width value deciles,
+    // +1-smoothed shares over the FULL 10-bin grid (an absent bin still
+    // contributes — its smoothed shares differ when n_ref ≠ n_cur), and
+    // PSI = Σ(p−q)·ln(p/q) summed as e9-floored integers (the q278
+    // merge-order-free rule). Scale shape: one bucket groupBy; the grid
+    // is #types × 10 rows with totals broadcast.
+    "q288_psi" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0).as("is_ref"),
+        least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+        .persist() // counts, totals and the type list all read it
+      val cnt = ev.groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_r"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_c"))
+      val grid = ev.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val tot = ev.groupBy("event_type").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_r"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_c"))
+      val p = (col("c_r") + 1L).cast("double") / (col("n_r") + 10L).cast("double")
+      val q = (col("c_c") + 1L).cast("double") / (col("n_c") + 10L).cast("double")
+      grid.join(cnt, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c_r", "c_c"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("n_r"), col("n_c"),
+          floor((p - q) * log(p / q) * 1e9).cast("long").as("term_e9"))
+        .groupBy("event_type", "n_r", "n_c")
+        .agg(sum("term_e9").as("psi_e9"))
+    }),
+
+
+    // Newman–Girvan modularity of a partition over the shared LSH graph
+    // (community = doc_id div 50 blocks): per community, within-edges
+    // e_c and degree mass d_c, with the contribution scaled to the 4m²
+    // common denominator — Q·4m² = Σ(4m·e_c − d_c²) — so the quality
+    // score of a graph partition is EXACT integers end to end (the
+    // metric Louvain maximizes, here as the evaluation readout). One
+    // pair scan + one degree aggregate, keyed joins only.
+    "q316_modularity" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist() // m, within-edges and degrees all read it
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val within = pairs
+        .where(expr("id1 div 50") === expr("id2 div 50"))
+        .groupBy(expr("id1 div 50").as("comm"))
+        .agg(count(lit(1)).as("e_c"))
+      val dC = pairs.select(col("id1").as("id"))
+        .unionAll(pairs.select(col("id2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .groupBy(expr("id div 50").as("comm"))
+        .agg(sum("deg").as("d_c"))
+      dC.join(within, Seq("comm"), "left")
+        .na.fill(0L, Seq("e_c"))
+        .crossJoin(broadcast(m))
+        .select(col("comm"), col("e_c"), col("d_c"), col("m"),
+          (lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+            .as("q4m2_contrib"))
+    }),
+
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs (1–3 words); each word
+    // scores deg(w)/freq(w) over the candidate corpus (deg = summed
+    // length of phrases containing w) and a phrase scores the sum of
+    // its words — in e6 fixed point with per-term integer floor, so the
+    // phrase sum is associative. Top-20 phrases, bounded
+    // TakeOrderedAndProject. Scale shape: phrase segmentation is a
+    // posexplode + keyed running count per doc; freq/deg are word-key
+    // aggregates; the score join keys on word then phrase.
+    "q313_rake" -> ((s, d) => {
+      val stops = Seq("the", "a", "and", "of", "to", "in", "is", "it",
+        "as", "for", "on", "with")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+        .withColumn("is_stop", col("word").isin(stops: _*))
+        .withColumn("phrase_id", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+        .where(!col("is_stop") && col("word") =!= "")
+      val phrases = toks.groupBy("doc_id", "phrase_id")
+        .agg(count(lit(1)).as("plen"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"),
+            col("word")))), x => x.getField("word")), " ").as("phrase"))
+        .where(col("plen") <= 3)
+        .persist() // word stats AND the score join read it
+      val words = phrases
+        .select(col("doc_id"), col("phrase_id"), col("plen"),
+          explode(split(col("phrase"), " ")).as("word"))
+      val stats = words.groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      words.join(stats, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(sum(expr("(deg * 1000000) div freq")).as("score_e6"))
+        .join(phrases, Seq("doc_id", "phrase_id"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), max("score_e6").as("score_e6"))
+        .orderBy(desc("score_e6"), asc("phrase"))
+        .limit(20)
+    }),
+
+
+    // Winnowing MATCH stage (the second half of MOSS): document pairs
+    // sharing ≥ 3 selected fingerprints, with the shared count — the
+    // report a plagiarism screen hands a reviewer. Pair generation is
+    // confined to fingerprint buckets with an occupancy cap (the LSH
+    // band-cap convention: a fingerprint carried by > 16 docs is a
+    // boilerplate artifact, not evidence), so fan-in is bounded and no
+    // all-pairs product exists. Reuses q284's selection exactly.
+    "q302_winnow_matches" -> ((s, d) => {
+      // persisted: the hash + window-min explode is the dominant cost
+      // and three consumers read it (the occupancy count and both sides
+      // of the bucket pair join) — unpersisted it executes 3x
+      val fps = winnowFingerprints(s, d).select("doc_id", "fp").persist()
+      val occ = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") <= 16)
+      val inCap = fps.join(occ, "fp")
+      val a = inCap.select(col("fp"), col("doc_id").as("id1"))
+      val b = inCap.select(col("fp"), col("doc_id").as("id2"))
+      a.join(b, Seq("fp")).where(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+    }),
+
+
+    // HITS hubs & authorities (Kleinberg) over the shared LSH graph —
+    // two fixed iterations in integer fixed point: start uniform e6,
+    // authority a = Σ h(in-neighbors), hub h = Σ a(out-neighbors),
+    // rescaled each half-step by the max (integer div, so the oracle
+    // replays bit-for-bit). On the undirected LSH graph hubs equal
+    // authorities at convergence; the two-step scores already separate
+    // well-connected nodes. The iteration is per-round keyed joins on
+    // node id — the q132 PageRank shape.
+    "q303_hits" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .persist()
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      // the max-rescale rides a window over ONE deliberately bounded
+      // partition (the score frame is |nodes| ≤ 300 rows — the
+      // doremiShares convention): a separate max-aggregate + crossJoin
+      // per half-step costs 8 extra job barriers and measured 2× wall
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      var auth = nodes.select(col("id"), lit(1000000L).as("a"))
+      var hub = nodes.select(col("id"), lit(1000000L).as("h"))
+      for (_ <- 1 to 2) {
+        auth = edges.join(hub.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("raw"))
+          .withColumn("mx", max("raw").over(wAll))
+          .select(col("id"), expr("(raw * 1000000) div mx").as("a"))
+        hub = edges.join(auth.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("raw"))
+          .withColumn("mx", max("raw").over(wAll))
+          .select(col("id"), expr("(raw * 1000000) div mx").as("h"))
+      }
+      auth.join(hub, "id")
+        .select(col("id").as("doc_id"), col("a").as("auth_e6"),
+          col("h").as("hub_e6"))
+    }),
+
+
+    // Vocabulary-richness suite per source — the corpus-linguistics
+    // readouts a datasheet quotes: V (distinct tokens), hapax/dis
+    // legomena F1/F2, the Chao1 richness estimate V + F1²/2F2 (how much
+    // vocabulary sampling hasn't seen yet), and Simpson concentration
+    // Σc(c−1)/N(N−1). Everything stays exact: counts are integers and
+    // both estimates are single integer divisions at e2/e9 scale.
+    // Scale shape: one token groupBy then a per-source aggregate —
+    // two keyed shuffles, nothing global.
+    "q285_vocab_richness" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("v"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+          sum("c").as("n_tok"),
+          sum(col("c") * (col("c") - 1L)).as("sum_cc1"))
+        .select(col("source"), col("v"), col("f1"), col("f2"), col("n_tok"),
+          expr("CASE WHEN f2 > 0 THEN v * 100 + (f1 * f1 * 100) div (2 * f2) " +
+            "ELSE v * 100 END").as("chao1_e2"),
+          // two-stage division: sum_cc1·10⁹ would overflow int64 on a
+          // large corpus; ÷(N−1) first keeps every intermediate ≲ c̄·10⁹
+          expr("((sum_cc1 * 1000) div (n_tok - 1) * 1000000) div n_tok")
+            .as("simpson_e9"))
+    }),
+
+
+    // Clipped n-gram precision (the BLEU mechanic, Papineni et al. 2002)
+    // between adjacent document pairs within each source — the
+    // similarity readout generation evals run between candidate and
+    // reference text, here repurposed as an intra-source redundancy
+    // probe. For n ∈ {1, 2}: per pair, each candidate n-gram counts at
+    // most min(count_cand, count_ref) times ("clipping"), rolled up per
+    // source to exact integer clip/total counts and one e6 division.
+    // Scale shape: pairing is a keyed lead() window (source, doc_id);
+    // n-gram counting is explode → groupBy(pair, gram) — linear, no
+    // all-pairs product anywhere.
+    "q277_bleu_pairs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("ref_text", lead("text", 1).over(w))
+        .where(col("ref_text").isNotNull)
+        .persist() // both n-gram orders re-read the pair frame
+      // gram identity is gramHash62 (one md5 per token, integer Horner
+      // chains): the (doc, gram) groupBys and the clip join shuffle
+      // BIGINTs, never gram strings — the q107/q272 posture
+      def hts(c: String) = transform(TextFunctions.tokens(col(c)),
+        tk => pmod(TextFunctions.hash60(tk), lit(1073741824L)))
+      def gramsExpr(n: Int) =
+        s"transform(sequence(1, size(ht) - ${n - 1}), i -> ${gramHash62("i-1", n)})"
+      def prec(n: Int): DataFrame = {
+        val cand = pairs
+          .where(size(TextFunctions.tokens(col("text"))) >= n)
+          .select(col("source"), col("doc_id"), hts("text").as("ht"))
+          .select(col("source"), col("doc_id"),
+            explode(expr(gramsExpr(n))).as("g"))
+          .groupBy("source", "doc_id", "g").agg(count(lit(1)).as("c_cand"))
+        val ref = pairs
+          .where(size(TextFunctions.tokens(col("ref_text"))) >= n)
+          .select(col("doc_id"), hts("ref_text").as("ht"))
+          .select(col("doc_id"), explode(expr(gramsExpr(n))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c_ref"))
+        cand.join(ref, Seq("doc_id", "g"), "left")
+          .groupBy("source")
+          .agg(sum("c_cand").as("tot"),
+            sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
+              .as("clip"))
+          .where(col("tot") > 0)
+          .select(col("source"), lit(n.toLong).as("n"), col("tot"),
+            col("clip"), expr("(clip * 1000000) div tot").as("prec_e6"))
+      }
+      prec(1).unionAll(prec(2))
+    }),
+
+
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // against the corpus distribution — the drift readout a data-mixture
+    // pipeline tracks when a new source lands (e.g. Dolma/RedPajama
+    // composition audits). Per (source, token over the CORPUS vocab):
+    // p = c/tot, q = gc/gtot, m = (p+q)/2; both KL halves are summed as
+    // e9-floored integers (per-term floor → the sum is merge-order-free,
+    // the q116 entropy lesson), and 2·JSD is reported as their integer
+    // sum — no trailing division, no float aggregation. Scale shape:
+    // token counts are one explode + two keyed groupBys; the grid is
+    // corpus-vocab × #sources (linear in vocab) with the tiny per-source
+    // totals broadcast.
+    "q278_js_divergence" -> ((s, d) => {
+      val sc = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .persist() // vocab totals, source totals and the grid all read it
+      val g = sc.groupBy("tok").agg(sum("c").as("gc"))
+      val st = sc.groupBy("source").agg(sum("c").as("tot"))
+      val gt = sc.agg(sum("c").as("gtot"))
+      val p = col("c").cast("double") / col("tot").cast("double")
+      val q = col("gc").cast("double") / col("gtot").cast("double")
+      val m = (p + q) / lit(2.0)
+      g.crossJoin(broadcast(st)).crossJoin(broadcast(gt))
+        .join(sc, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .select(col("source"), col("tot"),
+          when(col("c") > 0, 1L).otherwise(0L).as("inv"),
+          when(col("c") > 0, floor(p * log(p / m) * 1e9).cast("long"))
+            .otherwise(0L).as("tp"),
+          floor(q * log(q / m) * 1e9).cast("long").as("tq"))
+        .groupBy("source", "tot")
+        .agg(sum("inv").as("vocab"), sum("tp").as("klp_e9"),
+          sum("tq").as("klq_e9"))
+        .withColumn("jsd2_e9", col("klp_e9") + col("klq_e9"))
+    }),
+
+
+    // Degree assortativity of the LSH near-dup graph (Newman 2002): the
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list — do similar-degree documents link to each other (duplicate
+    // "cliques") or do hubs attach to leaves (template + variants)? All
+    // four moments are exact BIGINT sums over one degree-annotated edge
+    // pass; only the final r is a pinned double chain floored to e6.
+    // Scale shape: two keyed joins of the edge list against the degree
+    // table (fan-in = degree), one global 4-sum aggregate — map-side
+    // combinable, no structure wider than the edge list itself.
+    "q320_assortativity" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist() // degree count + both endpoint probes read it
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val st = edges
+        .join(deg.select(col("src").as("u"), col("deg").as("j")),
+          col("src") === col("u"))
+        .join(deg.select(col("src").as("v"), col("deg").as("k")),
+          col("dst") === col("v"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("j") * col("k")).as("s_jk"),
+          sum(col("j") + col("k")).as("s_jpk"),
+          sum(col("j") * col("j") + col("k") * col("k")).as("s_j2k2"))
+      val mD = col("m2").cast("double")
+      val t1 = col("s_jk").cast("double") / mD
+      val t2 = col("s_jpk").cast("double") / (mD * 2.0)
+      val t3 = col("s_j2k2").cast("double") / (mD * 2.0)
+      st.select(col("m2"), col("s_jk"), col("s_jpk"), col("s_j2k2"),
+        when(t3 - t2 * t2 > 0.0,
+          floor((t1 - t2 * t2) / (t3 - t2 * t2) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_e6"))
+    }),
+
+
+    // Mutual nearest neighbors within IVF cells — the candidate stage of
+    // margin-based bitext/paraphrase mining (Artetxe & Schwenk 2019):
+    // reciprocal top-1 pairs only, so one bad hub vector cannot claim
+    // the whole cell. Cell-confined pair join + keyed top-1 window +
+    // pair-keyed mutual filter; see Similarity.mutualTop1 for the
+    // 100-TB shape notes.
+    "q321_mutual_nn" -> ((s, d) => {
+      Similarity.mutualTop1(t(s, d, "embeddings"))
+    }),
+
+
+    // q321's production posture realized: the codebook granularity GROWS
+    // with the corpus (each label cell subdivides into n/(10·target)
+    // first-coordinate bins), capping expected cell population at
+    // ~target so the in-cell pair workload stays LINEAR in n — the fix
+    // BENCH_SCALE's 100.2× attribution prescribes. Same mutual top-1
+    // semantics; at small n it degenerates to q321 exactly.
+    "q347_mutual_nn_scaled" -> ((s, d) => {
+      Similarity.mutualTop1Scaled(t(s, d, "embeddings"), 200L)
+    }),
+
+
+    // Hard-negative triplet mining (the contrastive trainer's per-epoch
+    // batch refresh — SimCSE/E5 posture): per anchor, the most-similar
+    // same-label neighbor and the most-similar different-label neighbor
+    // within its IVF cell, with the margin between them. Cells carry
+    // q347's corpus-scaled bin refinement so the in-cell pair frame
+    // stays linear in n (the unbinned form OOM'd an 8 GiB heap at sf1).
+    "q348_hard_negatives" -> ((s, d) => {
+      Similarity.hardNegatives(t(s, d, "embeddings"), 200L)
+    }),
+
+
+    // Curriculum ordering — the data-ORDERING step of a training run
+    // (Bengio et al. 2009 posture, length-staged): stage = token-count
+    // bucket (short/easy first), and within a stage the sources
+    // round-robin (rank within (stage, source) — a KEYED window — is
+    // the interleave position) so no stage is a single-source block.
+    // The final training order (stage, position, source, doc_id) is
+    // fully deterministic — reshard/retry-stable, no rand(). The global
+    // position rides the scalable range-sort rank (Ranking.globalRank,
+    // q91's shape, never a single-partition window); output bounded to
+    // the first 100 positions.
+    "q349_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("stage", "source").orderBy("doc_id")
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("stage", expr("least(2L, ntok div 150)"))
+        .withColumn("rr", row_number().over(w).cast("long"))
+      graft.operators.Ranking.globalRank(
+          staged.select("doc_id", "source", "stage", "rr"),
+          "pos", asc("stage"), asc("rr"), asc("source"), asc("doc_id"))
+        .where(col("pos") <= 100)
+        .select("doc_id", "source", "stage", "pos")
+    }),
+
+
+    // Cross-source Reciprocal Rank Fusion (Cormack et al. SIGIR 2009):
+    // where q246 fuses two DENSE rankings drawn from one candidate
+    // frame, this is the production lexical+dense hybrid — the sparse
+    // list (distinct-token overlap over `documents`) and the dense list
+    // (cosine over `embeddings`) come from DIFFERENT retrieval sources,
+    // so the fuse is a (query_id, cand_id) FULL OUTER join of two
+    // bounded top-50 lists with a missing rank contributing zero — the
+    // real RRF list-merge semantics. Ranks fuse as exact integer
+    // micro-units (1000000 div (60+r)). Dense side rides the broadcast
+    // query frame (Similarity.bruteForceTopK); sparse side broadcasts
+    // the query token sets and ranks with a query-KEYED window; every
+    // downstream window stays keyed by query_id, so the whole plan
+    // shuffles on query_id only at production query volumes.
+    "q350_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(10L, 20L, 30L)
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val dense = Similarity
+        .bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 50)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("rnk").cast("long").as("r_dense"))
+      val qt = docs.where(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("query_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("qtok"))
+      val wS = Window.partitionBy("query_id").orderBy(desc("ov"), asc("cand_id"))
+      val sparse = docs
+        .select(col("doc_id").as("cand_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("ctok"))
+        .crossJoin(broadcast(qt))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("ov", size(array_intersect(col("ctok"), col("qtok"))).cast("long"))
+        .where(col("ov") >= 1L)
+        .withColumn("r_sparse", row_number().over(wS).cast("long"))
+        .where(col("r_sparse") <= 50L)
+        .select("query_id", "cand_id", "r_sparse")
+      val wF = Window.partitionBy("query_id").orderBy(desc("rrf_e6"), asc("cand_id"))
+      dense.join(sparse, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_e6",
+          coalesce(expr("1000000L div (60L + r_dense)"), lit(0L)) +
+            coalesce(expr("1000000L div (60L + r_sparse)"), lit(0L)))
+        .withColumn("pos", row_number().over(wF).cast("long"))
+        .where(col("pos") <= 10L)
+        .select(col("query_id"), col("cand_id"), col("r_dense"),
+          col("r_sparse"), col("rrf_e6"), col("pos"))
+    }),
+
+
+    // Graded retrieval eval — nDCG@10 + reciprocal rank per query
+    // (Järvelin & Kekäläinen TOIS 2002) over the dense cosine top-10,
+    // with label-derived graded relevance (3 = same label, 1 = adjacent
+    // label, 0 otherwise). The log2 position discount is a 10-entry
+    // integer literal table w_e6 = floor(1e6/log2(pos+1)) shared
+    // verbatim with the oracle, so DCG/IDCG/nDCG/RR are exact integer
+    // arithmetic end-to-end (no cross-engine transcendental). Ideal DCG
+    // is the in-list ideal (retrieved set re-sorted by grade) — the
+    // standard local-ideal variant. Scale shape: per-query keyed windows
+    // and one groupBy(query_id); the discount table is a literal CASE.
+    "q351_ndcg_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(10L, 20L, 30L)
+      val e = t(s, d, "embeddings")
+      def wE6(c: String) = expr(s"CASE $c WHEN 1 THEN 1000000L" +
+        " WHEN 2 THEN 630929L WHEN 3 THEN 500000L WHEN 4 THEN 430676L" +
+        " WHEN 5 THEN 386852L WHEN 6 THEN 356207L WHEN 7 THEN 333333L" +
+        " WHEN 8 THEN 315464L WHEN 9 THEN 301029L WHEN 10 THEN 289064L END")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val wI = Window.partitionBy("query_id").orderBy(desc("rel"), asc("rnk"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id").isin(qids: _*)), 10)
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("lab").as("clab")),
+          "neighbor_id")
+        .join(broadcast(
+          lab.select(col("vec_id").as("query_id"), col("lab").as("qlab"))),
+          "query_id")
+        .withColumn("rel",
+          when(col("clab") === col("qlab"), 3L)
+            .when(abs(col("clab") - col("qlab")) === 1L, 1L).otherwise(0L))
+        .withColumn("irnk", row_number().over(wI))
+        .withColumn("wr_e6", wE6("rnk"))
+        .withColumn("wi_e6", wE6("irnk"))
+        .groupBy("query_id")
+        .agg(sum(col("rel") * col("wr_e6")).as("dcg_e6"),
+          sum(col("rel") * col("wi_e6")).as("idcg_e6"),
+          min(when(col("rel") > 0L, col("rnk").cast("long"))).as("minr"))
+        .select(col("query_id"), col("dcg_e6"), col("idcg_e6"),
+          when(col("idcg_e6") > 0L, expr("dcg_e6 * 1000000L div idcg_e6"))
+            .otherwise(0L).as("ndcg_e6"),
+          coalesce(expr("1000000L div minr"), lit(0L)).as("rr_e6"))
+    }),
+
+
+    // Tokenizer fertility audit per (source, lang) — the tokenizer-eval
+    // report a pretraining pipeline runs before committing to a vocab
+    // (fertility = subword tokens per word, bytes per token — the
+    // standard multilingual tokenizer-quality metrics): corpus bytes,
+    // alnum-regex tokens (the BPE-ish tokenizer of the suite) and
+    // whitespace words per group, with bytes/token and tokens/word as
+    // exact e3 trunc divisions. Scale shape: one map-side pass plus one
+    // hash groupBy on (source, lang); output bounded by the group
+    // domain.
+    "q353_tokenizer_fertility" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+          sum(TextFunctions.alnumTokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("n_words"))
+        .where(col("n_tokens") > 0L && col("n_words") > 0L)
+        .select(col("source"), col("lang"), col("n_docs"), col("n_bytes"),
+          col("n_tokens"), col("n_words"),
+          expr("n_bytes * 1000 div n_tokens").as("bytes_per_tok_e3"),
+          expr("n_tokens * 1000 div n_words").as("fertility_e3"))
+    }),
+
+
+    // IVF (cell, bin) occupancy audit — the health check behind the
+    // whole celled-ANN family (q98/q251/q321/q347/q348/q352): group
+    // populations, the skew factor max/avg, and the EXACT in-cell pair
+    // workload Σ pop·(pop−1) those queries will pay. This is the number
+    // an operator watches to decide when to re-train the codebook or
+    // raise nb. One groupBy on (cell, bin) then a bounded aggregate.
+    "q354_cell_balance" -> ((s, d) => {
+      val cents = Similarity.ivfCentroids(t(s, d, "embeddings"))
+      val e = t(s, d, "embeddings")
+      val nDf = e.agg(count(lit(1)).as("n_total"))
+      val pops = e.join(Similarity.withIvfCell(e, cents), "vec_id")
+        .crossJoin(broadcast(nDf))
+        .withColumn("nb", expr("greatest(1L, n_total div 2000)"))
+        .withColumn("bin", expr(
+          """least(nb - 1, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * nb) as bigint)))"""))
+        .groupBy("cell", "bin").agg(count(lit(1)).as("pop"))
+      pops.agg(sum("pop").as("n_total"),
+          count(lit(1)).as("n_groups"),
+          max("pop").as("max_pop"),
+          sum(expr("pop * (pop - 1)")).as("pair_work"))
+        .select(col("n_total"), col("n_groups"), col("max_pop"),
+          expr("n_total div n_groups").as("avg_pop"),
+          expr("max_pop * 1000 div (n_total div n_groups)").as("skew_e3"),
+          col("pair_work"))
+    }),
+
+
+    // Split leakage audit — the eval-integrity check behind every
+    // held-out split: assign docs to 5 folds by content-independent
+    // hash, then count near-dup pairs (LSH candidates) whose endpoints
+    // land in DIFFERENT folds — each one is a train/test leak that
+    // inflates eval scores (the GPT-3-era contamination concern, at the
+    // near-dup rather than exact level). Reports per fold-pair counts
+    // and the overall leak share of all near-dup pairs. Scale shape:
+    // the capped candidate join + one map-side fold hash + a 15-group
+    // aggregate.
+    "q371_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val fold = docs.select(col("doc_id"),
+        (TextFunctions.hash60(concat(lit("fold:"), col("doc_id").cast("string")))
+          % 5).as("fold"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(fold.select(col("doc_id").as("id1"), col("fold").as("f1")), "id1")
+        .join(fold.select(col("doc_id").as("id2"), col("fold").as("f2")), "id2")
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L)).as("n_leaks"))
+      pairs.groupBy(least(col("f1"), col("f2")).as("fa"),
+          greatest(col("f1"), col("f2")).as("fb"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("fa"), col("fb"), col("n"), col("n_pairs"), col("n_leaks"),
+          expr("n_leaks * 1000000 div n_pairs").as("leak_rate_e6"),
+          (col("fa") =!= col("fb")).as("is_leak"))
+    }),
+
+
+    // Cross-source duplication flow matrix — the "who copies whom"
+    // provenance readout: near-dup pairs bucketed by their endpoint
+    // sources (unordered), with each cell's share of all pairs. A heavy
+    // off-diagonal cell means two feeds ingest the same upstream — the
+    // dedup-BEFORE-mixing signal a corpus assembler acts on; heavy
+    // diagonal means a source self-duplicates. Capped candidate join +
+    // two dim joins + one bounded (source, source) aggregate.
+    "q385_dup_flow_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+      val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs.groupBy(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n"),
+          expr("n * 1000000 div n_pairs").as("share_e6"),
+          (col("src_a") === col("src_b")).as("self_dup"))
+    }),
+
+
+    // UniMax budget-capped water filling (Chung et al. 2023,
+    // arXiv:2304.09151) — the fairer alternative to temperature sampling
+    // (q194/q345): no source repeats beyond epochCap epochs, and the
+    // budget spreads as uniformly as the caps allow. Budget = half the
+    // corpus tokens, cap = 2 epochs, so the readout is scale-free.
+    // Scale shape: corpus-scale work is ONE token-count scan; the
+    // water-filling scan runs on the per-source aggregate via
+    // Mixture.unimaxAllocation (bounded-dim frame, two window passes —
+    // the monotone capped test removes the sequential loop).
+    "q386_unimax_mix" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tok"))
+      graft.operators.Mixture.unimaxAllocation(counts,
+        expr("sum(n_tok) OVER () div 2"), 2L)
+    }),
+
+
+    // Fellegi–Sunter comparison-vector weights (Fellegi & Sunter 1969;
+    // the Splink/record-linkage core): from a labeled candidate-pair set
+    // (LSH candidates labeled match ⟺ token-Jaccard ≥ 1/2 — the
+    // all-integer test 2·|∩| ≥ |∪|), estimate each comparison feature's
+    // m = P(agree|match) and u = P(agree|non-match) and the log-odds
+    // match weight ln(m/u) with Laplace (+1/+2) smoothing. Features:
+    // same source, same lang, |Δn_chars| < 100, equal first token.
+    // Scale shape: pairs come from the capped LSH band join (never
+    // all-pairs); per-pair features are map-side; the estimate is ONE
+    // bounded aggregate (4 features) unpivoted to rows. ln is called on
+    // the SAME pinned double ratio in both engines (q278 posture).
+    "q387_fs_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val side = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"),
+        element_at(TextFunctions.tokens(col("text")), 1).as("tok1"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(side.toDF("id1", "s1", "l1", "c1", "w1", "t1"), "id1")
+        .join(side.toDF("id2", "s2", "l2", "c2", "w2", "t2"), "id2")
+        .withColumn("inter", size(array_intersect(col("w1"), col("w2"))).cast("long"))
+        .withColumn("uni", size(col("w1")) + size(col("w2")) - col("inter"))
+        .select((col("inter") * 2L >= col("uni")).as("is_match"),
+          (col("s1") === col("s2")).cast("long").as("f_source"),
+          (col("l1") === col("l2")).cast("long").as("f_lang"),
+          (abs(col("c1") - col("c2")) < 100L).cast("long").as("f_len"),
+          (col("t1") === col("t2")).cast("long").as("f_tok1"))
+      val agg = pairs.agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("nu"),
+        sum(when(col("is_match"), col("f_source"))).as("m_source"),
+        sum(when(!col("is_match"), col("f_source"))).as("u_source"),
+        sum(when(col("is_match"), col("f_lang"))).as("m_lang"),
+        sum(when(!col("is_match"), col("f_lang"))).as("u_lang"),
+        sum(when(col("is_match"), col("f_len"))).as("m_len"),
+        sum(when(!col("is_match"), col("f_len"))).as("u_len"),
+        sum(when(col("is_match"), col("f_tok1"))).as("m_tok1"),
+        sum(when(!col("is_match"), col("f_tok1"))).as("u_tok1"))
+      agg.select(expr(
+        """stack(4,
+             'source', m_source, u_source,
+             'lang',   m_lang,   u_lang,
+             'len',    m_len,    u_len,
+             'tok1',   m_tok1,   u_tok1) AS (feature, ma, ua)"""),
+        col("nm"), col("nu"))
+        .select(col("feature"), col("ma"), col("ua"), col("nm"), col("nu"),
+          expr("ma * 1000000 div nm").as("m_e6"),
+          expr("ua * 1000000 div nu").as("u_e6"),
+          floor(log(((col("ma") + 1L) * (col("nu") + 2L)).cast("double")
+            / ((col("ua") + 1L) * (col("nm") + 2L)).cast("double")) * 1e6)
+            .cast("long").as("weight_e6"))
+    }),
+
+
+    // Pseudo-relevance-feedback query expansion (RM3 shape — Lavrenko &
+    // Croft 2001; Abdul-Jaleel et al. 2004): run the q126 BM25 query
+    // ('spark','fast'), take the top-10 docs, and score candidate
+    // expansion terms by the integer relevance-model weight
+    // Σ_d tf(w,d)·1e6 div dl_d over those docs (per-doc term share —
+    // length-normalized so one long doc can't dominate), excluding the
+    // original query terms; keep the top 15. Scale shape: the BM25 scan
+    // is corpus-scale map-side + one bounded stats broadcast; the
+    // feedback explode touches ONLY the 10 selected docs (broadcast
+    // semi-join on the top-k ids), so expansion cost is O(top-k · doc
+    // length), independent of corpus size.
+    "q389_prf_expansion" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("dl"),
+        size(filter(toks, x => x === "spark")).cast("long").as("tf1"),
+        size(filter(toks, x => x === "fast")).cast("long").as("tf2"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"))
+      def term(tf: String, df: String): Column =
+        log((col("n_docs") - col(df) + 0.5) / (col(df) + 0.5) + 1.0) *
+          (col(tf) * 2.2) /
+          (col(tf) + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+      val top = base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+        .where(col("tf1") > 0 || col("tf2") > 0)
+        .withColumn("score", term("tf1", "df1") + term("tf2", "df2"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "dl")
+      t(s, d, "documents")
+        .join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("dl"), explode(toks).as("term"))
+        .where(!col("term").isin("spark", "fast"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(sum(expr("tf * 1000000 div dl")).as("w_e6"),
+          count(lit(1)).as("n_docs_term"))
+        .orderBy(desc("w_e6"), asc("term"))
+        .limit(15)
+    }),
+
+
+    // Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): the
+    // Shapley value of each TRAINING point for a K-NN classifier has a
+    // closed form — rank training points by similarity to a validation
+    // point, then s_i = s_{i+1} + (a_i − a_{i+1})·1/max(i,K) with
+    // s_N = a_N/N (a_j = 1 iff labels agree) — i.e. a SUFFIX SUM of
+    // per-rank deltas, which is one window pass, no sequential loop.
+    // Per-term trunc-div at e9 (both engines truncate toward zero) keeps
+    // the suffix sum integer-exact and merge-order-free. The valuation
+    // readout is the curation signal: points with negative value are
+    // mislabeled/harmful candidates for removal. Scale shape: distances
+    // are map-side vs a BROADCAST validation set; the per-query total
+    // order comes from ONE range-partitioned global sort over
+    // (query_id, cos) (`Ranking.globalRank` — a `Window.partitionBy
+    // (query_id)` would put each query's ENTIRE corpus ranking into a
+    // single task: Q tasks of size n, the q71/q176 scale killer), the
+    // per-query suffix sum from ONE `PrefixScan` over the same order
+    // (suffix = query total − inclusive prefix + current; Spark's
+    // UnboundedFollowing frame re-aggregates the tail per row, O(n²)
+    // per partition — measured 19 s vs 0.6 s at sf1), lead(a) from a
+    // keyed self-join on (query_id, rank+1), and the top-10 readout
+    // from the bounded-heap `TopKPerKey` operator. Zero Window nodes
+    // on data-sized frames (PlanSpec-asserted). Production truncates
+    // the scan to an ANN candidate set (q251 cells) since the
+    // 1/max(j,K) tail decays — the closed form bounds truncation error.
+    "q390_knn_shapley" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qids = Seq(10L, 20L, 30L)
+      val q = e.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+        .withColumn("qn", Similarity.norm2("qemb"))
+      val scored = e.where(!col("vec_id").isin(qids: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "qemb"),
+          Similarity.norm2("embedding"), col("qn")))
+        .select(col("query_id"), col("vec_id"),
+          (col("label") === col("qlabel")).cast("long").as("a"), col("cos"))
+      // one parallel range-sort; per-query rank = global rank − the
+      // query's first global rank + 1 (Q-row offset frame, broadcast)
+      val g = graft.operators.Ranking.globalRank(scored, "grk",
+        asc("query_id"), desc("cos"), asc("vec_id")).persist()
+      val qstats = g.groupBy("query_id")
+        .agg(min("grk").as("g0"), count(lit(1)).as("n"))
+      val ranked = g.join(broadcast(qstats), "query_id")
+        .withColumn("dist_rnk", col("grk") - col("g0") + lit(1L))
+        .persist()
+      val nxt = ranked.select(col("query_id"),
+        (col("dist_rnk") - 1L).as("dist_rnk"), col("a").as("a_next"))
+      val terms = ranked.join(nxt, Seq("query_id", "dist_rnk"), "left")
+        .withColumn("term_e9", when(col("dist_rnk") === col("n"),
+          expr("a * 1000000000 div n")).otherwise(
+          expr("(a - a_next) * 1000000000 div greatest(dist_rnk, 5)")))
+      // per-query inclusive prefix from ONE global scan: subtract the
+      // query's global offset (sum of all earlier queries' totals —
+      // a Q-row triangular join, broadcast)
+      val cum = graft.operators.PrefixScan.scanLong(terms, "cum_g", "term_e9", "sum",
+        inclusive = true, asc("query_id"), asc("dist_rnk")).persist()
+      val tot = cum.groupBy("query_id").agg(sum("term_e9").as("tot_q"))
+      val off = tot.join(
+        broadcast(tot.select(col("query_id").as("qid2"),
+          col("tot_q").as("tot2"))),
+        col("qid2") < col("query_id"), "left")
+        .groupBy(col("query_id"), col("tot_q"))
+        .agg(coalesce(sum("tot2"), lit(0L)).as("off_q"))
+      val shap = cum.join(broadcast(off), "query_id")
+        .withColumn("shap_e9",
+          col("tot_q") - (col("cum_g") - col("off_q")) + col("term_e9"))
+      val top = graft.plans.TopKPerKey(shap, Seq("query_id"),
+        Seq(desc("shap_e9"), asc("vec_id")), 10)
+      // val_rnk on the bounded 10·Q-row result — same globalRank trick
+      // keeps the whole plan Window-free
+      val v = graft.operators.Ranking.globalRank(top.select("query_id", "vec_id",
+          "dist_rnk", "a", "shap_e9"), "vgrk",
+        asc("query_id"), desc("shap_e9"), asc("vec_id"))
+      val v0 = v.groupBy(col("query_id").as("qid0"))
+        .agg(min("vgrk").as("v0"))
+      val out = v.join(broadcast(v0), col("query_id") === col("qid0"))
+        .select(col("query_id"),
+          (col("vgrk") - col("v0") + lit(1L)).as("val_rnk"), col("vec_id"),
+          col("dist_rnk"), (col("a") === 1L).as("same_label"),
+          col("shap_e9"))
+      // g/ranked/cum stay persisted for the caller's action (the final
+      // replay reuses them); Verify/Bench clearCache() between queries.
+      out
+    }),
+
+
+    // Reference-model data selection (the RHO-loss shape, Mindermann et
+    // al. 2022, arXiv:2206.07137): score each candidate doc by
+    // train-model NLL − reference-model NLL, where the train model is
+    // the full-corpus unigram LM (q127) and the reference model is a
+    // unigram LM fit on the clean 'src0' slice with Laplace (+1 over
+    // n_ref+V) smoothing for OOV. High excess = the doc looks hard to
+    // the corpus model but is well-explained by the clean reference —
+    // learnable, not noise; per-source top-5 is the selection. Both NLL
+    // folds run in pinned position order (the q127 collect_list-sorted
+    // rule) so the IEEE sums replay exactly. Scale shape: one token
+    // explode + two vocab joins (vocab-sized broadcast-able aggregates),
+    // per-doc fold map-side; the top-k is a per-SOURCE keyed window.
+    "q393_rho_selection" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents").select(col("doc_id"), col("source"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n_tot"), count(lit(1)).as("v"))
+      val refUni = tok.where(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("c_ref"))
+      val refTot = tok.where(col("source") === "src0")
+        .agg(count(lit(1)).as("n_ref"))
+      val nll = tok.join(uni, "term")
+        .join(refUni, Seq("term"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(refTot))
+        .withColumn("lnp_tr", log(col("n_tot").cast("double") / col("c")))
+        .withColumn("lnp_ref", log((col("n_ref") + col("v")).cast("double")
+          / (coalesce(col("c_ref"), lit(0L)) + lit(1L))))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"),
+          array_sort(collect_list(struct(col("pos"), col("lnp_tr"),
+            col("lnp_ref")))).as("ps"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor(aggregate(transform(col("ps"), x => x.getField("lnp_tr")),
+            lit(0.0d), (acc, x) => acc + x) / col("n_tok") * 1e6)
+            .cast("long").as("nll_e6"),
+          floor(aggregate(transform(col("ps"), x => x.getField("lnp_ref")),
+            lit(0.0d), (acc, x) => acc + x) / col("n_tok") * 1e6)
+            .cast("long").as("ref_nll_e6"))
+      nll.where(col("source") =!= "src0")
+        .withColumn("excess_e6", col("nll_e6") - col("ref_nll_e6"))
+        .withColumn("sel_rnk", row_number().over(Window.partitionBy("source")
+          .orderBy(desc("excess_e6"), asc("doc_id"))).cast("long"))
+        .where(col("sel_rnk") <= 5)
+        .select("source", "sel_rnk", "doc_id", "n_tok", "nll_e6",
+          "ref_nll_e6", "excess_e6")
+    }),
+
+
+    // Clustering external validation — purity and NMI of the q145 Lloyd
+    // assignment against the embeddings' true labels (the eval that says
+    // whether unsupervised structure recovers the annotation; NMI is the
+    // standard symmetric readout, Strehl & Ghosh 2002). The contingency
+    // table is exact integer counts; MI and the two entropies are pinned
+    // double folds over the SORTED cell list (the q147 cell-fold rule —
+    // k·L cells, bounded by construction), so both engines sum in the
+    // same order; one final pinned chain turns (mi, hc, hl) into NMI.
+    // Scale shape: Lloyd is the q145 machinery (explode-agg + broadcast
+    // argmin per round); the validation itself is one (cluster, label)
+    // groupBy plus window marginals on the bounded cell frame.
+    "q394_cluster_nmi" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wB = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val (cur, _) = Similarity.lloyd(t(s, d, "embeddings"), 2)
+      val cells = cur.select("vec_id", "c")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("l")), "vec_id")
+        .groupBy("c", "l").agg(count(lit(1)).as("n_cl"))
+        .withColumn("n_c", sum("n_cl").over(Window.partitionBy("c")))
+        .withColumn("n_l", sum("n_cl").over(Window.partitionBy("l")))
+        .withColumn("n", sum("n_cl").over(wB))
+        .localCheckpoint(true)
+      val mi = cells
+        .withColumn("term", (col("n_cl").cast("double") / col("n")) *
+          log((col("n") * col("n_cl")).cast("double")
+            / (col("n_c") * col("n_l")).cast("double")))
+        .agg(max("n").as("n"), countDistinct("c").as("k"),
+          countDistinct("l").as("n_labels"),
+          array_sort(collect_list(struct(col("c"), col("l"), col("term"))))
+            .as("ts"))
+        .select(col("n"), col("k"), col("n_labels"),
+          aggregate(transform(col("ts"), x => x.getField("term")),
+            lit(0.0d), (acc, x) => acc + x).as("mi"))
+      val hc = cells.select("c", "n_c", "n").distinct()
+        .withColumn("term", (col("n_c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("n_c")))
+        .agg(array_sort(collect_list(struct(col("c"), col("term")))).as("ts"))
+        .select(aggregate(transform(col("ts"), x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("hc"))
+      val hl = cells.select("l", "n_l", "n").distinct()
+        .withColumn("term", (col("n_l").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("n_l")))
+        .agg(array_sort(collect_list(struct(col("l"), col("term")))).as("ts"))
+        .select(aggregate(transform(col("ts"), x => x.getField("term")),
+          lit(0.0d), (acc, x) => acc + x).as("hl"))
+      val pur = cells.groupBy("c").agg(max("n_cl").as("mx"))
+        .agg(sum("mx").as("n_pure"))
+      mi.crossJoin(hc).crossJoin(hl).crossJoin(pur)
+        .select(col("n"), col("k"), col("n_labels"),
+          expr("n_pure * 1000000 div n").as("purity_e6"),
+          floor(col("mi") * 1e6).cast("long").as("mi_e6"),
+          floor(col("hc") * 1e6).cast("long").as("hc_e6"),
+          floor(col("hl") * 1e6).cast("long").as("hl_e6"),
+          floor((col("mi") * 2.0) / (col("hc") + col("hl")) * 1e6)
+            .cast("long").as("nmi_e6"))
+    }),
+
+
+    // Nucleus (top-p) vocabulary coverage per source — how concentrated
+    // each source's unigram mass is: the number of types needed to cover
+    // 90% of tokens (the integer test cum·10 ≥ tot·9, no floats) and the
+    // mass captured by the top-100 types. The tokenizer-design readout:
+    // a source where 100 types carry most of the mass is template/boiler
+    // -plate-heavy (pairs with q103 repetition and q285 richness).
+    // Scale shape: one (source, term) groupBy, then per-SOURCE windows
+    // over the VOCAB frame (Heaps-law sublinear in corpus size), one
+    // row out per source.
+    "q395_topp_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(desc("c"), asc("term"))
+      val voc = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text")))
+          .as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      voc
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum("c").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), max("tot").as("n_tok"),
+          min(when(col("cum") * 10L >= col("tot") * 9L, col("rnk")))
+            .as("types_p90"),
+          max(when(col("rnk") <= 100L, col("cum"))).as("cum100"))
+        .select(col("source"), col("n_types"), col("n_tok"),
+          col("types_p90"),
+          expr("cum100 * 1000000 div n_tok").as("mass_top100_e6"))
+    }),
+
+
+    // Simplified silhouette (Hruschka et al. 2004) — the linear-time
+    // internal clustering validation that replaces all-pairs distances
+    // with distances to CENTROIDS: a(i) = d²(i, own centroid),
+    // b(i) = min d²(i, other centroids), s(i) = (b−a)/max(a,b). On the
+    // q145 Lloyd solution with integer-quantized vectors the distances
+    // are exact BIGINT squared-L2, so s is one trunc-div per point and
+    // the per-cluster means are exact — no float fold at all (squared
+    // -distance variant, documented divergence from the sqrt form;
+    // distances in kilo-µ² units — d² div 1000 — so (b−a)·1e6 stays
+    // inside int64 at Dim=64, worst case 2.6e17).
+    // Scale shape: one broadcast of k centroids, map-side distances, one
+    // groupBy — the validation costs one scan, vs O(n²) for the full
+    // silhouette.
+    "q396_silhouette" -> ((s, d) => {
+      val (cur, cents) = Similarity.lloyd(t(s, d, "embeddings"), 2)
+      val d2 = cur.crossJoin(broadcast(cents
+          .select(col("c").as("c2"), col("ce"))))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+             cast(0 as bigint), (acc, x) -> acc + x) div 1000"""))
+        .groupBy("vec_id", "c")
+        .agg(min(when(col("c2") === col("c"), col("d2"))).as("a"),
+          min(when(col("c2") =!= col("c"), col("d2"))).as("b"))
+        .withColumn("s_e6", expr(
+          "CASE WHEN greatest(a, b) = 0 THEN 0 " +
+          "ELSE ((b - a) * 1000000) div greatest(a, b) END"))
+      d2.groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(s_e6) div count(1)").as("mean_s_e6"),
+          min("s_e6").as("min_s_e6"), max("s_e6").as("max_s_e6"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q246_rrf_fusion" -> rrfOracle,
+
+    "q247_mmr_rerank" -> mmrOracle,
+
+    "q248_token_budget_fill" -> budgetFillOracle,
+
+    "q249_doremi_mixture" -> doremiOracle,
+
+    "q250_training_mix" -> trainingMixOracle,
+
+    "q236_benford" -> {
+      val rows = (1 to 9).map(dd =>
+        s"($dd, ${math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong})")
+        .mkString(", ")
+      s"""WITH digits AS (
+           SELECT * FROM (VALUES $rows) v(digit, exp_e6)),
+         obs AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS o
+           FROM orders GROUP BY 1),
+         t AS (SELECT sum(o) AS n FROM obs)
+         SELECT obs.digit, obs.o,
+           CAST((obs.o * 1000000) // n AS BIGINT) AS obs_e6,
+           CAST(exp_e6 AS BIGINT) AS exp_e6,
+           CAST(abs((obs.o * 1000000) // n - exp_e6) AS BIGINT) AS dev_e6
+         FROM obs JOIN digits ON obs.digit = digits.digit, t"""
+    },
+
+    "q237_gini" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg,
+             CAST(floor((c_acctbal + 1000.0) * 100) AS BIGINT) AS x,
+             c_custkey
+           FROM customer),
+         r AS (
+           SELECT seg, x,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey)
+               AS BIGINT) AS i
+           FROM c),
+         a AS (
+           SELECT seg, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+           FROM r GROUP BY 1)
+         SELECT seg, n,
+           CAST(floor((2.0 * CAST(six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+             AS BIGINT) AS gini_e6
+         FROM a""",
+
+    "q238_twap" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+             epoch_us(ts) // 1000000 AS tm,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+           FROM events),
+         h AS (
+           SELECT user_id, event_type, v_e6,
+             lead(tm) OVER (PARTITION BY user_id, event_type
+                            ORDER BY tm, event_id) - tm AS dur_s
+           FROM e),
+         a AS (
+           SELECT user_id, event_type, count(*) AS n_holds,
+             CAST(sum(dur_s) AS BIGINT) AS total_s,
+             CAST(sum(v_e6 * dur_s) AS BIGINT) AS vd
+           FROM h WHERE dur_s IS NOT NULL GROUP BY 1, 2)
+         SELECT user_id, event_type, n_holds, total_s,
+           vd // total_s AS twap_e6
+         FROM a WHERE total_s > 0""",
+
+    "q239_hhi" ->
+      """WITH rev AS (
+           SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         a AS (
+           SELECT seg, count(*) AS n_firms,
+             CAST(sum(x // 100) AS BIGINT) AS sx,
+             CAST(sum((x // 100) * (x // 100)) AS BIGINT) AS sxx
+           FROM rev GROUP BY 1)
+         SELECT seg, n_firms,
+           CAST(floor(CAST(sxx AS DOUBLE)
+             / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6)
+             AS BIGINT) AS hhi_e6
+         FROM a""",
+
+    "q152_js_divergence" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+           FROM documents WHERE source IN ('src0', 'src1')),
+         counts AS (
+           SELECT tk,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cq
+           FROM tok GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+           FROM counts),
+         c AS (
+           SELECT CAST(floor((
+             CASE WHEN cp > 0 THEN (CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+               * ln((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE))
+                 / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+               * 0.5 ELSE 0.0 END
+             + CASE WHEN cq > 0 THEN (CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+               * ln((CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE))
+                 / ((CAST(cp AS DOUBLE) / CAST(np AS DOUBLE) + CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE)) / 2.0))
+               * 0.5 ELSE 0.0 END) * 1000000000000.0) AS BIGINT) AS c_e12
+           FROM counts, tot)
+         SELECT count(*) AS n_terms, CAST(sum(c_e12) AS BIGINT) AS jsd_e12
+         FROM c""",
+
+    "q149_nfc_normalize" ->
+      """WITH m AS (
+           SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS mangled
+           FROM documents)
+         SELECT doc_id, length(mangled) AS len_raw,
+           length(nfc_normalize(mangled)) AS len_nfc,
+           md5(nfc_normalize(mangled)) AS nfc_md5
+         FROM m""",
+
+
+    "q277_bleu_pairs" ->
+      s"""WITH docs AS (
+           SELECT source, doc_id, $tokenHashesSql AS ht,
+             lead($tokenHashesSql) OVER
+               (PARTITION BY source ORDER BY doc_id) AS rht
+           FROM documents),
+         p AS (SELECT source, doc_id, ht, rht FROM docs
+               WHERE rht IS NOT NULL),
+         cc1 AS (
+           SELECT source, doc_id, unnest(list_transform(
+             range(1, len(ht) + 1), i -> ${gramHash62("i", 1)})) AS g
+           FROM p),
+         rr1 AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, len(rht) + 1), i -> ${gramHash62("i", 1, "rht")})) AS g
+           FROM p),
+         cc2 AS (
+           SELECT source, doc_id, unnest(list_transform(range(1, len(ht)),
+             i -> ${gramHash62("i", 2)})) AS g
+           FROM p WHERE len(ht) >= 2),
+         rr2 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(rht)),
+             i -> ${gramHash62("i", 2, "rht")})) AS g
+           FROM p WHERE len(rht) >= 2),
+         c1 AS (SELECT source, doc_id, g, count(*) AS c_cand
+                FROM cc1 GROUP BY 1, 2, 3),
+         r1 AS (SELECT doc_id, g, count(*) AS c_ref FROM rr1 GROUP BY 1, 2),
+         c2 AS (SELECT source, doc_id, g, count(*) AS c_cand
+                FROM cc2 GROUP BY 1, 2, 3),
+         r2 AS (SELECT doc_id, g, count(*) AS c_ref FROM rr2 GROUP BY 1, 2),
+         a1 AS (
+           SELECT source, CAST(1 AS BIGINT) AS n,
+             CAST(sum(c_cand) AS BIGINT) AS tot,
+             CAST(sum(least(c_cand, coalesce(c_ref, 0))) AS BIGINT) AS clip
+           FROM c1 LEFT JOIN r1 USING (doc_id, g) GROUP BY 1),
+         a2 AS (
+           SELECT source, CAST(2 AS BIGINT) AS n,
+             CAST(sum(c_cand) AS BIGINT) AS tot,
+             CAST(sum(least(c_cand, coalesce(c_ref, 0))) AS BIGINT) AS clip
+           FROM c2 LEFT JOIN r2 USING (doc_id, g) GROUP BY 1)
+         SELECT source, n, tot, clip, (clip * 1000000) // tot AS prec_e6
+         FROM a1 WHERE tot > 0
+         UNION ALL
+         SELECT source, n, tot, clip, (clip * 1000000) // tot AS prec_e6
+         FROM a2 WHERE tot > 0""",
+
+
+    "q278_js_divergence" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         sc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM sc GROUP BY 1),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+                FROM sc GROUP BY 1),
+         gt AS (SELECT CAST(sum(c) AS BIGINT) AS gtot FROM sc),
+         grid AS (
+           SELECT st.source, st.tot, g.tok, g.gc, gt.gtot,
+             coalesce(sc.c, 0) AS c
+           FROM g CROSS JOIN st CROSS JOIN gt
+           LEFT JOIN sc ON sc.source = st.source AND sc.tok = g.tok),
+         terms AS (
+           SELECT source, tot,
+             CASE WHEN c > 0 THEN 1 ELSE 0 END AS inv,
+             CASE WHEN c > 0 THEN CAST(floor(
+                 (CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                      / (((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          + (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) ELSE 0 END AS tp,
+             CAST(floor(
+                 (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE))
+                 * ln((CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE))
+                      / (((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+                          + (CAST(gc AS DOUBLE) / CAST(gtot AS DOUBLE)))
+                         / 2.0))
+                 * 1000000000.0) AS BIGINT) AS tq
+           FROM grid)
+         SELECT source, tot, CAST(sum(inv) AS BIGINT) AS vocab,
+           CAST(sum(tp) AS BIGINT) AS klp_e9,
+           CAST(sum(tq) AS BIGINT) AS klq_e9,
+           CAST(sum(tp) + sum(tq) AS BIGINT) AS jsd2_e9
+         FROM terms GROUP BY 1, 2""",
+
+
+    "q284_winnowing" ->
+      s"""WITH $winnowFpsCtes,
+         sh AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY 1)
+         SELECT doc_id, max(n_grams) AS n_grams, count(*) AS n_fps,
+           min(fp) AS fp_min, max(fp) AS fp_max,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+         FROM fps JOIN sh USING (fp)
+         GROUP BY 1""",
+
+
+    "q294_clustering_coeff" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         tv AS (
+           SELECT zu.z AS src,
+             CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS t_v
+           FROM (SELECT src AS z, dst AS u FROM edges) zu
+           JOIN (SELECT src AS z, dst AS w FROM edges) zw USING (z)
+           LEFT JOIN pairs c ON c.id1 = zu.u AND c.id2 = zw.w
+           WHERE zu.u < zw.w
+           GROUP BY 1)
+         SELECT deg.src AS doc_id, deg, coalesce(t_v, 0) AS t_v,
+           (2 * coalesce(t_v, 0) * 1000000) // (deg * (deg - 1)) AS coeff_e6
+         FROM deg LEFT JOIN tv ON deg.src = tv.src
+         WHERE deg >= 2""",
+
+
+    "q316_modularity" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         m AS (SELECT count(*) AS m FROM pairs),
+         w AS (
+           SELECT id1 // 50 AS comm, count(*) AS e_c
+           FROM pairs WHERE id1 // 50 = id2 // 50 GROUP BY 1),
+         deg AS (
+           SELECT id, count(*) AS deg FROM (
+             SELECT id1 AS id FROM pairs
+             UNION ALL SELECT id2 AS id FROM pairs)
+           GROUP BY 1),
+         dc AS (
+           SELECT id // 50 AS comm, CAST(sum(deg) AS BIGINT) AS d_c
+           FROM deg GROUP BY 1)
+         SELECT dc.comm, coalesce(e_c, 0) AS e_c, d_c, m.m,
+           4 * m.m * coalesce(e_c, 0) - d_c * d_c AS q4m2_contrib
+         FROM dc LEFT JOIN w ON dc.comm = w.comm, m""",
+
+
+    "q313_rake" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+           FROM documents),
+         ph AS (
+           SELECT doc_id, pos, word,
+             word IN ('the','a','and','of','to','in','is','it','as',
+               'for','on','with') AS is_stop,
+             CAST(sum(CASE WHEN word IN ('the','a','and','of','to','in',
+               'is','it','as','for','on','with') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+           FROM toks),
+         cand AS (
+           SELECT doc_id, phrase_id, pos, word
+           FROM ph WHERE NOT is_stop AND word <> ''),
+         phrases AS (
+           SELECT doc_id, phrase_id, count(*) AS plen,
+             string_agg(word, ' ' ORDER BY pos) AS phrase
+           FROM cand GROUP BY 1, 2 HAVING count(*) <= 3),
+         words AS (
+           SELECT doc_id, phrase_id, plen,
+             unnest(string_split(phrase, ' ')) AS word
+           FROM phrases),
+         stats AS (
+           SELECT word, count(*) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+           FROM words GROUP BY 1),
+         sc AS (
+           SELECT doc_id, phrase_id,
+             CAST(sum((deg * 1000000) // freq) AS BIGINT) AS score_e6
+           FROM words JOIN stats USING (word) GROUP BY 1, 2)
+         SELECT phrase, count(*) AS n_occ, max(score_e6) AS score_e6
+         FROM sc JOIN phrases USING (doc_id, phrase_id)
+         GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""",
+
+
+    "q302_winnow_matches" ->
+      s"""WITH $winnowFpsCtes,
+         occ AS (
+           SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 16),
+         inc AS (SELECT fps.doc_id, fps.fp FROM fps JOIN occ USING (fp))
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           count(*) AS n_shared
+         FROM inc a JOIN inc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+
+    "q303_hits" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         a1r AS (
+           SELECT e.dst AS id, CAST(sum(h) AS BIGINT) AS raw
+           FROM edges e JOIN h0 ON e.src = h0.id GROUP BY 1),
+         a1 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM a1r) AS a FROM a1r),
+         h1r AS (
+           SELECT e.src AS id, CAST(sum(a) AS BIGINT) AS raw
+           FROM edges e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+         h1 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM h1r) AS h FROM h1r),
+         a2r AS (
+           SELECT e.dst AS id, CAST(sum(h) AS BIGINT) AS raw
+           FROM edges e JOIN h1 ON e.src = h1.id GROUP BY 1),
+         a2 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM a2r) AS a FROM a2r),
+         h2r AS (
+           SELECT e.src AS id, CAST(sum(a) AS BIGINT) AS raw
+           FROM edges e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+         h2 AS (SELECT id, (raw * 1000000)
+                  // (SELECT max(raw) FROM h2r) AS h FROM h2r)
+         SELECT a2.id AS doc_id, a2.a AS auth_e6, h2.h AS hub_e6
+         FROM a2 JOIN h2 USING (id)""",
+
+
+    "q295_khop_bfs" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         d0 AS (
+           SELECT least(min(id1), min(id2)) AS id, CAST(0 AS BIGINT) AS dist
+           FROM pairs),
+         r1 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM d0
+             UNION ALL
+             SELECT e.dst AS id, 1 AS dist
+             FROM edges e JOIN d0 ON e.src = d0.id AND d0.dist = 0)
+           GROUP BY 1),
+         r2 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM r1
+             UNION ALL
+             SELECT e.dst AS id, 2 AS dist
+             FROM edges e JOIN r1 ON e.src = r1.id AND r1.dist = 1)
+           GROUP BY 1),
+         r3 AS (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM r2
+             UNION ALL
+             SELECT e.dst AS id, 3 AS dist
+             FROM edges e JOIN r2 ON e.src = r2.id AND r2.dist = 2)
+           GROUP BY 1)
+         SELECT id AS doc_id, dist FROM r3""",
+
+
+    "q296_heaps_law" ->
+      """WITH nd AS (SELECT max(doc_id) AS mx FROM documents),
+         tok AS (
+           SELECT least(doc_id * 10 // (mx + 1), 9) AS bucket,
+             unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents, nd),
+         per_bucket AS (
+           SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+         firsts AS (
+           SELECT bucket, count(*) AS n_new_types FROM (
+             SELECT tok, min(bucket) AS bucket FROM tok GROUP BY 1)
+           GROUP BY 1)
+         SELECT p.bucket, n_tokens,
+           coalesce(n_new_types, 0) AS n_new_types,
+           CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY p.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+           CAST(sum(n_tokens) OVER (ORDER BY p.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         FROM per_bucket p LEFT JOIN firsts f ON p.bucket = f.bucket""",
+
+
+    "q288_psi" ->
+      """WITH ev AS (
+           SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 2 = 0 AS is_ref,
+             least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+           FROM events),
+         cnt AS (
+           SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_r,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_c
+           FROM ev GROUP BY 1, 2),
+         grid AS (
+           SELECT event_type, CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+           FROM (SELECT DISTINCT event_type FROM ev)),
+         tot AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+           FROM ev GROUP BY 1),
+         terms AS (
+           SELECT g.event_type, n_r, n_c,
+             CAST(floor(
+               ((CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / CAST(n_r + 10 AS DOUBLE))
+                - (CAST(coalesce(c_c, 0) + 1 AS DOUBLE) / CAST(n_c + 10 AS DOUBLE)))
+               * ln((CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / CAST(n_r + 10 AS DOUBLE))
+                    / (CAST(coalesce(c_c, 0) + 1 AS DOUBLE) / CAST(n_c + 10 AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS term_e9
+           FROM grid g
+           LEFT JOIN cnt ON g.event_type = cnt.event_type AND g.bin = cnt.bin
+           JOIN tot ON g.event_type = tot.event_type)
+         SELECT event_type, n_r, n_c,
+           CAST(sum(term_e9) AS BIGINT) AS psi_e9
+         FROM terms GROUP BY 1, 2, 3""",
+
+
+    "q285_vocab_richness" ->
+      """WITH tc AS (
+           SELECT source, tok, count(*) AS c
+           FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT source, count(*) AS v,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc1
+           FROM tc GROUP BY 1)
+         SELECT source, v, f1, f2, n_tok,
+           CASE WHEN f2 > 0 THEN v * 100 + (f1 * f1 * 100) // (2 * f2)
+                ELSE v * 100 END AS chao1_e2,
+           ((sum_cc1 * 1000) // (n_tok - 1) * 1000000) // n_tok
+             AS simpson_e9
+         FROM agg""",
+
+
+    "q320_assortativity" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL
+           SELECT id2 AS src, id1 AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         st AS (
+           SELECT count(*) AS m2,
+             CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s_jk,
+             CAST(sum(dj.deg + dk.deg) AS BIGINT) AS s_jpk,
+             CAST(sum(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS s_j2k2
+           FROM edges e
+           JOIN deg dj ON e.src = dj.src
+           JOIN deg dk ON e.dst = dk.src)
+         SELECT m2, s_jk, s_jpk, s_j2k2,
+           CASE WHEN CAST(s_j2k2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)
+                  - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                    * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)) > 0.0
+             THEN CAST(floor(
+               (CAST(s_jk AS DOUBLE) / CAST(m2 AS DOUBLE)
+                 - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                   * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)))
+               / (CAST(s_j2k2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)
+                 - (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0))
+                   * (CAST(s_jpk AS DOUBLE) / (CAST(m2 AS DOUBLE) * 2.0)))
+               * 1000000.0) AS BIGINT)
+             ELSE NULL END AS r_e6
+         FROM st""",
+
+
+    "q321_mutual_nn" -> mutualNnOracle,
+
+    "q347_mutual_nn_scaled" -> mutualNnScaledOracle(200L),
+
+    "q348_hard_negatives" -> hardNegativesOracle(200L),
+
+
+    "q353_tokenizer_fertility" ->
+      """WITH g AS (
+           SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+               AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_words
+           FROM documents GROUP BY 1, 2)
+         SELECT source, lang, n_docs, n_bytes, n_tokens, n_words,
+           n_bytes * 1000 // n_tokens AS bytes_per_tok_e3,
+           n_tokens * 1000 // n_words AS fertility_e3
+         FROM g WHERE n_tokens > 0 AND n_words > 0""",
+
+
+    "q354_cell_balance" -> cellBalanceOracle,
+
+
+    "q371_split_leakage" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         fold AS (
+           SELECT doc_id, ${h60("concat('fold:', doc_id)")} % 5 AS fold
+           FROM documents WHERE doc_id < 300),
+         j AS (
+           SELECT p.id1, p.id2, fa.fold AS f1, fb.fold AS f2
+           FROM pairs p
+           JOIN fold fa ON p.id1 = fa.doc_id
+           JOIN fold fb ON p.id2 = fb.doc_id),
+         tot AS (
+           SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN f1 <> f2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaks
+           FROM j)
+         SELECT least(f1, f2) AS fa, greatest(f1, f2) AS fb,
+           count(*) AS n, n_pairs, n_leaks,
+           n_leaks * 1000000 // n_pairs AS leak_rate_e6,
+           least(f1, f2) <> greatest(f1, f2) AS is_leak
+         FROM j CROSS JOIN tot
+         GROUP BY 1, 2, n_pairs, n_leaks""",
+
+    "q349_curriculum" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             least(2, len(string_split(lower(text), ' ')) // 150) AS stage
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, stage, row_number() OVER (
+             PARTITION BY stage, source ORDER BY doc_id) AS rr
+           FROM s),
+         o AS (
+           SELECT doc_id, source, CAST(stage AS BIGINT) AS stage,
+             row_number() OVER (ORDER BY stage, rr, source, doc_id) AS pos
+           FROM r)
+         SELECT doc_id, source, stage, CAST(pos AS BIGINT) AS pos
+         FROM o WHERE pos <= 100""",
+
+
+    "q350_rrf_fusion" -> rrfFusionOracle,
+
+
+    "q385_dup_flow_matrix" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         src AS (
+           SELECT doc_id, source FROM documents WHERE doc_id < 300),
+         j AS (
+           SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b
+           FROM pairs p
+           JOIN src sa ON p.id1 = sa.doc_id
+           JOIN src sb ON p.id2 = sb.doc_id),
+         tot AS (SELECT count(*) AS n_pairs FROM j)
+         SELECT src_a, src_b, count(*) AS n,
+           count(*) * 1000000 // n_pairs AS share_e6,
+           src_a = src_b AS self_dup
+         FROM j CROSS JOIN tot
+         GROUP BY src_a, src_b, n_pairs""",
+
+
+    "q386_unimax_mix" ->
+      """WITH counts AS (
+           SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY source),
+         base AS (
+           SELECT source, n_tok, n_tok * 2 AS cap_tok,
+             CAST(sum(n_tok) OVER () AS BIGINT) // 2 AS budget_tok,
+             count(*) OVER () AS n_src,
+             CAST(row_number() OVER (ORDER BY n_tok * 2, source)
+               AS BIGINT) AS rnk,
+             COALESCE(CAST(sum(n_tok * 2) OVER (ORDER BY n_tok * 2, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cap_pre
+           FROM counts),
+         flag AS (
+           SELECT *,
+             cap_tok * (n_src - rnk + 1) <= budget_tok - cap_pre AS capped
+           FROM base),
+         kk AS (
+           SELECT *,
+             COALESCE(max(CASE WHEN capped THEN rnk END) OVER (), 0) AS k,
+             COALESCE(CAST(sum(CASE WHEN capped THEN cap_tok END) OVER ()
+               AS BIGINT), 0) AS cap_sum_k
+           FROM flag),
+         fin AS (
+           SELECT *, CASE WHEN n_src = k THEN 0
+             ELSE (budget_tok - cap_sum_k) // (n_src - k) END AS fair
+           FROM kk)
+         SELECT source, n_tok, cap_tok,
+           CASE WHEN capped THEN cap_tok ELSE fair END AS alloc_tok,
+           capped,
+           (CASE WHEN capped THEN cap_tok ELSE fair END) * 1000000 // n_tok
+             AS epochs_e6
+         FROM fin""",
+
+
+    "q387_fs_weights" ->
+      s"""WITH $minhashCtes,
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         side AS (
+           SELECT doc_id, source, lang, n_chars,
+             list_distinct(string_split(lower(text), ' ')) AS w,
+             string_split(lower(text), ' ')[1] AS tok1
+           FROM documents WHERE doc_id < 300),
+         feat AS (
+           SELECT
+             2 * len(list_intersect(s1.w, s2.w)) >=
+               len(s1.w) + len(s2.w) - len(list_intersect(s1.w, s2.w))
+               AS is_match,
+             CASE WHEN s1.source = s2.source THEN 1 ELSE 0 END AS f_source,
+             CASE WHEN s1.lang = s2.lang THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN abs(s1.n_chars - s2.n_chars) < 100 THEN 1 ELSE 0 END
+               AS f_len,
+             CASE WHEN s1.tok1 = s2.tok1 THEN 1 ELSE 0 END AS f_tok1
+           FROM pairs p
+           JOIN side s1 ON p.id1 = s1.doc_id
+           JOIN side s2 ON p.id2 = s2.doc_id),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS nu,
+             CAST(sum(CASE WHEN is_match THEN f_source END) AS BIGINT)
+               AS m_source,
+             CAST(sum(CASE WHEN NOT is_match THEN f_source END) AS BIGINT)
+               AS u_source,
+             CAST(sum(CASE WHEN is_match THEN f_lang END) AS BIGINT) AS m_lang,
+             CAST(sum(CASE WHEN NOT is_match THEN f_lang END) AS BIGINT)
+               AS u_lang,
+             CAST(sum(CASE WHEN is_match THEN f_len END) AS BIGINT) AS m_len,
+             CAST(sum(CASE WHEN NOT is_match THEN f_len END) AS BIGINT)
+               AS u_len,
+             CAST(sum(CASE WHEN is_match THEN f_tok1 END) AS BIGINT) AS m_tok1,
+             CAST(sum(CASE WHEN NOT is_match THEN f_tok1 END) AS BIGINT)
+               AS u_tok1
+           FROM feat),
+         un AS (
+           SELECT 'source' AS feature, m_source AS ma, u_source AS ua, nm, nu
+           FROM agg
+           UNION ALL
+           SELECT 'lang', m_lang, u_lang, nm, nu FROM agg
+           UNION ALL
+           SELECT 'len', m_len, u_len, nm, nu FROM agg
+           UNION ALL
+           SELECT 'tok1', m_tok1, u_tok1, nm, nu FROM agg)
+         SELECT feature, ma, ua, nm, nu,
+           ma * 1000000 // nm AS m_e6,
+           ua * 1000000 // nu AS u_e6,
+           CAST(floor(ln(CAST((ma + 1) * (nu + 2) AS DOUBLE)
+             / CAST((ua + 1) * (nm + 2) AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS weight_e6
+         FROM un""",
+
+
+    "q389_prf_expansion" ->
+      """WITH base AS (
+           SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark')) AS tf1,
+             len(list_filter(w, x -> x = 'fast')) AS tf2
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         stats AS (
+           SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+             count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+           FROM base),
+         top AS (
+           SELECT doc_id, dl FROM (
+             SELECT doc_id, dl,
+               ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+               + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+                 AS score
+             FROM base, stats
+             WHERE tf1 > 0 OR tf2 > 0)
+           ORDER BY score DESC, doc_id LIMIT 10),
+         ex AS (
+           SELECT d.doc_id, t.dl,
+             unnest(string_split(lower(d.text), ' ')) AS term
+           FROM documents d JOIN top t ON d.doc_id = t.doc_id),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM ex WHERE term NOT IN ('spark', 'fast')
+           GROUP BY doc_id, dl, term)
+         SELECT term, CAST(sum(tf * 1000000 // dl) AS BIGINT) AS w_e6,
+           count(*) AS n_docs_term
+         FROM tf GROUP BY term
+         ORDER BY w_e6 DESC, term LIMIT 15""",
+
+
+    "q390_knn_shapley" ->
+      s"""WITH tr AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id NOT IN (10, 20, 30)),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qemb, label AS qlabel
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         scored AS (
+           SELECT q.query_id, t.vec_id,
+             CAST(CASE WHEN t.label = q.qlabel THEN 1 ELSE 0 END
+               AS BIGINT) AS a,
+             (${dotSql("t.embedding", "qemb")})
+               / (sqrt(${dotSql("t.embedding", "t.embedding")})
+                  * sqrt(${dotSql("qemb", "qemb")})) AS cos
+           FROM tr t CROSS JOIN q),
+         rk AS (
+           SELECT query_id, vec_id, a,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS dist_rnk,
+             count(*) OVER (PARTITION BY query_id) AS n,
+             lead(a) OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS a_next
+           FROM scored),
+         terms AS (
+           SELECT *, CASE WHEN dist_rnk = n THEN (a * 1000000000) // n
+             ELSE ((a - a_next) * 1000000000) // greatest(dist_rnk, 5)
+             END AS term_e9
+           FROM rk),
+         suf AS (
+           SELECT query_id, vec_id, dist_rnk, a,
+             CAST(sum(term_e9) OVER (PARTITION BY query_id ORDER BY dist_rnk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS shap_e9
+           FROM terms)
+         SELECT query_id, val_rnk, vec_id, dist_rnk, a = 1 AS same_label,
+           shap_e9
+         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY shap_e9 DESC, vec_id) AS BIGINT) AS val_rnk FROM suf)
+         WHERE val_rnk <= 10""",
+
+
+    "q393_rho_selection" ->
+      """WITH dw0 AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         tok AS (
+           SELECT doc_id, source, generate_subscripts(w, 1) - 1 AS pos,
+             unnest(w) AS term
+           FROM dw0),
+         uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot, count(*) AS v
+                 FROM uni),
+         runi AS (SELECT term, count(*) AS c_ref FROM tok
+                  WHERE source = 'src0' GROUP BY 1),
+         rtot AS (SELECT count(*) AS n_ref FROM tok WHERE source = 'src0'),
+         j AS (
+           SELECT doc_id, source, pos,
+             ln(CAST(n_tot AS DOUBLE) / c) AS lnp_tr,
+             ln(CAST(n_ref + v AS DOUBLE) / (coalesce(c_ref, 0) + 1))
+               AS lnp_ref
+           FROM tok JOIN uni USING (term) LEFT JOIN runi USING (term),
+             tot, rtot),
+         agg AS (
+           SELECT doc_id, source, count(*) AS n_tok,
+             list(lnp_tr ORDER BY pos) AS lt,
+             list(lnp_ref ORDER BY pos) AS lr
+           FROM j GROUP BY 1, 2),
+         nll AS (
+           SELECT doc_id, source, n_tok,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lt),
+               (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT) AS nll_e6,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lr),
+               (acc, x) -> acc + x) / n_tok * 1000000.0) AS BIGINT)
+               AS ref_nll_e6
+           FROM agg)
+         SELECT source, sel_rnk, doc_id, n_tok, nll_e6, ref_nll_e6, excess_e6
+         FROM (SELECT *, nll_e6 - ref_nll_e6 AS excess_e6,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY nll_e6 - ref_nll_e6 DESC, doc_id) AS BIGINT)
+               AS sel_rnk
+           FROM nll WHERE source <> 'src0')
+         WHERE sel_rnk <= 5""",
+
+
+    "q394_cluster_nmi" ->
+      s"""WITH $kmeansCtes,
+         cells AS (
+           SELECT a.c, CAST(e.label AS BIGINT) AS l, count(*) AS n_cl
+           FROM a2 a JOIN embeddings e USING (vec_id)
+           GROUP BY 1, 2),
+         m AS (
+           SELECT c, l, n_cl,
+             CAST(sum(n_cl) OVER (PARTITION BY c) AS BIGINT) AS n_c,
+             CAST(sum(n_cl) OVER (PARTITION BY l) AS BIGINT) AS n_l,
+             CAST(sum(n_cl) OVER () AS BIGINT) AS n
+           FROM cells),
+         mi AS (
+           SELECT max(n) AS n, count(DISTINCT c) AS k,
+             count(DISTINCT l) AS n_labels,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(n_cl AS DOUBLE) / n) *
+                 ln(CAST(n * n_cl AS DOUBLE) / CAST(n_c * n_l AS DOUBLE))
+                 ORDER BY c, l)), (acc, x) -> acc + x) AS mi
+           FROM m),
+         hcv AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n_c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / n_c)
+               ORDER BY c)), (acc, x) -> acc + x) AS hc
+           FROM (SELECT DISTINCT c, n_c, n FROM m)),
+         hlv AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n_l AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / n_l)
+               ORDER BY l)), (acc, x) -> acc + x) AS hl
+           FROM (SELECT DISTINCT l, n_l, n FROM m)),
+         pur AS (
+           SELECT CAST(sum(mx) AS BIGINT) AS n_pure FROM (
+             SELECT c, max(n_cl) AS mx FROM m GROUP BY c))
+         SELECT n, k, n_labels,
+           n_pure * 1000000 // n AS purity_e6,
+           CAST(floor(mi * 1000000.0) AS BIGINT) AS mi_e6,
+           CAST(floor(hc * 1000000.0) AS BIGINT) AS hc_e6,
+           CAST(floor(hl * 1000000.0) AS BIGINT) AS hl_e6,
+           CAST(floor((mi * 2.0) / (hc + hl) * 1000000.0) AS BIGINT)
+             AS nmi_e6
+         FROM mi CROSS JOIN hcv CROSS JOIN hlv CROSS JOIN pur""",
+
+
+    "q395_topp_coverage" ->
+      """WITH voc AS (
+           SELECT source, term, count(*) AS c FROM (
+             SELECT source, unnest(string_split(lower(text), ' ')) AS term
+             FROM documents)
+           GROUP BY 1, 2),
+         r AS (
+           SELECT source, term, c,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, term) AS BIGINT) AS rnk,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+           FROM voc)
+         SELECT source, count(*) AS n_types, max(tot) AS n_tok,
+           min(CASE WHEN cum * 10 >= tot * 9 THEN rnk END) AS types_p90,
+           max(CASE WHEN rnk <= 100 THEN cum END) * 1000000 // max(tot)
+             AS mass_top100_e6
+         FROM r GROUP BY source""",
+
+
+    "q396_silhouette" ->
+      s"""WITH $kmeansCtes,
+         dists AS (
+           SELECT a.vec_id, a.c, ct.c AS c2,
+             CAST((${il2Sql("a.ve", "ct.ce", Similarity.Dim)}) AS BIGINT)
+               // 1000 AS d2
+           FROM a2 a CROSS JOIN cent2 ct),
+         ab AS (
+           SELECT vec_id, c,
+             min(CASE WHEN c2 = c THEN d2 END) AS a,
+             min(CASE WHEN c2 <> c THEN d2 END) AS b
+           FROM dists GROUP BY 1, 2),
+         sil AS (
+           SELECT c, CASE WHEN greatest(a, b) = 0 THEN 0
+             ELSE ((b - a) * 1000000) // greatest(a, b) END AS s_e6
+           FROM ab)
+         SELECT c, count(*) AS n,
+           CAST(sum(s_e6) AS BIGINT) // count(*) AS mean_s_e6,
+           min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
+         FROM sil GROUP BY c""",
+
+
+    "q351_ndcg_mrr" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb,
+             CAST(label AS BIGINT) AS qlab
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.query_id, q.qlab, e.vec_id AS cand_id,
+             CAST(e.label AS BIGINT) AS clab,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, cand_id, qlab, clab,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+           FROM c QUALIFY rnk <= 10),
+         g AS (
+           SELECT query_id, rnk,
+             CASE WHEN clab = qlab THEN 3
+                  WHEN abs(clab - qlab) = 1 THEN 1 ELSE 0 END AS rel
+           FROM r),
+         w(pos, w_e6) AS (VALUES
+           (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+           (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+           (9, 301029), (10, 289064)),
+         i AS (
+           SELECT query_id, rnk, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, rnk) AS irnk
+           FROM g),
+         j AS (
+           SELECT i.query_id, i.rel, i.rnk,
+             wr.w_e6 AS wr_e6, wi.w_e6 AS wi_e6
+           FROM i JOIN w wr ON i.rnk = wr.pos JOIN w wi ON i.irnk = wi.pos)
+         SELECT query_id,
+           CAST(sum(rel * wr_e6) AS BIGINT) AS dcg_e6,
+           CAST(sum(rel * wi_e6) AS BIGINT) AS idcg_e6,
+           CAST(CASE WHEN sum(rel * wi_e6) > 0
+                THEN sum(rel * wr_e6) * 1000000 // sum(rel * wi_e6)
+                ELSE 0 END AS BIGINT) AS ndcg_e6,
+           CAST(coalesce(
+             1000000 // min(CASE WHEN rel > 0 THEN rnk END), 0) AS BIGINT)
+             AS rr_e6
+         FROM j GROUP BY query_id"""
+  )
+}

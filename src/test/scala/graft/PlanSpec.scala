@@ -987,4 +987,44 @@ class PlanSpec extends SparkSpec {
     // is the 1-row wtot scalar cross join)
     assert(!"BroadcastNestedLoopJoin [^\\n]*>=".r.findFirstIn(p).isDefined, p)
   }
+
+  test("no global (empty-PARTITION-BY) window anywhere in the full " +
+      "query inventory, outside the documented allowlist") {
+    // A Window with an empty partitionSpec funnels the WHOLE frame
+    // through one task — the scale-killer class found in q71/q176/q248
+    // (round 7) and q390 (round 8), each time by a human reading one
+    // plan. This sweep turns that audit into a regression test over
+    // every query's physical plan. Allowlist:
+    //  - q17_global_rank, q39_local_rank_join: reference-parity window
+    //    forms, kept deliberately (scalable twins: Ranking.globalRank,
+    //    q91/q150; SURVEY §7.3 documents the divergence);
+    //  - the rest are global windows over BOUNDED aggregate frames
+    //    (never the data-sized input): q322 ≤25 rows, q337 20
+    //    threshold buckets, q293/q296 10 decile/doc buckets,
+    //    q264 ~21 score buckets, q249/q250/q386 #sources rows
+    //    (Mixture.doremiShares/unimaxAllocation), q388 #strata rows,
+    //    q392 #variants×#states rows, q303 ≤300 graph nodes (its
+    //    scaladoc records the measured 2× cost of the window-free
+    //    form). The first data-sized hit this sweep found — q78's
+    //    whole-table ntile — was FIXED (Ranking.globalRank +
+    //    ntile-from-rank), not allowlisted.
+    val allow = Set("q17_global_rank", "q39_local_rank_join",
+      "q322_quota_split", "q337_roc_points", "q293_decile_lift",
+      "q296_heaps_law", "q264_isotonic_calibration",
+      "q249_doremi_mixture", "q250_training_mix", "q386_unimax_mix",
+      "q388_neyman_allocation", "q392_removal_attribution", "q303_hits")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // sparkPlan (pre-AQE) so the tree walk sees every operator
+      val globals = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !allow(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"global-window offenders: ${offenders.mkString(", ")}")
+  }
 }
