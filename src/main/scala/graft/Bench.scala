@@ -177,7 +177,15 @@ object Bench {
     "q393_rho_selection", // reference-model excess-NLL selection
     "q394_cluster_nmi", // Lloyd purity + NMI external validation
     "q396_silhouette", // simplified silhouette on integer L2
-    "q398_fs_em") // unsupervised FS EM on the 16-pattern frame
+    "q398_fs_em", // unsupervised FS EM on the 16-pattern frame
+    "q399_hill_tail", // Hill tail-index over per-type top-k order stats
+    "q400_histogram_split", // histogram Gini split-finder
+    "q401_chi2_independence", // source x lang chi-square + Cramer's V
+    "q402_ips_eval", // inverse-propensity off-policy evaluation
+    "q403_rdd", // regression-discontinuity local linear fit
+    "q404_sprt", // sequential probability-ratio test readout
+    "q113_semdedup", // SemDeDup: celled cosine pairs -> CC -> keep-outlier
+    "q78_ntile") // global decile stats via range-sort rank (no window)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

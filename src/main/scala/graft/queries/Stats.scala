@@ -144,6 +144,46 @@ object Stats {
     // c_xa, ips contribution = Σr·w_e6, per-context estimate div c_x.
     // Scale shape: two keyed (x, a) aggregates + a broadcast of the
     // bounded policy table; nothing scales past contexts × actions.
+    // Pearson chi-square test of independence over the full
+    // source × lang contingency grid of documents — extends q148 (which
+    // folds OBSERVED events cells through one collect_list chain) to
+    // the complete R×C grid with dof and Cramér's V, the effect-size
+    // readout a drift monitor actually thresholds on; fills the q401
+    // id gap. The grid INCLUDES absent (O = 0) cells — their E > 0
+    // contributes. Exactness: each
+    // cell's (O·n − r·c)²/(r·c·n) is ONE pinned double chain floored to
+    // e6 BEFORE the cross-cell sum (merge-order-free, the q278 rule);
+    // the deviation O·n − r·c stays an exact int64 to n ≈ 3e9 rows.
+    // Cramér's V is one pinned sqrt chain off the integer chi2 (sqrt is
+    // IEEE-correctly-rounded in both engines). Scale shape: three
+    // keyed/global count aggregates; the R×C grid is bounded
+    // (categories, not rows) and everything after it is broadcast.
+    "q401_chi2_independence" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select("source", "lang")
+      val obs = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      val rt = docs.groupBy("source").agg(count(lit(1)).as("r_tot"))
+      val ct = docs.groupBy("lang").agg(count(lit(1)).as("c_tot"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nDf))
+        .join(obs, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("o"))
+        .withColumn("dev", col("o") * col("n") - col("r_tot") * col("c_tot"))
+        .withColumn("cell_e6", floor(
+          d(col("dev")) * d(col("dev"))
+            / d(col("r_tot") * col("c_tot")) / d(col("n")) * 1e6)
+          .cast("long"))
+      grid.groupBy("n").agg(
+          countDistinct("source").as("r_cats"),
+          countDistinct("lang").as("c_cats"),
+          sum("cell_e6").as("chi2_e6"))
+        .select(col("n"), col("r_cats"), col("c_cats"),
+          ((col("r_cats") - 1) * (col("c_cats") - 1)).as("dof"),
+          col("chi2_e6"),
+          floor(sqrt(d(col("chi2_e6")) / 1e6
+            / d(col("n") * least(col("r_cats") - 1, col("c_cats") - 1)))
+            * 1e6).cast("long").as("cramers_v_e6"))
+    }),
+
     "q402_ips_eval" -> ((s, d0) => {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, d0, "events").select(
@@ -1057,6 +1097,36 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q401_chi2_independence" ->
+      """WITH docs AS (SELECT source, lang FROM documents),
+         obs AS (SELECT source, lang, count(*) AS o FROM docs GROUP BY 1, 2),
+         rt AS (SELECT source, count(*) AS r_tot FROM docs GROUP BY 1),
+         ct AS (SELECT lang, count(*) AS c_tot FROM docs GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM docs),
+         grid AS (
+           SELECT rt.source, ct.lang, rt.r_tot, ct.c_tot, nn.n,
+             coalesce(obs.o, 0) AS o
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+           LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang),
+         cells AS (
+           SELECT n, source, lang,
+             CAST(floor(CAST(o * n - r_tot * c_tot AS DOUBLE)
+               * CAST(o * n - r_tot * c_tot AS DOUBLE)
+               / CAST(r_tot * c_tot AS DOUBLE) / CAST(n AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS cell_e6
+           FROM grid),
+         agg AS (
+           SELECT n, count(DISTINCT source) AS r_cats,
+             count(DISTINCT lang) AS c_cats,
+             CAST(sum(cell_e6) AS BIGINT) AS chi2_e6
+           FROM cells GROUP BY n)
+         SELECT n, r_cats, c_cats,
+           (r_cats - 1) * (c_cats - 1) AS dof, chi2_e6,
+           CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0
+             / CAST(n * least(r_cats - 1, c_cats - 1) AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS cramers_v_e6
+         FROM agg""",
+
     "q402_ips_eval" ->
       """WITH ev AS (
            SELECT user_id % 10 AS x, event_type AS a,

@@ -286,6 +286,57 @@ private[queries] object TrainingA {
     }),
 
 
+    // Transitive SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the
+    // GROUP-level variant of q212's pairwise drop rule: q212 removes
+    // the more-prototypical side of each duplicate PAIR independently,
+    // which on a chain A~B~C (A≁C) can drop both A and B and keep only
+    // C, or keep zero members of a cycle. Here duplicate pairs
+    // (in-cluster cosine ≥ τ = 0.33, the synthetic corpus's top
+    // in-cell decile) are closed into connected components and EXACTLY
+    // ONE member per group survives — the one least similar to its
+    // cluster centroid (the paper's keep-outliers pick, id tiebreak) —
+    // the guarantee a curation contract actually wants. Fills the
+    // long-standing q113 id gap. All comparisons are e6-floored
+    // pinned-chain cosines, so keeper picks replay exactly
+    // cross-engine. Scale shape: pairs live in corpus-scaled
+    // (cell, bin) groups (withScaledBin — linear in n, vs q212's
+    // fixed-k clusters), embeddings drop out at the cosine, components
+    // ride the distributed min-label CC, and the keeper pick is one
+    // keyed min(struct) aggregate — no global op anywhere.
+    "q113_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.ivfCentroids(e)
+      val withC = Similarity.withScaledBin(e, 200L)
+        .persist() // both sides of the in-cell pair join + the cc join
+      val rhs = withC.select(col("vec_id").as("nid"),
+        col("embedding").as("nemb"), col("nrm").as("nn"), col("cell"),
+        col("bin"))
+      val dup = withC.join(rhs, Seq("cell", "bin"))
+        .where(col("vec_id") < col("nid"))
+        .withColumn("cos_e6", floor(Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "nemb"), col("nrm"), col("nn"))
+          * 1e6).cast("long"))
+        .where(col("cos_e6") >= 330000L)
+        .select(col("vec_id").as("id1"), col("nid").as("id2"))
+      val comp = Dedup.connectedComponents(dup)
+      val cc = withC.join(broadcast(cents.select(col("label").as("cell"),
+          col("cvec"))), "cell")
+        .withColumn("cc_e6", floor(Similarity.cosineWithNorms(
+          Similarity.dot("embedding", "cvec"), col("nrm"),
+          Similarity.norm2("cvec")) * 1e6).cast("long"))
+        .select(col("vec_id"), col("cell"), col("cc_e6"))
+      val members = comp
+        .select(col("id").as("vec_id"), col("label").as("comp_id"))
+        .join(cc, "vec_id")
+      val keeper = members.groupBy("comp_id")
+        .agg(min(struct(col("cc_e6"), col("vec_id"))).as("k"))
+        .select(col("comp_id"), col("k.vec_id").as("keep_id"))
+      members.join(keeper, "comp_id")
+        .select(col("vec_id"), col("comp_id"), col("cell"), col("cc_e6"),
+          (col("vec_id") === col("keep_id")).as("is_kept"))
+    }),
+
+
     // deterministic hash sampling (scalable, engine-portable — unlike the
     // seeded Bernoulli sampler, this IS oracle-checkable).
     "q79_hash_sample" -> ((s, d) => {
@@ -2373,6 +2424,8 @@ private[queries] object TrainingA {
                  ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
                FROM customer)
          GROUP BY 1""",
+
+    "q113_semdedup" -> semdedupOracle(200L, 330000L),
 
     "q79_hash_sample" ->
       """SELECT doc_id, lang FROM documents

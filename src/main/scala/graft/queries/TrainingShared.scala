@@ -563,6 +563,71 @@ private[queries] object TrainingShared {
     * n/(10·target)); DuckDB lists are 1-based so embedding[1] mirrors
     * Spark's embedding[0].
     */
+  /** q113 SemDeDup replay: the mutualNnScaledOracle cell/bin CTEs, an
+    * in-group cosine-threshold pair set, recursive-CTE connected
+    * components (componentCtes' reach pattern), and the per-component
+    * keep-outlier pick (min centroid-cosine, vec_id tiebreak).
+    */
+  def semdedupOracle(target: Long, tauE6: Long): String = {
+    def cos(a: String, b: String) =
+      s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    val nb = s"greatest(1, (SELECT count(*) FROM embeddings) // (10 * $target))"
+    s"""WITH RECURSIVE cent AS (
+           SELECT label, list(c_e6 ORDER BY dim) AS cvec
+           FROM (SELECT label, dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS c_e6
+                 FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+                 GROUP BY 1, 2)
+           GROUP BY label),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.label AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cvec")} DESC, c.label ASC) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+         wc AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding, a.cell,
+             least($nb - 1, greatest(0, CAST(floor(
+               (CAST(e.embedding[1] AS DOUBLE) + 1.0) / 2.0 * $nb)
+               AS BIGINT))) AS bin
+           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         dup AS (
+           SELECT x.vec_id AS id1, y.vec_id AS id2
+           FROM wc x JOIN wc y
+             ON x.cell = y.cell AND x.bin = y.bin AND x.vec_id < y.vec_id
+           WHERE CAST(floor((${cos("x.embedding", "y.embedding")})
+             * 1000000.0) AS BIGINT) >= $tauE6),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM dup
+           UNION SELECT id2, id1 FROM dup),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src WHERE e.dst <> r.src),
+         comp AS (
+           SELECT src AS vec_id, least(src, min(dst)) AS comp_id
+           FROM reach GROUP BY src),
+         ccs AS (
+           SELECT w.vec_id, w.cell,
+             CAST(floor((${cos("w.embedding", "c.cvec")}) * 1000000.0)
+               AS BIGINT) AS cc_e6
+           FROM wc w JOIN cent c ON w.cell = c.label),
+         members AS (
+           SELECT p.vec_id, p.comp_id, s.cell, s.cc_e6
+           FROM comp p JOIN ccs s ON p.vec_id = s.vec_id),
+         keeper AS (
+           SELECT comp_id, vec_id AS keep_id FROM (
+             SELECT comp_id, vec_id, row_number() OVER (
+               PARTITION BY comp_id ORDER BY cc_e6 ASC, vec_id ASC) AS rn
+             FROM members) WHERE rn = 1)
+         SELECT m.vec_id, m.comp_id, m.cell, m.cc_e6,
+           m.vec_id = k.keep_id AS is_kept
+         FROM members m JOIN keeper k ON m.comp_id = k.comp_id"""
+  }
+
   def mutualNnScaledOracle(target: Long): String = {
     def cos(a: String, b: String) =
       s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"

@@ -28,9 +28,12 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
-R = 10
+# replicas; 10 from sf0.1 gives ~sf1. For the sf10 rung, chain:
+#   python3 tools/gen_sf1.py target/sf10 target/sf1 10
+# (the stride logic reads max(key)+1 from SRC, so chaining is safe)
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect(config={"threads": 8})
