@@ -185,7 +185,11 @@ object Bench {
     "q403_rdd", // regression-discontinuity local linear fit
     "q404_sprt", // sequential probability-ratio test readout
     "q113_semdedup", // SemDeDup: celled cosine pairs -> CC -> keep-outlier
-    "q78_ntile") // global decile stats via range-sort rank (no window)
+    "q78_ntile", // global decile stats via range-sort rank (no window)
+    "q405_lsh_param_tuner", // (b,r) banding grid vs measured pair density
+    "q406_bradley_terry", // BT strengths from histogram-derived wins
+    "q407_scd2_history", // SCD-2 versioned dimension build
+    "q408_packing_efficiency") // concat-and-chunk split/waste audit
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

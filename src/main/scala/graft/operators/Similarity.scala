@@ -207,7 +207,13 @@ object Similarity {
     * `keep` columns, `embedding`, its `nrm`, and the (cell, bin) key.
     * Bin boundaries cost recall (candidate role — a prober widens bins
     * for the final verify); linearity is the trade. Callers persist the
-    * result when both sides of a pair join read it. The oracle-side
+    * result when both sides of a pair join read it. STORAGE CONTRACT
+    * for the whole celled family (mutualTop1Scaled / marginRatio /
+    * hardNegatives persist intermediates and leave them cached for the
+    * caller's action): the session owner releases them afterwards —
+    * `spark.catalog.clearCache()` between queries, the Verify/Bench
+    * convention; composed callers (e.g. q363 over marginRatio) inherit
+    * the same obligation. The oracle-side
     * twin of this block lives in the shared CTE builders
     * (marginPairsCtes et al.) — change both together. q383 carries its
     * own variant over the INTEGER e6 embedding array (different source

@@ -13,6 +13,43 @@ import graft.queries.TrainingShared._
 private[queries] object TrainingD {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Sequence-packing efficiency audit — the pretraining-loader
+    // readout for GPT-style concat-and-chunk packing: stream documents
+    // in a fixed order into context windows of length L and measure
+    // what the loader actually pays — how many documents get SPLIT
+    // across a window boundary (their loss is degraded by truncated
+    // context) and how much tail padding the last window wastes, for
+    // each candidate L. A doc spanning [start, end) in the token
+    // stream crosses floor((end−1)/L) − floor(start/L) boundaries —
+    // pure integer arithmetic off ONE global prefix sum of token
+    // counts (PrefixScan; a window cumsum here would be the q71
+    // single-task funnel). Scale shape: one scan + one range-sorted
+    // prefix scan, then a 2-row L-grid broadcast and a bounded
+    // aggregate; nothing quadratic, nothing driver-side.
+    "q408_packing_efficiency" -> ((s, d) => {
+      val nt = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        .where(col("nt") > 0L)
+      val cum = graft.operators.PrefixScan.scanLong(
+        nt, "cum", "nt", "sum", inclusive = true, asc("doc_id"))
+      val grid = { import s.implicits._; Seq(512L, 2048L).toDF("l") }
+      cum.crossJoin(broadcast(grid))
+        .withColumn("crossed",
+          expr("(cum - 1) div l - (cum - nt) div l"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("crossed") > 0L, 1L).otherwise(0L)).as("n_split"),
+          sum("crossed").as("n_crossings"),
+          max("cum").as("total_tokens"))
+        .select(col("l"), col("n_docs"), col("n_split"),
+          expr("n_split * 1000000 div n_docs").as("split_frac_e6"),
+          col("n_crossings"), col("total_tokens"),
+          expr("(total_tokens + l - 1) div l").as("n_windows"),
+          expr("((total_tokens + l - 1) div l) * l - total_tokens")
+            .as("tail_pad_tokens"))
+    }),
+
     // UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler
     // 1988; the Splink training loop) — where q387 estimated m/u from
     // labeled pairs, this recovers them from the UNLABELED candidate set:
@@ -597,6 +634,152 @@ private[queries] object TrainingD {
     }),
 
 
+    // Bradley–Terry strength fit over sources (Bradley & Terry 1952;
+    // Hunter 2004's MM iteration) — the preference-aggregation core of
+    // RLHF/eval-arena data work: treat every cross-source document pair
+    // as a comparison decided by the longer document (n_chars, the
+    // deterministic quality proxy), and fit per-source strengths p_i
+    // from the pairwise win matrix. The O(n²) pair count is NEVER
+    // materialized: wins_ij = Σ_bkt h_i[bkt]·(h_j below bkt) comes from
+    // the two sources' bounded length HISTOGRAMS (one keyed groupBy +
+    // a bounded bucket join), the published trick for rank statistics
+    // at scale. Win counts normalize to e6 shares (keeps every
+    // iteration product inside int64 at any corpus size), then 6 MM
+    // rounds p_i ← W_i / Σ_j n_ij/(p_i+p_j) run on the K-source frame
+    // in exact trunc-div micro-units, renormalized to mean 1e6 each
+    // round — the oracle replays all 6 rounds bit-for-bit (unrolled
+    // CTE chain, the doremi pattern). Scale shape: one histogram
+    // groupBy; everything after lives on K and K² frames, with the MM
+    // loop itself driver-side on the collected K²-row matrix (bounded).
+    "q406_bradley_terry" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), expr("n_chars div 100").as("bkt"))
+      val h = docs.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+      val hb = h.select(col("source").as("sb"), col("bkt").as("bktb"),
+        col("c").as("cb"))
+      val winsOrd = h.join(hb,
+          col("source") =!= col("sb") && col("bkt") > col("bktb"))
+        .groupBy("source", "sb").agg(sum(col("c") * col("cb")).as("w"))
+        .select(col("source").as("i"), col("sb").as("j"), col("w"))
+      val srcs = docs.select("source").distinct()
+        .select(col("source").as("i")).persist()
+      val gij = srcs.crossJoin(broadcast(srcs.select(col("i").as("j"))))
+        .where(col("i") =!= col("j"))
+      val ntot = winsOrd.agg(sum("w").as("n_tot"))
+      val wij = gij.join(winsOrd, Seq("i", "j"), "left")
+        .na.fill(0L, Seq("w"))
+        .crossJoin(broadcast(ntot))
+        .withColumn("w_e6", expr("w * 1000000 div greatest(n_tot, 1L)"))
+        .select("i", "j", "w_e6")
+      val nij = wij.join(wij.select(col("j").as("i"), col("i").as("j"),
+          col("w_e6").as("wji_e6")), Seq("i", "j"))
+        .withColumn("n_e6", col("w_e6") + col("wji_e6"))
+        .select("i", "j", "w_e6", "n_e6").persist()
+      val wI = nij.groupBy("i").agg(sum("w_e6").as("wi_e6"))
+      // The MM iteration runs DRIVER-SIDE on the collected K²-row win
+      // matrix (K = #sources being ranked — bounded by definition in an
+      // arena/preference setting, like BpeTrainer's vocab or the
+      // ActiveLearning scalars; the data-sized histogram work above
+      // stays distributed). 6 distributed rounds of 4 jobs each
+      // measured 10 s of pure scheduling overhead on a 10-row frame.
+      // Every operation is a Long trunc-div, so the SQL oracle replays
+      // the loop bit-for-bit. praw is capped at 1e12 and the
+      // renormalization divides by the MEAN (tp div k) so no product
+      // can leave int64 whatever the win-matrix shape.
+      val rows = nij.join(wI, "i")
+        .select("i", "j", "n_e6", "wi_e6").collect()
+      val ks = rows.map(_.getString(0)).distinct.sorted
+      val k = ks.length.toLong
+      val nE6 = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val wiE6 = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+      var pm = ks.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 6) {
+        val sden = ks.map { i =>
+          i -> ks.filter(_ != i).map { j =>
+            nE6.getOrElse((i, j), 0L) * 1000000000000L / (pm(i) + pm(j))
+          }.sum
+        }.toMap
+        val praw = ks.map { i =>
+          i -> math.min(1000000000000L, math.max(1L,
+            wiE6(i) * 1000000000000L / math.max(sden(i), 1L)))
+        }.toMap
+        val tp = ks.map(praw).sum
+        pm = ks.map { i =>
+          i -> praw(i) * 1000000L / math.max(tp / k, 1L)
+        }.toMap
+      }
+      val out = ks.toSeq.map(i => (i, wiE6(i), pm(i)))
+      import s.implicits._
+      out.toDF("source", "win_share_e6", "bt_strength_e6")
+    }),
+
+
+    // MinHash banding parameter TUNER — the decision q366's S-curve
+    // validation feeds: for EVERY (bands b, rows r) factorization of a
+    // 120-permutation signature, score the banding against the
+    // corpus's own measured pair-similarity workload (the bounded
+    // all-pairs population, exact shingle Jaccard) at dup threshold
+    // τ* = 0.5: expected caught/missed true-dup mass and expected
+    // false-positive candidate mass, Σ per-pair floored-e6 collision
+    // probabilities P(j) = 1−(1−j^r)^b; chosen = argmin of
+    // missed + fp/10 (candidate verification is ~10× cheaper than a
+    // missed dup is costly). The datasketch-style tuner integrates
+    // against an ASSUMED uniform density; integrating the MEASURED
+    // density is the whole point of running it in the engine. All
+    // j^r/(1−j^r)^b powers ride named square columns + a CASE of
+    // pinned square-and-multiply chains (powProd/powCase — identical
+    // generated text in both engines; pow() would not replay).
+    // Scale shape: the all-pairs ground truth is definitionally
+    // quadratic and rides the bounded q58/q273 population; the 16-row
+    // grid is a broadcast; everything after is one keyed aggregate.
+    "q405_lsh_param_tuner" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val sh = docs
+        .where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      val pairs = sh.select(col("doc_id").as("id1"), col("shs").as("s1"))
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("s2")),
+          col("id1") < col("id2"))
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("uni",
+          size(col("s1")).cast("long") + size(col("s2")).cast("long") - col("inter"))
+        .select(col("id1"), col("id2"), col("inter"), col("uni"))
+        .withColumn("j", col("inter").cast("double") / col("uni").cast("double"))
+        .withColumn("j_e6", expr("inter * 1000000 div uni"))
+      val grid = { import s.implicits._; lshTunerGrid.toDF("b", "r") }
+      var df = pairs.crossJoin(broadcast(grid))
+      for (k <- Seq(2, 4, 8, 16, 32, 64))
+        df = df.withColumn(s"j$k",
+          col(if (k == 2) "j" else s"j${k / 2}") * col(if (k == 2) "j" else s"j${k / 2}"))
+      df = df.withColumn("jr", expr(powCase("j", "r", lshTunerGrid.map(_._2))))
+        .withColumn("tt", lit(1.0) - col("jr"))
+      for (k <- Seq(2, 4, 8, 16, 32, 64))
+        df = df.withColumn(s"tt$k",
+          col(if (k == 2) "tt" else s"tt${k / 2}") * col(if (k == 2) "tt" else s"tt${k / 2}"))
+      val agg = df
+        .withColumn("tb", expr(powCase("tt", "b", lshTunerGrid.map(_._1))))
+        .withColumn("p_e6", floor((lit(1.0) - col("tb")) * 1e6).cast("long"))
+        .groupBy("b", "r").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("j_e6") >= 500000L, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("j_e6") >= 500000L, col("p_e6")).otherwise(0L))
+            .as("caught_e6"),
+          sum(when(col("j_e6") >= 500000L, lit(1000000L) - col("p_e6"))
+            .otherwise(0L)).as("missed_e6"),
+          sum(when(col("j_e6") < 500000L, col("p_e6")).otherwise(0L))
+            .as("fp_e6"))
+        .withColumn("cost_e6", expr("missed_e6 + fp_e6 div 10"))
+      val best = agg.agg(min("cost_e6").as("min_cost"))
+      agg.crossJoin(broadcast(best))
+        .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+          col("n_pairs"), col("n_true"), col("caught_e6"), col("missed_e6"),
+          col("fp_e6"), col("cost_e6"),
+          (col("cost_e6") === col("min_cost")).as("is_chosen"))
+    }),
+
+
     // LSH banding S-curve validation — the calibration every MinHash
     // deployment should run: for all pairs of a bounded population,
     // the EMPIRICAL candidate rate per exact-Jaccard bucket against
@@ -1165,6 +1348,37 @@ private[queries] object TrainingD {
   )
 
   val oracles: Map[String, String] = Map(
+    "q405_lsh_param_tuner" -> lshTunerOracle,
+
+    "q406_bradley_terry" -> bradleyTerryOracle,
+
+    "q408_packing_efficiency" ->
+      """WITH nt AS (
+           SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) > 0),
+         cum AS (
+           SELECT doc_id, nt,
+             CAST(sum(nt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM nt),
+         g AS (SELECT CAST(unnest([512, 2048]) AS BIGINT) AS l),
+         x AS (
+           SELECT l, nt, cum, (cum - 1) // l - (cum - nt) // l AS crossed
+           FROM cum CROSS JOIN g)
+         SELECT l, count(*) AS n_docs,
+           CAST(sum(CASE WHEN crossed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split,
+           CAST(sum(CASE WHEN crossed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS split_frac_e6,
+           CAST(sum(crossed) AS BIGINT) AS n_crossings,
+           max(cum) AS total_tokens,
+           (max(cum) + l - 1) // l AS n_windows,
+           ((max(cum) + l - 1) // l) * l - max(cum) AS tail_pad_tokens
+         FROM x GROUP BY l""",
+
     "q352_margin_ratio" -> marginRatioOracle(200L, 4),
 
 

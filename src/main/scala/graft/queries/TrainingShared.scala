@@ -563,6 +563,156 @@ private[queries] object TrainingShared {
     * n/(10·target)); DuckDB lists are 1-based so embedding[1] mirrors
     * Spark's embedding[0].
     */
+  /** q405 banding-tuner grid: every (bands b, rows r) factorization of a
+    * 120-permutation MinHash signature. */
+  val lshTunerGrid: Seq[(Int, Int)] =
+    Seq(1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 20, 24, 30, 40, 60, 120)
+      .map(b => (b, 120 / b))
+
+  /** x^e as a product of the named square columns `x2, x4, … x64` (plus
+    * `x` itself), highest power first, left-associated — every term is
+    * one IEEE-exact double multiply, so the SAME generated text replays
+    * bit-identically in Spark and DuckDB where pow() would not.
+    */
+  def powProd(base: String, e: Int): String = {
+    require(e >= 1 && e <= 127, s"exponent $e")
+    val terms = (6 to 0 by -1).collect {
+      case k if (e & (1 << k)) != 0 =>
+        if (k == 0) base else s"$base${1 << k}"
+    }
+    terms.reduceLeft((a, b) => s"($a * $b)")
+  }
+
+  /** CASE over the data-side exponent column selecting the pinned
+    * power-product chain for each exponent in `values`. */
+  def powCase(base: String, expCol: String, values: Seq[Int]): String =
+    s"CASE $expCol " + values.distinct.sorted
+      .map(v => s"WHEN $v THEN ${powProd(base, v)}").mkString(" ") + " END"
+
+  /** q406 replay: histogram-derived pairwise wins, e6 normalization, and
+    * the 6 unrolled Bradley–Terry MM rounds (the doremi pattern — every
+    * trunc division replays in SQL).
+    */
+  def bradleyTerryOracle: String = {
+    val rounds = (1 to 6).map { rd =>
+      s"""s$rd AS MATERIALIZED (
+           SELECT n.i,
+             CAST(sum(n.n_e6 * 1000000000000 // (pi.p + pj.p))
+               AS BIGINT) AS sden
+           FROM nij n JOIN r${rd - 1} pi ON n.i = pi.i
+             JOIN r${rd - 1} pj ON n.j = pj.i
+           GROUP BY n.i),
+         pr$rd AS MATERIALIZED (
+           SELECT w.i,
+             least(1000000000000, greatest(1,
+               w.wi_e6 * 1000000000000 // greatest(s.sden, 1))) AS praw
+           FROM wi w JOIN s$rd s ON w.i = s.i),
+         r$rd AS MATERIALIZED (
+           SELECT pr.i,
+             pr.praw * 1000000 // greatest(tt.tp // kk.k, 1) AS p
+           FROM pr$rd pr,
+             (SELECT CAST(sum(praw) AS BIGINT) AS tp FROM pr$rd) tt, kk)"""
+    }.mkString(",\n         ")
+    s"""WITH docs2 AS (
+           SELECT source, n_chars // 100 AS bkt FROM documents),
+         h AS (
+           SELECT source, bkt, CAST(count(*) AS BIGINT) AS c
+           FROM docs2 GROUP BY 1, 2),
+         winsord AS (
+           SELECT a.source AS i, b.source AS j,
+             CAST(sum(a.c * b.c) AS BIGINT) AS w
+           FROM h a JOIN h b
+             ON a.source <> b.source AND a.bkt > b.bkt
+           GROUP BY 1, 2),
+         srcs AS MATERIALIZED (SELECT DISTINCT source AS i FROM documents),
+         kk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs),
+         ntot AS (SELECT CAST(sum(w) AS BIGINT) AS n_tot FROM winsord),
+         gij AS (
+           SELECT a.i, b.i AS j FROM srcs a CROSS JOIN srcs b
+           WHERE a.i <> b.i),
+         wij AS (
+           SELECT g.i, g.j,
+             coalesce(w.w, 0) * 1000000 // greatest(n_tot, 1) AS w_e6
+           FROM gij g LEFT JOIN winsord w ON g.i = w.i AND g.j = w.j, ntot),
+         nij AS MATERIALIZED (
+           SELECT x.i, x.j, x.w_e6, x.w_e6 + y.w_e6 AS n_e6
+           FROM wij x JOIN wij y ON x.i = y.j AND x.j = y.i),
+         wi AS MATERIALIZED (
+           SELECT i, CAST(sum(w_e6) AS BIGINT) AS wi_e6
+           FROM nij GROUP BY 1),
+         r0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM srcs),
+         $rounds
+         SELECT r.i AS source, w.wi_e6 AS win_share_e6,
+           r.p AS bt_strength_e6
+         FROM r6 r JOIN wi w ON r.i = w.i"""
+  }
+
+  /** q405 replay: the q366 shingle/all-pairs CTEs, the (b, r) grid, the
+    * SAME powProd/powCase generated chains, and the workload-weighted
+    * caught/missed/fp aggregate with the argmin flag.
+    */
+  def lshTunerOracle: String = {
+    val jsq = Seq(2, 4, 8, 16, 32, 64).zipWithIndex.map { case (k, i) =>
+      val src = if (i == 0) "pj0" else s"pj$i"
+      val prev = if (k == 2) "j" else s"j${k / 2}"
+      s"pj${i + 1} AS (SELECT *, $prev * $prev AS j$k FROM $src)"
+    }.mkString(",\n         ")
+    val tsq = Seq(2, 4, 8, 16, 32, 64).zipWithIndex.map { case (k, i) =>
+      val src = if (i == 0) "pt0" else s"pt$i"
+      val prev = if (k == 2) "tt" else s"tt${k / 2}"
+      s"pt${i + 1} AS (SELECT *, $prev * $prev AS tt$k FROM $src)"
+    }.mkString(",\n         ")
+    s"""WITH sh100 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id < 300)
+           WHERE len(w) >= 3),
+         allp AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+             CAST(len(a.shs) + len(b.shs)
+               - len(list_intersect(a.shs, b.shs)) AS BIGINT) AS uni
+           FROM sh100 a JOIN sh100 b ON a.doc_id < b.doc_id),
+         jt AS (
+           SELECT id1, id2, inter, uni,
+             CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS j,
+             inter * 1000000 // uni AS j_e6
+           FROM allp),
+         grid AS (
+           SELECT b, 120 // b AS r FROM (SELECT unnest([${
+             lshTunerGrid.map(_._1).mkString(", ")}]) AS b)),
+         pj0 AS (SELECT * FROM jt CROSS JOIN grid),
+         $jsq,
+         pr AS (SELECT *, ${powCase("j", "r", lshTunerGrid.map(_._2))} AS jr
+                FROM pj6),
+         pt0 AS (SELECT *, 1.0 - jr AS tt FROM pr),
+         $tsq,
+         pp AS (SELECT *, ${powCase("tt", "b", lshTunerGrid.map(_._1))} AS tb
+                FROM pt6),
+         pe AS (SELECT *,
+             CAST(floor((1.0 - tb) * 1000000.0) AS BIGINT) AS p_e6
+           FROM pp),
+         ag AS (
+           SELECT b, r, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN j_e6 >= 500000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN j_e6 >= 500000 THEN p_e6 ELSE 0 END)
+               AS BIGINT) AS caught_e6,
+             CAST(sum(CASE WHEN j_e6 >= 500000 THEN 1000000 - p_e6
+               ELSE 0 END) AS BIGINT) AS missed_e6,
+             CAST(sum(CASE WHEN j_e6 < 500000 THEN p_e6 ELSE 0 END)
+               AS BIGINT) AS fp_e6
+           FROM pe GROUP BY b, r),
+         agc AS (SELECT *, missed_e6 + fp_e6 // 10 AS cost_e6 FROM ag),
+         best AS (SELECT min(cost_e6) AS min_cost FROM agc)
+         SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, n_pairs,
+           n_true, caught_e6, missed_e6, fp_e6, cost_e6,
+           cost_e6 = min_cost AS is_chosen
+         FROM agc, best"""
+  }
+
   /** q113 SemDeDup replay: the mutualNnScaledOracle cell/bin CTEs, an
     * in-group cosine-threshold pair set, recursive-CTE connected
     * components (componentCtes' reach pattern), and the per-component

@@ -28,6 +28,30 @@ object Warehouse {
     expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD Type-2 dimension build — the warehouse-history classic the
+    // MERGE/CDC family (q219/q245) was still missing: collapse each
+    // user's ordered event stream into versioned attribute rows
+    // (value, effective-from, effective-to, is_current), keeping a row
+    // only where the tracked attribute CHANGES. Timestamps stay integer
+    // epoch micros; eff_to is the NEXT version's eff_from (half-open
+    // intervals, -1 sentinel for the open current row). Scale shape:
+    // two keyed windows over (user_id) — lag to detect changes,
+    // lead for the closing bound — and nothing global; the output is
+    // the compressed history, ~#changes rows not #events.
+    "q407_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tm", "event_id")
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("tm"), col("event_id"), col("event_type"))
+      val chg = ev.withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("tm", "event_id")
+      chg.withColumn("ver", row_number().over(w2).cast("long"))
+        .withColumn("eff_to", coalesce(lead("tm", 1).over(w2), lit(-1L)))
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("tm").as("eff_from"), col("eff_to"),
+          (col("eff_to") === -1L).as("is_current"))
+    }),
+
     // Data-quality constraint verification in the Deequ shape (the
     // public Spark library's Check/VerificationSuite pattern): ONE scan
     // computes every metric in a single aggregate row — completeness,
@@ -724,6 +748,25 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q407_scd2_history" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_id, event_type
+           FROM events),
+         chg AS (
+           SELECT * FROM (
+             SELECT user_id, tm, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY tm, event_id) AS prev
+             FROM ev)
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS ver,
+           event_type, tm AS eff_from,
+           coalesce(lead(tm) OVER w, -1) AS eff_to,
+           coalesce(lead(tm) OVER w, -1) = -1 AS is_current
+         FROM chg
+         WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)""",
+
     "q322_quota_split" ->
       """WITH counts AS (
            SELECT c_nationkey AS nation, count(*) AS c
