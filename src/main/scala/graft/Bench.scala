@@ -189,7 +189,9 @@ object Bench {
     "q405_lsh_param_tuner", // (b,r) banding grid vs measured pair density
     "q406_bradley_terry", // BT strengths from histogram-derived wins
     "q407_scd2_history", // SCD-2 versioned dimension build
-    "q408_packing_efficiency") // concat-and-chunk split/waste audit
+    "q408_packing_efficiency", // concat-and-chunk split/waste audit
+    "q409_theil_sen", // median-of-pairwise-slopes robust trend
+    "q410_kcenter_coreset") // greedy k-center coreset (10 incremental rounds)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -144,6 +144,42 @@ object Stats {
     // c_xa, ips contribution = Σr·w_e6, per-context estimate div c_x.
     // Scale shape: two keyed (x, a) aggregates + a broadcast of the
     // bounded policy table; nothing scales past contexts × actions.
+    // Theil–Sen robust trend (Theil 1950; Sen 1968) of each event
+    // type's daily volume — the median of all pairwise slopes, the
+    // outlier-resistant companion to q146's OLS (one wild day moves
+    // OLS, not the pairwise median). Slopes are exact rationals
+    // (Δcount, Δday); the comparable key is the e9 trunc-div
+    // (dy·1e9 div dx, dx > 0), so the median pick replays exactly
+    // cross-engine, and the lower median ((n+1) div 2-th order stat)
+    // is deterministic. Scale shape: the daily aggregate is one keyed
+    // groupBy; the pair frame is CALENDAR-bounded — days² per type
+    // (~30² here) regardless of row count, so the keyed rank window
+    // runs on a bounded frame at any corpus size.
+    "q409_theil_sen" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d0, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      val b = daily.select(col("event_type"), col("day").as("d2"),
+        col("y").as("y2"))
+      val slopes = daily.join(b, Seq("event_type"))
+        .where(col("d2") > col("day"))
+        .select(col("event_type"),
+          expr("(y2 - y) * 1000000000 div (d2 - day)").as("slope_e9"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc("slope_e9"))
+      val ranked = slopes
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      ranked.where(col("rnk") === expr("(np + 1) div 2"))
+        .join(nd, "event_type")
+        .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+          col("slope_e9").as("ts_slope_e9"))
+    }),
+
     // Pearson chi-square test of independence over the full
     // source × lang contingency grid of documents — extends q148 (which
     // folds OBSERVED events cells through one collect_list chain) to
@@ -1097,6 +1133,30 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q409_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         slopes AS (
+           SELECT a.event_type,
+             (b.y - a.y) * 1000000000 // (b.day - a.day) AS slope_e9
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND b.day > a.day),
+         ranked AS (
+           SELECT event_type, slope_e9,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY slope_e9) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+           FROM slopes),
+         nd AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1)
+         SELECT r.event_type, n.n_days, r.np AS n_pairs,
+           r.slope_e9 AS ts_slope_e9
+         FROM ranked r JOIN nd n ON r.event_type = n.event_type
+         WHERE r.rnk = (r.np + 1) // 2""",
+
     "q401_chi2_independence" ->
       """WITH docs AS (SELECT source, lang FROM documents),
          obs AS (SELECT source, lang, count(*) AS o FROM docs GROUP BY 1, 2),

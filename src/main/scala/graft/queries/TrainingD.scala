@@ -634,6 +634,61 @@ private[queries] object TrainingD {
     }),
 
 
+    // Greedy k-center coreset selection (Gonzalez 1985; the Sener &
+    // Savarese 2018 active-learning/coreset rule): pick the 10 most
+    // mutually-distant embeddings — seed with the min-id point, then
+    // repeatedly add the point FARTHEST from its nearest chosen center.
+    // The selection each labeling/distillation budget round actually
+    // wants: maximal coverage of the embedding space, no duplicates.
+    // Distances are exact integer L2 on e6-quantized vectors (the q212
+    // convention) so every argmax replays cross-engine (ties → min
+    // vec_id via the max(struct(d2, −id)) trick). The running
+    // min-distance frame is updated INCREMENTALLY — each round computes
+    // distances to the ONE new center (least(d2min, d2new)), the
+    // standard trick that makes greedy k-center O(k·n) not O(k²·n).
+    // Scale shape: per round one broadcast of a single center + one
+    // map + one argmax aggregate (all distributed); the sequential k
+    // loop is the algorithm, k bounded (10). localCheckpoint per round
+    // keeps the lineage flat (the q132/q324 rule). Oracle: 10 unrolled
+    // MATERIALIZED rounds.
+    "q410_kcenter_coreset" -> ((s, d) => {
+      val ve = t(s, d, "embeddings").select(col("vec_id"),
+        expr("""transform(embedding,
+                 v -> cast(floor(cast(v as double) * 1000000.0) as bigint))""")
+          .as("ve"))
+        .persist() // scanned once per round against the new center
+      val seed = ve.agg(min("vec_id")).head().getLong(0)
+      def d2To(cid: Long): DataFrame = {
+        val c = ve.where(col("vec_id") === cid).select(col("ve").as("ce"))
+        ve.crossJoin(broadcast(c))
+          .select(col("vec_id"), expr(
+            """aggregate(zip_with(ve, ce, (a, b) -> (a - b) * (a - b)),
+               cast(0 as bigint), (acc, x) -> acc + x)""").as("d2"))
+      }
+      var dmin = d2To(seed).withColumnRenamed("d2", "d2min")
+        .localCheckpoint(true)
+      var picks = Vector((1L, seed, -1L))
+      for (k <- 2 to 10) {
+        val top = dmin.where(!col("vec_id").isin(picks.map(_._2): _*))
+          .agg(max(struct(col("d2min"), (-col("vec_id")).as("nv"))).as("m"))
+          .select(col("m.d2min").as("d2"), (-col("m.nv")).as("vid"))
+          .head()
+        val (d2s, cid) = (top.getLong(0), top.getLong(1))
+        picks :+= ((k.toLong, cid, d2s))
+        if (k < 10) {
+          dmin = dmin
+            .join(d2To(cid).select(col("vec_id"), col("d2").as("d2new")),
+              "vec_id")
+            .select(col("vec_id"),
+              least(col("d2min"), col("d2new")).as("d2min"))
+            .localCheckpoint(true)
+        }
+      }
+      import s.implicits._
+      picks.toDF("round", "vec_id", "sel_d2")
+    }),
+
+
     // Bradley–Terry strength fit over sources (Bradley & Terry 1952;
     // Hunter 2004's MM iteration) — the preference-aggregation core of
     // RLHF/eval-arena data work: treat every cross-source document pair
@@ -1351,6 +1406,8 @@ private[queries] object TrainingD {
     "q405_lsh_param_tuner" -> lshTunerOracle,
 
     "q406_bradley_terry" -> bradleyTerryOracle,
+
+    "q410_kcenter_coreset" -> kcenterOracle,
 
     "q408_packing_efficiency" ->
       """WITH nt AS (

@@ -589,6 +589,50 @@ private[queries] object TrainingShared {
     s"CASE $expCol " + values.distinct.sorted
       .map(v => s"WHEN $v THEN ${powProd(base, v)}").mkString(" ") + " END"
 
+  /** q410 replay: 10 unrolled greedy k-center rounds — per round, the
+    * (d2min DESC, vec_id) LIMIT-1 argmax pick, the accumulated chosen
+    * set, and the incremental least(d2min, d2-to-new-center) update.
+    * MATERIALIZED throughout (the q406 lesson — non-materialized
+    * round CTEs re-evaluate exponentially).
+    */
+  def kcenterOracle: String = {
+    def il2(a: String, b: String) = il2Sql(a, b, Similarity.Dim)
+    val rounds = (2 to 10).map { k =>
+      val upd = if (k < 10)
+        s""",
+         d$k AS MATERIALIZED (
+           SELECT v.vec_id, least(p.d2min, ${il2("v.ve", "c.ve")}) AS d2min
+           FROM ve v JOIN d${k - 1} p ON v.vec_id = p.vec_id,
+             (SELECT ve FROM ve
+              WHERE vec_id = (SELECT cid FROM c$k)) c)"""
+      else ""
+      s"""c$k AS MATERIALIZED (
+           SELECT vec_id AS cid, d2min AS sel_d2 FROM d${k - 1}
+           WHERE vec_id NOT IN (SELECT cid FROM cs${k - 1})
+           ORDER BY d2min DESC, vec_id LIMIT 1),
+         cs$k AS MATERIALIZED (
+           SELECT cid FROM cs${k - 1} UNION ALL SELECT cid FROM c$k)$upd"""
+    }.mkString(",\n         ")
+    val sel = (2 to 10).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, cid AS vec_id, sel_d2 FROM c$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ve AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS ve
+           FROM embeddings),
+         c1 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM ve),
+         cs1 AS MATERIALIZED (SELECT cid FROM c1),
+         d1 AS MATERIALIZED (
+           SELECT v.vec_id, ${il2("v.ve", "c.ve")} AS d2min
+           FROM ve v,
+             (SELECT ve FROM ve
+              WHERE vec_id = (SELECT cid FROM c1)) c),
+         $rounds
+         SELECT CAST(1 AS BIGINT) AS round, cid AS vec_id,
+           CAST(-1 AS BIGINT) AS sel_d2 FROM c1
+         UNION ALL $sel"""
+  }
+
   /** q406 replay: histogram-derived pairwise wins, e6 normalization, and
     * the 6 unrolled Bradley–Terry MM rounds (the doremi pattern — every
     * trunc division replays in SQL).
