@@ -191,7 +191,12 @@ object Bench {
     "q407_scd2_history", // SCD-2 versioned dimension build
     "q408_packing_efficiency", // concat-and-chunk split/waste audit
     "q409_theil_sen", // median-of-pairwise-slopes robust trend
-    "q410_kcenter_coreset") // greedy k-center coreset (10 incremental rounds)
+    "q410_kcenter_coreset", // greedy k-center coreset (10 incremental rounds)
+    "q411_ece", // expected calibration error, 10-bin reliability
+    "q412_filter_disparity", // per-lang quality-filter 80%-rule audit
+    "q413_cusum", // prefix-identity CUSUM drift monitor
+    "q414_kaplan_meier", // right-censored KM survival curve
+    "q415_brier_decomposition") // Murphy REL/RES/UNC split
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

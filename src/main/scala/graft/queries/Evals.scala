@@ -157,6 +157,85 @@ object Evals {
                 FROM w3)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Murphy decomposition of the Brier score (Murphy 1973) — the
+    // companion number to q411's ECE: Brier = reliability − resolution
+    // + uncertainty, separating "is the confidence honest" (REL, want
+    // 0) from "does the score actually discriminate" (RES, want high)
+    // from the base-rate entropy floor (UNC) — a filter can have
+    // perfect calibration and zero resolution, and only this
+    // decomposition tells them apart. Same deterministic
+    // confidence/outcome fixture and 10 equal-width bins as q411.
+    // Exact: every squared term is floored to e6 per row/bin BEFORE
+    // its sum (merge-order-free; also keeps Σ inside int64 at any n).
+    // Scale shape: one scan + the 10-bin groupBy + 1-row broadcasts.
+    "q415_brier_decomposition" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("conf_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+        .withColumn("bin", expr("conf_e6 div 100000"))
+      val tot = e.agg(count(lit(1)).as("n"), sum("y").as("ny"),
+        sum(expr("""((conf_e6 - y * 1000000) * (conf_e6 - y * 1000000))
+          div 1000000""")).as("sb"))
+      val bins = e.groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("n_pos"),
+          sum("conf_e6").as("sum_conf_e6"))
+        .withColumn("acc_e6", expr("n_pos * 1000000 div n_b"))
+        .withColumn("conf_mean_e6", expr("sum_conf_e6 div n_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("ybar_e6", expr("ny * 1000000 div n"))
+        .withColumn("rel_term_e6", expr(
+          """n_b * (((conf_mean_e6 - acc_e6) * (conf_mean_e6 - acc_e6))
+             div 1000000)"""))
+        .withColumn("res_term_e6", expr(
+          """n_b * (((acc_e6 - ybar_e6) * (acc_e6 - ybar_e6))
+             div 1000000)"""))
+      bins.groupBy("n", "ny", "sb", "ybar_e6")
+        .agg(sum("rel_term_e6").as("srel"), sum("res_term_e6").as("sres"))
+        .select(col("n"),
+          expr("sb div n").as("brier_e6"),
+          expr("srel div n").as("rel_e6"),
+          expr("sres div n").as("res_e6"),
+          expr("(ybar_e6 * (1000000 - ybar_e6)) div 1000000")
+            .as("unc_e6"))
+    }),
+
+    // Expected Calibration Error (Naeini et al. 2015; Guo et al. 2017's
+    // standard form) — the reliability readout for any scored
+    // filter/classifier the pipeline ships (q264 FITS a calibration
+    // map; this MEASURES miscalibration): bin predictions by stated
+    // confidence (10 equal-width bins), compare each bin's mean
+    // confidence to its empirical accuracy, and weight |gap| by bin
+    // mass. Confidence is the deterministic (embedding[0]+1)/2
+    // pseudo-probability, outcome label%2 (the repo's standing scored
+    // fixture). Exact: e6-floored confidences, integer bin means and
+    // accuracy ratios, the ECE total a weighted integer sum replayed
+    // in SQL. Scale shape: one scan + a 10-bin groupBy + a 1-row
+    // totals broadcast; everything after lives on the bounded bin
+    // frame.
+    "q411_ece" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("conf_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+      val binned = e.withColumn("bin", expr("conf_e6 div 100000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("n_pos"),
+          sum("conf_e6").as("sum_conf_e6"))
+        .withColumn("acc_e6", expr("n_pos * 1000000 div n_b"))
+        .withColumn("conf_mean_e6", expr("sum_conf_e6 div n_b"))
+        .withColumn("gap_e6", abs(col("acc_e6") - col("conf_mean_e6")))
+      val tot = binned.agg(sum("n_b").as("n"),
+        sum(expr("gap_e6 * n_b")).as("wgap"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_b"), col("n_pos"), col("acc_e6"),
+          col("conf_mean_e6"), col("gap_e6"),
+          expr("gap_e6 * n_b * 1000 div n").as("contrib_e9"),
+          expr("wgap * 1000 div n").as("ece_e9"))
+    }),
+
     // Macro-F1 + Cohen's κ over a 3-class truth/pred pairing — the
     // reference's grid-search scoring aggregates (08-optimization.Rmd),
     // computed by Eval.macroF1Kappa: one groupBy to K×K confusion cells,
@@ -554,6 +633,67 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q415_brier_decomposition" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS conf_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM embeddings),
+         e2 AS (SELECT *, conf_e6 // 100000 AS bin FROM e),
+         tot AS (
+           SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS ny,
+             CAST(sum(((conf_e6 - y * 1000000)
+               * (conf_e6 - y * 1000000)) // 1000000) AS BIGINT) AS sb
+           FROM e2),
+         bins AS (
+           SELECT bin, count(*) AS n_b, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(conf_e6) AS BIGINT) AS sum_conf_e6
+           FROM e2 GROUP BY 1),
+         b2 AS (
+           SELECT bin, n_b,
+             n_pos * 1000000 // n_b AS acc_e6,
+             sum_conf_e6 // n_b AS conf_mean_e6,
+             n, ny, sb, ny * 1000000 // n AS ybar_e6
+           FROM bins, tot),
+         b3 AS (
+           SELECT n, ny, sb, ybar_e6,
+             CAST(sum(n_b * (((conf_mean_e6 - acc_e6)
+               * (conf_mean_e6 - acc_e6)) // 1000000)) AS BIGINT) AS srel,
+             CAST(sum(n_b * (((acc_e6 - ybar_e6)
+               * (acc_e6 - ybar_e6)) // 1000000)) AS BIGINT) AS sres
+           FROM b2 GROUP BY 1, 2, 3, 4)
+         SELECT n, sb // n AS brier_e6, srel // n AS rel_e6,
+           sres // n AS res_e6,
+           (ybar_e6 * (1000000 - ybar_e6)) // 1000000 AS unc_e6
+         FROM b3""",
+
+    "q411_ece" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS conf_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM embeddings),
+         binned AS (
+           SELECT conf_e6 // 100000 AS bin, count(*) AS n_b,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(conf_e6) AS BIGINT) AS sum_conf_e6
+           FROM e GROUP BY 1),
+         b2 AS (
+           SELECT *, n_pos * 1000000 // n_b AS acc_e6,
+             sum_conf_e6 // n_b AS conf_mean_e6,
+             abs(n_pos * 1000000 // n_b - sum_conf_e6 // n_b) AS gap_e6
+           FROM binned),
+         tot AS (
+           SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             CAST(sum(gap_e6 * n_b) AS BIGINT) AS wgap
+           FROM b2)
+         SELECT bin, n_b, n_pos, acc_e6, conf_mean_e6, gap_e6,
+           gap_e6 * n_b * 1000 // n AS contrib_e9,
+           wgap * 1000 // n AS ece_e9
+         FROM b2, tot""",
+
     "q208_cusum" ->
       """WITH daily AS (
            SELECT event_type AS c, epoch_us(ts) // 86400000000 AS day,

@@ -144,6 +144,85 @@ object Stats {
     // c_xa, ips contribution = Σr·w_e6, per-context estimate div c_x.
     // Scale shape: two keyed (x, a) aggregates + a broadcast of the
     // bounded policy table; nothing scales past contexts × actions.
+    // Kaplan–Meier survival estimator (Kaplan & Meier 1958) on user
+    // lifetimes — the churn/retention readout q181's cohort LTV grid
+    // lacks: lifetime = span from a user's first to last event day,
+    // right-CENSORED when the user is still active on the final
+    // observed day (their true lifetime exceeds the window — dropping
+    // them or counting them as churned both bias the curve; KM is the
+    // correct estimator). S(t) = Π_{u≤t} (1 − d_u/n_u) folds over the
+    // CALENDAR-bounded lifetime frame as e6 integers in sorted order
+    // (array_sort + aggregate — the q127 pinned-fold rule; DuckDB
+    // replays with list_reduce), one trunc-div per step. Scale shape:
+    // one per-user groupBy (map-combinable min/max), one
+    // lifetime-bucket groupBy, and the bounded fold — the risk set
+    // n_t comes from a suffix identity (total − exclusive prefix),
+    // not a second pass.
+    "q414_kaplan_meier" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val maxDay = ev.agg(max("day").as("max_day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .crossJoin(broadcast(maxDay))
+        .select((col("d1") - col("d0") + 1L).as("lt"),
+          (col("d1") === col("max_day")).cast("long").as("censored"))
+      val lt = users.groupBy("lt")
+        .agg(count(lit(1)).as("n_at"),
+          sum(lit(1L) - col("censored")).as("d_events"))
+      val tot = lt.agg(sum("n_at").as("n_total"))
+      // risk set at lifetime t = all users with lifetime >= t
+      val risk = graft.operators.PrefixScan.scanLong(
+        lt, "cum_before", "n_at", "sum", inclusive = false, asc("lt"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_total") - col("cum_before"))
+      risk.agg(array_sort(collect_list(struct(col("lt"), col("n_risk"),
+          col("d_events")))).as("steps"))
+        .select(explode(expr(
+          """transform(sequence(1, size(steps)), i -> named_struct(
+               'lt', steps[i-1].lt,
+               'n_risk', steps[i-1].n_risk,
+               'd_events', steps[i-1].d_events,
+               's_e6', aggregate(slice(steps, 1, i), 1000000L,
+                 (acc, st) -> acc * (st.n_risk - st.d_events)
+                   div greatest(st.n_risk, 1L))))""")).as("r"))
+        .select(col("r.lt").as("lt"), col("r.n_risk").as("n_risk"),
+          col("r.d_events").as("d_events"), col("r.s_e6").as("s_e6"))
+    }),
+
+    // One-sided CUSUM drift monitor (Page 1954) on each event type's
+    // daily mean value — the sequential change detector next to the
+    // two-sample tests (q287 KS, q288 PSI): S_d = max(0, S_{d−1} +
+    // (x_d − μ0 − slack)) alarms when a sustained upward mean shift
+    // accumulates past h. The recurrence is SEQUENTIAL but has the
+    // classic prefix identity S_d = P_d − min_{j≤d} P_j with P the
+    // running sum of deviations — two incremental keyed window frames,
+    // no ordered fold, no O(n²) tail frame. μ0 = per-type mean of
+    // daily means, slack = μ0/20, h = μ0/10, all exact trunc-div
+    // integers off cent-scaled values. Scale shape: one daily keyed
+    // groupBy (map-combinable); the window partitions are
+    // CALENDAR-bounded (days per type), never row-scaled.
+    "q413_cusum" -> ((s, d0) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d0, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v_e2"))
+        .groupBy("event_type", "day")
+        .agg(expr("sum(v_e2) div count(1)").as("x_e2"))
+      val mu = daily.groupBy("event_type")
+        .agg(expr("sum(x_e2) div count(1)").as("mu_e2"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(mu, "event_type")
+        .withColumn("dev_e2", expr("x_e2 - mu_e2 - mu_e2 div 20"))
+        .withColumn("p_e2", sum("dev_e2").over(wCum))
+        .withColumn("minp_e2", min(least(col("p_e2"), lit(0L))).over(wCum))
+        .withColumn("s_e2", col("p_e2") - col("minp_e2"))
+        .select(col("event_type"), col("day"), col("x_e2"), col("mu_e2"),
+          col("s_e2"), (col("s_e2") > expr("mu_e2 div 10")).as("alarm"))
+    }),
+
     // Theil–Sen robust trend (Theil 1950; Sen 1968) of each event
     // type's daily volume — the median of all pairwise slopes, the
     // outlier-resistant companion to q146's OLS (one wild day moves
@@ -1133,6 +1212,78 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q414_kaplan_meier" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         md AS (SELECT max(day) AS max_day FROM ev),
+         users AS (
+           SELECT max(day) - min(day) + 1 AS lt,
+             CAST(CASE WHEN max(day) = (SELECT max_day FROM md)
+               THEN 1 ELSE 0 END AS BIGINT) AS censored
+           FROM ev GROUP BY user_id),
+         lts AS (
+           SELECT lt, count(*) AS n_at,
+             CAST(sum(1 - censored) AS BIGINT) AS d_events
+           FROM users GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM lts),
+         risk AS (
+           SELECT lt, n_at, d_events,
+             n_total - coalesce(CAST(sum(n_at) OVER (ORDER BY lt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS n_risk
+           FROM lts, tot),
+         st AS (
+           SELECT list(struct_pack(lt := lt, n_risk := n_risk,
+             d_events := d_events) ORDER BY lt) AS steps
+           FROM risk),
+         ix AS (
+           SELECT unnest(generate_series(1, len(steps))) AS i, steps
+           FROM st)
+         SELECT steps[i].lt AS lt, steps[i].n_risk AS n_risk,
+           steps[i].d_events AS d_events,
+           list_reduce(list_prepend(struct_pack(
+               lt := CAST(1000000 AS BIGINT),
+               n_risk := CAST(0 AS BIGINT),
+               d_events := CAST(0 AS BIGINT)), steps[1:i]),
+             (acc, x) -> struct_pack(
+               lt := acc.lt * (x.n_risk - x.d_events)
+                 // greatest(x.n_risk, 1),
+               n_risk := x.n_risk,
+               d_events := x.d_events)).lt AS s_e6
+         FROM ix""",
+
+    "q413_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         dm AS (
+           SELECT event_type, day,
+             CAST(sum(v_e2) AS BIGINT) // count(*) AS x_e2
+           FROM daily GROUP BY 1, 2),
+         mu AS (
+           SELECT event_type,
+             CAST(sum(x_e2) AS BIGINT) // count(*) AS mu_e2
+           FROM dm GROUP BY 1),
+         j AS (
+           SELECT d.event_type, d.day, d.x_e2, m.mu_e2,
+             d.x_e2 - m.mu_e2 - m.mu_e2 // 20 AS dev_e2
+           FROM dm d JOIN mu m USING (event_type)),
+         c AS (
+           SELECT *, CAST(sum(dev_e2) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS p_e2
+           FROM j),
+         c2 AS (
+           SELECT *, CAST(min(least(p_e2, 0)) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS minp_e2
+           FROM c)
+         SELECT event_type, day, x_e2, mu_e2,
+           p_e2 - minp_e2 AS s_e2,
+           p_e2 - minp_e2 > mu_e2 // 10 AS alarm
+         FROM c2""",
+
     "q409_theil_sen" ->
       """WITH daily AS (
            SELECT event_type, epoch_us(ts) // 86400000000 AS day,

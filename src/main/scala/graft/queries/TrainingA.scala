@@ -337,6 +337,36 @@ private[queries] object TrainingA {
     }),
 
 
+    // Quality-filter disparity audit — the fairness check a curation
+    // pipeline owes its corpus (quality classifiers are known to
+    // disproportionately drop dialectal/low-resource text — the
+    // Gururangan et al. 2022 finding): per language, the q53 keep-rule
+    // pass rate, its ratio to the global pass rate, and the
+    // four-fifths (80%) adverse-impact flag from employment-selection
+    // practice. A language whose documents pass at under 0.8× the
+    // corpus rate is being systematically filtered — the number to
+    // surface BEFORE training, not discover after. Exact: rates are
+    // integer e6 trunc-divs; the ratio is a trunc-div of trunc-divs
+    // replayed identically in SQL. Scale shape: one scan + one keyed
+    // groupBy + a 1-row totals broadcast.
+    "q412_filter_disparity" -> ((s, d) => {
+      val g = t(s, d, "documents")
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q.keep").cast("long")).as("n_keep"))
+      val tot = g.agg(sum("n").as("nt"), sum("n_keep").as("kt"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("keep_rate_e6", expr("n_keep * 1000000 div n"))
+        .withColumn("global_rate_e6", expr("kt * 1000000 div nt"))
+        .withColumn("parity_ratio_e6", expr(
+          "keep_rate_e6 * 1000000 div greatest(global_rate_e6, 1L)"))
+        .select(col("lang"), col("n"), col("n_keep"), col("keep_rate_e6"),
+          col("global_rate_e6"), col("parity_ratio_e6"),
+          (col("parity_ratio_e6") < 800000L).as("adverse_impact"))
+    }),
+
+
     // deterministic hash sampling (scalable, engine-portable — unlike the
     // seeded Bernoulli sampler, this IS oracle-checkable).
     "q79_hash_sample" -> ((s, d) => {
@@ -2426,6 +2456,33 @@ private[queries] object TrainingA {
          GROUP BY 1""",
 
     "q113_semdedup" -> semdedupOracle(200L, 330000L),
+
+    "q412_filter_disparity" -> {
+      val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH base AS (
+           SELECT lang,
+             (len(w) >= 10 AND len(w) <= 100000 AND
+              (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                ELSE 0.0 END) > 0.001) AS keep
+           FROM (SELECT lang, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         g AS (
+           SELECT lang, count(*) AS n,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           FROM base GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(n_keep) AS BIGINT) AS kt
+           FROM g)
+         SELECT lang, n, n_keep,
+           n_keep * 1000000 // n AS keep_rate_e6,
+           kt * 1000000 // nt AS global_rate_e6,
+           (n_keep * 1000000 // n) * 1000000
+             // greatest(kt * 1000000 // nt, 1) AS parity_ratio_e6,
+           (n_keep * 1000000 // n) * 1000000
+             // greatest(kt * 1000000 // nt, 1) < 800000 AS adverse_impact
+         FROM g, tot"""
+    },
 
     "q79_hash_sample" ->
       """SELECT doc_id, lang FROM documents
