@@ -196,7 +196,8 @@ object Bench {
     "q412_filter_disparity", // per-lang quality-filter 80%-rule audit
     "q413_cusum", // prefix-identity CUSUM drift monitor
     "q414_kaplan_meier", // right-censored KM survival curve
-    "q415_brier_decomposition") // Murphy REL/RES/UNC split
+    "q415_brier_decomposition", // Murphy REL/RES/UNC split
+    "q416_map_at_k") // MAP@10 binary-relevance retrieval eval
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

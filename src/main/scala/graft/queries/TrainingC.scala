@@ -840,6 +840,44 @@ private[queries] object TrainingC {
     }),
 
 
+    // Mean Average Precision at 10 — the third standard retrieval
+    // readout next to q351's nDCG/MRR (binary relevance = same label):
+    // AP = mean of P@k over the relevant ranks (local-R normalization,
+    // the AP@k convention), MAP the across-query mean. Everything is
+    // integer rank arithmetic (cumulative-relevant prefix over the
+    // 10-row per-query frame, trunc-div precisions) — no floats at
+    // all, so the replay is trivially exact. Scale shape: the
+    // brute-force top-10 is the q117 bounded-query posture (3
+    // broadcast queries scan the corpus map-side); everything after
+    // lives on 30 rows.
+    "q416_map_at_k" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qids = Seq(10L, 20L, 30L)
+      val e = t(s, d, "embeddings")
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val wQ = Window.partitionBy("query_id").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val top = Similarity.bruteForceTopK(
+          e, e.where(col("vec_id").isin(qids: _*)), 10)
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("lab").as("clab")), "neighbor_id")
+        .join(broadcast(lab.select(col("vec_id").as("query_id"),
+          col("lab").as("qlab"))), "query_id")
+        .withColumn("rel", (col("clab") === col("qlab")).cast("long"))
+        .withColumn("cumrel", sum("rel").over(wQ))
+        .withColumn("p_at_k_e6", expr("cumrel * 1000000 div rnk"))
+      val ap = top.groupBy("query_id")
+        .agg(sum("rel").as("n_rel"),
+          sum(when(col("rel") === 1L, col("p_at_k_e6")).otherwise(0L))
+            .as("sum_p_e6"))
+        .withColumn("ap_e6", when(col("n_rel") > 0L,
+          expr("sum_p_e6 div n_rel")).otherwise(0L))
+      val m = ap.agg(count(lit(1)).as("nq"), sum("ap_e6").as("sap"))
+      ap.crossJoin(broadcast(m))
+        .select(col("query_id"), col("n_rel"), col("ap_e6"),
+          expr("sap div nq").as("map_e6"))
+    }),
+
     // Graded retrieval eval — nDCG@10 + reciprocal rank per query
     // (Järvelin & Kekäläinen TOIS 2002) over the dense cosine top-10,
     // with label-derived graded relevance (3 = same label, 1 = adjacent
@@ -2275,6 +2313,43 @@ private[queries] object TrainingC {
            min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
          FROM sil GROUP BY c""",
 
+
+    "q416_map_at_k" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qemb,
+             CAST(label AS BIGINT) AS qlab
+           FROM embeddings WHERE vec_id IN (10, 20, 30)),
+         c AS (
+           SELECT q.query_id, q.qlab, e.vec_id AS cand_id,
+             CAST(e.label AS BIGINT) AS clab,
+             (${dotSql("e.embedding", "q.qemb")})
+               / (sqrt(${dotSql("e.embedding", "e.embedding")})
+                  * sqrt(${dotSql("q.qemb", "q.qemb")})) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, cand_id,
+             CAST(CASE WHEN clab = qlab THEN 1 ELSE 0 END AS BIGINT) AS rel,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+           FROM c QUALIFY rnk <= 10),
+         p AS (
+           SELECT query_id, rel, rnk,
+             CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) * 1000000 // rnk AS p_at_k_e6
+           FROM r),
+         ap AS (
+           SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             CASE WHEN sum(rel) > 0
+               THEN CAST(sum(CASE WHEN rel = 1 THEN p_at_k_e6 ELSE 0 END)
+                 AS BIGINT) // CAST(sum(rel) AS BIGINT)
+               ELSE 0 END AS ap_e6
+           FROM p GROUP BY query_id),
+         m AS (
+           SELECT count(*) AS nq, CAST(sum(ap_e6) AS BIGINT) AS sap
+           FROM ap)
+         SELECT query_id, n_rel, ap_e6, sap // nq AS map_e6
+         FROM ap, m""",
 
     "q351_ndcg_mrr" ->
       s"""WITH q AS (
