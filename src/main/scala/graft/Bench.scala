@@ -197,7 +197,10 @@ object Bench {
     "q413_cusum", // prefix-identity CUSUM drift monitor
     "q414_kaplan_meier", // right-censored KM survival curve
     "q415_brier_decomposition", // Murphy REL/RES/UNC split
-    "q416_map_at_k") // MAP@10 binary-relevance retrieval eval
+    "q416_map_at_k", // MAP@10 binary-relevance retrieval eval
+    "q417_good_turing", // frequency-of-frequency GT re-estimation
+    "q418_mantel_haenszel", // stratified pooled odds ratio
+    "q419_mcnemar") // paired-classifier discordance test
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

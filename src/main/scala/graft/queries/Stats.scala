@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.TextFunctions
 
 /** Statistical analysis operators: per-group OLS regression, a pairwise
   * correlation matrix, and a chi-square independence test — the "does
@@ -144,6 +145,96 @@ object Stats {
     // c_xa, ips contribution = Σr·w_e6, per-context estimate div c_x.
     // Scale shape: two keyed (x, a) aggregates + a broadcast of the
     // bounded policy table; nothing scales past contexts × actions.
+    // Good–Turing frequency re-estimation (Good 1953) over the corpus
+    // vocabulary — the smoothing table behind Katz/SGT language models
+    // and the "how much probability mass belongs to UNSEEN words"
+    // question (P_unseen = N_1/N): from the frequency-of-frequencies
+    // N_r, the adjusted count r* = (r+1)·N_{r+1}/N_r for r = 1..10.
+    // Exact: token counts and N_r are integers; r* is one e6 trunc-div.
+    // Scale shape: token groupBy (map-combinable) → count-of-counts
+    // groupBy → the bounded r ≤ 10 frame with a self-join on r+1;
+    // nothing beyond two keyed aggregates touches data size.
+    "q417_good_turing" -> ((s, d0) => {
+      val tok = t(s, d0, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("r"))
+      val nr = tok.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val tot = tok.agg(sum("r").as("n_tokens"), count(lit(1)).as("v"))
+      nr.where(col("r") <= 10L)
+        .join(nr.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+          Seq("r"), "left")
+        .na.fill(0L, Seq("n_r1"))
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"), col("n_r1"),
+          expr("(r + 1) * n_r1 * 1000000 div n_r").as("r_star_e6"),
+          col("n_tokens"), col("v"),
+          expr("n_r * 1000000 div n_tokens").as("mass_share_e6"))
+    }),
+
+    // Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959) — the
+    // stratified-confounding answer to "does exposure move the outcome
+    // once event_type is controlled for": per stratum the 2×2 table
+    // (exposure = even user_id, outcome = value ≥ 100), pooled as
+    // OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) — Simpson's-paradox-proof where
+    // the crude pooled OR is not. Exact: each stratum term is one e6
+    // trunc-div on integer cell products, the final ratio one more.
+    // Scale shape: ONE map-side 4-way conditional-count aggregate per
+    // stratum; everything after lives on the bounded strata frame.
+    // Int64 bound: a·d·1e6 caps at ~3e6 rows per stratum — past that
+    // switch the stratum terms to e3 scaling (same pattern).
+    "q418_mantel_haenszel" -> ((s, d0) => {
+      val cells = t(s, d0, "events")
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).as("exp"),
+          (col("value") >= 100.0).as("out"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("exp") && col("out"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("exp") && !col("out"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("exp") && col("out"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("exp") && !col("out"), 1L).otherwise(0L)).as("d"))
+        .withColumn("num_e6", expr("a * d * 1000000 div n"))
+        .withColumn("den_e6", expr("b * c * 1000000 div n"))
+      val pooled = cells.agg(sum("num_e6").as("snum"), sum("den_e6").as("sden"))
+      cells.crossJoin(broadcast(pooled))
+        .select(col("event_type"), col("n"), col("a"), col("b"), col("c"),
+          col("d"),
+          expr("""CASE WHEN b * c > 0
+            THEN (a * d * 1000000) div (b * c) ELSE -1 END""").as("or_e6"),
+          expr("snum * 1000000 div greatest(sden, 1L)").as("or_mh_e6"))
+    }),
+
+    // McNemar's paired test (McNemar 1947) — the correct way to compare
+    // two classifiers scored on the SAME documents (independent-sample
+    // tests overstate significance on paired data): classifier A is the
+    // q53 keep rule, classifier B a pure length rule (n_chars ≥ 200);
+    // only the DISCORDANT cells b (A-only) and c (B-only) carry
+    // information, χ² = (b−c)²/(b+c) with the continuity-corrected
+    // variant alongside. Exact: integer cells, two pinned trunc-divs.
+    // Scale shape: one map-side 4-cell conditional-count aggregate —
+    // a single scan, single row out.
+    "q419_mcnemar" -> ((s, d0) => {
+      val flags = t(s, d0, "documents")
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").as("ka"),
+          (col("n_chars") >= 200L).as("kb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("neither"))
+      flags.select(col("n"), col("n_both"), col("b"), col("c"), col("neither"),
+        expr("""CASE WHEN b + c > 0
+          THEN ((b - c) * (b - c) * 1000000) div (b + c)
+          ELSE 0 END""").as("chi2_e6"),
+        expr("""CASE WHEN b + c > 0
+          THEN ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) div (b + c)
+          ELSE 0 END""").as("chi2_cc_e6"),
+        (expr("""CASE WHEN b + c > 0
+          THEN ((b - c) * (b - c) * 1000000) div (b + c)
+          ELSE 0 END""") > 3841459L).as("significant_05"))
+    }),
+
     // Kaplan–Meier survival estimator (Kaplan & Meier 1958) on user
     // lifetimes — the churn/retention readout q181's cohort LTV grid
     // lacks: lifetime = span from a user's first to last event day,
@@ -1212,6 +1303,83 @@ object Stats {
              ((abs(cum1 * n2 - cum2 * n1) * 1000000) // (n1 * n2)))
              AS BIGINT) AS w1_cent_e6
          FROM cum GROUP BY ta, tb, n1, n2""",
+    "q417_good_turing" ->
+      """WITH tok AS (
+           SELECT t AS tok, count(*) AS r
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+                 FROM documents)
+           GROUP BY 1),
+         nr AS (SELECT r, count(*) AS n_r FROM tok GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(r) AS BIGINT) AS n_tokens, count(*) AS v
+           FROM tok)
+         SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r1,
+           (a.r + 1) * coalesce(b.n_r, 0) * 1000000 // a.n_r AS r_star_e6,
+           n_tokens, v,
+           a.n_r * 1000000 // n_tokens AS mass_share_e6
+         FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tot
+         WHERE a.r <= 10""",
+
+    "q418_mantel_haenszel" ->
+      """WITH cells AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 100.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT value >= 100.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 AND value >= 100.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 AND NOT value >= 100.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM events GROUP BY 1),
+         t2 AS (
+           SELECT *, a * d * 1000000 // n AS num_e6,
+             b * c * 1000000 // n AS den_e6
+           FROM cells),
+         pooled AS (
+           SELECT CAST(sum(num_e6) AS BIGINT) AS snum,
+             CAST(sum(den_e6) AS BIGINT) AS sden
+           FROM t2)
+         SELECT event_type, n, a, b, c, d,
+           CASE WHEN b * c > 0 THEN (a * d * 1000000) // (b * c)
+             ELSE -1 END AS or_e6,
+           snum * 1000000 // greatest(sden, 1) AS or_mh_e6
+         FROM t2, pooled""",
+
+    "q419_mcnemar" -> {
+      val stopAll = TrainingShared.hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH flags AS (
+           SELECT
+             (len(w) >= 10 AND len(w) <= 100000 AND
+              (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                ELSE 0.0 END) > 0.001) AS ka,
+             n_chars >= 200 AS kb
+           FROM (SELECT text, n_chars, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         agg AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END)
+               AS BIGINT) AS neither
+           FROM flags)
+         SELECT n, n_both, b, c, neither,
+           CASE WHEN b + c > 0
+             THEN ((b - c) * (b - c) * 1000000) // (b + c)
+             ELSE 0 END AS chi2_e6,
+           CASE WHEN b + c > 0
+             THEN ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) // (b + c)
+             ELSE 0 END AS chi2_cc_e6,
+           CASE WHEN b + c > 0
+             THEN ((b - c) * (b - c) * 1000000) // (b + c)
+             ELSE 0 END > 3841459 AS significant_05
+         FROM agg"""
+    },
+
     "q414_kaplan_meier" ->
       """WITH ev AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
