@@ -200,7 +200,10 @@ object Bench {
     "q416_map_at_k", // MAP@10 binary-relevance retrieval eval
     "q417_good_turing", // frequency-of-frequency GT re-estimation
     "q418_mantel_haenszel", // stratified pooled odds ratio
-    "q419_mcnemar") // paired-classifier discordance test
+    "q419_mcnemar", // paired-classifier discordance test
+    "q420_dedup_mixture_shift", // per-source share shift from keep-one dedup
+    "q421_containment", // asymmetric shingle containment on LSH pairs
+    "q422_risk_coverage") // selective-prediction risk-coverage curve
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

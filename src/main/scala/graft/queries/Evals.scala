@@ -157,6 +157,47 @@ object Evals {
                 FROM w3)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Risk–coverage curve for selective prediction (Geifman & El-Yaniv
+    // 2017) — the abstention readout a scored filter needs before
+    // shipping a confidence threshold: rank predictions by confidence
+    // margin |p − ½| (10 margin deciles), then for each coverage level
+    // (keeping the most-confident bins down) report coverage and the
+    // selective risk (error rate among covered), plus each band's
+    // contribution to AURC. If risk does not fall as coverage shrinks,
+    // the confidence is not informative (exactly what q411/q415 ECE/RES
+    // quantify — this is the operational view). Prediction = p ≥ ½ on
+    // the standing scored fixture. Exact: integer bins, trunc-div
+    // rates; the cumulative-from-the-top sums ride a bounded
+    // triangular self-join (10×10), not a window. Scale shape: one
+    // scan + the 10-bin groupBy; everything after is bounded.
+    "q422_risk_coverage" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("conf_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+        .withColumn("pred", (col("conf_e6") >= 500000L).cast("long"))
+        .withColumn("err", (col("pred") =!= col("y")).cast("long"))
+        .withColumn("margin_bin",
+          expr("least(9L, abs(conf_e6 - 500000) * 2 div 100000)"))
+      val bins = e.groupBy("margin_bin")
+        .agg(count(lit(1)).as("n_b"), sum("err").as("err_b"))
+      val tot = bins.agg(sum("n_b").as("n"))
+      val cum = bins.join(
+        broadcast(bins.select(col("margin_bin").as("mb2"),
+          col("n_b").as("n2"), col("err_b").as("e2"))),
+        col("mb2") >= col("margin_bin"))
+        .groupBy("margin_bin", "n_b", "err_b")
+        .agg(sum("n2").as("cum_n"), sum("e2").as("cum_err"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("margin_bin"), col("n_b"), col("err_b"),
+          col("cum_n"), col("cum_err"),
+          expr("cum_n * 1000000 div n").as("coverage_e6"),
+          expr("cum_err * 1000000 div cum_n").as("sel_risk_e6"),
+          expr("(cum_err * 1000000 div cum_n) * n_b div n")
+            .as("aurc_term_e6"))
+    }),
+
     // Murphy decomposition of the Brier score (Murphy 1973) — the
     // companion number to q411's ECE: Brier = reliability − resolution
     // + uncertainty, separating "is the confidence honest" (REL, want
@@ -633,6 +674,40 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q422_risk_coverage" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS conf_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM embeddings),
+         e2 AS (
+           SELECT *,
+             CAST(CASE WHEN conf_e6 >= 500000 THEN 1 ELSE 0 END
+               AS BIGINT) AS pred,
+             least(9, abs(conf_e6 - 500000) * 2 // 100000) AS margin_bin
+           FROM e),
+         e3 AS (
+           SELECT margin_bin,
+             CAST(CASE WHEN pred <> y THEN 1 ELSE 0 END AS BIGINT) AS err
+           FROM e2),
+         bins AS (
+           SELECT margin_bin, count(*) AS n_b,
+             CAST(sum(err) AS BIGINT) AS err_b
+           FROM e3 GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM bins),
+         cum AS (
+           SELECT a.margin_bin, a.n_b, a.err_b,
+             CAST(sum(b.n_b) AS BIGINT) AS cum_n,
+             CAST(sum(b.err_b) AS BIGINT) AS cum_err
+           FROM bins a JOIN bins b ON b.margin_bin >= a.margin_bin
+           GROUP BY 1, 2, 3)
+         SELECT margin_bin, n_b, err_b, cum_n, cum_err,
+           cum_n * 1000000 // n AS coverage_e6,
+           cum_err * 1000000 // cum_n AS sel_risk_e6,
+           (cum_err * 1000000 // cum_n) * n_b // n AS aurc_term_e6
+         FROM cum, tot""",
+
     "q415_brier_decomposition" ->
       """WITH e AS (
            SELECT least(999999, greatest(0, CAST(floor(

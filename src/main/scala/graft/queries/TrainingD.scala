@@ -634,6 +634,69 @@ private[queries] object TrainingD {
     }),
 
 
+    // Dedup-induced mixture shift — the accounting every curation run
+    // owes its mixture designer: near-dup keep-one (the q76 CC
+    // machinery) removes MORE from sources that duplicate more, so the
+    // post-dedup token shares are NOT the pre-dedup shares the mixture
+    // was tuned on. Reports per source: docs/tokens before and after,
+    // share before/after (e6), and the shift. Scale shape: the capped
+    // LSH candidate join + distributed CC + two keyed aggregates with
+    // a 1-row totals broadcast.
+    "q420_dedup_mixture_shift" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val kept = Dedup.dedupNearDupes(docs, "doc_id", "text")
+        .select(col("source"), col("is_kept"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      val g = kept.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_kept").cast("long")).as("n_kept"),
+        sum("nt").as("tok_before"),
+        sum(when(col("is_kept"), col("nt")).otherwise(0L)).as("tok_after"))
+      val tot = g.agg(sum("tok_before").as("tb"), sum("tok_after").as("ta"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tok_before"), col("tok_after"),
+          expr("tok_before * 1000000 div tb").as("share_before_e6"),
+          expr("tok_after * 1000000 div ta").as("share_after_e6"),
+          expr("tok_after * 1000000 div ta - tok_before * 1000000 div tb")
+            .as("shift_e6"))
+    }),
+
+
+    // Shingle CONTAINMENT scoring of the LSH candidate pairs (Broder
+    // 1997's asymmetric resemblance): Jaccard misses the quote/subset
+    // relation — a short doc fully contained in a long one scores
+    // |A|/|B| Jaccard (low) but |A∩B|/|A| = 1 containment. Reports
+    // both directions next to Jaccard and flags the asymmetric pairs
+    // (high max-containment, sub-0.5 Jaccard) — the pairs a
+    // quote-aware dedup policy treats differently from mutual
+    // near-dups. Scale shape: the capped banded candidate join + one
+    // keyed join per side to the shingle-set frame; set ops are
+    // per-pair map-side.
+    "q421_containment" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val sh = docs
+        .where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", p)
+      pairs
+        .join(sh.select(col("doc_id").as("id1"), col("shs").as("s1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("s2")), "id2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("l1", size(col("s1")).cast("long"))
+        .withColumn("l2", size(col("s2")).cast("long"))
+        .select(col("id1"), col("id2"), col("inter"), col("l1"), col("l2"),
+          expr("inter * 1000000 div (l1 + l2 - inter)").as("jaccard_e6"),
+          expr("inter * 1000000 div l1").as("cont_1in2_e6"),
+          expr("inter * 1000000 div l2").as("cont_2in1_e6"))
+        .withColumn("asymmetric", expr(
+          """greatest(cont_1in2_e6, cont_2in1_e6) >= 800000
+             AND jaccard_e6 < 500000"""))
+    }),
+
+
     // Greedy k-center coreset selection (Gonzalez 1985; the Sener &
     // Savarese 2018 active-learning/coreset rule): pick the 10 most
     // mutually-distant embeddings — seed with the min-id point, then
@@ -1408,6 +1471,62 @@ private[queries] object TrainingD {
     "q406_bradley_terry" -> bradleyTerryOracle,
 
     "q410_kcenter_coreset" -> kcenterOracle,
+
+    "q420_dedup_mixture_shift" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         $componentCtes,
+         keep AS (
+           SELECT d.source,
+             CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS nt,
+             coalesce(r.rep_id, d.doc_id) = d.doc_id AS is_kept
+           FROM documents d LEFT JOIN rep r USING (doc_id)
+           WHERE d.doc_id < 300),
+         g AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(nt) AS BIGINT) AS tok_before,
+             CAST(sum(CASE WHEN is_kept THEN nt ELSE 0 END) AS BIGINT)
+               AS tok_after
+           FROM keep GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(tok_before) AS BIGINT) AS tb,
+             CAST(sum(tok_after) AS BIGINT) AS ta
+           FROM g)
+         SELECT source, n_docs, n_kept, tok_before, tok_after,
+           tok_before * 1000000 // tb AS share_before_e6,
+           tok_after * 1000000 // ta AS share_after_e6,
+           tok_after * 1000000 // ta - tok_before * 1000000 // tb
+             AS shift_e6
+         FROM g, tot""",
+
+    "q421_containment" ->
+      s"""WITH $minhashCtes,
+         cpairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         shc AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id < 300)
+           WHERE len(w) >= 3),
+         j AS (
+           SELECT c.id1, c.id2,
+             CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+             CAST(len(a.shs) AS BIGINT) AS l1,
+             CAST(len(b.shs) AS BIGINT) AS l2
+           FROM cpairs c JOIN shc a ON c.id1 = a.doc_id
+             JOIN shc b ON c.id2 = b.doc_id)
+         SELECT id1, id2, inter, l1, l2,
+           inter * 1000000 // (l1 + l2 - inter) AS jaccard_e6,
+           inter * 1000000 // l1 AS cont_1in2_e6,
+           inter * 1000000 // l2 AS cont_2in1_e6,
+           greatest(inter * 1000000 // l1, inter * 1000000 // l2) >= 800000
+             AND inter * 1000000 // (l1 + l2 - inter) < 500000 AS asymmetric
+         FROM j""",
 
     "q408_packing_efficiency" ->
       """WITH nt AS (
