@@ -203,7 +203,9 @@ object Bench {
     "q419_mcnemar", // paired-classifier discordance test
     "q420_dedup_mixture_shift", // per-source share shift from keep-one dedup
     "q421_containment", // asymmetric shingle containment on LSH pairs
-    "q422_risk_coverage") // selective-prediction risk-coverage curve
+    "q422_risk_coverage", // selective-prediction risk-coverage curve
+    "q423_fleiss_kappa", // multi-rater chance-corrected agreement
+    "q424_confident_joint") // cleanlab confident-joint label-noise estimate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

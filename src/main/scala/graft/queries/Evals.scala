@@ -157,6 +157,87 @@ object Evals {
                 FROM w3)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for
+    // MORE than two raters, the annotation-quality gate q184's Cohen
+    // kappa (2 raters) cannot cover: three deterministic keep/drop
+    // "raters" (the q53 quality rule, a length rule, a token-count
+    // rule) judge every document; per item P_i = (Σ_j n_ij² − n) /
+    // (n(n−1)), chance agreement from the pooled category shares.
+    // Binary categories make Σn_ij² = k² + (3−k)² with k = keep votes.
+    // Exact: per-item P_i floored to e6 BEFORE the mean (the q278
+    // rule), pooled shares and the final kappa pinned trunc-div
+    // chains. Scale shape: one scan + one global 3-sum aggregate.
+    "q423_fleiss_kappa" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("r1"),
+          (col("n_chars") >= 200L).cast("long").as("r2"),
+          (size(graft.functions.TextFunctions.tokens(col("text"))) >= 15)
+            .cast("long").as("r3"))
+        .withColumn("k", col("r1") + col("r2") + col("r3"))
+        .withColumn("p_i_e6",
+          expr("((k * k + (3 - k) * (3 - k) - 3) * 1000000) div 6"))
+      f.agg(count(lit(1)).as("n_items"), sum("p_i_e6").as("sp"),
+          sum("k").as("tot_keep"))
+        .withColumn("p_bar_e6", expr("sp div n_items"))
+        .withColumn("p_keep_e6", expr("tot_keep * 1000000 div (3 * n_items)"))
+        .withColumn("p_e_e6", expr(
+          """(p_keep_e6 * p_keep_e6
+             + (1000000 - p_keep_e6) * (1000000 - p_keep_e6))
+             div 1000000"""))
+        .select(col("n_items"), col("p_bar_e6"), col("p_keep_e6"),
+          col("p_e_e6"),
+          expr("""CASE WHEN p_e_e6 < 1000000
+            THEN (p_bar_e6 - p_e_e6) * 1000000 div (1000000 - p_e_e6)
+            ELSE 1000000 END""").as("kappa_e6"))
+    }),
+
+    // Confident-joint label-noise estimate (Northcutt, Jiang & Chuang
+    // JAIR 2021 — the cleanlab core): cross-count items by (observed
+    // label, confidently-predicted label), where "confident" means the
+    // item's class probability clears that CLASS's mean self-confidence
+    // threshold t_j — robust to miscalibration in a way a fixed 0.5
+    // cut is not. Off-diagonal mass estimates the label-noise rate the
+    // relabel/prune budget should plan for. Probabilities are the
+    // standing scored fixture (p₁ = (emb[0]+1)/2, p₀ = 1−p₁). Exact:
+    // thresholds are integer mean trunc-divs, cells integer counts,
+    // rates e6 trunc-divs. Scale shape: one scan for the thresholds
+    // (2-value broadcast), one scan for the joint — two map-side
+    // aggregates total.
+    "q424_confident_joint" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("p1_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+        .withColumn("p0_e6", lit(1000000L) - col("p1_e6"))
+      val th = e.agg(
+        expr("sum(CASE WHEN y = 1 THEN p1_e6 ELSE 0 END)"
+          + " div greatest(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1)")
+          .as("t1_e6"),
+        expr("sum(CASE WHEN y = 0 THEN p0_e6 ELSE 0 END)"
+          + " div greatest(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1)")
+          .as("t0_e6"))
+      e.crossJoin(broadcast(th))
+        .withColumn("pred", when(col("p1_e6") >= col("t1_e6"), 1L)
+          .when(col("p0_e6") >= col("t0_e6"), 0L).otherwise(-1L))
+        .where(col("pred") >= 0L)
+        .agg(count(lit(1)).as("n_confident"),
+          sum(when(col("pred") === 1L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("c11"),
+          sum(when(col("pred") === 0L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("c00"),
+          sum(when(col("pred") === 1L && col("y") === 0L, 1L)
+            .otherwise(0L)).as("c10"),
+          sum(when(col("pred") === 0L && col("y") === 1L, 1L)
+            .otherwise(0L)).as("c01"),
+          max("t1_e6").as("t1_e6"), max("t0_e6").as("t0_e6"))
+        .select(col("n_confident"), col("c11"), col("c00"), col("c10"),
+          col("c01"), col("t1_e6"), col("t0_e6"),
+          expr("(c10 + c01) * 1000000 div n_confident")
+            .as("noise_rate_e6"))
+    }),
+
     // Risk–coverage curve for selective prediction (Geifman & El-Yaniv
     // 2017) — the abstention readout a scored filter needs before
     // shipping a confidence threshold: rank predictions by confidence
@@ -674,6 +755,79 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q423_fleiss_kappa" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT)
+               + CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT)
+               + CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
+               AS k
+           FROM (SELECT text, n_chars, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         g AS (
+           SELECT count(*) AS n_items,
+             CAST(sum(((k * k + (3 - k) * (3 - k) - 3) * 1000000) // 6)
+               AS BIGINT) AS sp,
+             CAST(sum(k) AS BIGINT) AS tot_keep
+           FROM f),
+         h AS (
+           SELECT n_items, sp // n_items AS p_bar_e6,
+             tot_keep * 1000000 // (3 * n_items) AS p_keep_e6
+           FROM g),
+         i AS (
+           SELECT *, (p_keep_e6 * p_keep_e6
+             + (1000000 - p_keep_e6) * (1000000 - p_keep_e6)) // 1000000
+             AS p_e_e6
+           FROM h)
+         SELECT n_items, p_bar_e6, p_keep_e6, p_e_e6,
+           CASE WHEN p_e_e6 < 1000000
+             THEN (p_bar_e6 - p_e_e6) * 1000000 // (1000000 - p_e_e6)
+             ELSE 1000000 END AS kappa_e6
+         FROM i"""
+    },
+
+    "q424_confident_joint" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS p1_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM embeddings),
+         e2 AS (SELECT *, 1000000 - p1_e6 AS p0_e6 FROM e),
+         th AS (
+           SELECT
+             CAST(sum(CASE WHEN y = 1 THEN p1_e6 ELSE 0 END) AS BIGINT)
+               // greatest(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT), 1) AS t1_e6,
+             CAST(sum(CASE WHEN y = 0 THEN p0_e6 ELSE 0 END) AS BIGINT)
+               // greatest(CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT), 1) AS t0_e6
+           FROM e2),
+         p AS (
+           SELECT e2.*, th.t1_e6, th.t0_e6,
+             CASE WHEN p1_e6 >= t1_e6 THEN 1
+                  WHEN p0_e6 >= t0_e6 THEN 0 ELSE -1 END AS pred
+           FROM e2, th)
+         SELECT count(*) AS n_confident,
+           CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c11,
+           CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c00,
+           CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c10,
+           CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c01,
+           max(t1_e6) AS t1_e6, max(t0_e6) AS t0_e6,
+           (CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT)
+            + CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT)) * 1000000 // count(*) AS noise_rate_e6
+         FROM p WHERE pred >= 0""",
+
     "q422_risk_coverage" ->
       """WITH e AS (
            SELECT least(999999, greatest(0, CAST(floor(
