@@ -205,7 +205,10 @@ object Bench {
     "q421_containment", // asymmetric shingle containment on LSH pairs
     "q422_risk_coverage", // selective-prediction risk-coverage curve
     "q423_fleiss_kappa", // multi-rater chance-corrected agreement
-    "q424_confident_joint") // cleanlab confident-joint label-noise estimate
+    "q424_confident_joint", // cleanlab confident-joint label-noise estimate
+    "q425_krippendorff_alpha", // agreement with missing ratings
+    "q426_cochran_q", // k-classifier keep-rate difference test
+    "q427_kruskal_wallis") // k-sample midrank test, tie-corrected
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -238,6 +238,68 @@ object Evals {
             .as("noise_rate_e6"))
     }),
 
+    // Krippendorff's alpha (nominal, binary) — the agreement
+    // coefficient that, unlike Fleiss' kappa (q423), tolerates MISSING
+    // ratings: here the token-count rater abstains on non-English
+    // documents (an English-only annotator), so units carry m ∈ {2,3}
+    // available ratings. Coincidence-matrix form: observed disagreement
+    // D_o = Σ_u 2·n_u0·n_u1/(m_u−1), expected from the pooled value
+    // marginals D_e = 2·n_0·n_1/(n_tot−1), alpha = 1 − D_o/D_e. Exact:
+    // everything ×2 so the (m_u−1) divisions stay integer (4·n_u0·n_u1
+    // is even when m_u=3), one final e6 trunc-div:
+    // alpha = 1 − do2·(n_tot−1) / (4·n_0·n_1). Scale shape: one scan,
+    // one global 5-sum aggregate — map-side combinable at any corpus.
+    "q425_krippendorff_alpha" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("r1"),
+          (col("n_chars") >= 200L).cast("long").as("r2"),
+          when(col("lang") === "en",
+            (size(graft.functions.TextFunctions.tokens(col("text"))) >= 15)
+              .cast("long")).as("r3"))
+        .withColumn("m", when(col("r3").isNotNull, 3L).otherwise(2L))
+        .withColumn("n1", col("r1") + col("r2") + coalesce(col("r3"), lit(0L)))
+        .withColumn("n0", col("m") - col("n1"))
+      f.agg(count(lit(1)).as("n_units"), sum("m").as("n_tot"),
+          sum("n1").as("n1_tot"), sum("n0").as("n0_tot"),
+          sum(expr("(4 * n0 * n1) div (m - 1)")).as("do2"))
+        .select(col("n_units"), col("n_tot"), col("n1_tot"), col("n0_tot"),
+          col("do2"),
+          expr("""CASE WHEN n0_tot > 0 AND n1_tot > 0
+            THEN 1000000 - do2 * (n_tot - 1) * 1000000
+              div (4 * n0_tot * n1_tot)
+            ELSE 1000000 END""").as("alpha_e6"))
+    }),
+
+    // Cochran's Q test (Cochran 1950) — does ANY of k correlated binary
+    // classifiers differ in keep rate? The k≥3 companion to q419's
+    // McNemar (k=2), over the same three deterministic raters as q423.
+    // Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣR_i − ΣR_i²) with G_j the
+    // per-rater totals and R_i the per-item vote counts; unanimous
+    // items (R=0 or k) drop out of the denominator, which is the test's
+    // McNemar-discordance generalization. Q ~ χ²(k−1) under H0. Exact:
+    // all integer sums, one e6 trunc-div. Scale: one scan, one global
+    // aggregate.
+    "q426_cochran_q" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("r1"),
+          (col("n_chars") >= 200L).cast("long").as("r2"),
+          (size(graft.functions.TextFunctions.tokens(col("text"))) >= 15)
+            .cast("long").as("r3"))
+        .withColumn("r", col("r1") + col("r2") + col("r3"))
+      f.agg(count(lit(1)).as("n_items"),
+          sum("r1").as("g1"), sum("r2").as("g2"), sum("r3").as("g3"),
+          sum("r").as("sum_r"), sum(col("r") * col("r")).as("sum_r2"))
+        .select(col("n_items"), col("g1"), col("g2"), col("g3"),
+          col("sum_r"), col("sum_r2"),
+          expr("""CASE WHEN 3 * sum_r - sum_r2 > 0
+            THEN 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+              - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
+              div (3 * sum_r - sum_r2)
+            ELSE 0 END""").as("q_e6"))
+    }),
+
     // Risk–coverage curve for selective prediction (Geifman & El-Yaniv
     // 2017) — the abstention readout a scored filter needs before
     // shipping a confidence threshold: rank predictions by confidence
@@ -788,6 +850,72 @@ object Evals {
              THEN (p_bar_e6 - p_e_e6) * 1000000 // (1000000 - p_e_e6)
              ELSE 1000000 END AS kappa_e6
          FROM i"""
+    },
+
+    "q425_krippendorff_alpha" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+             CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS r2,
+             CASE WHEN lang = 'en' THEN
+               CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
+               ELSE NULL END AS r3
+           FROM (SELECT text, n_chars, lang,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         g AS (
+           SELECT r1, r2, r3,
+             CASE WHEN r3 IS NOT NULL THEN 3 ELSE 2 END AS m,
+             r1 + r2 + coalesce(r3, 0) AS n1
+           FROM f),
+         h AS (SELECT *, m - n1 AS n0 FROM g),
+         a AS (
+           SELECT count(*) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_tot,
+             CAST(sum(n1) AS BIGINT) AS n1_tot,
+             CAST(sum(n0) AS BIGINT) AS n0_tot,
+             CAST(sum((4 * n0 * n1) // (m - 1)) AS BIGINT) AS do2
+           FROM h)
+         SELECT n_units, n_tot, n1_tot, n0_tot, do2,
+           CASE WHEN n0_tot > 0 AND n1_tot > 0
+             THEN 1000000 - do2 * (n_tot - 1) * 1000000
+               // (4 * n0_tot * n1_tot)
+             ELSE 1000000 END AS alpha_e6
+         FROM a"""
+    },
+
+    "q426_cochran_q" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+             CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS r2,
+             CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT) AS r3
+           FROM (SELECT text, n_chars, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         g AS (SELECT *, r1 + r2 + r3 AS r FROM f),
+         a AS (
+           SELECT count(*) AS n_items,
+             CAST(sum(r1) AS BIGINT) AS g1,
+             CAST(sum(r2) AS BIGINT) AS g2,
+             CAST(sum(r3) AS BIGINT) AS g3,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(r * r) AS BIGINT) AS sum_r2
+           FROM g)
+         SELECT n_items, g1, g2, g3, sum_r, sum_r2,
+           CASE WHEN 3 * sum_r - sum_r2 > 0
+             THEN 2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)
+               - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
+               // (3 * sum_r - sum_r2)
+             ELSE 0 END AS q_e6
+         FROM a"""
     },
 
     "q424_confident_joint" ->

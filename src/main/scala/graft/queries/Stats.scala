@@ -52,6 +52,60 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Kruskal–Wallis H (1952) — the k-sample rank test extending q286's
+    // two-sample Mann–Whitney: do the event types draw value from the
+    // same distribution? Midranks with full tie correction, computed
+    // WITHOUT a global window: ranks depend only on the distinct-value
+    // histogram (domain-bounded, ≤ ~49k cells for v_e2 ∈ [1, 49002]),
+    // whose cumulative counts ride PrefixScan.scanLong (q298's two-phase
+    // scan); per-type rank sums are then an exact integer join-aggregate
+    // against that tiny frame. H's float tail folds the k per-type terms
+    // R_t²/(4·n_t) in sorted type order (the q399 collect-fold rule,
+    // k = 5 types), then ONE pinned chain with the tie term
+    // 1 − ΣT/(N³−N). Midranks ×2 keep .5 ranks integer (r2 = 2·cum_before
+    // + n_v + 1). Scale: one scan to the histogram, broadcast-sized
+    // distinct-value frame, one per-type aggregate.
+    "q427_kruskal_wallis" -> ((s, d0) => {
+      val ev = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v_e2"))
+      val hist = ev.groupBy("v_e2").agg(count(lit(1)).as("n_v"))
+      val ranked = graft.operators.PrefixScan.scanLong(
+          hist, "cum_before", "n_v", "sum", inclusive = false, col("v_e2"))
+        .withColumn("r2", lit(2L) * col("cum_before") + col("n_v") + 1L)
+        .select(col("v_e2"), col("r2"), col("n_v"))
+      val perType = ev.groupBy("event_type", "v_e2")
+        .agg(count(lit(1)).as("c_tv"))
+        .join(broadcast(ranked.drop("n_v")), "v_e2")
+        .groupBy("event_type")
+        .agg(sum("c_tv").as("n_t"), sum(col("c_tv") * col("r2")).as("r2_t"))
+      val ties = hist.agg(
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie_sum"),
+        sum("n_v").as("n_total"))
+      perType.agg(count(lit(1)).as("k_groups"),
+          array_sort(collect_list(struct(col("event_type"), col("r2_t"),
+            col("n_t")))).as("ps"))
+        .crossJoin(broadcast(ties))
+        .withColumn("s_terms", aggregate(transform(col("ps"),
+          x => (x.getField("r2_t").cast("double") *
+            x.getField("r2_t").cast("double")) /
+            (lit(4.0d) * x.getField("n_t").cast("double"))),
+          lit(0.0d), (acc, x) => acc + x))
+        .select(col("n_total"), col("k_groups"), col("tie_sum"),
+          // guard in the DOUBLE domain: n³ as BIGINT overflows past
+          // n ≈ 2.1e6 (the sf10 events table), the double is exact for
+          // the comparison's purpose (all-tied ⇔ equality, exact ≤ 2^53)
+          when(d(col("tie_sum")) <
+              d(col("n_total")) * d(col("n_total")) * d(col("n_total")) -
+                d(col("n_total")),
+            floor(((lit(12.0d) * col("s_terms") /
+              (d(col("n_total")) * (d(col("n_total")) + 1.0d)) -
+              lit(3.0d) * (d(col("n_total")) + 1.0d)) /
+              (lit(1.0d) - d(col("tie_sum")) /
+                (d(col("n_total")) * d(col("n_total")) * d(col("n_total")) -
+                  d(col("n_total"))))) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("h_e6"))
+    }),
+
     // Neyman-optimal stratified sample allocation (Neyman 1934 — the
     // survey-sampling design the reference's World Bank context lives
     // on): allocate a fixed sample budget (500) across event-type strata
@@ -1233,6 +1287,53 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q427_kruskal_wallis" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_e2
+           FROM events),
+         hist AS (SELECT v_e2, count(*) AS n_v FROM ev GROUP BY 1),
+         rk AS (
+           SELECT v_e2, n_v,
+             COALESCE(sum(n_v) OVER (ORDER BY v_e2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM hist),
+         rk2 AS (
+           SELECT v_e2, CAST(2 * cum_before + n_v + 1 AS BIGINT) AS r2
+           FROM rk),
+         ct AS (
+           SELECT event_type, v_e2, count(*) AS c_tv
+           FROM ev GROUP BY 1, 2),
+         pt AS (
+           SELECT event_type,
+             CAST(sum(c_tv) AS BIGINT) AS n_t,
+             CAST(sum(c_tv * r2) AS BIGINT) AS r2_t
+           FROM ct JOIN rk2 USING (v_e2) GROUP BY 1),
+         tz AS (
+           SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum,
+             CAST(sum(n_v) AS BIGINT) AS n_total
+           FROM hist),
+         ag AS (
+           SELECT count(*) AS k_groups,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(r2_t AS DOUBLE) * CAST(r2_t AS DOUBLE))
+                 / (4.0 * CAST(n_t AS DOUBLE)) ORDER BY event_type)),
+               (acc, x) -> acc + x) AS s_terms
+           FROM pt)
+         SELECT n_total, k_groups, tie_sum,
+           CASE WHEN CAST(tie_sum AS DOUBLE) <
+               CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+             THEN CAST(floor(((12.0 * s_terms
+               / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tie_sum AS DOUBLE)
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                   * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS h_e6
+         FROM ag, tz""",
+
     "q388_neyman_allocation" ->
       """WITH ev AS (
            SELECT event_type, event_id,
