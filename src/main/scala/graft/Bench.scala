@@ -208,7 +208,10 @@ object Bench {
     "q424_confident_joint", // cleanlab confident-joint label-noise estimate
     "q425_krippendorff_alpha", // agreement with missing ratings
     "q426_cochran_q", // k-classifier keep-rate difference test
-    "q427_kruskal_wallis") // k-sample midrank test, tie-corrected
+    "q427_kruskal_wallis", // k-sample midrank test, tie-corrected
+    "q428_capture_recapture", // Chapman estimate of missed near-dups
+    "q429_eb_shrinkage", // beta-binomial shrunk per-source keep rates
+    "q430_jackknife_ratio") // delete-one-stratum ratio variance
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -817,14 +817,10 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
-    "q423_fleiss_kappa" -> {
-      val stopAll = TrainingShared.hitsSql(
-        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+    "q423_fleiss_kappa" ->
       s"""WITH f AS (
            SELECT
-             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
-               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
-                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT)
+             ${TrainingShared.keepRuleSql}
                + CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT)
                + CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
                AS k
@@ -849,17 +845,12 @@ object Evals {
            CASE WHEN p_e_e6 < 1000000
              THEN (p_bar_e6 - p_e_e6) * 1000000 // (1000000 - p_e_e6)
              ELSE 1000000 END AS kappa_e6
-         FROM i"""
-    },
+         FROM i""",
 
-    "q425_krippendorff_alpha" -> {
-      val stopAll = TrainingShared.hitsSql(
-        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+    "q425_krippendorff_alpha" ->
       s"""WITH f AS (
            SELECT
-             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
-               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
-                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+             ${TrainingShared.keepRuleSql} AS r1,
              CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS r2,
              CASE WHEN lang = 'en' THEN
                CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
@@ -885,17 +876,12 @@ object Evals {
              THEN 1000000 - do2 * (n_tot - 1) * 1000000
                // (4 * n0_tot * n1_tot)
              ELSE 1000000 END AS alpha_e6
-         FROM a"""
-    },
+         FROM a""",
 
-    "q426_cochran_q" -> {
-      val stopAll = TrainingShared.hitsSql(
-        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+    "q426_cochran_q" ->
       s"""WITH f AS (
            SELECT
-             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
-               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
-                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+             ${TrainingShared.keepRuleSql} AS r1,
              CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS r2,
              CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT) AS r3
            FROM (SELECT text, n_chars, string_split(lower(text), ' ') AS w
@@ -915,8 +901,7 @@ object Evals {
                - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
                // (3 * sum_r - sum_r2)
              ELSE 0 END AS q_e6
-         FROM a"""
-    },
+         FROM a""",
 
     "q424_confident_joint" ->
       """WITH e AS (

@@ -106,6 +106,91 @@ object Stats {
             .otherwise(lit(0L)).as("h_e6"))
     }),
 
+    // Empirical-Bayes shrinkage of per-source keep rates (beta-binomial
+    // method of moments — Efron & Morris / Robbins): a 25-doc source's
+    // raw quality-keep rate is noise; shrink each source toward the
+    // cross-source prior with strength M = μ(1−μ)/Var(p̂) − 1, the
+    // James-Stein-flavored estimate a mixture planner should use
+    // instead of raw rates when sources are small. Exact: per-source
+    // (k_s, n_s) integer; the prior's two moments fold the H=20 source
+    // rates in sorted source order (q399 rule); shrunk rate is ONE
+    // pinned chain (k+M·μ)/(n+M). Falls back to the raw rate when the
+    // between-source variance is degenerate (M ≤ 0). Scale: one scan,
+    // one keyed aggregate, H-bounded fold, broadcast prior.
+    "q429_eb_shrinkage" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum(col("q.keep").cast("long")).as("k_s"))
+      val prior = per.agg(count(lit(1)).as("h"),
+          array_sort(collect_list(struct(col("source"), col("k_s"),
+            col("n_s")))).as("ps"))
+        .withColumn("sp", aggregate(transform(col("ps"),
+          x => x.getField("k_s").cast("double") /
+            x.getField("n_s").cast("double")),
+          lit(0.0d), (a, x) => a + x))
+        .withColumn("spp", aggregate(transform(col("ps"),
+          x => (x.getField("k_s").cast("double") /
+            x.getField("n_s").cast("double")) *
+            (x.getField("k_s").cast("double") /
+              x.getField("n_s").cast("double"))),
+          lit(0.0d), (a, x) => a + x))
+        .select(col("h"), col("sp"), col("spp"))
+      per.crossJoin(broadcast(prior))
+        .withColumn("mu", col("sp") / d(col("h")))
+        .withColumn("v", (col("spp") - col("sp") * col("sp") / d(col("h"))) /
+          (d(col("h")) - 1.0d))
+        .withColumn("mm", when(col("v") > 0.0d,
+          col("mu") * (lit(1.0d) - col("mu")) / col("v") - lit(1.0d))
+          .otherwise(lit(0.0d)))
+        .select(col("source"), col("n_s"), col("k_s"),
+          expr("k_s * 1000000 div n_s").as("raw_e6"),
+          floor(col("mu") * 1e6).cast("long").as("mu_e6"),
+          when(col("mm") > 0.0d,
+            floor((d(col("k_s")) + col("mm") * col("mu")) /
+              (d(col("n_s")) + col("mm")) * 1e6).cast("long"))
+            .otherwise(expr("k_s * 1000000 div n_s")).as("shrunk_e6"))
+    }),
+
+    // Delete-one-stratum jackknife variance of a ratio estimator
+    // (Quenouille/Tukey; the survey-statistics workhorse for nonlinear
+    // estimators): R̂ = ΣY/ΣX = revenue cents per quantity unit over
+    // lineitem, strata = l_returnflag. Each leave-one-out replicate
+    // R₍₋ₕ₎ = (Y−y_h)/(X−x_h) comes from per-stratum TOTALS — no data
+    // re-pass per replicate, the trick that makes the jackknife free at
+    // 100 TB. var_jk = (H−1)/H · Σ(R₍₋ₕ₎ − R̄)². Exact: integer stratum
+    // totals; replicates fold in sorted stratum order (q399 rule); var
+    // via the Σr² − (Σr)²/H identity in ONE pinned chain. Scale: one
+    // map-side-combinable aggregate + an H-bounded fold.
+    "q430_jackknife_ratio" -> ((s, d0) => {
+      val st = t(s, d0, "lineitem")
+        .select(col("l_returnflag").as("stratum"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"),
+          col("l_quantity").cast("long").as("x"))
+        .groupBy("stratum").agg(sum("y").as("y_h"), sum("x").as("x_h"))
+      st.agg(count(lit(1)).as("h"), sum("y_h").as("yy"), sum("x_h").as("xx"),
+          array_sort(collect_list(struct(col("stratum"), col("y_h"),
+            col("x_h")))).as("ps"))
+        .withColumn("s1", aggregate(transform(col("ps"),
+          p => (d(col("yy")) - p.getField("y_h").cast("double")) /
+            (d(col("xx")) - p.getField("x_h").cast("double"))),
+          lit(0.0d), (a, x) => a + x))
+        .withColumn("s2", aggregate(transform(col("ps"),
+          p => ((d(col("yy")) - p.getField("y_h").cast("double")) /
+            (d(col("xx")) - p.getField("x_h").cast("double"))) *
+            ((d(col("yy")) - p.getField("y_h").cast("double")) /
+              (d(col("xx")) - p.getField("x_h").cast("double")))),
+          lit(0.0d), (a, x) => a + x))
+        .select(col("h"), col("yy"), col("xx"),
+          expr("yy * 1000000 div xx").as("r_hat_e6"),
+          floor((col("s1") / d(col("h"))) * 1e6).cast("long")
+            .as("r_jk_mean_e6"),
+          when(col("h") > 1L,
+            floor(((d(col("h")) - 1.0d) / d(col("h")) *
+              (col("s2") - col("s1") * col("s1") / d(col("h")))) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
+    }),
+
     // Neyman-optimal stratified sample allocation (Neyman 1934 — the
     // survey-sampling design the reference's World Bank context lives
     // on): allocate a fixed sample budget (500) across event-type strata
@@ -1333,6 +1418,79 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q429_eb_shrinkage" ->
+      s"""WITH f AS (
+           SELECT source, ${TrainingShared.keepRuleSql} AS keep
+           FROM (SELECT source, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         per AS (
+           SELECT source, count(*) AS n_s,
+             CAST(sum(keep) AS BIGINT) AS k_s
+           FROM f GROUP BY 1),
+         prior AS (
+           SELECT count(*) AS h,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(k_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+                 ORDER BY source)), (a, x) -> a + x) AS sp,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(k_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 * (CAST(k_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 ORDER BY source)), (a, x) -> a + x) AS spp
+           FROM per),
+         j AS (
+           SELECT per.*, prior.h, prior.sp, prior.spp,
+             prior.sp / CAST(prior.h AS DOUBLE) AS mu,
+             (prior.spp - prior.sp * prior.sp / CAST(prior.h AS DOUBLE))
+               / (CAST(prior.h AS DOUBLE) - 1.0) AS v
+           FROM per CROSS JOIN prior),
+         k AS (
+           SELECT *, CASE WHEN v > 0.0
+             THEN mu * (1.0 - mu) / v - 1.0 ELSE 0.0 END AS mm
+           FROM j)
+         SELECT source, n_s, k_s,
+           k_s * 1000000 // n_s AS raw_e6,
+           CAST(floor(mu * 1000000.0) AS BIGINT) AS mu_e6,
+           CASE WHEN mm > 0.0
+             THEN CAST(floor((CAST(k_s AS DOUBLE) + mm * mu)
+               / (CAST(n_s AS DOUBLE) + mm) * 1000000.0) AS BIGINT)
+             ELSE k_s * 1000000 // n_s END AS shrunk_e6
+         FROM k""",
+
+    "q430_jackknife_ratio" ->
+      """WITH st AS (
+           SELECT l_returnflag AS stratum,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS y_h,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x_h
+           FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT count(*) AS h, CAST(sum(y_h) AS BIGINT) AS yy,
+             CAST(sum(x_h) AS BIGINT) AS xx
+           FROM st),
+         f AS (
+           SELECT t.h, t.yy, t.xx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(t.yy AS DOUBLE) - CAST(s.y_h AS DOUBLE))
+                 / (CAST(t.xx AS DOUBLE) - CAST(s.x_h AS DOUBLE))
+                 ORDER BY s.stratum)), (a, x) -> a + x) AS s1,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(((CAST(t.yy AS DOUBLE) - CAST(s.y_h AS DOUBLE))
+                 / (CAST(t.xx AS DOUBLE) - CAST(s.x_h AS DOUBLE)))
+                 * ((CAST(t.yy AS DOUBLE) - CAST(s.y_h AS DOUBLE))
+                 / (CAST(t.xx AS DOUBLE) - CAST(s.x_h AS DOUBLE)))
+                 ORDER BY s.stratum)), (a, x) -> a + x) AS s2
+           FROM st s CROSS JOIN tot t GROUP BY t.h, t.yy, t.xx)
+         SELECT h, yy, xx,
+           yy * 1000000 // xx AS r_hat_e6,
+           CAST(floor((s1 / CAST(h AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS r_jk_mean_e6,
+           CASE WHEN h > 1
+             THEN CAST(floor(((CAST(h AS DOUBLE) - 1.0) / CAST(h AS DOUBLE)
+               * (s2 - s1 * s1 / CAST(h AS DOUBLE))) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS var_jk_e6
+         FROM f""",
 
     "q388_neyman_allocation" ->
       """WITH ev AS (

@@ -898,6 +898,40 @@ private[queries] object TrainingD {
     }),
 
 
+    // Capture–recapture estimate of the TRUE near-duplicate population
+    // (Chapman 1951, the bias-corrected Lincoln–Petersen): treat the
+    // MinHash-LSH catch and the SimHash catch (q365's two text
+    // families) as two independent samples of the unknown near-dup
+    // pair population; the overlap m then estimates total population
+    // N̂ = (n1+1)(n2+1)/(m+1) − 1 with its Chapman variance — the
+    // "how many near-dups did BOTH detectors miss" number a dedup
+    // coverage SLA needs, unobtainable from either catch alone.
+    // coverage_e6 = observed-union share of N̂. Exact: pure integer
+    // counts and trunc-divs. Scale shape: the two banded candidate
+    // stages (capped, never all-pairs) + one keyed pair join + three
+    // 1-row aggregates.
+    "q428_capture_recapture" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val mh = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .select(col("id1"), col("id2"))
+      val sh = Dedup.hammingBandPairs(
+          Dedup.simhashRows(docs, "doc_id", "text"),
+          "doc", "sim", nBands = 4, bandBits = 15, cap = 64, maxHamming = 6)
+        .select(col("id1"), col("id2"))
+      mh.agg(count(lit(1)).as("n1"))
+        .crossJoin(sh.agg(count(lit(1)).as("n2")))
+        .crossJoin(mh.join(sh, Seq("id1", "id2")).agg(count(lit(1)).as("m")))
+        .select(col("n1"), col("n2"), col("m"),
+          (col("n1") + col("n2") - col("m")).as("n_union"),
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_hat"),
+          expr("""(n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+            div ((m + 1) * (m + 1) * (m + 2))""").as("var_hat"),
+          expr("""CASE WHEN (n1 + 1) * (n2 + 1) div (m + 1) - 1 > 0
+            THEN (n1 + n2 - m) * 1000000
+              div ((n1 + 1) * (n2 + 1) div (m + 1) - 1)
+            ELSE 1000000 END""").as("coverage_e6"))
+    }),
+
     // LSH banding S-curve validation — the calibration every MinHash
     // deployment should run: for all pairs of a bounded population,
     // the EMPIRICAL candidate rate per exact-Jaccard bucket against
@@ -1845,39 +1879,36 @@ private[queries] object TrainingD {
          FROM joined GROUP BY bkt""",
 
 
+    "q428_capture_recapture" ->
+      s"""WITH $minhashCtes,
+         mpairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         ${simhashPairCtes()},
+         c1 AS (SELECT count(*) AS n1 FROM mpairs),
+         c2 AS (SELECT count(*) AS n2 FROM spairs),
+         cm AS (
+           SELECT count(*) AS m
+           FROM mpairs JOIN spairs USING (id1, id2))
+         SELECT n1, n2, m,
+           n1 + n2 - m AS n_union,
+           (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS n_hat,
+           (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+             // ((m + 1) * (m + 1) * (m + 2)) AS var_hat,
+           CASE WHEN (n1 + 1) * (n2 + 1) // (m + 1) - 1 > 0
+             THEN (n1 + n2 - m) * 1000000
+               // ((n1 + 1) * (n2 + 1) // (m + 1) - 1)
+             ELSE 1000000 END AS coverage_e6
+         FROM c1, c2, cm""",
+
     "q365_dedup_method_agreement" ->
       s"""WITH $minhashCtes,
          mpairs AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         sims AS (
-           SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 60), j ->
-               (CASE WHEN list_sum(list_transform(shs,
-                      h -> ((h >> j) % 2) * 2 - 1)) > 0
-                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
-               << j)) AS BIGINT) AS sim
-           FROM (
-             SELECT doc_id,
-               list_transform(string_split(lower(text), ' '),
-                 t -> ${h60("t")}) AS shs
-             FROM documents WHERE doc_id < 300)),
-         sbanded AS (
-           SELECT doc_id, sim, band,
-             (sim >> CAST(band * 15 AS INT)) & 32767 AS key
-           FROM sims, (SELECT unnest(range(0, 4)) AS band)),
-         scapped AS (
-           SELECT doc_id, sim, band, key,
-             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
-           FROM sbanded QUALIFY rn <= 64),
-         spairs AS (
-           SELECT id1, id2 FROM (
-             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-               a.sim AS h1, b.sim AS h2
-             FROM scapped a JOIN scapped b
-               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-           WHERE bit_count(xor(h1, h2)) <= 6),
+         ${simhashPairCtes()},
          php AS (
            SELECT doc_id, pv, CAST(list_sum(pv) AS BIGINT) // 60 AS pm
            FROM (SELECT doc_id,

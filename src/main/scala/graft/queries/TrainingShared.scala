@@ -202,6 +202,19 @@ private[queries] object TrainingShared {
   val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** SQL twin of `TextFunctions.qualityScore(text).keep` (the q53 rule)
+    * as a BIGINT 0/1 — evaluates against a row exposing `text` and the
+    * pre-split `w = string_split(lower(text), ' ')`. One definition for
+    * the agreement/shrinkage oracles (q423/q425/q426/q429) so the rater
+    * cannot drift per-oracle.
+    */
+  def keepRuleSql: String = {
+    val stopAll = hitsSql(TextFunctions.langStopwords.flatMap(_._2))
+    s"""CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT)"""
+  }
+
   /** 60-bit md5 hash of a SQL string expression (mirror of hash60). */
   def h60(e: String) = s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
@@ -324,6 +337,42 @@ private[queries] object TrainingShared {
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+  /** Shared CTE prelude (sims → sbanded → scapped → spairs) of the
+    * SimHash Hamming-band pairing oracles — mirrors
+    * `Dedup.hammingBandPairs(Dedup.simhashRows(...), nBands=4,
+    * bandBits=15, cap=64, maxHamming=6)`. Extracted from q365's inline
+    * block so the recapture audit (q428) reuses IDENTICAL pairing
+    * semantics (the minhashCtes anti-drift pattern).
+    */
+  def simhashPairCtes(pred: String = "doc_id < 300"): String =
+    s"""sims AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               (CASE WHEN list_sum(list_transform(shs,
+                      h -> ((h >> j) % 2) * 2 - 1)) > 0
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+               << j)) AS BIGINT) AS sim
+           FROM (
+             SELECT doc_id,
+               list_transform(string_split(lower(text), ' '),
+                 t -> ${h60("t")}) AS shs
+             FROM documents WHERE $pred)),
+         sbanded AS (
+           SELECT doc_id, sim, band,
+             (sim >> CAST(band * 15 AS INT)) & 32767 AS key
+           FROM sims, (SELECT unnest(range(0, 4)) AS band)),
+         scapped AS (
+           SELECT doc_id, sim, band, key,
+             row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+           FROM sbanded QUALIFY rn <= 64),
+         spairs AS (
+           SELECT id1, id2 FROM (
+             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               a.sim AS h1, b.sim AS h2
+             FROM scapped a JOIN scapped b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           WHERE bit_count(xor(h1, h2)) <= 6)"""
 
   /** Components of the LSH pair graph via recursive transitive closure:
     * rep = least reachable id. Mirrors Dedup.connectedComponents exactly
