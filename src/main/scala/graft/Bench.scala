@@ -211,7 +211,10 @@ object Bench {
     "q427_kruskal_wallis", // k-sample midrank test, tie-corrected
     "q428_capture_recapture", // Chapman estimate of missed near-dups
     "q429_eb_shrinkage", // beta-binomial shrunk per-source keep rates
-    "q430_jackknife_ratio") // delete-one-stratum ratio variance
+    "q430_jackknife_ratio", // delete-one-stratum ratio variance
+    "q431_anova_oneway", // F + eta-squared from group sums
+    "q432_brown_forsythe", // robust variance-homogeneity test
+    "q433_cohens_d") // pairwise pooled-SD effect sizes
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,6 +50,77 @@ object Stats {
              CAST(floor(l_tax * 100) AS BIGINT) AS m3
            FROM lineitem"""
 
+  /** One-way ANOVA F + eta² from per-group integer sums — shared by
+    * q431 (raw values) and q432 (Brown–Forsythe deviations) so the F
+    * machinery cannot drift between them. Input: (g, x) with x long;
+    * output one row (n_total, k_groups, f_e6, eta2_e6). Between/within
+    * SS via the Σx/Σx² identities; the per-group s²/n terms fold in
+    * sorted group order, then one pinned double chain. `anovaSqlFor`
+    * is the oracle twin.
+    */
+  private def anovaFromSums(xs: DataFrame): DataFrame =
+    xs.groupBy("g").agg(count(lit(1)).as("n_t"), sum("x").as("s_t"),
+        sum(col("x") * col("x")).as("ss_t"))
+      .agg(count(lit(1)).as("k_groups"), sum("n_t").as("n_total"),
+        sum("s_t").as("s_all"), sum("ss_t").as("ss_all"),
+        array_sort(collect_list(struct(col("g"), col("s_t"), col("n_t"))))
+          .as("ps"))
+      .withColumn("a", aggregate(transform(col("ps"),
+        p => p.getField("s_t").cast("double") *
+          p.getField("s_t").cast("double") /
+          p.getField("n_t").cast("double")), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("ssb", col("a") -
+        d(col("s_all")) * d(col("s_all")) / d(col("n_total")))
+      .withColumn("ssw", d(col("ss_all")) - col("a"))
+      .withColumn("sst", d(col("ss_all")) -
+        d(col("s_all")) * d(col("s_all")) / d(col("n_total")))
+      .select(col("n_total"), col("k_groups"),
+        when(col("ssw") > 0.0d && col("k_groups") > 1L &&
+            col("n_total") > col("k_groups"),
+          floor((col("ssb") / (d(col("k_groups")) - 1.0d)) /
+            (col("ssw") / (d(col("n_total")) - d(col("k_groups")))) * 1e6)
+            .cast("long")).otherwise(lit(0L)).as("f_e6"),
+        when(col("sst") > 0.0d,
+          floor(col("ssb") / col("sst") * 1e6).cast("long"))
+          .otherwise(lit(0L)).as("eta2_e6"))
+
+  /** Oracle twin of `anovaFromSums`: expects a CTE named `xs(g, x)` in
+    * scope and emits the rest of the query text.
+    */
+  private def anovaSqlTail: String =
+    """per AS (
+           SELECT g, count(*) AS n_t, CAST(sum(x) AS BIGINT) AS s_t,
+             CAST(sum(x * x) AS BIGINT) AS ss_t
+           FROM xs GROUP BY 1),
+         agg AS (
+           SELECT count(*) AS k_groups, CAST(sum(n_t) AS BIGINT) AS n_total,
+             CAST(sum(s_t) AS BIGINT) AS s_all,
+             CAST(sum(ss_t) AS BIGINT) AS ss_all,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                 / CAST(n_t AS DOUBLE) ORDER BY g)),
+               (acc, x) -> acc + x) AS a
+           FROM per),
+         ch AS (
+           SELECT *,
+             a - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS ssb,
+             CAST(ss_all AS DOUBLE) - a AS ssw,
+             CAST(ss_all AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS sst
+           FROM agg)
+         SELECT n_total, k_groups,
+           CASE WHEN ssw > 0.0 AND k_groups > 1 AND n_total > k_groups
+             THEN CAST(floor((ssb / (CAST(k_groups AS DOUBLE) - 1.0))
+               / (ssw / (CAST(n_total AS DOUBLE)
+                 - CAST(k_groups AS DOUBLE))) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS f_e6,
+           CASE WHEN sst > 0.0
+             THEN CAST(floor(ssb / sst * 1000000.0) AS BIGINT)
+             ELSE 0 END AS eta2_e6
+         FROM ch"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Kruskal–Wallis H (1952) — the k-sample rank test extending q286's
@@ -189,6 +260,72 @@ object Stats {
             floor(((d(col("h")) - 1.0d) / d(col("h")) *
               (col("s2") - col("s1") * col("s1") / d(col("h")))) * 1e6)
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
+    }),
+
+    // One-way ANOVA (Fisher): does mean value differ across event
+    // types? F and the eta-squared effect size from the Σx/Σx²
+    // identities — per-group integer sums only, so the whole test is
+    // one map-side-combinable aggregate regardless of row count; the
+    // k per-group s²/n terms fold in sorted group order (q399 rule)
+    // before ONE pinned double chain. The parametric complement to
+    // q427's rank-based Kruskal–Wallis over the same panel.
+    "q431_anova_oneway" -> ((s, d0) => anovaFromSums(
+      t(s, d0, "events").select(col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("x")))),
+
+    // Brown–Forsythe test (1974) — variance homogeneity across event
+    // types, the robust Levene variant: one-way ANOVA on absolute
+    // deviations from each group's MEDIAN (medians make it robust to
+    // heavy tails where the mean-centered Levene is not). Exact:
+    // 2×median of integer v_e2 is an exact integer (percentile of ints
+    // at 0.5 is k or k+.5, exact in double), so the deviations
+    // z = |2v − med2| stay integer and the F machinery is shared with
+    // q431 verbatim. Scale: one scan for the 5 medians (exact
+    // percentile per bounded group set), broadcast, one ANOVA scan.
+    "q432_brown_forsythe" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("v"))
+      val med = ev.groupBy("g")
+        .agg(expr("cast(percentile(v, 0.5) * 2 as bigint)").as("med2"))
+      anovaFromSums(ev.join(broadcast(med), "g")
+        .select(col("g"), abs(lit(2L) * col("v") - col("med2")).as("x")))
+    }),
+
+    // Pairwise Cohen's d / Hedges' g effect sizes between event types —
+    // the magnitude readout q161's t-test (significance) does not give:
+    // with 100 TB of rows everything is "significant", and the effect
+    // size is the number that decides whether a difference MATTERS.
+    // Pooled-SD d from the same per-group integer sums as q431
+    // ((n−1)·var = Σx² − (Σx)²/n), Hedges' small-sample correction
+    // 1 − 3/(4(n1+n2)−9). sqrt is IEEE-exact so the pinned chain
+    // replays cross-engine. Scale: one aggregate + a k²-bounded
+    // broadcast self-join (k = 5).
+    "q433_cohens_d" -> ((s, d0) => {
+      val per = t(s, d0, "events")
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100).cast("long").as("x"))
+        .groupBy("g").agg(count(lit(1)).as("n_t"), sum("x").as("s_t"),
+          sum(col("x") * col("x")).as("ss_t"))
+      val a = per.select(col("g").as("t1"), col("n_t").as("n1"),
+        col("s_t").as("s1"), col("ss_t").as("ss1"))
+      val b = per.select(col("g").as("t2"), col("n_t").as("n2"),
+        col("s_t").as("s2"), col("ss_t").as("ss2"))
+      a.crossJoin(broadcast(b)).where(col("t1") < col("t2"))
+        .withColumn("sp2",
+          ((d(col("ss1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) +
+            (d(col("ss2")) - d(col("s2")) * d(col("s2")) / d(col("n2")))) /
+            (d(col("n1")) + d(col("n2")) - 2.0d))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"),
+          when(col("sp2") > 0.0d,
+            floor((d(col("s1")) / d(col("n1")) - d(col("s2")) / d(col("n2"))) /
+              sqrt(col("sp2")) * 1e6).cast("long")).otherwise(lit(0L))
+            .as("d_e6"),
+          when(col("sp2") > 0.0d,
+            floor((d(col("s1")) / d(col("n1")) - d(col("s2")) / d(col("n2"))) /
+              sqrt(col("sp2")) *
+              (lit(1.0d) - lit(3.0d) /
+                (lit(4.0d) * (d(col("n1")) + d(col("n2"))) - 9.0d)) *
+              1e6).cast("long")).otherwise(lit(0L)).as("g_e6"))
     }),
 
     // Neyman-optimal stratified sample allocation (Neyman 1934 — the
@@ -1418,6 +1555,59 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q431_anova_oneway" ->
+      s"""WITH xs AS (
+           SELECT event_type AS g,
+             CAST(floor(value * 100) AS BIGINT) AS x
+           FROM events),
+         $anovaSqlTail""",
+
+    "q432_brown_forsythe" ->
+      s"""WITH ev AS (
+           SELECT event_type AS g,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         med AS (
+           SELECT g, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2
+           FROM ev GROUP BY 1),
+         xs AS (
+           SELECT ev.g, abs(2 * ev.v - med.med2) AS x
+           FROM ev JOIN med USING (g)),
+         $anovaSqlTail""",
+
+    "q433_cohens_d" ->
+      """WITH per AS (
+           SELECT event_type AS g, count(*) AS n_t,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s_t,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)
+               * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS ss_t
+           FROM events GROUP BY 1),
+         pr AS (
+           SELECT a.g AS t1, b.g AS t2, a.n_t AS n1, b.n_t AS n2,
+             a.s_t AS s1, b.s_t AS s2, a.ss_t AS ss1, b.ss_t AS ss2
+           FROM per a JOIN per b ON a.g < b.g),
+         ch AS (
+           SELECT *,
+             ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n1 AS DOUBLE))
+               + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n2 AS DOUBLE)))
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) AS sp2
+           FROM pr)
+         SELECT t1, t2, n1, n2,
+           CASE WHEN sp2 > 0.0
+             THEN CAST(floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(sp2)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS d_e6,
+           CASE WHEN sp2 > 0.0
+             THEN CAST(floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(sp2)
+               * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+                 + CAST(n2 AS DOUBLE)) - 9.0)) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS g_e6
+         FROM ch""",
 
     "q429_eb_shrinkage" ->
       s"""WITH f AS (
