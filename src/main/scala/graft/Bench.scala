@@ -214,7 +214,10 @@ object Bench {
     "q430_jackknife_ratio", // delete-one-stratum ratio variance
     "q431_anova_oneway", // F + eta-squared from group sums
     "q432_brown_forsythe", // robust variance-homogeneity test
-    "q433_cohens_d") // pairwise pooled-SD effect sizes
+    "q433_cohens_d", // pairwise pooled-SD effect sizes
+    "q434_facility_location", // greedy submodular exemplar selection
+    "q435_markov_entropy_rate", // journey-chain bits-per-step
+    "q436_weighted_jaccard") // IDF-weighted candidate rerank
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,6 +12,76 @@ import graft.functions.TextFunctions
 object Analysis {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** First-order Markov transition counts of the user journey — the
+    * keyed lag window + groupBy shared by q292 (stationary) and q435
+    * (entropy rate). Returns (from_s, to_s, c).
+    */
+  private def markovCounts(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_s"))
+      .withColumn("from_s", lag("to_s", 1).over(w))
+      .where(col("from_s").isNotNull)
+      .groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+  }
+
+  /** Stationary distribution by 3 power iterations in exact integer
+    * micro-units (trunc divisions — the doremiShares convention, so the
+    * oracle replays every round bit-for-bit). Returns (st, c_out, v_e6).
+    * `markovCtes` is the oracle twin.
+    */
+  private def markovStationary(trans: DataFrame): DataFrame = {
+    val rowTot = trans.groupBy("from_s").agg(sum("c").as("c_out"))
+    val p = trans.join(rowTot, "from_s")
+      .select(col("from_s"), col("to_s"),
+        expr("(c * 1000000) div c_out").as("p_e6"))
+    val states = rowTot.select(col("from_s").as("s0"), col("c_out"))
+    val nStates = states.agg(count(lit(1)).as("k"))
+    var v = states.crossJoin(broadcast(nStates))
+      .select(col("s0").as("st"), expr("1000000 div k").as("v_e6"))
+    for (_ <- 1 to 3) {
+      v = v.join(p, col("st") === col("from_s"))
+        .groupBy(col("to_s"))
+        .agg(sum(col("v_e6") * col("p_e6")).as("num"))
+        .select(col("to_s").as("st"), expr("num div 1000000").as("v_e6"))
+    }
+    states.select(col("s0").as("st"), col("c_out"))
+      .join(v, Seq("st"), "left")
+      .na.fill(0L, Seq("v_e6"))
+  }
+
+  /** Oracle twin of markovCounts+markovStationary: CTEs ev → tr → cnt →
+    * rowt → p → kk → v0..v3 (v3 = the 3-iteration stationary vector).
+    */
+  private def markovCtes: String =
+    """ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_id,
+             event_type AS to_s
+           FROM events),
+         tr AS (
+           SELECT lag(to_s) OVER (PARTITION BY user_id
+             ORDER BY tm, event_id) AS from_s, to_s
+           FROM ev),
+         cnt AS (SELECT from_s, to_s, count(*) AS c
+                 FROM tr WHERE from_s IS NOT NULL GROUP BY 1, 2),
+         rowt AS (SELECT from_s, CAST(sum(c) AS BIGINT) AS c_out
+                  FROM cnt GROUP BY 1),
+         p AS (SELECT cnt.from_s, to_s, (c * 1000000) // c_out AS p_e6
+               FROM cnt JOIN rowt USING (from_s)),
+         kk AS (SELECT count(*) AS k FROM rowt),
+         v0 AS (SELECT from_s AS st, 1000000 // k AS v_e6 FROM rowt, kk),
+         v1 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v0 JOIN p ON v0.st = p.from_s GROUP BY 1),
+         v2 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v1 JOIN p ON v1.st = p.from_s GROUP BY 1),
+         v3 AS (SELECT to_s AS st,
+                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
+                FROM v2 JOIN p ON v2.st = p.from_s GROUP BY 1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Active users (wbgps/analysis.py:89-130): per-user distinct active days
     // pre-period and overall, thresholded against the global maxima. The
@@ -1146,32 +1216,41 @@ object Analysis {
     // replays every round bit-for-bit). Scale shape: the corpus-scale
     // work is one keyed lag window + one groupBy; the iteration runs on
     // the #states² aggregate frame with tiny joins.
-    "q292_markov_stationary" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      val trans = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("to_s"))
-        .withColumn("from_s", lag("to_s", 1).over(w))
-        .where(col("from_s").isNotNull)
-        .groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
-      val rowTot = trans.groupBy("from_s").agg(sum("c").as("c_out"))
-      val p = trans.join(rowTot, "from_s")
-        .select(col("from_s"), col("to_s"),
-          expr("(c * 1000000) div c_out").as("p_e6"))
-      val states = rowTot.select(col("from_s").as("s0"), col("c_out"))
-      val nStates = states.agg(count(lit(1)).as("k"))
-      var v = states.crossJoin(broadcast(nStates))
-        .select(col("s0").as("st"), expr("1000000 div k").as("v_e6"))
-      for (_ <- 1 to 3) {
-        v = v.join(p, col("st") === col("from_s"))
-          .groupBy(col("to_s"))
-          .agg(sum(col("v_e6") * col("p_e6")).as("num"))
-          .select(col("to_s").as("st"), expr("num div 1000000").as("v_e6"))
-      }
-      states.select(col("s0").as("st"), col("c_out"))
-        .join(v, Seq("st"), "left")
-        .na.fill(0L, Seq("v_e6"))
+    "q292_markov_stationary" -> ((s, d) =>
+      markovStationary(markovCounts(s, d))),
+
+    // Entropy rate of the user-journey Markov chain (Shannon):
+    // H = Σ_s π_s · H_s with H_s = −Σ_t p_st·ln p_st — the
+    // bits-per-step unpredictability of the journey process, the
+    // single-number complement to q292's stationary distribution and
+    // q174's raw matrix (a near-zero rate means journeys are scripted;
+    // high means exploratory). π replays q292's exact integer power
+    // iterations via the SHARED markovStationary helper (no drift);
+    // each state's row entropy folds its transition terms in sorted
+    // target order (q116 rule) and floors to e6 BEFORE the π-weighted
+    // combination, which is then pure integer products. Scale: the
+    // corpus work is one keyed lag window + one groupBy; everything
+    // after runs on the #states² frame.
+    "q435_markov_entropy_rate" -> ((s, d) => {
+      val cnt = markovCounts(s, d)
+      val pi = markovStationary(cnt)
+      val hs = cnt
+        .withColumn("c_out", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_s")))
+        .groupBy("from_s")
+        .agg(array_sort(collect_list(struct(col("to_s"), col("c"),
+          col("c_out")))).as("ps"))
+        .withColumn("h", aggregate(transform(col("ps"),
+          x => -(x.getField("c").cast("double") /
+            x.getField("c_out").cast("double")) *
+            log(x.getField("c").cast("double") /
+              x.getField("c_out").cast("double"))),
+          lit(0.0d), (acc, x) => acc + x))
+        .select(col("from_s").as("st"),
+          floor(col("h") * 1e6).cast("long").as("h_e6"))
+      pi.join(hs, "st")
+        .select(col("st"), col("v_e6").as("pi_e6"), col("h_e6"),
+          expr("v_e6 * h_e6 div 1000000").as("contrib_e6"))
     }),
 
     // Markov removal-effect attribution (Anderl et al. 2016 — the
@@ -2754,33 +2833,25 @@ object Analysis {
          FROM g GROUP BY 1""",
 
     "q292_markov_stationary" ->
-      """WITH ev AS (
-           SELECT user_id, epoch_us(ts) AS tm, event_id,
-             event_type AS to_s
-           FROM events),
-         tr AS (
-           SELECT lag(to_s) OVER (PARTITION BY user_id
-             ORDER BY tm, event_id) AS from_s, to_s
-           FROM ev),
-         cnt AS (SELECT from_s, to_s, count(*) AS c
-                 FROM tr WHERE from_s IS NOT NULL GROUP BY 1, 2),
-         rowt AS (SELECT from_s, CAST(sum(c) AS BIGINT) AS c_out
-                  FROM cnt GROUP BY 1),
-         p AS (SELECT cnt.from_s, to_s, (c * 1000000) // c_out AS p_e6
-               FROM cnt JOIN rowt USING (from_s)),
-         kk AS (SELECT count(*) AS k FROM rowt),
-         v0 AS (SELECT from_s AS st, 1000000 // k AS v_e6 FROM rowt, kk),
-         v1 AS (SELECT to_s AS st,
-                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
-                FROM v0 JOIN p ON v0.st = p.from_s GROUP BY 1),
-         v2 AS (SELECT to_s AS st,
-                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
-                FROM v1 JOIN p ON v1.st = p.from_s GROUP BY 1),
-         v3 AS (SELECT to_s AS st,
-                  CAST(sum(v_e6 * p_e6) AS BIGINT) // 1000000 AS v_e6
-                FROM v2 JOIN p ON v2.st = p.from_s GROUP BY 1)
+      s"""WITH $markovCtes
          SELECT rowt.from_s AS st, c_out, coalesce(v3.v_e6, 0) AS v_e6
          FROM rowt LEFT JOIN v3 ON rowt.from_s = v3.st""",
+
+    "q435_markov_entropy_rate" ->
+      s"""WITH $markovCtes,
+         hs AS (
+           SELECT cnt.from_s AS st,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(-(CAST(c AS DOUBLE) / CAST(c_out AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(c_out AS DOUBLE))
+                 ORDER BY to_s)), (acc, x) -> acc + x) * 1000000.0)
+               AS BIGINT) AS h_e6
+           FROM cnt JOIN rowt USING (from_s) GROUP BY 1)
+         SELECT rowt.from_s AS st, coalesce(v3.v_e6, 0) AS pi_e6, h_e6,
+           coalesce(v3.v_e6, 0) * h_e6 // 1000000 AS contrib_e6
+         FROM rowt
+         LEFT JOIN v3 ON rowt.from_s = v3.st
+         JOIN hs ON hs.st = rowt.from_s""",
 
     "q279_tpch_q5" ->
       """SELECT n_name,

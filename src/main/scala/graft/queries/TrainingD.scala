@@ -752,6 +752,58 @@ private[queries] object TrainingD {
     }),
 
 
+    // Greedy facility-location selection (Nemhauser–Wolsey–Fisher 1978
+    // (1−1/e) guarantee; Wei/Iyer/Bilmes 2015 for data-subset
+    // selection) — the "summarize the corpus" complement to q410's
+    // k-center "spread out" rule: pick k=5 exemplars from a bounded
+    // candidate pool (vec_id < 64) maximizing the submodular coverage
+    // F(S) = Σ_v max_{c∈S} sim(v,c), sim = max(0, integer dot on
+    // 64-quantized vectors). Each greedy round scores every remaining
+    // candidate's marginal gain Σ_v max(0, s_vc − cov_v) against the
+    // running coverage frame and takes the argmax (ties → min id);
+    // coverage then updates against the ONE chosen column — O(k·n·|P|)
+    // like q410, never all-pairs. Exact: sims/gains all-integer, so
+    // every argmax replays cross-engine. Scale shape: sims = corpus ×
+    // bounded pool (linear in corpus); per round one keyed join + a
+    // |pool|-row aggregate; the sequential k loop IS the algorithm
+    // (k bounded); localCheckpoint per round. Oracle: 5 unrolled
+    // MATERIALIZED rounds.
+    "q434_facility_location" -> ((s, d) => {
+      val q = expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))")
+      val emb = t(s, d, "embeddings").select(col("vec_id").as("v"), q.as("ve"))
+      val pool = t(s, d, "embeddings").where(col("vec_id") < 64)
+        .select(col("vec_id").as("c"), q.as("ce"))
+      val sims = emb.crossJoin(broadcast(pool))
+        .select(col("v"), col("c"), greatest(lit(0L), expr(
+          """aggregate(zip_with(ve, ce, (a, b) -> a * b),
+             cast(0 as bigint), (acc, x) -> acc + x)""")).as("sv"))
+        .persist() // re-probed every greedy round
+      var cov = emb.select(col("v"), lit(0L).as("cov")).localCheckpoint(true)
+      var chosen = Vector.empty[Long]
+      var picks = Vector.empty[(Long, Long, Long, Long)]
+      for (r <- 1 to 5) {
+        val g = sims.where(!col("c").isin(chosen: _*))
+          .join(cov, "v")
+          .where(col("sv") > col("cov"))
+          .groupBy("c").agg(sum(col("sv") - col("cov")).as("gain"))
+          .agg(max(struct(col("gain"), (-col("c")).as("nc"))).as("m"))
+          .select(col("m.gain").as("gain"), (-col("m.nc")).as("cid"))
+          .head()
+        val (gain, cid) = (g.getLong(0), g.getLong(1))
+        chosen :+= cid
+        cov = cov.join(sims.where(col("c") === cid)
+            .select(col("v"), col("sv").as("snew")), "v")
+          .select(col("v"), greatest(col("cov"), col("snew")).as("cov"))
+          .localCheckpoint(true)
+        val covTot = cov.agg(sum("cov")).head().getLong(0)
+        picks :+= ((r.toLong, cid, gain, covTot))
+      }
+      sims.unpersist()
+      import s.implicits._
+      picks.toDF("round", "c", "gain", "cov_total")
+    }),
+
     // Bradley–Terry strength fit over sources (Bradley & Terry 1952;
     // Hunter 2004's MM iteration) — the preference-aggregation core of
     // RLHF/eval-arena data work: treat every cross-source document pair
@@ -897,6 +949,45 @@ private[queries] object TrainingD {
           (col("cost_e6") === col("min_cost")).as("is_chosen"))
     }),
 
+
+    // IDF-weighted Jaccard rerank of the LSH candidates (the weighted
+    // set-similarity of Chum–Philbin–Zisserman 2008): plain Jaccard
+    // treats "the" and a rare entity as equal overlap evidence; here
+    // each token weighs w_t = n_docs div df_t (integer IDF), and the
+    // candidate pair is re-scored by informative overlap
+    // WJ = Σ min(c1,c2)·w / Σ max(c1,c2)·w over the pair's token
+    // multiset union — the rerank that separates boilerplate-overlap
+    // pairs from true near-dups before the keep-one step. Exact: all
+    // integer counts/weights/trunc-divs. Scale shape: token counts one
+    // scan; candidates from the capped banded join; the per-pair union
+    // is two keyed joins on (pair, token) — linear in candidates × doc
+    // length, never all-pairs.
+    "q436_weighted_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .persist() // idf + both pair sides read it
+      val idf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .select(col("tok"), expr("nd div df").as("wt"))
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val pa = pairs.join(toks.select(col("doc_id").as("id1"), col("tok"),
+        col("c").as("c1")), "id1")
+      val pb = pairs.join(toks.select(col("doc_id").as("id2"), col("tok"),
+        col("c").as("c2")), "id2")
+      pa.join(pb, Seq("id1", "id2", "tok"), "full")
+        .na.fill(0L, Seq("c1", "c2"))
+        .join(idf, "tok")
+        .groupBy("id1", "id2")
+        .agg(sum(least(col("c1"), col("c2")) * col("wt")).as("num"),
+          sum(greatest(col("c1"), col("c2")) * col("wt")).as("den"),
+          sum(least(col("c1"), col("c2"))).as("ni"),
+          sum(greatest(col("c1"), col("c2"))).as("nu"))
+        .select(col("id1"), col("id2"),
+          expr("num * 1000000 div den").as("wj_e6"),
+          expr("ni * 1000000 div nu").as("j_e6"))
+    }),
 
     // Capture–recapture estimate of the TRUE near-duplicate population
     // (Chapman 1951, the bias-corrected Lincoln–Petersen): treat the
@@ -1878,6 +1969,80 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q436_weighted_jaccard" ->
+      s"""WITH $minhashCtes,
+         mpairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         tc AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+           GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n FROM documents WHERE doc_id < 300),
+         idf AS (
+           SELECT tok, CAST((SELECT n FROM nd) // count(*) AS BIGINT) AS wt
+           FROM tc GROUP BY tok),
+         pa AS (
+           SELECT p.id1, p.id2, t.tok, t.c AS c1
+           FROM mpairs p JOIN tc t ON t.doc_id = p.id1),
+         pb AS (
+           SELECT p.id1, p.id2, t.tok, t.c AS c2
+           FROM mpairs p JOIN tc t ON t.doc_id = p.id2),
+         u AS (
+           SELECT coalesce(pa.id1, pb.id1) AS id1,
+             coalesce(pa.id2, pb.id2) AS id2,
+             coalesce(pa.tok, pb.tok) AS tok,
+             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+           FROM pa FULL JOIN pb
+             ON pa.id1 = pb.id1 AND pa.id2 = pb.id2 AND pa.tok = pb.tok),
+         j AS (
+           SELECT id1, id2,
+             CAST(sum(least(c1, c2) * wt) AS BIGINT) AS num,
+             CAST(sum(greatest(c1, c2) * wt) AS BIGINT) AS den,
+             CAST(sum(least(c1, c2)) AS BIGINT) AS ni,
+             CAST(sum(greatest(c1, c2)) AS BIGINT) AS nu
+           FROM u JOIN idf USING (tok) GROUP BY 1, 2)
+         SELECT id1, id2, num * 1000000 // den AS wj_e6,
+           ni * 1000000 // nu AS j_e6
+         FROM j""",
+
+    "q434_facility_location" -> {
+      val rounds = (1 to 5).map { r =>
+        val excl = if (r == 1) "" else
+          " AND c NOT IN (" +
+            (1 until r).map(i => s"SELECT cid FROM b$i").mkString(" UNION ALL ") +
+            ")"
+        s"""g$r AS MATERIALIZED (
+           SELECT c, CAST(sum(sv - cov) AS BIGINT) AS gain
+           FROM sims JOIN cov${r - 1} USING (v)
+           WHERE sv > cov$excl GROUP BY c),
+         b$r AS MATERIALIZED (
+           SELECT c AS cid, gain FROM g$r ORDER BY gain DESC, c LIMIT 1),
+         cov$r AS MATERIALIZED (
+           SELECT p.v, greatest(p.cov, s.sv) AS cov
+           FROM cov${r - 1} p JOIN sims s
+             ON s.v = p.v AND s.c = (SELECT cid FROM b$r)),
+         t$r AS (
+           SELECT CAST($r AS BIGINT) AS round, cid AS c, gain,
+             (SELECT CAST(sum(cov) AS BIGINT) FROM cov$r) AS cov_total
+           FROM b$r)"""
+      }.mkString(",\n         ")
+      val unions = (1 to 5).map(r => s"SELECT * FROM t$r")
+        .mkString("\n         UNION ALL ")
+      s"""WITH pool AS (
+           SELECT vec_id AS c, embedding AS ce
+           FROM embeddings WHERE vec_id < 64),
+         sims AS MATERIALIZED (
+           SELECT e.vec_id AS v, p.c,
+             greatest(0, ${iDotSql("e.embedding", "p.ce")}) AS sv
+           FROM embeddings e CROSS JOIN pool p),
+         cov0 AS (
+           SELECT vec_id AS v, CAST(0 AS BIGINT) AS cov FROM embeddings),
+         $rounds
+         $unions"""
+    },
 
     "q428_capture_recapture" ->
       s"""WITH $minhashCtes,
