@@ -217,7 +217,10 @@ object Bench {
     "q433_cohens_d", // pairwise pooled-SD effect sizes
     "q434_facility_location", // greedy submodular exemplar selection
     "q435_markov_entropy_rate", // journey-chain bits-per-step
-    "q436_weighted_jaccard") // IDF-weighted candidate rerank
+    "q436_weighted_jaccard", // IDF-weighted candidate rerank
+    "q437_quantile_normalization", // map source dists onto global
+    "q438_kendall_w", // concordance of the three quality judges
+    "q439_rbo") // top-weighted ranking overlap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

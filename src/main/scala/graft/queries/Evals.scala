@@ -156,6 +156,17 @@ object Evals {
                   w // greatest((SELECT max(abs(w)) FROM w3) // 1000, 1) AS v
                 FROM w3)"""
 
+  /** 0.9^(d−1) for d = 1..20 as a CASE of left-associated literal
+    * multiply chains — the SAME generated text goes into the Spark
+    * expr and the DuckDB oracle (the powProd rule: each step one
+    * IEEE-exact multiply, where pow() would not replay bit-exactly).
+    */
+  private def rboPwCase: String =
+    "CASE d " + (1 to 20).map { i =>
+      val chain = (1 until i).foldLeft("1.0")((acc, _) => s"($acc * 0.9)")
+      s"WHEN $i THEN $chain"
+    }.mkString(" ") + " END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for
     // MORE than two raters, the annotation-quality gate q184's Cohen
@@ -298,6 +309,96 @@ object Evals {
               - (g1 + g2 + g3) * (g1 + g2 + g3)) * 1000000
               div (3 * sum_r - sum_r2)
             ELSE 0 END""").as("q_e6"))
+    }),
+
+    // Kendall's W coefficient of concordance (Kendall & Babington
+    // Smith 1939), tie-corrected — do the corpus's three quality
+    // JUDGES (mean length, keep rate, mean token count) agree on how
+    // the 20 sources RANK? The rank-level complement to q423/q425's
+    // per-item agreement: raters can agree per-item yet order sources
+    // differently. Midranks ×2 stay integer (r2 = 2·min-rank + ties −
+    // 1); W = (12ΣR² − 3m²n(n+1)²)/(m²(n³−n) − mΣT) is pure integer
+    // with the ×2 scaling absorbed (12ΣR² → 3ΣR2²). Scale: one scan
+    // to per-source sums; ranking lives on the bounded m×n frame.
+    "q438_kendall_w" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum("n_chars").as("sl"),
+          sum(col("q.keep").cast("long")).as("k_s"),
+          sum(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")).as("stk"))
+      val long = per.select(col("source"), lit("len").as("judge"),
+          expr("sl div n_s").as("metric"))
+        .unionByName(per.select(col("source"), lit("keep").as("judge"),
+          expr("k_s * 1000000 div n_s").as("metric")))
+        .unionByName(per.select(col("source"), lit("tok").as("judge"),
+          expr("stk div n_s").as("metric")))
+      val wJ = org.apache.spark.sql.expressions.Window
+        .partitionBy("judge").orderBy("metric")
+      val wJM = org.apache.spark.sql.expressions.Window
+        .partitionBy("judge", "metric")
+      val ranked = long
+        .withColumn("rmin", rank().over(wJ).cast("long"))
+        .withColumn("tc", count(lit(1)).over(wJM))
+        .withColumn("r2", lit(2L) * col("rmin") + col("tc") - 1L)
+      val s2n = ranked.groupBy("source").agg(sum("r2").as("rr2"))
+        .agg(count(lit(1)).as("n"), sum(col("rr2") * col("rr2")).as("s2"))
+      val tsum = long.groupBy("judge", "metric").agg(count(lit(1)).as("tg"))
+        .agg(sum(col("tg") * col("tg") * col("tg") - col("tg")).as("tie_sum"))
+      s2n.crossJoin(tsum)
+        .select(col("n").as("n_sources"), col("s2"), col("tie_sum"),
+          expr("""CASE WHEN 9 * (n * n * n - n) - 3 * tie_sum > 0
+            THEN (3 * s2 - 27 * n * (n + 1) * (n + 1)) * 1000000
+              div (9 * (n * n * n - n) - 3 * tie_sum)
+            ELSE 0 END""").as("w_e6"))
+    }),
+
+    // Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    // length ranking and the keep-rate ranking of the 20 sources —
+    // the top-weighted ranking similarity retrieval evals use where
+    // Kendall/Spearman over-weight the tail: RBO(p=0.9) =
+    // (1−p)·Σ_d p^(d−1)·|A:d ∩ B:d|/d. Overlap-at-depth X_d comes from
+    // each source's max(rank_A, rank_B) — no per-depth set
+    // materialization. p^(d−1) is a generated left-associated literal
+    // multiply chain (the powProd rule — identical text both engines,
+    // where pow() would not replay); depth terms fold in sorted d
+    // order. Ranks by bounded self-join count, window-free. Scale: one
+    // scan to per-source sums; everything after is n²-bounded (n=20).
+    "q439_rbo" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum("n_chars").as("sl"),
+          sum(col("q.keep").cast("long")).as("k_s"))
+        .select(col("source"), expr("sl div n_s").as("m_len"),
+          expr("k_s * 1000000 div n_s").as("m_keep"))
+      val o = per.select(col("source").as("s2"), col("m_len").as("l2"),
+        col("m_keep").as("k2"))
+      val ranks = per.crossJoin(broadcast(o))
+        .groupBy("source", "m_len", "m_keep")
+        .agg(sum(when(col("l2") > col("m_len") ||
+            (col("l2") === col("m_len") && col("s2") < col("source")), 1L)
+            .otherwise(0L)).as("ab"),
+          sum(when(col("k2") > col("m_keep") ||
+            (col("k2") === col("m_keep") && col("s2") < col("source")), 1L)
+            .otherwise(0L)).as("bb"))
+        .select(col("source"), (col("ab") + 1L).as("a"),
+          (col("bb") + 1L).as("b"))
+        .withColumn("md", greatest(col("a"), col("b")))
+      val xd = ranks.select(col("a").as("d"))
+        .join(broadcast(ranks.select(col("md"))), col("md") <= col("d"))
+        .groupBy("d").agg(count(lit(1)).as("x_d"))
+      val terms = xd.withColumn("term",
+        expr(s"($rboPwCase) * cast(x_d as double) / cast(d as double)"))
+      terms.agg(count(lit(1)).as("n_depths"),
+          max(when(col("d") === 1L, col("x_d"))).as("x_1"),
+          max(when(col("d") === 10L, col("x_d"))).as("x_10"),
+          array_sort(collect_list(struct(col("d"), col("term")))).as("ps"))
+        .withColumn("sfold", aggregate(transform(col("ps"),
+          x => x.getField("term")), lit(0.0d), (acc, x) => acc + x))
+        .select(col("n_depths"), col("x_1"), col("x_10"),
+          floor(col("sfold") * 0.1 * 1e6).cast("long").as("rbo_e6"))
     }),
 
     // Risk–coverage curve for selective prediction (Geifman & El-Yaniv
@@ -817,6 +918,94 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q438_kendall_w" ->
+      s"""WITH base AS (
+           SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
+             len(w) AS ntok
+           FROM (SELECT source, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         per AS (
+           SELECT source, count(*) AS n_s,
+             CAST(sum(n_chars) AS BIGINT) AS sl,
+             CAST(sum(keep) AS BIGINT) AS k_s,
+             CAST(sum(ntok) AS BIGINT) AS stk
+           FROM base GROUP BY 1),
+         lng AS (
+           SELECT source, 'len' AS judge, sl // n_s AS metric FROM per
+           UNION ALL
+           SELECT source, 'keep', k_s * 1000000 // n_s FROM per
+           UNION ALL
+           SELECT source, 'tok', stk // n_s FROM per),
+         rk AS (
+           SELECT source, judge, metric,
+             CAST(rank() OVER (PARTITION BY judge ORDER BY metric)
+               AS BIGINT) AS rmin,
+             CAST(count(*) OVER (PARTITION BY judge, metric)
+               AS BIGINT) AS tc
+           FROM lng),
+         rr AS (
+           SELECT source, CAST(sum(2 * rmin + tc - 1) AS BIGINT) AS rr2
+           FROM rk GROUP BY 1),
+         ss AS (
+           SELECT count(*) AS n, CAST(sum(rr2 * rr2) AS BIGINT) AS s2
+           FROM rr),
+         tt AS (
+           SELECT CAST(sum(tg * tg * tg - tg) AS BIGINT) AS tie_sum
+           FROM (SELECT judge, metric, count(*) AS tg
+                 FROM lng GROUP BY 1, 2))
+         SELECT n AS n_sources, s2, tie_sum,
+           CASE WHEN 9 * (n * n * n - n) - 3 * tie_sum > 0
+             THEN (3 * s2 - 27 * n * (n + 1) * (n + 1)) * 1000000
+               // (9 * (n * n * n - n) - 3 * tie_sum)
+             ELSE 0 END AS w_e6
+         FROM ss, tt""",
+
+    "q439_rbo" ->
+      s"""WITH base AS (
+           SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep
+           FROM (SELECT source, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         per AS (
+           SELECT source, count(*) AS n_s,
+             CAST(sum(n_chars) AS BIGINT) AS sl,
+             CAST(sum(keep) AS BIGINT) AS k_s
+           FROM base GROUP BY 1),
+         pm AS (
+           SELECT source, sl // n_s AS m_len,
+             k_s * 1000000 // n_s AS m_keep
+           FROM per),
+         rk AS (
+           SELECT x.source,
+             1 + (SELECT count(*) FROM pm y WHERE y.m_len > x.m_len
+                  OR (y.m_len = x.m_len AND y.source < x.source)) AS a,
+             1 + (SELECT count(*) FROM pm y WHERE y.m_keep > x.m_keep
+                  OR (y.m_keep = x.m_keep AND y.source < x.source)) AS b
+           FROM pm x),
+         r2 AS (
+           SELECT source, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(greatest(a, b) AS BIGINT) AS md
+           FROM rk),
+         xd AS (
+           SELECT dd.d, count(*) AS x_d
+           FROM (SELECT a AS d FROM r2) dd JOIN r2 ON r2.md <= dd.d
+           GROUP BY 1),
+         tm AS (
+           SELECT d, x_d, ($rboPwCase) * CAST(x_d AS DOUBLE)
+             / CAST(d AS DOUBLE) AS term
+           FROM xd),
+         ag AS (
+           SELECT count(*) AS n_depths,
+             max(CASE WHEN d = 1 THEN x_d END) AS x_1,
+             max(CASE WHEN d = 10 THEN x_d END) AS x_10,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY d)), (acc, x) -> acc + x) AS sfold
+           FROM tm)
+         SELECT n_depths, x_1, x_10,
+           CAST(floor(sfold * 0.1 * 1000000.0) AS BIGINT) AS rbo_e6
+         FROM ag""",
+
     "q423_fleiss_kappa" ->
       s"""WITH f AS (
            SELECT

@@ -262,6 +262,42 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Quantile normalization across sources (Bolstad et al. 2003 — the
+    // batch-effect removal standard): map each source's n_chars
+    // distribution ONTO the pooled global distribution by rank lookup,
+    // so every source afterwards has the same marginal — the
+    // cross-source score-calibration step a mixed-corpus quality
+    // pipeline runs before comparing thresholds (q254 is the
+    // within-group CDF; this is the cross-group value MAPPING). Exact:
+    // within-source max-rank rs, target global rank ceil(rs·N/n_s) as
+    // an integer trunc-div, then an interval lookup into the global
+    // cumulative histogram. Scale: the histograms are distinct-value
+    // frames (domain-bounded); global cum counts ride PrefixScan, the
+    // source ranks a KEYED window over the bounded (source × value)
+    // frame; the lookup is a broadcast range join.
+    "q437_quantile_normalization" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select(col("source"),
+        col("n_chars").as("v"))
+      val gc = graft.operators.PrefixScan.scanLong(
+          docs.groupBy("v").agg(count(lit(1)).as("gn")),
+          "gcum", "gn", "sum", inclusive = true, col("v"))
+        .select(col("v").as("gv"), col("gcum"),
+          (col("gcum") - col("gn")).as("gprev"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val sc = docs.groupBy("source", "v").agg(count(lit(1)).as("sn"))
+        .withColumn("rs", sum("sn").over(wS))
+      val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      sc.join(ns, "source").crossJoin(broadcast(nn))
+        .withColumn("tgt", expr("(rs * n + n_s - 1) div n_s"))
+        .join(broadcast(gc),
+          col("gprev") < col("tgt") && col("tgt") <= col("gcum"))
+        .select(col("source"), col("v"), col("sn"), col("rs"), col("tgt"),
+          col("gv").as("mapped"))
+    }),
+
     // One-way ANOVA (Fisher): does mean value differ across event
     // types? F and the eta-squared effect size from the Σx/Σx²
     // identities — per-group integer sums only, so the whole test is
@@ -1555,6 +1591,31 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q437_quantile_normalization" ->
+      """WITH docs AS (SELECT source, n_chars AS v FROM documents),
+         g AS (SELECT v, count(*) AS gn FROM docs GROUP BY 1),
+         gc AS (
+           SELECT v AS gv,
+             CAST(sum(gn) OVER (ORDER BY v) AS BIGINT) AS gcum,
+             CAST(sum(gn) OVER (ORDER BY v) - gn AS BIGINT) AS gprev
+           FROM g),
+         nn AS (SELECT count(*) AS n FROM docs),
+         sc AS (
+           SELECT source, v, count(*) AS sn
+           FROM docs GROUP BY 1, 2),
+         sc2 AS (
+           SELECT source, v, sn,
+             CAST(sum(sn) OVER (PARTITION BY source ORDER BY v)
+               AS BIGINT) AS rs
+           FROM sc),
+         ns AS (SELECT source, count(*) AS n_s FROM docs GROUP BY 1),
+         tt AS (
+           SELECT sc2.source, sc2.v, sc2.sn, sc2.rs,
+             (sc2.rs * nn.n + ns.n_s - 1) // ns.n_s AS tgt
+           FROM sc2 JOIN ns USING (source) CROSS JOIN nn)
+         SELECT source, v, sn, rs, tgt, gv AS mapped
+         FROM tt JOIN gc ON gprev < tgt AND tgt <= gcum""",
 
     "q431_anova_oneway" ->
       s"""WITH xs AS (
