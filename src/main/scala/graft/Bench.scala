@@ -220,7 +220,10 @@ object Bench {
     "q436_weighted_jaccard", // IDF-weighted candidate rerank
     "q437_quantile_normalization", // map source dists onto global
     "q438_kendall_w", // concordance of the three quality judges
-    "q439_rbo") // top-weighted ranking overlap
+    "q439_rbo", // top-weighted ranking overlap
+    "q440_rendezvous_sharding", // HRW resharding movement audit
+    "q441_kmv_sketch", // bottom-k distinct estimate vs exact
+    "q442_priority_sampling") // weight-sensitive subset-sum sample
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -262,6 +262,39 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Priority sampling (Duffield, Lund & Thorup 2007) — the
+    // weight-sensitive fixed-size sample with the provably near-optimal
+    // subset-sum estimator: priority q_i = w_i/u_i (u_i a deterministic
+    // 60-bit hash uniform), keep the top k=32, threshold τ = q₍ₖ₊₁₎,
+    // estimate Σw by Σ max(w_i, τ) over the sample. The audit reports
+    // the estimate against the exact total (signed e6 error) — what a
+    // 100 TB pipeline would ship per partition instead of full sums.
+    // Exact replay: priorities are ONE pinned double chain on integer
+    // inputs; the top-(k+1) is a bounded sort-limit (TakeOrdered, no
+    // global shuffle); the k sample terms fold in sorted doc order.
+    "q442_priority_sampling" -> ((s, d0) => {
+      val docs = t(s, d0, "documents")
+        .select(col("doc_id"), col("n_chars").as("w"),
+          TextFunctions.hash60(concat(lit("prio:"),
+            col("doc_id").cast("string"))).as("hv"))
+        .withColumn("q", d(col("w")) * lit(1152921504606846976.0d) /
+          d(col("hv")))
+      val top = docs.orderBy(col("q").desc, col("doc_id").asc).limit(33)
+      val tau = top.agg(min("q").as("tau"))
+      top.crossJoin(broadcast(tau)).where(col("q") > col("tau"))
+        .agg(count(lit(1)).as("k_sample"),
+          array_sort(collect_list(struct(col("doc_id"),
+            greatest(d(col("w")), col("tau")).as("v")))).as("ps"))
+        .withColumn("est_d", aggregate(transform(col("ps"),
+          x => x.getField("v")), lit(0.0d), (acc, x) => acc + x))
+        .crossJoin(broadcast(docs.agg(sum("w").as("exact_total"))))
+        .select(col("k_sample"),
+          floor(col("est_d")).cast("long").as("est_total"),
+          col("exact_total"),
+          expr("""(cast(floor(est_d) as bigint) - exact_total) * 1000000
+            div exact_total""").as("err_e6"))
+    }),
+
     // Quantile normalization across sources (Bolstad et al. 2003 — the
     // batch-effect removal standard): map each source's n_chars
     // distribution ONTO the pooled global distribution by rank lookup,
@@ -1591,6 +1624,36 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q442_priority_sampling" -> {
+      val h60 = TrainingShared.h60("concat('prio:', CAST(doc_id AS VARCHAR))")
+      s"""WITH docs AS (
+           SELECT doc_id, n_chars AS w, $h60 AS hv
+           FROM documents),
+         q AS (
+           SELECT doc_id, w,
+             CAST(w AS DOUBLE) * 1152921504606846976.0 / CAST(hv AS DOUBLE)
+               AS q
+           FROM docs),
+         top AS MATERIALIZED (
+           SELECT * FROM q ORDER BY q DESC, doc_id LIMIT 33),
+         tau AS (SELECT min(q) AS tau FROM top),
+         samp AS (
+           SELECT doc_id, w, (SELECT tau FROM tau) AS tau
+           FROM top WHERE q > (SELECT tau FROM tau)),
+         ag AS (
+           SELECT count(*) AS k_sample,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(greatest(CAST(w AS DOUBLE), tau) ORDER BY doc_id)),
+               (acc, x) -> acc + x) AS est_d
+           FROM samp),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS exact_total FROM docs)
+         SELECT k_sample, CAST(floor(est_d) AS BIGINT) AS est_total,
+           exact_total,
+           (CAST(floor(est_d) AS BIGINT) - exact_total) * 1000000
+             // exact_total AS err_e6
+         FROM ag, tot"""
+    },
 
     "q437_quantile_normalization" ->
       """WITH docs AS (SELECT source, n_chars AS v FROM documents),

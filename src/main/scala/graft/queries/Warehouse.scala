@@ -28,6 +28,70 @@ object Warehouse {
     expr(s"$x div ${y}L")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Rendezvous (highest-random-weight) sharding audit (Thaler &
+    // Ravishankar 1998) — the shard-assignment scheme whose resharding
+    // cost a 100 TB store actually pays: each doc goes to the shard
+    // with the highest hash60(doc:shard); growing 32 → 33 shards moves
+    // EXACTLY the docs whose new shard wins (expected 1/33 — measured
+    // here against that expectation, vs mod-hashing's ~97% reshuffle).
+    // Also reports 32-shard occupancy spread. Exact: pure integer
+    // hashes and counts. Scale: one scan × 33 (bounded explode), one
+    // per-doc argmax aggregate, one shard-sized rollup.
+    "q440_rendezvous_sharding" -> ((s, d) => {
+      val h = t(s, d, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(32))).as("shi"))
+        .select(col("doc_id"), col("shi").cast("long").as("sh"))
+        .withColumn("hv", TextFunctions.hash60(concat(
+          col("doc_id").cast("string"), lit(":"), col("sh").cast("string"))))
+      h.groupBy("doc_id").agg(
+          max(when(col("sh") < 32L,
+            struct(col("hv"), (-col("sh")).as("ns")))).as("m32"),
+          max(struct(col("hv"), (-col("sh")).as("ns"))).as("m33"))
+        .select(col("doc_id"), (-col("m32.ns")).as("shard32"),
+          (-col("m33.ns")).as("shard33"))
+        .groupBy("shard32")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("shard32") =!= col("shard33"), 1L).otherwise(0L))
+            .as("mv"))
+        .agg(count(lit(1)).as("n_shards"), sum("n").as("n_docs"),
+          sum("mv").as("n_moved"), min("n").as("min_shard_n"),
+          max("n").as("max_shard_n"))
+        .select(col("n_shards"), col("n_docs"), col("n_moved"),
+          expr("n_moved * 1000000 div n_docs").as("moved_e6"),
+          expr("cast(1000000 div 33 as bigint)").as("expected_e6"),
+          col("min_shard_n"), col("max_shard_n"))
+    }),
+
+    // KMV (bottom-k / k-minimum-values) distinct sketch audit (Bar-
+    // Yossef et al. 2002; the theta-sketch core): per source keep the
+    // 32 smallest 60-bit token hashes and estimate the distinct
+    // vocabulary as (k−1)·M / h₍ₖ₎ — the mergeable sketch a federated
+    // 100 TB vocabulary count would ship instead of exact distincts.
+    // Audited against the exact per-source distinct (signed e6 error).
+    // Exact replay: hashes are integers; the estimate is ONE pinned
+    // double chain ((k−1)·M is 5 significant bits — exactly
+    // representable); sources with < 32 distinct tokens fall back to
+    // the sketch's exact count. Scale: one scan + the TopKPerKey
+    // bottom-k (map-side heap, no global sort).
+    "q441_kmv_sketch" -> ((s, d) => {
+      val th = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .select(col("source"), TextFunctions.hash60(col("tok")).as("hv"))
+        .persist() // exact count + bottom-k both read it
+      val exact = th.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      val kth = graft.plans.TopKPerKey(th, Seq("source"), Seq(col("hv").asc), 32)
+        .groupBy("source").agg(max("hv").as("hk"), count(lit(1)).as("kk"))
+      exact.join(kth, "source")
+        .select(col("source"), col("exact_distinct"), col("kk"), col("hk"),
+          when(col("kk") === 32L,
+            floor((lit(31.0d) * lit(1152921504606846976.0d)) /
+              col("hk").cast("double")).cast("long"))
+            .otherwise(col("kk")).as("est_distinct"))
+        .withColumn("err_e6",
+          expr("(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+    }),
     // SCD Type-2 dimension build — the warehouse-history classic the
     // MERGE/CDC family (q219/q245) was still missing: collapse each
     // user's ordered event stream into versioned attribute rows
@@ -748,6 +812,69 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q440_rendezvous_sharding" -> {
+      val h60 = graft.queries.TrainingShared.h60(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(sh AS VARCHAR))")
+      s"""WITH h AS (
+           SELECT doc_id, sh, $h60 AS hv
+           FROM documents, (SELECT unnest(range(0, 33)) AS sh)),
+         a32 AS (
+           SELECT doc_id, sh AS shard32,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, sh)
+               AS rn
+           FROM h WHERE sh < 32 QUALIFY rn = 1),
+         a33 AS (
+           SELECT doc_id, sh AS shard33,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, sh)
+               AS rn
+           FROM h QUALIFY rn = 1),
+         j AS (
+           SELECT a32.doc_id, shard32, shard33
+           FROM a32 JOIN a33 USING (doc_id)),
+         g AS (
+           SELECT shard32, count(*) AS n,
+             CAST(sum(CASE WHEN shard32 <> shard33 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mv
+           FROM j GROUP BY 1)
+         SELECT count(*) AS n_shards, CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(mv) AS BIGINT) AS n_moved,
+           CAST(sum(mv) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT)
+             AS moved_e6,
+           CAST(1000000 // 33 AS BIGINT) AS expected_e6,
+           CAST(min(n) AS BIGINT) AS min_shard_n,
+           CAST(max(n) AS BIGINT) AS max_shard_n
+         FROM g"""
+    },
+
+    "q441_kmv_sketch" -> {
+      val h60 = graft.queries.TrainingShared.h60("tok")
+      s"""WITH th AS (
+           SELECT DISTINCT source, tok
+           FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)),
+         hv AS (SELECT source, $h60 AS hv FROM th),
+         ex AS (SELECT source, count(*) AS exact_distinct
+                FROM hv GROUP BY 1),
+         bk AS (
+           SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+           FROM hv QUALIFY rn <= 32),
+         kth AS (
+           SELECT source, CAST(max(hv) AS BIGINT) AS hk,
+             count(*) AS kk
+           FROM bk GROUP BY 1),
+         j AS (
+           SELECT ex.source, exact_distinct, kk, hk,
+             CASE WHEN kk = 32
+               THEN CAST(floor((31.0 * 1152921504606846976.0)
+                 / CAST(hk AS DOUBLE)) AS BIGINT)
+               ELSE kk END AS est_distinct
+           FROM ex JOIN kth USING (source))
+         SELECT source, exact_distinct, kk, hk, est_distinct,
+           (est_distinct - exact_distinct) * 1000000 // exact_distinct
+             AS err_e6
+         FROM j"""
+    },
     "q407_scd2_history" ->
       """WITH ev AS (
            SELECT user_id, epoch_us(ts) AS tm, event_id, event_type
