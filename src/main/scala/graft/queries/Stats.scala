@@ -253,7 +253,11 @@ object Stats {
               (d(col("xx")) - p.getField("x_h").cast("double")))),
           lit(0.0d), (a, x) => a + x))
         .select(col("h"), col("yy"), col("xx"),
-          expr("yy * 1000000 div xx").as("r_hat_e6"),
+          // quotient/remainder split: yy·1e6 overflows int64 at sf1
+          // (found by the sf1 proof run); (yy div xx)·1e6 +
+          // (yy mod xx)·1e6 div xx is the same value, remainder-bounded
+          expr("(yy div xx) * 1000000 + ((yy % xx) * 1000000) div xx")
+            .as("r_hat_e6"),
           floor((col("s1") / d(col("h"))) * 1e6).cast("long")
             .as("r_jk_mean_e6"),
           when(col("h") > 1L,
@@ -1797,7 +1801,7 @@ object Stats {
                  ORDER BY s.stratum)), (a, x) -> a + x) AS s2
            FROM st s CROSS JOIN tot t GROUP BY t.h, t.yy, t.xx)
          SELECT h, yy, xx,
-           yy * 1000000 // xx AS r_hat_e6,
+           (yy // xx) * 1000000 + ((yy % xx) * 1000000) // xx AS r_hat_e6,
            CAST(floor((s1 / CAST(h AS DOUBLE)) * 1000000.0) AS BIGINT)
              AS r_jk_mean_e6,
            CASE WHEN h > 1
