@@ -223,7 +223,10 @@ object Bench {
     "q439_rbo", // top-weighted ranking overlap
     "q440_rendezvous_sharding", // HRW resharding movement audit
     "q441_kmv_sketch", // bottom-k distinct estimate vs exact
-    "q442_priority_sampling") // weight-sensitive subset-sum sample
+    "q442_priority_sampling", // weight-sensitive subset-sum sample
+    "q443_llr_collocations", // Dunning G-squared bigram collocations
+    "q444_sse_changepoint", // least-squares single breakpoint
+    "q445_ipf_raking") // two-margin sample calibration
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

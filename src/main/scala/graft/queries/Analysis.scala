@@ -1219,6 +1219,51 @@ object Analysis {
     "q292_markov_stationary" -> ((s, d) =>
       markovStationary(markovCounts(s, d))),
 
+    // Least-squares changepoint (the single-breakpoint segmented-mean
+    // fit — Hinkley 1970; the SSE-optimal cousin of q208/q413's CUSUM
+    // alarms, which locate drift but not the BEST split): choose the
+    // day boundary minimizing SSE_left + SSE_right of the daily value
+    // series, both sides priced from cumulative (n, Σy, Σy²) — no
+    // per-candidate re-scan. Exact replay: integer cums ride PrefixScan
+    // over the bounded day frame; each candidate's SSE is ONE pinned
+    // double chain floored to e2 BEFORE the argmin, so the argmin is an
+    // integer min(struct) with day tiebreak. Scale: one scan to the
+    // day histogram; everything after is day-bounded.
+    "q444_sse_changepoint" -> ((s, d) => {
+      import graft.operators.PrefixScan
+      def dd(c: Column): Column = c.cast("double")
+      val daily = t(s, d, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(count(lit(1)).as("nd"), sum("v").as("sy"),
+          sum(col("v") * col("v")).as("syy"))
+      val cum = PrefixScan.scanLong(
+        PrefixScan.scanLong(
+          PrefixScan.scanLong(daily, "cn", "nd", "sum",
+            inclusive = true, col("day")),
+          "cy", "sy", "sum", inclusive = true, col("day")),
+        "cyy", "syy", "sum", inclusive = true, col("day"))
+      val totals = daily.agg(sum("nd").as("tn"), sum("sy").as("ty"),
+        sum("syy").as("tyy"))
+      val scored = cum.crossJoin(broadcast(totals))
+        .where(col("cn") < col("tn"))
+        .withColumn("ssl", dd(col("cyy")) -
+          dd(col("cy")) * dd(col("cy")) / dd(col("cn")))
+        .withColumn("ssr", (dd(col("tyy")) - dd(col("cyy"))) -
+          (dd(col("ty")) - dd(col("cy"))) * (dd(col("ty")) - dd(col("cy"))) /
+          (dd(col("tn")) - dd(col("cn"))))
+        .withColumn("sse_e2",
+          floor((col("ssl") + col("ssr")) * 100.0d).cast("long"))
+      scored.agg(min(struct(col("sse_e2"), col("day"), col("cn"))).as("m"))
+        .crossJoin(broadcast(totals))
+        .select(col("m.day").as("split_day"), col("m.cn").as("n_left"),
+          (col("tn") - col("m.cn")).as("n_right"),
+          col("m.sse_e2").as("sse_split_e2"),
+          floor((dd(col("tyy")) -
+            dd(col("ty")) * dd(col("ty")) / dd(col("tn"))) * 100.0d)
+            .cast("long").as("sse_total_e2"))
+    }),
+
     // Entropy rate of the user-journey Markov chain (Shannon):
     // H = Σ_s π_s · H_s with H_s = −Σ_t p_st·ln p_st — the
     // bits-per-step unpredictability of the journey process, the
@@ -2831,6 +2876,47 @@ object Analysis {
          SELECT user_id, count(*) AS n_islands,
            CAST(sum(i_en - i_st) AS BIGINT) AS covered_us
          FROM g GROUP BY 1""",
+
+    "q444_sse_changepoint" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dd AS (
+           SELECT day, count(*) AS nd, CAST(sum(v) AS BIGINT) AS sy,
+             CAST(sum(v * v) AS BIGINT) AS syy
+           FROM daily GROUP BY 1),
+         cum AS (
+           SELECT day, CAST(sum(nd) OVER w AS BIGINT) AS cn,
+             CAST(sum(sy) OVER w AS BIGINT) AS cy,
+             CAST(sum(syy) OVER w AS BIGINT) AS cyy
+           FROM dd
+           WINDOW w AS (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         tot AS (
+           SELECT CAST(sum(nd) AS BIGINT) AS tn,
+             CAST(sum(sy) AS BIGINT) AS ty,
+             CAST(sum(syy) AS BIGINT) AS tyy
+           FROM dd),
+         sc AS (
+           SELECT day, cn,
+             CAST(floor(((CAST(cyy AS DOUBLE)
+               - CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE)
+                 / CAST(cn AS DOUBLE))
+               + ((CAST(tyy AS DOUBLE) - CAST(cyy AS DOUBLE))
+                 - (CAST(ty AS DOUBLE) - CAST(cy AS DOUBLE))
+                   * (CAST(ty AS DOUBLE) - CAST(cy AS DOUBLE))
+                   / (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE))))
+               * 100.0) AS BIGINT) AS sse_e2
+           FROM cum, tot WHERE cn < tn),
+         best AS (
+           SELECT day, cn, sse_e2 FROM sc ORDER BY sse_e2, day LIMIT 1)
+         SELECT best.day AS split_day, best.cn AS n_left,
+           tot.tn - best.cn AS n_right, best.sse_e2 AS sse_split_e2,
+           CAST(floor((CAST(tyy AS DOUBLE)
+             - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE)
+               / CAST(tn AS DOUBLE)) * 100.0) AS BIGINT) AS sse_total_e2
+         FROM best, tot""",
 
     "q292_markov_stationary" ->
       s"""WITH $markovCtes

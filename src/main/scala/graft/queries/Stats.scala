@@ -266,6 +266,48 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Survey raking / iterative proportional fitting (Deming & Stephan
+    // 1940) — calibrate a deterministic 1-in-7 document sample so its
+    // weighted (source × lang) cell sums match BOTH population margins:
+    // the post-stratification a survey-grade corpus audit runs when
+    // the sample is unbalanced on two dimensions at once (q388's Neyman
+    // designs the draw; raking repairs it after the fact). Two full IPF
+    // rounds (row-fit then column-fit, twice) in exact e6 integer
+    // weights with trunc-div factors — the doremi convention, so the
+    // oracle replays every round bit-for-bit (unrolled MATERIALIZED
+    // CTEs). Scale: margins are one scan each; the iteration lives on
+    // the K×L-bounded cell frame with broadcast targets.
+    "q445_ipf_raking" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select(col("source"), col("lang"),
+        col("doc_id"))
+      val samp = docs.where(col("doc_id") % 7 === 0)
+      val np = docs.agg(count(lit(1)).as("np"))
+      val ns = samp.agg(count(lit(1)).as("ns"))
+      val tr = docs.groupBy("source").agg(count(lit(1)).as("rp"))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(ns))
+        .select(col("source"), expr("rp * ns div np").as("tr"))
+      val tc = docs.groupBy("lang").agg(count(lit(1)).as("cp"))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(ns))
+        .select(col("lang"), expr("cp * ns div np").as("tc"))
+      var w = samp.groupBy("source", "lang").agg(count(lit(1)).as("m"))
+        .withColumn("w", lit(1000000L))
+      for (_ <- 1 to 2) {
+        val rs = w.groupBy("source").agg(sum(col("m") * col("w")).as("sw"))
+        w = w.join(rs, "source").join(broadcast(tr), "source")
+          .withColumn("f", expr("tr * 1000000 * 1000000 div greatest(sw, 1L)"))
+          .select(col("source"), col("lang"), col("m"),
+            expr("w * f div 1000000").as("w"))
+        val cs = w.groupBy("lang").agg(sum(col("m") * col("w")).as("sw"))
+        w = w.join(cs, "lang").join(broadcast(tc), "lang")
+          .withColumn("f", expr("tc * 1000000 * 1000000 div greatest(sw, 1L)"))
+          .select(col("source"), col("lang"), col("m"),
+            expr("w * f div 1000000").as("w"))
+      }
+      w.join(broadcast(tr), "source").join(broadcast(tc), "lang")
+        .select(col("source"), col("lang"), col("m"), col("w").as("w_e6"),
+          col("tr"), col("tc"))
+    }),
+
     // Priority sampling (Duffield, Lund & Thorup 2007) — the
     // weight-sensitive fixed-size sample with the provably near-optimal
     // subset-sum estimator: priority q_i = w_i/u_i (u_i a deterministic
@@ -1628,6 +1670,47 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q445_ipf_raking" -> {
+      val steps = (1 to 2).flatMap { r =>
+        Seq(
+          s"""r$r AS MATERIALIZED (
+           SELECT p.source, p.lang, p.m,
+             p.w * (tr.tr * 1000000 * 1000000 // greatest(sw.sw, 1))
+               // 1000000 AS w
+           FROM ${if (r == 1) "w0" else s"c${r - 1}"} p
+           JOIN (SELECT source, CAST(sum(m * w) AS BIGINT) AS sw
+                 FROM ${if (r == 1) "w0" else s"c${r - 1}"} GROUP BY 1) sw
+             USING (source)
+           JOIN tr USING (source))""",
+          s"""c$r AS MATERIALIZED (
+           SELECT p.source, p.lang, p.m,
+             p.w * (tc.tc * 1000000 * 1000000 // greatest(sw.sw, 1))
+               // 1000000 AS w
+           FROM r$r p
+           JOIN (SELECT lang, CAST(sum(m * w) AS BIGINT) AS sw
+                 FROM r$r GROUP BY 1) sw USING (lang)
+           JOIN tc USING (lang))""")
+      }.mkString(",\n         ")
+      s"""WITH docs AS (SELECT source, lang, doc_id FROM documents),
+         samp AS (SELECT * FROM docs WHERE doc_id % 7 = 0),
+         np AS (SELECT count(*) AS np FROM docs),
+         ns AS (SELECT count(*) AS ns FROM samp),
+         tr AS (
+           SELECT source, CAST(count(*) AS BIGINT) * (SELECT ns FROM ns)
+             // (SELECT np FROM np) AS tr
+           FROM docs GROUP BY 1),
+         tc AS (
+           SELECT lang, CAST(count(*) AS BIGINT) * (SELECT ns FROM ns)
+             // (SELECT np FROM np) AS tc
+           FROM docs GROUP BY 1),
+         w0 AS (
+           SELECT source, lang, count(*) AS m, CAST(1000000 AS BIGINT) AS w
+           FROM samp GROUP BY 1, 2),
+         $steps
+         SELECT c2.source, c2.lang, c2.m, c2.w AS w_e6, tr.tr, tc.tc
+         FROM c2 JOIN tr USING (source) JOIN tc USING (lang)"""
+    },
 
     "q442_priority_sampling" -> {
       val h60 = TrainingShared.h60("concat('prio:', CAST(doc_id AS VARCHAR))")

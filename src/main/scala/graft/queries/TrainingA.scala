@@ -11,6 +11,23 @@ import graft.queries.TrainingShared._
   * the same file so engine and oracle change together.
   */
 private[queries] object TrainingA {
+
+  /** Dunning G² over the bigram 2×2 — ONE generated text consumed by
+    * both the Spark expr and the DuckDB oracle, so the four k·ln(kN/RC)
+    * terms (fixed parenthesized chain, 0·ln0 = 0 cases) cannot drift.
+    * Expects columns k11, k12, k21, k22, r, c, n in scope.
+    */
+  private def llrSql: String = {
+    def t(k: String, rr: String, cc: String) =
+      s"(CASE WHEN $k > 0 THEN CAST($k AS DOUBLE)" +
+        s" * ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE)" +
+        s" / (CAST($rr AS DOUBLE) * CAST($cc AS DOUBLE))) ELSE 0.0 END)"
+    "CAST(floor(2.0 * (((" + t("k11", "r", "c") + " + " +
+      t("k12", "r", "(n - c)") + ") + " + t("k21", "(n - r)", "c") +
+      ") + " + t("k22", "(n - r)", "(n - c)") +
+      ") * 1000000.0) AS BIGINT)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID heuristic (argmax stopword hits, first-listed wins ties).
     "q52_lang_id" -> ((s, d) => {
@@ -633,6 +650,36 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    // significance-based collocation score robust where q262's PPMI
+    // over-rewards rare pairs: per bigram the 2×2 contingency
+    // (k11 = c(w1w2), margins from the bigram totals) scored by
+    // G² = 2·Σ k_ij·ln(k_ij·N/(R_i·C_j)). The four terms are ONE
+    // generated expression (llrSql) shared verbatim by engine and
+    // oracle — fixed 4-term parenthesized chain, each ln on the same
+    // double inputs, no fold needed. k11 ≥ 5 support cut. Scale: one
+    // shingle scan, two margin aggregates, broadcast total — the
+    // vocab²-bounded frame carries everything after (the q114 rule).
+    "q443_llr_collocations" -> ((s, d) => {
+      val bg = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bgs"))
+        .groupBy("bgs").agg(count(lit(1)).as("k11"))
+        .select(expr("substring_index(bgs, ' ', 1)").as("w1"),
+          expr("substring(bgs, instr(bgs, ' ') + 1)").as("w2"), col("k11"))
+        .persist() // margins + the scored join read it
+      val rr = bg.groupBy("w1").agg(sum("k11").as("r"))
+      val cc = bg.groupBy("w2").agg(sum("k11").as("c"))
+      val nn = bg.agg(sum("k11").as("n"))
+      bg.where(col("k11") >= 5)
+        .join(rr, "w1").join(cc, "w2").crossJoin(broadcast(nn))
+        .withColumn("k12", col("r") - col("k11"))
+        .withColumn("k21", col("c") - col("k11"))
+        .withColumn("k22", col("n") - col("r") - col("c") + col("k11"))
+        .select(col("w1"), col("w2"), col("k11"), col("r"), col("c"),
+          expr(llrSql).as("llr_e6"))
+    }),
+
     "q114_bigram_lm" -> ((s, d) => {
       // the q258 string-path lesson: one concat per occurrence, the
       // (w1, w2) split AFTER the aggregate on the vocab²-bounded frame
@@ -2068,6 +2115,26 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q443_llr_collocations" ->
+      s"""WITH bg AS (
+           SELECT w1, w2, count(*) AS k11 FROM (
+             SELECT unnest(list_transform(range(1, len(w)),
+                 i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true)
+             FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+             WHERE len(w) >= 2)
+           GROUP BY 1, 2),
+         rr AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r FROM bg GROUP BY 1),
+         cc AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c FROM bg GROUP BY 1),
+         nn AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bg),
+         j AS (
+           SELECT bg.w1, bg.w2, bg.k11, rr.r, cc.c, nn.n,
+             rr.r - bg.k11 AS k12, cc.c - bg.k11 AS k21,
+             nn.n - rr.r - cc.c + bg.k11 AS k22
+           FROM bg JOIN rr USING (w1) JOIN cc USING (w2) CROSS JOIN nn
+           WHERE bg.k11 >= 5)
+         SELECT w1, w2, k11, r, c, $llrSql AS llr_e6
+         FROM j""",
 
     "q114_bigram_lm" ->
       """WITH bg AS (
