@@ -226,7 +226,10 @@ object Bench {
     "q442_priority_sampling", // weight-sensitive subset-sum sample
     "q443_llr_collocations", // Dunning G-squared bigram collocations
     "q444_sse_changepoint", // least-squares single breakpoint
-    "q445_ipf_raking") // two-margin sample calibration
+    "q445_ipf_raking", // two-margin sample calibration
+    "q446_l_moments", // decimal-exact rank-weighted L-stats
+    "q447_dalenius_hodges", // cum-sqrt-f strata construction
+    "q448_nb_overdispersion") // per-user count model fit
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,110 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // L-moments (Hosking 1990) — the order-statistics distribution
+    // summary that exists wherever moments don't: L-scale, L-skewness
+    // τ₃ and L-kurtosis τ₄ from the probability-weighted moments
+    // b_k = Σ (r−1)⋯(r−k)·x₍ᵣ₎ / (n(n−1)⋯(n−k)). The scale showcase:
+    // global ranks ride Ranking.globalRank (two-phase, no global
+    // window), and the rank-weighted sums are EXACT via decimal(38,0)
+    // (Spark) ↔ HUGEINT (DuckDB) — r³·x overflows int64 by sf1, and a
+    // float sum would be order-dependent. Tie order inside equal x
+    // cannot change any b_k (the weight sum over a tie block is
+    // order-invariant), so the event_id tiebreak is safe. One pinned
+    // double chain per λ/τ at the end.
+    "q446_l_moments" -> ((s, d0) => {
+      val rk = graft.operators.Ranking.globalRank(
+        t(s, d0, "events").select(
+          floor(col("value") * 100).cast("long").as("x"), col("event_id")),
+        "r", col("x").asc, col("event_id").asc)
+      rk.agg(count(lit(1)).as("n"), sum("x").as("s0"),
+          sum(expr("cast(r - 1 as decimal(12,0)) * cast(x as decimal(12,0))"))
+            .as("s1"),
+          sum(expr("""cast(r - 1 as decimal(12,0))
+            * cast(r - 2 as decimal(12,0)) * cast(x as decimal(12,0))"""))
+            .as("s2"),
+          sum(expr("""cast(r - 1 as decimal(12,0))
+            * cast(r - 2 as decimal(12,0)) * cast(r - 3 as decimal(12,0))
+            * cast(x as decimal(12,0))""")).as("s3"))
+        .withColumn("b0", col("s0").cast("double") / d(col("n")))
+        .withColumn("b1", col("s1").cast("double") /
+          (d(col("n")) * (d(col("n")) - 1.0d)))
+        .withColumn("b2", col("s2").cast("double") /
+          (d(col("n")) * (d(col("n")) - 1.0d) * (d(col("n")) - 2.0d)))
+        .withColumn("b3", col("s3").cast("double") /
+          (d(col("n")) * (d(col("n")) - 1.0d) * (d(col("n")) - 2.0d) *
+            (d(col("n")) - 3.0d)))
+        .withColumn("l2", lit(2.0d) * col("b1") - col("b0"))
+        .withColumn("l3", lit(6.0d) * col("b2") - lit(6.0d) * col("b1") +
+          col("b0"))
+        .withColumn("l4", lit(20.0d) * col("b3") - lit(30.0d) * col("b2") +
+          lit(12.0d) * col("b1") - col("b0"))
+        .select(col("n"),
+          floor(col("b0") * 1e6).cast("long").as("l1_e6"),
+          floor(col("l2") * 1e6).cast("long").as("l2_e6"),
+          when(col("l2") > 0.0d,
+            floor(col("l3") / col("l2") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("t3_e6"),
+          when(col("l2") > 0.0d,
+            floor(col("l4") / col("l2") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("t4_e6"))
+    }),
+
+    // Dalenius–Hodges stratification (the cum-√f rule, 1959) — the
+    // survey-design complement to q388's Neyman ALLOCATION: construct
+    // the 5 strata boundaries themselves by cutting the cumulative
+    // √frequency of the value histogram into equal slices (≈ minimizes
+    // within-stratum variance for a fixed stratum count). Exact: per-
+    // bucket √f floored to e6 BEFORE the cumulative sum (per-term floor
+    // rule), cum via PrefixScan over the domain-bounded histogram,
+    // stratum id an integer trunc-div. Reports each stratum's value
+    // range, size and mean. Scale: one scan + a bounded-frame scan.
+    "q447_dalenius_hodges" -> ((s, d0) => {
+      val hist = t(s, d0, "events")
+        .select(floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("f"))
+        .withColumn("sf_e6", floor(sqrt(d(col("f"))) * 1e6).cast("long"))
+      val cum = graft.operators.PrefixScan.scanLong(
+        hist, "csf", "sf_e6", "sum", inclusive = true, col("v"))
+      val tot = cum.agg(max("csf").as("tcsf"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("stratum", expr("least((csf - 1) * 5 div tcsf + 1, 5L)"))
+        .groupBy("stratum")
+        .agg(min("v").as("v_lo"), max("v").as("v_hi"),
+          sum("f").as("n_h"), sum(col("f") * col("v")).as("sv"))
+        .select(col("stratum"), col("v_lo"), col("v_hi"), col("n_h"),
+          expr("sv div n_h").as("mean_v"))
+    }),
+
+    // Negative-binomial overdispersion fit (method of moments) — is
+    // per-user event activity Poisson or clumped? For each event type,
+    // the per-user count distribution's dispersion index v/m and, when
+    // overdispersed (v > m), the NB size r = m²/(v−m) — the count-model
+    // readout a traffic/abuse model needs before assuming Poisson.
+    // Exact: integer per-user counts and Σk/Σk² sums; one pinned double
+    // chain per statistic. Scale: one keyed groupBy + one k-bounded
+    // aggregate.
+    "q448_nb_overdispersion" -> ((s, d0) => {
+      t(s, d0, "events").groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"),
+          sum(col("k") * col("k")).as("skk"))
+        .withColumn("m", d(col("sk")) / d(col("n")))
+        .withColumn("v", (d(col("skk")) -
+          d(col("sk")) * d(col("sk")) / d(col("n"))) / (d(col("n")) - 1.0d))
+        .select(col("event_type"), col("n"),
+          floor(col("m") * 1e6).cast("long").as("mean_e6"),
+          floor(col("v") * 1e6).cast("long").as("var_e6"),
+          when(col("m") > 0.0d,
+            floor(col("v") / col("m") * 1e6).cast("long")).otherwise(lit(0L))
+            .as("dispersion_e6"),
+          when(col("v") > col("m"),
+            floor(col("m") * col("m") / (col("v") - col("m")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("nb_r_e6"),
+          (col("v") > col("m")).as("overdispersed"))
+    }),
+
     // Survey raking / iterative proportional fitting (Deming & Stephan
     // 1940) — calibrate a deterministic 1-in-7 document sample so its
     // weighted (source × lang) cell sums match BOTH population margins:
@@ -1670,6 +1774,102 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q446_l_moments" ->
+      """WITH rk AS (
+           SELECT CAST(floor(value * 100) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY CAST(floor(value * 100)
+               AS BIGINT), event_id) AS BIGINT) AS r
+           FROM events),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s0,
+             sum(CAST(r - 1 AS HUGEINT) * CAST(x AS HUGEINT)) AS s1,
+             sum(CAST(r - 1 AS HUGEINT) * CAST(r - 2 AS HUGEINT)
+               * CAST(x AS HUGEINT)) AS s2,
+             sum(CAST(r - 1 AS HUGEINT) * CAST(r - 2 AS HUGEINT)
+               * CAST(r - 3 AS HUGEINT) * CAST(x AS HUGEINT)) AS s3
+           FROM rk),
+         b AS (
+           SELECT n,
+             CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+             CAST(s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS b1,
+             CAST(s2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                 * (CAST(n AS DOUBLE) - 2.0)) AS b2,
+             CAST(s3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                 * (CAST(n AS DOUBLE) - 2.0)
+                 * (CAST(n AS DOUBLE) - 3.0)) AS b3
+           FROM ag),
+         l AS (
+           SELECT n, b0, 2.0 * b1 - b0 AS l2,
+             6.0 * b2 - 6.0 * b1 + b0 AS l3,
+             20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS l4
+           FROM b)
+         SELECT n,
+           CAST(floor(b0 * 1000000.0) AS BIGINT) AS l1_e6,
+           CAST(floor(l2 * 1000000.0) AS BIGINT) AS l2_e6,
+           CASE WHEN l2 > 0.0
+             THEN CAST(floor(l3 / l2 * 1000000.0) AS BIGINT)
+             ELSE 0 END AS t3_e6,
+           CASE WHEN l2 > 0.0
+             THEN CAST(floor(l4 / l2 * 1000000.0) AS BIGINT)
+             ELSE 0 END AS t4_e6
+         FROM l""",
+
+    "q447_dalenius_hodges" ->
+      """WITH hist AS (
+           SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+             count(*) AS f
+           FROM events GROUP BY 1),
+         sf AS (
+           SELECT v, f,
+             CAST(floor(sqrt(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS sf_e6
+           FROM hist),
+         cum AS (
+           SELECT v, f,
+             CAST(sum(sf_e6) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS csf
+           FROM sf),
+         tot AS (SELECT max(csf) AS tcsf FROM cum),
+         st AS (
+           SELECT v, f,
+             least((csf - 1) * 5 // tcsf + 1, 5) AS stratum
+           FROM cum, tot)
+         SELECT stratum, min(v) AS v_lo, max(v) AS v_hi,
+           CAST(sum(f) AS BIGINT) AS n_h,
+           CAST(sum(f * v) AS BIGINT) // CAST(sum(f) AS BIGINT) AS mean_v
+         FROM st GROUP BY 1""",
+
+    "q448_nb_overdispersion" ->
+      """WITH cnt AS (
+           SELECT event_type, user_id, count(*) AS k
+           FROM events GROUP BY 1, 2),
+         ag AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk
+           FROM cnt GROUP BY 1),
+         ch AS (
+           SELECT *,
+             CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+           FROM ag)
+         SELECT event_type, n,
+           CAST(floor(m * 1000000.0) AS BIGINT) AS mean_e6,
+           CAST(floor(v * 1000000.0) AS BIGINT) AS var_e6,
+           CASE WHEN m > 0.0
+             THEN CAST(floor(v / m * 1000000.0) AS BIGINT)
+             ELSE 0 END AS dispersion_e6,
+           CASE WHEN v > m
+             THEN CAST(floor(m * m / (v - m) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS nb_r_e6,
+           v > m AS overdispersed
+         FROM ch""",
 
     "q445_ipf_raking" -> {
       val steps = (1 to 2).flatMap { r =>
