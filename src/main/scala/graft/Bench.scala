@@ -229,7 +229,10 @@ object Bench {
     "q445_ipf_raking", // two-margin sample calibration
     "q446_l_moments", // decimal-exact rank-weighted L-stats
     "q447_dalenius_hodges", // cum-sqrt-f strata construction
-    "q448_nb_overdispersion") // per-user count model fit
+    "q448_nb_overdispersion", // per-user count model fit
+    "q449_cochran_armitage", // ordered dose-response trend test
+    "q450_cronbach_alpha", // rater internal consistency
+    "q451_log_rank") // two-cohort survival-curve test
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,125 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Cochran–Armitage trend test (1954/1955) — is the quality-keep
+    // rate MONOTONE in document length? The dose-response test a
+    // threshold-picker needs where q148's chi-square only says
+    // "different": buckets of n_chars (200-char steps, capped at 10)
+    // are ordered scores s, and T = Σ s(r − n·p̄) is tested against
+    // Var(T) = p̄(1−p̄)(Σs²n − (Σsn)²/N). Exact: all integer bucket
+    // sums, ONE pinned double chain for z. Scale: one scan, one
+    // bucket-bounded aggregate.
+    "q449_cochran_armitage" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(expr("least(n_chars div 200, 9L)").as("sc"),
+          col("q.keep").cast("long").as("keep"))
+      f.agg(count(lit(1)).as("n"), sum("keep").as("r"),
+          sum(col("sc") * col("keep")).as("ssr"),
+          sum("sc").as("ssn"), sum(col("sc") * col("sc")).as("ss2n"))
+        .withColumn("pbar", d(col("r")) / d(col("n")))
+        .withColumn("tt", d(col("ssr")) - col("pbar") * d(col("ssn")))
+        .withColumn("vv", col("pbar") * (lit(1.0d) - col("pbar")) *
+          (d(col("ss2n")) - d(col("ssn")) * d(col("ssn")) / d(col("n"))))
+        .select(col("n"), col("r"),
+          floor(col("tt") * 1e6).cast("long").as("t_e6"),
+          when(col("vv") > 0.0d,
+            floor(col("tt") / sqrt(col("vv")) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("z_e6"))
+    }),
+
+    // Cronbach's alpha (1951) — internal consistency of the three
+    // binary quality raters: do they measure ONE underlying construct?
+    // α = k/(k−1)·(1 − Σ itemvar / totalvar) — the reliability number
+    // an annotation pipeline reports alongside q423's agreement. Exact:
+    // binary items make Σx² = Σx; all sums integer; α is ONE pinned
+    // chain over the six variance terms. Scale: one scan, one global
+    // aggregate.
+    "q450_cronbach_alpha" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("x1"),
+          (col("n_chars") >= 200L).cast("long").as("x2"),
+          (size(graft.functions.TextFunctions.tokens(col("text"))) >= 15)
+            .cast("long").as("x3"))
+        .withColumn("h", col("x1") + col("x2") + col("x3"))
+      f.agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+          sum("h").as("sh"), sum(col("h") * col("h")).as("shh"))
+        .withColumn("v1", (d(col("n")) * d(col("s1")) -
+          d(col("s1")) * d(col("s1"))) / (d(col("n")) * (d(col("n")) - 1.0d)))
+        .withColumn("v2", (d(col("n")) * d(col("s2")) -
+          d(col("s2")) * d(col("s2"))) / (d(col("n")) * (d(col("n")) - 1.0d)))
+        .withColumn("v3", (d(col("n")) * d(col("s3")) -
+          d(col("s3")) * d(col("s3"))) / (d(col("n")) * (d(col("n")) - 1.0d)))
+        .withColumn("vt", (d(col("n")) * d(col("shh")) -
+          d(col("sh")) * d(col("sh"))) / (d(col("n")) * (d(col("n")) - 1.0d)))
+        .select(col("n"),
+          floor(col("vt") * 1e6).cast("long").as("var_total_e6"),
+          when(col("vt") > 0.0d,
+            floor(lit(1.5d) * (lit(1.0d) -
+              (col("v1") + col("v2") + col("v3")) / col("vt")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("alpha_e6"))
+    }),
+
+    // Log-rank test (Mantel 1966) — do the two user cohorts (even/odd
+    // id) share a survival curve? The hypothesis-test companion to
+    // q414's Kaplan–Meier ESTIMATE: at each lifetime with d deaths the
+    // observed cohort-1 deaths are compared to the hypergeometric
+    // expectation d·n1/n, variance d·(n1/n)(n2/n)(n−d)/(n−1), and
+    // χ² = (ΣO−E)²/ΣV. Exact: per-time terms are staged trunc-div e6
+    // integers (each stage ≤ e6-scale — overflow-safe at any corpus),
+    // summed as integers; cohort risk sets via the suffix identity on
+    // per-cohort PrefixScans. Scale: one per-user groupBy, two
+    // lifetime-bounded scans, one bounded join.
+    "q451_log_rank" -> ((s, d0) => {
+      import graft.operators.PrefixScan
+      val ev = t(s, d0, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val maxDay = ev.agg(max("day").as("max_day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .crossJoin(broadcast(maxDay))
+        .select((col("user_id") % 2 === 0).cast("long").as("c1"),
+          (col("d1") - col("d0") + 1L).as("lt"),
+          (col("d1") === col("max_day")).cast("long").as("censored"))
+      // per-cohort counts on the UNION of lifetimes (fill 0) so the
+      // suffix identity yields the true risk set even at lifetimes the
+      // cohort itself never produced
+      val la = users.where(col("c1") === 1L).groupBy("lt")
+        .agg(count(lit(1)).as("n1_at"), sum(lit(1L) - col("censored")).as("d1"))
+      val lb = users.where(col("c1") === 0L).groupBy("lt")
+        .agg(count(lit(1)).as("n2_at"), sum(lit(1L) - col("censored")).as("d2"))
+      val joint = la.join(lb, Seq("lt"), "full")
+        .na.fill(0L, Seq("n1_at", "d1", "n2_at", "d2"))
+      val tots = joint.agg(sum("n1_at").as("nt1"), sum("n2_at").as("nt2"))
+      PrefixScan.scanLong(
+          PrefixScan.scanLong(joint, "cb1", "n1_at", "sum",
+            inclusive = false, asc("lt")),
+          "cb2", "n2_at", "sum", inclusive = false, asc("lt"))
+        .crossJoin(broadcast(tots))
+        .withColumn("n1", col("nt1") - col("cb1"))
+        .withColumn("n2", col("nt2") - col("cb2"))
+        .withColumn("dt", col("d1") + col("d2"))
+        .withColumn("nt", col("n1") + col("n2"))
+        .where(col("dt") > 0L && col("nt") > 1L)
+        .withColumn("e1_e6", expr("(dt * 1000000 div nt) * n1"))
+        .withColumn("v_e6", expr(
+          """(((dt * 1000000 div nt) * n1 div nt) * n2
+             div greatest(nt - 1, 1L)) * (nt - dt)"""))
+        .agg(sum("d1").as("deaths1"),
+          sum(col("d1") * lit(1000000L) - col("e1_e6")).as("sum_oe_e6"),
+          sum("v_e6").as("sum_v_e6"))
+        .select(col("deaths1"), col("sum_oe_e6"), col("sum_v_e6"),
+          // χ² in the double domain: (Σoe)² overflows int64 in the
+          // worst case at sf1 risk-set sizes; e6 units cancel so the
+          // pinned oe²/v chain IS chi2_e6
+          when(col("sum_v_e6") > 0L,
+            floor(d(col("sum_oe_e6")) * d(col("sum_oe_e6")) /
+              d(col("sum_v_e6"))).cast("long")).otherwise(lit(0L))
+            .as("chi2_e6"))
+    }),
+
     // L-moments (Hosking 1990) — the order-statistics distribution
     // summary that exists wherever moments don't: L-scale, L-skewness
     // τ₃ and L-kurtosis τ₄ from the probability-weighted moments
@@ -1774,6 +1893,130 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q449_cochran_armitage" ->
+      s"""WITH f AS (
+           SELECT least(n_chars // 200, 9) AS sc,
+             ${TrainingShared.keepRuleSql} AS keep
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(keep) AS BIGINT) AS r,
+             CAST(sum(sc * keep) AS BIGINT) AS ssr,
+             CAST(sum(sc) AS BIGINT) AS ssn,
+             CAST(sum(sc * sc) AS BIGINT) AS ss2n
+           FROM f),
+         ch AS (
+           SELECT *, CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             CAST(ssr AS DOUBLE) - pbar * CAST(ssn AS DOUBLE) AS tt,
+             pbar * (1.0 - pbar) * (CAST(ss2n AS DOUBLE)
+               - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS vv
+           FROM ch)
+         SELECT n, r,
+           CAST(floor(tt * 1000000.0) AS BIGINT) AS t_e6,
+           CASE WHEN vv > 0.0
+             THEN CAST(floor(tt / sqrt(vv) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch2""",
+
+    "q450_cronbach_alpha" ->
+      s"""WITH f AS (
+           SELECT ${TrainingShared.keepRuleSql} AS x1,
+             CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS x2,
+             CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT) AS x3
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         g AS (SELECT *, x1 + x2 + x3 AS h FROM f),
+         ag AS (
+           SELECT count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(h) AS BIGINT) AS sh,
+             CAST(sum(h * h) AS BIGINT) AS shh
+           FROM g),
+         ch AS (
+           SELECT *,
+             (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v1,
+             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v2,
+             (CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v3,
+             (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+               - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vt
+           FROM ag)
+         SELECT n,
+           CAST(floor(vt * 1000000.0) AS BIGINT) AS var_total_e6,
+           CASE WHEN vt > 0.0
+             THEN CAST(floor(1.5 * (1.0 - (v1 + v2 + v3) / vt)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS alpha_e6
+         FROM ch""",
+
+    "q451_log_rank" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         md AS (SELECT max(day) AS max_day FROM ev),
+         users AS (
+           SELECT
+             CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS c1,
+             max(day) - min(day) + 1 AS lt,
+             CAST(CASE WHEN max(day) = (SELECT max_day FROM md)
+               THEN 1 ELSE 0 END AS BIGINT) AS censored
+           FROM ev GROUP BY user_id),
+         la AS (
+           SELECT lt, count(*) AS n1_at,
+             CAST(sum(1 - censored) AS BIGINT) AS d1
+           FROM users WHERE c1 = 1 GROUP BY 1),
+         lb AS (
+           SELECT lt, count(*) AS n2_at,
+             CAST(sum(1 - censored) AS BIGINT) AS d2
+           FROM users WHERE c1 = 0 GROUP BY 1),
+         joint AS (
+           SELECT COALESCE(la.lt, lb.lt) AS lt,
+             COALESCE(n1_at, 0) AS n1_at, COALESCE(d1, 0) AS d1,
+             COALESCE(n2_at, 0) AS n2_at, COALESCE(d2, 0) AS d2
+           FROM la FULL JOIN lb ON la.lt = lb.lt),
+         tots AS (
+           SELECT CAST(sum(n1_at) AS BIGINT) AS nt1,
+             CAST(sum(n2_at) AS BIGINT) AS nt2
+           FROM joint),
+         rs AS (
+           SELECT lt, d1, d2,
+             nt1 - CAST(COALESCE(sum(n1_at) OVER (ORDER BY lt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             nt2 - CAST(COALESCE(sum(n2_at) OVER (ORDER BY lt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n2
+           FROM joint, tots),
+         k AS (SELECT *, d1 + d2 AS dt, n1 + n2 AS nt FROM rs),
+         m AS (
+           SELECT *,
+             (dt * 1000000 // nt) * n1 AS e1_e6,
+             (((dt * 1000000 // nt) * n1 // nt) * n2
+               // greatest(nt - 1, 1)) * (nt - dt) AS v_e6
+           FROM k WHERE dt > 0 AND nt > 1),
+         ag AS (
+           SELECT CAST(sum(d1) AS BIGINT) AS deaths1,
+             CAST(sum(d1 * 1000000 - e1_e6) AS BIGINT) AS sum_oe_e6,
+             CAST(sum(v_e6) AS BIGINT) AS sum_v_e6
+           FROM m)
+         SELECT deaths1, sum_oe_e6, sum_v_e6,
+           CASE WHEN sum_v_e6 > 0
+             THEN CAST(floor(CAST(sum_oe_e6 AS DOUBLE)
+               * CAST(sum_oe_e6 AS DOUBLE)
+               / CAST(sum_v_e6 AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS chi2_e6
+         FROM ag""",
 
     "q446_l_moments" ->
       """WITH rk AS (
