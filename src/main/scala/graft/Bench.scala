@@ -232,7 +232,9 @@ object Bench {
     "q448_nb_overdispersion", // per-user count model fit
     "q449_cochran_armitage", // ordered dose-response trend test
     "q450_cronbach_alpha", // rater internal consistency
-    "q451_log_rank") // two-cohort survival-curve test
+    "q451_log_rank", // two-cohort survival-curve test
+    "q452_zonemap_skipping", // min/max skipping by physical layout
+    "q453_bloom_fpr") // measured vs rho^3 predicted FP rate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,6 +29,96 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Zone-map (min/max) data-skipping audit — the measured version of
+    // the layout decision every 100 TB table owner makes: split orders
+    // into 64 contiguous row groups under three physical orders
+    // (orderkey-sorted, custkey-sorted, Z-order interleaving BOTH keys
+    // quantized to 8 bits) and count, over 16 equality probes per
+    // dimension, the row groups a min/max zone map skips. Shows the
+    // classic trade: single-key sort is perfect on its own key and
+    // useless on the other; Z-order buys partial skipping on BOTH.
+    // Exact: integer ranks (Ranking.globalRank), trunc-div group ids,
+    // integer probes. Scale: three rank passes + bounded 64×16 frames.
+    "q452_zonemap_skipping" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val nn = o.agg(count(lit(1)).as("n"), max("o_custkey").as("mc"),
+        max("o_orderkey").as("mo"))
+      def zones(name: String, df: DataFrame): DataFrame =
+        graft.operators.Ranking.globalRank(
+            df.select(col("o_orderkey"), col("o_custkey"), col("sk")),
+            "r", col("sk").asc, col("o_orderkey").asc)
+          .crossJoin(broadcast(nn))
+          .withColumn("g", expr("(r - 1) * 64 div n"))
+          .groupBy("g")
+          .agg(min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
+            min("o_orderkey").as("mino"), max("o_orderkey").as("maxo"))
+          .withColumn("layout", lit(name))
+      val byKey = zones("bykey", o.withColumn("sk", col("o_orderkey")))
+      val byCust = zones("bycust", o.withColumn("sk", col("o_custkey")))
+      val byZ = zones("zorder", o.crossJoin(broadcast(nn))
+        .withColumn("x", expr("o_custkey * 256 div (mc + 1)"))
+        .withColumn("y", expr("o_orderkey * 256 div (mo + 1)"))
+        .withColumn("sk", expr(
+          """aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) ->
+               acc + shiftleft((shiftright(x, i) % 2), 2*i)
+                   + shiftleft((shiftright(y, i) % 2), 2*i+1))"""))
+        .select(col("o_orderkey"), col("o_custkey"), col("sk")))
+      val probes = nn
+        .select(explode(sequence(lit(0), lit(15))).as("i0"), col("mc"),
+          col("mo"))
+        .select(expr("cast(i0 as bigint) * (mc + 1) div 16").as("pc"),
+          expr("cast(i0 as bigint) * (mo + 1) div 16").as("po"))
+      byKey.unionByName(byCust).unionByName(byZ)
+        .crossJoin(broadcast(probes))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("cells"),
+          sum(when(col("pc") < col("minc") || col("pc") > col("maxc"), 1L)
+            .otherwise(0L)).as("skip_c"),
+          sum(when(col("po") < col("mino") || col("po") > col("maxo"), 1L)
+            .otherwise(0L)).as("skip_o"))
+        .select(col("layout"), col("cells"), col("skip_c"), col("skip_o"),
+          expr("skip_c * 1000000 div cells").as("skip_cust_e6"),
+          expr("skip_o * 1000000 div cells").as("skip_key_e6"))
+    }),
+
+    // Bloom-filter false-positive audit — the measured-vs-predicted
+    // check a 100 TB semi-join planner needs before trusting a filter
+    // size: build a 4096-bit, k=3 Bloom over one segment's customer
+    // keys, probe with every OTHER segment's keys (true non-members),
+    // and compare the measured FP rate to the load-factor prediction
+    // ρ³ (ρ = fraction of bits set — measured, so no e^{-kn/m}
+    // transcendental is needed). Exact: bit positions are hash60 mods,
+    // ρ³ a staged integer trunc-div. Scale: build = explode ×3 +
+    // distinct (the set is m-bounded); probe = broadcast join of the
+    // 4096-entry bit set.
+    "q453_bloom_fpr" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      def positions(df: DataFrame): DataFrame = df
+        .select(col("c_custkey"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("c_custkey"), col("j"),
+          (TextFunctions.hash60(concat(lit("bf"), col("j").cast("string"),
+            lit(":"), col("c_custkey").cast("string"))) % 4096L).as("pos"))
+      val members = cust.where(col("c_mktsegment") === "BUILDING")
+      val bits = positions(members).select(col("pos")).distinct()
+        .persist() // load factor + the probe join both read it
+      val loadF = bits.agg(count(lit(1)).as("bits_set"))
+      val probes = positions(cust.where(col("c_mktsegment") =!= "BUILDING"))
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+        .na.fill(0L, Seq("hit"))
+        .groupBy("c_custkey").agg(sum("hit").as("hits"))
+      probes.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hits") === 3L, 1L).otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(loadF))
+        .select(col("n_probes"), col("fp"), col("bits_set"),
+          expr("fp * 1000000 div n_probes").as("fpr_e6"),
+          expr("bits_set * 1000000 div 4096").as("rho_e6"),
+          expr("""((bits_set * 1000000 div 4096)
+            * (bits_set * 1000000 div 4096) div 1000000)
+            * (bits_set * 1000000 div 4096) div 1000000""")
+            .as("pred_fpr_e6"))
+    }),
+
     // Rendezvous (highest-random-weight) sharding audit (Thaler &
     // Ravishankar 1998) — the shard-assignment scheme whose resharding
     // cost a 100 TB store actually pays: each doc goes to the shard
@@ -812,6 +902,89 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q452_zonemap_skipping" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+         nn AS (
+           SELECT count(*) AS n, max(o_custkey) AS mc,
+             max(o_orderkey) AS mo
+           FROM o),
+         zsrc AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               (((x >> i) % 2) << (2*i)) + (((y >> i) % 2) << (2*i+1))))
+               AS BIGINT) AS sk
+           FROM (SELECT o_orderkey, o_custkey,
+                   o_custkey * 256 // (mc + 1) AS x,
+                   o_orderkey * 256 // (mo + 1) AS y
+                 FROM o, nn)),
+         rk AS (
+           SELECT 'bykey' AS layout, o_orderkey, o_custkey,
+             row_number() OVER (ORDER BY o_orderkey, o_orderkey) AS r
+           FROM o
+           UNION ALL
+           SELECT 'bycust', o_orderkey, o_custkey,
+             row_number() OVER (ORDER BY o_custkey, o_orderkey)
+           FROM o
+           UNION ALL
+           SELECT 'zorder', o_orderkey, o_custkey,
+             row_number() OVER (ORDER BY sk, o_orderkey)
+           FROM zsrc),
+         z AS (
+           SELECT layout, (r - 1) * 64 // n AS g,
+             o_custkey, o_orderkey
+           FROM rk, nn),
+         gm AS (
+           SELECT layout, g, min(o_custkey) AS minc, max(o_custkey) AS maxc,
+             min(o_orderkey) AS mino, max(o_orderkey) AS maxo
+           FROM z GROUP BY 1, 2),
+         probes AS (
+           SELECT CAST(i0 AS BIGINT) * (mc + 1) // 16 AS pc,
+             CAST(i0 AS BIGINT) * (mo + 1) // 16 AS po
+           FROM (SELECT unnest(range(0, 16)) AS i0), nn)
+         SELECT layout, count(*) AS cells,
+           CAST(sum(CASE WHEN pc < minc OR pc > maxc THEN 1 ELSE 0 END)
+             AS BIGINT) AS skip_c,
+           CAST(sum(CASE WHEN po < mino OR po > maxo THEN 1 ELSE 0 END)
+             AS BIGINT) AS skip_o,
+           CAST(sum(CASE WHEN pc < minc OR pc > maxc THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS skip_cust_e6,
+           CAST(sum(CASE WHEN po < mino OR po > maxo THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS skip_key_e6
+         FROM gm CROSS JOIN probes
+         GROUP BY layout""",
+
+    "q453_bloom_fpr" -> {
+      val pos = graft.queries.TrainingShared.h60(
+        "concat('bf', CAST(j AS VARCHAR), ':', CAST(c_custkey AS VARCHAR))")
+      s"""WITH mem AS (
+           SELECT DISTINCT ($pos) % 4096 AS pos
+           FROM customer, (SELECT unnest(range(0, 3)) AS j)
+           WHERE c_mktsegment = 'BUILDING'),
+         lf AS (SELECT count(*) AS bits_set FROM mem),
+         pr AS (
+           SELECT c_custkey, ($pos) % 4096 AS pos
+           FROM customer, (SELECT unnest(range(0, 3)) AS j)
+           WHERE c_mktsegment <> 'BUILDING'),
+         hits AS (
+           SELECT pr.c_custkey,
+             CAST(sum(CASE WHEN mem.pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM pr LEFT JOIN mem ON pr.pos = mem.pos
+           GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS n_probes,
+             CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp
+           FROM hits)
+         SELECT n_probes, fp, bits_set,
+           fp * 1000000 // n_probes AS fpr_e6,
+           bits_set * 1000000 // 4096 AS rho_e6,
+           ((bits_set * 1000000 // 4096)
+             * (bits_set * 1000000 // 4096) // 1000000)
+             * (bits_set * 1000000 // 4096) // 1000000 AS pred_fpr_e6
+         FROM ag, lf"""
+    },
+
     "q440_rendezvous_sharding" -> {
       val h60 = graft.queries.TrainingShared.h60(
         "concat(CAST(doc_id AS VARCHAR), ':', CAST(sh AS VARCHAR))")
