@@ -234,7 +234,9 @@ object Bench {
     "q450_cronbach_alpha", // rater internal consistency
     "q451_log_rank", // two-cohort survival-curve test
     "q452_zonemap_skipping", // min/max skipping by physical layout
-    "q453_bloom_fpr") // measured vs rho^3 predicted FP rate
+    "q453_bloom_fpr", // measured vs rho^3 predicted FP rate
+    "q454_dawid_skene", // EM label aggregation with rater confusion
+    "q455_variance_ratio") // random-walk diagnostic on the daily index
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,45 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Lo–MacKinlay variance-ratio test (1988) — is the daily value
+    // index a random walk? Under i.i.d. increments the variance of
+    // 5-day differences is 5× the 1-day variance; VR(5) far from 1
+    // means momentum (>1) or mean-reversion (<1) — the series
+    // diagnostic to run BEFORE q267/q241 forecast models assume
+    // anything. Exact: integer daily means; k-day differences by
+    // calendar self-join (no window, missing days excluded on both
+    // engines identically); variances from Σd/Σd² with ONE pinned
+    // chain; z with its asymptotic variance 2(2k−1)(k−1)/(3kn).
+    // Scale: one scan to the bounded day frame; everything after is
+    // day-bounded.
+    "q455_variance_ratio" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // three calendar self-joins read it
+      def diffs(k: Int): DataFrame = daily
+        .join(daily.select((col("day") + lit(k.toLong)).as("day"),
+          col("y").as("yp")), "day")
+        .select((col("y") - col("yp")).as("dv"))
+        .agg(count(lit(1)).as(s"n$k"), sum("dv").as(s"sd$k"),
+          sum(col("dv") * col("dv")).as(s"sdd$k"))
+      diffs(1).crossJoin(diffs(5))
+        .withColumn("v1", (d(col("sdd1")) -
+          d(col("sd1")) * d(col("sd1")) / d(col("n1"))) /
+          (d(col("n1")) - 1.0d))
+        .withColumn("v5", (d(col("sdd5")) -
+          d(col("sd5")) * d(col("sd5")) / d(col("n5"))) /
+          (d(col("n5")) - 1.0d))
+        .withColumn("vr", col("v5") / (lit(5.0d) * col("v1")))
+        .select(col("n1"), col("n5"),
+          floor(col("vr") * 1e6).cast("long").as("vr_e6"),
+          when(col("v1") > 0.0d && col("n1") > 0L,
+            floor((col("vr") - 1.0d) /
+              sqrt(lit(2.0d) * 9.0d * 4.0d / (lit(15.0d) * d(col("n1")))) *
+              1e6).cast("long")).otherwise(lit(0L)).as("z_e6"))
+    }),
+
     // Cochran–Armitage trend test (1954/1955) — is the quality-keep
     // rate MONOTONE in document length? The dose-response test a
     // threshold-picker needs where q148's chi-square only says
@@ -1893,6 +1932,49 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q455_variance_ratio" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         d1 AS (
+           SELECT a.y - b.yp AS dv
+           FROM dm a JOIN (SELECT day + 1 AS day, y AS yp FROM dm) b
+             USING (day)),
+         d5 AS (
+           SELECT a.y - b.yp AS dv
+           FROM dm a JOIN (SELECT day + 5 AS day, y AS yp FROM dm) b
+             USING (day)),
+         a1 AS (
+           SELECT count(*) AS n1, CAST(sum(dv) AS BIGINT) AS sd1,
+             CAST(sum(dv * dv) AS BIGINT) AS sdd1
+           FROM d1),
+         a5 AS (
+           SELECT count(*) AS n5, CAST(sum(dv) AS BIGINT) AS sd5,
+             CAST(sum(dv * dv) AS BIGINT) AS sdd5
+           FROM d5),
+         ch AS (
+           SELECT *,
+             (CAST(sdd1 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+               * CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(sdd5 AS DOUBLE) - CAST(sd5 AS DOUBLE)
+               * CAST(sd5 AS DOUBLE) / CAST(n5 AS DOUBLE))
+               / (CAST(n5 AS DOUBLE) - 1.0) AS v5
+           FROM a1, a5),
+         ch2 AS (SELECT *, v5 / (5.0 * v1) AS vr FROM ch)
+         SELECT n1, n5,
+           CAST(floor(vr * 1000000.0) AS BIGINT) AS vr_e6,
+           CASE WHEN v1 > 0.0 AND n1 > 0
+             THEN CAST(floor((vr - 1.0)
+               / sqrt(2.0 * 9.0 * 4.0 / (15.0 * CAST(n1 AS DOUBLE)))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch2""",
 
     "q449_cochran_armitage" ->
       s"""WITH f AS (

@@ -1273,6 +1273,111 @@ private[queries] object TrainingD {
     // fix. Exact integers (rates as e6 trunc divisions). Scale shape:
     // one map pass, a 3-row explode per doc, one groupBy on the LF
     // name (3 groups).
+    // Dawid–Skene EM label aggregation (1979; the crowd-labeling
+    // standard): learn each labeling function's sensitivity and
+    // specificity AND the per-item posterior jointly, instead of
+    // q358's one-rater-one-vote majority — the aggregation that stops
+    // a confidently-wrong rater from dragging the consensus. Same
+    // three LFs as q358 (lf1/lf2 abstain, lf3 always votes);
+    // posteriors init at the majority share, then 2 EM rounds in
+    // exact e6 integers: M-step = posterior-weighted confusion sums
+    // (one scan each), E-step = an unrolled 3-vote product chain with
+    // one trunc-div per factor — the doremi convention, replayed
+    // bit-for-bit by the oracle's unrolled CTE rounds. Scale: each
+    // round is one map pass + one 7-sum aggregate; the 6 learned
+    // scalars broadcast.
+    "q454_dawid_skene" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("tl"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
+          length(col("text")).cast("long").as("n_ch"))
+        .withColumn("v1",
+          when(col("tl").contains("spark") || col("tl").contains("fast"), 1L)
+            .when(col("tl").contains("slow"), 0L))
+        .withColumn("v2",
+          when(col("n_ws") > 150L, 1L).when(col("n_ws") < 30L, 0L))
+        .withColumn("v3",
+          when(expr("(n_ch * 10) div n_ws").between(40L, 80L), 1L)
+            .otherwise(0L))
+        .select(col("doc_id"), col("v1"), col("v2"), col("v3"))
+        .withColumn("nv", expr(
+          """cast(v1 is not null as long) + cast(v2 is not null as long)
+             + cast(v3 is not null as long)"""))
+        .withColumn("p", expr(
+          """CASE WHEN nv > 0 THEN (coalesce(v1, 0L) + coalesce(v2, 0L)
+               + coalesce(v3, 0L)) * 1000000 div nv
+             ELSE 500000 END"""))
+        .persist() // re-scanned once per EM round
+      var cur = base
+      for (_ <- 1 to 2) {
+        // M-step: posterior-weighted confusion sums per rater
+        val m = cur.agg(count(lit(1)).as("n"), sum("p").as("sp"),
+          sum(expr("CASE WHEN v1 = 1 THEN p ELSE 0 END")).as("a1"),
+          sum(expr("CASE WHEN v1 IS NOT NULL THEN p ELSE 0 END")).as("b1"),
+          sum(expr("CASE WHEN v1 = 0 THEN 1000000 - p ELSE 0 END")).as("c1"),
+          sum(expr("CASE WHEN v1 IS NOT NULL THEN 1000000 - p ELSE 0 END"))
+            .as("e1"),
+          sum(expr("CASE WHEN v2 = 1 THEN p ELSE 0 END")).as("a2"),
+          sum(expr("CASE WHEN v2 IS NOT NULL THEN p ELSE 0 END")).as("b2"),
+          sum(expr("CASE WHEN v2 = 0 THEN 1000000 - p ELSE 0 END")).as("c2"),
+          sum(expr("CASE WHEN v2 IS NOT NULL THEN 1000000 - p ELSE 0 END"))
+            .as("e2"),
+          sum(expr("CASE WHEN v3 = 1 THEN p ELSE 0 END")).as("a3"),
+          sum(expr("CASE WHEN v3 IS NOT NULL THEN p ELSE 0 END")).as("b3"),
+          sum(expr("CASE WHEN v3 = 0 THEN 1000000 - p ELSE 0 END")).as("c3"),
+          sum(expr("CASE WHEN v3 IS NOT NULL THEN 1000000 - p ELSE 0 END"))
+            .as("e3"))
+          .select(expr("sp div n").as("pi"),
+            expr("a1 * 1000000 div greatest(b1, 1L)").as("sen1"),
+            expr("c1 * 1000000 div greatest(e1, 1L)").as("spe1"),
+            expr("a2 * 1000000 div greatest(b2, 1L)").as("sen2"),
+            expr("c2 * 1000000 div greatest(e2, 1L)").as("spe2"),
+            expr("a3 * 1000000 div greatest(b3, 1L)").as("sen3"),
+            expr("c3 * 1000000 div greatest(e3, 1L)").as("spe3"))
+        // E-step: unrolled 3-vote product chain, one trunc-div per factor
+        def lik(v: String, sen: String, spe: String, yes: Boolean) =
+          if (yes)
+            s"""(CASE WHEN $v IS NULL THEN 1000000
+                 WHEN $v = 1 THEN $sen ELSE 1000000 - $sen END)"""
+          else
+            s"""(CASE WHEN $v IS NULL THEN 1000000
+                 WHEN $v = 0 THEN $spe ELSE 1000000 - $spe END)"""
+        cur = cur.drop("p").crossJoin(broadcast(m))
+          .withColumn("la", expr(
+            s"""((pi * ${lik("v1", "sen1", "spe1", yes = true)} div 1000000)
+               * ${lik("v2", "sen2", "spe2", yes = true)} div 1000000)
+               * ${lik("v3", "sen3", "spe3", yes = true)} div 1000000"""))
+          .withColumn("lb", expr(
+            s"""(((1000000 - pi)
+               * ${lik("v1", "sen1", "spe1", yes = false)} div 1000000)
+               * ${lik("v2", "sen2", "spe2", yes = false)} div 1000000)
+               * ${lik("v3", "sen3", "spe3", yes = false)} div 1000000"""))
+          .withColumn("p", expr(
+            """CASE WHEN la + lb > 0 THEN la * 1000000 div (la + lb)
+               ELSE 500000 END"""))
+          .select(col("doc_id"), col("v1"), col("v2"), col("v3"),
+            col("nv"), col("p"))
+          .localCheckpoint(true)
+      }
+      val fin = cur.agg(count(lit(1)).as("n_items"), sum("p").as("sp"),
+        sum(expr("""CASE WHEN (p >= 500000) !=
+            ((coalesce(v1, 0L) + coalesce(v2, 0L) + coalesce(v3, 0L)) * 2
+              >= greatest(nv, 1L)) THEN 1 ELSE 0 END""")).as("n_flipped"))
+      val m2 = cur.agg(
+        sum(expr("CASE WHEN v1 = 1 THEN p ELSE 0 END")).as("a1"),
+        sum(expr("CASE WHEN v1 IS NOT NULL THEN p ELSE 0 END")).as("b1"),
+        sum(expr("CASE WHEN v2 = 1 THEN p ELSE 0 END")).as("a2"),
+        sum(expr("CASE WHEN v2 IS NOT NULL THEN p ELSE 0 END")).as("b2"),
+        sum(expr("CASE WHEN v3 = 1 THEN p ELSE 0 END")).as("a3"),
+        sum(expr("CASE WHEN v3 IS NOT NULL THEN p ELSE 0 END")).as("b3"))
+        .select(expr("a1 * 1000000 div greatest(b1, 1L)").as("sen1_e6"),
+          expr("a2 * 1000000 div greatest(b2, 1L)").as("sen2_e6"),
+          expr("a3 * 1000000 div greatest(b3, 1L)").as("sen3_e6"))
+      fin.crossJoin(broadcast(m2))
+        .select(col("n_items"), expr("sp div n_items").as("pi_e6"),
+          col("n_flipped"), col("sen1_e6"), col("sen2_e6"), col("sen3_e6"))
+    }),
+
     "q358_weak_supervision" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"), lower(col("text")).as("tl"),
@@ -2268,6 +2373,107 @@ private[queries] object TrainingD {
              AS digest
          FROM per_source""",
 
+
+    "q454_dawid_skene" -> {
+      def likSql(v: String, sen: String, spe: String, yes: Boolean) =
+        if (yes)
+          s"""(CASE WHEN $v IS NULL THEN 1000000
+                 WHEN $v = 1 THEN $sen ELSE 1000000 - $sen END)"""
+        else
+          s"""(CASE WHEN $v IS NULL THEN 1000000
+                 WHEN $v = 0 THEN $spe ELSE 1000000 - $spe END)"""
+      def conf(j: Int) =
+        s"""CAST(sum(CASE WHEN v$j = 1 THEN p ELSE 0 END) AS BIGINT) AS a$j,
+             CAST(sum(CASE WHEN v$j IS NOT NULL THEN p ELSE 0 END)
+               AS BIGINT) AS b$j,
+             CAST(sum(CASE WHEN v$j = 0 THEN 1000000 - p ELSE 0 END)
+               AS BIGINT) AS c$j,
+             CAST(sum(CASE WHEN v$j IS NOT NULL THEN 1000000 - p ELSE 0 END)
+               AS BIGINT) AS e$j"""
+      val rounds = (1 to 2).map { r =>
+        val prev = if (r == 1) "p0" else s"e${r - 1}"
+        s"""ms$r AS MATERIALIZED (
+           SELECT count(*) AS n, CAST(sum(p) AS BIGINT) AS sp,
+             ${conf(1)},
+             ${conf(2)},
+             ${conf(3)}
+           FROM $prev),
+         m$r AS MATERIALIZED (
+           SELECT sp // n AS pi,
+             a1 * 1000000 // greatest(b1, 1) AS sen1,
+             c1 * 1000000 // greatest(e1, 1) AS spe1,
+             a2 * 1000000 // greatest(b2, 1) AS sen2,
+             c2 * 1000000 // greatest(e2, 1) AS spe2,
+             a3 * 1000000 // greatest(b3, 1) AS sen3,
+             c3 * 1000000 // greatest(e3, 1) AS spe3
+           FROM ms$r),
+         e$r AS MATERIALIZED (
+           SELECT doc_id, v1, v2, v3, nv,
+             CASE WHEN la + lb > 0 THEN la * 1000000 // (la + lb)
+               ELSE 500000 END AS p
+           FROM (
+             SELECT doc_id, v1, v2, v3, nv,
+               ((pi * ${likSql("v1", "sen1", "spe1", yes = true)} // 1000000)
+                 * ${likSql("v2", "sen2", "spe2", yes = true)} // 1000000)
+                 * ${likSql("v3", "sen3", "spe3", yes = true)} // 1000000
+                 AS la,
+               (((1000000 - pi)
+                 * ${likSql("v1", "sen1", "spe1", yes = false)} // 1000000)
+                 * ${likSql("v2", "sen2", "spe2", yes = false)} // 1000000)
+                 * ${likSql("v3", "sen3", "spe3", yes = false)} // 1000000
+                 AS lb
+             FROM $prev, m$r))"""
+      }.mkString(",\n         ")
+      s"""WITH base AS (
+           SELECT doc_id, lower(text) AS tl,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws,
+             CAST(length(text) AS BIGINT) AS n_ch
+           FROM documents),
+         lf AS (
+           SELECT doc_id,
+             CASE WHEN tl LIKE '%spark%' OR tl LIKE '%fast%' THEN 1
+                  WHEN tl LIKE '%slow%' THEN 0 END AS v1,
+             CASE WHEN n_ws > 150 THEN 1 WHEN n_ws < 30 THEN 0 END AS v2,
+             CASE WHEN (n_ch * 10) // n_ws BETWEEN 40 AND 80 THEN 1
+                  ELSE 0 END AS v3
+           FROM base),
+         votes AS (
+           SELECT doc_id, v1, v2, v3,
+             CAST(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nv
+           FROM lf),
+         p0 AS (
+           SELECT doc_id, v1, v2, v3, nv,
+             CASE WHEN nv > 0
+               THEN (COALESCE(v1, 0) + COALESCE(v2, 0) + COALESCE(v3, 0))
+                 * 1000000 // nv
+               ELSE 500000 END AS p
+           FROM votes),
+         $rounds,
+         fin AS (
+           SELECT count(*) AS n_items, CAST(sum(p) AS BIGINT) AS sp,
+             CAST(sum(CASE WHEN (p >= 500000) <>
+               ((COALESCE(v1, 0) + COALESCE(v2, 0) + COALESCE(v3, 0)) * 2
+                 >= greatest(nv, 1)) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flipped
+           FROM e2),
+         m2f AS (
+           SELECT
+             CAST(sum(CASE WHEN v1 = 1 THEN p ELSE 0 END) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(CASE WHEN v1 IS NOT NULL
+                 THEN p ELSE 0 END) AS BIGINT), 1) AS sen1_e6,
+             CAST(sum(CASE WHEN v2 = 1 THEN p ELSE 0 END) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(CASE WHEN v2 IS NOT NULL
+                 THEN p ELSE 0 END) AS BIGINT), 1) AS sen2_e6,
+             CAST(sum(CASE WHEN v3 = 1 THEN p ELSE 0 END) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(CASE WHEN v3 IS NOT NULL
+                 THEN p ELSE 0 END) AS BIGINT), 1) AS sen3_e6
+           FROM e2)
+         SELECT n_items, sp // n_items AS pi_e6, n_flipped,
+           sen1_e6, sen2_e6, sen3_e6
+         FROM fin, m2f"""
+    },
 
     "q358_weak_supervision" ->
       """WITH base AS (
