@@ -236,7 +236,10 @@ object Bench {
     "q452_zonemap_skipping", // min/max skipping by physical layout
     "q453_bloom_fpr", // measured vs rho^3 predicted FP rate
     "q454_dawid_skene", // EM label aggregation with rater confusion
-    "q455_variance_ratio") // random-walk diagnostic on the daily index
+    "q455_variance_ratio", // random-walk diagnostic on the daily index
+    "q456_ljung_box", // joint 5-lag whiteness test
+    "q457_runs_test", // sign-run randomness diagnostic
+    "q458_permutation_entropy") // ordinal-pattern complexity
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,117 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Ljung–Box portmanteau test (1978) — are the daily index's first
+    // five autocorrelations JOINTLY zero? The whiteness check q207's
+    // single-lag ACF cannot give: Q = n(n+2)·Σ_k ρ_k²/(n−k) ~ χ²(5).
+    // Exact: the series is integer-centered ×n (c_t = y_t·n − Σy, no
+    // float mean), lag products by ONE calendar shift-join over the
+    // exploded k = 1..5 frame, ρ_k as pinned double ratios of exact
+    // longs, the five terms folded in sorted-k order (q399 rule).
+    // Scale: one scan to the day-bounded frame.
+    "q456_ljung_box" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val tot = daily.agg(count(lit(1)).as("nd"), sum("y").as("sy"))
+      val c = daily.crossJoin(broadcast(tot))
+        .select(col("day"), (col("y") * col("nd") - col("sy")).as("c"),
+          col("nd"))
+        .persist() // both shift-join sides + the denominator read it
+      val den = c.agg(sum(col("c") * col("c")).as("scc"), max("nd").as("n"))
+      val lagged = c.select(explode(sequence(lit(1), lit(5))).as("k0"),
+          col("day"), col("c"))
+        .select(col("k0").cast("long").as("k"),
+          (col("day") + col("k0")).as("day"), col("c").as("cp"))
+        .join(c.select(col("day"), col("c")), "day")
+        .groupBy("k").agg(sum(col("c") * col("cp")).as("sck"))
+      lagged.crossJoin(broadcast(den))
+        .withColumn("rho", d(col("sck")) / d(col("scc")))
+        .withColumn("term", col("rho") * col("rho") /
+          (d(col("n")) - d(col("k"))))
+        .agg(max("n").as("n_days"),
+          array_sort(collect_list(struct(col("k"), col("term")))).as("ps"))
+        .withColumn("sfold", aggregate(transform(col("ps"),
+          x => x.getField("term")), lit(0.0d), (acc, x) => acc + x))
+        .select(col("n_days"),
+          floor(d(col("n_days")) * (d(col("n_days")) + 2.0d) *
+            col("sfold") * 1e6).cast("long").as("q_e6"))
+    }),
+
+    // Wald–Wolfowitz runs test (1940) — randomness of the daily
+    // index's direction: too FEW sign runs means momentum, too many
+    // means oscillation. R = 1 + sign changes over the zero-excluded
+    // diff sequence (consecutive = next present, via the two-phase
+    // globalRank — no window); z against μ = 2n₊n₋/n + 1 and the
+    // exact run-count variance. Integer counts, one pinned chain.
+    "q457_runs_test" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val dif = daily
+        .join(daily.select((col("day") + 1L).as("day"), col("y").as("yp")),
+          "day")
+        .select(col("day"), (col("y") - col("yp")).as("dv"))
+        .where(col("dv") =!= 0L)
+        .select(col("day"), when(col("dv") > 0L, 1L).otherwise(0L).as("sg"))
+      val rk = graft.operators.Ranking.globalRank(dif, "r", col("day").asc)
+        .persist() // both sides of the consecutive join read it
+      val changes = rk.select((col("r") + 1L).as("r"), col("sg").as("sgp"))
+        .join(rk.select(col("r"), col("sg")), "r")
+        .agg(sum(when(col("sg") =!= col("sgp"), 1L).otherwise(0L)).as("ch"))
+      rk.agg(count(lit(1)).as("n"), sum("sg").as("n_pos"))
+        .crossJoin(changes)
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .withColumn("runs", col("ch") + 1L)
+        .withColumn("mu", lit(2.0d) * d(col("n_pos")) * d(col("n_neg")) /
+          d(col("n")) + 1.0d)
+        .withColumn("s2", (lit(2.0d) * d(col("n_pos")) * d(col("n_neg")) *
+          (lit(2.0d) * d(col("n_pos")) * d(col("n_neg")) - d(col("n")))) /
+          (d(col("n")) * d(col("n")) * (d(col("n")) - 1.0d)))
+        .select(col("n"), col("n_pos"), col("n_neg"), col("runs"),
+          floor(col("mu") * 1e6).cast("long").as("mu_e6"),
+          when(col("s2") > 0.0d,
+            floor((d(col("runs")) - col("mu")) / sqrt(col("s2")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("z_e6"))
+    }),
+
+    // Permutation entropy (Bandt & Pompe 2002, order 3) — ordinal-
+    // pattern complexity of the daily diff series: near 0 = scripted
+    // dynamics, near 1 = white. Embedded triples come from two
+    // calendar shift-joins (all three days present, no window); the
+    // ordinal pattern id is three ≤ comparisons (ties to the earlier
+    // index, the standard convention); entropy folds the ≤8 pattern
+    // shares in sorted-id order (q116 rule), normalized by ln(6).
+    "q458_permutation_entropy" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("y"))
+        .groupBy("day").agg(expr("sum(y) div count(1)").as("y"))
+        .persist() // three calendar shift-join sides read it
+      val tri = daily.select(col("day"), col("y").as("a"))
+        .join(daily.select((col("day") - 1L).as("day"), col("y").as("b")),
+          "day")
+        .join(daily.select((col("day") - 2L).as("day"), col("y").as("cc")),
+          "day")
+        .select((when(col("a") <= col("b"), 4L).otherwise(0L) +
+          when(col("b") <= col("cc"), 2L).otherwise(0L) +
+          when(col("a") <= col("cc"), 1L).otherwise(0L)).as("pid"))
+      val pc = tri.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      pc.agg(sum("cnt").as("n_triples"),
+          max(struct(col("cnt"), (-col("pid")).as("np"))).as("m"),
+          array_sort(collect_list(struct(col("pid"), col("cnt")))).as("ps"))
+        .withColumn("h", aggregate(transform(col("ps"),
+          x => -(x.getField("cnt").cast("double") / d(col("n_triples"))) *
+            log(x.getField("cnt").cast("double") / d(col("n_triples")))),
+          lit(0.0d), (acc, x) => acc + x))
+        .select(col("n_triples"), (-col("m.np")).as("top_pattern"),
+          floor(col("h") * 1e6).cast("long").as("h_e6"),
+          floor(col("h") / log(lit(6.0d)) * 1e6).cast("long")
+            .as("pe_norm_e6"))
+    }),
+
     // Lo–MacKinlay variance-ratio test (1988) — is the daily value
     // index a random walk? Under i.i.d. increments the variance of
     // 5-day differences is 5× the 1-day variance; VR(5) far from 1
@@ -1932,6 +2043,122 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q456_ljung_box" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         tot AS (
+           SELECT count(*) AS nd, CAST(sum(y) AS BIGINT) AS sy FROM dm),
+         c AS (
+           SELECT day, y * nd - sy AS c, nd FROM dm, tot),
+         den AS (
+           SELECT CAST(sum(c * c) AS BIGINT) AS scc, max(nd) AS n FROM c),
+         lagged AS (
+           SELECT k, CAST(sum(c.c * l.cp) AS BIGINT) AS sck
+           FROM (SELECT CAST(k0 AS BIGINT) AS k, day + k0 AS day, c AS cp
+                 FROM c, (SELECT unnest(range(1, 6)) AS k0)) l
+           JOIN c USING (day)
+           GROUP BY k),
+         terms AS (
+           SELECT k, n,
+             (CAST(sck AS DOUBLE) / CAST(scc AS DOUBLE))
+               * (CAST(sck AS DOUBLE) / CAST(scc AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS term
+           FROM lagged, den),
+         ag AS (
+           SELECT max(n) AS n_days,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY k)), (acc, x) -> acc + x) AS sfold
+           FROM terms)
+         SELECT n_days,
+           CAST(floor(CAST(n_days AS DOUBLE)
+             * (CAST(n_days AS DOUBLE) + 2.0) * sfold * 1000000.0)
+             AS BIGINT) AS q_e6
+         FROM ag""",
+
+    "q457_runs_test" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         dif AS (
+           SELECT a.day,
+             CAST(CASE WHEN a.y - b.yp > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS sg
+           FROM dm a JOIN (SELECT day + 1 AS day, y AS yp FROM dm) b
+             USING (day)
+           WHERE a.y - b.yp <> 0),
+         rk AS (
+           SELECT sg,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS r
+           FROM dif),
+         ch AS (
+           SELECT CAST(sum(CASE WHEN a.sg <> b.sgp THEN 1 ELSE 0 END)
+             AS BIGINT) AS ch
+           FROM rk a JOIN (SELECT r + 1 AS r, sg AS sgp FROM rk) b
+             USING (r)),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(sg) AS BIGINT) AS n_pos FROM rk),
+         j AS (
+           SELECT n, n_pos, n - n_pos AS n_neg, ch + 1 AS runs FROM ag, ch),
+         k AS (
+           SELECT *,
+             2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+               / CAST(n AS DOUBLE) + 1.0 AS mu,
+             (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+               * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                 - CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0)) AS s2
+           FROM j)
+         SELECT n, n_pos, n_neg, runs,
+           CAST(floor(mu * 1000000.0) AS BIGINT) AS mu_e6,
+           CASE WHEN s2 > 0.0
+             THEN CAST(floor((CAST(runs AS DOUBLE) - mu) / sqrt(s2)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM k""",
+
+    "q458_permutation_entropy" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS y
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(y) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         tri AS (
+           SELECT
+             CAST(CASE WHEN a.y <= b.yb THEN 4 ELSE 0 END
+               + CASE WHEN b.yb <= c.yc THEN 2 ELSE 0 END
+               + CASE WHEN a.y <= c.yc THEN 1 ELSE 0 END AS BIGINT) AS pid
+           FROM dm a
+           JOIN (SELECT day - 1 AS day, y AS yb FROM dm) b USING (day)
+           JOIN (SELECT day - 2 AS day, y AS yc FROM dm) c USING (day)),
+         pc AS (SELECT pid, count(*) AS cnt FROM tri GROUP BY 1),
+         nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_triples FROM pc),
+         ag AS (
+           SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(-(CAST(cnt AS DOUBLE)
+                 / CAST(n_triples AS DOUBLE))
+                 * ln(CAST(cnt AS DOUBLE) / CAST(n_triples AS DOUBLE))
+                 ORDER BY pid)), (acc, x) -> acc + x) AS h
+           FROM pc, nt),
+         tp AS (
+           SELECT pid AS top_pattern FROM pc ORDER BY cnt DESC, pid LIMIT 1)
+         SELECT n_triples, top_pattern,
+           CAST(floor(h * 1000000.0) AS BIGINT) AS h_e6,
+           CAST(floor(h / ln(6.0) * 1000000.0) AS BIGINT) AS pe_norm_e6
+         FROM ag, tp, nt""",
 
     "q455_variance_ratio" ->
       """WITH daily AS (
