@@ -239,7 +239,10 @@ object Bench {
     "q455_variance_ratio", // random-walk diagnostic on the daily index
     "q456_ljung_box", // joint 5-lag whiteness test
     "q457_runs_test", // sign-run randomness diagnostic
-    "q458_permutation_entropy") // ordinal-pattern complexity
+    "q458_permutation_entropy", // ordinal-pattern complexity
+    "q459_mmd_linear", // O(n) two-sample embedding test
+    "q460_davies_bouldin", // centroid-based cluster validity
+    "q461_systematic_pps") // stride-walk weighted sample + HH estimate
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -681,6 +681,40 @@ object Stats {
           col("tr"), col("tc"))
     }),
 
+    // Systematic PPS sampling (Madow 1949) — the third member of the
+    // sampling-design family (q388 allocates, q442 prioritizes): walk
+    // the cumulative weight line with stride W/k from a deterministic
+    // hash offset; a document is drawn once per grid point in its
+    // weight interval (multiplicity-aware), and the Hansen–Hurwitz
+    // estimate of Σ tokens is stride·Σ mult·(y/w). Exactly k grid
+    // points land by construction — reported as the invariant. Exact:
+    // cumulative weights ride PrefixScan, selection and the estimator
+    // are integer trunc-divs (everything shifted +stride so no
+    // negative division). Scale: one scan + the two-phase prefix scan.
+    "q461_systematic_pps" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select(col("doc_id"),
+        col("n_chars").as("w"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("y"))
+      val cum = graft.operators.PrefixScan.scanLong(
+        docs, "cw", "w", "sum", inclusive = false, col("doc_id"))
+      val params = docs.agg(sum("w").as("wt"), sum("y").as("y_exact"))
+        .withColumn("stride", expr("wt div 50"))
+        .withColumn("off",
+          graft.functions.TextFunctions.hash60(lit("pps")) % col("stride"))
+      cum.crossJoin(broadcast(params))
+        .withColumn("mult", expr(
+          """(cw + w + stride - 1 - off) div stride
+             - (cw + stride - 1 - off) div stride"""))
+        .where(col("mult") > 0L)
+        .agg(count(lit(1)).as("n_selected"), sum("mult").as("k_points"),
+          sum(expr("mult * (y * 1000000 div w)")).as("syw_e6"),
+          max("stride").as("stride"), max("y_exact").as("y_exact"))
+        .select(col("n_selected"), col("k_points"), col("y_exact"),
+          expr("syw_e6 * stride div 1000000").as("y_est"),
+          expr("""(syw_e6 * stride div 1000000 - y_exact) * 1000000
+            div y_exact""").as("err_e6"))
+    }),
+
     // Priority sampling (Duffield, Lund & Thorup 2007) — the
     // weight-sensitive fixed-size sample with the provably near-optimal
     // subset-sum estimator: priority q_i = w_i/u_i (u_i a deterministic
@@ -2462,6 +2496,42 @@ object Stats {
          $steps
          SELECT c2.source, c2.lang, c2.m, c2.w AS w_e6, tr.tr, tc.tc
          FROM c2 JOIN tr USING (source) JOIN tc USING (lang)"""
+    },
+
+    "q461_systematic_pps" -> {
+      val h60 = TrainingShared.h60("'pps'")
+      s"""WITH docs AS (
+           SELECT doc_id, n_chars AS w,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS y
+           FROM documents),
+         cum AS (
+           SELECT doc_id, w, y,
+             CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cw
+           FROM docs),
+         params AS (
+           SELECT CAST(sum(w) AS BIGINT) AS wt,
+             CAST(sum(y) AS BIGINT) AS y_exact,
+             CAST(sum(w) AS BIGINT) // 50 AS stride,
+             ($h60) % (CAST(sum(w) AS BIGINT) // 50) AS off
+           FROM docs),
+         sel AS (
+           SELECT *,
+             (cw + w + stride - 1 - off) // stride
+               - (cw + stride - 1 - off) // stride AS mult
+           FROM cum, params),
+         ag AS (
+           SELECT count(*) AS n_selected,
+             CAST(sum(mult) AS BIGINT) AS k_points,
+             CAST(sum(mult * (y * 1000000 // w)) AS BIGINT) AS syw_e6,
+             max(stride) AS stride, max(y_exact) AS y_exact
+           FROM sel WHERE mult > 0)
+         SELECT n_selected, k_points, y_exact,
+           syw_e6 * stride // 1000000 AS y_est,
+           (syw_e6 * stride // 1000000 - y_exact) * 1000000 // y_exact
+             AS err_e6
+         FROM ag"""
     },
 
     "q442_priority_sampling" -> {

@@ -752,6 +752,85 @@ private[queries] object TrainingD {
     }),
 
 
+    // Linear-time MMD² estimator (Gretton et al. 2012, §6 — MMD_l):
+    // the two-sample embedding-space test whose cost is O(n), not the
+    // O(n²) kernel matrix: pair consecutive samples within each label
+    // group (deterministic vec_id order via the two-phase globalRank)
+    // and average h = k(x,x')+k(y,y')−k(x,y')−k(x',y) over aligned
+    // pair indices, linear kernel. This is THE estimator shape that
+    // survives 100 TB — one rank pass per group, keyed self-joins on
+    // the pair index, integer dots throughout (fully exact, no floats
+    // at all). A near-zero mean says the two label groups share an
+    // embedding distribution; q391's Wasserstein sees only 1-D
+    // marginals.
+    "q459_mmd_linear" -> ((s, d) => {
+      val q = expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))")
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        (col("label") % 2 === 1).as("grp"), q.as("ve"))
+      def pairs(g: Boolean, p1: String, p2: String): DataFrame = {
+        val r = graft.operators.Ranking.globalRank(
+          e.where(col("grp") === g).select(col("vec_id"), col("ve")),
+          "r", col("vec_id").asc)
+        r.where((col("r") - 1L) % 2L === 0L)
+          .select(expr("(r - 1) div 2").as("j"), col("ve").as(p1))
+          .join(r.where((col("r") - 1L) % 2L === 1L)
+            .select(expr("(r - 1) div 2").as("j"), col("ve").as(p2)), "j")
+      }
+      def dot(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (p, q) -> p * q),
+           cast(0 as bigint), (acc, x) -> acc + x)""")
+      pairs(g = true, "x1", "x2").join(pairs(g = false, "y1", "y2"), "j")
+        .select((dot("x1", "x2") + dot("y1", "y2") -
+          dot("x1", "y2") - dot("x2", "y1")).as("h"))
+        .agg(count(lit(1)).as("n_pairs"), sum("h").as("sum_h"))
+        .select(col("n_pairs"), col("sum_h"),
+          expr("sum_h div greatest(n_pairs, 1L)").as("mmd2_mean"))
+    }),
+
+    // Davies–Bouldin cluster-validity index (1979) — the
+    // centroid-based complement to q396's silhouette: per label,
+    // within-cluster scatter s = mean point-to-centroid distance, and
+    // for each cluster its worst (s_i+s_j)/M_ij ratio over the other
+    // centroids. Exact: integer centroids (per-dim trunc-div means via
+    // posexplode), per-point sqrt floored to e3 BEFORE the mean (the
+    // per-term-floor rule; sqrt is IEEE-exact), ratios one trunc-div.
+    // Scale: one explode scan, keyed joins on (label, dim), a k²-
+    // bounded centroid grid.
+    "q460_davies_bouldin" -> ((s, d) => {
+      val q = expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))")
+      val pts = t(s, d, "embeddings").select(col("vec_id"),
+          col("label").cast("long").as("lab"), posexplode(q).as(Seq("dim", "v")))
+      val cen = pts.groupBy("lab", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("lab"), col("dim"), expr("sv div n").as("cd"))
+        .persist() // point scatter + the centroid grid both read it
+      val s_i = pts.join(cen, Seq("lab", "dim"))
+        .groupBy("lab", "vec_id")
+        .agg(sum((col("v") - col("cd")) * (col("v") - col("cd"))).as("d2"))
+        .select(col("lab"),
+          floor(sqrt(col("d2").cast("double")) * 1e3).cast("long").as("s_e3"))
+        .groupBy("lab")
+        .agg(count(lit(1)).as("n_pts"), expr("sum(s_e3) div count(1)").as("s_e3"))
+      val m = cen.join(cen.select(col("lab").as("lab2"), col("dim"),
+          col("cd").as("cd2")), "dim")
+        .where(col("lab") =!= col("lab2"))
+        .groupBy("lab", "lab2")
+        .agg(sum((col("cd") - col("cd2")) * (col("cd") - col("cd2"))).as("m2"))
+        .select(col("lab"), col("lab2"),
+          floor(sqrt(col("m2").cast("double")) * 1e3).cast("long").as("m_e3"))
+      val sj = s_i.select(col("lab").as("lab2"), col("s_e3").as("s2_e3"))
+      s_i.join(m, "lab").join(broadcast(sj), "lab2")
+        .withColumn("ratio_e6",
+          expr("(s_e3 + s2_e3) * 1000000 div greatest(m_e3, 1L)"))
+        .groupBy(col("lab"), col("n_pts"), col("s_e3"))
+        .agg(max(struct(col("ratio_e6"), col("lab2"))).as("mx"))
+        .select(col("lab"), col("n_pts"), col("s_e3"),
+          col("mx.ratio_e6").as("worst_ratio_e6"),
+          col("mx.lab2").as("worst_other"))
+    }),
+
     // Greedy facility-location selection (Nemhauser–Wolsey–Fisher 1978
     // (1−1/e) guarantee; Wei/Iyer/Bilmes 2015 for data-subset
     // selection) — the "summarize the corpus" complement to q410's
@@ -2074,6 +2153,89 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q459_mmd_linear" -> {
+      def dt(a: String, b: String) = iDotSql(a, b)
+      s"""WITH e AS (
+           SELECT vec_id, label % 2 = 1 AS grp, embedding FROM embeddings),
+         ra AS (
+           SELECT vec_id, embedding,
+             CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+           FROM e WHERE grp),
+         rb AS (
+           SELECT vec_id, embedding,
+             CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+           FROM e WHERE NOT grp),
+         xp AS (
+           SELECT a.j, a.x1, b.x2
+           FROM (SELECT (r - 1) // 2 AS j, embedding AS x1 FROM ra
+                 WHERE (r - 1) % 2 = 0) a
+           JOIN (SELECT (r - 1) // 2 AS j, embedding AS x2 FROM ra
+                 WHERE (r - 1) % 2 = 1) b USING (j)),
+         yp AS (
+           SELECT a.j, a.y1, b.y2
+           FROM (SELECT (r - 1) // 2 AS j, embedding AS y1 FROM rb
+                 WHERE (r - 1) % 2 = 0) a
+           JOIN (SELECT (r - 1) // 2 AS j, embedding AS y2 FROM rb
+                 WHERE (r - 1) % 2 = 1) b USING (j)),
+         h AS (
+           SELECT (${dt("x1", "x2")}) + (${dt("y1", "y2")})
+             - (${dt("x1", "y2")}) - (${dt("x2", "y1")}) AS h
+           FROM xp JOIN yp USING (j))
+         SELECT count(*) AS n_pairs, CAST(sum(h) AS BIGINT) AS sum_h,
+           CAST(sum(h) AS BIGINT) // greatest(count(*), 1) AS mmd2_mean
+         FROM h"""
+    },
+
+    "q460_davies_bouldin" ->
+      """WITH pts AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS lab,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 64)
+               AS BIGINT) AS v
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         cen AS (
+           SELECT lab, dim, CAST(sum(v) AS BIGINT) // count(*) AS cd
+           FROM pts GROUP BY 1, 2),
+         d2 AS (
+           SELECT p.lab, p.vec_id,
+             CAST(sum((p.v - c.cd) * (p.v - c.cd)) AS BIGINT) AS d2
+           FROM pts p JOIN cen c USING (lab, dim) GROUP BY 1, 2),
+         se AS (
+           SELECT lab,
+             CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS s_e3
+           FROM d2),
+         si AS (
+           SELECT lab, count(*) AS n_pts,
+             CAST(sum(s_e3) AS BIGINT) // count(*) AS s_e3
+           FROM se GROUP BY 1),
+         m0 AS (
+           SELECT a.lab, b.lab2,
+             CAST(sum((a.cd - b.cd2) * (a.cd - b.cd2)) AS BIGINT) AS m2
+           FROM cen a JOIN (SELECT lab AS lab2, dim, cd AS cd2 FROM cen) b
+             USING (dim)
+           WHERE a.lab <> b.lab2 GROUP BY 1, 2),
+         m AS (
+           SELECT lab, lab2,
+             CAST(floor(sqrt(CAST(m2 AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS m_e3
+           FROM m0),
+         r AS (
+           SELECT si.lab, si.n_pts, si.s_e3, m.lab2,
+             (si.s_e3 + sj.s2_e3) * 1000000 // greatest(m.m_e3, 1)
+               AS ratio_e6
+           FROM si JOIN m USING (lab)
+           JOIN (SELECT lab AS lab2, s_e3 AS s2_e3 FROM si) sj
+             USING (lab2)),
+         best AS (
+           SELECT lab, n_pts, s_e3, ratio_e6, lab2,
+             row_number() OVER (PARTITION BY lab
+               ORDER BY ratio_e6 DESC, lab2 DESC) AS rn
+           FROM r QUALIFY rn = 1)
+         SELECT lab, n_pts, s_e3, ratio_e6 AS worst_ratio_e6,
+           lab2 AS worst_other
+         FROM best""",
 
     "q436_weighted_jaccard" ->
       s"""WITH $minhashCtes,
