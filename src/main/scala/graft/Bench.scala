@@ -242,7 +242,10 @@ object Bench {
     "q458_permutation_entropy", // ordinal-pattern complexity
     "q459_mmd_linear", // O(n) two-sample embedding test
     "q460_davies_bouldin", // centroid-based cluster validity
-    "q461_systematic_pps") // stride-walk weighted sample + HH estimate
+    "q461_systematic_pps", // stride-walk weighted sample + HH estimate
+    "q462_cascade_filter", // two-stage filter recall/cost audit
+    "q463_durbin_watson", // trend-residual serial correlation
+    "q464_multiprobe_lsh") // Hamming-1 probe recall vs exact bucket
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

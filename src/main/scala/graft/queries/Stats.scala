@@ -266,6 +266,73 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Durbin–Watson statistic (1950) — are the residuals of the daily
+    // trend fit serially correlated? DW ≈ 2 means clean, ≪ 2 means the
+    // OLS trend line (q146's machinery on the day index) is missing
+    // structure and q267-style models should be used instead. Exact:
+    // slope/intercept from integer sums via ONE pinned chain; per-day
+    // residuals floored to e2 BEFORE differencing (per-term floor
+    // rule), then DW is a pure integer ratio over calendar-consecutive
+    // residual pairs. Scale: one scan to the bounded day frame.
+    "q463_durbin_watson" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select((col("day") - col("d0")).as("tt"), col("y"))
+      val sums = base.agg(count(lit(1)).as("n"), sum("tt").as("st"),
+        sum("y").as("sy"), sum(col("tt") * col("y")).as("sty"),
+        sum(col("tt") * col("tt")).as("stt"))
+      val resid = base.crossJoin(broadcast(sums))
+        .withColumn("b", (d(col("n")) * d(col("sty")) -
+          d(col("st")) * d(col("sy"))) /
+          (d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st"))))
+        .withColumn("a", (d(col("sy")) - col("b") * d(col("st"))) /
+          d(col("n")))
+        .select(col("tt"),
+          floor((d(col("y")) - (col("a") + col("b") * d(col("tt")))) *
+            100.0d).cast("long").as("r_e2"))
+        .persist() // both sides of the consecutive join read it
+      val num = resid.select((col("tt") + 1L).as("tt"), col("r_e2").as("rp"))
+        .join(resid, "tt")
+        .agg(sum((col("r_e2") - col("rp")) * (col("r_e2") - col("rp")))
+          .as("num"))
+      resid.agg(count(lit(1)).as("n_days"),
+          sum(col("r_e2") * col("r_e2")).as("den"))
+        .crossJoin(num)
+        .select(col("n_days"), col("num"), col("den"),
+          expr("CASE WHEN den > 0 THEN num * 1000000 div den ELSE 0 END")
+            .as("dw_e6"))
+    }),
+
+    // Cascade-filter efficiency audit — the two-stage cost model every
+    // large-corpus quality pipeline runs on paper, here measured: a
+    // cheap stage-1 rule (length ≥ 100, cost 1/doc) gates the expensive
+    // stage-2 quality scorer (cost 10/doc) so stage 2 touches only
+    // survivors. Reports what the cascade keeps of the full filter's
+    // keeps (recall) and the cost ratio — the two numbers that decide
+    // whether the cascade ships. Exact integers; one scan, one global
+    // aggregate.
+    "q462_cascade_filter" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("keep"),
+          (col("n_chars") >= 100L).cast("long").as("s1"))
+      f.agg(count(lit(1)).as("n"), sum("keep").as("full_keeps"),
+          sum(col("s1") * col("keep")).as("cascade_keeps"),
+          sum("s1").as("survivors"))
+        .select(col("n"), col("full_keeps"), col("cascade_keeps"),
+          col("survivors"),
+          expr("""CASE WHEN full_keeps > 0
+            THEN cascade_keeps * 1000000 div full_keeps
+            ELSE 1000000 END""").as("recall_e6"),
+          (lit(10L) * col("n")).as("cost_full"),
+          (col("n") + lit(10L) * col("survivors")).as("cost_cascade"),
+          expr("(n + 10 * survivors) * 1000000 div (10 * n)")
+            .as("cost_ratio_e6"))
+    }),
+
     // Ljung–Box portmanteau test (1978) — are the daily index's first
     // five autocorrelations JOINTLY zero? The whiteness check q207's
     // single-lag ACF cannot give: Q = n(n+2)·Σ_k ρ_k²/(n−k) ~ χ²(5).
@@ -2077,6 +2144,73 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q462_cascade_filter" ->
+      s"""WITH f AS (
+           SELECT ${TrainingShared.keepRuleSql} AS keep,
+             CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS BIGINT)
+               AS s1
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(keep) AS BIGINT) AS full_keeps,
+             CAST(sum(s1 * keep) AS BIGINT) AS cascade_keeps,
+             CAST(sum(s1) AS BIGINT) AS survivors
+           FROM f)
+         SELECT n, full_keeps, cascade_keeps, survivors,
+           CASE WHEN full_keeps > 0
+             THEN cascade_keeps * 1000000 // full_keeps
+             ELSE 1000000 END AS recall_e6,
+           10 * n AS cost_full,
+           n + 10 * survivors AS cost_cascade,
+           (n + 10 * survivors) * 1000000 // (10 * n) AS cost_ratio_e6
+         FROM ag""",
+
+    "q463_durbin_watson" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         base AS (
+           SELECT day - (SELECT min(day) FROM dm) AS tt, y FROM dm),
+         sums AS (
+           SELECT count(*) AS n, CAST(sum(tt) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(tt * y) AS BIGINT) AS sty,
+             CAST(sum(tt * tt) AS BIGINT) AS stt
+           FROM base),
+         co AS (
+           SELECT *,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+           FROM sums),
+         co2 AS (
+           SELECT *,
+             (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+           FROM co),
+         resid AS (
+           SELECT tt,
+             CAST(floor((CAST(y AS DOUBLE)
+               - (a + b * CAST(tt AS DOUBLE))) * 100.0) AS BIGINT) AS r_e2
+           FROM base, co2),
+         nm AS (
+           SELECT CAST(sum((c.r_e2 - p.rp) * (c.r_e2 - p.rp)) AS BIGINT)
+             AS num
+           FROM resid c JOIN (SELECT tt + 1 AS tt, r_e2 AS rp FROM resid) p
+             USING (tt)),
+         dn AS (
+           SELECT count(*) AS n_days,
+             CAST(sum(r_e2 * r_e2) AS BIGINT) AS den
+           FROM resid)
+         SELECT n_days, num, den,
+           CASE WHEN den > 0 THEN num * 1000000 // den ELSE 0 END AS dw_e6
+         FROM dn, nm""",
 
     "q456_ljung_box" ->
       """WITH daily AS (

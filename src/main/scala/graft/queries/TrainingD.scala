@@ -752,6 +752,54 @@ private[queries] object TrainingD {
     }),
 
 
+    // Multi-probe LSH recall audit (Lv et al. VLDB 2007) — the memory/
+    // recall trade measured: with ONE 15-bit SimHash band, probing only
+    // the exact bucket vs additionally probing its 15 Hamming-1
+    // neighbor buckets (the multi-probe trick that buys recall without
+    // more hash tables). Ground truth = all pairs at Hamming ≤ 6 on
+    // the bounded audit population (the q366 posture). Reports both
+    // candidate counts and recalls — the table that decides whether to
+    // add probes or bands. Exact: integer hashes and counts. Scale:
+    // probe side explodes ×16 (bounded), joins stay bucket-keyed.
+    "q464_multiprobe_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val sims = Dedup.simhashRows(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("sim"))
+        .persist() // truth pairs + both probe paths read it
+      val truth = sims.select(col("doc_id").as("id1"), col("sim").as("h1"))
+        .join(sims.select(col("doc_id").as("id2"), col("sim").as("h2")),
+          col("id1") < col("id2"))
+        .where(expr("bit_count(h1 ^ h2) <= 6"))
+        .select(col("id1"), col("id2"))
+        .persist() // three recall joins read it
+      val keyed = sims.select(col("doc_id"), (col("sim") % 32768L).as("key"))
+      val base = keyed.select(col("doc_id").as("id1"), col("key"))
+        .join(keyed.select(col("doc_id").as("id2"), col("key")), Seq("key"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+      val probes = keyed.select(col("doc_id"),
+          explode(expr("""array_union(array(key), transform(sequence(0, 14),
+            b -> key ^ shiftleft(1L, b)))""")).as("key"))
+      val mp = probes.select(col("doc_id").as("id1"), col("key"))
+        .join(keyed.select(col("doc_id").as("id2"), col("key")), Seq("key"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nB = base.agg(count(lit(1)).as("n_base"))
+      val nM = mp.agg(count(lit(1)).as("n_multiprobe"))
+      val rB = truth.join(base, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("hit_base"))
+      val rM = truth.join(mp, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("hit_mp"))
+      nT.crossJoin(nB).crossJoin(nM).crossJoin(rB).crossJoin(rM)
+        .select(col("n_truth"), col("n_base"), col("n_multiprobe"),
+          col("hit_base"), col("hit_mp"),
+          expr("hit_base * 1000000 div greatest(n_truth, 1L)")
+            .as("recall_base_e6"),
+          expr("hit_mp * 1000000 div greatest(n_truth, 1L)")
+            .as("recall_mp_e6"))
+    }),
+
     // Linear-time MMD² estimator (Gretton et al. 2012, §6 — MMD_l):
     // the two-sample embedding-space test whose cost is O(n), not the
     // O(n²) kernel matrix: pair consecutive samples within each label
@@ -2153,6 +2201,38 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q464_multiprobe_lsh" ->
+      s"""WITH ${simhashPairCtes()},
+         truth AS MATERIALIZED (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sim, b.sim)) <= 6),
+         keyed AS (SELECT doc_id, sim % 32768 AS key FROM sims),
+         base AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM keyed a JOIN keyed b
+             ON a.key = b.key AND a.doc_id < b.doc_id),
+         probes AS (
+           SELECT doc_id, unnest(list_distinct(list_prepend(key,
+             list_transform(range(0, 15), b -> xor(key, 1 << b))))) AS key
+           FROM keyed),
+         mp AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM probes a JOIN keyed b
+             ON a.key = b.key AND a.doc_id < b.doc_id),
+         cnts AS (
+           SELECT (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM base) AS n_base,
+             (SELECT count(*) FROM mp) AS n_multiprobe,
+             (SELECT count(*) FROM truth JOIN base USING (id1, id2))
+               AS hit_base,
+             (SELECT count(*) FROM truth JOIN mp USING (id1, id2))
+               AS hit_mp)
+         SELECT n_truth, n_base, n_multiprobe, hit_base, hit_mp,
+           hit_base * 1000000 // greatest(n_truth, 1) AS recall_base_e6,
+           hit_mp * 1000000 // greatest(n_truth, 1) AS recall_mp_e6
+         FROM cnts""",
 
     "q459_mmd_linear" -> {
       def dt(a: String, b: String) = iDotSql(a, b)
