@@ -245,7 +245,10 @@ object Bench {
     "q461_systematic_pps", // stride-walk weighted sample + HH estimate
     "q462_cascade_filter", // two-stage filter recall/cost audit
     "q463_durbin_watson", // trend-residual serial correlation
-    "q464_multiprobe_lsh") // Hamming-1 probe recall vs exact bucket
+    "q464_multiprobe_lsh", // Hamming-1 probe recall vs exact bucket
+    "q465_dedup_threshold_sweep", // corpus impact per Jaccard cut
+    "q466_bm25_stability", // top-10 overlap across (k1, b)
+    "q467_condorcet_fusion") // Copeland + Borda committee ranking
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -354,6 +354,56 @@ object Evals {
             ELSE 0 END""").as("w_e6"))
     }),
 
+    // Condorcet/Borda rank fusion — aggregate the three quality
+    // judges' source rankings by VOTE instead of score: Copeland
+    // (pairwise-majority wins, the Condorcet-consistent method) and
+    // Borda count, the two classic committee rules RRF (q246/q350)
+    // approximates. With 3 judges and tie-broken strict rankings every
+    // pairwise contest has a majority, so Copeland is ±1 per opponent.
+    // Exact integers throughout; ranks window-free via the bounded
+    // self-join count (q439 rule). Scale: one scan to per-source sums;
+    // everything after is (3·n)²-bounded, n = 20.
+    "q467_condorcet_fusion" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum("n_chars").as("sl"),
+          sum(col("q.keep").cast("long")).as("k_s"),
+          sum(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")).as("stk"))
+      val long = per.select(col("source"), lit("len").as("judge"),
+          expr("sl div n_s").as("metric"))
+        .unionByName(per.select(col("source"), lit("keep").as("judge"),
+          expr("k_s * 1000000 div n_s").as("metric")))
+        .unionByName(per.select(col("source"), lit("tok").as("judge"),
+          expr("stk div n_s").as("metric")))
+      val o = long.select(col("judge"), col("source").as("s2"),
+        col("metric").as("m2"))
+      val ranks = long.join(o, "judge")
+        .groupBy("judge", "source", "metric")
+        .agg(sum(when(col("m2") > col("metric") ||
+          (col("m2") === col("metric") && col("s2") < col("source")), 1L)
+          .otherwise(0L)).as("before"))
+        .select(col("judge"), col("source"), (col("before") + 1L).as("rk"))
+        .persist() // pairwise contests + Borda + the pivot read it
+      val nn = per.agg(count(lit(1)).as("nsrc"))
+      val pw = ranks.join(ranks.select(col("judge"), col("source").as("s2"),
+          col("rk").as("rk2")), "judge")
+        .where(col("source") =!= col("s2"))
+        .groupBy("source", "s2")
+        .agg(sum(when(col("rk") < col("rk2"), 1L).otherwise(0L)).as("w"))
+      val cope = pw.groupBy("source")
+        .agg(sum(when(col("w") >= 2L, 1L).otherwise(-1L)).as("copeland"))
+      val agg = ranks.crossJoin(broadcast(nn)).groupBy("source")
+        .agg(sum(col("nsrc") - col("rk")).as("borda"),
+          max(when(col("judge") === "len", col("rk"))).as("r_len"),
+          max(when(col("judge") === "keep", col("rk"))).as("r_keep"),
+          max(when(col("judge") === "tok", col("rk"))).as("r_tok"))
+      agg.join(cope, "source")
+        .select(col("source"), col("borda"), col("copeland"),
+          col("r_len"), col("r_keep"), col("r_tok"))
+    }),
+
     // Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
     // length ranking and the keep-rate ranking of the 20 sources —
     // the top-weighted ranking similarity retrieval evals use where
@@ -918,6 +968,55 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q467_condorcet_fusion" ->
+      s"""WITH base AS (
+           SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
+             len(w) AS ntok
+           FROM (SELECT source, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         per AS (
+           SELECT source, count(*) AS n_s,
+             CAST(sum(n_chars) AS BIGINT) AS sl,
+             CAST(sum(keep) AS BIGINT) AS k_s,
+             CAST(sum(ntok) AS BIGINT) AS stk
+           FROM base GROUP BY 1),
+         lng AS (
+           SELECT source, 'len' AS judge, sl // n_s AS metric FROM per
+           UNION ALL
+           SELECT source, 'keep', k_s * 1000000 // n_s FROM per
+           UNION ALL
+           SELECT source, 'tok', stk // n_s FROM per),
+         rk AS (
+           SELECT x.judge, x.source,
+             CAST(1 + (SELECT count(*) FROM lng y
+               WHERE y.judge = x.judge AND (y.metric > x.metric
+                 OR (y.metric = x.metric AND y.source < x.source)))
+               AS BIGINT) AS rk
+           FROM lng x),
+         nn AS (SELECT count(*) AS nsrc FROM per),
+         pw AS (
+           SELECT a.source, b.source AS s2,
+             CAST(sum(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS BIGINT)
+               AS w
+           FROM rk a JOIN rk b
+             ON a.judge = b.judge AND a.source <> b.source
+           GROUP BY 1, 2),
+         cope AS (
+           SELECT source,
+             CAST(sum(CASE WHEN w >= 2 THEN 1 ELSE -1 END) AS BIGINT)
+               AS copeland
+           FROM pw GROUP BY 1),
+         ag AS (
+           SELECT source,
+             CAST(sum(nsrc - rk) AS BIGINT) AS borda,
+             max(CASE WHEN judge = 'len' THEN rk END) AS r_len,
+             max(CASE WHEN judge = 'keep' THEN rk END) AS r_keep,
+             max(CASE WHEN judge = 'tok' THEN rk END) AS r_tok
+           FROM rk, nn GROUP BY 1)
+         SELECT ag.source, borda, copeland, r_len, r_keep, r_tok
+         FROM ag JOIN cope USING (source)""",
+
     "q438_kendall_w" ->
       s"""WITH base AS (
            SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,

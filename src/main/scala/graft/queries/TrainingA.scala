@@ -650,6 +650,54 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // BM25 parameter-stability grid — how much does the top-10 CHANGE
+    // across (k1, b) settings? The tuning question that matters before
+    // anyone sweats defaults: if the head of the ranking is stable,
+    // parameter tuning is cosmetic; if not, q126's (1.2, 0.75) needs
+    // justification. Query = the corpus's three most frequent tokens
+    // (deterministic argmax); per-term BM25 contributions are pinned
+    // double chains floored to e6 BEFORE the per-doc sum (per-term
+    // floor rule — integer doc scores, exact ranking); top-10 per
+    // setting via TopKPerKey; output = pairwise top-10 overlap matrix.
+    // Scale: one tf scan, bounded term set, param grid ×4.
+    "q466_bm25_stability" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist() // query-term pick + doc lengths + the join read it
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+      val topTerms = tf.groupBy("tok").agg(sum("tf").as("ct"), count(lit(1)).as("df"))
+        .orderBy(col("ct").desc, col("tok").asc).limit(3)
+        .select(col("tok"), col("df"))
+      val params = t(s, d, "documents").sparkSession.range(1)
+        .select(explode(expr(
+          """array(named_struct('param', 'k12_b075', 'k1', 1.2d, 'b', 0.75d),
+                   named_struct('param', 'k09_b040', 'k1', 0.9d, 'b', 0.40d),
+                   named_struct('param', 'k20_b075', 'k1', 2.0d, 'b', 0.75d),
+                   named_struct('param', 'k12_b000', 'k1', 1.2d, 'b', 0.0d))"""))
+          .as("p"))
+        .select(col("p.param").as("param"), col("p.k1").as("k1"), col("p.b").as("b"))
+      val scored = tf.join(broadcast(topTerms), "tok")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .crossJoin(broadcast(params))
+        .withColumn("contrib_e6", floor(
+          log((col("n").cast("double") - col("df").cast("double") + 0.5d) /
+            (col("df").cast("double") + 0.5d) + lit(1.0d)) *
+          (col("tf").cast("double") * (col("k1") + 1.0d)) /
+          (col("tf").cast("double") + col("k1") * (lit(1.0d) - col("b") +
+            col("b") * col("dl").cast("double") /
+              (col("sdl").cast("double") / col("n").cast("double")))) *
+          1e6).cast("long"))
+        .groupBy("param", "doc_id").agg(sum("contrib_e6").as("score_e6"))
+      val top = graft.plans.TopKPerKey(scored, Seq("param"),
+        Seq(col("score_e6").desc, col("doc_id").asc), 10)
+      top.select(col("param").as("p1"), col("doc_id"))
+        .join(top.select(col("param").as("p2"), col("doc_id")), "doc_id")
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("overlap"))
+    }),
+
     // Dunning log-likelihood-ratio collocations (Dunning 1993) — the
     // significance-based collocation score robust where q262's PPMI
     // over-rewards rare pairs: per bigram the 2×2 contingency
@@ -2115,6 +2163,51 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q466_bm25_stability" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (
+           SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+         tt AS (
+           SELECT tok, count(*) AS df
+           FROM tf GROUP BY 1
+           ORDER BY CAST(sum(tf) AS BIGINT) DESC, tok LIMIT 3),
+         params AS (
+           SELECT * FROM (VALUES
+             ('k12_b075', 1.2, 0.75), ('k09_b040', 0.9, 0.40),
+             ('k20_b075', 2.0, 0.75), ('k12_b000', 1.2, 0.0))
+             t(param, k1, b)),
+         contrib AS (
+           SELECT param, f.doc_id,
+             CAST(floor(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * (k1 + 1.0))
+               / (CAST(tf AS DOUBLE) + k1 * (1.0 - b
+                 + b * CAST(dl AS DOUBLE)
+                   / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS contrib_e6
+           FROM tf f JOIN tt USING (tok) JOIN dl USING (doc_id),
+             stats, params),
+         sc AS (
+           SELECT param, doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+           FROM contrib GROUP BY 1, 2),
+         top AS (
+           SELECT param, doc_id FROM (
+             SELECT param, doc_id,
+               row_number() OVER (PARTITION BY param
+                 ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM sc)
+           WHERE rn <= 10)
+         SELECT a.param AS p1, b.param AS p2, count(*) AS overlap
+         FROM top a JOIN top b
+           ON a.doc_id = b.doc_id AND a.param < b.param
+         GROUP BY 1, 2""",
 
     "q443_llr_collocations" ->
       s"""WITH bg AS (

@@ -752,6 +752,42 @@ private[queries] object TrainingD {
     }),
 
 
+    // Dedup-threshold sweep — the tuning table behind "dedup at
+    // Jaccard ≥ 0.8": for each candidate threshold (0.50–0.90 by
+    // 0.10), how many LSH candidate pairs clear it, how many documents
+    // the keep-min rule would drop, and how many characters leave the
+    // corpus. The cost side of the q366 S-curve (which gives the
+    // collision probability; this gives the corpus impact). Exact:
+    // integer shingle Jaccard from the verified candidate pairs
+    // (bounded audit population), one threshold explode. Scale: the
+    // capped banded join + a ×5 bounded explode.
+    "q465_dedup_threshold_sweep" -> ((s, d) => {
+      val p = Dedup.MinHashParams()
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+      val sh = docs.where(size(TextFunctions.tokens(col("text"))) >= p.shingleSize)
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"), p.shingleSize)).as("shs"))
+      val jac = Dedup.lshCandidatePairs(docs, "doc_id", "text", p)
+        .join(sh.select(col("doc_id").as("id1"), col("shs").as("s1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("shs").as("s2")), "id2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("uni",
+          size(col("s1")).cast("long") + size(col("s2")).cast("long") - col("inter"))
+        .select(col("id1"), col("id2"),
+          expr("inter * 100 div uni").as("j_e2"))
+        .persist() // swept once per threshold
+      val chars = docs.select(col("doc_id").as("id2"),
+        col("n_chars").as("ch"))
+      val th = jac.sparkSession.range(5, 10)
+        .select((col("id") * 10L).as("t_e2"))
+      th.join(jac, col("j_e2") >= col("t_e2"))
+        .groupBy("t_e2", "id2").agg(count(lit(1)).as("np"))
+        .join(chars, "id2")
+        .groupBy("t_e2")
+        .agg(sum("np").as("n_pairs"), count(lit(1)).as("n_docs_removed"),
+          sum("ch").as("chars_removed"))
+    }),
+
     // Multi-probe LSH recall audit (Lv et al. VLDB 2007) — the memory/
     // recall trade measured: with ONE 15-bit SimHash band, probing only
     // the exact bucket vs additionally probing its 15 Hamming-1
@@ -2201,6 +2237,41 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q465_dedup_threshold_sweep" ->
+      s"""WITH $minhashCtes,
+         cpairs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         sh100 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS shs
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents WHERE doc_id < 300)
+           WHERE len(w) >= 3),
+         jac AS MATERIALIZED (
+           SELECT c.id1, c.id2,
+             CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) * 100
+               // CAST(len(a.shs) + len(b.shs)
+                 - len(list_intersect(a.shs, b.shs)) AS BIGINT) AS j_e2
+           FROM cpairs c
+           JOIN sh100 a ON a.doc_id = c.id1
+           JOIN sh100 b ON b.doc_id = c.id2),
+         th AS (
+           SELECT CAST(t0 * 10 AS BIGINT) AS t_e2
+           FROM (SELECT unnest(range(5, 10)) AS t0)),
+         g AS (
+           SELECT t_e2, id2, count(*) AS np
+           FROM th JOIN jac ON j_e2 >= t_e2 GROUP BY 1, 2),
+         ch AS (
+           SELECT doc_id AS id2, n_chars AS ch
+           FROM documents WHERE doc_id < 300)
+         SELECT t_e2, CAST(sum(np) AS BIGINT) AS n_pairs,
+           count(*) AS n_docs_removed,
+           CAST(sum(ch) AS BIGINT) AS chars_removed
+         FROM g JOIN ch USING (id2) GROUP BY 1""",
 
     "q464_multiprobe_lsh" ->
       s"""WITH ${simhashPairCtes()},
