@@ -248,7 +248,10 @@ object Bench {
     "q464_multiprobe_lsh", // Hamming-1 probe recall vs exact bucket
     "q465_dedup_threshold_sweep", // corpus impact per Jaccard cut
     "q466_bm25_stability", // top-10 overlap across (k1, b)
-    "q467_condorcet_fusion") // Copeland + Borda committee ranking
+    "q467_condorcet_fusion", // Copeland + Borda committee ranking
+    "q468_padding_waste", // length-bucketed vs shuffled batch padding
+    "q469_design_effect", // user-cluster ICC and Kish DEFF
+    "q470_poststratified_mean") // population-reweighted sample mean
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

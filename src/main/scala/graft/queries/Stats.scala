@@ -266,6 +266,92 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Cluster-sampling design effect (Kish 1965) — events cluster by
+    // USER, so n events carry far fewer than n independent draws: the
+    // intraclass correlation ρ from the one-way ANOVA components
+    // (MSB/MSW over user clusters, unbalanced-size m₀ = (N − Σn²/N)/
+    // (k−1)) gives DEFF = 1 + (m₀−1)ρ — the factor every event-level
+    // confidence interval must widen by. Exact: per-cluster integer
+    // sums; the per-cluster s²/n terms are floored to e2 PER TERM then
+    // integer-summed (no k-sized float fold — k is data-sized);
+    // everything after is ONE pinned chain. Scale: one keyed groupBy +
+    // one global aggregate.
+    "q469_design_effect" -> ((s, d0) => {
+      val cl = t(s, d0, "events")
+        .select(col("user_id"), floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_c"), sum("v").as("s_c"),
+          sum(col("v") * col("v")).as("ss_c"))
+      cl.agg(count(lit(1)).as("k"), sum("n_c").as("n"),
+          sum("s_c").as("s_all"), sum("ss_c").as("ss_all"),
+          sum(col("n_c") * col("n_c")).as("sn2"),
+          sum(floor((d(col("s_c")) * d(col("s_c")) / d(col("n_c"))) *
+            100.0d).cast("long")).as("a_e2"))
+        .withColumn("ssb", col("a_e2").cast("double") / 100.0d -
+          d(col("s_all")) * d(col("s_all")) / d(col("n")))
+        .withColumn("ssw", d(col("ss_all")) -
+          col("a_e2").cast("double") / 100.0d)
+        .withColumn("msb", col("ssb") / (d(col("k")) - 1.0d))
+        .withColumn("msw", col("ssw") / (d(col("n")) - d(col("k"))))
+        .withColumn("m0", (d(col("n")) - d(col("sn2")) / d(col("n"))) /
+          (d(col("k")) - 1.0d))
+        .withColumn("icc", (col("msb") - col("msw")) /
+          (col("msb") + (col("m0") - 1.0d) * col("msw")))
+        .select(col("k"), col("n"),
+          floor(col("m0") * 1e6).cast("long").as("m0_e6"),
+          floor(col("icc") * 1e6).cast("long").as("icc_e6"),
+          floor((lit(1.0d) + (col("m0") - 1.0d) * col("icc")) * 1e6)
+            .cast("long").as("deff_e6"))
+    }),
+
+    // Post-stratified estimator (the survey fix-up when the design
+    // can't stratify but the frame can): estimate mean n_chars from
+    // the 1-in-7 sample reweighted to the POPULATION language shares
+    // W_h = N_h/N — removes the sample's language imbalance bias that
+    // the plain mean keeps. Reports plain vs post-stratified vs true
+    // means and the post-stratified variance Σ W_h² s_h²/n_h. Exact:
+    // integer sums; the h-bounded terms fold in sorted-lang order
+    // (q399 rule). The single-margin sibling of q445's two-margin
+    // raking. Scale: two scans, h-bounded frames.
+    "q470_poststratified_mean" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select(col("lang"), col("doc_id"),
+        col("n_chars").as("y"))
+      val pop = docs.groupBy("lang").agg(count(lit(1)).as("nh_pop"))
+      val samp = docs.where(col("doc_id") % 7 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nh"), sum("y").as("sh"),
+          sum(col("y") * col("y")).as("ssh"))
+      val tots = docs.agg(count(lit(1)).as("n_pop"), sum("y").as("sy_pop"))
+      val j = samp.join(pop, "lang").crossJoin(broadcast(tots))
+      j.agg(sum("nh").as("n_sample"), sum("sh").as("sy_s"),
+          max("n_pop").as("n_pop"), max("sy_pop").as("sy_pop"),
+          array_sort(collect_list(struct(col("lang"), col("nh"),
+            col("sh"), col("ssh"), col("nh_pop"), col("n_pop")))).as("ps"))
+        .withColumn("pmean", aggregate(transform(col("ps"),
+          x => (x.getField("nh_pop").cast("double") /
+            x.getField("n_pop").cast("double")) *
+            (x.getField("sh").cast("double") /
+              x.getField("nh").cast("double"))),
+          lit(0.0d), (acc, x) => acc + x))
+        .withColumn("pvar", aggregate(transform(col("ps"),
+          x => (x.getField("nh_pop").cast("double") /
+            x.getField("n_pop").cast("double")) *
+            (x.getField("nh_pop").cast("double") /
+              x.getField("n_pop").cast("double")) *
+            ((x.getField("ssh").cast("double") -
+              x.getField("sh").cast("double") *
+              x.getField("sh").cast("double") /
+              x.getField("nh").cast("double")) /
+              (x.getField("nh").cast("double") - 1.0d)) /
+            x.getField("nh").cast("double")),
+          lit(0.0d), (acc, x) => acc + x))
+        .select(col("n_sample"),
+          expr("sy_s * 1000000 div n_sample").as("plain_mean_e6"),
+          floor(col("pmean") * 1e6).cast("long").as("poststrat_mean_e6"),
+          expr("sy_pop * 1000000 div n_pop").as("true_mean_e6"),
+          floor(col("pvar") * 1e6).cast("long").as("pvar_e6"))
+    }),
+
     // Durbin–Watson statistic (1950) — are the residuals of the daily
     // trend fit serially correlated? DW ≈ 2 means clean, ≪ 2 means the
     // OLS trend line (q146's machinery on the day index) is missing
@@ -2144,6 +2230,82 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q469_design_effect" ->
+      """WITH cl AS (
+           SELECT user_id, count(*) AS n_c,
+             CAST(sum(v) AS BIGINT) AS s_c,
+             CAST(sum(v * v) AS BIGINT) AS ss_c
+           FROM (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v
+                 FROM events)
+           GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS k, CAST(sum(n_c) AS BIGINT) AS n,
+             CAST(sum(s_c) AS BIGINT) AS s_all,
+             CAST(sum(ss_c) AS BIGINT) AS ss_all,
+             CAST(sum(n_c * n_c) AS BIGINT) AS sn2,
+             CAST(sum(CAST(floor((CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+               / CAST(n_c AS DOUBLE)) * 100.0) AS BIGINT)) AS BIGINT)
+               AS a_e2
+           FROM cl),
+         ch AS (
+           SELECT *,
+             CAST(a_e2 AS DOUBLE) / 100.0 - CAST(s_all AS DOUBLE)
+               * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss_all AS DOUBLE) - CAST(a_e2 AS DOUBLE) / 100.0 AS ssw
+           FROM ag),
+         ch2 AS (
+           SELECT *, ssb / (CAST(k AS DOUBLE) - 1.0) AS msb,
+             ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0) AS m0
+           FROM ch),
+         ch3 AS (
+           SELECT *, (msb - msw) / (msb + (m0 - 1.0) * msw) AS icc
+           FROM ch2)
+         SELECT k, n,
+           CAST(floor(m0 * 1000000.0) AS BIGINT) AS m0_e6,
+           CAST(floor(icc * 1000000.0) AS BIGINT) AS icc_e6,
+           CAST(floor((1.0 + (m0 - 1.0) * icc) * 1000000.0) AS BIGINT)
+             AS deff_e6
+         FROM ch3""",
+
+    "q470_poststratified_mean" ->
+      """WITH docs AS (SELECT lang, doc_id, n_chars AS y FROM documents),
+         pop AS (SELECT lang, count(*) AS nh_pop FROM docs GROUP BY 1),
+         samp AS (
+           SELECT lang, count(*) AS nh, CAST(sum(y) AS BIGINT) AS sh,
+             CAST(sum(y * y) AS BIGINT) AS ssh
+           FROM docs WHERE doc_id % 7 = 0 GROUP BY 1),
+         tots AS (
+           SELECT count(*) AS n_pop, CAST(sum(y) AS BIGINT) AS sy_pop
+           FROM docs),
+         j AS (
+           SELECT samp.*, pop.nh_pop, tots.n_pop, tots.sy_pop
+           FROM samp JOIN pop USING (lang) CROSS JOIN tots),
+         ag AS (
+           SELECT CAST(sum(nh) AS BIGINT) AS n_sample,
+             CAST(sum(sh) AS BIGINT) AS sy_s,
+             max(n_pop) AS n_pop, max(sy_pop) AS sy_pop,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+               (CAST(nh_pop AS DOUBLE) / CAST(n_pop AS DOUBLE))
+                 * (CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+               ORDER BY lang)), (acc, x) -> acc + x) AS pmean,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+               (CAST(nh_pop AS DOUBLE) / CAST(n_pop AS DOUBLE))
+                 * (CAST(nh_pop AS DOUBLE) / CAST(n_pop AS DOUBLE))
+                 * ((CAST(ssh AS DOUBLE) - CAST(sh AS DOUBLE)
+                   * CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+                   / (CAST(nh AS DOUBLE) - 1.0))
+                 / CAST(nh AS DOUBLE)
+               ORDER BY lang)), (acc, x) -> acc + x) AS pvar
+           FROM j)
+         SELECT n_sample,
+           sy_s * 1000000 // n_sample AS plain_mean_e6,
+           CAST(floor(pmean * 1000000.0) AS BIGINT) AS poststrat_mean_e6,
+           sy_pop * 1000000 // n_pop AS true_mean_e6,
+           CAST(floor(pvar * 1000000.0) AS BIGINT) AS pvar_e6
+         FROM ag""",
 
     "q462_cascade_filter" ->
       s"""WITH f AS (

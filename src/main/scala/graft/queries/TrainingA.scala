@@ -650,6 +650,38 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Batch padding-waste audit — the measured case for length-bucketed
+    // batching: pack documents into fixed batches of 32 under (a)
+    // length-sorted order and (b) hash-shuffled order, and price the
+    // padding each strategy wastes (Σ batch_size·max_len − Σ len, the
+    // tokens a fixed-shape training step pads). THE dataloader knob for
+    // a 100 TB text pipeline, usually asserted — here exact. Batching
+    // rides the two-phase globalRank (no global window); everything
+    // else is integer sums. Scale: two rank passes + keyed batch
+    // aggregates.
+    "q468_padding_waste" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("len"))
+        .withColumn("hv", TextFunctions.hash60(concat(lit("pad:"),
+          col("doc_id").cast("string"))))
+      def strat(name: String, sortCols: Seq[Column]): DataFrame =
+        graft.operators.Ranking.globalRank(docs, "r", sortCols: _*)
+          .withColumn("batch", expr("(r - 1) div 32"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("nb"), max("len").as("mx"),
+            sum("len").as("sl"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("nb") * col("mx")).as("slots"),
+            sum("sl").as("total_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("total_tokens"), (col("slots") - col("total_tokens"))
+              .as("padded_slots"),
+            expr("(slots - total_tokens) * 1000000 div slots")
+              .as("waste_e6"))
+      strat("sorted", Seq(col("len").asc, col("doc_id").asc))
+        .unionByName(strat("shuffled", Seq(col("hv").asc, col("doc_id").asc)))
+    }),
+
     // BM25 parameter-stability grid — how much does the top-10 CHANGE
     // across (k1, b) settings? The tuning question that matters before
     // anyone sweats defaults: if the head of the ranking is stable,
@@ -2163,6 +2195,49 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q468_padding_waste" -> {
+      val h60 = graft.queries.TrainingShared.h60(
+        "concat('pad:', CAST(doc_id AS VARCHAR))")
+      s"""WITH docs AS (
+           SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len,
+             $h60 AS hv
+           FROM documents),
+         s1 AS (
+           SELECT len, row_number() OVER (ORDER BY len, doc_id) AS r
+           FROM docs),
+         b1 AS (
+           SELECT (r - 1) // 32 AS batch, count(*) AS nb,
+             max(len) AS mx, CAST(sum(len) AS BIGINT) AS sl
+           FROM s1 GROUP BY 1),
+         a1 AS (
+           SELECT count(*) AS n_batches,
+             CAST(sum(nb * mx) AS BIGINT) AS slots,
+             CAST(sum(sl) AS BIGINT) AS total_tokens
+           FROM b1),
+         s2 AS (
+           SELECT len, row_number() OVER (ORDER BY hv, doc_id) AS r
+           FROM docs),
+         b2 AS (
+           SELECT (r - 1) // 32 AS batch, count(*) AS nb,
+             max(len) AS mx, CAST(sum(len) AS BIGINT) AS sl
+           FROM s2 GROUP BY 1),
+         a2 AS (
+           SELECT count(*) AS n_batches,
+             CAST(sum(nb * mx) AS BIGINT) AS slots,
+             CAST(sum(sl) AS BIGINT) AS total_tokens
+           FROM b2)
+         SELECT 'sorted' AS strategy, n_batches, total_tokens,
+           slots - total_tokens AS padded_slots,
+           (slots - total_tokens) * 1000000 // slots AS waste_e6
+         FROM a1
+         UNION ALL
+         SELECT 'shuffled', n_batches, total_tokens,
+           slots - total_tokens,
+           (slots - total_tokens) * 1000000 // slots
+         FROM a2"""
+    },
 
     "q466_bm25_stability" ->
       """WITH tf AS (
