@@ -251,7 +251,10 @@ object Bench {
     "q467_condorcet_fusion", // Copeland + Borda committee ranking
     "q468_padding_waste", // length-bucketed vs shuffled batch padding
     "q469_design_effect", // user-cluster ICC and Kish DEFF
-    "q470_poststratified_mean") // population-reweighted sample mean
+    "q470_poststratified_mean", // population-reweighted sample mean
+    "q471_speculative_acceptance", // draft/target acceptance + speedup
+    "q472_mi_feature_ranking", // metadata MI vs the keep label
+    "q473_compaction_planner") // target-size file packing manifest
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,42 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Mutual-information feature ranking — which metadata feature
+    // (lang, source, or length decile) carries the most information
+    // about the quality-keep label? The feature-selection readout run
+    // before training a filter model: MI = Σ p(x,y)·ln(p(x,y)·N /
+    // (n_x·n_y)) per feature, cells bounded by the feature domain.
+    // Exact: per-cell terms floored to e9 PER TERM then integer-summed
+    // (the q278 rule; cell counts ≤ 40 per feature). Scale: one scan,
+    // three bounded cell tables.
+    "q472_mi_feature_ranking" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("lang"), col("source"),
+          expr("least(n_chars div 200, 9L)").as("len_dec"),
+          col("q.keep").cast("long").as("y"))
+        .persist() // three feature passes read it
+      def mi(name: String, c: Column): DataFrame = {
+        val cells = f.select(c.cast("string").as("x"), col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+        val nx = cells.groupBy("x").agg(sum("nxy").as("nx"))
+        val ny = cells.groupBy("y").agg(sum("nxy").as("ny"))
+        val nn = cells.agg(sum("nxy").as("n"))
+        cells.join(nx, "x").join(broadcast(ny), "y")
+          .crossJoin(broadcast(nn))
+          .withColumn("t_e9", floor(
+            (d(col("nxy")) / d(col("n"))) *
+            log(d(col("nxy")) * d(col("n")) /
+              (d(col("nx")) * d(col("ny")))) * 1e9).cast("long"))
+          .agg(count(lit(1)).as("n_cells"), sum("t_e9").as("mi_sum_e9"))
+          .select(lit(name).as("feature"), col("n_cells"),
+            expr("mi_sum_e9 div 1000").as("mi_e6"))
+      }
+      mi("lang", col("lang"))
+        .unionByName(mi("source", col("source")))
+        .unionByName(mi("len_decile", col("len_dec")))
+    }),
+
     // Cluster-sampling design effect (Kish 1965) — events cluster by
     // USER, so n events carry far fewer than n independent draws: the
     // intraclass correlation ρ from the one-way ANOVA components
@@ -2230,6 +2266,37 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q472_mi_feature_ranking" -> {
+      def miSql(name: String, xExpr: String) =
+        s"""SELECT '$name' AS feature, n_cells, mi_sum_e9 // 1000 AS mi_e6
+           FROM (
+             SELECT count(*) AS n_cells,
+               CAST(sum(t_e9) AS BIGINT) AS mi_sum_e9
+             FROM (
+               SELECT CAST(floor(
+                 (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                 * 1000000000.0) AS BIGINT) AS t_e9
+               FROM (
+                 SELECT x, y, nxy,
+                   CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+                   CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+                   CAST(sum(nxy) OVER () AS BIGINT) AS n
+                 FROM (
+                   SELECT CAST($xExpr AS VARCHAR) AS x, y, count(*) AS nxy
+                   FROM f GROUP BY 1, 2))))"""
+      s"""WITH f AS (
+           SELECT lang, source, least(n_chars // 200, 9) AS len_dec,
+             ${TrainingShared.keepRuleSql} AS y
+           FROM (SELECT lang, source, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents))
+         ${miSql("lang", "lang")}
+         UNION ALL ${miSql("source", "source")}
+         UNION ALL ${miSql("len_decile", "len_dec")}"""
+    },
 
     "q469_design_effect" ->
       """WITH cl AS (

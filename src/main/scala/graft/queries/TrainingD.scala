@@ -752,6 +752,37 @@ private[queries] object TrainingD {
     }),
 
 
+    // Speculative-decoding acceptance model (Leviathan, Kalman & Matias
+    // 2023): with draft probability p_d and target probability p_t per
+    // token (the standing two-score fixture), the acceptance rate is
+    // α = E[min(1, p_t/p_d)], and a k=4-token draft yields
+    // E[tokens/step] = (1−α⁵)/(1−α) — the serving-speedup planning
+    // number computed from scored logs, no model in the loop. Exact:
+    // per-token ratios floored to e6 BEFORE the mean (per-term floor
+    // rule); α⁵ by repeated multiplication (powProd rule); ONE pinned
+    // tail chain. Scale: one scan, one global aggregate.
+    "q471_speculative_acceptance" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(
+        expr("""greatest(1L, least(999999L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("pd_e6"),
+        expr("""greatest(1L, least(999999L, cast(floor(
+            (cast(embedding[1] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("pt_e6"))
+        .withColumn("acc_e6",
+          least(lit(1000000L), expr("pt_e6 * 1000000 div pd_e6")))
+      e.agg(count(lit(1)).as("n"), sum("acc_e6").as("sa"))
+        .withColumn("alpha", (col("sa").cast("double") /
+          col("n").cast("double")) / 1000000.0d)
+        .select(col("n"),
+          expr("sa div n").as("alpha_e6"),
+          floor((lit(1.0d) -
+            (((col("alpha") * col("alpha")) * (col("alpha") * col("alpha"))) *
+              col("alpha"))) /
+            (lit(1.0d) - col("alpha")) * 1e6).cast("long")
+            .as("tokens_per_step_e6"))
+    }),
+
     // Dedup-threshold sweep — the tuning table behind "dedup at
     // Jaccard ≥ 0.8": for each candidate threshold (0.50–0.90 by
     // 0.10), how many LSH candidate pairs clear it, how many documents
@@ -2237,6 +2268,32 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q471_speculative_acceptance" ->
+      """WITH e AS (
+           SELECT
+             greatest(1, least(999999, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS pd_e6,
+             greatest(1, least(999999, CAST(floor(
+               (CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS pt_e6
+           FROM embeddings),
+         a AS (
+           SELECT least(1000000, pt_e6 * 1000000 // pd_e6) AS acc_e6
+           FROM e),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(acc_e6) AS BIGINT) AS sa
+           FROM a),
+         ch AS (
+           SELECT *, (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+             AS alpha
+           FROM ag)
+         SELECT n, sa // n AS alpha_e6,
+           CAST(floor((1.0 - (((alpha * alpha) * (alpha * alpha)) * alpha))
+             / (1.0 - alpha) * 1000000.0) AS BIGINT)
+             AS tokens_per_step_e6
+         FROM ch""",
 
     "q465_dedup_threshold_sweep" ->
       s"""WITH $minhashCtes,

@@ -29,6 +29,26 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Small-files compaction planner — the OPTIMIZE planning step a
+    // log-structured table (TxTable) runs before rewriting: pack the
+    // per-day row counts into target-size files (2000 rows) by walking
+    // the cumulative row line; a day joins the file its starting
+    // offset falls in, so files land within one day's rows of target.
+    // Exact: cum counts ride PrefixScan, the file id is one trunc-div.
+    // Reports each planned file's day range, day count and rows — the
+    // rewrite manifest. Scale: one scan + the two-phase prefix scan.
+    "q473_compaction_planner" -> ((s, d) => {
+      val daily = t(s, d, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("rows"))
+      graft.operators.PrefixScan.scanLong(daily, "cb", "rows", "sum",
+          inclusive = false, col("day"))
+        .withColumn("file_id", expr("cb div 2000"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_days"), sum("rows").as("n_rows"),
+          min("day").as("day_lo"), max("day").as("day_hi"))
+    }),
+
     // Zone-map (min/max) data-skipping audit — the measured version of
     // the layout decision every 100 TB table owner makes: split orders
     // into 64 contiguous row groups under three physical orders
@@ -902,6 +922,21 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q473_compaction_planner" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS rows
+           FROM events GROUP BY 1),
+         cum AS (
+           SELECT day, rows,
+             CAST(COALESCE(sum(rows) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+           FROM daily)
+         SELECT cb // 2000 AS file_id, count(*) AS n_days,
+           CAST(sum(rows) AS BIGINT) AS n_rows,
+           min(day) AS day_lo, max(day) AS day_hi
+         FROM cum GROUP BY 1""",
+
     "q452_zonemap_skipping" ->
       """WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
          nn AS (
