@@ -254,7 +254,10 @@ object Bench {
     "q470_poststratified_mean", // population-reweighted sample mean
     "q471_speculative_acceptance", // draft/target acceptance + speedup
     "q472_mi_feature_ranking", // metadata MI vs the keep label
-    "q473_compaction_planner") // target-size file packing manifest
+    "q473_compaction_planner", // target-size file packing manifest
+    "q474_session_gap_sweep", // session counts per gap threshold
+    "q475_retention_policy", // rows/users kept per TTL window
+    "q476_audience_overlap") // user-set Jaccard per type pair
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

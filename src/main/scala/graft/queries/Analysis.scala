@@ -1219,6 +1219,100 @@ object Analysis {
     "q292_markov_stationary" -> ((s, d) =>
       markovStationary(markovCounts(s, d))),
 
+    // Session gap-parameter sweep — the tuning table behind q66's
+    // 30-minute sessionization: for gap thresholds of 15/30/60/120
+    // minutes, how many sessions exist and how long is the mean
+    // session? Computed WITHOUT re-sessionizing per threshold: one
+    // keyed lag pass yields every inter-event gap, and each
+    // threshold's session count is n_users + #(gaps > t) — session
+    // starts are exactly the threshold-exceeding gaps. Exact integer
+    // microsecond arithmetic. Scale: one keyed window pass + one
+    // 4-row conditional aggregate.
+    "q474_session_gap_sweep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tm", "event_id")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tm"),
+          col("event_id"))
+        .withColumn("gap", col("tm") - lag("tm", 1).over(w))
+      val users = ev.agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        (max("tm") - min("tm")).as("span_us"))
+      val gaps = ev.where(col("gap").isNotNull)
+        .select(explode(expr(
+          """array(named_struct('t_min', 15L, 'g', gap),
+                   named_struct('t_min', 30L, 'g', gap),
+                   named_struct('t_min', 60L, 'g', gap),
+                   named_struct('t_min', 120L, 'g', gap))""")).as("x"))
+        .select(col("x.t_min").as("t_min"), col("x.g").as("g"))
+        .groupBy("t_min")
+        .agg(sum(when(col("g") > col("t_min") * 60000000L, 1L)
+          .otherwise(0L)).as("n_breaks"))
+      gaps.crossJoin(broadcast(users))
+        .select(col("t_min"), (col("n_users") + col("n_breaks"))
+            .as("n_sessions"),
+          expr("n_events * 1000000 div (n_users + n_breaks)")
+            .as("events_per_session_e6"))
+    }),
+
+    // Retention-policy simulator — the storage-governance table a
+    // 100 TB event store prices before setting TTLs: for retention
+    // windows of 30/90/180/365 days back from the newest event, the
+    // rows and users retained and the share dropped. One scan + one
+    // 4-row conditional aggregate (no per-policy re-scan). Exact
+    // integer day arithmetic.
+    "q475_retention_policy" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val mx = ev.agg(max("day").as("mx"), count(lit(1)).as("n_total"))
+      val tagged = ev.crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("mx") - col("day")).as("age"),
+          col("n_total"))
+      tagged.select(explode(expr(
+          """array(named_struct('win', 30L, 'age', age, 'u', user_id,
+                     'n', n_total),
+                   named_struct('win', 90L, 'age', age, 'u', user_id,
+                     'n', n_total),
+                   named_struct('win', 180L, 'age', age, 'u', user_id,
+                     'n', n_total),
+                   named_struct('win', 365L, 'age', age, 'u', user_id,
+                     'n', n_total))""")).as("x"))
+        .select(col("x.win").as("win"), col("x.age").as("age"),
+          col("x.u").as("u"), col("x.n").as("n_total"))
+        .where(col("age") < col("win"))
+        .groupBy("win")
+        .agg(count(lit(1)).as("rows_kept"),
+          countDistinct("u").as("users_kept"),
+          max("n_total").as("n_total"))
+        .select(col("win"), col("rows_kept"), col("users_kept"),
+          expr("(n_total - rows_kept) * 1000000 div n_total")
+            .as("dropped_e6"))
+    }),
+
+    // Audience-overlap matrix — for every event-type pair, the Jaccard
+    // of their USER sets (do the same people trigger both?): the
+    // co-usage readout behind bundling/funnel hypotheses, and the
+    // user-set analogue of q229's content overlap. Exact: distinct
+    // (type, user) frame once, one keyed self-join on user, k²-bounded
+    // output. Scale: the self-join is keyed by user (no cross
+    // product); type cardinality bounds the result.
+    "q476_audience_overlap" -> ((s, d) => {
+      val tu = t(s, d, "events").select(col("event_type"), col("user_id"))
+        .distinct().persist() // sizes + the pair join read it
+      val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = tu.select(col("event_type").as("t1"), col("user_id"))
+        .join(tu.select(col("event_type").as("t2"), col("user_id")),
+          "user_id")
+        .where(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+      inter.join(broadcast(sizes.select(col("event_type").as("t1"),
+          col("n").as("n1"))), "t1")
+        .join(broadcast(sizes.select(col("event_type").as("t2"),
+          col("n").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          expr("n_both * 1000000 div (n1 + n2 - n_both)").as("jaccard_e6"))
+    }),
+
     // Least-squares changepoint (the single-breakpoint segmented-mean
     // fit — Hinkley 1970; the SSE-optimal cousin of q208/q413's CUSUM
     // alarms, which locate drift but not the BEST split): choose the
@@ -2876,6 +2970,62 @@ object Analysis {
          SELECT user_id, count(*) AS n_islands,
            CAST(sum(i_en - i_st) AS BIGINT) AS covered_us
          FROM g GROUP BY 1""",
+
+    "q474_session_gap_sweep" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS tm, event_id FROM events),
+         g AS (
+           SELECT user_id, tm - lag(tm) OVER (PARTITION BY user_id
+             ORDER BY tm, event_id) AS gap
+           FROM ev),
+         users AS (
+           SELECT count(DISTINCT user_id) AS n_users,
+             count(*) AS n_events
+           FROM ev),
+         th AS (SELECT unnest([15, 30, 60, 120]) AS t_min),
+         breaks AS (
+           SELECT t_min,
+             CAST(sum(CASE WHEN gap > CAST(t_min AS BIGINT) * 60000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+           FROM g, th WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT CAST(t_min AS BIGINT) AS t_min,
+           n_users + n_breaks AS n_sessions,
+           n_events * 1000000 // (n_users + n_breaks)
+             AS events_per_session_e6
+         FROM breaks, users""",
+
+    "q475_retention_policy" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         mx AS (SELECT max(day) AS mx, count(*) AS n_total FROM ev),
+         tagged AS (
+           SELECT user_id, mx - day AS age, n_total FROM ev, mx),
+         th AS (SELECT unnest([30, 90, 180, 365]) AS win)
+         SELECT CAST(win AS BIGINT) AS win, count(*) AS rows_kept,
+           count(DISTINCT user_id) AS users_kept,
+           (max(n_total) - count(*)) * 1000000 // max(n_total)
+             AS dropped_e6
+         FROM tagged, th WHERE age < win GROUP BY 1""",
+
+    "q476_audience_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type, user_id FROM events),
+         sizes AS (
+           SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+         inter AS (
+           SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*) AS n_both
+           FROM tu a JOIN tu b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT t1, t2, s1.n AS n1, s2.n AS n2,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS BIGINT) * 1000000 // (s1.n + s2.n - n_both)
+             AS jaccard_e6
+         FROM inter
+         JOIN sizes s1 ON s1.event_type = t1
+         JOIN sizes s2 ON s2.event_type = t2""",
 
     "q444_sse_changepoint" ->
       """WITH daily AS (
