@@ -257,7 +257,10 @@ object Bench {
     "q473_compaction_planner", // target-size file packing manifest
     "q474_session_gap_sweep", // session counts per gap threshold
     "q475_retention_policy", // rows/users kept per TTL window
-    "q476_audience_overlap") // user-set Jaccard per type pair
+    "q476_audience_overlap", // user-set Jaccard per type pair
+    "q477_isotropy", // mean paired cosine + mean-energy ratio
+    "q478_langid_confusion", // stopword classifier vs labeled lang
+    "q479_topk_churn") // head-vocabulary drift between halves
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -650,6 +650,47 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Language-ID confusion matrix — q52's stopword classifier judged
+    // against the labeled lang column: the per-cell confusion table
+    // plus each TRUE language's row share, the eval a routing pipeline
+    // reads before trusting predicted language for filtering (zh has
+    // no stopword list, so its row lands on 'und' — the audit makes
+    // that visible instead of silent). Exact integers; one scan + a
+    // bounded-cell aggregate.
+    "q478_langid_confusion" -> ((s, d) => {
+      val f = t(s, d, "documents").select(col("lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      val cells = f.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy("lang").agg(sum("n").as("n_row"))
+      cells.join(rows, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 div n_row").as("row_share_e6"))
+    }),
+
+    // Top-k vocabulary churn — do the corpus halves share a head? The
+    // drift smoke-test a streaming ingest runs cheaply before heavier
+    // q288/q391 distribution tests: top-20 tokens per half (doc_id
+    // split at the midpoint), overlap and Jaccard of the two head
+    // sets. Exact: integer counts, TopKPerKey per half (map-side
+    // heaps), tie-broken by token. Scale: one token scan + two
+    // bounded head sets.
+    "q479_topk_churn" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val tc = docs.crossJoin(broadcast(mx))
+        .select(when(col("doc_id") * 2 <= col("mx"), "h1").otherwise("h2")
+          .as("half"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("half", "tok").agg(count(lit(1)).as("c"))
+      val top = graft.plans.TopKPerKey(tc, Seq("half"),
+        Seq(col("c").desc, col("tok").asc), 20)
+      val h1 = top.where(col("half") === "h1").select(col("tok"))
+      val h2 = top.where(col("half") === "h2").select(col("tok"))
+      h1.join(h2, Seq("tok")).agg(count(lit(1)).as("overlap"))
+        .select(col("overlap"),
+          expr("overlap * 1000000 div (40 - overlap)").as("jaccard_e6"))
+    }),
+
     // Batch padding-waste audit — the measured case for length-bucketed
     // batching: pack documents into fixed batches of 32 under (a)
     // length-sorted order and (b) hash-shuffled order, and price the
@@ -2195,6 +2236,49 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q478_langid_confusion" -> {
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      """WITH p AS (
+           SELECT lang,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS pred_lang
+           FROM (SELECT lang, h_en, h_es, h_fr, h_de,
+                   greatest(h_en, h_es, h_fr, h_de) AS mx
+                 FROM (SELECT lang, """ + hits + """ FROM documents))),
+         cells AS (
+           SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         rws AS (
+           SELECT lang, CAST(sum(n) AS BIGINT) AS n_row
+           FROM cells GROUP BY 1)
+         SELECT cells.lang, pred_lang, n,
+           n * 1000000 // n_row AS row_share_e6
+         FROM cells JOIN rws USING (lang)"""
+    },
+
+    "q479_topk_churn" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         tc AS (
+           SELECT CASE WHEN doc_id * 2 <= (SELECT mx FROM mx)
+               THEN 'h1' ELSE 'h2' END AS half, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                   AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         top AS (
+           SELECT half, tok FROM (
+             SELECT half, tok,
+               row_number() OVER (PARTITION BY half
+                 ORDER BY c DESC, tok) AS rn
+             FROM tc)
+           WHERE rn <= 20)
+         SELECT count(*) AS overlap,
+           count(*) * 1000000 // (40 - count(*)) AS jaccard_e6
+         FROM (SELECT tok FROM top WHERE half = 'h1') a
+         JOIN (SELECT tok FROM top WHERE half = 'h2') b USING (tok)""",
 
     "q468_padding_waste" -> {
       val h60 = graft.queries.TrainingShared.h60(

@@ -867,6 +867,56 @@ private[queries] object TrainingD {
             .as("recall_mp_e6"))
     }),
 
+    // Embedding isotropy audit (Ethayarajh 2019 / Mu & Viswanath's
+    // common-direction diagnosis): two cheap global statistics that
+    // catch anisotropic collapse before any ANN index is built — the
+    // mean cosine over hash-paired random couples (≈0 when isotropic,
+    // ≫0 when a common direction dominates) and ‖μ‖²/E‖x‖² (share of
+    // energy in the mean vector). Exact: integer dots/norms, per-pair
+    // cosine floored e6 BEFORE the mean; the 64 per-dim mean terms
+    // fold in dim order. Scale: one rank pass for pairing, one
+    // posexplode aggregate — both linear.
+    "q477_isotropy" -> ((s, d) => {
+      val q = expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 64) as bigint))")
+      val e = t(s, d, "embeddings").select(col("vec_id"), q.as("ve"))
+        .withColumn("hv", TextFunctions.hash60(concat(lit("iso:"),
+          col("vec_id").cast("string"))))
+      val r = graft.operators.Ranking.globalRank(e, "r",
+        col("hv").asc, col("vec_id").asc)
+      val pairs = r.where((col("r") - 1L) % 2L === 0L)
+        .select(expr("(r - 1) div 2").as("j"), col("ve").as("v1"))
+        .join(r.where((col("r") - 1L) % 2L === 1L)
+          .select(expr("(r - 1) div 2").as("j"), col("ve").as("v2")), "j")
+      def dot(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (p, q) -> p * q),
+           cast(0 as bigint), (acc, x) -> acc + x)""")
+      val cos = pairs
+        .select(floor(dot("v1", "v2").cast("double") /
+          (sqrt(dot("v1", "v1").cast("double")) *
+            sqrt(dot("v2", "v2").cast("double"))) * 1e6).cast("long")
+          .as("cos_e6"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cos_e6) div count(1)").as("mean_cos_e6"))
+      val dims = t(s, d, "embeddings")
+        .select(posexplode(q).as(Seq("dim", "v")))
+        .groupBy("dim").agg(sum("v").as("sv"), count(lit(1)).as("n"),
+          sum(col("v") * col("v")).as("ssv"))
+      val iso = dims.agg(max("n").as("n"), sum("ssv").as("ss_all"),
+          array_sort(collect_list(struct(col("dim"), col("sv"), col("n"))))
+            .as("ps"))
+        .withColumn("mu2", aggregate(transform(col("ps"),
+          x => (x.getField("sv").cast("double") /
+            x.getField("n").cast("double")) *
+            (x.getField("sv").cast("double") /
+              x.getField("n").cast("double"))),
+          lit(0.0d), (acc, x) => acc + x))
+        .select(floor(col("mu2") /
+          (col("ss_all").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long").as("mean_energy_ratio_e6"))
+      cos.crossJoin(iso)
+    }),
+
     // Linear-time MMD² estimator (Gretton et al. 2012, §6 — MMD_l):
     // the two-sample embedding-space test whose cost is O(n), not the
     // O(n²) kernel matrix: pair consecutive samples within each label
@@ -2268,6 +2318,64 @@ private[queries] object TrainingD {
            CAST(sum(theory_e6) AS BIGINT) // count(*) AS mean_theory_e6
          FROM joined GROUP BY bkt""",
 
+
+    "q477_isotropy" -> {
+      val h60q = graft.queries.TrainingShared.h60(
+        "concat('iso:', CAST(vec_id AS VARCHAR))")
+      def ldot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), " +
+          s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])) AS BIGINT)"
+      s"""WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS ve,
+             $h60q AS hv
+           FROM embeddings),
+         rk AS (
+           SELECT ve, row_number() OVER (ORDER BY hv, vec_id) AS r
+           FROM e),
+         pr AS (
+           SELECT a.j, a.v1, b.v2
+           FROM (SELECT (r - 1) // 2 AS j, ve AS v1 FROM rk
+                 WHERE (r - 1) % 2 = 0) a
+           JOIN (SELECT (r - 1) // 2 AS j, ve AS v2 FROM rk
+                 WHERE (r - 1) % 2 = 1) b USING (j)),
+         cosa AS (
+           SELECT CAST(floor(CAST(${ldot("v1", "v2")} AS DOUBLE)
+             / (sqrt(CAST(${ldot("v1", "v1")} AS DOUBLE))
+               * sqrt(CAST(${ldot("v2", "v2")} AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS cos_e6
+           FROM pr),
+         cs AS (
+           SELECT count(*) AS n_pairs,
+             CAST(sum(cos_e6) AS BIGINT) // count(*) AS mean_cos_e6
+           FROM cosa),
+         dims AS (
+           SELECT CAST(i - 1 AS BIGINT) AS dim,
+             CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 64) AS BIGINT)) AS BIGINT) AS sv,
+             count(*) AS n,
+             CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 64) AS BIGINT)
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 64) AS BIGINT)) AS BIGINT) AS ssv
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           GROUP BY 1),
+         iso0 AS (
+           SELECT max(n) AS n, CAST(sum(ssv) AS BIGINT) AS ss_all,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 ORDER BY dim)), (acc, x) -> acc + x) AS mu2
+           FROM dims),
+         iso AS (
+           SELECT CAST(floor(mu2
+             / (CAST(ss_all AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS mean_energy_ratio_e6
+           FROM iso0)
+         SELECT n_pairs, mean_cos_e6, mean_energy_ratio_e6
+         FROM cs, iso"""
+    },
 
     "q471_speculative_acceptance" ->
       """WITH e AS (
