@@ -260,7 +260,10 @@ object Bench {
     "q476_audience_overlap", // user-set Jaccard per type pair
     "q477_isotropy", // mean paired cosine + mean-energy ratio
     "q478_langid_confusion", // stopword classifier vs labeled lang
-    "q479_topk_churn") // head-vocabulary drift between halves
+    "q479_topk_churn", // head-vocabulary drift between halves
+    "q480_fk_integrity", // star-schema orphan audit
+    "q481_id_continuity", // surrogate-key gap audit
+    "q482_unique_span_share") // memorization-risk span tail
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -650,6 +650,30 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Unique-span memorization-risk share — the PRIVACY tail of the
+    // span-frequency spectrum (q190's dup_spans measures the other
+    // end): what share of each source's 8-token spans occurs exactly
+    // once in the whole corpus? Globally-unique spans are the verbatim-
+    // memorizable surface a dedup pass cannot protect — the number a
+    // memorization audit (Carlini-style) budgets canaries against.
+    // Exact: 60-bit span hashes, one global count, one keyed tag join.
+    // Scale: one shingle scan + hash-keyed groupBy/join.
+    "q482_unique_span_share" -> ((s, d) => {
+      val spans = t(s, d, "documents")
+        .where(size(TextFunctions.tokens(col("text"))) >= 8)
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 8)).as("sp"))
+        .select(col("source"), TextFunctions.hash60(col("sp")).as("h"))
+        .persist() // global counts + the tag join read it
+      val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
+      spans.join(cnt, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("source"), col("n_spans"), col("n_unique"),
+          expr("n_unique * 1000000 div n_spans").as("unique_share_e6"))
+    }),
+
     // Language-ID confusion matrix — q52's stopword classifier judged
     // against the labeled lang column: the per-cell confusion table
     // plus each TRUE language's row share, the eval a routing pipeline
@@ -2236,6 +2260,26 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q482_unique_span_share" -> {
+      val cat = (0 to 7).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+        .mkString(", ' ', ")
+      s"""WITH spans AS (
+           SELECT source, ${h60("sp")} AS h
+           FROM (
+             SELECT source, unnest(list_transform(range(1, len(w) - 6),
+               i -> concat($cat))) AS sp
+             FROM (SELECT source, string_split(lower(text), ' ') AS w
+                   FROM documents)
+             WHERE len(w) >= 8)),
+         cnt AS (SELECT h, count(*) AS c FROM spans GROUP BY 1)
+         SELECT source, count(*) AS n_spans,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS unique_share_e6
+         FROM spans JOIN cnt USING (h) GROUP BY 1"""
+    },
 
     "q478_langid_confusion" -> {
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>

@@ -29,6 +29,68 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Referential-integrity (FK orphan) audit — the cross-table
+    // data-quality gate q213's single-table constraints cannot see:
+    // for every foreign-key edge of the star schema, how many child
+    // rows point at a missing parent. Broadcast anti-joins against the
+    // dim sides; the fact-fact edge (lineitem→orders) is the only
+    // shuffle. Exact integer counts; one verdict row per edge.
+    "q480_fk_integrity" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+        val p = parent.select(col(pkey).as(key)).distinct()
+        val orphans = child.select(col(key))
+          .join(if (bcast) broadcast(p) else p, Seq(key), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+            expr("n_orphans * 1000000 div n_child").as("orphan_e6"))
+      }
+      edge("orders->customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer").select(col("c_custkey").as("o_custkey")),
+          "o_custkey", bcast = true)
+        .unionByName(edge("lineitem->orders", t(s, d, "lineitem"),
+          "l_orderkey", t(s, d, "orders").select(col("o_orderkey")
+            .as("l_orderkey")), "l_orderkey", bcast = false))
+        .unionByName(edge("lineitem->part", t(s, d, "lineitem"),
+          "l_partkey", t(s, d, "part").select(col("p_partkey")
+            .as("l_partkey")), "l_partkey", bcast = true))
+        .unionByName(edge("lineitem->supplier", t(s, d, "lineitem"),
+          "l_suppkey", t(s, d, "supplier").select(col("s_suppkey")
+            .as("l_suppkey")), "l_suppkey", bcast = true))
+        .unionByName(edge("customer->nation", t(s, d, "customer"),
+          "c_nationkey", t(s, d, "nation").select(col("n_nationkey")
+            .as("c_nationkey")), "c_nationkey", bcast = true))
+    }),
+
+    // Key-continuity audit — are the surrogate id sequences dense?
+    // Missing ids mean silently dropped ingestion batches; the audit
+    // reports missing count and the largest gap for documents.doc_id
+    // and orders.o_orderkey. Gaps via the two-phase globalRank +
+    // consecutive self-join (window-free). Exact integers.
+    "q481_id_continuity" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, key: String): DataFrame = {
+        val ids = df.select(col(key).as("id")).distinct()
+        val rk = graft.operators.Ranking.globalRank(ids, "r", col("id").asc)
+          .persist() // both sides of the consecutive join read it
+        val gaps = rk.select((col("r") + 1L).as("r"), col("id").as("prev"))
+          .join(rk, "r")
+          .agg(sum(when(col("id") - col("prev") > 1L, 1L).otherwise(0L))
+            .as("n_gaps"),
+            max(col("id") - col("prev") - 1L).as("max_gap"))
+        ids.agg(count(lit(1)).as("n"), min("id").as("id_min"),
+            max("id").as("id_max"))
+          .crossJoin(gaps)
+          .select(lit(name).as("sequence"), col("n"), col("id_min"),
+            col("id_max"), (col("id_max") - col("id_min") + 1L - col("n"))
+              .as("n_missing"),
+            col("n_gaps"), col("max_gap"))
+      }
+      audit("documents.doc_id", t(s, d, "documents"), "doc_id")
+        .unionByName(audit("orders.o_orderkey", t(s, d, "orders"),
+          "o_orderkey"))
+    }),
+
     // Small-files compaction planner — the OPTIMIZE planning step a
     // log-structured table (TxTable) runs before rewriting: pack the
     // per-day row counts into target-size files (2000 rows) by walking
@@ -922,6 +984,43 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q480_fk_integrity" -> {
+      def e(name: String, child: String, ckey: String, parent: String,
+          pkey: String) =
+        s"""SELECT fk_edge, n_child, n_orphans,
+             n_orphans * 1000000 // n_child AS orphan_e6
+           FROM (SELECT '$name' AS fk_edge,
+             (SELECT count(*) FROM $child) AS n_child,
+             (SELECT count(*) FROM $child x WHERE NOT EXISTS
+               (SELECT 1 FROM $parent p WHERE p.$pkey = x.$ckey))
+               AS n_orphans)"""
+      Seq(
+        e("orders->customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        e("customer->nation", "customer", "c_nationkey", "nation",
+          "n_nationkey")).mkString("\n         UNION ALL ")
+    },
+
+    "q481_id_continuity" -> {
+      def a(name: String, tbl: String, key: String) =
+        s"""SELECT '$name' AS sequence, count(*) AS n,
+             min(id) AS id_min, max(id) AS id_max,
+             max(id) - min(id) + 1 - count(*) AS n_missing,
+             CAST(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+             max(gap - 1) AS max_gap
+           FROM (SELECT id, id - lag(id) OVER (ORDER BY id) AS gap
+                 FROM (SELECT DISTINCT $key AS id FROM $tbl))"""
+      a("documents.doc_id", "documents", "doc_id") +
+        "\n         UNION ALL " +
+        a("orders.o_orderkey", "orders", "o_orderkey")
+    },
+
     "q473_compaction_planner" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS rows
