@@ -263,7 +263,10 @@ object Bench {
     "q479_topk_churn", // head-vocabulary drift between halves
     "q480_fk_integrity", // star-schema orphan audit
     "q481_id_continuity", // surrogate-key gap audit
-    "q482_unique_span_share") // memorization-risk span tail
+    "q482_unique_span_share", // memorization-risk span tail
+    "q483_successive_halving", // budgeted filter-config search
+    "q484_source_ablation", // leave-one-source-out metric deltas
+    "q485_block_bootstrap") // autocorrelation-aware variance ratio
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

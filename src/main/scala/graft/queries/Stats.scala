@@ -266,6 +266,152 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Leave-one-source-out ablation — the mixture diagnostic q390's
+    // KNN-Shapley prices per POINT, here per SOURCE and free: from
+    // per-source totals alone, what happens to the corpus keep rate
+    // and mean length if source s is dropped? The delta column ranks
+    // sources by their pull on the global metric — the first table a
+    // mixture owner reads before re-weighting (q249/q386 then decide
+    // how). Exact integer totals and trunc-divs; deltas are signed
+    // (both engines truncate toward zero). One scan, one k-bounded
+    // broadcast.
+    "q484_source_ablation" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("q.keep").cast("long")).as("k_s"),
+          sum("n_chars").as("sl_s"))
+      val tot = per.agg(sum("n_s").as("n"), sum("k_s").as("k"),
+        sum("sl_s").as("sl"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          expr("k * 1000000 div n").as("global_keep_e6"),
+          expr("(k - k_s) * 1000000 div (n - n_s)").as("loo_keep_e6"),
+          expr("""(k - k_s) * 1000000 div (n - n_s)
+            - k * 1000000 div n""").as("delta_keep_e6"),
+          expr("(sl - sl_s) * 1000000 div (n - n_s)").as("loo_len_e6"),
+          expr("""(sl - sl_s) * 1000000 div (n - n_s)
+            - sl * 1000000 div n""").as("delta_len_e6"))
+    }),
+
+    // Circular block bootstrap (Künsch 1989; Politis–Romano) — the
+    // variance of the daily-mean estimator under AUTOCORRELATION,
+    // which the iid bootstrap (q187) understates: 32 deterministic
+    // hash-seeded replicates each resample ⌊D/10⌋ circular 10-day
+    // blocks, and the replicate-mean variance is compared to the
+    // naive s²/D. ratio ≫ 1 = the series is dependent and every
+    // daily-mean CI must widen. Exact: block starts are hash mods,
+    // replicate means e2 integers, variances ONE pinned chain from
+    // integer Σm/Σm². Scale: day frame bounded; the resample explode
+    // is 32·D rows.
+    "q485_block_bootstrap" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val rk = graft.operators.Ranking.globalRank(daily, "p", col("day").asc)
+        .select(col("p"), col("y"))
+        .persist() // 32 replicate joins read it
+      val dd = rk.agg(count(lit(1)).as("dn"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      val picks = rk.sparkSession.range(32).select(col("id").as("r"))
+        .crossJoin(broadcast(dd.select(col("dn"))))
+        .select(col("r"), col("dn"),
+          explode(sequence(lit(0), expr("dn div 10 - 1"))).as("j"))
+        .withColumn("st", graft.functions.TextFunctions.hash60(
+          concat(lit("bb:"), col("r").cast("string"), lit(":"),
+            col("j").cast("string"))) % col("dn"))
+        .select(col("r"), col("dn"), col("st"),
+          explode(sequence(lit(0), lit(9))).as("m"))
+        .select(col("r"), ((col("st") + col("m")) % col("dn") + 1L).as("p"))
+      val reps = picks.join(rk, "p")
+        .groupBy("r")
+        .agg(count(lit(1)).as("ns"), sum("y").as("sy_r"))
+        .select(col("r"), expr("sy_r * 100 div ns").as("m_e2"))
+      reps.agg(count(lit(1)).as("n_reps"), sum("m_e2").as("sm"),
+          sum(col("m_e2") * col("m_e2")).as("smm"))
+        .crossJoin(broadcast(dd))
+        .withColumn("boot_var", (d(col("smm")) -
+          d(col("sm")) * d(col("sm")) / d(col("n_reps"))) /
+          (d(col("n_reps")) - 1.0d) / 10000.0d)
+        .withColumn("naive_var", ((d(col("syy")) -
+          d(col("sy")) * d(col("sy")) / d(col("dn"))) /
+          (d(col("dn")) - 1.0d)) / d(col("dn")))
+        .select(col("dn").as("n_days"), col("n_reps"),
+          floor(col("boot_var") * 1e6).cast("long").as("boot_var_e6"),
+          floor(col("naive_var") * 1e6).cast("long").as("naive_var_e6"),
+          when(col("naive_var") > 0.0d,
+            floor(col("boot_var") / col("naive_var") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("ratio_e6"))
+    }),
+
+    // Successive halving (Jamieson & Talwalkar 2016 — the Hyperband
+    // inner loop) over 8 quality-filter configs: evaluate all configs
+    // on a 1/8 hash sample, keep the best 4; re-evaluate on 1/4, keep
+    // 2; decide on 1/2 — the budget-efficient hyperparameter search a
+    // filter-tuning pipeline runs instead of full grid search. Metric:
+    // F1 agreement with the reference q53 keep rule. Exact: nested
+    // hash samples (bucket = h%8 < s, so rungs reuse smaller rungs'
+    // docs), per-(config, bucket) integer confusion sums aggregated
+    // once, rung F1s from bucket-prefix sums, selection by bounded
+    // self-join rank (window-free, ties → config id). One scan; the
+    // rung logic lives on the 8×8 bounded frame.
+    "q483_successive_halving" -> ((s, d0) => {
+      val grid = for {
+        (lm, i) <- Seq(5L, 10L, 20L, 40L).zipWithIndex
+        (se, j) <- Seq(0L, 1L).zipWithIndex
+      } yield (i * 2 + j, lm, se)
+      val gridExpr = grid.map { case (id, lm, se) =>
+        s"named_struct('cfg', ${id}L, 'lm', ${lm}L, 'se', ${se}L)"
+      }.mkString("array(", ", ", ")")
+      val base = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").as("ref"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("nw"),
+          (col("q.stop_ratio") * 1000.0d).as("sr_e3"),
+          (graft.functions.TextFunctions.hash60(concat(lit("sh:"),
+            col("doc_id").cast("string"))) % 8L).as("bucket"))
+      val cells = base.select(col("ref"), col("nw"), col("sr_e3"),
+          col("bucket"), explode(expr(gridExpr)).as("g"))
+        .select(col("g.cfg").as("cfg"), col("bucket"), col("ref"),
+          (col("nw") >= col("g.lm") &&
+            col("sr_e3") > col("g.se").cast("double")).as("pred"))
+        .groupBy("cfg", "bucket")
+        .agg(sum(when(col("pred") && col("ref"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("ref"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("ref"), 1L).otherwise(0L)).as("fn"))
+        .persist() // three rung prefixes read it
+      def f1At(s2: Long): DataFrame = cells.where(col("bucket") < s2)
+        .groupBy("cfg")
+        .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
+        .select(col("cfg"), expr(
+          "2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1L)")
+          .as(s"f1_s$s2"))
+      def topK(df: DataFrame, fcol: String, k: Int): DataFrame = {
+        val o = df.select(col("cfg").as("c2"), col(fcol).as("f2"))
+        df.join(broadcast(o), expr(
+            s"f2 > $fcol OR (f2 = $fcol AND c2 < cfg)"), "left")
+          .groupBy("cfg", fcol)
+          .agg(count(col("c2")).as("nbet"))
+          .where(col("nbet") < k)
+          .select(col("cfg"))
+      }
+      val r1 = f1At(1L)
+      val s2 = topK(r1, "f1_s1", 4)
+      val r2 = f1At(2L).join(s2, "cfg")
+      val s3 = topK(r2, "f1_s2", 2)
+      val r3 = f1At(4L).join(s3, "cfg")
+      val win = topK(r3, "f1_s4", 1).withColumn("winner", lit(true))
+      r1.join(r2, Seq("cfg"), "left")
+        .join(r3, Seq("cfg"), "left")
+        .join(win, Seq("cfg"), "left")
+        .na.fill(false, Seq("winner"))
+        .select(col("cfg"), col("f1_s1"), col("f1_s2"), col("f1_s4"),
+          col("winner"))
+    }),
+
     // Mutual-information feature ranking — which metadata feature
     // (lang, source, or length decile) carries the most information
     // about the quality-keep label? The feature-selection readout run
@@ -2266,6 +2412,154 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q484_source_ablation" ->
+      s"""WITH per AS (
+           SELECT source, count(*) AS n_s,
+             CAST(sum(keep) AS BIGINT) AS k_s,
+             CAST(sum(n_chars) AS BIGINT) AS sl_s
+           FROM (SELECT source, n_chars,
+                   ${TrainingShared.keepRuleSql} AS keep
+                 FROM (SELECT source, n_chars, text,
+                         string_split(lower(text), ' ') AS w
+                       FROM documents))
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(k_s) AS BIGINT) AS k,
+             CAST(sum(sl_s) AS BIGINT) AS sl
+           FROM per)
+         SELECT source, n_s,
+           k * 1000000 // n AS global_keep_e6,
+           (k - k_s) * 1000000 // (n - n_s) AS loo_keep_e6,
+           (k - k_s) * 1000000 // (n - n_s) - k * 1000000 // n
+             AS delta_keep_e6,
+           (sl - sl_s) * 1000000 // (n - n_s) AS loo_len_e6,
+           (sl - sl_s) * 1000000 // (n - n_s) - sl * 1000000 // n
+             AS delta_len_e6
+         FROM per, tot""",
+
+    "q485_block_bootstrap" -> {
+      val h60bb = TrainingShared.h60(
+        "concat('bb:', CAST(r AS VARCHAR), ':', CAST(j AS VARCHAR))")
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         rk AS (
+           SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS p, y
+           FROM dm),
+         dd AS (
+           SELECT count(*) AS dn, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM rk),
+         starts AS (
+           SELECT r, dn, ($h60bb) % dn AS st
+           FROM (SELECT CAST(r0 AS BIGINT) AS r,
+                   CAST(j0 AS BIGINT) AS j, dn
+                 FROM (SELECT unnest(range(0, 32)) AS r0), dd,
+                   (SELECT unnest(range(0, 50000)) AS j0)
+                 WHERE j0 < dn // 10)),
+         picks AS (
+           SELECT r, (st + CAST(m0 AS BIGINT)) % dn + 1 AS p
+           FROM starts, (SELECT unnest(range(0, 10)) AS m0)),
+         reps AS (
+           SELECT r, CAST(sum(y) AS BIGINT) * 100 // count(*) AS m_e2
+           FROM picks JOIN rk USING (p) GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS n_reps, CAST(sum(m_e2) AS BIGINT) AS sm,
+             CAST(sum(m_e2 * m_e2) AS BIGINT) AS smm
+           FROM reps),
+         ch AS (
+           SELECT *,
+             (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+               / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0)
+               / 10000.0 AS boot_var,
+             ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(dn AS DOUBLE)) / (CAST(dn AS DOUBLE) - 1.0))
+               / CAST(dn AS DOUBLE) AS naive_var
+           FROM ag, dd)
+         SELECT dn AS n_days, n_reps,
+           CAST(floor(boot_var * 1000000.0) AS BIGINT) AS boot_var_e6,
+           CAST(floor(naive_var * 1000000.0) AS BIGINT) AS naive_var_e6,
+           CASE WHEN naive_var > 0.0
+             THEN CAST(floor(boot_var / naive_var * 1000000.0) AS BIGINT)
+             ELSE 0 END AS ratio_e6
+         FROM ch"""
+    },
+
+    "q483_successive_halving" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      val h60sh = TrainingShared.h60("concat('sh:', CAST(doc_id AS VARCHAR))")
+      val grid = for {
+        (lm, i) <- Seq(5L, 10L, 20L, 40L).zipWithIndex
+        (se, j) <- Seq(0L, 1L).zipWithIndex
+      } yield (i * 2 + j, lm, se)
+      val gridSql = grid.map { case (id, lm, se) =>
+        s"($id, $lm, $se)"
+      }.mkString("VALUES ", ", ", "")
+      def f1At(s2: Long) =
+        s"""SELECT cfg,
+             2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1_s$s2
+           FROM (SELECT cfg, CAST(sum(tp) AS BIGINT) AS tp,
+                   CAST(sum(fp) AS BIGINT) AS fp,
+                   CAST(sum(fn) AS BIGINT) AS fn
+                 FROM cells WHERE bucket < $s2 GROUP BY 1)"""
+      def topK(src: String, fcol: String, k: Int) =
+        s"""SELECT cfg FROM (
+             SELECT a.cfg,
+               (SELECT count(*) FROM $src b
+                WHERE b.$fcol > a.$fcol
+                  OR (b.$fcol = a.$fcol AND b.cfg < a.cfg)) AS nbet
+             FROM $src a)
+           WHERE nbet < $k"""
+      s"""WITH b0 AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS w
+           FROM documents),
+         base AS (
+           SELECT
+             (len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001) AS refl,
+             CAST(len(w) AS BIGINT) AS nw,
+             round(CASE WHEN len(w) > 0
+               THEN CAST($stopAll AS DOUBLE) / len(w)
+               ELSE 0.0 END, 6) * 1000.0 AS sr_e3,
+             ($h60sh) % 8 AS bucket
+           FROM b0),
+         grid AS (SELECT * FROM ($gridSql) t(cfg, lm, se)),
+         cells AS (
+           SELECT cfg, bucket,
+             CAST(sum(CASE WHEN pred AND refl THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred AND NOT refl THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND refl THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn
+           FROM (SELECT CAST(cfg AS BIGINT) AS cfg, bucket, refl,
+                   (nw >= lm AND sr_e3 > CAST(se AS DOUBLE)) AS pred
+                 FROM base, grid)
+           GROUP BY 1, 2),
+         r1 AS MATERIALIZED (${f1At(1L)}),
+         s2 AS MATERIALIZED (${topK("r1", "f1_s1", 4)}),
+         r2 AS MATERIALIZED (
+           SELECT f.* FROM (${f1At(2L)}) f JOIN s2 USING (cfg)),
+         s3 AS MATERIALIZED (${topK("r2", "f1_s2", 2)}),
+         r3 AS MATERIALIZED (
+           SELECT f.* FROM (${f1At(4L)}) f JOIN s3 USING (cfg)),
+         win AS (
+           SELECT cfg, true AS winner FROM (${topK("r3", "f1_s4", 1)}))
+         SELECT r1.cfg, f1_s1, f1_s2, f1_s4,
+           COALESCE(winner, false) AS winner
+         FROM r1
+         LEFT JOIN r2 USING (cfg)
+         LEFT JOIN r3 USING (cfg)
+         LEFT JOIN win USING (cfg)"""
+    },
 
     "q472_mi_feature_ranking" -> {
       def miSql(name: String, xExpr: String) =
