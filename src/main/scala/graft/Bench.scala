@@ -266,7 +266,10 @@ object Bench {
     "q482_unique_span_share", // memorization-risk span tail
     "q483_successive_halving", // budgeted filter-config search
     "q484_source_ablation", // leave-one-source-out metric deltas
-    "q485_block_bootstrap") // autocorrelation-aware variance ratio
+    "q485_block_bootstrap", // autocorrelation-aware variance ratio
+    "q486_trimmed_mean_curve", // tail-sensitivity of the mean
+    "q487_mann_kendall", // nonparametric monotone-trend test
+    "q488_record_counts") // running-max records vs harmonic expectation
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,98 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Trimmed-mean robustness curve — the mean at 0/1/5/10% symmetric
+    // trims: if the estimate moves a lot as trimming grows, the tails
+    // own the mean and q31's fixed winsorization level was a guess.
+    // Exact: global ranks via the two-phase globalRank, per-trim
+    // bounds integer trunc-divs, conditional sums in ONE pass over
+    // the rank frame × 4 broadcast trim levels. Scale: one rank pass.
+    "q486_trimmed_mean_curve" -> ((s, d0) => {
+      val rk = graft.operators.Ranking.globalRank(
+        t(s, d0, "events").select(
+          floor(col("value") * 100).cast("long").as("v"), col("event_id")),
+        "r", col("v").asc, col("event_id").asc)
+      val nn = rk.agg(count(lit(1)).as("n"))
+      val trims = rk.sparkSession.range(1)
+        .select(explode(expr("array(0L, 10L, 50L, 100L)")).as("trim_pm"))
+        .crossJoin(broadcast(nn))
+        .select(col("trim_pm"), expr("trim_pm * n div 1000").as("lo"),
+          expr("n - trim_pm * n div 1000").as("hi"))
+      rk.crossJoin(broadcast(trims))
+        .where(col("r") > col("lo") && col("r") <= col("hi"))
+        .groupBy("trim_pm")
+        .agg(count(lit(1)).as("n_kept"), sum("v").as("sv"))
+        .select(col("trim_pm"), col("n_kept"),
+          expr("sv * 1000000 div n_kept").as("mean_e6"))
+    }),
+
+    // Mann–Kendall trend test (1945/1975) — the nonparametric "is
+    // there a monotone trend" TEST whose slope q409's Theil–Sen
+    // estimates: S = Σ_{i<j} sgn(y_j − y_i) over the day-bounded
+    // series (the all-pairs frame is bounded by the calendar, the
+    // q366 posture), tie-corrected variance, continuity-corrected z.
+    // Exact integers until one pinned chain.
+    "q487_mann_kendall" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // both pair sides + ties read it
+      val pairs = daily.select(col("day").as("d1"), col("y").as("y1"))
+        .join(daily.select(col("day").as("d2"), col("y").as("y2")),
+          col("d1") < col("d2"))
+        .agg(sum(when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s_mk"))
+      val ties = daily.groupBy("y").agg(count(lit(1)).as("tg"))
+        .agg(sum(col("tg") * (col("tg") - 1L) *
+          (lit(2L) * col("tg") + 5L)).as("tie_term"),
+          sum("tg").as("n_days"))
+      pairs.crossJoin(ties)
+        .withColumn("var_s", (d(col("n_days")) * (d(col("n_days")) - 1.0d) *
+          (lit(2.0d) * d(col("n_days")) + 5.0d) - d(col("tie_term"))) /
+          18.0d)
+        .select(col("n_days"), col("s_mk"),
+          floor(col("var_s")).cast("long").as("var_s_floor"),
+          when(col("var_s") > 0.0d,
+            floor((d(col("s_mk")) - when(col("s_mk") > 0L, 1.0d)
+              .when(col("s_mk") < 0L, -1.0d).otherwise(0.0d)) /
+              sqrt(col("var_s")) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("z_e6"))
+    }),
+
+    // Record-counts exchangeability test (Foster & Stuart; Glick
+    // 1978): under an exchangeable series the expected number of
+    // running-maximum records in D days is the harmonic number H_D
+    // with variance Σ(1/i − 1/i²) — materially more records means
+    // trend, the cheapest possible trend smoke-test. Records via the
+    // PrefixScan running max (min of the negated series, exclusive);
+    // H_D and the variance are per-term-floored integer sums over the
+    // bounded 1..D frame; ONE pinned z chain.
+    "q488_record_counts" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .withColumn("ny", -col("y"))
+      val rec = graft.operators.PrefixScan.scanLong(
+          daily, "prevmin", "ny", "min", inclusive = false, col("day"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("y") > -col("prevmin"), 1L).otherwise(0L))
+            .as("n_records"))
+      val harm = rec.select(col("n_days"), col("n_records"),
+          explode(sequence(lit(1L), col("n_days"))).as("i"))
+        .groupBy("n_days", "n_records")
+        .agg(sum(expr("1000000000 div i")).as("h_e9"),
+          sum(expr("1000000000 div i - 1000000000 div (i * i)"))
+            .as("v_e9"))
+      harm.select(col("n_days"), col("n_records"),
+          expr("h_e9 div 1000").as("expected_e6"),
+          when(col("v_e9") > 0L,
+            floor((d(col("n_records")) - col("h_e9").cast("double") / 1e9) /
+              sqrt(col("v_e9").cast("double") / 1e9) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("z_e6"))
+    }),
+
     // Leave-one-source-out ablation — the mixture diagnostic q390's
     // KNN-Shapley prices per POINT, here per SOURCE and free: from
     // per-source totals alone, what happens to the corpus keep rate
@@ -2412,6 +2504,89 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q486_trimmed_mean_curve" ->
+      """WITH rk AS (
+           SELECT v, CAST(row_number() OVER (ORDER BY v, event_id)
+             AS BIGINT) AS r
+           FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_id
+                 FROM events)),
+         nn AS (SELECT count(*) AS n FROM rk),
+         trims AS (
+           SELECT CAST(t0 AS BIGINT) AS trim_pm,
+             CAST(t0 AS BIGINT) * n // 1000 AS lo,
+             n - CAST(t0 AS BIGINT) * n // 1000 AS hi
+           FROM (SELECT unnest([0, 10, 50, 100]) AS t0), nn)
+         SELECT trim_pm, count(*) AS n_kept,
+           CAST(sum(v) AS BIGINT) * 1000000 // count(*) AS mean_e6
+         FROM rk, trims WHERE r > lo AND r <= hi GROUP BY 1""",
+
+    "q487_mann_kendall" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         pairs AS (
+           SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_mk
+           FROM dm a JOIN dm b ON a.day < b.day),
+         ties AS (
+           SELECT CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+               AS tie_term,
+             CAST(sum(tg) AS BIGINT) AS n_days
+           FROM (SELECT y, count(*) AS tg FROM dm GROUP BY 1)),
+         ch AS (
+           SELECT *,
+             (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+               - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+           FROM pairs, ties)
+         SELECT n_days, s_mk,
+           CAST(floor(var_s) AS BIGINT) AS var_s_floor,
+           CASE WHEN var_s > 0.0
+             THEN CAST(floor((CAST(s_mk AS DOUBLE)
+               - (CASE WHEN s_mk > 0 THEN 1.0 WHEN s_mk < 0 THEN -1.0
+                  ELSE 0.0 END)) / sqrt(var_s) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch""",
+
+    "q488_record_counts" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         sc AS (
+           SELECT day, y,
+             COALESCE(min(0 - y) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               9223372036854775807) AS prevmin
+           FROM dm),
+         rec AS (
+           SELECT count(*) AS n_days,
+             CAST(sum(CASE WHEN y > 0 - prevmin THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_records
+           FROM sc),
+         harm AS (
+           SELECT n_days, n_records,
+             CAST(sum(1000000000 // i) AS BIGINT) AS h_e9,
+             CAST(sum(1000000000 // i - 1000000000 // (i * i)) AS BIGINT)
+               AS v_e9
+           FROM rec, (SELECT CAST(unnest(range(1, 100000)) AS BIGINT) AS i)
+           WHERE i <= n_days GROUP BY 1, 2)
+         SELECT n_days, n_records, h_e9 // 1000 AS expected_e6,
+           CASE WHEN v_e9 > 0
+             THEN CAST(floor((CAST(n_records AS DOUBLE)
+               - CAST(h_e9 AS DOUBLE) / 1000000000.0)
+               / sqrt(CAST(v_e9 AS DOUBLE) / 1000000000.0)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM harm""",
 
     "q484_source_ablation" ->
       s"""WITH per AS (
