@@ -269,7 +269,10 @@ object Bench {
     "q485_block_bootstrap", // autocorrelation-aware variance ratio
     "q486_trimmed_mean_curve", // tail-sensitivity of the mean
     "q487_mann_kendall", // nonparametric monotone-trend test
-    "q488_record_counts") // running-max records vs harmonic expectation
+    "q488_record_counts", // running-max records vs harmonic expectation
+    "q489_friedman", // blocked repeated-measures rank test
+    "q490_tail_model_lr", // Pareto vs lognormal tail verdict
+    "q491_term_burstiness") // Church-Gale adaptation table
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,97 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Friedman test (1937) — do the event types keep the same daily
+    // ORDERING? Repeated-measures ranks: within each day (block) the
+    // k=5 types are midranked by mean value; χ²_F = 12/(nk(k+1))·ΣR_j²
+    // − 3n(k+1), tie-corrected denominator. The blocked complement to
+    // q427's independent-sample Kruskal–Wallis. Exact: within-day
+    // midranks ×2 via a KEYED window over the 5-row day blocks, all
+    // integer until one pinned chain. Scale: one keyed groupBy + a
+    // day-bounded frame.
+    "q489_friedman" -> ((s, d0) => {
+      val cell = t(s, d0, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day", "event_type")
+        .agg(expr("sum(v) div count(1)").as("m"))
+      // keep only complete blocks (all k types present)
+      val k = cell.agg(countDistinct("event_type").as("k"))
+      val full = cell
+        .withColumn("nb", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("day")))
+        .crossJoin(broadcast(k)).where(col("nb") === col("k"))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("day").orderBy("m")
+      val wDM = org.apache.spark.sql.expressions.Window
+        .partitionBy("day", "m")
+      val ranked = full
+        .withColumn("rmin", rank().over(wD).cast("long"))
+        .withColumn("tc", count(lit(1)).over(wDM))
+        .withColumn("r2", lit(2L) * col("rmin") + col("tc") - 1L)
+      val ties = ranked.groupBy("day", "m").agg(count(lit(1)).as("tg"))
+        .agg(sum(col("tg") * col("tg") * col("tg") - col("tg"))
+          .as("tie_sum"))
+      ranked.groupBy("event_type").agg(sum("r2").as("r2_j"),
+          count(lit(1)).as("n_blocks"))
+        .agg(count(lit(1)).as("kk"), max("n_blocks").as("n"),
+          sum(col("r2_j") * col("r2_j")).as("sr2"))
+        .crossJoin(ties)
+        .withColumn("chi", (lit(12.0d) * (d(col("sr2")) / 4.0d) /
+          (d(col("n")) * d(col("kk")) * (d(col("kk")) + 1.0d)) -
+          lit(3.0d) * d(col("n")) * (d(col("kk")) + 1.0d)) /
+          (lit(1.0d) - d(col("tie_sum")) /
+            (d(col("n")) * d(col("kk")) *
+              (d(col("kk")) * d(col("kk")) - 1.0d))))
+        .select(col("n").as("n_blocks"), col("kk").as("k_groups"),
+          col("tie_sum"),
+          floor(col("chi") * 1e6).cast("long").as("chi2_e6"))
+    }),
+
+    // Pareto-vs-lognormal tail comparison (the Clauset–Shalizi–Newman
+    // question, likelihood-ratio form) on token frequencies ≥ 5:
+    // which model explains the vocabulary tail — a true power law
+    // (q399's Hill α) or a lognormal (the usual impostor)? Closed-form
+    // MLE log-likelihoods from Σln x and Σ(ln x)² only; positive LLR →
+    // Pareto wins. Exact: per-term ln x floored to e6 before the sums
+    // (per-term floor rule), scalar ln calls in ONE pinned chain
+    // (libm-consistent per the q399/q443 precedent). Scale: one token
+    // scan + one global aggregate.
+    "q490_tail_model_lr" -> ((s, d0) => {
+      val xmin = 5.0d
+      val f = t(s, d0, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 5L)
+        .select(floor(log(d(col("c"))) * 1e6).cast("long").as("lx_e6"))
+      f.agg(count(lit(1)).as("n"), sum("lx_e6").as("slx"),
+          sum(expr("""cast(floor(cast(lx_e6 as double)
+            * cast(lx_e6 as double) / 1000000.0) as bigint)"""))
+            .as("slx2_e6"))
+        .withColumn("slxd", col("slx").cast("double") / 1e6)
+        .withColumn("slx2d", col("slx2_e6").cast("double") / 1e6)
+        .withColumn("alpha", d(col("n")) /
+          (col("slxd") - d(col("n")) * log(lit(xmin))))
+        .withColumn("mu", col("slxd") / d(col("n")))
+        .withColumn("s2", (col("slx2d") - col("slxd") * col("slxd") /
+          d(col("n"))) / d(col("n")))
+        .withColumn("ll_par", d(col("n")) * log(col("alpha")) +
+          d(col("n")) * col("alpha") * log(lit(xmin)) -
+          (col("alpha") + 1.0d) * col("slxd"))
+        .withColumn("ll_ln", -col("slxd") - d(col("n")) / 2.0d *
+          log(lit(2.0d) * lit(math.Pi) * col("s2")) -
+          (col("slx2d") - lit(2.0d) * col("mu") * col("slxd") +
+            d(col("n")) * col("mu") * col("mu")) /
+          (lit(2.0d) * col("s2")))
+        .select(col("n"),
+          floor(col("alpha") * 1e6).cast("long").as("alpha_e6"),
+          floor(col("mu") * 1e6).cast("long").as("mu_e6"),
+          floor(col("s2") * 1e6).cast("long").as("s2_e6"),
+          floor((col("ll_par") - col("ll_ln")) * 1e3).cast("long")
+            .as("llr_e3"))
+    }),
+
     // Trimmed-mean robustness curve — the mean at 0/1/5/10% symmetric
     // trims: if the estimate moves a lot as trimming grows, the tails
     // own the mean and q31's fixed winsorization level was a guess.
@@ -2504,6 +2595,97 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q489_friedman" ->
+      """WITH cell AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         kk0 AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+         full0 AS (
+           SELECT c.day, c.event_type, c.m
+           FROM cell c
+           JOIN (SELECT day, count(*) AS nb FROM cell GROUP BY 1) b
+             USING (day), kk0
+           WHERE b.nb = kk0.k),
+         rk AS (
+           SELECT day, event_type, m,
+             CAST(rank() OVER (PARTITION BY day ORDER BY m) AS BIGINT)
+               AS rmin,
+             CAST(count(*) OVER (PARTITION BY day, m) AS BIGINT) AS tc
+           FROM full0),
+         r2 AS (
+           SELECT day, event_type, m, 2 * rmin + tc - 1 AS r2 FROM rk),
+         ties AS (
+           SELECT CAST(sum(tg * tg * tg - tg) AS BIGINT) AS tie_sum
+           FROM (SELECT day, m, count(*) AS tg FROM full0 GROUP BY 1, 2)),
+         pj AS (
+           SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_j,
+             count(*) AS n_blocks
+           FROM r2 GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS kk, max(n_blocks) AS n,
+             CAST(sum(r2_j * r2_j) AS BIGINT) AS sr2
+           FROM pj),
+         ch AS (
+           SELECT *,
+             (12.0 * (CAST(sr2 AS DOUBLE) / 4.0)
+               / (CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                 * (CAST(kk AS DOUBLE) + 1.0))
+               - 3.0 * CAST(n AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tie_sum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                   * (CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE) - 1.0)))
+               AS chi
+           FROM ag, ties)
+         SELECT n AS n_blocks, kk AS k_groups, tie_sum,
+           CAST(floor(chi * 1000000.0) AS BIGINT) AS chi2_e6
+         FROM ch""",
+
+    "q490_tail_model_lr" ->
+      """WITH f AS (
+           SELECT CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS lx_e6
+           FROM (SELECT tok, count(*) AS c
+                 FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents)
+                 GROUP BY 1)
+           WHERE c >= 5),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(lx_e6) AS BIGINT) AS slx,
+             CAST(sum(CAST(floor(CAST(lx_e6 AS DOUBLE)
+               * CAST(lx_e6 AS DOUBLE) / 1000000.0) AS BIGINT))
+               AS BIGINT) AS slx2_e6
+           FROM f),
+         ch AS (
+           SELECT n, CAST(slx AS DOUBLE) / 1000000.0 AS slxd,
+             CAST(slx2_e6 AS DOUBLE) / 1000000.0 AS slx2d
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             CAST(n AS DOUBLE) / (slxd - CAST(n AS DOUBLE) * ln(5.0))
+               AS alpha,
+             slxd / CAST(n AS DOUBLE) AS mu,
+             (slx2d - slxd * slxd / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) AS s2
+           FROM ch),
+         ch3 AS (
+           SELECT *,
+             CAST(n AS DOUBLE) * ln(alpha)
+               + CAST(n AS DOUBLE) * alpha * ln(5.0)
+               - (alpha + 1.0) * slxd AS ll_par,
+             0.0 - slxd - CAST(n AS DOUBLE) / 2.0
+               * ln(2.0 * 3.141592653589793 * s2)
+               - (slx2d - 2.0 * mu * slxd
+                 + CAST(n AS DOUBLE) * mu * mu) / (2.0 * s2) AS ll_ln
+           FROM ch2)
+         SELECT n,
+           CAST(floor(alpha * 1000000.0) AS BIGINT) AS alpha_e6,
+           CAST(floor(mu * 1000000.0) AS BIGINT) AS mu_e6,
+           CAST(floor(s2 * 1000000.0) AS BIGINT) AS s2_e6,
+           CAST(floor((ll_par - ll_ln) * 1000.0) AS BIGINT) AS llr_e3
+         FROM ch3""",
 
     "q486_trimmed_mean_curve" ->
       """WITH rk AS (

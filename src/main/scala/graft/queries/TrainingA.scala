@@ -650,6 +650,28 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Term-burstiness adaptation table (Church & Gale 1995): for the
+    // 20 heaviest terms, P(tf ≥ 2 | tf ≥ 1) — once a term appears in
+    // a document it tends to REPEAT, which every bag-of-words
+    // independence assumption (q127's unigram LM, q126's BM25 priors)
+    // silently violates; this is the measured size of that violation,
+    // with mean in-document rate alongside. Exact integers. Scale:
+    // one token scan, two keyed groupBys, a bounded head.
+    "q491_term_burstiness" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf.groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("tf") >= 2L, 1L).otherwise(0L)).as("df2"),
+          sum("tf").as("ctf"))
+        .orderBy(col("ctf").desc, col("tok").asc).limit(20)
+        .select(col("tok"), col("df"), col("df2"), col("ctf"),
+          expr("df2 * 1000000 div df").as("p_repeat_e6"),
+          expr("ctf * 1000000 div df").as("tf_per_doc_e6"))
+    }),
+
     // Unique-span memorization-risk share — the PRIVACY tail of the
     // span-frequency spectrum (q190's dup_spans measures the other
     // end): what share of each source's 8-token spans occurs exactly
@@ -2260,6 +2282,25 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q491_term_burstiness" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                   AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         per AS (
+           SELECT tok, count(*) AS df,
+             CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2,
+             CAST(sum(tf) AS BIGINT) AS ctf
+           FROM tf GROUP BY 1),
+         top AS (SELECT * FROM per ORDER BY ctf DESC, tok LIMIT 20)
+         SELECT tok, df, df2, ctf,
+           df2 * 1000000 // df AS p_repeat_e6,
+           ctf * 1000000 // df AS tf_per_doc_e6
+         FROM top""",
 
     "q482_unique_span_share" -> {
       val cat = (0 to 7).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
