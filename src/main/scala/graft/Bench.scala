@@ -272,7 +272,10 @@ object Bench {
     "q488_record_counts", // running-max records vs harmonic expectation
     "q489_friedman", // blocked repeated-measures rank test
     "q490_tail_model_lr", // Pareto vs lognormal tail verdict
-    "q491_term_burstiness") // Church-Gale adaptation table
+    "q491_term_burstiness", // Church-Gale adaptation table
+    "q492_turning_points", // local-extrema randomness check
+    "q493_wilcoxon_signed_rank", // paired daily-means rank test
+    "q494_pettitt") // rank-based changepoint via prefix identity
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

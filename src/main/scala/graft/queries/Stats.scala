@@ -266,6 +266,120 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Turning-points test (Kendall's randomness check) — count local
+    // extrema of the daily series against the exchangeable expectation
+    // 2(D−2)/3, variance (16D−29)/90: too few turns = trend/momentum,
+    // too many = oscillation. The third member of the q457/q488
+    // cheap-randomness family, each sensitive to a different failure.
+    // Interior triples via two calendar shift-joins (q458's shape);
+    // zero diffs excluded on both engines identically. One pinned z.
+    "q492_turning_points" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // three shift-join sides read it
+      val tri = dm.select(col("day"), col("y").as("a"))
+        .join(dm.select((col("day") - 1L).as("day"), col("y").as("b")),
+          "day")
+        .join(dm.select((col("day") - 2L).as("day"), col("y").as("cc")),
+          "day")
+        .where(col("b") =!= col("a") && col("cc") =!= col("b"))
+        .agg(count(lit(1)).as("n_interior"),
+          sum(when((col("b") > col("a") && col("b") > col("cc")) ||
+            (col("b") < col("a") && col("b") < col("cc")), 1L)
+            .otherwise(0L)).as("n_turns"))
+      dm.agg(count(lit(1)).as("n_days")).crossJoin(tri)
+        .withColumn("mu", lit(2.0d) * (d(col("n_days")) - 2.0d) / 3.0d)
+        .withColumn("s2", (lit(16.0d) * d(col("n_days")) - 29.0d) / 90.0d)
+        .select(col("n_days"), col("n_interior"), col("n_turns"),
+          floor(col("mu") * 1e6).cast("long").as("expected_e6"),
+          when(col("s2") > 0.0d,
+            floor((d(col("n_turns")) - col("mu")) / sqrt(col("s2")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("z_e6"))
+    }),
+
+    // Wilcoxon signed-rank test (1945) — the PAIRED complement to
+    // q286's Mann–Whitney: on days where both the top two event types
+    // report, are their daily means systematically ordered? Midranks
+    // ×2 of |d| via the bounded self-join count (window-free, ties
+    // integer-exact), zero differences dropped per the standard
+    // procedure, normal approximation with tie-corrected variance.
+    "q493_wilcoxon_signed_rank" -> ((s, d0) => {
+      val cell = t(s, d0, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day", "event_type")
+        .agg(expr("sum(v) div count(1)").as("m"))
+      val t2 = cell.groupBy("event_type").agg(count(lit(1)).as("nd"))
+        .orderBy(col("nd").desc, col("event_type").asc).limit(2)
+      val types = t2.crossJoin(broadcast(t2.select(
+          col("event_type").as("e2"), col("nd").as("nd2"))))
+        .groupBy("event_type", "nd")
+        .agg(sum(when(col("nd2") > col("nd") ||
+          (col("nd2") === col("nd") && col("e2") < col("event_type")), 1L)
+          .otherwise(0L)).as("nb"))
+        .select(col("event_type"), (col("nb") + 1L).as("side"))
+      val dd = cell.join(broadcast(types), "event_type")
+        .groupBy("day")
+        .agg(max(when(col("side") === 1, col("m"))).as("m1"),
+          max(when(col("side") === 2, col("m"))).as("m2"))
+        .where(col("m1").isNotNull && col("m2").isNotNull)
+        .select(col("day"), (col("m1") - col("m2")).as("dv"))
+        .where(col("dv") =!= 0L)
+        .withColumn("ad", abs(col("dv")))
+        .persist() // rank self-join reads both sides
+      val o = dd.select(col("ad").as("ad2"), col("day").as("day2"))
+      val ranked = dd.join(broadcast(o), expr("true"), "left")
+        .groupBy("day", "dv", "ad")
+        .agg(sum(when(col("ad2") < col("ad"), 1L).otherwise(0L)).as("nlt"),
+          sum(when(col("ad2") === col("ad"), 1L).otherwise(0L)).as("neq"))
+        .withColumn("r2", lit(2L) * col("nlt") + col("neq") + 1L)
+      val ties = dd.groupBy("ad").agg(count(lit(1)).as("tg"))
+        .agg(sum(col("tg") * col("tg") * col("tg") - col("tg"))
+          .as("tie_sum"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(when(col("dv") > 0L, col("r2")).otherwise(0L)).as("w2_plus"))
+        .crossJoin(ties)
+        .withColumn("mu", d(col("n")) * (d(col("n")) + 1.0d) / 2.0d)
+        .withColumn("s2", d(col("n")) * (d(col("n")) + 1.0d) *
+          (lit(2.0d) * d(col("n")) + 1.0d) / 6.0d -
+          d(col("tie_sum")) / 12.0d)
+        .select(col("n"), col("w2_plus"), col("tie_sum"),
+          when(col("s2") > 0.0d,
+            floor((d(col("w2_plus")) / 2.0d - col("mu") / 2.0d) /
+              sqrt(col("s2") / 4.0d) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("z_e6"))
+    }),
+
+    // Pettitt changepoint test (1979) — the rank-based changepoint
+    // whose SSE cousin is q444: K = max_t |U_t| with U_t the
+    // Mann–Whitney statistic of {1..t} vs {t+1..D}. The antisymmetry
+    // identity U_t = −Σ_{i≤t} r_i (r_i = Σ_j sgn(y_i − y_j), and the
+    // i,j ≤ t double sum cancels) turns the naive O(D³) into one
+    // bounded pair aggregate + one PrefixScan — the argmax day falls
+    // out of an integer min/max struct. Exact integers end to end.
+    "q494_pettitt" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // both pair sides read it
+      val r = dm.select(col("day"), col("y"))
+        .join(dm.select(col("day").as("d2"), col("y").as("y2")),
+          col("day") =!= col("d2"))
+        .groupBy("day")
+        .agg(sum(when(col("y") > col("y2"), 1L)
+          .when(col("y") < col("y2"), -1L).otherwise(0L)).as("r_i"))
+      val u = graft.operators.PrefixScan.scanLong(
+          r, "cr", "r_i", "sum", inclusive = true, col("day"))
+        .select(col("day"), (-col("cr")).as("u_t"))
+      val k = u.agg(count(lit(1)).as("n_days"),
+        max(struct(abs(col("u_t")).as("au"), (-col("day")).as("nd"))).as("m"))
+      k.select(col("n_days"), col("m.au").as("k_stat"),
+        (-col("m.nd")).as("split_day"))
+    }),
+
     // Friedman test (1937) — do the event types keep the same daily
     // ORDERING? Repeated-measures ranks: within each day (block) the
     // k=5 types are midranked by mean value; χ²_F = 12/(nk(k+1))·ΣR_j²
@@ -2595,6 +2709,112 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q492_turning_points" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         tri AS (
+           SELECT count(*) AS n_interior,
+             CAST(sum(CASE WHEN (b.yb > a.y AND b.yb > c.yc)
+               OR (b.yb < a.y AND b.yb < c.yc) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_turns
+           FROM dm a
+           JOIN (SELECT day - 1 AS day, y AS yb FROM dm) b USING (day)
+           JOIN (SELECT day - 2 AS day, y AS yc FROM dm) c USING (day)
+           WHERE b.yb <> a.y AND c.yc <> b.yb),
+         nd AS (SELECT count(*) AS n_days FROM dm),
+         ch AS (
+           SELECT *, 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0 AS mu,
+             (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 AS s2
+           FROM nd, tri)
+         SELECT n_days, n_interior, n_turns,
+           CAST(floor(mu * 1000000.0) AS BIGINT) AS expected_e6,
+           CASE WHEN s2 > 0.0
+             THEN CAST(floor((CAST(n_turns AS DOUBLE) - mu) / sqrt(s2)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch""",
+
+    "q493_wilcoxon_signed_rank" ->
+      """WITH cell AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         t2 AS (
+           SELECT event_type, count(*) AS nd
+           FROM cell GROUP BY 1 ORDER BY nd DESC, event_type LIMIT 2),
+         types AS (
+           SELECT a.event_type,
+             CAST(1 + (SELECT count(*) FROM t2 b WHERE b.nd > a.nd
+               OR (b.nd = a.nd AND b.event_type < a.event_type))
+               AS BIGINT) AS side
+           FROM t2 a),
+         dd AS (
+           SELECT day, m1 - m2 AS dv, abs(m1 - m2) AS ad
+           FROM (
+             SELECT day,
+               max(CASE WHEN side = 1 THEN m END) AS m1,
+               max(CASE WHEN side = 2 THEN m END) AS m2
+             FROM cell JOIN types USING (event_type) GROUP BY 1)
+           WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 - m2 <> 0),
+         rk AS (
+           SELECT day, dv, ad,
+             2 * (SELECT count(*) FROM dd b WHERE b.ad < a.ad)
+               + (SELECT count(*) FROM dd b WHERE b.ad = a.ad) + 1 AS r2
+           FROM dd a),
+         ties AS (
+           SELECT CAST(sum(tg * tg * tg - tg) AS BIGINT) AS tie_sum
+           FROM (SELECT ad, count(*) AS tg FROM dd GROUP BY 1)),
+         ag AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN dv > 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS w2_plus
+           FROM rk),
+         ch AS (
+           SELECT *,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0 AS mu,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+               - CAST(tie_sum AS DOUBLE) / 12.0 AS s2
+           FROM ag, ties)
+         SELECT n, w2_plus, tie_sum,
+           CASE WHEN s2 > 0.0
+             THEN CAST(floor((CAST(w2_plus AS DOUBLE) / 2.0 - mu / 2.0)
+               / sqrt(s2 / 4.0) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch""",
+
+    "q494_pettitt" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         r AS (
+           SELECT a.day,
+             CAST(sum(CASE WHEN a.y > b.y THEN 1
+               WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT) AS r_i
+           FROM dm a JOIN dm b ON a.day <> b.day GROUP BY 1),
+         u AS (
+           SELECT day,
+             0 - CAST(sum(r_i) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS u_t
+           FROM r),
+         best AS (
+           SELECT day, abs(u_t) AS au
+           FROM u ORDER BY au DESC, day LIMIT 1)
+         SELECT (SELECT count(*) FROM dm) AS n_days, au AS k_stat,
+           day AS split_day
+         FROM best""",
 
     "q489_friedman" ->
       """WITH cell AS (
