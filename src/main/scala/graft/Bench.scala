@@ -275,7 +275,13 @@ object Bench {
     "q491_term_burstiness", // Church-Gale adaptation table
     "q492_turning_points", // local-extrema randomness check
     "q493_wilcoxon_signed_rank", // paired daily-means rank test
-    "q494_pettitt") // rank-based changepoint via prefix identity
+    "q494_pettitt", // rank-based changepoint via prefix identity
+    "q495_generalized_esd", // iterative formal outlier sequence
+    "q496_leverage_audit", // trend-line influence table
+    "q497_ratio_efficiency", // auxiliary-variable design decision
+    "q498_seed_sensitivity", // hash-sample variance vs binomial
+    "q499_median_ci", // order-statistic distribution-free CI
+    "q500_gumbel_return_level") // weekly-peak extreme-value planning
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,206 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Sampling-seed sensitivity — how much does the 1-in-7 sample's
+    // keep-rate estimate move across 8 different hash salts? The
+    // observed spread is compared to the binomial prediction
+    // p(1−p)/m: matching ⇒ hash sampling behaves like true random
+    // sampling on this corpus; excess ⇒ the hash interacts with the
+    // data and every sampled metric carries hidden extra variance.
+    // One scan (salt explode ×8), bounded tails. Exact until two
+    // pinned chains.
+    "q498_seed_sensitivity" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("q.keep").cast("long").as("keep"))
+        .persist() // full rate + the salt explode read it
+      val full = f.agg(count(lit(1)).as("n_pop"), sum("keep").as("k_pop"))
+      val salts = f.select(col("doc_id"), col("keep"),
+          explode(sequence(lit(0), lit(7))).as("salt"))
+        .where(graft.functions.TextFunctions.hash60(concat(lit("salt"),
+          col("salt").cast("string"), lit(":"),
+          col("doc_id").cast("string"))) % 7L === 0L)
+        .groupBy("salt")
+        .agg(count(lit(1)).as("m"), sum("keep").as("k"))
+        .select(col("salt"), col("m"), expr("k * 1000000 div m").as("r_e6"))
+      salts.agg(count(lit(1)).as("n_salts"), sum("m").as("sm"),
+          sum("r_e6").as("sr"), sum(col("r_e6") * col("r_e6")).as("srr"))
+        .crossJoin(broadcast(full))
+        .withColumn("p", d(col("k_pop")) / d(col("n_pop")))
+        .withColumn("var_obs", (d(col("srr")) -
+          d(col("sr")) * d(col("sr")) / d(col("n_salts"))) /
+          (d(col("n_salts")) - 1.0d))
+        .withColumn("var_pred", col("p") * (lit(1.0d) - col("p")) /
+          (d(col("sm")) / d(col("n_salts"))) * 1e12)
+        .select(col("n_salts"), expr("sr div n_salts").as("mean_rate_e6"),
+          expr("k_pop * 1000000 div n_pop").as("full_rate_e6"),
+          floor(sqrt(col("var_obs"))).cast("long").as("sd_obs_e6"),
+          floor(sqrt(col("var_pred"))).cast("long").as("sd_pred_e6"))
+    }),
+
+    // Distribution-free median confidence interval — the
+    // order-statistic CI (no normality, no bootstrap): ranks
+    // n/2 ∓ 1.96·√n/2 bound the median with ~95% coverage by the
+    // binomial argument. Ranks via the two-phase globalRank; the
+    // bound VALUES come from three rank lookups. One pinned chain
+    // for the rank arithmetic; everything else integer.
+    "q499_median_ci" -> ((s, d0) => {
+      val rk = graft.operators.Ranking.globalRank(
+        t(s, d0, "events").select(
+          floor(col("value") * 100).cast("long").as("v"), col("event_id")),
+        "r", col("v").asc, col("event_id").asc)
+        .persist() // three rank lookups read it
+      val nn = rk.agg(count(lit(1)).as("n"),
+        expr("cast(percentile(v, 0.5) * 2 as bigint)").as("median2"))
+      val bounds = nn.select(col("n"), col("median2"),
+        greatest(lit(1L), floor(d(col("n")) / 2.0d -
+          lit(1.959964d) * sqrt(d(col("n"))) / 2.0d).cast("long"))
+          .as("lo_rank"),
+        least(col("n"), ceil(d(col("n")) / 2.0d + 1.0d +
+          lit(1.959964d) * sqrt(d(col("n"))) / 2.0d).cast("long"))
+          .as("hi_rank"))
+      rk.crossJoin(broadcast(bounds))
+        .where(col("r") === col("lo_rank") || col("r") === col("hi_rank"))
+        .groupBy("n", "median2", "lo_rank", "hi_rank")
+        .agg(min(when(col("r") === col("lo_rank"), col("v"))).as("v_lo"),
+          min(when(col("r") === col("hi_rank"), col("v"))).as("v_hi"))
+        .select(col("n"), col("lo_rank"), col("hi_rank"), col("median2"),
+          col("v_lo"), col("v_hi"))
+    }),
+
+    // Gumbel block-maxima fit + return level (Gumbel 1958; the
+    // extreme-value "100-year flood" machinery on the metric): weekly
+    // maxima of the daily index fitted by method of moments
+    // (β = s·√6/π, μ = m̄ − γ·β), then the 52-block return level
+    // x_T = μ − β·ln(−ln(1 − 1/52)) — the capacity-planning number
+    // "what weekly peak do we see about once a year". Exact integer
+    // block maxima and sums; the fit is ONE pinned chain with literal
+    // constants (γ, π; sqrt IEEE-exact, scalar ln per the q399
+    // precedent).
+    "q500_gumbel_return_level" -> ((s, d0) => {
+      val wk = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .select(expr("day div 7").as("week"), col("y"))
+        .groupBy("week").agg(max("y").as("m"))
+      wk.agg(count(lit(1)).as("n_blocks"), sum("m").as("sm"),
+          sum(col("m") * col("m")).as("smm"), max("m").as("m_max"))
+        .withColumn("mbar", d(col("sm")) / d(col("n_blocks")))
+        .withColumn("sd", sqrt((d(col("smm")) -
+          d(col("sm")) * d(col("sm")) / d(col("n_blocks"))) /
+          (d(col("n_blocks")) - 1.0d)))
+        .withColumn("beta", col("sd") * sqrt(lit(6.0d)) /
+          lit(3.141592653589793d))
+        .withColumn("mu", col("mbar") -
+          lit(0.5772156649015329d) * col("beta"))
+        .select(col("n_blocks"), col("m_max"),
+          floor(col("mu") * 1e6).cast("long").as("mu_e6"),
+          floor(col("beta") * 1e6).cast("long").as("beta_e6"),
+          floor((col("mu") - col("beta") *
+            log(-log(lit(1.0d) - lit(1.0d) / 52.0d))) * 1e6).cast("long")
+            .as("rl52_e6"))
+    }),
+
+    // Generalized ESD outlier sequence (Rosner 1983) — the FORMAL
+    // top-5 outlier table q156's MAD flags approximate: repeatedly
+    // remove the most extreme value and recompute the statistic on
+    // the remainder. The argmax is integer (|v·n − s| avoids the
+    // division), the remainder statistics come from TOTALS
+    // SUBTRACTION (no re-aggregation per round), and each round's
+    // R_i replays as one pinned double chain. Five bounded rounds;
+    // the oracle re-derives the same stats per round from NOT-IN
+    // scans — different mechanism, identical values.
+    "q495_generalized_esd" -> ((s, d0) => {
+      val base = t(s, d0, "events").select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .persist() // five argmax scans read it
+      val t0 = base.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("ss")).head()
+      var (nC, sC, ssC) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+      var excl = Vector.empty[Long]
+      var rows = Vector.empty[(Long, Long, Long, Long)]
+      for (i <- 1 to 5) {
+        val m = base.where(!col("event_id").isin(excl: _*))
+          .agg(max(struct(abs(col("v") * lit(nC) - lit(sC)).as("key"),
+            (-col("event_id")).as("ne"), col("v").as("vv")))).head()
+          .getStruct(0)
+        val (eid, v) = (-m.getLong(1), m.getLong(2))
+        val (nd, sd, ssd, vd) =
+          (nC.toDouble, sC.toDouble, ssC.toDouble, v.toDouble)
+        val r = math.abs(vd - sd / nd) /
+          math.sqrt((ssd - sd * sd / nd) / (nd - 1.0))
+        rows :+= ((i.toLong, eid, v, math.floor(r * 1e6).toLong))
+        excl :+= eid
+        nC -= 1; sC -= v; ssC -= v * v
+      }
+      base.unpersist()
+      import s.implicits._
+      rows.toDF("round", "event_id", "v", "r_e6")
+    }),
+
+    // Regression-leverage audit — which days OWN the q463 trend line?
+    // Leverage h_t = 1/n + (t − t̄)²/S_tt plus the per-day residual,
+    // for the 10 highest-leverage days: the influence table read
+    // before trusting any slope through an unbalanced calendar. All
+    // statistics from one integer-sum aggregate; per-day chains
+    // pinned; top-10 is a bounded sort-limit.
+    "q496_leverage_audit" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select((col("day") - col("d0")).as("tt"), col("y"))
+      val sums = base.agg(count(lit(1)).as("n"), sum("tt").as("st"),
+        sum("y").as("sy"), sum(col("tt") * col("y")).as("sty"),
+        sum(col("tt") * col("tt")).as("stt"))
+      base.crossJoin(broadcast(sums))
+        .withColumn("b", (d(col("n")) * d(col("sty")) -
+          d(col("st")) * d(col("sy"))) /
+          (d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st"))))
+        .withColumn("a", (d(col("sy")) - col("b") * d(col("st"))) /
+          d(col("n")))
+        .withColumn("h", lit(1.0d) / d(col("n")) +
+          (d(col("tt")) - d(col("st")) / d(col("n"))) *
+          (d(col("tt")) - d(col("st")) / d(col("n"))) /
+          (d(col("stt")) - d(col("st")) * d(col("st")) / d(col("n"))))
+        .select(col("tt"),
+          floor(col("h") * 1e9).cast("long").as("h_e9"),
+          floor((d(col("y")) - (col("a") + col("b") * d(col("tt")))) *
+            100.0d).cast("long").as("r_e2"))
+        .orderBy(col("h_e9").desc, col("tt").asc).limit(10)
+    }),
+
+    // Ratio-estimator efficiency (Cochran) — does the n_chars
+    // auxiliary make token-total estimation cheaper? The design
+    // decision between mean-per-unit and ratio estimation priced from
+    // population sums alone: V_ratio ∝ Σ(y − Rx)² vs V_mpu ∝ Σ(y−ȳ)²;
+    // efficiency > 1e6 means the auxiliary pays. Exact integer sums,
+    // pinned chains. One scan.
+    "q497_ratio_efficiency" -> ((s, d0) => {
+      t(s, d0, "documents").select(col("n_chars").as("x"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("rr", d(col("sy")) / d(col("sx")))
+        .withColumn("v_ratio", (d(col("syy")) -
+          lit(2.0d) * col("rr") * d(col("sxy")) +
+          col("rr") * col("rr") * d(col("sxx"))) / (d(col("n")) - 1.0d))
+        .withColumn("v_mpu", (d(col("syy")) -
+          d(col("sy")) * d(col("sy")) / d(col("n"))) / (d(col("n")) - 1.0d))
+        .select(col("n"),
+          floor(col("rr") * 1e6).cast("long").as("r_e6"),
+          floor(col("v_ratio") * 1e6).cast("long").as("v_ratio_e6"),
+          floor(col("v_mpu") * 1e6).cast("long").as("v_mpu_e6"),
+          when(col("v_ratio") > 0.0d,
+            floor(col("v_mpu") / col("v_ratio") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("efficiency_e6"))
+    }),
+
     // Turning-points test (Kendall's randomness check) — count local
     // extrema of the daily series against the exchangeable expectation
     // 2(D−2)/3, variance (16D−29)/90: too few turns = trend/momentum,
@@ -2709,6 +2909,212 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q498_seed_sensitivity" -> {
+      val h60s = TrainingShared.h60(
+        "concat('salt', CAST(salt AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")
+      s"""WITH f AS (
+           SELECT doc_id, ${TrainingShared.keepRuleSql} AS keep
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         full0 AS (
+           SELECT count(*) AS n_pop, CAST(sum(keep) AS BIGINT) AS k_pop
+           FROM f),
+         salts AS (
+           SELECT salt, count(*) AS m,
+             CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS r_e6
+           FROM f, (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS salt)
+           WHERE ($h60s) % 7 = 0
+           GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS n_salts, CAST(sum(m) AS BIGINT) AS sm,
+             CAST(sum(r_e6) AS BIGINT) AS sr,
+             CAST(sum(r_e6 * r_e6) AS BIGINT) AS srr
+           FROM salts),
+         ch AS (
+           SELECT *, CAST(k_pop AS DOUBLE) / CAST(n_pop AS DOUBLE) AS p,
+             (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+               * CAST(sr AS DOUBLE) / CAST(n_salts AS DOUBLE))
+               / (CAST(n_salts AS DOUBLE) - 1.0) AS var_obs
+           FROM ag, full0),
+         ch2 AS (
+           SELECT *, p * (1.0 - p)
+             / (CAST(sm AS DOUBLE) / CAST(n_salts AS DOUBLE))
+             * 1000000000000.0 AS var_pred
+           FROM ch)
+         SELECT n_salts, sr // n_salts AS mean_rate_e6,
+           k_pop * 1000000 // n_pop AS full_rate_e6,
+           CAST(floor(sqrt(var_obs)) AS BIGINT) AS sd_obs_e6,
+           CAST(floor(sqrt(var_pred)) AS BIGINT) AS sd_pred_e6
+         FROM ch2"""
+    },
+
+    "q499_median_ci" ->
+      """WITH rk AS (
+           SELECT v, CAST(row_number() OVER (ORDER BY v, event_id)
+             AS BIGINT) AS r
+           FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_id
+                 FROM events)),
+         nn AS (
+           SELECT count(*) AS n,
+             CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS median2
+           FROM rk),
+         b AS (
+           SELECT n, median2,
+             greatest(1, CAST(floor(CAST(n AS DOUBLE) / 2.0
+               - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+               AS lo_rank,
+             least(n, CAST(ceil(CAST(n AS DOUBLE) / 2.0 + 1.0
+               + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+               AS hi_rank
+           FROM nn)
+         SELECT n, lo_rank, hi_rank, median2,
+           min(CASE WHEN r = lo_rank THEN v END) AS v_lo,
+           min(CASE WHEN r = hi_rank THEN v END) AS v_hi
+         FROM rk, b WHERE r = lo_rank OR r = hi_rank
+         GROUP BY 1, 2, 3, 4""",
+
+    "q500_gumbel_return_level" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         wk AS (
+           SELECT day // 7 AS week, max(y) AS m FROM dm GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS n_blocks, CAST(sum(m) AS BIGINT) AS sm,
+             CAST(sum(m * m) AS BIGINT) AS smm, max(m) AS m_max
+           FROM wk),
+         ch AS (
+           SELECT *,
+             CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mbar,
+             sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+               * CAST(sm AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+               / (CAST(n_blocks AS DOUBLE) - 1.0)) AS sd
+           FROM ag),
+         ch2 AS (
+           SELECT *, sd * sqrt(6.0) / 3.141592653589793 AS beta
+           FROM ch),
+         ch3 AS (
+           SELECT *, mbar - 0.5772156649015329 * beta AS mu
+           FROM ch2)
+         SELECT n_blocks, m_max,
+           CAST(floor(mu * 1000000.0) AS BIGINT) AS mu_e6,
+           CAST(floor(beta * 1000000.0) AS BIGINT) AS beta_e6,
+           CAST(floor((mu - beta * ln(0.0 - ln(1.0 - 1.0 / 52.0)))
+             * 1000000.0) AS BIGINT) AS rl52_e6
+         FROM ch3""",
+
+    "q495_generalized_esd" -> {
+      val rounds = (1 to 5).map { i =>
+        val excl = if (i == 1) "" else
+          " WHERE event_id NOT IN (" +
+            (1 until i).map(j => s"SELECT event_id FROM p$j")
+              .mkString(" UNION ALL ") + ")"
+        s"""rem$i AS MATERIALIZED (SELECT * FROM base$excl),
+         st$i AS MATERIALIZED (
+           SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS ss
+           FROM rem$i),
+         p$i AS MATERIALIZED (
+           SELECT CAST($i AS BIGINT) AS round, event_id, v,
+             CAST(floor(abs(CAST(v AS DOUBLE)
+               - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(ss AS DOUBLE) - CAST(sv AS DOUBLE)
+                 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)
+               AS r_e6
+           FROM rem$i, st$i
+           ORDER BY abs(v * n - sv) DESC, event_id LIMIT 1)"""
+      }.mkString(",\n         ")
+      s"""WITH base AS (
+           SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         $rounds
+         SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+         UNION ALL SELECT * FROM p5"""
+    },
+
+    "q496_leverage_audit" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         base AS (
+           SELECT day - (SELECT min(day) FROM dm) AS tt, y FROM dm),
+         sums AS (
+           SELECT count(*) AS n, CAST(sum(tt) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(tt * y) AS BIGINT) AS sty,
+             CAST(sum(tt * tt) AS BIGINT) AS stt
+           FROM base),
+         co AS (
+           SELECT *,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+           FROM sums),
+         co2 AS (
+           SELECT *,
+             (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+           FROM co),
+         lev AS (
+           SELECT tt,
+             CAST(floor((1.0 / CAST(n AS DOUBLE)
+               + (CAST(tt AS DOUBLE) - CAST(st AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+                 * (CAST(tt AS DOUBLE) - CAST(st AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                 / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                   * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000000.0) AS BIGINT) AS h_e9,
+             CAST(floor((CAST(y AS DOUBLE)
+               - (a + b * CAST(tt AS DOUBLE))) * 100.0) AS BIGINT) AS r_e2
+           FROM base, co2)
+         SELECT tt, h_e9, r_e2
+         FROM lev ORDER BY h_e9 DESC, tt LIMIT 10""",
+
+    "q497_ratio_efficiency" ->
+      """WITH f AS (
+           SELECT n_chars AS x,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS y
+           FROM documents),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM f),
+         ch AS (
+           SELECT *, CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS rr
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             (CAST(syy AS DOUBLE) - 2.0 * rr * CAST(sxy AS DOUBLE)
+               + rr * rr * CAST(sxx AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v_ratio,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v_mpu
+           FROM ch)
+         SELECT n,
+           CAST(floor(rr * 1000000.0) AS BIGINT) AS r_e6,
+           CAST(floor(v_ratio * 1000000.0) AS BIGINT) AS v_ratio_e6,
+           CAST(floor(v_mpu * 1000000.0) AS BIGINT) AS v_mpu_e6,
+           CASE WHEN v_ratio > 0.0
+             THEN CAST(floor(v_mpu / v_ratio * 1000000.0) AS BIGINT)
+             ELSE 0 END AS efficiency_e6
+         FROM ch2""",
 
     "q492_turning_points" ->
       """WITH daily AS (
