@@ -281,7 +281,10 @@ object Bench {
     "q497_ratio_efficiency", // auxiliary-variable design decision
     "q498_seed_sensitivity", // hash-sample variance vs binomial
     "q499_median_ci", // order-statistic distribution-free CI
-    "q500_gumbel_return_level") // weekly-peak extreme-value planning
+    "q500_gumbel_return_level", // weekly-peak extreme-value planning
+    "q501_sen_slope_ci", // rank-bounded Theil-Sen confidence interval
+    "q502_interrupted_ts", // segmented slope/level decomposition
+    "q503_sign_test") // assumption-free paired comparison
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

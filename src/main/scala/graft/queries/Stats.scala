@@ -266,6 +266,135 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Sen's slope confidence interval (Sen 1968; Gilbert's rank
+    // bounds) — the CI that belongs to q409's Theil–Sen point estimate
+    // and q487's Mann–Kendall test: order the pairwise slopes and read
+    // the bounds at ranks (M ∓ 1.96·√Var(S))/2. Exact: slopes are
+    // integerized e6 trunc-divs BEFORE ranking (ordering is then pure
+    // integer, ties broken by the day pair), ranks via globalRank,
+    // Var(S) from the q487 tie-corrected formula. Day-bounded pair
+    // frame throughout.
+    "q501_sen_slope_ci" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // pair sides + ties read it
+      val sl = dm.select(col("day").as("d1"), col("y").as("y1"))
+        .join(dm.select(col("day").as("d2"), col("y").as("y2")),
+          col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          expr("(y2 - y1) * 1000000 div (d2 - d1)").as("s_e6"))
+      val rk = graft.operators.Ranking.globalRank(sl, "r",
+        col("s_e6").asc, col("d1").asc, col("d2").asc)
+        .persist() // three rank lookups read it
+      val ties = dm.groupBy("y").agg(count(lit(1)).as("tg"))
+        .agg(sum(col("tg") * (col("tg") - 1L) *
+          (lit(2L) * col("tg") + 5L)).as("tie_term"),
+          sum("tg").as("n_days"))
+      val bounds = rk.agg(count(lit(1)).as("m")).crossJoin(ties)
+        .withColumn("vs", (d(col("n_days")) * (d(col("n_days")) - 1.0d) *
+          (lit(2.0d) * d(col("n_days")) + 5.0d) - d(col("tie_term"))) /
+          18.0d)
+        .select(col("m"),
+          greatest(lit(1L), floor((d(col("m")) -
+            lit(1.959964d) * sqrt(col("vs"))) / 2.0d).cast("long"))
+            .as("lo_rank"),
+          least(col("m"), ceil((d(col("m")) +
+            lit(1.959964d) * sqrt(col("vs"))) / 2.0d + 1.0d).cast("long"))
+            .as("hi_rank"),
+          expr("(m + 1) div 2").as("med_rank"))
+      rk.crossJoin(broadcast(bounds))
+        .where(col("r") === col("lo_rank") || col("r") === col("hi_rank") ||
+          col("r") === col("med_rank"))
+        .groupBy("m", "lo_rank", "hi_rank", "med_rank")
+        .agg(min(when(col("r") === col("lo_rank"), col("s_e6")))
+            .as("slope_lo_e6"),
+          min(when(col("r") === col("med_rank"), col("s_e6")))
+            .as("slope_med_e6"),
+          min(when(col("r") === col("hi_rank"), col("s_e6")))
+            .as("slope_hi_e6"))
+        .select(col("m").as("m_pairs"), col("lo_rank"), col("hi_rank"),
+          col("slope_lo_e6"), col("slope_med_e6"), col("slope_hi_e6"))
+    }),
+
+    // Interrupted time-series fit (segmented regression with a known
+    // break — the Box–Tiao/ITS shape q444 finds the breakpoint for):
+    // split the daily series at the calendar midpoint and fit OLS per
+    // segment from integer sums; report both slopes and the level
+    // shift AT the break — the "did the intervention move the level
+    // or the trend" decomposition. Pinned chains only; one scan + two
+    // segment aggregates.
+    "q502_interrupted_ts" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val br = dm.agg(expr("(min(day) + max(day)) div 2").as("b"),
+        min("day").as("d0"))
+      def seg(pre: Boolean): DataFrame = {
+        val f = dm.crossJoin(broadcast(br))
+          .where(if (pre) col("day") < col("b") else col("day") >= col("b"))
+          .select((col("day") - col("d0")).as("tt"), col("y"))
+        val tag = if (pre) "pre" else "post"
+        f.agg(count(lit(1)).as(s"n_$tag"), sum("tt").as(s"st_$tag"),
+          sum("y").as(s"sy_$tag"), sum(col("tt") * col("y")).as(s"sty_$tag"),
+          sum(col("tt") * col("tt")).as(s"stt_$tag"))
+      }
+      def fit(tag: String)(df: DataFrame): DataFrame = df
+        .withColumn(s"b_$tag", (d(col(s"n_$tag")) * d(col(s"sty_$tag")) -
+          d(col(s"st_$tag")) * d(col(s"sy_$tag"))) /
+          (d(col(s"n_$tag")) * d(col(s"stt_$tag")) -
+            d(col(s"st_$tag")) * d(col(s"st_$tag"))))
+        .withColumn(s"a_$tag", (d(col(s"sy_$tag")) -
+          col(s"b_$tag") * d(col(s"st_$tag"))) / d(col(s"n_$tag")))
+      val j = fit("post")(fit("pre")(seg(pre = true)
+        .crossJoin(seg(pre = false))))
+        .crossJoin(broadcast(br))
+        .withColumn("tb", d(col("b")) - d(col("d0")))
+      j.select(col("b").as("break_day"), col("n_pre"), col("n_post"),
+        floor(col("b_pre") * 1e6).cast("long").as("slope_pre_e6"),
+        floor(col("b_post") * 1e6).cast("long").as("slope_post_e6"),
+        floor(((col("a_post") + col("b_post") * col("tb")) -
+          (col("a_pre") + col("b_pre") * col("tb"))) * 1e6).cast("long")
+          .as("level_shift_e6"))
+    }),
+
+    // Sign test (the oldest paired test) — on days where the two
+    // heaviest event types both report, does one beat the other more
+    // often than a coin? The assumption-free floor under q493's
+    // signed-rank (which also uses magnitudes): k wins of n nonzero
+    // days, z = (2k − n)/√n. Exact integers + one pinned chain.
+    "q503_sign_test" -> ((s, d0) => {
+      val cell = t(s, d0, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day", "event_type")
+        .agg(expr("sum(v) div count(1)").as("m"))
+      val t2 = cell.groupBy("event_type").agg(count(lit(1)).as("nd"))
+        .orderBy(col("nd").desc, col("event_type").asc).limit(2)
+      val types = t2.crossJoin(broadcast(t2.select(
+          col("event_type").as("e2"), col("nd").as("nd2"))))
+        .groupBy("event_type", "nd")
+        .agg(sum(when(col("nd2") > col("nd") ||
+          (col("nd2") === col("nd") && col("e2") < col("event_type")), 1L)
+          .otherwise(0L)).as("nb"))
+        .select(col("event_type"), (col("nb") + 1L).as("side"))
+      cell.join(broadcast(types), "event_type")
+        .groupBy("day")
+        .agg(max(when(col("side") === 1, col("m"))).as("m1"),
+          max(when(col("side") === 2, col("m"))).as("m2"))
+        .where(col("m1").isNotNull && col("m2").isNotNull &&
+          col("m1") =!= col("m2"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("m1") > col("m2"), 1L).otherwise(0L)).as("k"))
+        .select(col("n"), col("k"),
+          when(col("n") > 0L,
+            floor((lit(2.0d) * d(col("k")) - d(col("n"))) /
+              sqrt(d(col("n"))) * 1e6).cast("long")).otherwise(lit(0L))
+            .as("z_e6"))
+    }),
+
     // Sampling-seed sensitivity — how much does the 1-in-7 sample's
     // keep-rate estimate move across 8 different hash salts? The
     // observed spread is compared to the binomial prediction
@@ -2909,6 +3038,138 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q501_sen_slope_ci" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         sl AS (
+           SELECT a.day AS d1, b.day AS d2,
+             (b.y - a.y) * 1000000 // (b.day - a.day) AS s_e6
+           FROM dm a JOIN dm b ON a.day < b.day),
+         rk AS (
+           SELECT s_e6,
+             CAST(row_number() OVER (ORDER BY s_e6, d1, d2) AS BIGINT)
+               AS r
+           FROM sl),
+         ties AS (
+           SELECT CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+               AS tie_term,
+             CAST(sum(tg) AS BIGINT) AS n_days
+           FROM (SELECT y, count(*) AS tg FROM dm GROUP BY 1)),
+         vs AS (
+           SELECT (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+             * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+             - CAST(tie_term AS DOUBLE)) / 18.0 AS vs
+           FROM ties),
+         bounds AS (
+           SELECT m,
+             greatest(1, CAST(floor((CAST(m AS DOUBLE)
+               - 1.959964 * sqrt(vs)) / 2.0) AS BIGINT)) AS lo_rank,
+             least(m, CAST(ceil((CAST(m AS DOUBLE)
+               + 1.959964 * sqrt(vs)) / 2.0 + 1.0) AS BIGINT)) AS hi_rank,
+             (m + 1) // 2 AS med_rank
+           FROM (SELECT count(*) AS m FROM sl), vs)
+         SELECT m AS m_pairs, lo_rank, hi_rank,
+           min(CASE WHEN r = lo_rank THEN s_e6 END) AS slope_lo_e6,
+           min(CASE WHEN r = med_rank THEN s_e6 END) AS slope_med_e6,
+           min(CASE WHEN r = hi_rank THEN s_e6 END) AS slope_hi_e6
+         FROM rk, bounds
+         WHERE r = lo_rank OR r = hi_rank OR r = med_rank
+         GROUP BY 1, 2, 3, med_rank""",
+
+    "q502_interrupted_ts" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         br AS (
+           SELECT (min(day) + max(day)) // 2 AS b, min(day) AS d0
+           FROM dm),
+         pre AS (
+           SELECT count(*) AS n_pre, CAST(sum(tt) AS BIGINT) AS st_pre,
+             CAST(sum(y) AS BIGINT) AS sy_pre,
+             CAST(sum(tt * y) AS BIGINT) AS sty_pre,
+             CAST(sum(tt * tt) AS BIGINT) AS stt_pre
+           FROM (SELECT day - d0 AS tt, y FROM dm, br WHERE day < b)),
+         post AS (
+           SELECT count(*) AS n_post, CAST(sum(tt) AS BIGINT) AS st_post,
+             CAST(sum(y) AS BIGINT) AS sy_post,
+             CAST(sum(tt * y) AS BIGINT) AS sty_post,
+             CAST(sum(tt * tt) AS BIGINT) AS stt_post
+           FROM (SELECT day - d0 AS tt, y FROM dm, br WHERE day >= b)),
+         ch AS (
+           SELECT *,
+             (CAST(n_pre AS DOUBLE) * CAST(sty_pre AS DOUBLE)
+               - CAST(st_pre AS DOUBLE) * CAST(sy_pre AS DOUBLE))
+               / (CAST(n_pre AS DOUBLE) * CAST(stt_pre AS DOUBLE)
+                 - CAST(st_pre AS DOUBLE) * CAST(st_pre AS DOUBLE))
+               AS b_pre,
+             (CAST(n_post AS DOUBLE) * CAST(sty_post AS DOUBLE)
+               - CAST(st_post AS DOUBLE) * CAST(sy_post AS DOUBLE))
+               / (CAST(n_post AS DOUBLE) * CAST(stt_post AS DOUBLE)
+                 - CAST(st_post AS DOUBLE) * CAST(st_post AS DOUBLE))
+               AS b_post
+           FROM pre, post),
+         ch2 AS (
+           SELECT *,
+             (CAST(sy_pre AS DOUBLE) - b_pre * CAST(st_pre AS DOUBLE))
+               / CAST(n_pre AS DOUBLE) AS a_pre,
+             (CAST(sy_post AS DOUBLE) - b_post * CAST(st_post AS DOUBLE))
+               / CAST(n_post AS DOUBLE) AS a_post
+           FROM ch),
+         ch3 AS (
+           SELECT *, CAST(b AS DOUBLE) - CAST(d0 AS DOUBLE) AS tb, b
+           FROM ch2, br)
+         SELECT b AS break_day, n_pre, n_post,
+           CAST(floor(b_pre * 1000000.0) AS BIGINT) AS slope_pre_e6,
+           CAST(floor(b_post * 1000000.0) AS BIGINT) AS slope_post_e6,
+           CAST(floor(((a_post + b_post * tb) - (a_pre + b_pre * tb))
+             * 1000000.0) AS BIGINT) AS level_shift_e6
+         FROM ch3""",
+
+    "q503_sign_test" ->
+      """WITH cell AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         t2 AS (
+           SELECT event_type, count(*) AS nd
+           FROM cell GROUP BY 1 ORDER BY nd DESC, event_type LIMIT 2),
+         types AS (
+           SELECT a.event_type,
+             CAST(1 + (SELECT count(*) FROM t2 b WHERE b.nd > a.nd
+               OR (b.nd = a.nd AND b.event_type < a.event_type))
+               AS BIGINT) AS side
+           FROM t2 a),
+         dd AS (
+           SELECT day, m1, m2
+           FROM (
+             SELECT day,
+               max(CASE WHEN side = 1 THEN m END) AS m1,
+               max(CASE WHEN side = 2 THEN m END) AS m2
+             FROM cell JOIN types USING (event_type) GROUP BY 1)
+           WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m1 <> m2),
+         ag AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN m1 > m2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+           FROM dd)
+         SELECT n, k,
+           CASE WHEN n > 0
+             THEN CAST(floor((2.0 * CAST(k AS DOUBLE)
+               - CAST(n AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ag""",
 
     "q498_seed_sensitivity" -> {
       val h60s = TrainingShared.h60(
