@@ -284,7 +284,10 @@ object Bench {
     "q500_gumbel_return_level", // weekly-peak extreme-value planning
     "q501_sen_slope_ci", // rank-bounded Theil-Sen confidence interval
     "q502_interrupted_ts", // segmented slope/level decomposition
-    "q503_sign_test") // assumption-free paired comparison
+    "q503_sign_test", // assumption-free paired comparison
+    "q504_kish_ess", // weighting penalty of calibration
+    "q505_boxcox_grid", // power-transform selection, pow-free grid
+    "q506_pacf") // Durbin-Levinson partial autocorrelations
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,122 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Kish effective sample size (1965) — what the q470
+    // post-stratification weights COST: ESS = (Σw)²/Σw² of the
+    // per-document calibration weights w = (N_h/N)/(n_h/n); the gap
+    // to the raw sample size is the variance price of reweighting
+    // (weights near 1 ⇒ free; spiky weights ⇒ the sample acts much
+    // smaller). Exact: weights are integer e6 trunc-divs, sums exact,
+    // ONE pinned chain. One scan + broadcast cell stats.
+    "q504_kish_ess" -> ((s, d0) => {
+      val docs = t(s, d0, "documents").select(col("lang"), col("doc_id"))
+      val pop = docs.groupBy("lang").agg(count(lit(1)).as("nh_pop"))
+      val samp = docs.where(col("doc_id") % 7 === 0)
+      val sh = samp.groupBy("lang").agg(count(lit(1)).as("nh"))
+      val tots = docs.agg(count(lit(1)).as("n_pop"))
+        .crossJoin(samp.agg(count(lit(1)).as("n_s")))
+      val w = samp.join(broadcast(sh), "lang")
+        .join(broadcast(pop), "lang").crossJoin(broadcast(tots))
+        .select(expr("(nh_pop * n_s * 1000000) div (n_pop * nh)")
+          .as("w_e6"))
+      w.agg(count(lit(1)).as("n_sample"), sum("w_e6").as("sw"),
+          sum(col("w_e6") * col("w_e6")).as("sww"))
+        .select(col("n_sample"),
+          floor(d(col("sw")) * d(col("sw")) / d(col("sww"))).cast("long")
+            .as("ess"),
+          expr("""cast(floor(cast(sw as double) * cast(sw as double)
+            / cast(sww as double) / cast(n_sample as double)
+            * 1000000.0) as bigint)""").as("ess_ratio_e6"))
+    }),
+
+    // Box–Cox transform selection on a λ grid (Box & Cox 1964) —
+    // which power makes document length most Gaussian? The grid
+    // {−1, −½, 0, ½, 1} needs NO pow(): x^½ is sqrt (IEEE-exact),
+    // x^{−1} is division, λ=0 is ln — so every transform is an exact
+    // or pinned op. Profile log-likelihood LL(λ) = −n/2·ln(var z) +
+    // (λ−1)Σln x from per-term-floored transforms; argmax by bounded
+    // integer rank. One scan × 5 grid points.
+    "q505_boxcox_grid" -> ((s, d0) => {
+      val x = t(s, d0, "documents")
+        .select(greatest(col("n_chars"), lit(1L)).as("xv"))
+        .persist() // five grid passes read it
+      def zExpr(lam: Double): Column =
+        if (lam == 0.0) log(d(col("xv")))
+        else if (lam == 1.0) d(col("xv")) - 1.0d
+        else if (lam == 0.5) (sqrt(d(col("xv"))) - 1.0d) / 0.5d
+        else if (lam == -0.5)
+          (lit(1.0d) / sqrt(d(col("xv"))) - 1.0d) / -0.5d
+        else (lit(1.0d) / d(col("xv")) - 1.0d) / -1.0d
+      val grids = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).map { lam =>
+        x.select(
+            floor(zExpr(lam) * 1e6).cast("long").as("z_e6"),
+            floor(log(d(col("xv"))) * 1e6).cast("long").as("lx_e6"))
+          .agg(count(lit(1)).as("n"), sum("z_e6").as("sz"),
+            sum(expr("""cast(floor(cast(z_e6 as double)
+              * cast(z_e6 as double) / 1000000.0) as bigint)"""))
+              .as("szz_e6"),
+            sum("lx_e6").as("slx"))
+          .select(lit((lam * 10).toLong).as("lam_e1"), col("n"),
+            col("sz"), col("szz_e6"), col("slx"))
+      }
+      val ll = grids.reduce(_ unionByName _)
+        .withColumn("vz", (col("szz_e6").cast("double") / 1e6 -
+          (col("sz").cast("double") / 1e6) *
+          (col("sz").cast("double") / 1e6) / d(col("n"))) / d(col("n")))
+        .withColumn("ll", (-d(col("n")) / 2.0d) * log(col("vz")) +
+          (col("lam_e1").cast("double") / 10.0d - 1.0d) *
+          (col("slx").cast("double") / 1e6))
+        .select(col("lam_e1"), col("n"),
+          floor(col("ll") * 1e3).cast("long").as("ll_e3"))
+      val o = ll.select(col("lam_e1").as("l2"), col("ll_e3").as("v2"))
+      ll.join(broadcast(o), expr(
+          "v2 > ll_e3 OR (v2 = ll_e3 AND l2 < lam_e1)"), "left")
+        .groupBy("lam_e1", "n", "ll_e3")
+        .agg(count(col("l2")).as("nbet"))
+        .select(col("lam_e1"), col("n"), col("ll_e3"),
+          (col("nbet") === 0L).as("best"))
+    }),
+
+    // Partial autocorrelation (Durbin–Levinson, lags 1–3) — the ARIMA
+    // identification companion to q456's ACF: PACF tells the AR order
+    // where ACF tells the MA order. φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    // φ33 by the closed Durbin–Levinson step — all pinned chains from
+    // the same exact integer-centered lag sums q456 builds. One scan.
+    "q506_pacf" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val tot = daily.agg(count(lit(1)).as("nd"), sum("y").as("sy"))
+      val c = daily.crossJoin(broadcast(tot))
+        .select(col("day"), (col("y") * col("nd") - col("sy")).as("c"))
+        .persist() // denominator + three shift joins read it
+      val den = c.agg(sum(col("c") * col("c")).as("scc"),
+        count(lit(1)).as("n_days"))
+      val lags = c.select(explode(sequence(lit(1), lit(3))).as("k0"),
+          col("day"), col("c"))
+        .select(col("k0").cast("long").as("k"),
+          (col("day") + col("k0")).as("day"), col("c").as("cp"))
+        .join(c.select(col("day"), col("c")), "day")
+        .groupBy("k").agg(sum(col("c") * col("cp")).as("sck"))
+      val r = lags.crossJoin(broadcast(den))
+        .withColumn("rho", d(col("sck")) / d(col("scc")))
+        .groupBy("n_days")
+        .agg(max(when(col("k") === 1L, col("rho"))).as("r1"),
+          max(when(col("k") === 2L, col("rho"))).as("r2"),
+          max(when(col("k") === 3L, col("rho"))).as("r3"))
+      r.withColumn("p22", (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0d) - col("r1") * col("r1")))
+        .withColumn("p21", col("r1") - col("p22") * col("r1"))
+        .withColumn("p33", (col("r3") - col("p21") * col("r2") -
+          col("p22") * col("r1")) /
+          (lit(1.0d) - col("p21") * col("r1") - col("p22") * col("r2")))
+        .select(col("n_days"),
+          floor(col("r1") * 1e6).cast("long").as("pacf1_e6"),
+          floor(col("p22") * 1e6).cast("long").as("pacf2_e6"),
+          floor(col("p33") * 1e6).cast("long").as("pacf3_e6"))
+    }),
+
     // Sen's slope confidence interval (Sen 1968; Gilbert's rank
     // bounds) — the CI that belongs to q409's Theil–Sen point estimate
     // and q487's Mann–Kendall test: order the pairwise slopes and read
@@ -3038,6 +3154,114 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q504_kish_ess" ->
+      """WITH docs AS (SELECT lang, doc_id FROM documents),
+         pop AS (SELECT lang, count(*) AS nh_pop FROM docs GROUP BY 1),
+         samp AS (SELECT lang, doc_id FROM docs WHERE doc_id % 7 = 0),
+         sh AS (SELECT lang, count(*) AS nh FROM samp GROUP BY 1),
+         tots AS (
+           SELECT (SELECT count(*) FROM docs) AS n_pop,
+             (SELECT count(*) FROM samp) AS n_s),
+         w AS (
+           SELECT (nh_pop * n_s * 1000000) // (n_pop * nh) AS w_e6
+           FROM samp JOIN sh USING (lang) JOIN pop USING (lang), tots),
+         ag AS (
+           SELECT count(*) AS n_sample, CAST(sum(w_e6) AS BIGINT) AS sw,
+             CAST(sum(w_e6 * w_e6) AS BIGINT) AS sww
+           FROM w)
+         SELECT n_sample,
+           CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE)) AS BIGINT) AS ess,
+           CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE) / CAST(n_sample AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS ess_ratio_e6
+         FROM ag""",
+
+    "q505_boxcox_grid" -> {
+      def zSql(lam: Double): String =
+        if (lam == 0.0) "ln(CAST(xv AS DOUBLE))"
+        else if (lam == 1.0) "CAST(xv AS DOUBLE) - 1.0"
+        else if (lam == 0.5) "(sqrt(CAST(xv AS DOUBLE)) - 1.0) / 0.5"
+        else if (lam == -0.5)
+          "(1.0 / sqrt(CAST(xv AS DOUBLE)) - 1.0) / -0.5"
+        else "(1.0 / CAST(xv AS DOUBLE) - 1.0) / -1.0"
+      val arms = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).map { lam =>
+        s"""SELECT CAST(${(lam * 10).toLong} AS BIGINT) AS lam_e1,
+             count(*) AS n, CAST(sum(z_e6) AS BIGINT) AS sz,
+             CAST(sum(CAST(floor(CAST(z_e6 AS DOUBLE)
+               * CAST(z_e6 AS DOUBLE) / 1000000.0) AS BIGINT))
+               AS BIGINT) AS szz_e6,
+             CAST(sum(lx_e6) AS BIGINT) AS slx
+           FROM (
+             SELECT CAST(floor((${zSql(lam)}) * 1000000.0) AS BIGINT)
+               AS z_e6,
+               CAST(floor(ln(CAST(xv AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS lx_e6
+             FROM xsrc)"""
+      }.mkString("\n         UNION ALL ")
+      s"""WITH xsrc AS (
+           SELECT greatest(n_chars, 1) AS xv FROM documents),
+         grids AS ($arms),
+         ll AS (
+           SELECT lam_e1, n,
+             CAST(floor(((0.0 - CAST(n AS DOUBLE)) / 2.0
+               * ln((CAST(szz_e6 AS DOUBLE) / 1000000.0
+                 - (CAST(sz AS DOUBLE) / 1000000.0)
+                   * (CAST(sz AS DOUBLE) / 1000000.0)
+                   / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               + (CAST(lam_e1 AS DOUBLE) / 10.0 - 1.0)
+                 * (CAST(slx AS DOUBLE) / 1000000.0)) * 1000.0)
+               AS BIGINT) AS ll_e3
+           FROM grids)
+         SELECT a.lam_e1, a.n, a.ll_e3,
+           ((SELECT count(*) FROM ll b WHERE b.ll_e3 > a.ll_e3
+             OR (b.ll_e3 = a.ll_e3 AND b.lam_e1 < a.lam_e1)) = 0)
+             AS best
+         FROM ll a"""
+    },
+
+    "q506_pacf" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         tot AS (
+           SELECT count(*) AS nd, CAST(sum(y) AS BIGINT) AS sy FROM dm),
+         c AS (SELECT day, y * nd - sy AS c FROM dm, tot),
+         den AS (
+           SELECT CAST(sum(c * c) AS BIGINT) AS scc, count(*) AS n_days
+           FROM c),
+         lagged AS (
+           SELECT k, CAST(sum(c.c * l.cp) AS BIGINT) AS sck
+           FROM (SELECT CAST(k0 AS BIGINT) AS k, day + k0 AS day, c AS cp
+                 FROM c, (SELECT unnest(range(1, 4)) AS k0)) l
+           JOIN c USING (day)
+           GROUP BY k),
+         r AS (
+           SELECT n_days,
+             max(CASE WHEN k = 1 THEN rho END) AS r1,
+             max(CASE WHEN k = 2 THEN rho END) AS r2,
+             max(CASE WHEN k = 3 THEN rho END) AS r3
+           FROM (SELECT k, CAST(sck AS DOUBLE) / CAST(scc AS DOUBLE)
+                   AS rho, n_days
+                 FROM lagged, den)
+           GROUP BY 1),
+         p AS (
+           SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r),
+         p2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p),
+         p3 AS (
+           SELECT *, (r3 - p21 * r2 - p22 * r1)
+             / (1.0 - p21 * r1 - p22 * r2) AS p33
+           FROM p2)
+         SELECT n_days,
+           CAST(floor(r1 * 1000000.0) AS BIGINT) AS pacf1_e6,
+           CAST(floor(p22 * 1000000.0) AS BIGINT) AS pacf2_e6,
+           CAST(floor(p33 * 1000000.0) AS BIGINT) AS pacf3_e6
+         FROM p3""",
 
     "q501_sen_slope_ci" ->
       """WITH daily AS (
