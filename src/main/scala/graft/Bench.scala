@@ -287,7 +287,10 @@ object Bench {
     "q503_sign_test", // assumption-free paired comparison
     "q504_kish_ess", // weighting penalty of calibration
     "q505_boxcox_grid", // power-transform selection, pow-free grid
-    "q506_pacf") // Durbin-Levinson partial autocorrelations
+    "q506_pacf", // Durbin-Levinson partial autocorrelations
+    "q507_topsis", // multi-criteria closeness-to-ideal ranking
+    "q508_rater_shapley", // exact 3-player LF contribution split
+    "q509_pinball_loss") // asymmetric quantile forecast eval
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

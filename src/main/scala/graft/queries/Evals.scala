@@ -311,6 +311,133 @@ object Evals {
             ELSE 0 END""").as("q_e6"))
     }),
 
+    // TOPSIS multi-criteria source ranking (Hwang & Yoon 1981) — order
+    // the 20 sources by closeness to the ideal point across the three
+    // quality criteria (mean length, keep rate, mean tokens), equal
+    // weights: the standard MCDM when q438's judges must produce ONE
+    // ranking. Criteria are vector-normalized (sqrt is IEEE-exact);
+    // distances to ideal/anti-ideal and the closeness ratio are pinned
+    // chains over per-source e6-floored normalized scores. Bounded
+    // k×3 frames after one scan.
+    "q507_topsis" -> ((s, d0) => {
+      val per = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum("n_chars").as("sl"),
+          sum(col("q.keep").cast("long")).as("k_s"),
+          sum(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")).as("stk"))
+        .select(col("source"), expr("sl div n_s").as("c1"),
+          expr("k_s * 1000000 div n_s").as("c2"),
+          expr("stk div n_s").as("c3"))
+      val norms = per.agg(sum(col("c1") * col("c1")).as("q1"),
+        sum(col("c2") * col("c2")).as("q2"),
+        sum(col("c3") * col("c3")).as("q3"))
+      val r = per.crossJoin(broadcast(norms))
+        .select(col("source"),
+          floor(d(col("c1")) / sqrt(d(col("q1"))) * 1e6).cast("long")
+            .as("r1"),
+          floor(d(col("c2")) / sqrt(d(col("q2"))) * 1e6).cast("long")
+            .as("r2"),
+          floor(d(col("c3")) / sqrt(d(col("q3"))) * 1e6).cast("long")
+            .as("r3"))
+        .persist() // ideal points + distances read it
+      val ideal = r.agg(max("r1").as("b1"), max("r2").as("b2"),
+        max("r3").as("b3"), min("r1").as("w1"), min("r2").as("w2"),
+        min("r3").as("w3"))
+      r.crossJoin(broadcast(ideal))
+        .withColumn("dp", sqrt(
+          (d(col("r1")) - d(col("b1"))) * (d(col("r1")) - d(col("b1"))) +
+          (d(col("r2")) - d(col("b2"))) * (d(col("r2")) - d(col("b2"))) +
+          (d(col("r3")) - d(col("b3"))) * (d(col("r3")) - d(col("b3")))))
+        .withColumn("dm", sqrt(
+          (d(col("r1")) - d(col("w1"))) * (d(col("r1")) - d(col("w1"))) +
+          (d(col("r2")) - d(col("w2"))) * (d(col("r2")) - d(col("w2"))) +
+          (d(col("r3")) - d(col("w3"))) * (d(col("r3")) - d(col("w3")))))
+        .select(col("source"), col("r1"), col("r2"), col("r3"),
+          when(col("dp") + col("dm") > 0.0d,
+            floor(col("dm") / (col("dp") + col("dm")) * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("closeness_e6"))
+    }),
+
+    // Exact 3-player Shapley values for the labeling-rule ensemble —
+    // each rater's MARGINAL contribution to the majority vote's F1
+    // against a held-out gold proxy, averaged over all orderings
+    // (n=3 ⇒ the 7 coalition values are computed EXACTLY in one pass
+    // and the Shapley weights are 2/6, 1/6, 1/6, 2/6 — no sampling,
+    // unlike q390's KNN approximation). The "which labeling function
+    // earns its keep" number. Exact: coalition F1s are integer e6;
+    // Shapley combination is integer arithmetic over the collected
+    // 7-row table (bounded driver combine, the BpeTrainer convention).
+    "q508_rater_shapley" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("v1"),
+          (size(graft.functions.TextFunctions.tokens(col("text"))) >= 15)
+            .cast("long").as("v2"),
+          (col("q.stop_ratio") > 0.002d).cast("long").as("v3"),
+          (col("n_chars") >= 250L).cast("long").as("gold"))
+      val coalitions = Seq(
+        (1L, 1, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 1),
+        (12L, 1, 1, 0), (13L, 1, 0, 1), (23L, 0, 1, 1), (123L, 1, 1, 1))
+      val armExpr = coalitions.map { case (id, a, b, c) =>
+        s"""named_struct('cid', ${id}L,
+           'votes', v1 * $a + v2 * $b + v3 * $c,
+           'sz', ${a + b + c}L)"""
+      }.mkString("array(", ", ", ")")
+      val f1s = f.select(col("gold"), explode(expr(armExpr)).as("x"))
+        .select(col("x.cid").as("cid"), col("gold"),
+          (col("x.votes") * 2 >= col("x.sz")).cast("long").as("pred"))
+        .groupBy("cid")
+        .agg(sum(expr("pred * gold")).as("tp"),
+          sum(expr("pred * (1 - gold)")).as("fp"),
+          sum(expr("(1 - pred) * gold")).as("fn"))
+        .select(col("cid"), expr(
+          "2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1L)").as("f1"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def v(id: Long) = f1s(id)
+      val phi = Seq(
+        ("rule_quality", 2 * v(1) + (v(12) - v(2)) + (v(13) - v(3)) +
+          2 * (v(123) - v(23))),
+        ("rule_tokens", 2 * v(2) + (v(12) - v(1)) + (v(23) - v(3)) +
+          2 * (v(123) - v(13))),
+        ("rule_stopratio", 2 * v(3) + (v(13) - v(1)) + (v(23) - v(2)) +
+          2 * (v(123) - v(12))))
+      import s.implicits._
+      phi.map { case (n2, num) => (n2, v(123), num / 6) }
+        .toDF("rater", "full_f1_e6", "shapley_e6")
+    }),
+
+    // Pinball (quantile) loss of the naive one-day-back forecast at
+    // q ∈ {0.1, 0.5, 0.9} — the forecast-eval metric that prices
+    // ASYMMETRIC misses (M5-style), where q339's MASE prices only
+    // magnitude. Fully integer: loss = q₁₀·(y−f)⁺ + (10−q₁₀)·(f−y)⁺
+    // in tenths; calendar join, one conditional aggregate per
+    // quantile in a single pass.
+    "q509_pinball_loss" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val pairs = dm
+        .join(dm.select((col("day") + 1L).as("day"), col("y").as("f")),
+          "day")
+        .select(greatest(col("y") - col("f"), lit(0L)).as("under"),
+          greatest(col("f") - col("y"), lit(0L)).as("over"))
+      pairs.select(explode(expr(
+          """array(named_struct('q10', 1L, 'u', under, 'o', over),
+                   named_struct('q10', 5L, 'u', under, 'o', over),
+                   named_struct('q10', 9L, 'u', under, 'o', over))"""))
+          .as("x"))
+        .select(col("x.q10").as("q10"),
+          (col("x.q10") * col("x.u") +
+            (lit(10L) - col("x.q10")) * col("x.o")).as("l_e1"))
+        .groupBy("q10")
+        .agg(count(lit(1)).as("n"), sum("l_e1").as("sl_e1"))
+        .select(col("q10"), col("n"),
+          expr("sl_e1 * 100000 div n").as("mean_loss_e6"))
+    }),
+
     // Kendall's W coefficient of concordance (Kendall & Babington
     // Smith 1939), tie-corrected — do the corpus's three quality
     // JUDGES (mean length, keep rate, mean token count) agree on how
@@ -968,6 +1095,136 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q507_topsis" ->
+      s"""WITH base AS (
+           SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
+             len(w) AS ntok
+           FROM (SELECT source, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         per AS (
+           SELECT source,
+             CAST(sum(n_chars) AS BIGINT) // count(*) AS c1,
+             CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS c2,
+             CAST(sum(ntok) AS BIGINT) // count(*) AS c3
+           FROM base GROUP BY 1),
+         norms AS (
+           SELECT CAST(sum(c1 * c1) AS BIGINT) AS q1,
+             CAST(sum(c2 * c2) AS BIGINT) AS q2,
+             CAST(sum(c3 * c3) AS BIGINT) AS q3
+           FROM per),
+         r AS (
+           SELECT source,
+             CAST(floor(CAST(c1 AS DOUBLE) / sqrt(CAST(q1 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS r1,
+             CAST(floor(CAST(c2 AS DOUBLE) / sqrt(CAST(q2 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS r2,
+             CAST(floor(CAST(c3 AS DOUBLE) / sqrt(CAST(q3 AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS r3
+           FROM per, norms),
+         ideal AS (
+           SELECT max(r1) AS b1, max(r2) AS b2, max(r3) AS b3,
+             min(r1) AS w1, min(r2) AS w2, min(r3) AS w3
+           FROM r),
+         dd AS (
+           SELECT source, r1, r2, r3,
+             sqrt((CAST(r1 AS DOUBLE) - CAST(b1 AS DOUBLE))
+                 * (CAST(r1 AS DOUBLE) - CAST(b1 AS DOUBLE))
+               + (CAST(r2 AS DOUBLE) - CAST(b2 AS DOUBLE))
+                 * (CAST(r2 AS DOUBLE) - CAST(b2 AS DOUBLE))
+               + (CAST(r3 AS DOUBLE) - CAST(b3 AS DOUBLE))
+                 * (CAST(r3 AS DOUBLE) - CAST(b3 AS DOUBLE))) AS dp,
+             sqrt((CAST(r1 AS DOUBLE) - CAST(w1 AS DOUBLE))
+                 * (CAST(r1 AS DOUBLE) - CAST(w1 AS DOUBLE))
+               + (CAST(r2 AS DOUBLE) - CAST(w2 AS DOUBLE))
+                 * (CAST(r2 AS DOUBLE) - CAST(w2 AS DOUBLE))
+               + (CAST(r3 AS DOUBLE) - CAST(w3 AS DOUBLE))
+                 * (CAST(r3 AS DOUBLE) - CAST(w3 AS DOUBLE))) AS dm
+           FROM r, ideal)
+         SELECT source, r1, r2, r3,
+           CASE WHEN dp + dm > 0.0
+             THEN CAST(floor(dm / (dp + dm) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS closeness_e6
+         FROM dd""",
+
+    "q508_rater_shapley" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      val coalitions = Seq(
+        (1L, 1, 0, 0), (2L, 0, 1, 0), (3L, 0, 0, 1),
+        (12L, 1, 1, 0), (13L, 1, 0, 1), (23L, 0, 1, 1), (123L, 1, 1, 1))
+      val arms = coalitions.map { case (id, a, b, c) =>
+        s"""SELECT CAST($id AS BIGINT) AS cid,
+             v1 * $a + v2 * $b + v3 * $c AS votes,
+             CAST(${a + b + c} AS BIGINT) AS sz, gold FROM f"""
+      }.mkString("\n           UNION ALL ")
+      s"""WITH f AS (
+           SELECT ${TrainingShared.keepRuleSql} AS v1,
+             CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
+               AS v2,
+             CAST(CASE WHEN round(CASE WHEN len(w) > 0
+               THEN CAST($stopAll AS DOUBLE) / len(w) ELSE 0.0 END, 6)
+               > 0.002 THEN 1 ELSE 0 END AS BIGINT) AS v3,
+             CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS BIGINT)
+               AS gold
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         arms AS (
+           $arms),
+         preds AS (
+           SELECT cid, gold,
+             CASE WHEN votes * 2 >= sz THEN 1 ELSE 0 END AS pred
+           FROM arms),
+         f1 AS (
+           SELECT cid,
+             2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1
+           FROM (SELECT cid, CAST(sum(pred * gold) AS BIGINT) AS tp,
+                   CAST(sum(pred * (1 - gold)) AS BIGINT) AS fp,
+                   CAST(sum((1 - pred) * gold) AS BIGINT) AS fn
+                 FROM preds GROUP BY 1)),
+         pv AS (
+           SELECT max(CASE WHEN cid = 1 THEN f1 END) AS v1,
+             max(CASE WHEN cid = 2 THEN f1 END) AS v2,
+             max(CASE WHEN cid = 3 THEN f1 END) AS v3,
+             max(CASE WHEN cid = 12 THEN f1 END) AS v12,
+             max(CASE WHEN cid = 13 THEN f1 END) AS v13,
+             max(CASE WHEN cid = 23 THEN f1 END) AS v23,
+             max(CASE WHEN cid = 123 THEN f1 END) AS v123
+           FROM f1)
+         SELECT 'rule_quality' AS rater, v123 AS full_f1_e6,
+           (2 * v1 + (v12 - v2) + (v13 - v3) + 2 * (v123 - v23)) // 6
+             AS shapley_e6
+         FROM pv
+         UNION ALL
+         SELECT 'rule_tokens', v123,
+           (2 * v2 + (v12 - v1) + (v23 - v3) + 2 * (v123 - v13)) // 6
+         FROM pv
+         UNION ALL
+         SELECT 'rule_stopratio', v123,
+           (2 * v3 + (v13 - v1) + (v23 - v2) + 2 * (v123 - v12)) // 6
+         FROM pv"""
+    },
+
+    "q509_pinball_loss" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         pairs AS (
+           SELECT greatest(a.y - b.f, 0) AS under,
+             greatest(b.f - a.y, 0) AS over
+           FROM dm a JOIN (SELECT day + 1 AS day, y AS f FROM dm) b
+             USING (day)),
+         arms AS (
+           SELECT q10, q10 * under + (10 - q10) * over AS l_e1
+           FROM pairs, (SELECT CAST(unnest([1, 5, 9]) AS BIGINT) AS q10))
+         SELECT q10, count(*) AS n,
+           CAST(sum(l_e1) AS BIGINT) * 100000 // count(*) AS mean_loss_e6
+         FROM arms GROUP BY 1""",
+
     "q467_condorcet_fusion" ->
       s"""WITH base AS (
            SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
