@@ -1096,13 +1096,13 @@ object Evals {
 
   val oracles: Map[String, String] = Map(
     "q507_topsis" ->
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
            SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
              len(w) AS ntok
            FROM (SELECT source, n_chars, text,
                    string_split(lower(text), ' ') AS w
                  FROM documents)),
-         per AS (
+         per AS MATERIALIZED (
            SELECT source,
              CAST(sum(n_chars) AS BIGINT) // count(*) AS c1,
              CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS c2,
@@ -1158,7 +1158,7 @@ object Evals {
              v1 * $a + v2 * $b + v3 * $c AS votes,
              CAST(${a + b + c} AS BIGINT) AS sz, gold FROM f"""
       }.mkString("\n           UNION ALL ")
-      s"""WITH f AS (
+      s"""WITH f AS MATERIALIZED (
            SELECT ${TrainingShared.keepRuleSql} AS v1,
              CAST(CASE WHEN len(w) >= 15 THEN 1 ELSE 0 END AS BIGINT)
                AS v2,
