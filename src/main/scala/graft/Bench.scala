@@ -290,7 +290,10 @@ object Bench {
     "q506_pacf", // Durbin-Levinson partial autocorrelations
     "q507_topsis", // multi-criteria closeness-to-ideal ranking
     "q508_rater_shapley", // exact 3-player LF contribution split
-    "q509_pinball_loss") // asymmetric quantile forecast eval
+    "q509_pinball_loss", // asymmetric quantile forecast eval
+    "q510_synthetic_control", // two-donor counterfactual gap
+    "q511_bartlett", // parametric variance-homogeneity test
+    "q512_jonckheere") // ordered-groups trend from histograms
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

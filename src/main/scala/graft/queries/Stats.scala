@@ -266,6 +266,149 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Two-donor synthetic control (Abadie-style, closed form) — build
+    // a counterfactual for the heaviest event type from a convex
+    // combination of the next two types, fitted on the FIRST half of
+    // the calendar: w* = ⟨y−d₂, d₁−d₂⟩/‖d₁−d₂‖² (clamped to [0,1]),
+    // then report the post-period gap between actual and synthetic —
+    // the causal-panel method q235's diff-in-diff approximates with
+    // equal weights. Exact: integer daily means; w* one pinned chain
+    // from integer pre-period sums; the post gap re-uses w* in e6
+    // integer arithmetic. Day-bounded frames after one scan.
+    "q510_synthetic_control" -> ((s, d0) => {
+      val cell = t(s, d0, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day", "event_type")
+        .agg(expr("sum(v) div count(1)").as("m"))
+        .persist() // ranking + the pivot read it
+      val t3 = cell.groupBy("event_type").agg(count(lit(1)).as("nd"))
+        .orderBy(col("nd").desc, col("event_type").asc).limit(3)
+      val roles = t3.crossJoin(broadcast(t3.select(
+          col("event_type").as("e2"), col("nd").as("nd2"))))
+        .groupBy("event_type", "nd")
+        .agg(sum(when(col("nd2") > col("nd") ||
+          (col("nd2") === col("nd") && col("e2") < col("event_type")), 1L)
+          .otherwise(0L)).as("nb"))
+        .select(col("event_type"), (col("nb") + 1L).as("role"))
+      val wide = cell.join(broadcast(roles), "event_type")
+        .groupBy("day")
+        .agg(max(when(col("role") === 1, col("m"))).as("y"),
+          max(when(col("role") === 2, col("m"))).as("d1"),
+          max(when(col("role") === 3, col("m"))).as("d2"))
+        .where(col("y").isNotNull && col("d1").isNotNull &&
+          col("d2").isNotNull)
+        .persist() // fit + gap read it
+      val br = wide.agg(expr("(min(day) + max(day)) div 2").as("b"))
+      val fit = wide.crossJoin(broadcast(br)).where(col("day") < col("b"))
+        .agg(count(lit(1)).as("n_pre"),
+          sum((col("y") - col("d2")) * (col("d1") - col("d2"))).as("num"),
+          sum((col("d1") - col("d2")) * (col("d1") - col("d2"))).as("den"))
+        .select(col("n_pre"),
+          least(lit(1000000L), greatest(lit(0L),
+            expr("num * 1000000 div greatest(den, 1L)"))).as("w_e6"))
+      wide.crossJoin(broadcast(br)).where(col("day") >= col("b"))
+        .crossJoin(broadcast(fit))
+        .select(col("day"), col("n_pre"), col("w_e6"),
+          (col("y") * 1000000L - (col("w_e6") * col("d1") +
+            (lit(1000000L) - col("w_e6")) * col("d2"))).as("gap_e6"))
+        .agg(max("n_pre").as("n_pre"), max("w_e6").as("w_e6"),
+          count(lit(1)).as("n_post"),
+          expr("sum(gap_e6) div count(1)").as("mean_gap_e6"))
+    }),
+
+    // Bartlett's test (1937) — the parametric variance-homogeneity
+    // test whose robust cousin is q432's Brown–Forsythe: sharper when
+    // the data really are normal, which is exactly what a pipeline
+    // should check BOTH ways. T = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²]/C
+    // with the usual correction C. Exact: per-group integer sums; the
+    // k per-group ln terms fold in sorted-type order (q399 rule); one
+    // pinned chain.
+    "q511_bartlett" -> ((s, d0) => {
+      val per = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long")
+          .as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_t"), sum("v").as("s_t"),
+          sum(col("v") * col("v")).as("ss_t"))
+      per.agg(count(lit(1)).as("k"), sum("n_t").as("n"),
+          array_sort(collect_list(struct(col("event_type"), col("n_t"),
+            col("s_t"), col("ss_t")))).as("ps"))
+        .withColumn("ssw", aggregate(transform(col("ps"),
+          x => x.getField("ss_t").cast("double") -
+            x.getField("s_t").cast("double") *
+            x.getField("s_t").cast("double") /
+            x.getField("n_t").cast("double")),
+          lit(0.0d), (acc, x) => acc + x))
+        .withColumn("sumln", aggregate(transform(col("ps"),
+          x => (x.getField("n_t").cast("double") - 1.0d) *
+            log((x.getField("ss_t").cast("double") -
+              x.getField("s_t").cast("double") *
+              x.getField("s_t").cast("double") /
+              x.getField("n_t").cast("double")) /
+              (x.getField("n_t").cast("double") - 1.0d))),
+          lit(0.0d), (acc, x) => acc + x))
+        .withColumn("sumInv", aggregate(transform(col("ps"),
+          x => lit(1.0d) / (x.getField("n_t").cast("double") - 1.0d)),
+          lit(0.0d), (acc, x) => acc + x))
+        .withColumn("sp2", col("ssw") / (d(col("n")) - d(col("k"))))
+        .withColumn("cc", lit(1.0d) +
+          (col("sumInv") - lit(1.0d) / (d(col("n")) - d(col("k")))) /
+          (lit(3.0d) * (d(col("k")) - 1.0d)))
+        .select(col("k"), col("n"),
+          floor(((
+            (d(col("n")) - d(col("k"))) * log(col("sp2")) - col("sumln")) /
+            col("cc")) * 1e6).cast("long").as("t_e6"))
+    }),
+
+    // Jonckheere–Terpstra test (1954) — monotone trend ACROSS ordered
+    // groups (event types in name order): J = Σ over ordered type
+    // pairs of the Mann–Whitney count, computed from the distinct-
+    // value histograms via cumulative counts (never row pairs — the
+    // q286 midrank machinery generalized to k groups). Exact: J×2
+    // integer (ties count once), null mean/variance pinned. One scan
+    // + bounded histogram joins.
+    "q512_jonckheere" -> ((s, d0) => {
+      val h = t(s, d0, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long")
+          .as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        .persist() // both pair sides read it
+      // densify each type's cumulative over the GLOBAL value grid —
+      // a type's cum-below must be defined at values it never took
+      val grid = h.select("v").distinct()
+        .crossJoin(broadcast(h.select("event_type").distinct()))
+      val full = grid.join(h, Seq("event_type", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val cum = full.withColumn("cb", coalesce(sum("c").over(wT), lit(0L)))
+      val j2 = cum.select(col("event_type").as("ta"), col("v"),
+          col("c").as("ca"), col("cb"))
+        .join(h.select(col("event_type").as("tb"), col("v"),
+          col("c").as("cbv")), "v")
+        .where(col("ta") < col("tb"))
+        .agg(sum(lit(2L) * col("cbv") * col("cb") +
+          col("cbv") * col("ca")).as("j2"))
+      val sizes = h.groupBy("event_type").agg(sum("c").as("n_t"))
+      val stats = sizes.agg(count(lit(1)).as("k"), sum("n_t").as("n"),
+        sum(col("n_t") * col("n_t")).as("sn2"),
+        sum(col("n_t") * col("n_t") * (lit(2L) * col("n_t") + 3L))
+          .as("sn23"))
+      j2.crossJoin(stats)
+        .withColumn("mu2", (d(col("n")) * d(col("n")) -
+          d(col("sn2"))) / 2.0d)
+        .withColumn("vr", (d(col("n")) * d(col("n")) *
+          (lit(2.0d) * d(col("n")) + 3.0d) - d(col("sn23"))) / 72.0d)
+        .select(col("n"), col("k"), col("j2"),
+          when(col("vr") > 0.0d,
+            floor((d(col("j2")) / 2.0d - col("mu2") / 2.0d) /
+              sqrt(col("vr")) * 1e6).cast("long")).otherwise(lit(0L))
+            .as("z_e6"))
+    }),
+
     // Kish effective sample size (1965) — what the q470
     // post-stratification weights COST: ESS = (Σw)²/Σw² of the
     // per-document calibration weights w = (N_h/N)/(n_h/n); the gap
@@ -3154,6 +3297,125 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q510_synthetic_control" ->
+      """WITH cell AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         t3 AS (
+           SELECT event_type, count(*) AS nd
+           FROM cell GROUP BY 1 ORDER BY nd DESC, event_type LIMIT 3),
+         roles AS (
+           SELECT a.event_type,
+             CAST(1 + (SELECT count(*) FROM t3 b WHERE b.nd > a.nd
+               OR (b.nd = a.nd AND b.event_type < a.event_type))
+               AS BIGINT) AS role
+           FROM t3 a),
+         wide AS (
+           SELECT day, y, d1, d2 FROM (
+             SELECT day,
+               max(CASE WHEN role = 1 THEN m END) AS y,
+               max(CASE WHEN role = 2 THEN m END) AS d1,
+               max(CASE WHEN role = 3 THEN m END) AS d2
+             FROM cell JOIN roles USING (event_type) GROUP BY 1)
+           WHERE y IS NOT NULL AND d1 IS NOT NULL AND d2 IS NOT NULL),
+         br AS (SELECT (min(day) + max(day)) // 2 AS b FROM wide),
+         fit AS (
+           SELECT count(*) AS n_pre,
+             least(1000000, greatest(0,
+               CAST(sum((y - d2) * (d1 - d2)) AS BIGINT) * 1000000
+               // greatest(CAST(sum((d1 - d2) * (d1 - d2)) AS BIGINT), 1)))
+               AS w_e6
+           FROM wide, br WHERE day < b)
+         SELECT max(n_pre) AS n_pre, max(w_e6) AS w_e6,
+           count(*) AS n_post,
+           CAST(sum(y * 1000000 - (w_e6 * d1 + (1000000 - w_e6) * d2))
+             AS BIGINT) // count(*) AS mean_gap_e6
+         FROM wide, br, fit WHERE day >= b""",
+
+    "q511_bartlett" ->
+      """WITH per AS (
+           SELECT event_type, count(*) AS n_t,
+             CAST(sum(v) AS BIGINT) AS s_t,
+             CAST(sum(v * v) AS BIGINT) AS ss_t
+           FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT)
+                   AS v
+                 FROM events)
+           GROUP BY 1),
+         ag AS (
+           SELECT count(*) AS k, CAST(sum(n_t) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE)
+                 * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 ORDER BY event_type)), (acc, x) -> acc + x) AS ssw,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(n_t AS DOUBLE) - 1.0)
+                 * ln((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE)
+                   * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                   / (CAST(n_t AS DOUBLE) - 1.0))
+                 ORDER BY event_type)), (acc, x) -> acc + x) AS sumln,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(1.0 / (CAST(n_t AS DOUBLE) - 1.0)
+                 ORDER BY event_type)), (acc, x) -> acc + x) AS sumInv
+           FROM per),
+         ch AS (
+           SELECT *,
+             ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS sp2,
+             1.0 + (sumInv - 1.0 / (CAST(n AS DOUBLE)
+               - CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - 1.0))
+               AS cc
+           FROM ag)
+         SELECT k, n,
+           CAST(floor((((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+             * ln(sp2) - sumln) / cc) * 1000000.0) AS BIGINT) AS t_e6
+         FROM ch""",
+
+    "q512_jonckheere" ->
+      """WITH h AS (
+           SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT event_type, v
+           FROM (SELECT DISTINCT v FROM h),
+             (SELECT DISTINCT event_type FROM h)),
+         full0 AS (
+           SELECT grid.event_type, grid.v, COALESCE(h.c, 0) AS c
+           FROM grid LEFT JOIN h USING (event_type, v)),
+         cum AS (
+           SELECT event_type, v, c,
+             CAST(COALESCE(sum(c) OVER (PARTITION BY event_type
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           FROM full0),
+         j2t AS (
+           SELECT CAST(sum(2 * b.c * a.cb + b.c * a.c) AS BIGINT) AS j2
+           FROM cum a JOIN h b
+             ON a.v = b.v AND a.event_type < b.event_type),
+         sizes AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t
+           FROM h GROUP BY 1),
+         stats AS (
+           SELECT count(*) AS k, CAST(sum(n_t) AS BIGINT) AS n,
+             CAST(sum(n_t * n_t) AS BIGINT) AS sn2,
+             CAST(sum(n_t * n_t * (2 * n_t + 3)) AS BIGINT) AS sn23
+           FROM sizes),
+         ch AS (
+           SELECT *,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(sn2 AS DOUBLE)) / 2.0 AS mu2,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * (2.0 * CAST(n AS DOUBLE) + 3.0)
+               - CAST(sn23 AS DOUBLE)) / 72.0 AS vr
+           FROM j2t, stats)
+         SELECT n, k, j2,
+           CASE WHEN vr > 0.0
+             THEN CAST(floor((CAST(j2 AS DOUBLE) / 2.0 - mu2 / 2.0)
+               / sqrt(vr) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS z_e6
+         FROM ch""",
 
     "q504_kish_ess" ->
       """WITH docs AS (SELECT lang, doc_id FROM documents),
