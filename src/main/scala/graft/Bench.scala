@@ -293,7 +293,10 @@ object Bench {
     "q509_pinball_loss", // asymmetric quantile forecast eval
     "q510_synthetic_control", // two-donor counterfactual gap
     "q511_bartlett", // parametric variance-homogeneity test
-    "q512_jonckheere") // ordered-groups trend from histograms
+    "q512_jonckheere", // ordered-groups trend from histograms
+    "q513_filter_smd", // what the quality filter selects FOR
+    "q514_capping_impact", // mass touched/removed per cap
+    "q515_qini_uplift") // incremental-keeps uplift by score decile
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,6 +266,107 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Quality-filter selection-bias table — standardized mean
+    // differences (Cohen's d form) between KEPT and DROPPED documents
+    // on each covariate (length, tokens, English share): what the
+    // filter selects FOR, the same balance diagnostic q311's matching
+    // uses, turned on the filter itself. |SMD| > 0.1 is the usual
+    // "covariate shifted" flag. One scan, integer sums, pinned chains
+    // per covariate row.
+    "q513_filter_smd" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("g"),
+          explode(expr(
+            """array(named_struct('cov', 'n_chars', 'x', n_chars),
+                     named_struct('cov', 'n_tokens',
+                       'x', cast(size(split(lower(text), ' ')) as bigint)),
+                     named_struct('cov', 'is_en',
+                       'x', cast(lang = 'en' as bigint)))""")).as("c"))
+        .select(col("g"), col("c.cov").as("cov"), col("c.x").as("x"))
+      f.groupBy("cov")
+        .agg(sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 1L, col("x")).otherwise(0L)).as("s1"),
+          sum(when(col("g") === 1L, col("x") * col("x")).otherwise(0L))
+            .as("ss1"),
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 0L, col("x")).otherwise(0L)).as("s0"),
+          sum(when(col("g") === 0L, col("x") * col("x")).otherwise(0L))
+            .as("ss0"))
+        .withColumn("sp2", ((d(col("ss1")) - d(col("s1")) * d(col("s1")) /
+          d(col("n1"))) + (d(col("ss0")) - d(col("s0")) * d(col("s0")) /
+          d(col("n0")))) / (d(col("n1")) + d(col("n0")) - 2.0d))
+        .select(col("cov"), col("n1"), col("n0"),
+          when(col("sp2") > 0.0d,
+            floor((d(col("s1")) / d(col("n1")) -
+              d(col("s0")) / d(col("n0"))) / sqrt(col("sp2")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("smd_e6"))
+    }),
+
+    // Metric-capping impact — before capping a heavy-tailed metric at
+    // p90/p99 (the standard abuse/outlier guard), price what the cap
+    // DOES: share of rows touched and share of total mass removed at
+    // each cap. Cap values are exact rank lookups (globalRank), the
+    // impact is one conditional pass. The operational twin of q31's
+    // winsorize and q486's trim curve, priced in MASS not mean.
+    "q514_capping_impact" -> ((s, d0) => {
+      val rk = graft.operators.Ranking.globalRank(
+        t(s, d0, "events").select(
+          floor(col("value") * 100).cast("long").as("v"), col("event_id")),
+        "r", col("v").asc, col("event_id").asc)
+        .persist() // cap lookups + the impact pass read it
+      val nn = rk.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val caps = rk.crossJoin(broadcast(nn))
+        .where(col("r") === expr("n * 90 div 100") ||
+          col("r") === expr("n * 99 div 100"))
+        .select(expr("CASE WHEN r = n * 90 div 100 THEN 90L ELSE 99L END")
+          .as("pct"), col("v").as("cap"))
+      rk.crossJoin(broadcast(caps))
+        .groupBy("pct", "cap")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") > col("cap"), 1L).otherwise(0L)).as("n_capped"),
+          sum("v").as("sv"),
+          sum(when(col("v") > col("cap"), col("v") - col("cap"))
+            .otherwise(0L)).as("mass_removed"))
+        .select(col("pct"), col("cap"),
+          expr("n_capped * 1000000 div n").as("touched_e6"),
+          col("mass_removed"),
+          expr("mass_removed * 1000000 div sv").as("mass_share_e6"))
+    }),
+
+    // Qini uplift curve (Radcliffe 2007) — the UPLIFT readout q293's
+    // response-lift cannot give: by score decile (length decile, the
+    // deterministic targeting score), the cumulative incremental keeps
+    // of "treated" (even doc_id, the A/B proxy) over controls scaled
+    // to treated volume: Qini(k) = K_t(k) − K_c(k)·N_t(k)/N_c(k). A
+    // flat curve = the score does not find treatment-responsive
+    // documents. Exact: integer decile sums, cumulative via a bounded
+    // 10-row ordered fold, ONE trunc-div per point.
+    "q515_qini_uplift" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(expr("least(n_chars div 200, 9L)").as("dec"),
+          (col("doc_id") % 2 === 0).cast("long").as("tr"),
+          col("q.keep").cast("long").as("y"))
+      val cells = f.groupBy("dec")
+        .agg(sum("tr").as("nt"), sum(lit(1L) - col("tr")).as("nc"),
+          sum(col("tr") * col("y")).as("kt"),
+          sum((lit(1L) - col("tr")) * col("y")).as("kc"))
+      // cumulative from the top decile down via the bounded 10×10
+      // self-join (window-free — the q439 rule)
+      val o = cells.select(col("dec").as("d2"), col("nt").as("nt2"),
+        col("nc").as("nc2"), col("kt").as("kt2"), col("kc").as("kc2"))
+      cells.join(broadcast(o), col("d2") >= col("dec"))
+        .groupBy("dec")
+        .agg(sum("nt2").as("cnt"), sum("nc2").as("cnc"),
+          sum("kt2").as("ckt"), sum("kc2").as("ckc"))
+        .select(col("dec"), col("cnt"), col("cnc"), col("ckt"), col("ckc"),
+          expr("""ckt * 1000000 div greatest(cnt, 1L)
+            - ckc * 1000000 div greatest(cnc, 1L)""").as("uplift_e6"),
+          (col("ckt") - expr("ckc * cnt div greatest(cnc, 1L)"))
+            .as("qini"))
+    }),
+
     // Two-donor synthetic control (Abadie-style, closed form) — build
     // a counterfactual for the heaviest event type from a convex
     // combination of the next two types, fitted on the FIRST half of
@@ -3297,6 +3398,109 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q513_filter_smd" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f0 AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS g,
+             CAST(n_chars AS BIGINT) AS x_chars,
+             CAST(len(w) AS BIGINT) AS x_toks,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+               AS x_en
+           FROM (SELECT n_chars, lang, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         f AS (
+           SELECT g, 'n_chars' AS cov, x_chars AS x FROM f0
+           UNION ALL SELECT g, 'n_tokens', x_toks FROM f0
+           UNION ALL SELECT g, 'is_en', x_en FROM f0),
+         ag AS (
+           SELECT cov,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g = 1 THEN x * x ELSE 0 END) AS BIGINT)
+               AS ss1,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN g = 0 THEN x * x ELSE 0 END) AS BIGINT)
+               AS ss0
+           FROM f GROUP BY 1),
+         ch AS (
+           SELECT *,
+             ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                 * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+               / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0) AS sp2
+           FROM ag)
+         SELECT cov, n1, n0,
+           CASE WHEN sp2 > 0.0
+             THEN CAST(floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt(sp2)
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS smd_e6
+         FROM ch"""
+    },
+
+    "q514_capping_impact" ->
+      """WITH rk AS (
+           SELECT v, CAST(row_number() OVER (ORDER BY v, event_id)
+             AS BIGINT) AS r
+           FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_id
+                 FROM events)),
+         nn AS (
+           SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM rk),
+         caps AS (
+           SELECT CASE WHEN r = n * 90 // 100 THEN CAST(90 AS BIGINT)
+             ELSE CAST(99 AS BIGINT) END AS pct, v AS cap
+           FROM rk, nn
+           WHERE r = n * 90 // 100 OR r = n * 99 // 100)
+         SELECT pct, cap,
+           CAST(sum(CASE WHEN v > cap THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS touched_e6,
+           CAST(sum(CASE WHEN v > cap THEN v - cap ELSE 0 END) AS BIGINT)
+             AS mass_removed,
+           CAST(sum(CASE WHEN v > cap THEN v - cap ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(v) AS BIGINT) AS mass_share_e6
+         FROM rk, caps
+         GROUP BY 1, 2""",
+
+    "q515_qini_uplift" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT least(n_chars // 200, 9) AS dec,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS tr,
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM (SELECT doc_id, n_chars, text,
+                   string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         cells AS (
+           SELECT dec, CAST(sum(tr) AS BIGINT) AS nt,
+             CAST(sum(1 - tr) AS BIGINT) AS nc,
+             CAST(sum(tr * y) AS BIGINT) AS kt,
+             CAST(sum((1 - tr) * y) AS BIGINT) AS kc
+           FROM f GROUP BY 1),
+         cum AS (
+           SELECT a.dec, CAST(sum(b.nt) AS BIGINT) AS cnt,
+             CAST(sum(b.nc) AS BIGINT) AS cnc,
+             CAST(sum(b.kt) AS BIGINT) AS ckt,
+             CAST(sum(b.kc) AS BIGINT) AS ckc
+           FROM cells a JOIN cells b ON b.dec >= a.dec
+           GROUP BY 1)
+         SELECT dec, cnt, cnc, ckt, ckc,
+           ckt * 1000000 // greatest(cnt, 1) - ckc * 1000000
+             // greatest(cnc, 1) AS uplift_e6,
+           ckt - ckc * cnt // greatest(cnc, 1) AS qini
+         FROM cum"""
+    },
 
     "q510_synthetic_control" ->
       """WITH cell AS (
