@@ -296,7 +296,10 @@ object Bench {
     "q512_jonckheere", // ordered-groups trend from histograms
     "q513_filter_smd", // what the quality filter selects FOR
     "q514_capping_impact", // mass touched/removed per cap
-    "q515_qini_uplift") // incremental-keeps uplift by score decile
+    "q515_qini_uplift", // incremental-keeps uplift by score decile
+    "q516_morans_i", // grid-cell spatial autocorrelation
+    "q517_ns_distribution", // unigram^0.75 sampling table, pow-free
+    "q518_hash_collision_audit") // birthday check on hash60
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,50 @@ object Geo {
       ((col("c_custkey") % 360) - 180).cast("double").as("lon"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Moran's I spatial autocorrelation (1950) — do neighboring grid
+    // cells carry similar account balances? THE spatial-stats readout
+    // over the q44 grid (near +1 = clustered, near 0 = random): rook
+    // adjacency between 10°-cell means, I = (n/W)·Σ_adj c_i c_j / Σc_i²
+    // with integer-centered cell means (c_i = m_i·n − Σm, the q456
+    // trick — no float mean). Exact integer sums; ONE pinned ratio.
+    // Scale: one scan to the bounded cell grid; adjacency is a keyed
+    // self-join on shifted cell ids.
+    "q516_morans_i" -> ((s, d) => {
+      val cells = t(s, d, "customer")
+        .select((col("c_acctbal") % 90.0).as("lat"),
+          ((col("c_custkey") % 360) - 180).cast("double").as("lon"),
+          floor(col("c_acctbal")).cast("long").as("bal"))
+        .select(expr("cast(floor(lat / 10.0) as bigint)").as("gy"),
+          expr("cast(floor(lon / 10.0) as bigint)").as("gx"),
+          col("bal"))
+        .groupBy("gx", "gy")
+        .agg(expr("sum(bal) div count(1)").as("m"))
+      val tot = cells.agg(count(lit(1)).as("nc"), sum("m").as("sm"))
+      val c = cells.crossJoin(broadcast(tot))
+        .select(col("gx"), col("gy"),
+          (col("m") * col("nc") - col("sm")).as("c"), col("nc"))
+        .persist() // both adjacency sides + the denominator read it
+      val nbr = c.select(col("gx"), col("gy"), col("c"))
+        .join(c.select(explode(expr(
+            """array(named_struct('gx', gx + 1L, 'gy', gy),
+                     named_struct('gx', gx - 1L, 'gy', gy),
+                     named_struct('gx', gx, 'gy', gy + 1L),
+                     named_struct('gx', gx, 'gy', gy - 1L))""")).as("k"),
+            col("c").as("c2"))
+          .select(col("k.gx").as("gx"), col("k.gy").as("gy"), col("c2")),
+          Seq("gx", "gy"))
+        .agg(count(lit(1)).as("w"), sum(col("c") * col("c2")).as("scc"))
+      val den = c.agg(sum(col("c") * col("c")).as("sc2"),
+        max("nc").as("nc"))
+      nbr.crossJoin(den)
+        .select(col("nc").as("n_cells"), col("w").as("w_pairs"),
+          when(col("sc2") > 0L && col("w") > 0L,
+            floor(col("nc").cast("double") * col("scc").cast("double") /
+              (col("w").cast("double") * col("sc2").cast("double")) * 1e6)
+              .cast("long"))
+            .otherwise(lit(0L)).as("morans_i_e6"))
+    }),
+
     // Haversine distance between derived nation coordinates, floor-bucketed
     // to km (trig last-ulp differences across engines can't flip a km).
     "q43_haversine" -> ((s, d) => {
@@ -123,6 +167,40 @@ object Geo {
   }.mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    "q516_morans_i" ->
+      """WITH pts AS (
+           SELECT (c_acctbal % 90.0) AS lat,
+             CAST((c_custkey % 360) - 180 AS DOUBLE) AS lon,
+             CAST(floor(c_acctbal) AS BIGINT) AS bal
+           FROM customer),
+         cells AS (
+           SELECT CAST(floor(lon / 10.0) AS BIGINT) AS gx,
+             CAST(floor(lat / 10.0) AS BIGINT) AS gy,
+             CAST(sum(bal) AS BIGINT) // count(*) AS m
+           FROM pts GROUP BY 1, 2),
+         tot AS (
+           SELECT count(*) AS nc, CAST(sum(m) AS BIGINT) AS sm
+           FROM cells),
+         c AS (SELECT gx, gy, m * nc - sm AS c, nc FROM cells, tot),
+         nbrs AS (
+           SELECT a.c AS c1, b.c AS c2
+           FROM c a JOIN c b
+             ON (abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+             OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1)),
+         ag AS (
+           SELECT count(*) AS w, CAST(sum(c1 * c2) AS BIGINT) AS scc
+           FROM nbrs),
+         den AS (
+           SELECT CAST(sum(c.c * c.c) AS BIGINT) AS sc2, max(nc) AS nc
+           FROM c)
+         SELECT nc AS n_cells, w AS w_pairs,
+           CASE WHEN sc2 > 0 AND w > 0
+             THEN CAST(floor(CAST(nc AS DOUBLE) * CAST(scc AS DOUBLE)
+               / (CAST(w AS DOUBLE) * CAST(sc2 AS DOUBLE))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS morans_i_e6
+         FROM ag, den""",
+
     "q153_radius_join" ->
       """WITH p AS (
            SELECT c_custkey AS id, c_acctbal % 90.0 AS lat,

@@ -650,6 +650,50 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // word2vec negative-sampling distribution (Mikolov et al. 2013's
+    // unigram^0.75) — the smoothed sampling table every embedding
+    // trainer builds: the ¾ power flattens the head and lifts the
+    // tail. Computable WITHOUT pow(): c^{3/4} = sqrt(c·sqrt(c)), two
+    // IEEE-exact sqrts. Reports the head-20 tokens' raw vs smoothed
+    // shares (per-term-floored e6 weights, integer share divisions) —
+    // the measured size of the head-flattening. One token scan.
+    "q517_ns_distribution" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("w_e6", floor(sqrt(col("c").cast("double") *
+          sqrt(col("c").cast("double"))) * 1e6).cast("long"))
+        .persist() // totals + the head read it
+      val tot = tc.agg(sum("c").as("tc"), sum("w_e6").as("tw"))
+      tc.orderBy(col("c").desc, col("tok").asc).limit(20)
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("c"),
+          expr("c * 1000000 div tc").as("raw_share_e6"),
+          expr("w_e6 * 1000000 div tw").as("ns_share_e6"))
+    }),
+
+    // 60-bit hash collision audit (the birthday check behind every
+    // hash60 fingerprint in this engine): measured colliding token
+    // pairs (distinct tokens minus distinct hashes) against the
+    // birthday expectation n(n−1)/2^61 — the evidence that 60 bits
+    // suffice at this vocabulary (and the formula that says when they
+    // stop). Exact integer counts; expectation one pinned chain
+    // reported at e9 resolution. One scan + two distinct aggregates.
+    "q518_hash_collision_audit" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist() // both distinct counts read it
+      toks.agg(count(lit(1)).as("n_types"),
+          countDistinct(TextFunctions.hash60(col("tok"))).as("n_hashes"))
+        .select(col("n_types"), col("n_hashes"),
+          (col("n_types") - col("n_hashes")).as("collisions"),
+          floor(col("n_types").cast("double") *
+            (col("n_types").cast("double") - 1.0d) /
+            lit(2305843009213693952.0d) * 1e9).cast("long")
+            .as("expected_e9"))
+    }),
+
     // Term-burstiness adaptation table (Church & Gale 1995): for the
     // 20 heaviest terms, P(tf ≥ 2 | tf ≥ 1) — once a term appears in
     // a document it tends to REPEAT, which every bag-of-words
@@ -2282,6 +2326,43 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q517_ns_distribution" ->
+      """WITH tc AS (
+           SELECT tok, count(*) AS c,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)
+               * sqrt(CAST(count(*) AS DOUBLE))) * 1000000.0) AS BIGINT)
+               AS w_e6
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS tc,
+             CAST(sum(w_e6) AS BIGINT) AS tw
+           FROM tc),
+         top AS (SELECT * FROM tc ORDER BY c DESC, tok LIMIT 20)
+         SELECT tok, c,
+           c * 1000000 // tc AS raw_share_e6,
+           w_e6 * 1000000 // tw AS ns_share_e6
+         FROM top, tot""",
+
+    "q518_hash_collision_audit" -> {
+      val h60t = graft.queries.TrainingShared.h60("tok")
+      s"""WITH toks AS (
+           SELECT DISTINCT tok
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)),
+         ag AS (
+           SELECT count(*) AS n_types,
+             count(DISTINCT ($h60t)) AS n_hashes
+           FROM toks)
+         SELECT n_types, n_hashes, n_types - n_hashes AS collisions,
+           CAST(floor(CAST(n_types AS DOUBLE)
+             * (CAST(n_types AS DOUBLE) - 1.0)
+             / 2305843009213693952.0 * 1000000000.0) AS BIGINT)
+             AS expected_e9
+         FROM ag"""
+    },
 
     "q491_term_burstiness" ->
       """WITH tf AS (
