@@ -299,7 +299,10 @@ object Bench {
     "q515_qini_uplift", // incremental-keeps uplift by score decile
     "q516_morans_i", // grid-cell spatial autocorrelation
     "q517_ns_distribution", // unigram^0.75 sampling table, pow-free
-    "q518_hash_collision_audit") // birthday check on hash60
+    "q518_hash_collision_audit", // birthday check on hash60
+    "q519_confusion_effect", // Cramer's V + multiclass kappa
+    "q520_dfbeta", // delete-one-day slope influence
+    "q521_xbar_chart") // Shewhart x-bar/R stability verdict
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

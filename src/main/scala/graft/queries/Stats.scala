@@ -266,6 +266,73 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // DFBETA slope influence — the actual delete-one-day CHANGE to the
+    // daily trend slope (q496's leverage says where influence CAN
+    // live; DFBETA says where it DOES): b₍₋ₜ₎ from the totals-minus-
+    // point identity, no per-candidate re-scan, top 10 by |Δb|. All
+    // statistics from one integer-sum aggregate; per-day pinned
+    // chains; the argpick is an integerized bounded sort-limit.
+    "q520_dfbeta" -> ((s, d0) => {
+      val daily = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select((col("day") - col("d0")).as("tt"), col("y"))
+      val sums = base.agg(count(lit(1)).as("n"), sum("tt").as("st"),
+        sum("y").as("sy"), sum(col("tt") * col("y")).as("sty"),
+        sum(col("tt") * col("tt")).as("stt"))
+      base.crossJoin(broadcast(sums))
+        .withColumn("b", (d(col("n")) * d(col("sty")) -
+          d(col("st")) * d(col("sy"))) /
+          (d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st"))))
+        .withColumn("bl", ((d(col("n")) - 1.0d) *
+          (d(col("sty")) - d(col("tt")) * d(col("y"))) -
+          (d(col("st")) - d(col("tt"))) * (d(col("sy")) - d(col("y")))) /
+          ((d(col("n")) - 1.0d) *
+            (d(col("stt")) - d(col("tt")) * d(col("tt"))) -
+            (d(col("st")) - d(col("tt"))) * (d(col("st")) - d(col("tt")))))
+        .select(col("tt"),
+          floor(col("b") * 1e9).cast("long").as("b_e9"),
+          floor(col("bl") * 1e9).cast("long").as("b_loo_e9"),
+          floor((col("bl") - col("b")) * 1e9).cast("long").as("dfbeta_e9"))
+        .orderBy(abs(col("dfbeta_e9")).desc, col("tt").asc).limit(10)
+    }),
+
+    // Shewhart x̄–R control chart (the SPC classic) over complete
+    // 7-day weeks of the daily index: center lines from subgroup
+    // means/ranges, limits from the tabulated n=7 constants
+    // (A₂=0.419, D₃=0.076, D₄=1.924 — literals, same in both
+    // engines), and the count of out-of-control weeks on each chart —
+    // the ops-grade "is the metric process stable" verdict. Exact
+    // integer subgroup stats; limit comparisons pinned.
+    "q521_xbar_chart" -> ((s, d0) => {
+      val wk = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .select(expr("day div 7").as("week"), col("y"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("nd"), expr("sum(y) div count(1)").as("xbar"),
+          (max("y") - min("y")).as("rng"))
+        .where(col("nd") === 7L)
+        .persist() // center lines + the OOC pass read it
+      val cl = wk.agg(count(lit(1)).as("n_weeks"),
+        expr("sum(xbar) div count(1)").as("xbb"),
+        expr("sum(rng) div count(1)").as("rbar"))
+      wk.crossJoin(broadcast(cl))
+        .withColumn("uclx", d(col("xbb")) + lit(0.419d) * d(col("rbar")))
+        .withColumn("lclx", d(col("xbb")) - lit(0.419d) * d(col("rbar")))
+        .withColumn("uclr", lit(1.924d) * d(col("rbar")))
+        .withColumn("lclr", lit(0.076d) * d(col("rbar")))
+        .agg(max("n_weeks").as("n_weeks"), max("xbb").as("xbb"),
+          max("rbar").as("rbar"),
+          sum(when(d(col("xbar")) > col("uclx") ||
+            d(col("xbar")) < col("lclx"), 1L).otherwise(0L)).as("ooc_x"),
+          sum(when(d(col("rng")) > col("uclr") ||
+            d(col("rng")) < col("lclr"), 1L).otherwise(0L)).as("ooc_r"))
+    }),
+
     // Quality-filter selection-bias table — standardized mean
     // differences (Cohen's d form) between KEPT and DROPPED documents
     // on each covariate (length, tokens, English share): what the
@@ -3398,6 +3465,84 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q520_dfbeta" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         base AS (
+           SELECT day - (SELECT min(day) FROM dm) AS tt, y FROM dm),
+         sums AS (
+           SELECT count(*) AS n, CAST(sum(tt) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(tt * y) AS BIGINT) AS sty,
+             CAST(sum(tt * tt) AS BIGINT) AS stt
+           FROM base),
+         ch AS (
+           SELECT tt,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+             ((CAST(n AS DOUBLE) - 1.0)
+               * (CAST(sty AS DOUBLE) - CAST(tt AS DOUBLE)
+                 * CAST(y AS DOUBLE))
+               - (CAST(st AS DOUBLE) - CAST(tt AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) - CAST(y AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) - 1.0)
+                 * (CAST(stt AS DOUBLE) - CAST(tt AS DOUBLE)
+                   * CAST(tt AS DOUBLE))
+                 - (CAST(st AS DOUBLE) - CAST(tt AS DOUBLE))
+                   * (CAST(st AS DOUBLE) - CAST(tt AS DOUBLE))) AS bl
+           FROM base, sums)
+         SELECT tt,
+           CAST(floor(b * 1000000000.0) AS BIGINT) AS b_e9,
+           CAST(floor(bl * 1000000000.0) AS BIGINT) AS b_loo_e9,
+           CAST(floor((bl - b) * 1000000000.0) AS BIGINT) AS dfbeta_e9
+         FROM ch
+         ORDER BY abs(CAST(floor((bl - b) * 1000000000.0) AS BIGINT))
+           DESC, tt
+         LIMIT 10""",
+
+    "q521_xbar_chart" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         wk AS (
+           SELECT day // 7 AS week, count(*) AS nd,
+             CAST(sum(y) AS BIGINT) // count(*) AS xbar,
+             max(y) - min(y) AS rng
+           FROM dm GROUP BY 1),
+         wk7 AS (SELECT * FROM wk WHERE nd = 7),
+         cl AS (
+           SELECT count(*) AS n_weeks,
+             CAST(sum(xbar) AS BIGINT) // count(*) AS xbb,
+             CAST(sum(rng) AS BIGINT) // count(*) AS rbar
+           FROM wk7),
+         lim AS (
+           SELECT *,
+             CAST(xbb AS DOUBLE) + 0.419 * CAST(rbar AS DOUBLE) AS uclx,
+             CAST(xbb AS DOUBLE) - 0.419 * CAST(rbar AS DOUBLE) AS lclx,
+             1.924 * CAST(rbar AS DOUBLE) AS uclr,
+             0.076 * CAST(rbar AS DOUBLE) AS lclr
+           FROM cl)
+         SELECT max(n_weeks) AS n_weeks, max(xbb) AS xbb,
+           max(rbar) AS rbar,
+           CAST(sum(CASE WHEN CAST(xbar AS DOUBLE) > uclx
+             OR CAST(xbar AS DOUBLE) < lclx THEN 1 ELSE 0 END) AS BIGINT)
+             AS ooc_x,
+           CAST(sum(CASE WHEN CAST(rng AS DOUBLE) > uclr
+             OR CAST(rng AS DOUBLE) < lclr THEN 1 ELSE 0 END) AS BIGINT)
+             AS ooc_r
+         FROM wk7, lim""",
 
     "q513_filter_smd" -> {
       val stopAll = TrainingShared.hitsSql(

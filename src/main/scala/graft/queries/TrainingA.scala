@@ -650,6 +650,52 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Effect sizes for the language-ID confusion (q478): Cramér's V
+    // (how strong is the label↔prediction association) and multi-class
+    // Cohen's κ (chance-corrected accuracy over all 5 classes) — the
+    // two numbers that summarize the whole confusion matrix, where
+    // q478 reports cells. Exact: χ² folds bounded cells in sorted
+    // order (q148 rule), κ is integer until one trunc-div; V one
+    // pinned sqrt chain.
+    "q519_confusion_effect" -> ((s, d) => {
+      val cells = t(s, d, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("nxy"))
+        .persist() // margins + the fold read it
+      val rows = cells.groupBy("lang").agg(sum("nxy").as("nr"))
+      val cols = cells.groupBy("pred").agg(sum("nxy").as("ncl"))
+      val nn = cells.agg(sum("nxy").as("n"),
+        sum(when(col("lang") === col("pred"), col("nxy")).otherwise(0L))
+          .as("agree"))
+      // Pe uses the DIAGONAL marginal products Σ_k nr_k·ncl_k; χ² uses
+      // the Σ o²/e − N identity so zero cells (contribution 0) need no
+      // densify
+      val diag = rows.join(cols, col("lang") === col("pred"))
+        .agg(coalesce(sum(col("nr") * col("ncl")), lit(0L)).as("sum_rc"))
+      val j = cells.join(rows, "lang").join(broadcast(cols), "pred")
+        .crossJoin(broadcast(nn))
+      val chi = j.agg(countDistinct("lang").as("r"),
+          countDistinct("pred").as("cdim"),
+          max("n").as("n"), max("agree").as("agree"),
+          array_sort(collect_list(struct(col("lang"), col("pred"),
+            col("nxy"), col("nr"), col("ncl"), col("n")))).as("ps"))
+        .withColumn("chi2", aggregate(transform(col("ps"),
+          x => x.getField("nxy").cast("double") *
+            x.getField("nxy").cast("double") *
+            x.getField("n").cast("double") /
+            (x.getField("nr").cast("double") *
+              x.getField("ncl").cast("double"))),
+          lit(0.0d), (acc, x) => acc + x) - col("n").cast("double"))
+      chi.crossJoin(broadcast(diag))
+        .select(col("n"), col("agree"),
+          floor(sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("r"), col("cdim")).cast("double") - 1.0d))) * 1e6)
+            .cast("long").as("cramers_v_e6"),
+          expr("""CASE WHEN n * n > sum_rc
+            THEN (agree * n - sum_rc) * 1000000 div (n * n - sum_rc)
+            ELSE 0 END""").as("kappa_e6"))
+    }),
+
     // word2vec negative-sampling distribution (Mikolov et al. 2013's
     // unigram^0.75) — the smoothed sampling table every embedding
     // trainer builds: the ¾ power flattens the head and lifts the
@@ -2326,6 +2372,60 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q519_confusion_effect" -> {
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      """WITH p AS (
+           SELECT lang,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS pred
+           FROM (SELECT lang, h_en, h_es, h_fr, h_de,
+                   greatest(h_en, h_es, h_fr, h_de) AS mx
+                 FROM (SELECT lang, """ + hits + """ FROM documents))),
+         cells AS (
+           SELECT lang, pred, count(*) AS nxy FROM p GROUP BY 1, 2),
+         rws AS (
+           SELECT lang, CAST(sum(nxy) AS BIGINT) AS nr
+           FROM cells GROUP BY 1),
+         cls AS (
+           SELECT pred, CAST(sum(nxy) AS BIGINT) AS ncl
+           FROM cells GROUP BY 1),
+         nn AS (
+           SELECT CAST(sum(nxy) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = pred THEN nxy ELSE 0 END)
+               AS BIGINT) AS agree
+           FROM cells),
+         diag AS (
+           SELECT CAST(COALESCE(sum(nr * ncl), 0) AS BIGINT) AS sum_rc
+           FROM rws r JOIN cls c ON r.lang = c.pred),
+         j AS (
+           SELECT cells.lang, cells.pred, cells.nxy, rws.nr, cls.ncl, nn.n
+           FROM cells JOIN rws USING (lang) JOIN cls USING (pred), nn),
+         chi AS (
+           SELECT count(DISTINCT lang) AS r,
+             count(DISTINCT pred) AS cdim,
+             max(n) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(nxy AS DOUBLE) * CAST(nxy AS DOUBLE)
+                 * CAST(n AS DOUBLE)
+                 / (CAST(nr AS DOUBLE) * CAST(ncl AS DOUBLE))
+                 ORDER BY lang, pred)), (acc, x) -> acc + x) AS fold
+           FROM j),
+         chi2t AS (
+           SELECT r, cdim, n, fold - CAST(n AS DOUBLE) AS chi2 FROM chi)
+         SELECT nn.n, agree,
+           CAST(floor(sqrt(chi2 / (CAST(chi2t.n AS DOUBLE)
+             * (CAST(least(r, cdim) AS DOUBLE) - 1.0))) * 1000000.0)
+             AS BIGINT) AS cramers_v_e6,
+           CASE WHEN nn.n * nn.n > sum_rc
+             THEN (agree * nn.n - sum_rc) * 1000000
+               // (nn.n * nn.n - sum_rc)
+             ELSE 0 END AS kappa_e6
+         FROM chi2t, nn, diag"""
+    },
 
     "q517_ns_distribution" ->
       """WITH tc AS (
