@@ -302,7 +302,10 @@ object Bench {
     "q518_hash_collision_audit", // birthday check on hash60
     "q519_confusion_effect", // Cramer's V + multiclass kappa
     "q520_dfbeta", // delete-one-day slope influence
-    "q521_xbar_chart") // Shewhart x-bar/R stability verdict
+    "q521_xbar_chart", // Shewhart x-bar/R stability verdict
+    "q522_p_chart", // binomial attribute chart, unequal n
+    "q523_jarque_bera", // moment-based normality gate
+    "q524_process_capability") // Cp/Cpk vs the commissioning band
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

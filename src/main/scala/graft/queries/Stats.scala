@@ -266,6 +266,106 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // p-chart (attribute control chart) — is the daily PURCHASE SHARE
+    // of events a stable process? Binomial 3σ limits around the pooled
+    // proportion, per-day limits widening with 1/√n_t (unequal daily
+    // volumes — the textbook p-chart, not the equal-n shortcut).
+    // Reports out-of-control days and the worst excursion. Exact
+    // integer counts; limit comparisons pinned per day.
+    "q522_p_chart" -> ((s, d0) => {
+      val day = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("hit"))
+        .groupBy("day").agg(count(lit(1)).as("n_t"), sum("hit").as("k_t"))
+      val pool = day.agg(sum("n_t").as("n"), sum("k_t").as("k"),
+        count(lit(1)).as("n_days"))
+      day.crossJoin(broadcast(pool))
+        .withColumn("pbar", d(col("k")) / d(col("n")))
+        .withColumn("sig", sqrt(col("pbar") * (lit(1.0d) - col("pbar")) /
+          d(col("n_t"))))
+        .withColumn("p_t", d(col("k_t")) / d(col("n_t")))
+        .withColumn("z", (col("p_t") - col("pbar")) / col("sig"))
+        .agg(max("n_days").as("n_days"),
+          floor(max(col("pbar")) * 1e6).cast("long").as("pbar_e6"),
+          sum(when(abs(col("z")) > 3.0d, 1L).otherwise(0L)).as("ooc_days"),
+          floor(max(abs(col("z"))) * 1e6).cast("long").as("max_abs_z_e6"))
+    }),
+
+    // Jarque–Bera normality test (1980) — skewness and excess kurtosis
+    // of the value distribution, combined into JB = n/6·(S² + (K−3)²/4):
+    // the moment-based normality gate before any z-test in this file
+    // is taken at face value. Exact: Σv³/Σv⁴ overflow int64, so the
+    // raw power sums ride decimal(38,0) ↔ HUGEINT (the q446 rule);
+    // the moment chains are pinned doubles.
+    "q523_jarque_bera" -> ((s, d0) => {
+      t(s, d0, "events")
+        .select(floor(col("value") * 100).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum(expr("cast(v as decimal(12,0)) * cast(v as decimal(12,0))"))
+            .as("s2"),
+          sum(expr("""cast(v as decimal(12,0)) * cast(v as decimal(12,0))
+            * cast(v as decimal(12,0))""")).as("s3"),
+          sum(expr("""cast(v as decimal(12,0)) * cast(v as decimal(12,0))
+            * cast(v as decimal(12,0)) * cast(v as decimal(12,0))"""))
+            .as("s4"))
+        .withColumn("m", col("s1").cast("double") / d(col("n")))
+        .withColumn("m2", col("s2").cast("double") / d(col("n")) -
+          col("m") * col("m"))
+        .withColumn("m3", col("s3").cast("double") / d(col("n")) -
+          lit(3.0d) * col("m") * (col("s2").cast("double") / d(col("n"))) +
+          lit(2.0d) * col("m") * col("m") * col("m"))
+        .withColumn("m4", col("s4").cast("double") / d(col("n")) -
+          lit(4.0d) * col("m") * (col("s3").cast("double") / d(col("n"))) +
+          lit(6.0d) * col("m") * col("m") *
+            (col("s2").cast("double") / d(col("n"))) -
+          lit(3.0d) * col("m") * col("m") * col("m") * col("m"))
+        .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+        .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+        .select(col("n"),
+          floor(col("skew") * 1e6).cast("long").as("skew_e6"),
+          floor(col("kurt") * 1e6).cast("long").as("kurt_e6"),
+          floor(d(col("n")) / 6.0d * (col("skew") * col("skew") +
+            (col("kurt") - 3.0d) * (col("kurt") - 3.0d) / 4.0d) * 1e3)
+            .cast("long").as("jb_e3"))
+    }),
+
+    // Process capability (Cp/Cpk) — with spec limits taken from the
+    // FIRST half's p1/p99 (the commissioning window), how capable is
+    // the SECOND half's process? Cp = (USL−LSL)/6σ, Cpk = min distance
+    // to a limit over 3σ — the manufacturing-grade "will the metric
+    // stay in its historical band" number. Exact: spec limits are rank
+    // lookups on the first half (globalRank); second-half moments
+    // integer; chains pinned.
+    "q524_process_capability" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(
+          floor(col("value") * 100).cast("long").as("v"), col("event_id"),
+          expr("unix_micros(ts)").as("tm"))
+      val mid = ev.agg(expr("(min(tm) + max(tm)) div 2").as("b"))
+      val first = ev.crossJoin(broadcast(mid)).where(col("tm") < col("b"))
+      val rk = graft.operators.Ranking.globalRank(
+        first.select(col("v"), col("event_id")), "r",
+        col("v").asc, col("event_id").asc)
+      val nf = rk.agg(count(lit(1)).as("nf"))
+      val specs = rk.crossJoin(broadcast(nf))
+        .where(col("r") === expr("greatest(nf div 100, 1L)") ||
+          col("r") === expr("nf * 99 div 100"))
+        .agg(min("v").as("lsl"), max("v").as("usl"))
+      val second = ev.crossJoin(broadcast(mid)).where(col("tm") >= col("b"))
+        .agg(count(lit(1)).as("n2"), sum("v").as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      second.crossJoin(specs)
+        .withColumn("m", d(col("sv")) / d(col("n2")))
+        .withColumn("sd", sqrt((d(col("svv")) -
+          d(col("sv")) * d(col("sv")) / d(col("n2"))) /
+          (d(col("n2")) - 1.0d)))
+        .select(col("n2").as("n_second"), col("lsl"), col("usl"),
+          floor((d(col("usl")) - d(col("lsl"))) /
+            (lit(6.0d) * col("sd")) * 1e6).cast("long").as("cp_e6"),
+          floor(least((d(col("usl")) - col("m")) / (lit(3.0d) * col("sd")),
+            (col("m") - d(col("lsl"))) / (lit(3.0d) * col("sd"))) * 1e6)
+            .cast("long").as("cpk_e6"))
+    }),
+
     // DFBETA slope influence — the actual delete-one-day CHANGE to the
     // daily trend slope (q496's leverage says where influence CAN
     // live; DFBETA says where it DOES): b₍₋ₜ₎ from the totals-minus-
@@ -3465,6 +3565,103 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q522_p_chart" ->
+      """WITH day0 AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_t,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k_t
+           FROM events GROUP BY 1),
+         pool AS (
+           SELECT CAST(sum(n_t) AS BIGINT) AS n,
+             CAST(sum(k_t) AS BIGINT) AS k, count(*) AS n_days
+           FROM day0),
+         ch AS (
+           SELECT day, n_t, k_t, n_days,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS pbar
+           FROM day0, pool),
+         ch2 AS (
+           SELECT *,
+             sqrt(pbar * (1.0 - pbar) / CAST(n_t AS DOUBLE)) AS sig,
+             CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t
+           FROM ch),
+         ch3 AS (SELECT *, (p_t - pbar) / sig AS z FROM ch2)
+         SELECT max(n_days) AS n_days,
+           CAST(floor(max(pbar) * 1000000.0) AS BIGINT) AS pbar_e6,
+           CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ooc_days,
+           CAST(floor(max(abs(z)) * 1000000.0) AS BIGINT) AS max_abs_z_e6
+         FROM ch3""",
+
+    "q523_jarque_bera" ->
+      """WITH ag AS (
+           SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS s1,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+               * CAST(v AS HUGEINT)) AS s3,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+               * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s4
+           FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS v
+                 FROM events)),
+         ch AS (
+           SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             s2d / CAST(n AS DOUBLE) - m * m AS m2,
+             s3d / CAST(n AS DOUBLE) - 3.0 * m * (s2d / CAST(n AS DOUBLE))
+               + 2.0 * m * m * m AS m3,
+             s4d / CAST(n AS DOUBLE) - 4.0 * m * (s3d / CAST(n AS DOUBLE))
+               + 6.0 * m * m * (s2d / CAST(n AS DOUBLE))
+               - 3.0 * m * m * m * m AS m4
+           FROM ch),
+         ch3 AS (
+           SELECT *, m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) AS kurt
+           FROM ch2)
+         SELECT n,
+           CAST(floor(skew * 1000000.0) AS BIGINT) AS skew_e6,
+           CAST(floor(kurt * 1000000.0) AS BIGINT) AS kurt_e6,
+           CAST(floor(CAST(n AS DOUBLE) / 6.0 * (skew * skew
+             + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000.0) AS BIGINT)
+             AS jb_e3
+         FROM ch3""",
+
+    "q524_process_capability" ->
+      """WITH ev AS (
+           SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_id,
+             epoch_us(ts) AS tm
+           FROM events),
+         mid AS (SELECT (min(tm) + max(tm)) // 2 AS b FROM ev),
+         rk AS (
+           SELECT v, CAST(row_number() OVER (ORDER BY v, event_id)
+             AS BIGINT) AS r
+           FROM ev, mid WHERE tm < b),
+         nf AS (SELECT count(*) AS nf FROM rk),
+         specs AS (
+           SELECT min(v) AS lsl, max(v) AS usl
+           FROM rk, nf
+           WHERE r = greatest(nf // 100, 1) OR r = nf * 99 // 100),
+         second AS (
+           SELECT count(*) AS n2, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+           FROM ev, mid WHERE tm >= b),
+         ch AS (
+           SELECT *,
+             CAST(sv AS DOUBLE) / CAST(n2 AS DOUBLE) AS m,
+             sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+               * CAST(sv AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) - 1.0)) AS sd
+           FROM second, specs)
+         SELECT n2 AS n_second, lsl, usl,
+           CAST(floor((CAST(usl AS DOUBLE) - CAST(lsl AS DOUBLE))
+             / (6.0 * sd) * 1000000.0) AS BIGINT) AS cp_e6,
+           CAST(floor(least((CAST(usl AS DOUBLE) - m) / (3.0 * sd),
+             (m - CAST(lsl AS DOUBLE)) / (3.0 * sd)) * 1000000.0)
+             AS BIGINT) AS cpk_e6
+         FROM ch""",
 
     "q520_dfbeta" ->
       """WITH daily AS (
