@@ -305,7 +305,10 @@ object Bench {
     "q521_xbar_chart", // Shewhart x-bar/R stability verdict
     "q522_p_chart", // binomial attribute chart, unequal n
     "q523_jarque_bera", // moment-based normality gate
-    "q524_process_capability") // Cp/Cpk vs the commissioning band
+    "q524_process_capability", // Cp/Cpk vs the commissioning band
+    "q525_g_chart", // rare-event inter-arrival monitoring
+    "q526_or_ci", // Woolf log-OR confidence interval
+    "q527_weekend_effect") // parametric + nonparametric panel
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

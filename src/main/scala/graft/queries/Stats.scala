@@ -266,6 +266,111 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // g-chart (rare-event interval chart) — monitor the RAREST event
+    // type by its inter-arrival gaps, the SPC chart for events too
+    // sparse for the p-chart: UCL = μ + 3·√(μ(μ+1)) on the geometric
+    // model (no transcendental). Reports gap stats and breaches — the
+    // "did the rare thing start clustering" alarm. Gaps via ONE keyed
+    // lag window; the rare type by bounded argmin. Exact integers +
+    // one pinned chain.
+    "q525_g_chart" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_type"),
+        expr("unix_micros(ts)").as("tm"), col("event_id"))
+      val rare = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("event_type").asc).limit(1)
+        .select(col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("tm", "event_id")
+      val gaps = ev.join(broadcast(rare), "event_type")
+        .withColumn("gap", col("tm") - lag("tm", 1).over(w))
+        .where(col("gap").isNotNull)
+        .select(expr("gap div 1000000").as("gap_s"))
+      val st = gaps.agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"))
+      gaps.crossJoin(broadcast(st))
+        .withColumn("mu", d(col("sg")) / d(col("n_gaps")))
+        .withColumn("ucl", col("mu") + lit(3.0d) *
+          sqrt(col("mu") * (col("mu") + 1.0d)))
+        .agg(max("n_gaps").as("n_gaps"),
+          floor(max(col("mu")) * 1e3).cast("long").as("mean_gap_s_e3"),
+          floor(max(col("ucl")) * 1e3).cast("long").as("ucl_s_e3"),
+          sum(when(d(col("gap_s")) > col("ucl"), 1L).otherwise(0L))
+            .as("breaches"))
+    }),
+
+    // Odds-ratio with Woolf's confidence interval — is English
+    // associated with passing the quality filter? The 2×2 effect size
+    // q148's chi-square tests but does not SIZE, with the log-scale CI
+    // ln OR ± 1.96·√(Σ 1/cell) every epidemiology table reports.
+    // Exact integer cells (half-corrected if any cell is zero, the
+    // Haldane–Anscombe rule, applied identically in both engines);
+    // one pinned ln chain.
+    "q526_or_ci" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("k"),
+          (col("lang") === "en").cast("long").as("e"))
+      f.agg(sum(expr("k * e")).as("a"), sum(expr("k * (1 - e)")).as("b"),
+          sum(expr("(1 - k) * e")).as("c"),
+          sum(expr("(1 - k) * (1 - e)")).as("dd"))
+        .withColumn("h", when(col("a") === 0L || col("b") === 0L ||
+          col("c") === 0L || col("dd") === 0L, 0.5d).otherwise(0.0d))
+        .withColumn("lor", log((d(col("a")) + col("h")) *
+          (d(col("dd")) + col("h")) /
+          ((d(col("b")) + col("h")) * (d(col("c")) + col("h")))))
+        .withColumn("se", sqrt(lit(1.0d) / (d(col("a")) + col("h")) +
+          lit(1.0d) / (d(col("b")) + col("h")) +
+          lit(1.0d) / (d(col("c")) + col("h")) +
+          lit(1.0d) / (d(col("dd")) + col("h"))))
+        .select(col("a"), col("b"), col("c"), col("dd"),
+          floor(col("lor") * 1e6).cast("long").as("log_or_e6"),
+          floor((col("lor") - lit(1.959964d) * col("se")) * 1e6)
+            .cast("long").as("ci_lo_e6"),
+          floor((col("lor") + lit(1.959964d) * col("se")) * 1e6)
+            .cast("long").as("ci_hi_e6"))
+    }),
+
+    // Weekend-effect panel — does the index behave differently on
+    // weekends? ONE row with three independent verdicts (mean-diff z,
+    // sign counts, exact median gap), because a real analysis reports
+    // the parametric and nonparametric answers together and flags
+    // disagreement. Exact integer day stats; medians exact
+    // percentiles; one pinned z chain.
+    "q527_weekend_effect" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .withColumn("we", (expr("(day + 4) % 7") >= 5L).cast("long"))
+      dm.agg(
+          sum(when(col("we") === 1L, 1L).otherwise(0L)).as("n_we"),
+          sum(when(col("we") === 1L, col("y")).otherwise(0L)).as("s_we"),
+          sum(when(col("we") === 1L, col("y") * col("y")).otherwise(0L))
+            .as("ss_we"),
+          sum(when(col("we") === 0L, 1L).otherwise(0L)).as("n_wd"),
+          sum(when(col("we") === 0L, col("y")).otherwise(0L)).as("s_wd"),
+          sum(when(col("we") === 0L, col("y") * col("y")).otherwise(0L))
+            .as("ss_wd"),
+          expr("cast(percentile(CASE WHEN we = 1 THEN y END, 0.5) * 2"
+            + " as bigint)").as("med2_we"),
+          expr("cast(percentile(CASE WHEN we = 0 THEN y END, 0.5) * 2"
+            + " as bigint)").as("med2_wd"))
+        .withColumn("m1", d(col("s_we")) / d(col("n_we")))
+        .withColumn("m0", d(col("s_wd")) / d(col("n_wd")))
+        .withColumn("v1", (d(col("ss_we")) - d(col("s_we")) *
+          d(col("s_we")) / d(col("n_we"))) / (d(col("n_we")) - 1.0d))
+        .withColumn("v0", (d(col("ss_wd")) - d(col("s_wd")) *
+          d(col("s_wd")) / d(col("n_wd"))) / (d(col("n_wd")) - 1.0d))
+        .select(col("n_we"), col("n_wd"),
+          floor((col("m1") - col("m0")) * 1e2).cast("long")
+            .as("mean_diff_e2"),
+          when(col("v1") / d(col("n_we")) + col("v0") / d(col("n_wd"))
+              > 0.0d,
+            floor((col("m1") - col("m0")) /
+              sqrt(col("v1") / d(col("n_we")) + col("v0") / d(col("n_wd")))
+              * 1e6).cast("long")).otherwise(lit(0L)).as("welch_z_e6"),
+          (col("med2_we") - col("med2_wd")).as("median_diff2"))
+    }),
+
     // p-chart (attribute control chart) — is the daily PURCHASE SHARE
     // of events a stable process? Binomial 3σ limits around the pooled
     // proportion, per-day limits widening with 1/√n_t (unequal daily
@@ -3565,6 +3670,126 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q525_g_chart" ->
+      """WITH ev AS (
+           SELECT event_type, epoch_us(ts) AS tm, event_id FROM events),
+         rare AS (
+           SELECT event_type FROM (
+             SELECT event_type, count(*) AS n FROM ev GROUP BY 1
+             ORDER BY n, event_type LIMIT 1)),
+         gaps AS (
+           SELECT (tm - lag(tm) OVER (PARTITION BY event_type
+             ORDER BY tm, event_id)) // 1000000 AS gap_s
+           FROM ev JOIN rare USING (event_type)
+           QUALIFY gap_s IS NOT NULL),
+         st AS (
+           SELECT count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS sg
+           FROM gaps),
+         ch AS (
+           SELECT gap_s, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu
+           FROM gaps, st),
+         ch2 AS (
+           SELECT *, mu + 3.0 * sqrt(mu * (mu + 1.0)) AS ucl FROM ch)
+         SELECT max(n_gaps) AS n_gaps,
+           CAST(floor(max(mu) * 1000.0) AS BIGINT) AS mean_gap_s_e3,
+           CAST(floor(max(ucl) * 1000.0) AS BIGINT) AS ucl_s_e3,
+           CAST(sum(CASE WHEN CAST(gap_s AS DOUBLE) > ucl THEN 1 ELSE 0
+             END) AS BIGINT) AS breaches
+         FROM ch2""",
+
+    "q526_or_ci" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS k,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS e
+           FROM (SELECT lang, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         ag AS (
+           SELECT CAST(sum(k * e) AS BIGINT) AS a,
+             CAST(sum(k * (1 - e)) AS BIGINT) AS b,
+             CAST(sum((1 - k) * e) AS BIGINT) AS c,
+             CAST(sum((1 - k) * (1 - e)) AS BIGINT) AS dd
+           FROM f),
+         ch AS (
+           SELECT *, CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0
+             THEN 0.5 ELSE 0.0 END AS h
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             ln((CAST(a AS DOUBLE) + h) * (CAST(dd AS DOUBLE) + h)
+               / ((CAST(b AS DOUBLE) + h) * (CAST(c AS DOUBLE) + h)))
+               AS lor,
+             sqrt(1.0 / (CAST(a AS DOUBLE) + h)
+               + 1.0 / (CAST(b AS DOUBLE) + h)
+               + 1.0 / (CAST(c AS DOUBLE) + h)
+               + 1.0 / (CAST(dd AS DOUBLE) + h)) AS se
+           FROM ch)
+         SELECT a, b, c, dd,
+           CAST(floor(lor * 1000000.0) AS BIGINT) AS log_or_e6,
+           CAST(floor((lor - 1.959964 * se) * 1000000.0) AS BIGINT)
+             AS ci_lo_e6,
+           CAST(floor((lor + 1.959964 * se) * 1000000.0) AS BIGINT)
+             AS ci_hi_e6
+         FROM ch2"""
+    },
+
+    "q527_weekend_effect" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         we AS (
+           SELECT y, CAST(CASE WHEN (day + 4) % 7 >= 5 THEN 1 ELSE 0 END
+             AS BIGINT) AS we
+           FROM dm),
+         ag AS (
+           SELECT
+             CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_we,
+             CAST(sum(CASE WHEN we = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS s_we,
+             CAST(sum(CASE WHEN we = 1 THEN y * y ELSE 0 END) AS BIGINT)
+               AS ss_we,
+             CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wd,
+             CAST(sum(CASE WHEN we = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS s_wd,
+             CAST(sum(CASE WHEN we = 0 THEN y * y ELSE 0 END) AS BIGINT)
+               AS ss_wd,
+             CAST(quantile_cont(CASE WHEN we = 1 THEN y END, 0.5) * 2
+               AS BIGINT) AS med2_we,
+             CAST(quantile_cont(CASE WHEN we = 0 THEN y END, 0.5) * 2
+               AS BIGINT) AS med2_wd
+           FROM we),
+         ch AS (
+           SELECT *,
+             CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE) AS m1,
+             CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE) AS m0,
+             (CAST(ss_we AS DOUBLE) - CAST(s_we AS DOUBLE)
+               * CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
+               / (CAST(n_we AS DOUBLE) - 1.0) AS v1,
+             (CAST(ss_wd AS DOUBLE) - CAST(s_wd AS DOUBLE)
+               * CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
+               / (CAST(n_wd AS DOUBLE) - 1.0) AS v0
+           FROM ag)
+         SELECT n_we, n_wd,
+           CAST(floor((m1 - m0) * 100.0) AS BIGINT) AS mean_diff_e2,
+           CASE WHEN v1 / CAST(n_we AS DOUBLE)
+               + v0 / CAST(n_wd AS DOUBLE) > 0.0
+             THEN CAST(floor((m1 - m0) / sqrt(v1 / CAST(n_we AS DOUBLE)
+               + v0 / CAST(n_wd AS DOUBLE)) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS welch_z_e6,
+           med2_we - med2_wd AS median_diff2
+         FROM ch""",
 
     "q522_p_chart" ->
       """WITH day0 AS (
