@@ -308,7 +308,10 @@ object Bench {
     "q524_process_capability", // Cp/Cpk vs the commissioning band
     "q525_g_chart", // rare-event inter-arrival monitoring
     "q526_or_ci", // Woolf log-OR confidence interval
-    "q527_weekend_effect") // parametric + nonparametric panel
+    "q527_weekend_effect", // parametric + nonparametric panel
+    "q528_hodges_lehmann", // Walsh-average pseudo-median
+    "q529_tost_equivalence", // two one-sided equivalence verdict
+    "q530_bland_altman") // score-agreement limits + coverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

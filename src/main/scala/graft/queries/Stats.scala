@@ -266,6 +266,103 @@ object Stats {
               .cast("long")).otherwise(lit(0L)).as("var_jk_e6"))
     }),
 
+    // Hodges–Lehmann pseudo-median (1963) — the median of all Walsh
+    // averages (y_i+y_j)/2 over the day-bounded series: the robust
+    // location estimator that beats the median's efficiency while
+    // keeping its breakdown, reported against mean and median so the
+    // three-way gap shows the skew. Exact: Walsh sums kept ×2 integer;
+    // the pair frame is calendar-bounded (the q487 posture); order
+    // statistic via exact percentile.
+    "q528_hodges_lehmann" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // both pair sides + the scalar stats read it
+      val walsh = dm.select(col("day").as("d1"), col("y").as("y1"))
+        .join(dm.select(col("day").as("d2"), col("y").as("y2")),
+          col("d1") <= col("d2"))
+        .select((col("y1") + col("y2")).as("w2"))
+      val hl = walsh.agg(count(lit(1)).as("n_pairs"),
+        expr("cast(percentile(w2, 0.5) * 2 as bigint)").as("hl4"))
+      dm.agg(count(lit(1)).as("n_days"),
+          expr("sum(y) * 100 div count(1)").as("mean_e2"),
+          expr("cast(percentile(y, 0.5) * 2 as bigint)").as("med2"))
+        .crossJoin(hl)
+        .select(col("n_days"), col("n_pairs"),
+          col("mean_e2"), (col("med2") * 50L).as("median_e2"),
+          (col("hl4") * 25L).as("hl_e2"))
+    }),
+
+    // TOST equivalence test (Schuirmann 1987) — the inference mode a
+    // no-difference claim actually requires: two one-sided Welch tests
+    // of the weekend–weekday gap against ±δ (δ = 10 cents of daily
+    // mean), equivalent iff BOTH reject. A non-significant q527 z is
+    // NOT evidence of equivalence; this is. Exact integer sums, one
+    // pinned chain per bound.
+    "q529_tost_equivalence" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .withColumn("we", (expr("(day + 4) % 7") >= 5L).cast("long"))
+      dm.agg(
+          sum(when(col("we") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("we") === 1L, col("y")).otherwise(0L)).as("s1"),
+          sum(when(col("we") === 1L, col("y") * col("y")).otherwise(0L))
+            .as("ss1"),
+          sum(when(col("we") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("we") === 0L, col("y")).otherwise(0L)).as("s0"),
+          sum(when(col("we") === 0L, col("y") * col("y")).otherwise(0L))
+            .as("ss0"))
+        .withColumn("diff", d(col("s1")) / d(col("n1")) -
+          d(col("s0")) / d(col("n0")))
+        .withColumn("se", sqrt(
+          ((d(col("ss1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) /
+            (d(col("n1")) - 1.0d)) / d(col("n1")) +
+          ((d(col("ss0")) - d(col("s0")) * d(col("s0")) / d(col("n0"))) /
+            (d(col("n0")) - 1.0d)) / d(col("n0"))))
+        .withColumn("z_lo", (col("diff") + lit(10.0d)) / col("se"))
+        .withColumn("z_hi", (col("diff") - lit(10.0d)) / col("se"))
+        .select(col("n1"), col("n0"),
+          floor(col("diff") * 1e2).cast("long").as("diff_e2"),
+          floor(col("z_lo") * 1e6).cast("long").as("z_lower_e6"),
+          floor(col("z_hi") * 1e6).cast("long").as("z_upper_e6"),
+          (col("z_lo") > 1.644854d && col("z_hi") < -1.644854d)
+            .as("equivalent"))
+    }),
+
+    // Bland–Altman agreement (1986) — do the two model scores (the
+    // standing emb[0]/emb[1] fixture) MEASURE the same thing? Mean
+    // difference (bias), 1.96σ limits of agreement, and the share of
+    // items outside them — the method-comparison statistics that
+    // correlation famously cannot replace. Exact integer e6 scores and
+    // diffs; limit comparisons pinned per item in one pass (totals
+    // broadcast back).
+    "q530_bland_altman" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        (expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""") -
+          expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[1] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""")).as("dv"))
+        .persist() // totals + the coverage pass read it
+      val st = e.agg(count(lit(1)).as("n"), sum("dv").as("sd"),
+        sum(col("dv") * col("dv")).as("sdd"))
+      e.crossJoin(broadcast(st))
+        .withColumn("bias", d(col("sd")) / d(col("n")))
+        .withColumn("sdev", sqrt((d(col("sdd")) -
+          d(col("sd")) * d(col("sd")) / d(col("n"))) / (d(col("n")) - 1.0d)))
+        .withColumn("loa", lit(1.959964d) * col("sdev"))
+        .agg(max("n").as("n"),
+          floor(max(col("bias"))).cast("long").as("bias_e6"),
+          floor(max(col("loa"))).cast("long").as("loa_halfwidth_e6"),
+          sum(when(abs(d(col("dv")) - col("bias")) > col("loa"), 1L)
+            .otherwise(0L)).as("outside"))
+        .withColumn("outside_e6", expr("outside * 1000000 div n"))
+    }),
+
     // g-chart (rare-event interval chart) — monitor the RAREST event
     // type by its inter-arrival gaps, the SPC chart for events too
     // sparse for the p-chart: UCL = μ + 3·√(μ(μ+1)) on the geometric
@@ -3670,6 +3767,110 @@ object Stats {
                * 1000000.0) AS BIGINT)
              ELSE 0 END AS h_e6
          FROM ag, tz""",
+
+    "q528_hodges_lehmann" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         walsh AS (
+           SELECT a.y + b.y AS w2
+           FROM dm a JOIN dm b ON a.day <= b.day),
+         hl AS (
+           SELECT count(*) AS n_pairs,
+             CAST(quantile_cont(w2, 0.5) * 2 AS BIGINT) AS hl4
+           FROM walsh),
+         base AS (
+           SELECT count(*) AS n_days,
+             CAST(sum(y) AS BIGINT) * 100 // count(*) AS mean_e2,
+             CAST(quantile_cont(y, 0.5) * 2 AS BIGINT) AS med2
+           FROM dm)
+         SELECT n_days, n_pairs, mean_e2, med2 * 50 AS median_e2,
+           hl4 * 25 AS hl_e2
+         FROM base, hl""",
+
+    "q529_tost_equivalence" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         we AS (
+           SELECT y, CAST(CASE WHEN (day + 4) % 7 >= 5 THEN 1 ELSE 0 END
+             AS BIGINT) AS we
+           FROM dm),
+         ag AS (
+           SELECT
+             CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN we = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(sum(CASE WHEN we = 1 THEN y * y ELSE 0 END) AS BIGINT)
+               AS ss1,
+             CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN we = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS s0,
+             CAST(sum(CASE WHEN we = 0 THEN y * y ELSE 0 END) AS BIGINT)
+               AS ss0
+           FROM we),
+         ch AS (
+           SELECT *,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+             sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+               + ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+               * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)) AS se
+           FROM ag),
+         ch2 AS (
+           SELECT *, (diff + 10.0) / se AS z_lo, (diff - 10.0) / se AS z_hi
+           FROM ch)
+         SELECT n1, n0,
+           CAST(floor(diff * 100.0) AS BIGINT) AS diff_e2,
+           CAST(floor(z_lo * 1000000.0) AS BIGINT) AS z_lower_e6,
+           CAST(floor(z_hi * 1000000.0) AS BIGINT) AS z_upper_e6,
+           (z_lo > 1.644854 AND z_hi < -1.644854) AS equivalent
+         FROM ch2""",
+
+    "q530_bland_altman" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT)))
+             - least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS dv
+           FROM embeddings),
+         st AS (
+           SELECT count(*) AS n, CAST(sum(dv) AS BIGINT) AS sd,
+             CAST(sum(dv * dv) AS BIGINT) AS sdd
+           FROM e),
+         ch AS (
+           SELECT e.dv, st.n,
+             CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+             sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)
+               * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)) AS sdev
+           FROM e, st),
+         ch2 AS (SELECT *, 1.959964 * sdev AS loa FROM ch),
+         ag AS (
+           SELECT max(n) AS n,
+             CAST(floor(max(bias)) AS BIGINT) AS bias_e6,
+             CAST(floor(max(loa)) AS BIGINT) AS loa_halfwidth_e6,
+             CAST(sum(CASE WHEN abs(CAST(dv AS DOUBLE) - bias) > loa
+               THEN 1 ELSE 0 END) AS BIGINT) AS outside
+           FROM ch2)
+         SELECT n, bias_e6, loa_halfwidth_e6, outside,
+           outside * 1000000 // n AS outside_e6
+         FROM ag""",
 
     "q525_g_chart" ->
       """WITH ev AS (
