@@ -311,7 +311,10 @@ object Bench {
     "q527_weekend_effect", // parametric + nonparametric panel
     "q528_hodges_lehmann", // Walsh-average pseudo-median
     "q529_tost_equivalence", // two one-sided equivalence verdict
-    "q530_bland_altman") // score-agreement limits + coverage
+    "q530_bland_altman", // score-agreement limits + coverage
+    "q531_mcc", // imbalance-honest 2x2 correlation
+    "q532_youden", // optimal-cutpoint sweep with J curve
+    "q533_brier_skill") // probability skill vs climatology
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

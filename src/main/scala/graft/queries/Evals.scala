@@ -311,6 +311,94 @@ object Evals {
             ELSE 0 END""").as("q_e6"))
     }),
 
+    // Matthews correlation coefficient — the balanced single-number
+    // verdict on the keep-vs-gold 2×2 (q526 sizes the association as
+    // an odds ratio; MCC is the [-1, 1] correlation form that stays
+    // honest under class imbalance where accuracy and F1 do not):
+    // MCC = (ad − bc)/√((a+b)(a+c)(b+d)(c+d)). Exact integer cells;
+    // the denominator's four factors multiply as doubles (one pinned
+    // chain — the int64 product overflows). One scan.
+    "q531_mcc" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("p"),
+          (col("n_chars") >= 250L).cast("long").as("g"))
+      f.agg(sum(expr("p * g")).as("a"), sum(expr("p * (1 - g)")).as("b"),
+          sum(expr("(1 - p) * g")).as("c"),
+          sum(expr("(1 - p) * (1 - g)")).as("dd"))
+        .withColumn("den", sqrt(
+          (d(col("a")) + d(col("b"))) * (d(col("a")) + d(col("c"))) *
+          (d(col("b")) + d(col("dd"))) * (d(col("c")) + d(col("dd")))))
+        .select(col("a"), col("b"), col("c"), col("dd"),
+          when(col("den") > 0.0d,
+            floor((d(col("a")) * d(col("dd")) -
+              d(col("b")) * d(col("c"))) / col("den") * 1e6).cast("long"))
+            .otherwise(lit(0L)).as("mcc_e6"))
+    }),
+
+    // Youden's J optimal cutpoint (1950) — sweep the q424 score's
+    // decile thresholds and pick the one maximizing TPR − FPR: the
+    // principled threshold selection behind "we cut at 0.5", with the
+    // whole sweep table kept so the flatness of the J curve (cut
+    // sensitivity) is visible. Exact: integer confusion sums per
+    // threshold in ONE conditional pass; J e6 trunc-divs; argmax by
+    // bounded integer rank.
+    "q532_youden" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("p1_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+      val sweep = e.select(col("p1_e6"), col("y"),
+          explode(sequence(lit(1), lit(9))).as("th0"))
+        .select((col("th0").cast("long") * 100000L).as("th_e6"),
+          col("p1_e6"), col("y"))
+        .groupBy("th_e6")
+        .agg(sum(when(col("p1_e6") >= col("th_e6") && col("y") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("p1_e6") >= col("th_e6") && col("y") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nneg"))
+        .select(col("th_e6"), col("tp"), col("fp"),
+          expr("""tp * 1000000 div greatest(npos, 1L)
+            - fp * 1000000 div greatest(nneg, 1L)""").as("j_e6"))
+      val o = sweep.select(col("th_e6").as("t2"), col("j_e6").as("j2"))
+      sweep.join(broadcast(o), expr(
+          "j2 > j_e6 OR (j2 = j_e6 AND t2 < th_e6)"), "left")
+        .groupBy("th_e6", "tp", "fp", "j_e6")
+        .agg(count(col("t2")).as("nbet"))
+        .select(col("th_e6"), col("tp"), col("fp"), col("j_e6"),
+          (col("nbet") === 0L).as("best"))
+    }),
+
+    // Brier skill score vs climatology — is the q424 score a BETTER
+    // probability than just forecasting the base rate? BSS = 1 −
+    // BS/BS_ref; ≤ 0 means the model's probabilities are worse than
+    // knowing nothing, the go/no-go gate before any calibrated use of
+    // the score. Exact: per-item squared errors are integer e12 sums
+    // (e6 scores), BS_ref from the base rate in ONE pinned chain.
+    "q533_brier_skill" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("p1_e6"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+      e.agg(count(lit(1)).as("n"), sum("y").as("k"),
+          sum((col("p1_e6") - col("y") * 1000000L) *
+            (col("p1_e6") - col("y") * 1000000L)).as("se_e12"))
+        .withColumn("bs", col("se_e12").cast("double") /
+          (d(col("n")) * 1e12))
+        .withColumn("p", d(col("k")) / d(col("n")))
+        .withColumn("bs_ref", col("p") * (lit(1.0d) - col("p")))
+        .select(col("n"), col("k"),
+          floor(col("bs") * 1e6).cast("long").as("bs_e6"),
+          floor(col("bs_ref") * 1e6).cast("long").as("bs_ref_e6"),
+          when(col("bs_ref") > 0.0d,
+            floor((lit(1.0d) - col("bs") / col("bs_ref")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("bss_e6"))
+    }),
+
     // TOPSIS multi-criteria source ranking (Hwang & Yoon 1981) — order
     // the 20 sources by closeness to the ideal point across the three
     // quality criteria (mean length, keep rate, mean tokens), equal
@@ -1095,6 +1183,92 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q531_mcc" ->
+      s"""WITH f AS (
+           SELECT ${TrainingShared.keepRuleSql} AS p,
+             CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS BIGINT)
+               AS g
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         ag AS (
+           SELECT CAST(sum(p * g) AS BIGINT) AS a,
+             CAST(sum(p * (1 - g)) AS BIGINT) AS b,
+             CAST(sum((1 - p) * g) AS BIGINT) AS c,
+             CAST(sum((1 - p) * (1 - g)) AS BIGINT) AS dd
+           FROM f),
+         ch AS (
+           SELECT *, sqrt(
+             (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+             * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+             * (CAST(b AS DOUBLE) + CAST(dd AS DOUBLE))
+             * (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))) AS den
+           FROM ag)
+         SELECT a, b, c, dd,
+           CASE WHEN den > 0.0
+             THEN CAST(floor((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+               - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) / den
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS mcc_e6
+         FROM ch""",
+
+    "q532_youden" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS p1_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS y
+           FROM embeddings),
+         sweep AS (
+           SELECT CAST(th0 AS BIGINT) * 100000 AS th_e6,
+             CAST(sum(CASE WHEN p1_e6 >= CAST(th0 AS BIGINT) * 100000
+               AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p1_e6 >= CAST(th0 AS BIGINT) * 100000
+               AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nneg
+           FROM e, (SELECT unnest(range(1, 10)) AS th0)
+           GROUP BY 1),
+         j AS (
+           SELECT th_e6, tp, fp,
+             tp * 1000000 // greatest(npos, 1)
+               - fp * 1000000 // greatest(nneg, 1) AS j_e6
+           FROM sweep)
+         SELECT a.th_e6, a.tp, a.fp, a.j_e6,
+           ((SELECT count(*) FROM j b WHERE b.j_e6 > a.j_e6
+             OR (b.j_e6 = a.j_e6 AND b.th_e6 < a.th_e6)) = 0) AS best
+         FROM j a""",
+
+    "q533_brier_skill" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS p1_e6,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS y
+           FROM embeddings),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS k,
+             CAST(sum((p1_e6 - y * 1000000) * (p1_e6 - y * 1000000))
+               AS BIGINT) AS se_e12
+           FROM e),
+         ch AS (
+           SELECT *,
+             CAST(se_e12 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * 1000000000000.0) AS bs,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+           FROM ag),
+         ch2 AS (SELECT *, p * (1.0 - p) AS bs_ref FROM ch)
+         SELECT n, k,
+           CAST(floor(bs * 1000000.0) AS BIGINT) AS bs_e6,
+           CAST(floor(bs_ref * 1000000.0) AS BIGINT) AS bs_ref_e6,
+           CASE WHEN bs_ref > 0.0
+             THEN CAST(floor((1.0 - bs / bs_ref) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS bss_e6
+         FROM ch2""",
+
     "q507_topsis" ->
       s"""WITH base AS MATERIALIZED (
            SELECT source, n_chars, ${TrainingShared.keepRuleSql} AS keep,
