@@ -314,7 +314,10 @@ object Bench {
     "q530_bland_altman", // score-agreement limits + coverage
     "q531_mcc", // imbalance-honest 2x2 correlation
     "q532_youden", // optimal-cutpoint sweep with J curve
-    "q533_brier_skill") // probability skill vs climatology
+    "q533_brier_skill", // probability skill vs climatology
+    "q534_somers_d", // ordinal association = 2*AUC - 1, exact
+    "q535_score_ks", // credit-scoring max CDF separation
+    "q536_lin_ccc") // concordance vs Pearson agreement gap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -311,6 +311,99 @@ object Evals {
             ELSE 0 END""").as("q_e6"))
     }),
 
+    // Somers' D of the score against the binary label — the ordinal
+    // association the credit world calls the Gini coefficient of the
+    // ROC (D = 2·AUC − 1, and this query computes the identity
+    // EXACTLY): concordant-minus-discordant pairs over class pairs,
+    // from the distinct-score histogram's cumulative counts (q286's
+    // machinery, never row pairs). Pure integer until two e6 divs.
+    "q534_somers_d" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("p"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+      val h = e.groupBy("p")
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+      val cum = graft.operators.PrefixScan.scanLong(
+        h, "cb0", "c0", "sum", inclusive = false, col("p"))
+      val tot = h.agg(sum("c1").as("n1"), sum("c0").as("n0"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max("n1").as("n1"), max("n0").as("n0"),
+          // midrank2-weighted: U2 = Σ c1·(2·cb0 + c0) (ties count once)
+          sum(col("c1") * (lit(2L) * col("cb0") + col("c0"))).as("u2"))
+        .select(col("n1"), col("n0"),
+          expr("u2 * 1000000 div (2 * n1 * n0)").as("auc_e6"),
+          expr("""u2 * 1000000 div (n1 * n0)
+            - 1000000""").as("somers_d_e6"))
+    }),
+
+    // Score KS statistic — the credit-scoring separation number: the
+    // maximum gap between the two classes' score CDFs, with the score
+    // where it happens (the natural cut). Distinct-score cumulative
+    // shares via PrefixScan (q287's two-sample machinery pointed at
+    // the model score); the argmax is an exact-integer min/max struct.
+    "q535_score_ks" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint)))""").as("p"),
+        (col("label") % 2 === 1).cast("long").as("y"))
+      val h = e.groupBy("p")
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+      val cum = graft.operators.PrefixScan.scanLong(
+        graft.operators.PrefixScan.scanLong(
+          h, "f1", "c1", "sum", inclusive = true, col("p")),
+        "f0", "c0", "sum", inclusive = true, col("p"))
+      val tot = h.agg(sum("c1").as("n1"), sum("c0").as("n0"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("gap_e6", abs(
+          expr("f1 * 1000000 div n1 - f0 * 1000000 div n0")))
+        .agg(max("n1").as("n1"), max("n0").as("n0"),
+          max(struct(col("gap_e6"), (-col("p")).as("np"))).as("m"))
+        .select(col("n1"), col("n0"), col("m.gap_e6").as("ks_e6"),
+          (-col("m.np")).as("ks_at_score_e6"))
+    }),
+
+    // Lin's concordance correlation (1989) — do the two model scores
+    // AGREE, not merely correlate? CCC = 2·cov/(var₁ + var₂ +
+    // (μ₁−μ₂)²) penalizes location and scale shifts that Pearson
+    // forgives — the numeric-twin of q530's Bland–Altman limits.
+    // Exact integer e6 sums (cross products inside int64 at any sf);
+    // ONE pinned chain.
+    "q536_lin_ccc" -> ((s, d0) => {
+      val e = t(s, d0, "embeddings").select(
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[0] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint))) div 1000""").as("x"),
+        expr("""least(999999L, greatest(0L, cast(floor(
+            (cast(embedding[1] as double) + 1.0) / 2.0 * 1000000.0)
+            as bigint))) div 1000""").as("yv"))
+      e.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yv").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"),
+          sum(col("x") * col("yv")).as("sxy"))
+        .withColumn("mx", d(col("sx")) / d(col("n")))
+        .withColumn("my", d(col("sy")) / d(col("n")))
+        .withColumn("vx", d(col("sxx")) / d(col("n")) -
+          col("mx") * col("mx"))
+        .withColumn("vy", d(col("syy")) / d(col("n")) -
+          col("my") * col("my"))
+        .withColumn("cxy", d(col("sxy")) / d(col("n")) -
+          col("mx") * col("my"))
+        .select(col("n"),
+          when(col("vx") * col("vy") > 0.0d,
+            floor(col("cxy") / sqrt(col("vx") * col("vy")) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("pearson_e6"),
+          when(col("vx") + col("vy") +
+              (col("mx") - col("my")) * (col("mx") - col("my")) > 0.0d,
+            floor(lit(2.0d) * col("cxy") / (col("vx") + col("vy") +
+              (col("mx") - col("my")) * (col("mx") - col("my"))) * 1e6)
+              .cast("long")).otherwise(lit(0L)).as("ccc_e6"))
+    }),
+
     // Matthews correlation coefficient — the balanced single-number
     // verdict on the keep-vs-gold 2×2 (q526 sizes the association as
     // an odds ratio; MCC is the [-1, 1] correlation form that stays
@@ -1183,6 +1276,113 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q534_somers_d" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS p,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS y
+           FROM embeddings),
+         h AS (
+           SELECT p,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0
+           FROM e GROUP BY 1),
+         cum AS (
+           SELECT p, c1, c0,
+             CAST(COALESCE(sum(c0) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb0
+           FROM h),
+         tot AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0
+           FROM h),
+         ag AS (
+           SELECT CAST(sum(c1 * (2 * cb0 + c0)) AS BIGINT) AS u2
+           FROM cum)
+         SELECT n1, n0,
+           u2 * 1000000 // (2 * n1 * n0) AS auc_e6,
+           u2 * 1000000 // (n1 * n0) - 1000000 AS somers_d_e6
+         FROM ag, tot""",
+
+    "q535_score_ks" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) AS p,
+             CAST(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS y
+           FROM embeddings),
+         h AS (
+           SELECT p,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0
+           FROM e GROUP BY 1),
+         cum AS (
+           SELECT p,
+             CAST(sum(c1) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS f1,
+             CAST(sum(c0) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS f0
+           FROM h),
+         tot AS (
+           SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0
+           FROM h),
+         g AS (
+           SELECT p,
+             abs(f1 * 1000000 // n1 - f0 * 1000000 // n0) AS gap_e6
+           FROM cum, tot),
+         best AS (
+           SELECT gap_e6, p FROM g ORDER BY gap_e6 DESC, p LIMIT 1)
+         SELECT n1, n0, gap_e6 AS ks_e6, p AS ks_at_score_e6
+         FROM best, tot""",
+
+    "q536_lin_ccc" ->
+      """WITH e AS (
+           SELECT least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) // 1000 AS x,
+             least(999999, greatest(0, CAST(floor(
+               (CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 * 1000000.0)
+               AS BIGINT))) // 1000 AS yv
+           FROM embeddings),
+         ag AS (
+           SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(yv * yv) AS BIGINT) AS syy,
+             CAST(sum(x * yv) AS BIGINT) AS sxy
+           FROM e),
+         ch AS (
+           SELECT *,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+           FROM ag),
+         ch2 AS (
+           SELECT *,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mx * mx AS vx,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - my * my AS vy,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mx * my AS cxy
+           FROM ch)
+         SELECT n,
+           CASE WHEN vx * vy > 0.0
+             THEN CAST(floor(cxy / sqrt(vx * vy) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS pearson_e6,
+           CASE WHEN vx + vy + (mx - my) * (mx - my) > 0.0
+             THEN CAST(floor(2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+               * 1000000.0) AS BIGINT)
+             ELSE 0 END AS ccc_e6
+         FROM ch2""",
+
     "q531_mcc" ->
       s"""WITH f AS (
            SELECT ${TrainingShared.keepRuleSql} AS p,
