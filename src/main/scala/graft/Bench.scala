@@ -317,7 +317,10 @@ object Bench {
     "q533_brier_skill", // probability skill vs climatology
     "q534_somers_d", // ordinal association = 2*AUC - 1, exact
     "q535_score_ks", // credit-scoring max CDF separation
-    "q536_lin_ccc") // concordance vs Pearson agreement gap
+    "q536_lin_ccc", // concordance vs Pearson agreement gap
+    "q537_ppv_at_prevalence", // Bayes re-pricing at deployment rates
+    "q538_bowker_symmetry", // directional confusion bias test
+    "q539_oos_r2") // honest holdout R2 of the fitted trend
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -311,6 +311,109 @@ object Evals {
             ELSE 0 END""").as("q_e6"))
     }),
 
+    // PPV/NPV at deployment prevalence (Bayes' rule on the 2×2) — the
+    // filter's measured sensitivity/specificity re-priced at the base
+    // rates production will actually see (1%, 10%, 50%): the table
+    // that explains why a 95%-specific rule drowns in false positives
+    // at 1% prevalence. Exact: integer cells; PPV/NPV per grid point
+    // in integer e6 arithmetic (prevalence in e2).
+    "q537_ppv_at_prevalence" -> ((s, d0) => {
+      val f = t(s, d0, "documents")
+        .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("q.keep").cast("long").as("p"),
+          (col("n_chars") >= 250L).cast("long").as("g"))
+      val cells = f.agg(sum(expr("p * g")).as("tp"),
+        sum(expr("(1 - p) * g")).as("fn"),
+        sum(expr("p * (1 - g)")).as("fp"),
+        sum(expr("(1 - p) * (1 - g)")).as("tn"))
+      cells.select(
+          expr("tp * 1000000 div greatest(tp + fn, 1L)").as("sens_e6"),
+          expr("tn * 1000000 div greatest(tn + fp, 1L)").as("spec_e6"))
+        .select(col("sens_e6"), col("spec_e6"),
+          explode(expr("array(1L, 10L, 50L)")).as("prev_e2"))
+        .select(col("prev_e2"), col("sens_e6"), col("spec_e6"),
+          // PPV = sens·prev / (sens·prev + (1−spec)(1−prev)), e2·e6 units
+          expr("""sens_e6 * prev_e2 * 1000000
+            div greatest(sens_e6 * prev_e2
+              + (1000000 - spec_e6) * (100 - prev_e2), 1L)""")
+            .as("ppv_e6"),
+          expr("""spec_e6 * (100 - prev_e2) * 1000000
+            div greatest(spec_e6 * (100 - prev_e2)
+              + (1000000 - sens_e6) * prev_e2, 1L)""").as("npv_e6"))
+    }),
+
+    // Bowker symmetry test (1948) — are the language-ID confusions
+    // SYMMETRIC (es→fr as often as fr→es)? The k×k McNemar
+    // generalization: χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) over
+    // off-diagonal pairs; asymmetry means the classifier has a
+    // directional bias worth fixing, not just noise. Exact: bounded
+    // cell pairs, per-pair terms floored to e6 then integer-summed.
+    "q538_bowker_symmetry" -> ((s, d0) => {
+      val cells = t(s, d0, "documents")
+        .select(col("lang"), graft.functions.TextFunctions.langId(col("text"))
+          .as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val pairs = cells.select(col("lang").as("i"), col("pred").as("j"),
+          col("n").as("nij"))
+        .join(cells.select(col("pred").as("i"), col("lang").as("j"),
+          col("n").as("nji")), Seq("i", "j"), "full")
+        .na.fill(0L, Seq("nij", "nji"))
+        .where(col("i") < col("j"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(expr("""CASE WHEN nij + nji > 0
+            THEN (nij - nji) * (nij - nji) * 1000000 div (nij + nji)
+            ELSE 0 END""")).as("chi2_e6"),
+          sum(when(col("nij") + col("nji") > 0L, 1L).otherwise(0L))
+            .as("df"))
+    }),
+
+    // Out-of-sample R² of the daily trend — fit the line on the FIRST
+    // half, score it on the SECOND against the second half's own-mean
+    // baseline: R²_oos ≤ 0 means the fitted trend forecasts worse
+    // than a constant, the go/no-go before q267/q241 models inherit
+    // it. Exact: first-half fit from integer sums (pinned chain);
+    // second-half squared errors per-term floored to e2 then
+    // integer-summed (no data-sized float fold).
+    "q539_oos_r2" -> ((s, d0) => {
+      val dm = t(s, d0, "events").select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("day").agg(expr("sum(v) div count(1)").as("y"))
+        .persist() // fit + score read it
+      val br = dm.agg(expr("(min(day) + max(day)) div 2").as("b"),
+        min("day").as("d0"))
+      val fit = dm.crossJoin(broadcast(br)).where(col("day") < col("b"))
+        .select((col("day") - col("d0")).as("tt"), col("y"))
+        .agg(count(lit(1)).as("n1"), sum("tt").as("st"),
+          sum("y").as("sy"), sum(col("tt") * col("y")).as("sty"),
+          sum(col("tt") * col("tt")).as("stt"))
+        .withColumn("slope", (d(col("n1")) * d(col("sty")) -
+          d(col("st")) * d(col("sy"))) /
+          (d(col("n1")) * d(col("stt")) - d(col("st")) * d(col("st"))))
+        .withColumn("icept", (d(col("sy")) -
+          col("slope") * d(col("st"))) / d(col("n1")))
+        .select(col("n1"), col("slope"), col("icept"))
+      val second = dm.crossJoin(broadcast(br)).where(col("day") >= col("b"))
+        .select((col("day") - col("d0")).as("tt"), col("y"))
+        .crossJoin(broadcast(fit))
+        .select(col("n1"), col("y"), col("tt"), col("slope"), col("icept"),
+          floor((d(col("y")) - (col("icept") + col("slope") * d(col("tt"))))
+            * (d(col("y")) - (col("icept") + col("slope") * d(col("tt"))))
+            * 100.0d).cast("long").as("se_e2"))
+      second.agg(max("n1").as("n_fit"), count(lit(1)).as("n_test"),
+          sum("y").as("sy2"), sum(col("y") * col("y")).as("syy2"),
+          sum("se_e2").as("sse_e2"))
+        .withColumn("sst", d(col("syy2")) -
+          d(col("sy2")) * d(col("sy2")) / d(col("n_test")))
+        .select(col("n_fit"), col("n_test"),
+          floor(col("sse_e2").cast("double") / 100.0d).cast("long")
+            .as("sse_floor"),
+          when(col("sst") > 0.0d,
+            floor((lit(1.0d) - (col("sse_e2").cast("double") / 100.0d) /
+              col("sst")) * 1e6).cast("long")).otherwise(lit(0L))
+            .as("r2_oos_e6"))
+    }),
+
     // Somers' D of the score against the binary label — the ordinal
     // association the credit world calls the Gini coefficient of the
     // ROC (D = 2·AUC − 1, and this query computes the identity
@@ -1276,6 +1379,128 @@ object Evals {
            FROM per GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q537_ppv_at_prevalence" -> {
+      val stopAll = TrainingShared.hitsSql(
+        graft.functions.TextFunctions.langStopwords.flatMap(_._2))
+      s"""WITH f AS (
+           SELECT
+             CAST(CASE WHEN len(w) >= 10 AND len(w) <= 100000 AND
+               (CASE WHEN len(w) > 0 THEN CAST($stopAll AS DOUBLE) / len(w)
+                 ELSE 0.0 END) > 0.001 THEN 1 ELSE 0 END AS BIGINT) AS p,
+             CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS BIGINT)
+               AS g
+           FROM (SELECT n_chars, text, string_split(lower(text), ' ') AS w
+                 FROM documents)),
+         cells AS (
+           SELECT CAST(sum(p * g) AS BIGINT) AS tp,
+             CAST(sum((1 - p) * g) AS BIGINT) AS fn,
+             CAST(sum(p * (1 - g)) AS BIGINT) AS fp,
+             CAST(sum((1 - p) * (1 - g)) AS BIGINT) AS tn
+           FROM f),
+         ss AS (
+           SELECT tp * 1000000 // greatest(tp + fn, 1) AS sens_e6,
+             tn * 1000000 // greatest(tn + fp, 1) AS spec_e6
+           FROM cells)
+         SELECT CAST(prev_e2 AS BIGINT) AS prev_e2, sens_e6, spec_e6,
+           sens_e6 * CAST(prev_e2 AS BIGINT) * 1000000
+             // greatest(sens_e6 * CAST(prev_e2 AS BIGINT)
+               + (1000000 - spec_e6) * (100 - CAST(prev_e2 AS BIGINT)), 1)
+             AS ppv_e6,
+           spec_e6 * (100 - CAST(prev_e2 AS BIGINT)) * 1000000
+             // greatest(spec_e6 * (100 - CAST(prev_e2 AS BIGINT))
+               + (1000000 - sens_e6) * CAST(prev_e2 AS BIGINT), 1)
+             AS npv_e6
+         FROM ss, (SELECT unnest([1, 10, 50]) AS prev_e2)"""
+    },
+
+    "q538_bowker_symmetry" -> {
+      val hits = graft.functions.TextFunctions.langStopwords.map {
+        case (lang, words) =>
+          s"${TrainingShared.hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      """WITH p AS (
+           SELECT lang,
+             CASE WHEN mx = 0 THEN 'und'
+                  WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+                  WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS pred
+           FROM (SELECT lang, h_en, h_es, h_fr, h_de,
+                   greatest(h_en, h_es, h_fr, h_de) AS mx
+                 FROM (SELECT lang, """ + hits + """ FROM documents))),
+         cells AS (
+           SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+         pr AS (
+           SELECT COALESCE(a.i, b.i) AS i, COALESCE(a.j, b.j) AS j,
+             COALESCE(a.nij, 0) AS nij, COALESCE(b.nji, 0) AS nji
+           FROM (SELECT lang AS i, pred AS j, n AS nij FROM cells) a
+           FULL JOIN (SELECT pred AS i, lang AS j, n AS nji FROM cells) b
+             ON a.i = b.i AND a.j = b.j),
+         pr2 AS (SELECT * FROM pr WHERE i < j)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN nij + nji > 0
+             THEN (nij - nji) * (nij - nji) * 1000000 // (nij + nji)
+             ELSE 0 END) AS BIGINT) AS chi2_e6,
+           CAST(sum(CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS df
+         FROM pr2"""
+    },
+
+    "q539_oos_r2" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         dm AS (
+           SELECT day, CAST(sum(v) AS BIGINT) // count(*) AS y
+           FROM daily GROUP BY 1),
+         br AS (
+           SELECT (min(day) + max(day)) // 2 AS b, min(day) AS d0
+           FROM dm),
+         fit0 AS (
+           SELECT count(*) AS n1, CAST(sum(tt) AS BIGINT) AS st,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(tt * y) AS BIGINT) AS sty,
+             CAST(sum(tt * tt) AS BIGINT) AS stt
+           FROM (SELECT day - d0 AS tt, y FROM dm, br WHERE day < b)),
+         fit1 AS (
+           SELECT *,
+             (CAST(n1 AS DOUBLE) * CAST(sty AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope
+           FROM fit0),
+         fit AS (
+           SELECT n1, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE))
+               / CAST(n1 AS DOUBLE) AS icept
+           FROM fit1),
+         second AS (
+           SELECT n1, y,
+             CAST(floor((CAST(y AS DOUBLE)
+               - (icept + slope * CAST(tt AS DOUBLE)))
+               * (CAST(y AS DOUBLE)
+               - (icept + slope * CAST(tt AS DOUBLE))) * 100.0)
+               AS BIGINT) AS se_e2
+           FROM (SELECT day - d0 AS tt, y FROM dm, br WHERE day >= b),
+             fit),
+         ag AS (
+           SELECT max(n1) AS n_fit, count(*) AS n_test,
+             CAST(sum(y) AS BIGINT) AS sy2,
+             CAST(sum(y * y) AS BIGINT) AS syy2,
+             CAST(sum(se_e2) AS BIGINT) AS sse_e2
+           FROM second),
+         ch AS (
+           SELECT *, CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+             * CAST(sy2 AS DOUBLE) / CAST(n_test AS DOUBLE) AS sst
+           FROM ag)
+         SELECT n_fit, n_test,
+           CAST(floor(CAST(sse_e2 AS DOUBLE) / 100.0) AS BIGINT)
+             AS sse_floor,
+           CASE WHEN sst > 0.0
+             THEN CAST(floor((1.0 - (CAST(sse_e2 AS DOUBLE) / 100.0)
+               / sst) * 1000000.0) AS BIGINT)
+             ELSE 0 END AS r2_oos_e6
+         FROM ch""",
+
     "q534_somers_d" ->
       """WITH e AS (
            SELECT least(999999, greatest(0, CAST(floor(
