@@ -320,7 +320,10 @@ object Bench {
     "q536_lin_ccc", // concordance vs Pearson agreement gap
     "q537_ppv_at_prevalence", // Bayes re-pricing at deployment rates
     "q538_bowker_symmetry", // directional confusion bias test
-    "q539_oos_r2") // honest holdout R2 of the fitted trend
+    "q539_oos_r2", // honest holdout R2 of the fitted trend
+    "q540_abc_analysis", // Pareto classes with exact boundaries
+    "q541_top_share", // concentration shares + p99/p50 ratio
+    "q542_vocab_drift_curve") // adjacent-window vocabulary Jaccard
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

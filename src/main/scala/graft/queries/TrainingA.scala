@@ -650,6 +650,31 @@ private[queries] object TrainingA {
     // sums over the SAME bigram table so probabilities per w1 sum to ~1.
     // Two shuffles (bigram count, unigram-context count) + one join on
     // w1, all linear in corpus size.
+    // Vocabulary drift curve — Jaccard of adjacent 100-doc ingestion
+    // windows' vocabularies: the full-vocab drift series whose head-20
+    // snapshot is q479, locating WHERE the corpus turns (a dip =
+    // composition change at that ingestion point). Exact: distinct
+    // (bucket, token) frame once, adjacent-bucket overlap via one
+    // token-keyed self-join. One scan + keyed joins.
+    "q542_vocab_drift_curve" -> ((s, d) => {
+      val bt = t(s, d, "documents")
+        .select(expr("doc_id div 100").as("bkt"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+        .persist() // sizes + the adjacent join read it
+      val sizes = bt.groupBy("bkt").agg(count(lit(1)).as("v"))
+      val inter = bt.select(col("bkt"), col("tok"))
+        .join(bt.select((col("bkt") - 1L).as("bkt"), col("tok")),
+          Seq("bkt", "tok"))
+        .groupBy("bkt").agg(count(lit(1)).as("inter"))
+      sizes.select(col("bkt"), col("v").as("v1"))
+        .join(sizes.select((col("bkt") - 1L).as("bkt"), col("v").as("v2")),
+          "bkt")
+        .join(inter, "bkt")
+        .select(col("bkt"), col("v1"), col("v2"), col("inter"),
+          expr("inter * 1000000 div (v1 + v2 - inter)").as("jaccard_e6"))
+    }),
+
     // Effect sizes for the language-ID confusion (q478): Cramér's V
     // (how strong is the label↔prediction association) and multi-class
     // Cohen's κ (chance-corrected accuracy over all 5 classes) — the
@@ -2372,6 +2397,24 @@ private[queries] object TrainingA {
                    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
                  FROM documents))
          WHERE rn <= 20""",
+
+    "q542_vocab_drift_curve" ->
+      """WITH bt AS (
+           SELECT DISTINCT doc_id // 100 AS bkt, tok
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                   AS tok
+                 FROM documents)),
+         sizes AS (SELECT bkt, count(*) AS v FROM bt GROUP BY 1),
+         inter AS (
+           SELECT a.bkt, count(*) AS inter
+           FROM bt a JOIN (SELECT bkt - 1 AS bkt, tok FROM bt) b
+             ON a.bkt = b.bkt AND a.tok = b.tok
+           GROUP BY 1)
+         SELECT s1.bkt, s1.v AS v1, s2.v AS v2, inter,
+           inter * 1000000 // (s1.v + s2.v - inter) AS jaccard_e6
+         FROM sizes s1
+         JOIN (SELECT bkt - 1 AS bkt, v FROM sizes) s2 USING (bkt)
+         JOIN inter USING (bkt)""",
 
     "q519_confusion_effect" -> {
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>

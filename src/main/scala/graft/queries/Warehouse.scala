@@ -29,6 +29,75 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ABC (Pareto) classification — split customers into the classic
+    // A/B/C revenue classes (cumulative share ≤ 80% / ≤ 95% / rest)
+    // and report each class's size and share: the inventory-management
+    // 80/20 discipline applied to revenue concentration, with exact
+    // boundaries instead of folklore. Exact: revenue cents, descending
+    // ranks via globalRank, cumulative via PrefixScan, class by
+    // integer threshold. One scan + two rank passes.
+    "q540_abc_analysis" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      val rk = graft.operators.Ranking.globalRank(rev, "r",
+        col("rev").desc, col("o_custkey").asc)
+      val cum = graft.operators.PrefixScan.scanLong(
+        rk, "crev", "rev", "sum", inclusive = true, col("r"))
+      val tot = rev.agg(sum("rev").as("trev"), count(lit(1)).as("nc"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("crev") * 100L <= col("trev") * 80L, "A")
+            .when(col("crev") * 100L <= col("trev") * 95L, "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_customers"), sum("rev").as("class_rev"),
+          max("nc").as("nc"), max("trev").as("trev"))
+        .select(col("cls"), col("n_customers"),
+          expr("n_customers * 1000000 div nc").as("customer_share_e6"),
+          expr("class_rev * 1000000 div trev").as("revenue_share_e6"))
+    }),
+
+    // Top-share inequality kit — the concentration numbers a revenue
+    // review opens with: top-1% and top-10% customers' revenue shares
+    // and the p99/p50 quantile ratio, all exact (rank lookups +
+    // PrefixScan cumulative revenue). The headline complement to
+    // q237's Gini (one number) and q540's classes.
+    "q541_top_share" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      val rk = graft.operators.Ranking.globalRank(rev, "r",
+        col("rev").desc, col("o_custkey").asc)
+      val cum = graft.operators.PrefixScan.scanLong(
+        rk, "crev", "rev", "sum", inclusive = true, col("r"))
+        .persist() // three rank lookups + shares read it
+      val tot = cum.agg(max("crev").as("trev"), count(lit(1)).as("nc"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("r") === expr("greatest(nc div 100, 1L)") ||
+          col("r") === expr("greatest(nc div 10, 1L)") ||
+          col("r") === expr("greatest(nc div 2, 1L)"))
+        .agg(max("nc").as("n_customers"),
+          max(when(col("r") === expr("greatest(nc div 100, 1L)"),
+            col("crev"))).as("top1_rev"),
+          max(when(col("r") === expr("greatest(nc div 10, 1L)"),
+            col("crev"))).as("top10_rev"),
+          // descending rank: r = nc div 100 is the 99th revenue
+          // percentile customer, r = nc div 2 the median customer
+          max(when(col("r") === expr("greatest(nc div 100, 1L)"),
+            col("rev"))).as("p99_rev"),
+          max(when(col("r") === expr("greatest(nc div 2, 1L)"),
+            col("rev"))).as("p50_rev"),
+          max("trev").as("trev"))
+        .select(col("n_customers"),
+          expr("top1_rev * 1000000 div trev").as("top1_share_e6"),
+          expr("top10_rev * 1000000 div trev").as("top10_share_e6"),
+          expr("p99_rev * 1000000 div greatest(p50_rev, 1L)")
+            .as("p99_p50_ratio_e6"))
+    }),
+
     // Referential-integrity (FK orphan) audit — the cross-table
     // data-quality gate q213's single-table constraints cannot see:
     // for every foreign-key edge of the star schema, how many child
@@ -984,6 +1053,69 @@ object Warehouse {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q540_abc_analysis" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT rev,
+             CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)
+               AS BIGINT) AS r
+           FROM rev),
+         cum AS (
+           SELECT r, rev,
+             CAST(sum(rev) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crev
+           FROM rk),
+         tot AS (
+           SELECT CAST(sum(rev) AS BIGINT) AS trev, count(*) AS nc
+           FROM rev),
+         cls AS (
+           SELECT CASE WHEN crev * 100 <= trev * 80 THEN 'A'
+             WHEN crev * 100 <= trev * 95 THEN 'B' ELSE 'C' END AS cls,
+             rev, nc, trev
+           FROM cum, tot)
+         SELECT cls, count(*) AS n_customers,
+           count(*) * 1000000 // max(nc) AS customer_share_e6,
+           CAST(sum(rev) AS BIGINT) * 1000000 // max(trev)
+             AS revenue_share_e6
+         FROM cls GROUP BY 1""",
+
+    "q541_top_share" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT rev,
+             CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)
+               AS BIGINT) AS r
+           FROM rev),
+         cum AS (
+           SELECT r, rev,
+             CAST(sum(rev) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS crev
+           FROM rk),
+         tot AS (
+           SELECT CAST(sum(rev) AS BIGINT) AS trev, count(*) AS nc
+           FROM rev)
+         SELECT max(nc) AS n_customers,
+           max(CASE WHEN r = greatest(nc // 100, 1) THEN crev END)
+             * 1000000 // max(trev) AS top1_share_e6,
+           max(CASE WHEN r = greatest(nc // 10, 1) THEN crev END)
+             * 1000000 // max(trev) AS top10_share_e6,
+           max(CASE WHEN r = greatest(nc // 100, 1) THEN rev END)
+             * 1000000 // greatest(max(CASE WHEN r = greatest(nc // 2, 1)
+               THEN rev END), 1) AS p99_p50_ratio_e6
+         FROM cum, tot
+         WHERE r = greatest(nc // 100, 1) OR r = greatest(nc // 10, 1)
+           OR r = greatest(nc // 2, 1)""",
+
     "q480_fk_integrity" -> {
       def e(name: String, child: String, ckey: String, parent: String,
           pkey: String) =
