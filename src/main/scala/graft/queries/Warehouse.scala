@@ -56,7 +56,11 @@ object Warehouse {
           max("nc").as("nc"), max("trev").as("trev"))
         .select(col("cls"), col("n_customers"),
           expr("n_customers * 1000000 div nc").as("customer_share_e6"),
-          expr("class_rev * 1000000 div trev").as("revenue_share_e6"))
+          // class_rev*1e6 overflows int64 at sf1 revenue totals (found
+          // by the sf1 rung, the q430 lesson) -> pinned double share
+          floor(col("class_rev").cast("double") * 1e6 /
+            col("trev").cast("double")).cast("long")
+            .as("revenue_share_e6"))
     }),
 
     // Top-share inequality kit — the concentration numbers a revenue
@@ -92,8 +96,10 @@ object Warehouse {
             col("rev"))).as("p50_rev"),
           max("trev").as("trev"))
         .select(col("n_customers"),
-          expr("top1_rev * 1000000 div trev").as("top1_share_e6"),
-          expr("top10_rev * 1000000 div trev").as("top10_share_e6"),
+          floor(col("top1_rev").cast("double") * 1e6 /
+            col("trev").cast("double")).cast("long").as("top1_share_e6"),
+          floor(col("top10_rev").cast("double") * 1e6 /
+            col("trev").cast("double")).cast("long").as("top10_share_e6"),
           expr("p99_rev * 1000000 div greatest(p50_rev, 1L)")
             .as("p99_p50_ratio_e6"))
     }),
@@ -1080,8 +1086,8 @@ object Warehouse {
            FROM cum, tot)
          SELECT cls, count(*) AS n_customers,
            count(*) * 1000000 // max(nc) AS customer_share_e6,
-           CAST(sum(rev) AS BIGINT) * 1000000 // max(trev)
-             AS revenue_share_e6
+           CAST(floor(CAST(sum(rev) AS DOUBLE) * 1000000.0
+             / CAST(max(trev) AS DOUBLE)) AS BIGINT) AS revenue_share_e6
          FROM cls GROUP BY 1""",
 
     "q541_top_share" ->
@@ -1105,10 +1111,12 @@ object Warehouse {
            SELECT CAST(sum(rev) AS BIGINT) AS trev, count(*) AS nc
            FROM rev)
          SELECT max(nc) AS n_customers,
-           max(CASE WHEN r = greatest(nc // 100, 1) THEN crev END)
-             * 1000000 // max(trev) AS top1_share_e6,
-           max(CASE WHEN r = greatest(nc // 10, 1) THEN crev END)
-             * 1000000 // max(trev) AS top10_share_e6,
+           CAST(floor(CAST(max(CASE WHEN r = greatest(nc // 100, 1)
+             THEN crev END) AS DOUBLE) * 1000000.0
+             / CAST(max(trev) AS DOUBLE)) AS BIGINT) AS top1_share_e6,
+           CAST(floor(CAST(max(CASE WHEN r = greatest(nc // 10, 1)
+             THEN crev END) AS DOUBLE) * 1000000.0
+             / CAST(max(trev) AS DOUBLE)) AS BIGINT) AS top10_share_e6,
            max(CASE WHEN r = greatest(nc // 100, 1) THEN rev END)
              * 1000000 // greatest(max(CASE WHEN r = greatest(nc // 2, 1)
                THEN rev END), 1) AS p99_p50_ratio_e6
