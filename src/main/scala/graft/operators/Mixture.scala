@@ -17,8 +17,9 @@ import graft.functions.TextFunctions
   * Scale shape: the corpus-scale work is two scans (NLL terms, token
   * counts); the mixture iteration runs on the per-DOMAIN aggregate frame
   * (dozens of rows — window aggregates over one deliberately bounded
-  * partition), and the budget fill is per-source keyed windows, never a
-  * global sort.
+  * partition), and the budget fill runs on the keyed PrefixScan
+  * (range-sorted, all partitions working — never #sources-way window
+  * parallelism over the doc frame).
   */
 object Mixture {
 
@@ -75,23 +76,25 @@ object Mixture {
 
   /** Per-source token-budget fill: each source gets
     * share_e6·totalBudget/1e6 tokens and fills it by priority order
-    * (prio_e6 desc, doc_id tiebreak) — keyed windows only, so sources
-    * parallelize and no global prefix sum is needed.
+    * (prio_e6 desc, doc_id tiebreak). The running token total and
+    * in-source rank run on the keyed PrefixScan — a window partitioned
+    * by `source` would give #sources-way parallelism over the whole doc
+    * frame at 100 TB; the keyed scan range-sorts by (source, prio desc,
+    * doc_id) so every partition works, with one pass computing BOTH
+    * running aggregates.
     * `docsTok`: (doc_id, source, n_tok, prio_e6); `shares`:
     * (source, share_e6). Adds (src_budget, rnk_in_src, cum_tok), keeps
     * the rows whose cumulative tokens fit.
     */
   def fillByShare(docsTok: DataFrame, shares: DataFrame,
       totalBudgetTokens: Long): DataFrame = {
-    val order = Window.partitionBy("source")
-      .orderBy(desc("prio_e6"), asc("doc_id"))
-    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docsTok
-      .join(broadcast(shares.select(col("source"),
-        expr(s"share_e6 * ${totalBudgetTokens}L div 1000000").as("src_budget"))),
-        "source")
-      .withColumn("rnk_in_src", row_number().over(order).cast("long"))
-      .withColumn("cum_tok", sum("n_tok").over(cum))
+    val withBudget = docsTok.join(broadcast(shares.select(col("source"),
+      expr(s"share_e6 * ${totalBudgetTokens}L div 1000000").as("src_budget"))),
+      "source")
+    PrefixScan.scanLongKeyed(withBudget, Seq("source"),
+        Seq(PrefixScan.KeyedScanCol("rnk_in_src", "", "count"),
+          PrefixScan.KeyedScanCol("cum_tok", "n_tok", "sum")),
+        desc("prio_e6"), asc("doc_id"))
       .where(col("cum_tok") <= col("src_budget"))
   }
 

@@ -59,4 +59,146 @@ object PrefixScan {
     }
     df.sparkSession.createDataFrame(out, schema)
   }
+
+  /** One running aggregate to compute in a keyed scan. `op` is "sum",
+    * "min", or "count" (count ignores `valueCol` — pass ""). `inclusive`
+    * false = aggregate of strictly-preceding same-key rows (identity on
+    * each key's first row: 0 for sum/count, MaxValue for min).
+    */
+  final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
+      inclusive: Boolean = true)
+
+  private def keyedZero(op: String): Long =
+    if (op == "min") Long.MaxValue else 0L
+  private def keyedCombine(op: String, a: Long, b: Long): Long =
+    if (op == "min") math.min(a, b) else a + b
+
+  /** Keyed distributed prefix scan: running aggregates of `cols` PER KEY
+    * in the total order of (keyCols, sortCols) — the scalable form of
+    * `agg OVER (PARTITION BY lowCardKey ORDER BY ...)`.
+    *
+    * `Window.partitionBy(lowCardKey)` over a data-sized frame runs with
+    * parallelism = #distinct keys (3–10 tasks each sorting their whole
+    * key's slice at 100 TB). This operator instead range-sorts by
+    * (key, order) — every partition works, keys just occupy contiguous
+    * partition RANGES — then stitches each key's per-partition folds
+    * with a broadcast (partition, key) → offset frame, exactly like the
+    * unkeyed scan above. Results are identical to the window form for a
+    * total per-key ordering (callers must include a tie-break column).
+    *
+    * Bounded-collect contract: the sort makes each key a contiguous run
+    * of partitions, so pass 1 collects ≤ #partitions + #distinctKeys
+    * rows. The operator is FOR low-cardinality keys (the case where the
+    * plain keyed window loses parallelism); high-cardinality keys
+    * should stay on the ordinary window, which already parallelizes.
+    * `valueCol`s must be non-null Long.
+    */
+  def scanLongKeyed(df: DataFrame, keyCols: Seq[String],
+      cols: Seq[KeyedScanCol], sortCols: Column*): DataFrame = {
+    require(cols.nonEmpty, "at least one KeyedScanCol")
+    cols.foreach(c => require(Set("sum", "min", "count")(c.op), s"op: ${c.op}"))
+    val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
+    val schema0 = sorted.schema
+    val keyIdx = keyCols.map(schema0.fieldIndex).toArray
+    val valIdx = cols.map(c =>
+      if (c.op == "count") -1 else schema0.fieldIndex(c.valueCol)).toArray
+    val ops = cols.map(_.op).toArray
+    val incl = cols.map(_.inclusive).toArray
+    val n = ops.length
+    val zeros = ops.map(keyedZero)
+    def rowKey(r: Row): List[Any] = keyIdx.map(r.get).toList
+    def contrib(j: Int, r: Row): Long =
+      if (ops(j) == "count") 1L else r.getLong(valIdx(j))
+    val rdd = sorted.rdd
+    // pass 1: per-(partition, key) totals, reusing the sort's shuffle
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[List[Any], Array[Long]]
+      it.foreach { r =>
+        val acc = m.getOrElseUpdate(rowKey(r), zeros.clone())
+        var j = 0
+        while (j < n) { acc(j) = keyedCombine(ops(j), acc(j), contrib(j, r)); j += 1 }
+      }
+      m.iterator.map { case (k, a) => (i, k, a) }
+    }.collect()
+    // driver: per key, exclusive prefix across its partition run
+    val offsets: Map[(Int, List[Any]), Array[Long]] =
+      totals.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        val acc = zeros.clone()
+        rows.sortBy(_._1).map { case (pi, _, tot) =>
+          val off = acc.clone()
+          var j = 0
+          while (j < n) { acc(j) = keyedCombine(ops(j), acc(j), tot(j)); j += 1 }
+          ((pi, k), off)
+        }
+      }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = StructType(schema0.fields ++
+      cols.map(c => StructField(c.outCol, LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val live = scala.collection.mutable.HashMap.empty[List[Any], Array[Long]]
+      it.map { r =>
+        val k = rowKey(r)
+        val acc = live.getOrElseUpdate(k,
+          bc.value.getOrElse((i, k), zeros).clone())
+        val outs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val before = acc(j)
+          acc(j) = keyedCombine(ops(j), acc(j), contrib(j, r))
+          outs(j) = if (incl(j)) acc(j) else before
+          j += 1
+        }
+        Row.fromSeq(r.toSeq ++ outs)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Keyed distributed lag: previous same-key row's `valueCol` (Long,
+    * non-null) in the total order of (keyCols, sortCols); null on each
+    * key's first row — the scalable form of
+    * `lag(v) OVER (PARTITION BY lowCardKey ORDER BY ...)`.
+    *
+    * Same machinery as [[scanLongKeyed]], but the stitched state is a
+    * BOUNDARY CARRY instead of a monoid offset: pass 1 records each
+    * (partition, key)'s LAST value; the driver hands every
+    * (partition, key) the last value of the nearest preceding partition
+    * holding that key. Same bounded-collect contract (low-card keys).
+    */
+  def lagLongKeyed(df: DataFrame, outCol: String, valueCol: String,
+      keyCols: Seq[String], sortCols: Column*): DataFrame = {
+    val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
+    val schema0 = sorted.schema
+    val keyIdx = keyCols.map(schema0.fieldIndex).toArray
+    val vi = schema0.fieldIndex(valueCol)
+    def rowKey(r: Row): List[Any] = keyIdx.map(r.get).toList
+    val rdd = sorted.rdd
+    val lasts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+      it.foreach(r => m(rowKey(r)) = r.getLong(vi))
+      m.iterator.map { case (k, v) => (i, k, v) }
+    }.collect()
+    val boundary: Map[(Int, List[Any]), Long] =
+      lasts.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        val ordered = rows.sortBy(_._1)
+        ordered.iterator.zip(ordered.iterator.drop(1)).map {
+          case ((_, _, prevLast), (pi, _, _)) => ((pi, k), prevLast)
+        }
+      }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(boundary)
+    val schema = StructType(schema0.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val prev = scala.collection.mutable.HashMap.empty[List[Any], Any]
+      it.map { r =>
+        val k = rowKey(r)
+        val p = prev.getOrElse(k,
+          bc.value.get((i, k)).map(Long.box).orNull)
+        prev(k) = Long.box(r.getLong(vi))
+        Row.fromSeq(r.toSeq :+ p)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
 }

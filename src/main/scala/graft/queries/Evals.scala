@@ -1257,8 +1257,12 @@ object Evals {
     // coverage on a held-out test split. Splits are event_id mod 4 —
     // deterministic cross-engine. Everything is exact integer arithmetic:
     // centi-unit residuals, an integer ceil identity for the rank, and an
-    // e6 coverage share. Scale shape: the order statistic is a keyed
-    // (per-event_type) window, never a global sort; splits are map-side.
+    // e6 coverage share. Scale shape: the per-type order statistic runs
+    // on the keyed PrefixScan (event_type has ~10 values, so a
+    // row_number-over-partitionBy(event_type) window would sort the
+    // whole calibration quarter in ~10 tasks; the rank filter is a
+    // computed quantile, not a literal, so WindowGroupLimit can't
+    // rescue it) — range-sorted ranks, bounded n_cal broadcast.
     "q276_conformal" -> ((s, d0) => {
       val base = t(s, d0, "events").select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("v_e2"),
@@ -1268,12 +1272,12 @@ object Evals {
       val cal = base.where(col("bucket") === 2).join(broadcast(pred), "event_type")
         .select(col("event_type"), abs(col("v_e2") - col("pred_e2")).as("s"),
           col("event_id"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("s", "event_id")
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-      val qh = cal
-        .withColumn("rnk", row_number().over(wRank))
-        .withColumn("n_cal", count(lit(1)).over(wAll))
+      val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val qh = graft.operators.PrefixScan.scanLongKeyed(cal,
+          Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol("rnk", "", "count")),
+          asc("s"), asc("event_id"))
+        .join(broadcast(nCal), "event_type")
         .where(col("rnk") ===
           least(col("n_cal"), expr("((n_cal + 1) * 9 + 9) div 10")))
         .select(col("event_type"), col("n_cal"), col("s").as("qhat_e2"))

@@ -367,19 +367,23 @@ object Stats {
     // type by its inter-arrival gaps, the SPC chart for events too
     // sparse for the p-chart: UCL = μ + 3·√(μ(μ+1)) on the geometric
     // model (no transcendental). Reports gap stats and breaches — the
-    // "did the rare thing start clustering" alarm. Gaps via ONE keyed
-    // lag window; the rare type by bounded argmin. Exact integers +
-    // one pinned chain.
+    // "did the rare thing start clustering" alarm. The rare type by
+    // bounded argmin; gaps via the keyed distributed lag (after the
+    // filter the frame is ONE key yet still ~n/k rows, so a
+    // lag-over-partitionBy(event_type) window would funnel it all
+    // through a single task — PrefixScan.lagLongKeyed range-sorts
+    // instead and carries the boundary value between partitions).
+    // Exact integers + one pinned chain.
     "q525_g_chart" -> ((s, d0) => {
       val ev = t(s, d0, "events").select(col("event_type"),
         expr("unix_micros(ts)").as("tm"), col("event_id"))
       val rare = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy(col("n").asc, col("event_type").asc).limit(1)
         .select(col("event_type"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("tm", "event_id")
-      val gaps = ev.join(broadcast(rare), "event_type")
-        .withColumn("gap", col("tm") - lag("tm", 1).over(w))
+      val gaps = graft.operators.PrefixScan.lagLongKeyed(
+          ev.join(broadcast(rare), "event_type"),
+          "tm_prev", "tm", Seq("event_type"), asc("tm"), asc("event_id"))
+        .withColumn("gap", col("tm") - col("tm_prev"))
         .where(col("gap").isNotNull)
         .select(expr("gap div 1000000").as("gap_s"))
       val st = gaps.agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"))
@@ -2587,20 +2591,29 @@ object Stats {
     // the aggregation). rho's float tail is one pinned IEEE chain
     // (div/sqrt are exactly rounded). Int64 bound: moments ≤ 4n³ per
     // group, safe to n ≈ 1.3e6; beyond that switch the three sums to
-    // DECIMAL(38,0) accumulators. Keyed windows only — groups
-    // parallelize, nothing global.
+    // DECIMAL(38,0) accumulators. Scale shape: `flag` has 3 values, so
+    // rank() OVER (PARTITION BY flag) would run 3 tasks each sorting the
+    // whole table — instead the doubled average rank comes from the
+    // tie-count identity 2·(#less) + cnt_eq + 1 on the DISTINCT-value
+    // count frame (bounded by the value domain, far below row count),
+    // prefix-summed per flag by the keyed PrefixScan and hash-joined
+    // back to the rows.
     "q257_spearman" -> ((s, d0) => {
-      import org.apache.spark.sql.expressions.Window
       val li = t(s, d0, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("x"),
         floor(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val wx = Window.partitionBy("flag").orderBy("x")
-      val wy = Window.partitionBy("flag").orderBy("cents")
-      val r = li.select(col("flag"),
-        (lit(2L) * rank().over(wx) +
-          count(lit(1)).over(Window.partitionBy("flag", "x")) - 1L).as("r2x"),
-        (lit(2L) * rank().over(wy) +
-          count(lit(1)).over(Window.partitionBy("flag", "cents")) - 1L).as("r2y"))
+      def ranks(vcol: String, out: String) = {
+        val cnt = li.groupBy("flag", vcol).agg(count(lit(1)).as("cnt"))
+        graft.operators.PrefixScan.scanLongKeyed(cnt, Seq("flag"),
+            Seq(graft.operators.PrefixScan.KeyedScanCol(
+              "cless", "cnt", "sum", inclusive = false)), asc(vcol))
+          .select(col("flag"), col(vcol),
+            (lit(2L) * col("cless") + col("cnt") + 1L).as(out))
+      }
+      val r = li
+        .join(ranks("x", "r2x"), Seq("flag", "x"))
+        .join(ranks("cents", "r2y"), Seq("flag", "cents"))
+        .select("flag", "r2x", "r2y")
       val sums = r.groupBy("flag").agg(count(lit(1)).as("n"),
         sum(col("r2x") * col("r2y")).as("sxy"),
         sum(col("r2x") * col("r2x")).as("sxx"),

@@ -947,19 +947,22 @@ private[queries] object TrainingB {
     // deterministic, reshard-stable undersampling a classifier-training
     // prep runs (same hash-draw principle as q79/q204, with the cut size
     // DERIVED from the data: min class count rides a 1-row broadcast).
-    // Per-label cut through the TopKPerKey bounded heap... except k is
-    // dynamic here, so the cut is a filter on the per-label hash rank
-    // (window over label — keyed, never global). Output proves balance:
-    // every label contributes exactly min-class-count rows.
+    // Scale shape: k is dynamic (min class count), so the TopKPerKey
+    // literal-k heap doesn't apply and a per-label row_number window
+    // would rank ALL embeddings in #labels tasks; the keyed PrefixScan
+    // assigns the per-label hash ranks on range partitions instead —
+    // and at 100 TB k itself is data-sized, which would overflow a
+    // bounded per-key heap anyway. Output proves balance: every label
+    // contributes exactly min-class-count rows.
     "q222_class_balance" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = t(s, d, "embeddings").select(col("vec_id"),
         col("label").cast("long").as("label"),
         TextFunctions.hash60(col("vec_id").cast("string")).as("h"))
       val mn = e.groupBy("label").agg(count(lit(1)).as("n"))
         .agg(min("n").as("k"))
-      val ranked = e.withColumn("rnk", row_number().over(
-        Window.partitionBy("label").orderBy(asc("h"), asc("vec_id"))))
+      val ranked = graft.operators.PrefixScan.scanLongKeyed(e, Seq("label"),
+        Seq(graft.operators.PrefixScan.KeyedScanCol("rnk", "", "count")),
+        asc("h"), asc("vec_id"))
       ranked.crossJoin(broadcast(mn))
         .where(col("rnk") <= col("k"))
         .groupBy("label")

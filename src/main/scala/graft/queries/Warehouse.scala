@@ -1030,15 +1030,20 @@ object Warehouse {
     // (Parquet DELTA_BINARY_PACKED's cousin, sized in exact bytes).
     // zigzag(d) = 2d for d ≥ 0 else −2d−1 maps small signed deltas to
     // small unsigned ints; varint bytes follow the 7-bit-per-byte CASE
-    // ladder. Everything is integer CASE arithmetic on a lag window —
-    // cross-engine exact, no floats. Scale shape: one keyed lag window
-    // and one groupBy on the same key; a single shuffle.
+    // ladder. Everything is integer CASE arithmetic — cross-engine
+    // exact, no floats. Scale shape: event_type has ~10 values, so a
+    // lag-over-partitionBy(event_type) window would stream the whole
+    // fact table through ~10 tasks; the keyed distributed lag
+    // (PrefixScan.lagLongKeyed) range-sorts by (type, ts, event_id)
+    // and carries each type's boundary value between partitions —
+    // the same per-row-group locality a real columnar encoder has.
     "q329_delta_encoding" -> ((s, d) => {
-      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      val vz = t(s, d, "events")
-        .select(col("event_type"), col("ts"), col("event_id"),
-          floor(col("value") * 100).cast("long").as("v"))
-        .withColumn("delta", coalesce(col("v") - lag("v", 1).over(w), col("v")))
+      val vz = graft.operators.PrefixScan.lagLongKeyed(
+          t(s, d, "events")
+            .select(col("event_type"), col("ts"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("v")),
+          "v_prev", "v", Seq("event_type"), asc("ts"), asc("event_id"))
+        .withColumn("delta", coalesce(col("v") - col("v_prev"), col("v")))
         .withColumn("z", when(col("delta") >= 0, col("delta") * 2)
           .otherwise(-col("delta") * 2 - 1))
         .withColumn("vb",

@@ -44,4 +44,64 @@ class PrefixScanSpec extends SparkSpec {
     assert(PrefixScan.scanLong(empty, "cum", "v", "sum",
       inclusive = true, asc("k")).count() == 0L)
   }
+
+  // keyed data: 3 keys × 40 rows, shuffled across 8 partitions so keys
+  // straddle multiple partition boundaries after the range sort
+  private def keyed = (1 to 120).map { i =>
+    (s"k${i % 3}", i.toLong, ((i * 37) % 100).toLong)
+  }.toDF("g", "ord", "v").repartition(8)
+
+  test("keyed inclusive sum+count scan equals the keyed window form") {
+    val got = PrefixScan.scanLongKeyed(keyed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("cum", "v", "sum"),
+          PrefixScan.KeyedScanCol("rn", "", "count")),
+        asc("ord"))
+      .select("g", "ord", "cum", "rn")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = keyed
+      .withColumn("cum", sum("v").over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("ord")).cast("long"))
+      .select("g", "ord", "cum", "rn")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("keyed exclusive min scan equals the keyed window over " +
+      "strictly-preceding rows") {
+    val got = PrefixScan.scanLongKeyed(keyed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("m", "v", "min", inclusive = false)),
+        asc("ord"))
+      .select("g", "ord", "m")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = keyed
+      .withColumn("m", coalesce(min("v").over(w), lit(Long.MaxValue)))
+      .select("g", "ord", "m")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("keyed lag equals the keyed window lag (null on first row per key)") {
+    val got = PrefixScan.lagLongKeyed(keyed, "pv", "v", Seq("g"), asc("ord"))
+      .select("g", "ord", "pv")
+      .as[(String, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("g").orderBy("ord")
+    val want = keyed.withColumn("pv", lag("v", 1).over(w))
+      .select("g", "ord", "pv")
+      .as[(String, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("keyed scan on empty input yields empty output") {
+    val empty = keyed.where(lit(false))
+    assert(PrefixScan.scanLongKeyed(empty, Seq("g"),
+      Seq(PrefixScan.KeyedScanCol("cum", "v", "sum")), asc("ord"))
+      .count() == 0L)
+    assert(PrefixScan.lagLongKeyed(empty, "pv", "v", Seq("g"), asc("ord"))
+      .count() == 0L)
+  }
 }
