@@ -229,12 +229,18 @@ object Relational {
         .select(col("o_orderkey"), col("cum_spend"))
     }),
 
-    // A11: z-score within group (ref news 4_merge.do:35-45).
+    // A11: z-score within group (ref news 4_merge.do:35-45). The group
+    // stats come from a groupBy + broadcast join-back, not
+    // avg/stddev OVER (PARTITION BY event_type): the window form would
+    // funnel the whole fact table through #event_type tasks, the
+    // aggregate is map-side-combinable and the stats frame is bounded.
     "q20_zscore" -> ((s, d) => {
-      val w = Window.partitionBy("event_type")
-      t(s, d, "events")
-        .withColumn("z", (col("value") - avg("value").over(w)) / stddev_samp("value").over(w))
-        .select(col("event_id"), round(col("z"), 4).as("z"))
+      val ev = t(s, d, "events")
+      val st = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      ev.join(broadcast(st), "event_type")
+        .select(col("event_id"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
     }),
 
     // U1: union of two homogeneous slices (ref stop_locations_append.py:128-129).

@@ -2554,7 +2554,8 @@ object Stats {
     // the cross-strata sum, so the shares are merge-order-free. Scale
     // shape: one map-side-combinable 3-sum aggregate per stratum + a
     // broadcast of the bounded allocation table; the exact draw ranks
-    // within each stratum (keyed window — the price of exactness;
+    // within each stratum on the keyed PrefixScan (a window over the
+    // ~10-value event_type would rank the whole table in ~10 tasks;
     // production approximates with q74 threshold sampling).
     "q388_neyman_allocation" -> ((s, d0) => {
       import org.apache.spark.sql.expressions.Window
@@ -2571,10 +2572,11 @@ object Stats {
         .withColumn("tot", sum("nhsh").over(wAll))
         .withColumn("alloc", expr("500 * nhsh div tot"))
         .select("event_type", "n_pop", "nhsh", "alloc")
-      val ranked = ev.withColumn("rk", row_number().over(
-        Window.partitionBy("event_type")
-          .orderBy(md5(col("event_id").cast("string")), col("event_id")))
-        .cast("long"))
+      val ranked = graft.operators.PrefixScan.scanLongKeyed(
+        ev.withColumn("hd", md5(col("event_id").cast("string"))),
+        Seq("event_type"),
+        Seq(graft.operators.PrefixScan.KeyedScanCol("rk", "", "count")),
+        asc("hd"), asc("event_id"))
       ranked.join(broadcast(alloc), "event_type")
         .where(col("rk") <= col("alloc"))
         .groupBy("event_type", "n_pop", "nhsh", "alloc")
@@ -3106,19 +3108,21 @@ object Stats {
     // QuantileTransformer shape feature pipelines run before training on
     // heavy-tailed inputs: within each event_type, value → its empirical
     // CDF position (rank−1)/(n−1), computed as an exact integer
-    // (rank−1)·1e6 div (n−1) over a keyed rank window with event_id
-    // tiebreak (percent_rank's float division would be the only
-    // engine-sensitive step — integerized it is exact). Keyed windows
-    // only; groups parallelize.
+    // (rank−1)·1e6 div (n−1) with event_id tiebreak (percent_rank's
+    // float division would be the only engine-sensitive step —
+    // integerized it is exact). Scale shape: event_type has ~10 values,
+    // so a row_number window over it would rank the whole table in ~10
+    // tasks — the per-type ranks run on the keyed PrefixScan
+    // (range-sorted, offsets stitched) with the bounded per-type counts
+    // broadcast back.
     "q254_quantile_transform" -> ((s, d0) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
-      val n = Window.partitionBy("event_type")
-      t(s, d0, "events")
+      val ev = t(s, d0, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(n))
+      val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      graft.operators.PrefixScan.scanLongKeyed(ev, Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol("rnk", "", "count")),
+          col("value"), col("event_id"))
+        .join(broadcast(cnt), "event_type")
         .where(col("cnt") > 1)
         .select(col("event_id"), col("event_type"), col("rnk"),
           expr("(rnk - 1) * 1000000 div (cnt - 1)").as("cdf_e6"))

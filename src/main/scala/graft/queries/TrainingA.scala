@@ -207,15 +207,20 @@ private[queries] object TrainingA {
 
     // Sequence packing for pretraining: contiguous-fill assignment of
     // documents to fixed token-budget bins (2048), packed independently
-    // per language so the cumsum window partitions by a key that scales
-    // with data — no global single-partition window.
+    // per language. lang has ~5 values, so a cumsum window partitioned
+    // by it would pack the whole corpus in 5 tasks — the running token
+    // total runs on the keyed PrefixScan instead (range-sorted by
+    // (lang, doc_id), every partition works, boundary offsets stitched).
     "q106_packing" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("doc_id")
-      t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
+      graft.operators.PrefixScan.scanLongKeyed(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(TextFunctions.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+          Seq("lang"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol(
+            "cum", "n_tokens", "sum")),
+          asc("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           ((col("cum") - col("n_tokens")) / 2048).cast("long").as("bin"),
           ((col("cum") - col("n_tokens")) % 2048).as("offset_in_bin"))

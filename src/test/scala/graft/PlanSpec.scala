@@ -1027,4 +1027,68 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"global-window offenders: ${offenders.mkString(", ")}")
   }
+
+  test("no low-cardinality keyed window over a data-sized frame " +
+      "anywhere in the full query inventory, outside the allowlist") {
+    // The class the empty-PARTITION sweep misses: a WindowExec whose
+    // partition keys are ALL drawn from the fixture's bounded-
+    // cardinality columns (3-10 distinct values) runs with parallelism
+    // = #distinct keys — at 100x, 3-10 tasks each hold the whole
+    // frame's slice. Round-10 found-and-fixed instances: q257 (rank
+    // over flag), q276 (row_number over event_type), q222 (row_number
+    // over label), q329 (lag over event_type), q525 (lag over
+    // event_type), Mixture.fillByShare (row_number+sum over source) —
+    // the verdict's five — plus four THIS SWEEP found on first run:
+    // q106 (cumsum over lang), q20 (avg/stddev over event_type →
+    // groupBy+broadcast join-back), q254 (row_number over event_type),
+    // q388 (md5-draw row_number over event_type) — all rewritten onto
+    // PrefixScan.scanLongKeyed/lagLongKeyed.
+    // Exemptions, checked structurally:
+    //  - an AGGREGATE anywhere below the window: the frame is then a
+    //    group-domain aggregate, not the raw data (the repo convention:
+    //    keyed windows over domain-bounded frames are fine);
+    //  - a WindowGroupLimitExec below with the same keys: Spark's
+    //    rank<=literal rescue bounds each task's work to k rows.
+    // Allowlist (each audited by hand):
+    //  - (currently empty — every hit was fixed, not allowlisted).
+    val lowCard = Set("source", "event_type", "flag", "label", "lang",
+      "half", "l_returnflag", "l_linestatus")
+    val allow = Set.empty[String]
+    def attrNames(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Option[Set[String]] = {
+      val names = es.map {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          Some(a.name.toLowerCase)
+        case _ => None
+      }
+      if (names.forall(_.isDefined)) Some(names.flatten.toSet) else None
+    }
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // earlier queries' persist() would otherwise substitute cached
+      // InMemoryTableScans for aggregate subtrees, hiding them from the
+      // child-aggregate exemption below (found: q395 false-flagged)
+      spark.catalog.clearCache()
+      val p = fn(spark, sf).queryExecution.sparkPlan
+      val hits = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.filter { w =>
+        attrNames(w.partitionSpec) match {
+          case Some(keys) if keys.nonEmpty && keys.subsetOf(lowCard) =>
+            val hasAgg = w.child.collectFirst {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isDefined
+            val rescued = w.child.collectFirst {
+              case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                  if attrNames(g.partitionSpec) == Some(keys) => g
+            }.isDefined
+            !hasAgg && !rescued
+          case _ => false
+        }
+      }
+      if (hits.nonEmpty && !allow(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"low-card keyed-window offenders: ${offenders.mkString(", ")}")
+  }
 }
