@@ -24,7 +24,8 @@ class EntrySpec extends SparkSpec {
     import graft.queries._
     val sizes = Seq(Relational.queries, Sources.queries, Geo.queries,
       Mobility.queries, Training.queries, Media.queries, Analysis.queries,
-      Warehouse.queries, Stats.queries, Evals.queries)
+      Warehouse.queries, StatsTests.queries, StatsSeries.queries,
+      StatsProcess.queries, StatsDesign.queries, Evals.queries)
       .map(_.size)
     assert(sizes.sum == SparkEntry.queries.size,
       s"collision: ${sizes.sum} vs ${SparkEntry.queries.size}")
