@@ -700,9 +700,10 @@ object StatsTests {
     // centered moments come from the algebraic identity Σ(r−(n+1))(s−
     // (n+1)) = Σrs − n(n+1)² (no per-row mean subtraction, no float in
     // the aggregation). rho's float tail is one pinned IEEE chain
-    // (div/sqrt are exactly rounded). Int64 bound: moments ≤ 4n³ per
-    // group, safe to n ≈ 1.3e6; beyond that switch the three sums to
-    // DECIMAL(38,0) accumulators. Scale shape: `flag` has 3 values, so
+    // (div/sqrt are exactly rounded). The moments are ≤ 4n³ per group —
+    // past int64 by n ≈ 1.3e6 (hit at sf1) — so they ride decimal(38,0)
+    // (Spark) ↔ HUGEINT (DuckDB), the q446 rule, and only n + rho_e6
+    // are emitted. Scale shape: `flag` has 3 values, so
     // rank() OVER (PARTITION BY flag) would run 3 tasks each sorting the
     // whole table — instead the doubled average rank comes from the
     // tie-count identity 2·(#less) + cnt_eq + 1 on the DISTINCT-value
@@ -726,17 +727,22 @@ object StatsTests {
         .join(ranks("cents", "r2y"), Seq("flag", "cents"))
         .select("flag", "r2x", "r2y")
       val sums = r.groupBy("flag").agg(count(lit(1)).as("n"),
-        sum(col("r2x") * col("r2y")).as("sxy"),
-        sum(col("r2x") * col("r2x")).as("sxx"),
-        sum(col("r2y") * col("r2y")).as("syy"))
-      val m = col("n") * (col("n") + 1L) * (col("n") + 1L)
+        sum(expr("cast(r2x as decimal(18,0)) * cast(r2y as decimal(18,0))"))
+          .as("sxy"),
+        sum(expr("cast(r2x as decimal(18,0)) * cast(r2x as decimal(18,0))"))
+          .as("sxx"),
+        sum(expr("cast(r2y as decimal(18,0)) * cast(r2y as decimal(18,0))"))
+          .as("syy"))
+      val m = expr("""cast(n as decimal(12,0)) * cast(n + 1 as decimal(12,0))
+        * cast(n + 1 as decimal(12,0))""")
       sums.select(col("flag"), col("n"),
           (col("sxy") - m).as("cov2"), (col("sxx") - m).as("varx2"),
           (col("syy") - m).as("vary2"))
-        .withColumn("rho_e6",
-          when(col("varx2") > 0L && col("vary2") > 0L,
-            floor(d(col("cov2")) /
-              sqrt(d(col("varx2")) * d(col("vary2"))) * 1e6).cast("long")))
+        .select(col("flag"), col("n"),
+          when(col("varx2") > 0 && col("vary2") > 0,
+            floor(col("cov2").cast("double") /
+              sqrt(col("varx2").cast("double") * col("vary2").cast("double"))
+              * 1e6).cast("long")).as("rho_e6"))
     }),
 
 
@@ -2169,15 +2175,17 @@ object StatsTests {
            FROM li),
          sums AS (
            SELECT flag, count(*) AS n,
-             CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
-             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
-             CAST(sum(r2y * r2y) AS BIGINT) AS syy
+             sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy,
+             sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+             sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy
            FROM r GROUP BY 1),
          cm AS (
-           SELECT flag, n, sxy - n*(n+1)*(n+1) AS cov2,
-             sxx - n*(n+1)*(n+1) AS varx2, syy - n*(n+1)*(n+1) AS vary2
+           SELECT flag, n,
+             sxy - CAST(n AS HUGEINT)*(n+1)*(n+1) AS cov2,
+             sxx - CAST(n AS HUGEINT)*(n+1)*(n+1) AS varx2,
+             syy - CAST(n AS HUGEINT)*(n+1)*(n+1) AS vary2
            FROM sums)
-         SELECT flag, n, cov2, varx2, vary2,
+         SELECT flag, n,
            CASE WHEN varx2 > 0 AND vary2 > 0 THEN
              CAST(floor(CAST(cov2 AS DOUBLE) /
                sqrt(CAST(varx2 AS DOUBLE) * CAST(vary2 AS DOUBLE)) * 1000000.0)
