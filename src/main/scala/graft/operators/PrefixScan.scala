@@ -61,17 +61,24 @@ object PrefixScan {
   }
 
   /** One running aggregate to compute in a keyed scan. `op` is "sum",
-    * "min", or "count" (count ignores `valueCol` — pass ""). `inclusive`
-    * false = aggregate of strictly-preceding same-key rows (identity on
-    * each key's first row: 0 for sum/count, MaxValue for min).
+    * "min", "max", or "count" (count ignores `valueCol` — pass "").
+    * `inclusive` false = aggregate of strictly-preceding same-key rows
+    * (identity on each key's first row: 0 for sum/count, MaxValue for
+    * min, MinValue for max).
     */
   final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
       inclusive: Boolean = true)
 
-  private def keyedZero(op: String): Long =
-    if (op == "min") Long.MaxValue else 0L
-  private def keyedCombine(op: String, a: Long, b: Long): Long =
-    if (op == "min") math.min(a, b) else a + b
+  private def keyedZero(op: String): Long = op match {
+    case "min" => Long.MaxValue
+    case "max" => Long.MinValue
+    case _ => 0L
+  }
+  private def keyedCombine(op: String, a: Long, b: Long): Long = op match {
+    case "min" => math.min(a, b)
+    case "max" => math.max(a, b)
+    case _ => a + b
+  }
 
   /** Keyed distributed prefix scan: running aggregates of `cols` PER KEY
     * in the total order of (keyCols, sortCols) — the scalable form of
@@ -96,7 +103,8 @@ object PrefixScan {
   def scanLongKeyed(df: DataFrame, keyCols: Seq[String],
       cols: Seq[KeyedScanCol], sortCols: Column*): DataFrame = {
     require(cols.nonEmpty, "at least one KeyedScanCol")
-    cols.foreach(c => require(Set("sum", "min", "count")(c.op), s"op: ${c.op}"))
+    cols.foreach(c =>
+      require(Set("sum", "min", "max", "count")(c.op), s"op: ${c.op}"))
     val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
     val schema0 = sorted.schema
     val keyIdx = keyCols.map(schema0.fieldIndex).toArray

@@ -986,6 +986,53 @@ object StatsSeries {
           expr("(mae7_num * 1000000) div mae1_num").as("mase_e6"))
     }),
 
+    // Maximum drawdown per series — the peak-to-trough loss statistic a
+    // monitoring/finance readout wants from a cumulative value path.
+    // Engine mechanism exercised (the round-10 model): TWO CHAINED keyed
+    // PrefixScans over the data-sized events frame — running sum (the
+    // path), then running MAX of that path (the peak) — where the window
+    // form would funnel each event_type's whole history through one
+    // task. dd = peak − cum is exact centi-units throughout.
+    "q543_max_drawdown" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_type"), col("ts"),
+        col("event_id"),
+        (floor(col("value") * 100).cast("long") - 10000L).as("v"))
+      val cum = graft.operators.PrefixScan.scanLongKeyed(ev,
+        Seq("event_type"),
+        Seq(graft.operators.PrefixScan.KeyedScanCol("cum", "v", "sum")),
+        asc("ts"), asc("event_id"))
+      val peak = graft.operators.PrefixScan.scanLongKeyed(cum,
+        Seq("event_type"),
+        Seq(graft.operators.PrefixScan.KeyedScanCol("peak", "cum", "max")),
+        asc("ts"), asc("event_id"))
+      peak.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("peak") - col("cum")).as("max_drawdown_e2"),
+          max("peak").as("peak_e2"))
+    }),
+
+    // Running-record counts per series on the RAW event stream (strict
+    // new maxima; first observation counts) — Glick (1978) record
+    // statistics: for an i.i.d. series the expected record count is
+    // H(n) ≈ ln n, so a materially higher count flags drift, a lower one
+    // flags saturation. The q488 twin runs on the bounded daily frame;
+    // this one proves the raw-row shape: the "max so far" is the keyed
+    // PrefixScan's EXCLUSIVE max (identity MinValue on each series'
+    // first row, so v > premax marks it a record with no special case).
+    "q544_record_highs" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_type"), col("ts"),
+        col("event_id"), floor(col("value") * 100).cast("long").as("v"))
+      graft.operators.PrefixScan.scanLongKeyed(ev, Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol(
+            "premax", "v", "max", inclusive = false)),
+          asc("ts"), asc("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") > col("premax"), 1L).otherwise(0L))
+            .as("n_records"),
+          max("v").as("max_v_e2"))
+    }),
+
   )
 
   val oracles: Map[String, String] = Map(
@@ -1931,6 +1978,44 @@ object StatsSeries {
          SELECT $outs
          FROM i3"""
     },
+
+    "q543_max_drawdown" ->
+      """WITH ev AS (
+           SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) - 10000 AS v
+           FROM events),
+         c AS (
+           SELECT event_type, ts, event_id,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM ev),
+         p AS (
+           SELECT event_type, cum,
+             CAST(max(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+           FROM c)
+         SELECT event_type, count(*) AS n,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_e2,
+           CAST(max(peak) AS BIGINT) AS peak_e2
+         FROM p GROUP BY 1""",
+
+    "q544_record_highs" ->
+      """WITH ev AS (
+           SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events),
+         m AS (
+           SELECT event_type, v,
+             max(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS premax
+           FROM ev)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN premax IS NULL OR v > premax
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+           CAST(max(v) AS BIGINT) AS max_v_e2
+         FROM m GROUP BY 1""",
 
   )
 }

@@ -85,6 +85,25 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("keyed inclusive+exclusive max scan equals the keyed window forms") {
+    val got = PrefixScan.scanLongKeyed(keyed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("mi", "v", "max"),
+          PrefixScan.KeyedScanCol("mx", "v", "max", inclusive = false)),
+        asc("ord"))
+      .select("g", "ord", "mi", "mx")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val wi = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wx = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = keyed
+      .withColumn("mi", max("v").over(wi))
+      .withColumn("mx", coalesce(max("v").over(wx), lit(Long.MinValue)))
+      .select("g", "ord", "mi", "mx")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("keyed lag equals the keyed window lag (null on first row per key)") {
     val got = PrefixScan.lagLongKeyed(keyed, "pv", "v", Seq("g"), asc("ord"))
       .select("g", "ord", "pv")
