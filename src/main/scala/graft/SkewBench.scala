@@ -59,6 +59,13 @@ object SkewBench {
       ("salted", () => {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         agg(graft.operators.SkewJoin.saltedJoin(li, ords, "okey", 32))
+      }),
+      ("hot_split", () => {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        // threshold = 1000x the mean key multiplicity — finds the
+        // fixture's one hot key; the detection count is timed in
+        val hot = graft.operators.SkewJoin.hotKeys(li, "okey", 100000L)
+        agg(graft.operators.SkewJoin.hotKeySplitJoin(li, ords, "okey", hot))
       }))
 
     // correctness first: all three produce the identical bounded result

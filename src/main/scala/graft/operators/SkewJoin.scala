@@ -46,6 +46,42 @@ object SkewJoin {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Skew-safe join that splits on the HOT KEYS instead of salting
+    * everything: full-side salting (saltedJoin) replicates the ENTIRE
+    * build side `salt`× — measured on the round-10 skew fixture, that
+    * LOSES 4× to the plain join when build ≈ probe in size, because the
+    * replication shuffle swamps the straggler it saves. The production
+    * shape: detect the hot keys (a bounded count aggregate — the q226
+    * skew diagnostic), then
+    *  - COLD slice: plain shuffle join with the hot keys removed — no
+    *    straggler left by construction;
+    *  - HOT slice: the hot keys' build rows are by definition FEW (a key
+    *    is hot because the PROBE side piles onto it), so broadcast them
+    *    and map-side join the hot probe rows — zero shuffle of the hot
+    *    slice, no replication of the cold build side.
+    * Result equals the plain inner join. `hotKeys` is the driver-side
+    * hot list (bounded by construction: keys above a count threshold).
+    */
+  def hotKeySplitJoin(big: DataFrame, rep: DataFrame, key: String,
+      hotKeys: Seq[Long]): DataFrame = {
+    val cold = big.where(!col(key).isin(hotKeys: _*))
+      .join(rep.where(!col(key).isin(hotKeys: _*)), Seq(key))
+    val hot = big.where(col(key).isin(hotKeys: _*))
+      .join(broadcast(rep.where(col(key).isin(hotKeys: _*))), Seq(key))
+    cold.unionByName(hot)
+  }
+
+  /** Driver-side hot-key detection for [[hotKeySplitJoin]]: keys whose
+    * probe-side row count exceeds `threshold`. The aggregate is
+    * map-side-combinable and the collect is bounded by the number of
+    * genuinely hot keys (at a sane threshold, a handful).
+    */
+  def hotKeys(big: DataFrame, key: String, threshold: Long): Seq[Long] =
+    big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > threshold)
+      .select(col(key).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+
   /** Skew-safe join for hot keys dominated by IDENTICAL rows, which the
     * content-hash salt cannot spread (equal bytes, equal salt). Instead of
     * spreading the duplicates, collapse them: aggregate `big` to distinct

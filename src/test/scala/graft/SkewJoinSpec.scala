@@ -40,6 +40,23 @@ class SkewJoinSpec extends SparkSpec {
     assertSameMultiset(SkewJoin.saltedJoinCollapseDupes(big(), rep(), "k", 4), plain)
   }
 
+  test("hotKeySplitJoin equals plain inner join; hotKeys finds the hot key") {
+    val plain = big().join(rep(), Seq("k"))
+    val hot = SkewJoin.hotKeys(big(), "k", 10L)
+    assert(hot == Seq(1L), hot)
+    assertSameMultiset(SkewJoin.hotKeySplitJoin(big(), rep(), "k", hot), plain)
+    // the hot slice rides a broadcast join — no shuffle of the hot rows
+    val p = SkewJoin.hotKeySplitJoin(big(), rep(), "k", hot)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("hotKeySplitJoin with an empty hot list degrades to the plain join") {
+    val plain = big().join(rep(), Seq("k"))
+    assertSameMultiset(
+      SkewJoin.hotKeySplitJoin(big(), rep(), "k", Seq(5L)), plain)
+  }
+
   test("collapse variant re-inflates duplicates after the join (map-side generator)") {
     val out = SkewJoin.saltedJoinCollapseDupes(big(), rep(), "k", 4)
     // the 40 byte-identical hot rows must come back 40 times
