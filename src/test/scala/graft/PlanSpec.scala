@@ -382,11 +382,14 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).length == 1, p)
   }
 
-  test("q222 class balance: label-keyed window + broadcast cut, no global sort") {
+  test("q222 class balance: keyed-PrefixScan ranks (no window at all) + " +
+      "broadcast cut") {
     val p = plan("q222_class_balance")
-    // the rank window partitions by label (keyed, parallel); the only
-    // global piece is the 1-row min-class-count broadcast
-    assert(p.contains("windowspecdefinition(label"), p)
+    // ranks come from PrefixScan.scanLongKeyed (range-sorted RDD scan —
+    // label has ~10 values, a keyed window would rank in ~10 tasks);
+    // the only global piece is the 1-row min-class-count broadcast
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -487,10 +490,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), p)
   }
 
-  test("q250 training mix: shares broadcast onto the token stream; no " +
-      "cartesian product anywhere in the composition") {
+  test("q250 training mix: budget fill on the keyed PrefixScan (final " +
+      "stage is the scan output, no window); no cartesian anywhere") {
+    // the shares-broadcast join now sits UPSTREAM of the keyed scan's
+    // RDD boundary (fillByShare joins before range-sorting), so the
+    // final plan is the filter over the scan output
     val p = plan("q250_training_mix")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("windowspecdefinition"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -527,11 +534,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
-  test("q257 Spearman: rank windows keyed by group (no single-partition " +
-      "window), integer moment sums") {
+  test("q257 Spearman: ranks from the distinct-value count frame via the " +
+      "keyed PrefixScan — no window, no single-partition stage") {
     val p = plan("q257_spearman")
-    assert(p.contains("Window"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ExistingRDD"), p) // the keyed-scan rank frames
     assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q258 Kneser-Ney: the type-count scalar broadcasts; marginal " +
@@ -649,11 +658,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
-  test("q276 conformal: the order statistic is a keyed per-type window; " +
-      "pred and q-hat dims broadcast onto the test split") {
+  test("q276 conformal: the order statistic rides the keyed PrefixScan " +
+      "(no window); pred and q-hat dims broadcast onto the test split") {
     val p = plan("q276_conformal")
-    assert(p.contains("windowspecdefinition(event_type"), p)
-    assert(!"windowspecdefinition\\((?!event_type)".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("ExistingRDD"), p) // the keyed-scan rank frame
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
