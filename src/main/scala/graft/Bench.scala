@@ -324,8 +324,9 @@ object Bench {
     "q540_abc_analysis", // Pareto classes with exact boundaries
     "q541_top_share", // concentration shares + p99/p50 ratio
     "q542_vocab_drift_curve", // adjacent-window vocabulary Jaccard
-    "q543_max_drawdown", // chained keyed PrefixScans (sum -> max)
-    "q544_record_highs") // keyed exclusive-max scan record counts
+    "q543_max_drawdown", // one keyed PrefixScan (sum + maxsum monoid)
+    "q544_record_highs", // keyed exclusive-max scan record counts
+    "q545_burst_islands") // keyed lag + scan gaps-and-islands
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

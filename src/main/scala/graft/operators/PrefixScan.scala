@@ -61,23 +61,43 @@ object PrefixScan {
   }
 
   /** One running aggregate to compute in a keyed scan. `op` is "sum",
-    * "min", "max", or "count" (count ignores `valueCol` — pass "").
-    * `inclusive` false = aggregate of strictly-preceding same-key rows
-    * (identity on each key's first row: 0 for sum/count, MaxValue for
-    * min, MinValue for max).
+    * "min", "max", "count" (count ignores `valueCol` — pass ""), or
+    * "maxsum" — the running MAX of the running prefix SUM (the
+    * peak-so-far of a cumulative path, e.g. for drawdowns), which is an
+    * associative PAIR monoid ((total, maxPrefix); combine = (a.t + b.t,
+    * max(a.m, a.t + b.m))) and therefore stitches across partitions
+    * exactly like the scalar ops — one sort serves both the path and
+    * its peak. `inclusive` false = aggregate of strictly-preceding
+    * same-key rows (identity on each key's first row: 0 for sum/count,
+    * MaxValue for min, MinValue for max/maxsum).
     */
   final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
       inclusive: Boolean = true)
 
-  private def keyedZero(op: String): Long = op match {
-    case "min" => Long.MaxValue
-    case "max" => Long.MinValue
-    case _ => 0L
-  }
-  private def keyedCombine(op: String, a: Long, b: Long): Long = op match {
-    case "min" => math.min(a, b)
-    case "max" => math.max(a, b)
-    case _ => a + b
+  /** Per-op scan monoid: state vector zero, per-row element, associative
+    * combine (in-place into `a`), and the emitted Long.
+    */
+  private final class ScanOp(val op: String) extends Serializable {
+    val size: Int = if (op == "maxsum") 2 else 1
+    def zero: Array[Long] = op match {
+      case "min" => Array(Long.MaxValue)
+      case "max" => Array(Long.MinValue)
+      case "maxsum" => Array(0L, Long.MinValue)
+      case _ => Array(0L)
+    }
+    def elem(v: Long): Array[Long] = op match {
+      case "count" => Array(1L)
+      case "maxsum" => Array(v, v)
+      case _ => Array(v)
+    }
+    def combine(a: Array[Long], b: Array[Long]): Unit = op match {
+      case "min" => a(0) = math.min(a(0), b(0))
+      case "max" => a(0) = math.max(a(0), b(0))
+      case "maxsum" =>
+        a(1) = math.max(a(1), a(0) + b(1)); a(0) = a(0) + b(0)
+      case _ => a(0) = a(0) + b(0)
+    }
+    def emit(a: Array[Long]): Long = if (op == "maxsum") a(1) else a(0)
   }
 
   /** Keyed distributed prefix scan: running aggregates of `cols` PER KEY
@@ -104,39 +124,40 @@ object PrefixScan {
       cols: Seq[KeyedScanCol], sortCols: Column*): DataFrame = {
     require(cols.nonEmpty, "at least one KeyedScanCol")
     cols.foreach(c =>
-      require(Set("sum", "min", "max", "count")(c.op), s"op: ${c.op}"))
+      require(Set("sum", "min", "max", "count", "maxsum")(c.op),
+        s"op: ${c.op}"))
     val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
     val schema0 = sorted.schema
     val keyIdx = keyCols.map(schema0.fieldIndex).toArray
     val valIdx = cols.map(c =>
       if (c.op == "count") -1 else schema0.fieldIndex(c.valueCol)).toArray
-    val ops = cols.map(_.op).toArray
+    val ops = cols.map(c => new ScanOp(c.op)).toArray
     val incl = cols.map(_.inclusive).toArray
     val n = ops.length
-    val zeros = ops.map(keyedZero)
+    def zeros: Array[Array[Long]] = ops.map(_.zero)
     def rowKey(r: Row): List[Any] = keyIdx.map(r.get).toList
-    def contrib(j: Int, r: Row): Long =
-      if (ops(j) == "count") 1L else r.getLong(valIdx(j))
+    def contrib(j: Int, r: Row): Array[Long] =
+      ops(j).elem(if (valIdx(j) < 0) 0L else r.getLong(valIdx(j)))
     val rdd = sorted.rdd
     // pass 1: per-(partition, key) totals, reusing the sort's shuffle
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>
       val m = scala.collection.mutable.LinkedHashMap
-        .empty[List[Any], Array[Long]]
+        .empty[List[Any], Array[Array[Long]]]
       it.foreach { r =>
-        val acc = m.getOrElseUpdate(rowKey(r), zeros.clone())
+        val acc = m.getOrElseUpdate(rowKey(r), zeros)
         var j = 0
-        while (j < n) { acc(j) = keyedCombine(ops(j), acc(j), contrib(j, r)); j += 1 }
+        while (j < n) { ops(j).combine(acc(j), contrib(j, r)); j += 1 }
       }
       m.iterator.map { case (k, a) => (i, k, a) }
     }.collect()
     // driver: per key, exclusive prefix across its partition run
-    val offsets: Map[(Int, List[Any]), Array[Long]] =
+    val offsets: Map[(Int, List[Any]), Array[Array[Long]]] =
       totals.groupBy(_._2).iterator.flatMap { case (k, rows) =>
-        val acc = zeros.clone()
+        val acc = zeros
         rows.sortBy(_._1).map { case (pi, _, tot) =>
-          val off = acc.clone()
+          val off = acc.map(_.clone())
           var j = 0
-          while (j < n) { acc(j) = keyedCombine(ops(j), acc(j), tot(j)); j += 1 }
+          while (j < n) { ops(j).combine(acc(j), tot(j)); j += 1 }
           ((pi, k), off)
         }
       }.toMap
@@ -144,17 +165,18 @@ object PrefixScan {
     val schema = StructType(schema0.fields ++
       cols.map(c => StructField(c.outCol, LongType, nullable = false)))
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      val live = scala.collection.mutable.HashMap.empty[List[Any], Array[Long]]
+      val live = scala.collection.mutable.HashMap
+        .empty[List[Any], Array[Array[Long]]]
       it.map { r =>
         val k = rowKey(r)
         val acc = live.getOrElseUpdate(k,
-          bc.value.getOrElse((i, k), zeros).clone())
+          bc.value.get((i, k)).map(_.map(_.clone())).getOrElse(zeros))
         val outs = new Array[Any](n)
         var j = 0
         while (j < n) {
-          val before = acc(j)
-          acc(j) = keyedCombine(ops(j), acc(j), contrib(j, r))
-          outs(j) = if (incl(j)) acc(j) else before
+          val before = ops(j).emit(acc(j))
+          ops(j).combine(acc(j), contrib(j, r))
+          outs(j) = if (incl(j)) ops(j).emit(acc(j)) else before
           j += 1
         }
         Row.fromSeq(r.toSeq ++ outs)

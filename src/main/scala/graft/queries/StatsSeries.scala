@@ -988,24 +988,22 @@ object StatsSeries {
 
     // Maximum drawdown per series — the peak-to-trough loss statistic a
     // monitoring/finance readout wants from a cumulative value path.
-    // Engine mechanism exercised (the round-10 model): TWO CHAINED keyed
-    // PrefixScans over the data-sized events frame — running sum (the
-    // path), then running MAX of that path (the peak) — where the window
-    // form would funnel each event_type's whole history through one
-    // task. dd = peak − cum is exact centi-units throughout.
+    // Engine mechanism exercised (the round-10 model): ONE keyed
+    // PrefixScan computing BOTH the running sum (the path) and its
+    // running max (the peak) — "maxsum" is the associative pair monoid
+    // (total, maxPrefix), so the peak stitches across partitions like
+    // any scalar op and the whole statistic costs a single range-sort.
+    // A window form would funnel each event_type's whole history
+    // through one task. dd = peak − cum is exact centi-units throughout.
     "q543_max_drawdown" -> ((s, d0) => {
       val ev = t(s, d0, "events").select(col("event_type"), col("ts"),
         col("event_id"),
         (floor(col("value") * 100).cast("long") - 10000L).as("v"))
-      val cum = graft.operators.PrefixScan.scanLongKeyed(ev,
-        Seq("event_type"),
-        Seq(graft.operators.PrefixScan.KeyedScanCol("cum", "v", "sum")),
-        asc("ts"), asc("event_id"))
-      val peak = graft.operators.PrefixScan.scanLongKeyed(cum,
-        Seq("event_type"),
-        Seq(graft.operators.PrefixScan.KeyedScanCol("peak", "cum", "max")),
-        asc("ts"), asc("event_id"))
-      peak.groupBy("event_type")
+      graft.operators.PrefixScan.scanLongKeyed(ev, Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol("cum", "v", "sum"),
+            graft.operators.PrefixScan.KeyedScanCol("peak", "v", "maxsum")),
+          asc("ts"), asc("event_id"))
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           max(col("peak") - col("cum")).as("max_drawdown_e2"),
           max("peak").as("peak_e2"))
@@ -1031,6 +1029,34 @@ object StatsSeries {
           sum(when(col("v") > col("premax"), 1L).otherwise(0L))
             .as("n_records"),
           max("v").as("max_v_e2"))
+    }),
+
+    // Burst (gaps-and-islands) segmentation per series on the RAW event
+    // stream: a new burst starts where the inter-arrival gap exceeds 1 h;
+    // report per-type burst counts, the largest burst, and the longest
+    // burst duration. The q66 sessionize twin for LOW-cardinality keys:
+    // user-keyed sessionization parallelizes by its key, but event_type
+    // has ~10 values, so here the island machinery is the keyed
+    // DISTRIBUTED lag (new-burst flags) composed with the keyed scan
+    // (running flag sum = island id) — two range-sorted passes, no
+    // #type-task window. The (type, island) aggregate afterwards is
+    // high-cardinality and shuffles normally.
+    "q545_burst_islands" -> ((s, d0) => {
+      val ev = t(s, d0, "events").select(col("event_type"),
+        expr("unix_micros(ts)").as("tm"), col("event_id"))
+      val flagged = graft.operators.PrefixScan.lagLongKeyed(ev,
+          "tm_prev", "tm", Seq("event_type"), asc("tm"), asc("event_id"))
+        .withColumn("nb", when(col("tm_prev").isNull ||
+          col("tm") - col("tm_prev") > 3600000000L, 1L).otherwise(0L))
+      graft.operators.PrefixScan.scanLongKeyed(flagged, Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol("island", "nb", "sum")),
+          asc("tm"), asc("event_id"))
+        .groupBy("event_type", "island")
+        .agg(count(lit(1)).as("sz"), (max("tm") - min("tm")).as("dur_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_bursts"), max("sz").as("max_burst_sz"),
+          expr("max(dur_us) div 1000000").as("max_burst_s"),
+          sum("sz").as("n"))
     }),
 
   )
@@ -2016,6 +2042,34 @@ object StatsSeries {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
            CAST(max(v) AS BIGINT) AS max_v_e2
          FROM m GROUP BY 1""",
+
+    "q545_burst_islands" ->
+      """WITH ev AS (
+           SELECT event_type, epoch_us(ts) AS tm, event_id
+           FROM events),
+         f AS (
+           SELECT event_type, tm, event_id,
+             CASE WHEN tm - lag(tm, 1) OVER (PARTITION BY event_type
+               ORDER BY tm, event_id) > 3600000000
+               OR lag(tm, 1) OVER (PARTITION BY event_type
+                 ORDER BY tm, event_id) IS NULL
+             THEN 1 ELSE 0 END AS nb
+           FROM ev),
+         isl AS (
+           SELECT event_type, tm,
+             CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY tm, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+           FROM f),
+         seg AS (
+           SELECT event_type, island, count(*) AS sz,
+             max(tm) - min(tm) AS dur_us
+           FROM isl GROUP BY 1, 2)
+         SELECT event_type, count(*) AS n_bursts,
+           CAST(max(sz) AS BIGINT) AS max_burst_sz,
+           CAST(max(dur_us) AS BIGINT) // 1000000 AS max_burst_s,
+           CAST(sum(sz) AS BIGINT) AS n
+         FROM seg GROUP BY 1""",
 
   )
 }

@@ -104,6 +104,24 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("keyed maxsum scan equals running max of the window running sum") {
+    // signed values so the prefix path actually goes up AND down
+    val signed = keyed.withColumn("v", col("v") - 50L)
+    val got = PrefixScan.scanLongKeyed(signed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("peak", "v", "maxsum")),
+        asc("ord"))
+      .select("g", "ord", "peak")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = signed
+      .withColumn("cum", sum("v").over(w))
+      .withColumn("peak", max("cum").over(w))
+      .select("g", "ord", "peak")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("keyed lag equals the keyed window lag (null on first row per key)") {
     val got = PrefixScan.lagLongKeyed(keyed, "pv", "v", Seq("g"), asc("ord"))
       .select("g", "ord", "pv")
