@@ -722,8 +722,11 @@ object StatsTests {
           .select(col("flag"), col(vcol),
             (lit(2L) * col("cless") + col("cnt") + 1L).as(out))
       }
+      // x = l_quantity is DOMAIN-bounded (1..50 per flag → ≤150 rank
+      // rows), so its join-back broadcasts; the cents frame is
+      // value-domain-sized and stays a shuffle join.
       val r = li
-        .join(ranks("x", "r2x"), Seq("flag", "x"))
+        .join(broadcast(ranks("x", "r2x")), Seq("flag", "x"))
         .join(ranks("cents", "r2y"), Seq("flag", "cents"))
         .select("flag", "r2x", "r2y")
       val sums = r.groupBy("flag").agg(count(lit(1)).as("n"),

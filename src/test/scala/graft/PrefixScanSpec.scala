@@ -133,6 +133,22 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("empty keyCols degrade the keyed scan and lag to the GLOBAL forms") {
+    val got = PrefixScan.scanLongKeyed(keyed, Seq.empty,
+        Seq(PrefixScan.KeyedScanCol("cum", "v", "sum")), asc("ord"))
+      .select("ord", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    val w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    val want = keyed.withColumn("cum", sum("v").over(w))
+      .select("ord", "cum").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    val gotLag = PrefixScan.lagLongKeyed(keyed, "pv", "v", Seq.empty,
+        asc("ord"))
+      .select("ord", "pv").as[(Long, Option[Long])].collect().sortBy(_._1)
+    val wantLag = keyed.withColumn("pv", lag("v", 1).over(Window.orderBy("ord")))
+      .select("ord", "pv").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(gotLag.toSeq == wantLag.toSeq)
+  }
+
   test("keyed scan on empty input yields empty output") {
     val empty = keyed.where(lit(false))
     assert(PrefixScan.scanLongKeyed(empty, Seq("g"),
