@@ -60,44 +60,81 @@ object PrefixScan {
     df.sparkSession.createDataFrame(out, schema)
   }
 
-  /** One running aggregate to compute in a keyed scan. `op` is "sum",
-    * "min", "max", "count" (count ignores `valueCol` — pass ""), or
-    * "maxsum" — the running MAX of the running prefix SUM (the
-    * peak-so-far of a cumulative path, e.g. for drawdowns), which is an
-    * associative PAIR monoid ((total, maxPrefix); combine = (a.t + b.t,
-    * max(a.m, a.t + b.m))) and therefore stitches across partitions
-    * exactly like the scalar ops — one sort serves both the path and
-    * its peak. `inclusive` false = aggregate of strictly-preceding
-    * same-key rows (identity on each key's first row: 0 for sum/count,
-    * MaxValue for min, MinValue for max/maxsum).
+  /** One running aggregate to compute in a keyed scan. `op` is one of
+    *  - "sum" / "min" / "max" / "count" — scalar monoids (count ignores
+    *    `valueCol`, pass "");
+    *  - "maxsum" — the running MAX of the running prefix SUM (the
+    *    peak-so-far of a cumulative path, e.g. for drawdowns): the PAIR
+    *    monoid (total, maxPrefix) with combine = (a.t + b.t,
+    *    max(a.m, a.t + b.m));
+    *  - "islands" — the running gaps-and-islands id: `valueCol` is the
+    *    (sorted) position and `param` the gap threshold; a new island
+    *    starts where pos − prevPos > param. The SEGMENT monoid
+    *    (first, last, islandCount) with combine = (a.first, b.last,
+    *    a.n + b.n − (b.first − a.last > param ? 0 : 1)) — the emitted
+    *    running count IS the row's 1-based island id.
+    * Composite monoids stitch across partitions exactly like the scalar
+    * ops, so one sort serves the whole statistic. `inclusive` false =
+    * aggregate of strictly-preceding same-key rows (identity on each
+    * key's first row: 0 for sum/count/islands, MaxValue for min,
+    * MinValue for max/maxsum).
     */
   final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
-      inclusive: Boolean = true)
+      inclusive: Boolean = true, param: Long = 0L)
 
   /** Per-op scan monoid: state vector zero, per-row element, associative
-    * combine (in-place into `a`), and the emitted Long.
+    * combine (in-place into `a`; the zero state is a two-sided identity),
+    * and the emitted Long.
     */
-  private final class ScanOp(val op: String) extends Serializable {
-    val size: Int = if (op == "maxsum") 2 else 1
+  private final class ScanOp(val op: String, val param: Long)
+      extends Serializable {
+    val size: Int = op match {
+      case "maxsum" => 2
+      case "islands" => 3
+      case _ => 1
+    }
     def zero: Array[Long] = op match {
       case "min" => Array(Long.MaxValue)
       case "max" => Array(Long.MinValue)
       case "maxsum" => Array(0L, Long.MinValue)
+      case "islands" => Array(Long.MinValue, Long.MinValue, 0L)
       case _ => Array(0L)
+    }
+    private def isZero(b: Array[Long]): Boolean = op match {
+      case "maxsum" => b(0) == 0L && b(1) == Long.MinValue
+      case "islands" => b(2) == 0L
+      case _ => false
     }
     def elem(v: Long): Array[Long] = op match {
       case "count" => Array(1L)
       case "maxsum" => Array(v, v)
+      case "islands" => Array(v, v, 1L)
       case _ => Array(v)
     }
     def combine(a: Array[Long], b: Array[Long]): Unit = op match {
       case "min" => a(0) = math.min(a(0), b(0))
       case "max" => a(0) = math.max(a(0), b(0))
       case "maxsum" =>
-        a(1) = math.max(a(1), a(0) + b(1)); a(0) = a(0) + b(0)
+        if (!isZero(b)) {
+          if (isZero(a)) { a(0) = b(0); a(1) = b(1) }
+          else { a(1) = math.max(a(1), a(0) + b(1)); a(0) = a(0) + b(0) }
+        }
+      case "islands" =>
+        if (!isZero(b)) {
+          if (isZero(a)) { a(0) = b(0); a(1) = b(1); a(2) = b(2) }
+          else {
+            val merged = if (b(0) - a(1) > param) 0L else 1L
+            a(2) = a(2) + b(2) - merged
+            a(1) = b(1)
+          }
+        }
       case _ => a(0) = a(0) + b(0)
     }
-    def emit(a: Array[Long]): Long = if (op == "maxsum") a(1) else a(0)
+    def emit(a: Array[Long]): Long = op match {
+      case "maxsum" => a(1)
+      case "islands" => a(2)
+      case _ => a(0)
+    }
   }
 
   /** Keyed distributed prefix scan: running aggregates of `cols` PER KEY
@@ -124,14 +161,14 @@ object PrefixScan {
       cols: Seq[KeyedScanCol], sortCols: Column*): DataFrame = {
     require(cols.nonEmpty, "at least one KeyedScanCol")
     cols.foreach(c =>
-      require(Set("sum", "min", "max", "count", "maxsum")(c.op),
+      require(Set("sum", "min", "max", "count", "maxsum", "islands")(c.op),
         s"op: ${c.op}"))
     val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
     val schema0 = sorted.schema
     val keyIdx = keyCols.map(schema0.fieldIndex).toArray
     val valIdx = cols.map(c =>
       if (c.op == "count") -1 else schema0.fieldIndex(c.valueCol)).toArray
-    val ops = cols.map(c => new ScanOp(c.op)).toArray
+    val ops = cols.map(c => new ScanOp(c.op, c.param)).toArray
     val incl = cols.map(_.inclusive).toArray
     val n = ops.length
     def zeros: Array[Array[Long]] = ops.map(_.zero)

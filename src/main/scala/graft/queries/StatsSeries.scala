@@ -1036,20 +1036,18 @@ object StatsSeries {
     // report per-type burst counts, the largest burst, and the longest
     // burst duration. The q66 sessionize twin for LOW-cardinality keys:
     // user-keyed sessionization parallelizes by its key, but event_type
-    // has ~10 values, so here the island machinery is the keyed
-    // DISTRIBUTED lag (new-burst flags) composed with the keyed scan
-    // (running flag sum = island id) — two range-sorted passes, no
+    // has ~10 values, so here the island id comes from the keyed
+    // PrefixScan's "islands" SEGMENT monoid ((first, last, count);
+    // adjacent segments merge when the boundary gap ≤ 1 h) — ONE
+    // range-sorted pass instead of the lag-then-cumsum pair, no
     // #type-task window. The (type, island) aggregate afterwards is
     // high-cardinality and shuffles normally.
     "q545_burst_islands" -> ((s, d0) => {
       val ev = t(s, d0, "events").select(col("event_type"),
         expr("unix_micros(ts)").as("tm"), col("event_id"))
-      val flagged = graft.operators.PrefixScan.lagLongKeyed(ev,
-          "tm_prev", "tm", Seq("event_type"), asc("tm"), asc("event_id"))
-        .withColumn("nb", when(col("tm_prev").isNull ||
-          col("tm") - col("tm_prev") > 3600000000L, 1L).otherwise(0L))
-      graft.operators.PrefixScan.scanLongKeyed(flagged, Seq("event_type"),
-          Seq(graft.operators.PrefixScan.KeyedScanCol("island", "nb", "sum")),
+      graft.operators.PrefixScan.scanLongKeyed(ev, Seq("event_type"),
+          Seq(graft.operators.PrefixScan.KeyedScanCol(
+            "island", "tm", "islands", param = 3600000000L)),
           asc("tm"), asc("event_id"))
         .groupBy("event_type", "island")
         .agg(count(lit(1)).as("sz"), (max("tm") - min("tm")).as("dur_us"))

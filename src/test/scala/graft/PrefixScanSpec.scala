@@ -122,6 +122,41 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("keyed islands scan equals the window lag+flag+cumsum island ids") {
+    // ord as the position, gap threshold 7: the ord values within each
+    // key are multiples of 3 (i%3 partitioning), so both merged and
+    // split boundaries occur across the 8 partitions
+    val got = PrefixScan.scanLongKeyed(keyed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("isl", "ord", "islands", param = 7L)),
+        asc("ord"))
+      .select("g", "ord", "isl")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val w = Window.partitionBy("g").orderBy("ord")
+    val cum = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = keyed
+      .withColumn("nb", when(lag("ord", 1).over(w).isNull ||
+        col("ord") - lag("ord", 1).over(w) > 7L, 1L).otherwise(0L))
+      .withColumn("isl", sum("nb").over(cum))
+      .select("g", "ord", "isl")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("keyed islands scan with a sparse gap threshold splits correctly") {
+    // threshold 2 with stride-3 positions: EVERY row is its own island
+    val got = PrefixScan.scanLongKeyed(keyed, Seq("g"),
+        Seq(PrefixScan.KeyedScanCol("isl", "ord", "islands", param = 2L)),
+        asc("ord"))
+      .select("g", "ord", "isl")
+      .as[(String, Long, Long)].collect()
+    val perKey = got.groupBy(_._1)
+    for ((_, rows) <- perKey) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+    }
+  }
+
   test("keyed lag equals the keyed window lag (null on first row per key)") {
     val got = PrefixScan.lagLongKeyed(keyed, "pv", "v", Seq("g"), asc("ord"))
       .select("g", "ord", "pv")
