@@ -1100,4 +1100,52 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"low-card keyed-window offenders: ${offenders.mkString(", ")}")
   }
+
+  test("no collect_list/collect_set grouped by a low-cardinality (or " +
+      "empty) key over a data-sized frame, outside the allowlist") {
+    // The sibling of the keyed-window hazard: sum/count aggregates
+    // partial-combine map-side, but collect_list/set state is the GROUP
+    // ITSELF — grouped by a 3-10-value key (or nothing) over raw data,
+    // the final merge concentrates whole-table slices in #keys tasks.
+    // The repo convention allows bounded float folds
+    // (array_sort(collect_list)+aggregate) only over DOMAIN-BOUNDED
+    // frames — which in every legitimate site means the collect's child
+    // contains an upstream aggregate; this sweep enforces exactly that.
+    val lowCard = Set("source", "event_type", "flag", "label", "lang",
+      "half", "l_returnflag", "l_linestatus")
+    val allow = Set.empty[String]
+    def isCollect(
+        a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec) =
+      a.aggregateExpressions.exists { ae =>
+        ae.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectList] ||
+        ae.aggregateFunction.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet]
+      }
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      spark.catalog.clearCache() // see the keyed-window sweep above
+      val p = fn(spark, sf).queryExecution.sparkPlan
+      val hits = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if isCollect(a) => a
+      }.filter { a =>
+        val keys = a.groupingExpressions.map {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            Some(ar.name.toLowerCase)
+          case _ => None
+        }
+        val allAttrs = keys.forall(_.isDefined)
+        val names = keys.flatten.toSet
+        val lowOrGlobal = names.isEmpty || (allAttrs && names.subsetOf(lowCard))
+        val hasAgg = a.child.collectFirst {
+          case c: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => c
+        }.isDefined
+        lowOrGlobal && !hasAgg
+      }
+      if (hits.nonEmpty && !allow(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"low-card keyed-collect offenders: ${offenders.mkString(", ")}")
+  }
 }
