@@ -1148,4 +1148,21 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"low-card keyed-collect offenders: ${offenders.mkString(", ")}")
   }
+
+  test("no CartesianProduct anywhere in the full query inventory") {
+    // Consolidates the per-round block sweeps (q350-q378 etc.) into the
+    // whole-inventory invariant: scalar cross joins ride broadcast
+    // nested loops (1-row frames), every pair construction is celled /
+    // banded / keyed — a true cartesian never survives review.
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      spark.catalog.clearCache()
+      val n = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.size
+      if (n > 0) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian offenders: ${offenders.mkString(", ")}")
+  }
 }
