@@ -184,6 +184,39 @@ class PrefixScanSpec extends SparkSpec {
     assert(gotLag.toSeq == wantLag.toSeq)
   }
 
+  test("composite (two-column) keys scan and lag correctly") {
+    val two = keyed.withColumn("g2", col("ord") % 2)
+    val got = PrefixScan.scanLongKeyed(two, Seq("g", "g2"),
+        Seq(PrefixScan.KeyedScanCol("cum", "v", "sum"),
+          PrefixScan.KeyedScanCol("pk", "v", "maxsum", inclusive = false)),
+        asc("ord"))
+      .select("g", "g2", "ord", "cum", "pk")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val w = Window.partitionBy("g", "g2").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wx = Window.partitionBy("g", "g2").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = two
+      .withColumn("cum", sum("v").over(w))
+      .withColumn("pk", coalesce(max("cum").over(wx), lit(Long.MinValue)))
+      .select("g", "g2", "ord", "cum", "pk")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.toSeq == want.toSeq)
+    val gotLag = PrefixScan.lagLongKeyed(two, "pv", "v", Seq("g", "g2"),
+        asc("ord"))
+      .select("g", "g2", "ord", "pv")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val wantLag = two.withColumn("pv",
+        lag("v", 1).over(Window.partitionBy("g", "g2").orderBy("ord")))
+      .select("g", "g2", "ord", "pv")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(gotLag.toSeq == wantLag.toSeq)
+  }
+
   test("keyed scan on empty input yields empty output") {
     val empty = keyed.where(lit(false))
     assert(PrefixScan.scanLongKeyed(empty, Seq("g"),
