@@ -82,6 +82,20 @@ object PrefixScan {
   final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
       inclusive: Boolean = true, param: Long = 0L)
 
+  /** Bounded-collect safety net for the keyed operators: the sort makes
+    * the pass-1 collect ≤ #partitions + #distinctKeys rows, so crossing
+    * this cap means the key is NOT driver-bounded — fail with a
+    * diagnostic instead of silently pressuring the driver heap. (An
+    * ordinary keyed window already parallelizes for high-cardinality
+    * keys; these operators exist for the low-cardinality case.)
+    */
+  private val MaxDriverKeyRuns: Int = 1 << 20
+  private def guardKeyRuns(runs: Int, parts: Int): Unit =
+    require(runs <= parts + MaxDriverKeyRuns,
+      s"keyed scan collected $runs (partition, key) runs across $parts " +
+        "partitions — key cardinality is not driver-bounded; use an " +
+        "ordinary keyed window (high-cardinality keys parallelize already)")
+
   /** Per-op scan monoid: state vector zero, per-row element, associative
     * combine (in-place into `a`; the zero state is a two-sided identity),
     * and the emitted Long.
@@ -187,6 +201,7 @@ object PrefixScan {
       }
       m.iterator.map { case (k, a) => (i, k, a) }
     }.collect()
+    guardKeyRuns(totals.length, rdd.getNumPartitions)
     // driver: per key, exclusive prefix across its partition run
     val offsets: Map[(Int, List[Any]), Array[Array[Long]]] =
       totals.groupBy(_._2).iterator.flatMap { case (k, rows) =>
@@ -246,6 +261,7 @@ object PrefixScan {
       it.foreach(r => m(rowKey(r)) = r.getLong(vi))
       m.iterator.map { case (k, v) => (i, k, v) }
     }.collect()
+    guardKeyRuns(lasts.length, rdd.getNumPartitions)
     val boundary: Map[(Int, List[Any]), Long] =
       lasts.groupBy(_._2).iterator.flatMap { case (k, rows) =>
         val ordered = rows.sortBy(_._1)
