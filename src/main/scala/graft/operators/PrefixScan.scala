@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Expression, Literal, SortOrder}
+import org.apache.spark.sql.types.LongType
+
+import graft.plans.PrefixScanNode
 
 /** Distributed prefix scan (running aggregate over a GLOBAL order).
   *
@@ -14,11 +17,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * each partition its offset. Results are identical to the window form
   * for a total ordering (callers must include a tie-break column).
   *
-  * Like `Ranking.globalRank` this is a deliberate RDD touch: the
-  * per-partition fold is imperative and has no Catalyst counterpart.
-  * The two jobs share the sort's shuffle output, so the data is ranged
-  * once. Long-typed `sum` and `min` cover the engine's scan users
-  * (integer-exact by convention); both are associative monoids.
+  * This is the DataFrame API over the physical operator in
+  * `graft.plans.PrefixScanPlan` (`PrefixScanNode`/`PrefixScanExec`,
+  * registered by `GraftExtensions`): UnsafeRow in/out, plan-visible, and
+  * the node declares its output ordering/partitioning so downstream ops
+  * on the same keys reuse the range shuffle.
   */
 object PrefixScan {
 
@@ -30,34 +33,8 @@ object PrefixScan {
     */
   def scanLong(df: DataFrame, outCol: String, valueCol: String, op: String,
       inclusive: Boolean, sortCols: Column*): DataFrame = {
-    val (zero, combine): (Long, (Long, Long) => Long) = op match {
-      case "sum" => (0L, _ + _)
-      case "min" => (Long.MaxValue, math.min)
-      case other => throw new IllegalArgumentException(s"op: $other")
-    }
-    val sorted = df.sort(sortCols: _*)
-    val idx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
-    // pass 1: per-partition totals (runs the sort's shuffle; pass 2
-    // reuses the same shuffle files, so the data is ranged only once)
-    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = zero
-      it.foreach(r => acc = combine(acc, r.getLong(idx)))
-      Iterator((i, acc))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(zero)(combine) // exclusive prefix
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { r =>
-        val before = acc
-        acc = combine(acc, r.getLong(idx))
-        Row.fromSeq(r.toSeq :+ (if (inclusive) acc else before))
-      }
-    }
-    df.sparkSession.createDataFrame(out, schema)
+    require(Set("sum", "min")(op), s"op: $op")
+    build(df, Nil, Seq(KeyedScanCol(outCol, valueCol, op, inclusive)), sortCols)
   }
 
   /** One running aggregate to compute in a keyed scan. `op` is one of
@@ -82,75 +59,6 @@ object PrefixScan {
   final case class KeyedScanCol(outCol: String, valueCol: String, op: String,
       inclusive: Boolean = true, param: Long = 0L)
 
-  /** Bounded-collect safety net for the keyed operators: the sort makes
-    * the pass-1 collect ≤ #partitions + #distinctKeys rows, so crossing
-    * this cap means the key is NOT driver-bounded — fail with a
-    * diagnostic instead of silently pressuring the driver heap. (An
-    * ordinary keyed window already parallelizes for high-cardinality
-    * keys; these operators exist for the low-cardinality case.)
-    */
-  private val MaxDriverKeyRuns: Int = 1 << 20
-  private def guardKeyRuns(runs: Int, parts: Int): Unit =
-    require(runs <= parts + MaxDriverKeyRuns,
-      s"keyed scan collected $runs (partition, key) runs across $parts " +
-        "partitions — key cardinality is not driver-bounded; use an " +
-        "ordinary keyed window (high-cardinality keys parallelize already)")
-
-  /** Per-op scan monoid: state vector zero, per-row element, associative
-    * combine (in-place into `a`; the zero state is a two-sided identity),
-    * and the emitted Long.
-    */
-  private final class ScanOp(val op: String, val param: Long)
-      extends Serializable {
-    val size: Int = op match {
-      case "maxsum" => 2
-      case "islands" => 3
-      case _ => 1
-    }
-    def zero: Array[Long] = op match {
-      case "min" => Array(Long.MaxValue)
-      case "max" => Array(Long.MinValue)
-      case "maxsum" => Array(0L, Long.MinValue)
-      case "islands" => Array(Long.MinValue, Long.MinValue, 0L)
-      case _ => Array(0L)
-    }
-    private def isZero(b: Array[Long]): Boolean = op match {
-      case "maxsum" => b(0) == 0L && b(1) == Long.MinValue
-      case "islands" => b(2) == 0L
-      case _ => false
-    }
-    def elem(v: Long): Array[Long] = op match {
-      case "count" => Array(1L)
-      case "maxsum" => Array(v, v)
-      case "islands" => Array(v, v, 1L)
-      case _ => Array(v)
-    }
-    def combine(a: Array[Long], b: Array[Long]): Unit = op match {
-      case "min" => a(0) = math.min(a(0), b(0))
-      case "max" => a(0) = math.max(a(0), b(0))
-      case "maxsum" =>
-        if (!isZero(b)) {
-          if (isZero(a)) { a(0) = b(0); a(1) = b(1) }
-          else { a(1) = math.max(a(1), a(0) + b(1)); a(0) = a(0) + b(0) }
-        }
-      case "islands" =>
-        if (!isZero(b)) {
-          if (isZero(a)) { a(0) = b(0); a(1) = b(1); a(2) = b(2) }
-          else {
-            val merged = if (b(0) - a(1) > param) 0L else 1L
-            a(2) = a(2) + b(2) - merged
-            a(1) = b(1)
-          }
-        }
-      case _ => a(0) = a(0) + b(0)
-    }
-    def emit(a: Array[Long]): Long = op match {
-      case "maxsum" => a(1)
-      case "islands" => a(2)
-      case _ => a(0)
-    }
-  }
-
   /** Keyed distributed prefix scan: running aggregates of `cols` PER KEY
     * in the total order of (keyCols, sortCols) — the scalable form of
     * `agg OVER (PARTITION BY lowCardKey ORDER BY ...)`.
@@ -169,7 +77,9 @@ object PrefixScan {
     * rows. The operator is FOR low-cardinality keys (the case where the
     * plain keyed window loses parallelism); high-cardinality keys
     * should stay on the ordinary window, which already parallelizes.
-    * `valueCol`s must be non-null Long.
+    * Misuse fails fast INSIDE the pass-1 task (per-partition distinct-key
+    * cap) before anything reaches the driver, with a driver-side run
+    * count backstop behind it. `valueCol`s must be non-null Long.
     */
   def scanLongKeyed(df: DataFrame, keyCols: Seq[String],
       cols: Seq[KeyedScanCol], sortCols: Column*): DataFrame = {
@@ -177,64 +87,7 @@ object PrefixScan {
     cols.foreach(c =>
       require(Set("sum", "min", "max", "count", "maxsum", "islands")(c.op),
         s"op: ${c.op}"))
-    val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
-    val schema0 = sorted.schema
-    val keyIdx = keyCols.map(schema0.fieldIndex).toArray
-    val valIdx = cols.map(c =>
-      if (c.op == "count") -1 else schema0.fieldIndex(c.valueCol)).toArray
-    val ops = cols.map(c => new ScanOp(c.op, c.param)).toArray
-    val incl = cols.map(_.inclusive).toArray
-    val n = ops.length
-    def zeros: Array[Array[Long]] = ops.map(_.zero)
-    def rowKey(r: Row): List[Any] = keyIdx.map(r.get).toList
-    def contrib(j: Int, r: Row): Array[Long] =
-      ops(j).elem(if (valIdx(j) < 0) 0L else r.getLong(valIdx(j)))
-    val rdd = sorted.rdd
-    // pass 1: per-(partition, key) totals, reusing the sort's shuffle
-    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap
-        .empty[List[Any], Array[Array[Long]]]
-      it.foreach { r =>
-        val acc = m.getOrElseUpdate(rowKey(r), zeros)
-        var j = 0
-        while (j < n) { ops(j).combine(acc(j), contrib(j, r)); j += 1 }
-      }
-      m.iterator.map { case (k, a) => (i, k, a) }
-    }.collect()
-    guardKeyRuns(totals.length, rdd.getNumPartitions)
-    // driver: per key, exclusive prefix across its partition run
-    val offsets: Map[(Int, List[Any]), Array[Array[Long]]] =
-      totals.groupBy(_._2).iterator.flatMap { case (k, rows) =>
-        val acc = zeros
-        rows.sortBy(_._1).map { case (pi, _, tot) =>
-          val off = acc.map(_.clone())
-          var j = 0
-          while (j < n) { ops(j).combine(acc(j), tot(j)); j += 1 }
-          ((pi, k), off)
-        }
-      }.toMap
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val schema = StructType(schema0.fields ++
-      cols.map(c => StructField(c.outCol, LongType, nullable = false)))
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      val live = scala.collection.mutable.HashMap
-        .empty[List[Any], Array[Array[Long]]]
-      it.map { r =>
-        val k = rowKey(r)
-        val acc = live.getOrElseUpdate(k,
-          bc.value.get((i, k)).map(_.map(_.clone())).getOrElse(zeros))
-        val outs = new Array[Any](n)
-        var j = 0
-        while (j < n) {
-          val before = ops(j).emit(acc(j))
-          ops(j).combine(acc(j), contrib(j, r))
-          outs(j) = if (incl(j)) ops(j).emit(acc(j)) else before
-          j += 1
-        }
-        Row.fromSeq(r.toSeq ++ outs)
-      }
-    }
-    df.sparkSession.createDataFrame(out, schema)
+    build(df, keyCols, cols, sortCols)
   }
 
   /** Keyed distributed lag: previous same-key row's `valueCol` (Long,
@@ -242,46 +95,41 @@ object PrefixScan {
     * key's first row — the scalable form of
     * `lag(v) OVER (PARTITION BY lowCardKey ORDER BY ...)`.
     *
-    * Same machinery as [[scanLongKeyed]], but the stitched state is a
-    * BOUNDARY CARRY instead of a monoid offset: pass 1 records each
-    * (partition, key)'s LAST value; the driver hands every
-    * (partition, key) the last value of the nearest preceding partition
-    * holding that key. Same bounded-collect contract (low-card keys).
+    * Same machinery as [[scanLongKeyed]]: lag IS the exclusive scan of
+    * the "last value" monoid (combine keeps the later operand), so the
+    * per-partition fold and the driver's exclusive-prefix stitch hand
+    * every (partition, key) the last value of the nearest preceding
+    * partition holding that key. Same bounded-collect contract.
     */
   def lagLongKeyed(df: DataFrame, outCol: String, valueCol: String,
-      keyCols: Seq[String], sortCols: Column*): DataFrame = {
-    val sorted = df.sort(keyCols.map(df.col) ++ sortCols: _*)
-    val schema0 = sorted.schema
-    val keyIdx = keyCols.map(schema0.fieldIndex).toArray
-    val vi = schema0.fieldIndex(valueCol)
-    def rowKey(r: Row): List[Any] = keyIdx.map(r.get).toList
-    val rdd = sorted.rdd
-    val lasts = rdd.mapPartitionsWithIndex { (i, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
-      it.foreach(r => m(rowKey(r)) = r.getLong(vi))
-      m.iterator.map { case (k, v) => (i, k, v) }
-    }.collect()
-    guardKeyRuns(lasts.length, rdd.getNumPartitions)
-    val boundary: Map[(Int, List[Any]), Long] =
-      lasts.groupBy(_._2).iterator.flatMap { case (k, rows) =>
-        val ordered = rows.sortBy(_._1)
-        ordered.iterator.zip(ordered.iterator.drop(1)).map {
-          case ((_, _, prevLast), (pi, _, _)) => ((pi, k), prevLast)
-        }
-      }.toMap
-    val bc = df.sparkSession.sparkContext.broadcast(boundary)
-    val schema = StructType(schema0.fields :+
-      StructField(outCol, LongType, nullable = true))
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      val prev = scala.collection.mutable.HashMap.empty[List[Any], Any]
-      it.map { r =>
-        val k = rowKey(r)
-        val p = prev.getOrElse(k,
-          bc.value.get((i, k)).map(Long.box).orNull)
-        prev(k) = Long.box(r.getLong(vi))
-        Row.fromSeq(r.toSeq :+ p)
+      keyCols: Seq[String], sortCols: Column*): DataFrame =
+    build(df, keyCols,
+      Seq(KeyedScanCol(outCol, valueCol, "lag", inclusive = false)), sortCols)
+
+  private def build(df: DataFrame, keyCols: Seq[String],
+      cols: Seq[KeyedScanCol], sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val keyExprs: Seq[Expression] =
+      keyCols.map(c => GraftSqlBridge.expression(df.col(c)))
+    val order: Seq[SortOrder] = sortCols.map { c =>
+      GraftSqlBridge.expression(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, Ascending)
       }
     }
-    df.sparkSession.createDataFrame(out, schema)
+    val scanAttrs = cols.map(c =>
+      AttributeReference(c.outCol, LongType, nullable = c.op == "lag")())
+    val valueExprs: Seq[Expression] = cols.map { c =>
+      if (c.op == "count") Literal(0L)
+      else {
+        val e = GraftSqlBridge.expression(df.col(c.valueCol))
+        require(e.dataType == LongType,
+          s"${c.valueCol} must be LongType, got ${e.dataType}")
+        e
+      }
+    }
+    GraftSqlBridge.ofRows(spark, PrefixScanNode(keyExprs, order, scanAttrs,
+      valueExprs, cols.map(_.op), cols.map(_.inclusive), cols.map(_.param),
+      GraftSqlBridge.analyzed(df)))
   }
 }

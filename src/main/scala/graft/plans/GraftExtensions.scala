@@ -44,5 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => WindowTopKToTopKPerKey)
     ext.injectOptimizerRule(_ => CountDistinctToHll)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
+    ext.injectPlannerStrategy(_ => new PrefixScanStrategy)
   }
 }
