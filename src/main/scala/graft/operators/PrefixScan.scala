@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Expression, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.PrefixScanNode
+import graft.plans.{PrefixScanNode, PrefixScanStrategy}
 
 /** Distributed prefix scan (running aggregate over a GLOBAL order).
   *
@@ -109,6 +110,23 @@ object PrefixScan {
   private def build(df: DataFrame, keyCols: Seq[String],
       cols: Seq[KeyedScanCol], sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
+    // Sessions built without GraftExtensions would otherwise fail planning
+    // with an opaque "No plan for PrefixScanNode" — register the strategy
+    // on demand so the operator works on vanilla sessions too (the same
+    // property the rest of the operator surface keeps).
+    if (!spark.sessionState.planner.strategies
+        .exists(_.isInstanceOf[PrefixScanStrategy]))
+      spark.experimental.extraStrategies =
+        new PrefixScanStrategy +: spark.experimental.extraStrategies
+    // The exec streams the child twice (the range shuffle is reused across
+    // the two passes, but a lost shuffle file replays the child lineage):
+    // a nondeterministic child could hand pass 2 different rows than the
+    // ones pass 1 folded offsets from — fail fast instead.
+    val analyzedChild = GraftSqlBridge.analyzed(df)
+    require(!analyzedChild.exists(_.expressions.exists(_.exists(!_.deterministic))),
+      "prefix scan over a nondeterministic child: the two-pass scan " +
+        "requires replayable input — materialize the frame first " +
+        "(e.g. df.localCheckpoint())")
     val keyExprs: Seq[Expression] =
       keyCols.map(c => GraftSqlBridge.expression(df.col(c)))
     val order: Seq[SortOrder] = sortCols.map { c =>
@@ -125,11 +143,18 @@ object PrefixScan {
         val e = GraftSqlBridge.expression(df.col(c.valueCol))
         require(e.dataType == LongType,
           s"${c.valueCol} must be LongType, got ${e.dataType}")
-        e
+        // the exec reads values with UnsafeRow.getLong, which renders a
+        // null as 0 — silently wrong for min/max/sum. Enforce the
+        // non-null contract in the projection itself: a null value fails
+        // the task with the column named instead of corrupting the scan.
+        if (e.nullable)
+          AssertNotNull(e, Seq(s"prefix-scan value column ${c.valueCol} " +
+            "(contract: non-null Long)"))
+        else e
       }
     }
     GraftSqlBridge.ofRows(spark, PrefixScanNode(keyExprs, order, scanAttrs,
       valueExprs, cols.map(_.op), cols.map(_.inclusive), cols.map(_.param),
-      GraftSqlBridge.analyzed(df)))
+      analyzedChild))
   }
 }

@@ -64,6 +64,9 @@ object SkewJoin {
     */
   def hotKeySplitJoin(big: DataFrame, rep: DataFrame, key: String,
       hotKeys: Seq[Long]): DataFrame = {
+    // no hot keys detected → the plain join IS the right plan; an empty
+    // isin() would only add a vacuous filter + an empty broadcast union
+    if (hotKeys.isEmpty) return big.join(rep, Seq(key))
     val cold = big.where(!col(key).isin(hotKeys: _*))
       .join(rep.where(!col(key).isin(hotKeys: _*)), Seq(key))
     val hot = big.where(col(key).isin(hotKeys: _*))
@@ -76,11 +79,27 @@ object SkewJoin {
     * map-side-combinable and the collect is bounded by the number of
     * genuinely hot keys (at a sane threshold, a handful).
     */
-  def hotKeys(big: DataFrame, key: String, threshold: Long): Seq[Long] =
-    big.groupBy(key).agg(count(lit(1)).as("__n"))
+  def hotKeys(big: DataFrame, key: String, threshold: Long): Seq[Long] = {
+    // null keys are dropped: an inner equi-join never matches them (Catalyst
+    // plants IsNotNull on the join keys), so they can't skew the join's
+    // shuffle — and a null in the hot list would poison hotKeySplitJoin's
+    // isin predicates (three-valued logic silently empties the cold slice).
+    val rows = big.where(col(key).isNotNull)
+      .groupBy(key).agg(count(lit(1)).as("__n"))
       .where(col("__n") > threshold)
-      .select(col(key).cast("long"))
-      .collect().map(_.getLong(0)).toSeq
+      .select(col(key).try_cast("long").as("__k"),
+        col(key).cast("string").as("__raw"))
+      .collect()
+    rows.map { r =>
+      // a hot key the Long cast nulls out (non-numeric) must fail fast —
+      // returning it as anything else would leave the skew unmitigated
+      // without the caller ever knowing
+      require(!r.isNullAt(0),
+        s"hot key '${r.getString(1)}' in column '$key' does not cast to Long; " +
+          "hotKeySplitJoin keys must be integral")
+      r.getLong(0)
+    }.toSeq
+  }
 
   /** Skew-safe join for hot keys dominated by IDENTICAL rows, which the
     * content-hash salt cannot spread (equal bytes, equal salt). Instead of

@@ -172,15 +172,20 @@ case class PrefixScanExec(
     * this many distinct keys — before anything is collected, so misuse
     * (a non-driver-bounded key) can't pressure the driver heap. The
     * operator exists for LOW-cardinality keys (an ordinary keyed window
-    * already parallelizes high-cardinality keys).
+    * already parallelizes high-cardinality keys). Conf-overridable so the
+    * guard itself is testable without materializing 2^16 keys.
     */
-  private val MaxPartitionKeyRuns: Int = 1 << 16
+  private def maxPartitionKeyRuns: Int = conf
+    .getConfString("spark.graft.prefixScan.maxPartitionKeyRuns",
+      (1 << 16).toString).toInt
 
   /** Driver backstop for the collected run count (many partitions, each
     * under the per-partition cap, can still sum past what the driver
-    * should hold).
+    * should hold). Conf-overridable for the same reason.
     */
-  private val MaxDriverKeyRuns: Int = 1 << 20
+  private def maxDriverKeyRuns: Int = conf
+    .getConfString("spark.graft.prefixScan.maxDriverKeyRuns",
+      (1 << 20).toString).toInt
 
   override protected def doExecute(): RDD[InternalRow] = {
     // Bind to ordinals and canonicalize on the driver: Column-derived trees
@@ -194,7 +199,7 @@ case class PrefixScanExec(
     val incl = inclusives.toArray
     val n = runners.length
     val outTypes = output.map(_.dataType).toArray
-    val partCap = MaxPartitionKeyRuns
+    val partCap = maxPartitionKeyRuns
     val childRDD = child.execute()
     val parts = childRDD.getNumPartitions
 
@@ -228,7 +233,7 @@ case class PrefixScanExec(
         if (curKey != null) out += ((i, curKey, states))
         out.iterator
       }.collect()
-    require(runs.length <= parts + MaxDriverKeyRuns,
+    require(runs.length <= parts + maxDriverKeyRuns,
       s"keyed scan collected ${runs.length} (partition, key) runs across " +
         s"$parts partitions — key cardinality is not driver-bounded; use " +
         "an ordinary keyed window (high-cardinality keys parallelize " +

@@ -299,7 +299,13 @@ object Analysis {
 
     // Skew pattern, join twin of q93: salted big-big equi-join — hot keys
     // spread over 8 sub-keys, the other side replicated 8x. Result must
-    // equal the plain join (which IS the oracle).
+    // equal the plain join (which IS the oracle). NOTE: full-side salting
+    // is the DEMO of the technique, not the production choice — the
+    // repo's own skew rung (tools/gen_skew.py + graft.SkewBench) measured
+    // it 4× WORSE than the plain join when build ≈ probe, because the
+    // salt× replication shuffle swamps the straggler it saves. For real
+    // big-big skew use SkewJoin.hotKeySplitJoin (q546): cold slice plain,
+    // hot slice broadcast, nothing replicated.
     "q100_salted_join" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey").as("okey"),
         col("l_quantity"))
@@ -307,6 +313,30 @@ object Analysis {
         col("o_orderstatus"))
       graft.operators.SkewJoin.saltedJoin(li, ords, "okey", 8)
         .groupBy("o_orderstatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // The PRODUCTION big-big skew join: hot-key split (detect → cold
+    // plain + hot broadcast), the shape that beat plain 3.1× on the sf10
+    // hot-key fixture while q100's full-side salting lost 4×. Skew is
+    // deterministic: every 4th order key folds onto key 0, piling ~25%
+    // of lineitem onto one key; the dim side aggregates to ONE row per
+    // key, so the hot build rows are few and broadcastable — exactly the
+    // "probe piles onto a celebrity key" production case. hotKeys
+    // detects key 0 at any SF (≥1.5k rows at sf0.001 vs threshold 100;
+    // non-hot keys hold ≤ 7 lineitems). Result must equal the plain
+    // join (which IS the oracle).
+    "q546_hot_split_join" -> ((s, d) => {
+      def skew(c: Column) = when(c % 4 === 0, lit(0L)).otherwise(c)
+      val big = t(s, d, "lineitem").select(
+        skew(col("l_orderkey")).as("k"), col("l_quantity"))
+      val rep = t(s, d, "orders")
+        .groupBy(skew(col("o_orderkey")).as("k"))
+        .agg(min(col("o_orderstatus")).as("status"))
+      val hot = graft.operators.SkewJoin.hotKeys(big, "k", 100L)
+      graft.operators.SkewJoin.hotKeySplitJoin(big, rep, "k", hot)
+        .groupBy("status")
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n"))
     }),
@@ -2350,6 +2380,20 @@ object Analysis {
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q546_hot_split_join" ->
+      """WITH big AS (
+           SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+                  l_quantity
+           FROM lineitem),
+         rep AS (
+           SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_orderkey END AS k,
+                  min(o_orderstatus) AS status
+           FROM orders GROUP BY 1)
+         SELECT status,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+         FROM big JOIN rep USING (k)
          GROUP BY 1""",
     "q122_zorder" ->
       """SELECT o_orderkey, x, y,

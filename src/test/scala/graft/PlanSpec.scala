@@ -385,11 +385,12 @@ class PlanSpec extends SparkSpec {
   test("q222 class balance: keyed-PrefixScan ranks (no window at all) + " +
       "broadcast cut") {
     val p = plan("q222_class_balance")
-    // ranks come from PrefixScan.scanLongKeyed (range-sorted RDD scan —
-    // label has ~10 values, a keyed window would rank in ~10 tasks);
-    // the only global piece is the 1-row min-class-count broadcast
+    // ranks come from PrefixScan.scanLongKeyed (PrefixScanExec plants a
+    // range exchange — label has ~10 values, a keyed window would rank
+    // in ~10 tasks); the only global piece is the 1-row min-class-count
+    // broadcast
     assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("ExistingRDD"), p)
+    assert(p.contains("PrefixScan"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -492,12 +493,19 @@ class PlanSpec extends SparkSpec {
 
   test("q250 training mix: budget fill on the keyed PrefixScan (final " +
       "stage is the scan output, no window); no cartesian anywhere") {
-    // the shares-broadcast join now sits UPSTREAM of the keyed scan's
-    // RDD boundary (fillByShare joins before range-sorting), so the
-    // final plan is the filter over the scan output
+    // the shares-broadcast join sits UPSTREAM of the keyed scan
+    // (fillByShare joins before range-sorting); since round 11 the
+    // scan is a plan-visible PrefixScan node, so the whole pipeline —
+    // including the DoReMi share windows the old RDD boundary HID —
+    // shows in ONE plan. Those windows ride the per-source aggregate
+    // (#sources rows, domain-bounded), which the low-card sweep's
+    // child-aggregate exemption already vets for the whole inventory;
+    // here we pin what the fill path itself must use: the ranks and the
+    // running token total come from the ONE PrefixScan node (count+sum
+    // monoids in one pass), never a window over the documents frame.
     val p = plan("q250_training_mix")
-    assert(p.contains("ExistingRDD"), p)
-    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("PrefixScan [source"), p)
+    assert(p.contains("[count, sum]"), p) // one scan, both monoids
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -538,7 +546,7 @@ class PlanSpec extends SparkSpec {
       "keyed PrefixScan — no window, no single-partition stage") {
     val p = plan("q257_spearman")
     assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("ExistingRDD"), p) // the keyed-scan rank frames
+    assert(p.contains("PrefixScan"), p) // the keyed-scan rank frames
     assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -662,7 +670,7 @@ class PlanSpec extends SparkSpec {
       "(no window); pred and q-hat dims broadcast onto the test split") {
     val p = plan("q276_conformal")
     assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("ExistingRDD"), p) // the keyed-scan rank frame
+    assert(p.contains("PrefixScan"), p) // the keyed-scan rank frame
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -1147,6 +1155,31 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"low-card keyed-collect offenders: ${offenders.mkString(", ")}")
+  }
+
+  test("q546 hot-key split join: the hot slice rides a broadcast join, " +
+      "nothing is replicated") {
+    val p = plan("q546_hot_split_join")
+    assert(p.contains("BroadcastHashJoin"), p) // the hot slice
+    assert(p.contains("Union"), p) // cold ∪ hot — the split happened
+    assert(!p.contains("Generate"), p) // no salt replication anywhere
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("every keyed-scan consumer plans the PrefixScan physical node " +
+      "(the round-11 promotion, pinned as a sweep)") {
+    // the operator is plan-visible since round 11 — if a consumer ever
+    // regresses to a window or an RDD boundary, this sweep catches it
+    val consumers = Seq("q106_packing", "q222_class_balance",
+      "q250_training_mix", "q254_quantile_transform", "q257_spearman",
+      "q276_conformal", "q329_delta_encoding", "q388_neyman_allocation",
+      "q525_g_chart", "q543_max_drawdown", "q544_record_highs",
+      "q545_burst_islands")
+    val missing = consumers.filterNot { q =>
+      spark.catalog.clearCache()
+      plan(q).contains("PrefixScan")
+    }
+    assert(missing.isEmpty, s"no PrefixScan node in: ${missing.mkString(", ")}")
   }
 
   test("no CartesianProduct anywhere in the full query inventory") {

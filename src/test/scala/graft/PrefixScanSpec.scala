@@ -225,4 +225,63 @@ class PrefixScanSpec extends SparkSpec {
     assert(PrefixScan.lagLongKeyed(empty, "pv", "v", Seq("g"), asc("ord"))
       .count() == 0L)
   }
+
+  private def chainMessages(e: Throwable): String = {
+    val sb = new StringBuilder
+    var t = e
+    while (t != null) { sb ++= Option(t.getMessage).getOrElse(""); t = t.getCause }
+    sb.toString
+  }
+
+  private def highCard = (1 to 200).map(i => (i.toLong, i.toLong))
+    .toDF("g", "v").repartition(4)
+
+  test("per-partition key-cardinality guard fails INSIDE the pass-1 task " +
+      "with a diagnostic (cap conf-overridable)") {
+    spark.conf.set("spark.graft.prefixScan.maxPartitionKeyRuns", "2")
+    try {
+      val e = intercept[Throwable] {
+        PrefixScan.scanLongKeyed(highCard, Seq("g"),
+          Seq(PrefixScan.KeyedScanCol("cum", "v", "sum")), asc("v")).collect()
+      }
+      val m = chainMessages(e)
+      assert(m.contains("distinct keys in one range partition"), m)
+      assert(m.contains("key cardinality is not driver-bounded"), m)
+    } finally spark.conf.unset("spark.graft.prefixScan.maxPartitionKeyRuns")
+  }
+
+  test("driver run-count backstop fails with a diagnostic (cap " +
+      "conf-overridable)") {
+    spark.conf.set("spark.graft.prefixScan.maxDriverKeyRuns", "4")
+    try {
+      val e = intercept[Throwable] {
+        PrefixScan.scanLongKeyed(highCard, Seq("g"),
+          Seq(PrefixScan.KeyedScanCol("cum", "v", "sum")), asc("v")).collect()
+      }
+      val m = chainMessages(e)
+      assert(m.contains("runs across"), m)
+      assert(m.contains("key cardinality is not driver-bounded"), m)
+    } finally spark.conf.unset("spark.graft.prefixScan.maxDriverKeyRuns")
+  }
+
+  test("a null in a value column fails the task naming the column — never " +
+      "a silent 0 in the fold") {
+    val withNull = Seq((1L, Some(5L)), (2L, Option.empty[Long]),
+      (3L, Some(7L))).toDF("k", "v")
+    val e = intercept[Throwable] {
+      PrefixScan.scanLong(withNull, "m", "v", "min",
+        inclusive = true, asc("k")).collect()
+    }
+    val m = chainMessages(e)
+    assert(m.contains("prefix-scan value column v"), m)
+  }
+
+  test("a nondeterministic child is rejected at build time (two-pass " +
+      "replay contract)") {
+    val nd = data.withColumn("r", rand(42))
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.scanLong(nd, "cum", "v", "sum", inclusive = true, asc("k"))
+    }
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+  }
 }

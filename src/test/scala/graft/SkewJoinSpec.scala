@@ -51,10 +51,64 @@ class SkewJoinSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("hotKeySplitJoin with an empty hot list degrades to the plain join") {
+  test("hotKeySplitJoin with a non-hot key in the list still equals the plain join") {
     val plain = big().join(rep(), Seq("k"))
     assertSameMultiset(
       SkewJoin.hotKeySplitJoin(big(), rep(), "k", Seq(5L)), plain)
+  }
+
+  test("hotKeySplitJoin with an EMPTY hot list is exactly the plain join") {
+    val plain = big().join(rep(), Seq("k"))
+    val out = SkewJoin.hotKeySplitJoin(big(), rep(), "k", Seq.empty)
+    assertSameMultiset(out, plain)
+    // and it short-circuits: no union, no broadcast of an empty hot slice
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), p)
+  }
+
+  test("hotKeys is null-safe: null keys never reach the hot list") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(30)((Option.empty[Long], "null-pile")) ++
+      Seq.fill(15)((Some(1L), "hot")) ++
+      Seq((Some(2L), "cold"))).toDF("k", "v")
+    // the null pile is above threshold but must be excluded — a null in
+    // the list would poison hotKeySplitJoin's isin predicates
+    val hot = SkewJoin.hotKeys(withNulls, "k", 10L)
+    assert(hot == Seq(1L), hot)
+    val plain = withNulls.join(rep(), Seq("k"))
+    assertSameMultiset(
+      SkewJoin.hotKeySplitJoin(withNulls, rep(), "k", hot), plain)
+  }
+
+  test("hotKeys fails fast on a hot key that does not cast to Long") {
+    import spark.implicits._
+    val strKeys = (Seq.fill(20)(("celebrity", "x")) ++ Seq(("7", "y")))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.hotKeys(strKeys, "k", 10L)
+    }
+    assert(e.getMessage.contains("celebrity"), e.getMessage)
+    assert(e.getMessage.contains("does not cast to Long"), e.getMessage)
+  }
+
+  test("skew rung, spec-pinned: split join and salted join agree with plain, " +
+      "and their plan shapes show WHY split wins on big-big") {
+    val plain = big().join(rep(), Seq("k"))
+    val hot = SkewJoin.hotKeys(big(), "k", 10L)
+    val split = SkewJoin.hotKeySplitJoin(big(), rep(), "k", hot)
+    val salted = SkewJoin.saltedJoin(big(), rep(), "k", 4)
+    assertSameMultiset(split, plain)
+    assertSameMultiset(salted, plain)
+    val ps = split.queryExecution.executedPlan.toString
+    val pb = salted.queryExecution.executedPlan.toString
+    // salted replicates the ENTIRE build side salt× (the explode Generate)
+    // — the shuffle volume that measured 4× WORSE than plain when
+    // build ≈ probe on the sf10 fixture (tools/gen_skew.py + SkewBench);
+    // the split join never replicates: hot rides a broadcast, cold is a
+    // plain shuffle join with the straggler keys removed
+    assert(pb.contains("Generate"), pb)
+    assert(!ps.contains("Generate"), ps)
+    assert(ps.contains("BroadcastHashJoin"), ps)
   }
 
   test("collapse variant re-inflates duplicates after the join (map-side generator)") {
