@@ -30,6 +30,25 @@ object GraftSqlBridge {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** A session on the SAME SparkContext but WITHOUT any injected
+    * extensions — `newSession()` carries the parent's
+    * SparkSessionExtensions, so tests of "works on a vanilla session"
+    * properties (e.g. PrefixScan's on-demand strategy registration) need
+    * this seam to build a genuinely extension-free session.
+    */
+  def vanillaSession(spark: SparkSession): SparkSession = {
+    // the constructor re-applies `spark.sql.extensions` from the
+    // SparkContext conf (and the extension-taking constructor is not
+    // accessible) — masking the conf key during construction is what
+    // makes the session genuinely vanilla
+    val sc = spark.asInstanceOf[classic.SparkSession].sparkContext
+    val key = "spark.sql.extensions"
+    val prev = sc.conf.getOption(key)
+    sc.conf.remove(key)
+    try new classic.SparkSession(sc)
+    finally prev.foreach(sc.conf.set(key, _))
+  }
+
   /** The storage handle behind a `checkpoint()`/`localCheckpoint()`-backed
     * frame. Those blocks are NOT registered in the CacheManager, so
     * `Dataset.unpersist` is a no-op on them — freeing a generation of an

@@ -276,6 +276,21 @@ class PrefixScanSpec extends SparkSpec {
     assert(m.contains("prefix-scan value column v"), m)
   }
 
+  test("works on a VANILLA session (no GraftExtensions): the planner " +
+      "strategy self-registers via experimental.extraStrategies") {
+    val vanilla = org.apache.spark.sql.GraftSqlBridge.vanillaSession(spark)
+    vanilla.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(!vanilla.sessionState.planner.strategies
+      .exists(_.isInstanceOf[graft.plans.PrefixScanStrategy]))
+    val df = vanilla.createDataFrame(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+      .toDF("k", "v")
+    val got = PrefixScan.scanLong(df, "cum", "v", "sum",
+        inclusive = true, asc("k"))
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
+  }
+
   test("a nondeterministic child is rejected at build time (two-pass " +
       "replay contract)") {
     val nd = data.withColumn("r", rand(42))
