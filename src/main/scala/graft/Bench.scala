@@ -56,6 +56,7 @@ object Bench {
     "q98_ann_ivf", // IVF ANN (codebook + nProbe cells)
     "q99_approx_sketches", // HLL distinct + t-digest percentile
     "q100_salted_join", // skew-safe salted big-big join
+    "q106_packing", // sequence packing on the keyed PrefixScan
     "q107_decontaminate", // broadcast n-gram overlap vs benchmark set
     "q109_bloom_semijoin", // Bloom pre-filter semi-join reduction
     "q115_heavy_hitters", // Misra-Gries custom TypedImperativeAggregate
@@ -91,6 +92,7 @@ object Bench {
     "q214_tpch_q17", // decorrelated scalar subquery (per-part avg)
     "q217_jw_linkage", // codegen Jaro-Winkler over blocked pairs
     "q219_table_reconcile", // bucket-fingerprint pruned table diff
+    "q222_class_balance", // keyed-scan ranks + broadcast min-class cut
     "q225_label_prop", // 3-round LPA over the LSH pair graph
     "q242_gps_pipeline", // composed 5-stage GPS DAG (geocode→tz→stops→label)
     "q243_od_flows", // origin-destination flow matrix (per-user lag window)
@@ -98,8 +100,10 @@ object Bench {
     "q249_doremi_mixture", // domain mixture reweighting off the NLL scan
     "q250_training_mix", // composed mix: gate -> shares -> budget fill
     "q251_ann_ivf_kmeans", // trained-codebook IVF + recall readout
+    "q254_quantile_transform", // keyed-scan CDF transform
     "q255_tpch_q21", // Q21 shape: exists/not-exists collapsed to one agg
     "q256_link_prediction", // wedge-join CN/RA scores over the LSH graph
+    "q257_spearman", // keyed-scan rank correlation
     "q258_kneser_ney", // KN-smoothed bigram LM (4 marginals off one agg)
     "q260_kaplan_meier", // KM survival curves (order-pinned prefix product)
     "q262_ppmi", // skip-gram co-occurrence PPMI ratios
@@ -132,6 +136,7 @@ object Bench {
     "q321_mutual_nn", // cell-confined reciprocal top-1 mining
     "q324_trustrank", // seeded trust propagation, 3 integer rounds
     "q325_item_cf", // item-item CF cosine off user count vectors
+    "q329_delta_encoding", // keyed lag delta encoding
     "q326_umass_coherence", // top-term co-document coherence
     "q328_burrows_delta", // stylometric source-pair distance
     "q330_journey_trigrams", // event-type trigram paths per user
