@@ -332,7 +332,8 @@ object Bench {
     "q543_max_drawdown", // one keyed PrefixScan (sum + maxsum monoid)
     "q544_record_highs", // keyed exclusive-max scan record counts
     "q545_burst_islands", // keyed lag + scan gaps-and-islands
-    "q546_hot_split_join") // production big-big skew: hot-key split join
+    "q546_hot_split_join", // production big-big skew: hot-key split join
+    "q547_substr_excise") // ExactSubstr span-excision dedup (Lee et al.)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -329,4 +329,70 @@ object Dedup {
       .withColumn("rep_id", coalesce(col("rep_id"), col(idCol)))
       .withColumn("is_kept", col("rep_id") === col(idCol))
   }
+
+  /** ExactSubstr-style span excision (the REMOVAL pass the measurement
+    * queries q190/q482 budget for): every k-token span that occurs more
+    * than once in the corpus is excised from every occurrence EXCEPT the
+    * canonical one — the lexicographically-minimal (id, position) — and
+    * each document is reassembled from its surviving tokens in order.
+    * Unlike doc-level dedup (exact/MinHash), this removes verbatim
+    * boilerplate EMBEDDED in otherwise-unique documents, the case Lee et
+    * al. showed doc-level passes miss.
+    *
+    * Token positions are 1-based (mirrors DuckDB `generate_subscripts`,
+    * so the whole operator is oracle-checkable). Overlapping duplicated
+    * spans union their covered positions — excision is per-token, not
+    * per-span, so a token is dropped once no matter how many duplicated
+    * windows cover it.
+    *
+    * Scale shape: one shingle scan (persisted — the canonical-occurrence
+    * aggregate and the join back both read it), a hash-keyed groupBy with
+    * map-side partials, a bounded k× interval explode on the duplicated
+    * occurrences only, and a (id, position) anti-join against the token
+    * stream. No window over the corpus, no collect; every shuffle key is
+    * either the 60-bit span hash or (id, position) — both uniform.
+    *
+    * Returns (idCol, n_tokens, n_kept, n_excised, text_kept); documents
+    * whose every token is excised come back with n_kept=0, text_kept="".
+    */
+  def exciseDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i0", "tok")))
+      .select(col(idCol), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    val occ = docs
+      // shingles() mirrors DuckDB range semantics: on a doc shorter than k
+      // tokens the 1..len-(k-1) sequence would DESCEND — guard first.
+      .where(size(TextFunctions.tokens(col(textCol))) >= k)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), k)).as(Seq("p0", "sp")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("p"),
+        TextFunctions.hash60(col("sp")).as("h"))
+      .persist()
+    val canon = occ.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(struct(col(idCol), col("p"))).as("m"))
+      .where(col("c") > 1)
+      .select(col("h"), col("m"))
+    val covered = occ.join(canon, "h")
+      .where(!(col(idCol) === col("m")(idCol) && col("p") === col("m")("p")))
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "i"), "left_anti")
+    val perDoc = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_kept"))
+    docs
+      .select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

@@ -816,6 +816,21 @@ private[queries] object TrainingA {
           expr("n_unique * 1000000 div n_spans").as("unique_share_e6"))
     }),
 
+    // ExactSubstr span-EXCISION dedup (Lee et al. 2022 arXiv:2107.06499,
+    // the removal pass q190/q482 only measure): every duplicated 8-token
+    // span is cut from all occurrences except its canonical (min
+    // (doc_id, pos)) one, and each doc is reassembled from the surviving
+    // tokens in order — the pass that strips verbatim boilerplate
+    // EMBEDDED in otherwise-unique documents, which doc-level dedup
+    // (q55/q76) cannot see. fp pins the reassembled text byte-exactly.
+    // Scale: one shingle scan + hash groupBy + bounded k× explode +
+    // (doc,pos) anti-join — no corpus-wide window, no collect.
+    "q547_substr_excise" -> ((s, d) => {
+      Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("n_excised"), md5(col("text_kept")).as("fp"))
+    }),
+
     // Language-ID confusion matrix — q52's stopword classifier judged
     // against the labeled lang column: the per-cell confusion table
     // plus each TRUE language's row share, the eval a routing pipeline
@@ -2549,6 +2564,44 @@ private[queries] object TrainingA {
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
              * 1000000 // count(*) AS unique_share_e6
          FROM spans JOIN cnt USING (h) GROUP BY 1"""
+    },
+
+    "q547_substr_excise" -> {
+      val cat = (0 to 7).map(j => if (j == 0) "w[p]" else s"w[p+$j]")
+        .mkString(", ' ', ")
+      s"""WITH wd AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         toks AS (
+           SELECT doc_id, unnest(w) AS tok,
+             generate_subscripts(w, 1) AS i
+           FROM wd),
+         occ AS (
+           SELECT doc_id, p, ${h60(s"concat($cat)")} AS h
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS p
+                 FROM wd WHERE len(w) >= 8)),
+         canon AS (
+           SELECT h, min({'d': doc_id, 'p': p}) AS m
+           FROM occ GROUP BY 1 HAVING count(*) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, i FROM (
+             SELECT doc_id, unnest(range(p, p + 8)) AS i
+             FROM occ JOIN canon USING (h)
+             WHERE NOT (doc_id = m.d AND p = m.p))),
+         kept AS (
+           SELECT t.doc_id, t.i, t.tok
+           FROM toks t LEFT JOIN cov
+             ON t.doc_id = cov.doc_id AND t.i = cov.i
+           WHERE cov.doc_id IS NULL),
+         per AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS text_kept
+           FROM kept GROUP BY 1)
+         SELECT wd.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           coalesce(n_kept, 0) AS n_kept,
+           CAST(len(w) AS BIGINT) - coalesce(n_kept, 0) AS n_excised,
+           md5(coalesce(text_kept, '')) AS fp
+         FROM wd LEFT JOIN per USING (doc_id)"""
     },
 
     "q478_langid_confusion" -> {

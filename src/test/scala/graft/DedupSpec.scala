@@ -160,4 +160,28 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 2L)) > 0.85)
     assert(j((1L, 4L)) < 0.15)
   }
+
+  test("exciseDupSpans: canonical kept, overlaps union, short and all-dup docs") {
+    import spark.implicits._
+    // k=3 hand-traceable corpus. Shingle "b c d" occurs at (1,2),(2,2),(4,1)
+    // and "c d e" at (1,3),(2,3): canonical occurrences live in doc 1, so
+    // doc 1 is untouched; doc 2's overlapping spans cover token positions
+    // {2,3,4} ∪ {3,4,5} (each token excised ONCE); doc 4 is a verbatim
+    // 3-token duplicate (fully excised); doc 3 is shorter than k (no
+    // shingles, fully kept).
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d e y"),
+      (3L, "a b"),
+      (4L, "b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))).toMap
+    assert(out(1L) == ((6L, 6L, 0L, "a b c d e f")))
+    assert(out(2L) == ((6L, 2L, 4L, "x y")))
+    assert(out(3L) == ((2L, 2L, 0L, "a b")))
+    assert(out(4L) == ((3L, 0L, 3L, "")))
+  }
 }
