@@ -823,10 +823,15 @@ private[queries] object TrainingA {
     // tokens in order — the pass that strips verbatim boilerplate
     // EMBEDDED in otherwise-unique documents, which doc-level dedup
     // (q55/q76) cannot see. fp pins the reassembled text byte-exactly.
+    // Reports only TOUCHED docs (n_excised > 0) — the excision audit a
+    // curation run reads; the filter also keeps the bench honest (an
+    // unfiltered left join with unique right keys is count()-eliminable,
+    // which made the bench time the parquet scan alone).
     // Scale: one shingle scan + hash groupBy + bounded k× explode +
     // (doc,pos) anti-join — no corpus-wide window, no collect.
     "q547_substr_excise" -> ((s, d) => {
       Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8)
+        .where(col("n_excised") > 0)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"),
           col("n_excised"), md5(col("text_kept")).as("fp"))
     }),
@@ -2601,7 +2606,8 @@ private[queries] object TrainingA {
            coalesce(n_kept, 0) AS n_kept,
            CAST(len(w) AS BIGINT) - coalesce(n_kept, 0) AS n_excised,
            md5(coalesce(text_kept, '')) AS fp
-         FROM wd LEFT JOIN per USING (doc_id)"""
+         FROM wd LEFT JOIN per USING (doc_id)
+         WHERE CAST(len(w) AS BIGINT) - coalesce(n_kept, 0) > 0"""
     },
 
     "q478_langid_confusion" -> {
