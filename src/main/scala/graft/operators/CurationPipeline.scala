@@ -109,4 +109,25 @@ object CurationPipeline {
       .withColumn("kept",
         col("keep_quality") && col("is_kept") && !col("contaminated"))
   }
+
+  /** Post-curation span excision — the Lee-et-al. ordering: doc-level
+    * dedup first shrinks the span corpus, then ExactSubstr strips
+    * verbatim boilerplate EMBEDDED in the survivors
+    * (`Dedup.exciseDupSpans`, q547). Runs over the `kept` rows of a
+    * `curate` report ONLY: excising against the full report would count
+    * every dropped duplicate's spans as repeats and hollow out each
+    * surviving canonical. Returns the kept rows plus
+    * (n_tokens, n_kept_tokens, n_excised, text_excised); row count ==
+    * kept count (the excision join is on the operator's own key).
+    */
+  def exciseKept(report: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val keptRows = report.where(col("kept"))
+    val ex = Dedup
+      .exciseDupSpans(keptRows.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .withColumnRenamed("n_kept", "n_kept_tokens")
+      .withColumnRenamed("text_kept", "text_excised")
+    keptRows.join(ex, Seq(idCol))
+  }
 }

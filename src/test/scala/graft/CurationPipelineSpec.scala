@@ -64,6 +64,49 @@ class CurationPipelineSpec extends SparkSpec {
       Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
+  test("exciseKept: spans excised among kept rows only, dropped docs cast no shadow") {
+    import spark.implicits._
+    // Docs 1 and 2 are unique (kept) and share one 6-token run ending in
+    // a common "the" — doc 1 holds the canonical occurrences, so ONLY
+    // doc 2 is trimmed (two overlapping duplicated 6-grams union to
+    // positions 5..11). Doc 0 fails quality (zero stopwords; enough
+    // unique filler that it is NOT an LSH near-dup of doc 1) and doc 3
+    // is an exact duplicate: both are DROPPED, and both contain the
+    // shared run — if excision mistakenly ran over the full report,
+    // doc 0's lower (id, pos) would steal canonicality and doc 1 would
+    // be trimmed too.
+    val shared = "red orange yellow green blue violet"
+    // docs 1/2 carry 16 unique tail tokens each so their shared-run
+    // Jaccard (~0.1) stays safely below LSH band-collision range —
+    // shorter versions of this fixture deterministically collided and
+    // near-dup dedup folded doc 2 into doc 1 before excision ran
+    val tail1 = "mercury venus earth mars jupiter saturn uranus " +
+      "neptune ceres pluto eris haumea makemake sedna quaoar orcus"
+    val tail2 = "maple oak birch cedar willow aspen spruce poplar " +
+      "alder hazel rowan yew juniper holly elm ash"
+    val docs = Seq(
+      (0L, shared + " zirconium hafnium tantalum rhenium osmium " +
+        "iridium platinum aurum plumbum bismuth polonium astatine " +
+        "radon francium"),
+      (1L, "alpha beta gamma delta " + shared + " the omega psi chi " + tail1),
+      (2L, "one two three four " + shared + " the nine ten eleven " + tail2),
+      (3L, "alpha beta gamma delta " + shared + " the omega psi chi " + tail1)
+    ).toDF("doc_id", "text")
+    val report = CurationPipeline.curate(
+      docs, "doc_id", "text", Seq.empty[(Long, String)].toDF("eid", "text"))
+    val out = CurationPipeline.exciseKept(report, "doc_id", "text", 6)
+      .select("doc_id", "n_tokens", "n_kept_tokens", "n_excised",
+        "text_excised")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // exactly the kept rows
+    assert(out(1L) == ((30L, 30L, 0L,
+      "alpha beta gamma delta red orange yellow green blue violet the " +
+        "omega psi chi " + tail1)))
+    assert(out(2L) == ((30L, 23L, 7L,
+      "one two three four nine ten eleven " + tail2)))
+  }
+
   test("NULL text rows stay in the report as their own empty-text group") {
     import spark.implicits._
     val docs = Seq((1L, Option(base)), (2L, Option.empty[String]),
