@@ -339,8 +339,13 @@ private[queries] object TrainingA {
           Similarity.dot("embedding", "nemb"), col("nrm"), col("nn"))
           * 1e6).cast("long"))
         .where(col("cos_e6") >= 330000L)
-        .select(col("vec_id").as("id1"), col("nid").as("id2"))
-      val comp = Dedup.connectedComponents(dup)
+        .select(col("cell"), col("bin"),
+          col("vec_id").as("id1"), col("nid").as("id2"))
+      // every vector has ONE (cell, bin), so components are bucket-
+      // confined — the one-pass per-bucket union-find replaces iterative
+      // CC (identical labels; the sf100 rung measured the edges×rounds
+      // propagation at 304 s on this graph vs one shuffle here)
+      val comp = Dedup.bucketedComponents(dup, Seq("cell", "bin"))
       val cc = withC.join(broadcast(cents.select(col("label").as("cell"),
           col("cvec"))), "cell")
         .withColumn("cc_e6", floor(Similarity.cosineWithNorms(

@@ -161,6 +161,43 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) < 0.15)
   }
 
+  test("bucketedComponents == iterative CC on bucket-confined graphs, min labels") {
+    import spark.implicits._
+    // chain, pair, triangle and a singleton edge across four buckets —
+    // including the composite keys (1,11) vs (11,1) that a bare concat
+    // would group together
+    val pairs = Seq(
+      (1L, 11L, 1L, 2L), (1L, 11L, 2L, 3L),
+      (11L, 1L, 10L, 11L),
+      (2L, 2L, 20L, 21L), (2L, 2L, 21L, 22L), (2L, 2L, 20L, 22L),
+      (3L, 3L, 30L, 31L)
+    ).toDF("cell", "bin", "id1", "id2")
+    val b = Dedup.bucketedComponents(pairs, Seq("cell", "bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Dedup.connectedComponents(pairs.select("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == cc) // identical node set AND identical min-id labels
+    assert(b(3L) == 1L && b(11L) == 10L && b(22L) == 20L && b(31L) == 30L)
+  }
+
+  test("bucketedComponents matches iterative CC on random bucketed graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 6 buckets with disjoint id ranges, random edges inside each
+    val pairs = (0 until 6).flatMap { bkt =>
+      val ids = (0 until 40).map(i => (bkt * 1000 + i).toLong)
+      (0 until 60).map { _ =>
+        val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+        (bkt.toLong, a min b, a max b)
+      }.filter(t => t._2 != t._3)
+    }.toDF("bkt", "id1", "id2")
+    val b = Dedup.bucketedComponents(pairs, Seq("bkt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Dedup.connectedComponents(pairs.select("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == cc)
+  }
+
   test("exciseDupSpans: canonical kept, overlaps union, short and all-dup docs") {
     import spark.implicits._
     // k=3 hand-traceable corpus. Shingle "b c d" occurs at (1,2),(2,2),(4,1)

@@ -1166,6 +1166,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q547 span excision: anti-join shape, no corpus window, " +
+      "map-side-partial canonical aggregate") {
+    val p = plan("q547_substr_excise")
+    assert(p.contains("LeftAnti"), p) // token excision is an anti-join
+    // the canonical-occurrence struct-min is a two-phase SortAggregate
+    // (partial before the hash exchange) — never a single-node sort
+    assert(p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p) // no corpus-wide window anywhere
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("every keyed-scan consumer plans the PrefixScan physical node " +
       "(the round-11 promotion, pinned as a sweep)") {
     // the operator is plan-visible since round 11 — if a consumer ever
