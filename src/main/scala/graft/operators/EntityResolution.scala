@@ -13,8 +13,11 @@ import graft.functions.TextFunctions
   *
   * Scale shape: pair generation is confined to blocks (never all-pairs
   * — blocking quality itself is measured by q273), the score is a
-  * codegen expression, and the transitive closure is the checkpointed
-  * per-round-join CC — no driver-side union-find. One keyed join
+  * codegen expression, and the transitive closure is bucket-confined by
+  * construction (every record has exactly ONE block, so matches cannot
+  * span blocks) — since round 12 it rides `Dedup.bucketedComponents`,
+  * one shuffle + in-task per-block union-find, instead of the iterative
+  * checkpointed CC the multi-bucket graphs need. One keyed join
   * attaches entity sizes.
   */
 object EntityResolution {
@@ -33,8 +36,8 @@ object EntityResolution {
     val matches = a.join(b, Seq("bkt")).where(col("id1") < col("id2"))
       .where(floor(TextFunctions.jaroWinkler(col("name1"), col("name2")) * 1e6)
         .cast("long") >= jwThresholdE6)
-      .select(col("id1"), col("id2"))
-    val cc = Dedup.connectedComponents(matches) // (id, label)
+      .select(col("bkt"), col("id1"), col("id2"))
+    val cc = Dedup.bucketedComponents(matches, Seq("bkt")) // (id, label)
     val ent = base.join(cc, Seq("id"), "left")
       .withColumn("entity", coalesce(col("label"), col("id")))
       .drop("label")

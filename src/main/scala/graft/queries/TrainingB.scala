@@ -833,7 +833,8 @@ private[queries] object TrainingB {
 
     // Composed entity resolution (EntityResolution.resolve): q273's
     // blocking → q217's Jaro-Winkler scoring at a 0.98 threshold →
-    // q76's distributed connected components → canonical entity per
+    // one-pass per-block union-find (bucketedComponents — matches are
+    // block-confined by construction) → canonical entity per
     // record with entity sizes. Hash-checked end to end against a
     // recursive-CTE transitive closure — the record-linkage counterpart
     // of the curation/GPS/mixture compositions.
