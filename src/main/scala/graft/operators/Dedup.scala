@@ -326,13 +326,35 @@ object Dedup {
     * min-root + path compression: the surviving root is the component's
     * min id, matching `connectedComponents` labels exactly.
     *
-    * `pairs` must carry `bucketCols` ++ (id1, id2). Returns (id, label)
-    * over every id that appears in a pair — same contract as
-    * `connectedComponents`.
+    * `pairs` must carry `bucketCols` ++ (id1, id2). Ids must be integral
+    * (byte/short/int/long) — unlike the type-generic
+    * `connectedComponents`, the in-task union-find keys a primitive-Long
+    * map, and a silent cast from string/decimal would turn a bad schema
+    * into nulls; non-integral id columns are rejected at build time
+    * instead. Returns (id, label) over every id that appears in a pair —
+    * same label contract as `connectedComponents`.
+    *
+    * The caller's occupancy invariant is enforced IN the task: a bucket
+    * holding more than `spark.graft.bucketedCC.maxBucketNodes` distinct
+    * ids (default 2^20) fails with the bucket key named, before the
+    * union-find map can pressure executor heap — the same guard
+    * discipline as PrefixScan's per-partition key-run cap. A graph that
+    * trips it is not bucket-confined at sane occupancy; route it to the
+    * iterative `connectedComponents` rather than raising the cap.
     */
   def bucketedComponents(pairs: DataFrame, bucketCols: Seq[String]): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    Seq("id1", "id2").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bucketedComponents requires integral ids; '$c' is ${dt.typeName}" +
+          " — the in-task union-find keys primitive longs (a cast would" +
+          " silently null non-integral values). Map ids to longs first," +
+          " or use the type-generic iterative connectedComponents.")
+    }
+    val maxBucketNodes = spark.conf
+      .get("spark.graft.bucketedCC.maxBucketNodes", (1 << 20).toString).toInt
     pairs
       // the separator keeps composite keys distinct (bare concat reads
       // (1,11) and (11,1) as one group) — a collision could not corrupt
@@ -342,7 +364,7 @@ object Dedup {
         .as("bk"), col("id1").cast("long"), col("id2").cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (bk, it) =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -356,6 +378,16 @@ object Dedup {
         it.foreach { case (_, a, b) =>
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
+          // fail before the map grows past the cap, not after the heap does
+          if (parent.size > maxBucketNodes) throw new IllegalStateException(
+            s"bucketedComponents bucket '$bk' holds more than " +
+              s"$maxBucketNodes distinct ids — the one-pass union-find is " +
+              "only safe under the caller's bucket-occupancy invariant " +
+              "(e.g. Similarity.withScaledBin's cap). This graph is not " +
+              "bucket-confined at sane occupancy: use the iterative " +
+              "Dedup.connectedComponents, or raise " +
+              "spark.graft.bucketedCC.maxBucketNodes only if executor " +
+              "heap is provisioned for the per-bucket map.")
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent(ra max rb) = ra min rb // min root survives
         }

@@ -198,6 +198,37 @@ class DedupSpec extends SparkSpec {
     assert(b == cc)
   }
 
+  test("bucketedComponents: over-occupied bucket fails IN the task naming " +
+      "the bucket, before the union-find map grows (cap conf-overridable)") {
+    import spark.implicits._
+    // one mega-bucket chain of 50 nodes vs a cap of 8: the invariant the
+    // operator rests on (caller-capped occupancy) is violated, so the
+    // task must fail with a routing diagnostic, not an opaque OOM later
+    val pairs = (0 until 49).map(i => ("mega", i.toLong, i + 1L))
+      .toDF("bkt", "id1", "id2")
+    spark.conf.set("spark.graft.bucketedCC.maxBucketNodes", "8")
+    try {
+      val e = intercept[Throwable] {
+        Dedup.bucketedComponents(pairs, Seq("bkt")).collect()
+      }
+      val m = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(m.contains("bucket 'mega'"), m)
+      assert(m.contains("bucket-occupancy invariant"), m)
+      assert(m.contains("Dedup.connectedComponents"), m)
+    } finally spark.conf.unset("spark.graft.bucketedCC.maxBucketNodes")
+  }
+
+  test("bucketedComponents rejects non-integral id columns at build time") {
+    import spark.implicits._
+    val pairs = Seq((1L, "a", "b")).toDF("bkt", "id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bucketedComponents(pairs, Seq("bkt"))
+    }
+    assert(e.getMessage.contains("requires integral ids"), e.getMessage)
+    assert(e.getMessage.contains("'id1' is string"), e.getMessage)
+  }
+
   test("exciseDupSpans: canonical kept, overlaps union, short and all-dup docs") {
     import spark.implicits._
     // k=3 hand-traceable corpus. Shingle "b c d" occurs at (1,2),(2,2),(4,1)
