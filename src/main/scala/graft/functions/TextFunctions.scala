@@ -64,6 +64,15 @@ object TextFunctions {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** The LOW 60 bits of the same md5 (last 15 hex chars): pairing it with
+    * `hash60` gives a 120-bit identity from ONE digest — used where a
+    * hash keys content REWRITING (span excision) rather than measurement,
+    * so a 60-bit collision must not silently merge distinct content.
+    * Equally DuckDB-replayable (substr(md5, 18, 15)).
+    */
+  def hash60lo(s: Column): Column =
+    conv(substring(md5(s), 18, 15), 16, 10).cast("long")
+
   /** Fraction of tokens found in `words` (stopword ratio and friends). */
   def tokenRatio(text: Column, words: Seq[String]): Column = {
     val toks = tokens(text)

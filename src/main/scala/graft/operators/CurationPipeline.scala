@@ -122,7 +122,13 @@ object CurationPipeline {
     */
   def exciseKept(report: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val keptRows = report.where(col("kept"))
+    // The kept slice is read four times downstream (token scan, shingle
+    // scan, n_tokens scan, final join) and its lineage is the whole
+    // curate pipeline (LSH + connected components) — persist it so that
+    // pipeline runs once, not four times. Released by the session
+    // owner's clearCache (the Verify/Bench contract), like every other
+    // operator-held block in this repo.
+    val keptRows = report.where(col("kept")).persist()
     val ex = Dedup
       .exciseDupSpans(keptRows.select(col(idCol), col(textCol)),
         idCol, textCol, k)

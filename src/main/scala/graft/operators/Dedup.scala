@@ -436,12 +436,24 @@ object Dedup {
     * per-span, so a token is dropped once no matter how many duplicated
     * windows cover it.
     *
-    * Scale shape: one shingle scan (persisted — the canonical-occurrence
-    * aggregate and the join back both read it), a hash-keyed groupBy with
-    * map-side partials, a bounded k× interval explode on the duplicated
-    * occurrences only, and a (id, position) anti-join against the token
-    * stream. No window over the corpus, no collect; every shuffle key is
-    * either the 60-bit span hash or (id, position) — both uniform.
+    * Span identity is 120 bits — both 60-bit halves of one md5
+    * (`hash60`/`hash60lo`): this operator REWRITES kept training text,
+    * so unlike the measurement queries (q190/q482) a hash collision
+    * would silently excise unique content. At 1e9 spans the expected
+    * 120-bit collision count is ~n²/2^121 ≈ 4e-19 — negligible — and
+    * the oracle replays both halves, so parity is collision-for-collision
+    * exact anyway.
+    *
+    * Scale shape: ONE shingle scan, shuffled ONCE on the uniform span
+    * hash — the canonical occurrence and the occurrence count come from
+    * a hash-keyed window over (h, h2) (each frame = one span's
+    * occurrences, bounded by its duplicate count), replacing the earlier
+    * aggregate-plus-join-back that read a persisted shingle scan twice.
+    * No cached state survives the call (the round-12 leak: a long-lived
+    * session composing `exciseKept` accumulated orphaned shingle
+    * blocks); no corpus-wide window, no collect. Then a bounded k×
+    * interval explode on duplicated occurrences only and a
+    * (id, position) anti-join against the token stream.
     *
     * Returns (idCol, n_tokens, n_kept, n_excised, text_kept); documents
     * whose every token is excised come back with n_kept=0, text_kept="".
@@ -460,14 +472,18 @@ object Dedup {
       .select(col(idCol),
         posexplode(shingles(col(textCol), k)).as(Seq("p0", "sp")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("p"),
-        TextFunctions.hash60(col("sp")).as("h"))
-      .persist()
-    val canon = occ.groupBy("h")
-      .agg(count(lit(1)).as("c"), min(struct(col(idCol), col("p"))).as("m"))
-      .where(col("c") > 1)
-      .select(col("h"), col("m"))
-    val covered = occ.join(canon, "h")
-      .where(!(col(idCol) === col("m")(idCol) && col("p") === col("m")("p")))
+        md5(col("sp")).as("m5")) // one digest; both halves derive from it
+      .select(col(idCol), col("p"),
+        conv(substring(col("m5"), 1, 15), 16, 10).cast("long").as("h"),
+        conv(substring(col("m5"), 18, 15), 16, 10).cast("long").as("h2"))
+    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("h", "h2")
+    val covered = occ
+      // one select → one Window node (separate withColumns split it in two)
+      .select(col(idCol), col("p"),
+        count(lit(1)).over(bySpan).as("c"),
+        min(struct(col(idCol), col("p"))).over(bySpan).as("m"))
+      .where(col("c") > 1 &&
+        !(col(idCol) === col("m")(idCol) && col("p") === col("m")("p")))
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
       .distinct()

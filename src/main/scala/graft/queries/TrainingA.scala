@@ -2587,16 +2587,17 @@ private[queries] object TrainingA {
              generate_subscripts(w, 1) AS i
            FROM wd),
          occ AS (
-           SELECT doc_id, p, ${h60(s"concat($cat)")} AS h
+           SELECT doc_id, p, ${h60(s"concat($cat)")} AS h,
+             ${h60lo(s"concat($cat)")} AS h2
            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS p
                  FROM wd WHERE len(w) >= 8)),
          canon AS (
-           SELECT h, min({'d': doc_id, 'p': p}) AS m
-           FROM occ GROUP BY 1 HAVING count(*) > 1),
+           SELECT h, h2, min({'d': doc_id, 'p': p}) AS m
+           FROM occ GROUP BY 1, 2 HAVING count(*) > 1),
          cov AS (
            SELECT DISTINCT doc_id, i FROM (
              SELECT doc_id, unnest(range(p, p + 8)) AS i
-             FROM occ JOIN canon USING (h)
+             FROM occ JOIN canon USING (h, h2)
              WHERE NOT (doc_id = m.d AND p = m.p))),
          kept AS (
            SELECT t.doc_id, t.i, t.tok

@@ -218,6 +218,11 @@ private[queries] object TrainingShared {
   /** 60-bit md5 hash of a SQL string expression (mirror of hash60). */
   def h60(e: String) = s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** LOW 60 bits of the same md5 (mirror of hash60lo — the second half
+    * of the 120-bit span identity q547/q548 excise on).
+    */
+  def h60lo(e: String) = s"CAST(concat('0x', substr(md5($e), 18, 15)) AS BIGINT)"
+
   def dotSql(a: String, b: String): String =
     (1 to Similarity.Dim).map(i =>
       s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")

@@ -120,4 +120,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(!out(2L).getAs[Boolean]("keep_quality"))
     assert(!out(2L).getAs[Boolean]("kept"))
   }
+
+  test("exciseKept releases ALL storage under the harness contract " +
+      "(clearCache + RDD unpersist — nothing survives the release)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i the and of"))
+      .toDF("doc_id", "text")
+    val report = CurationPipeline.curate(
+      docs, "doc_id", "text", Seq.empty[(Long, String)].toDF("eid", "text"))
+    CurationPipeline.exciseKept(report, "doc_id", "text", 6).collect()
+    // the operator MUST hold the kept slice while alive (its lineage is
+    // the whole curate pipeline — LSH + CC — read four times downstream)…
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    // …and the documented release is the Verify/Bench two-step, after
+    // which nothing lingers
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
+  }
 }

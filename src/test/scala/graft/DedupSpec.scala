@@ -252,4 +252,18 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, 0L, "a b")))
     assert(out(4L) == ((3L, 0L, 3L, "")))
   }
+
+  test("exciseDupSpans holds NO storage after materialization (the " +
+      "round-12 shingle-scan leak, pinned)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val d = Seq((1L, "a b c d e f"), (2L, "x b c d e y")).toDF("doc_id", "text")
+    Dedup.exciseDupSpans(d, "doc_id", "text", 3).collect()
+    // the operator used to persist its shingle scan with no release path;
+    // the single-shuffle window shape holds nothing between calls
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
+  }
 }

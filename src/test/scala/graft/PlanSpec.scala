@@ -1166,15 +1166,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q547 span excision: anti-join shape, no corpus window, " +
-      "map-side-partial canonical aggregate") {
+  test("q547 span excision: anti-join shape, ONE span-hash-keyed window, " +
+      "no cached state") {
     val p = plan("q547_substr_excise")
     assert(p.contains("LeftAnti"), p) // token excision is an anti-join
-    // the canonical-occurrence struct-min is a two-phase SortAggregate
-    // (partial before the hash exchange) — never a single-node sort
-    assert(p.contains("SortAggregate"), p)
-    assert(!p.contains("Window"), p) // no corpus-wide window anywhere
+    // canonical occurrence + duplicate count come from a single window
+    // keyed on BOTH 60-bit halves of the span digest — each frame is one
+    // span's occurrence list, never a corpus-wide partition
+    assert("windowspecdefinition\\(h#\\d+L?, h2#\\d+L?"
+      .r.findFirstIn(p).nonEmpty, p)
+    assert("Window".r.findAllIn(p).size == 1, p) // and only that one
     assert(!p.contains("CartesianProduct"), p)
+    // the round-12 leak, pinned at plan level: the shingle scan is read
+    // once through the window shuffle, nothing is persisted
+    assert(!p.contains("InMemoryTableScan"), p)
   }
 
   test("every keyed-scan consumer plans the PrefixScan physical node " +
