@@ -333,7 +333,8 @@ object Bench {
     "q544_record_highs", // keyed exclusive-max scan record counts
     "q545_burst_islands", // keyed lag + scan gaps-and-islands
     "q546_hot_split_join", // production big-big skew: hot-key split join
-    "q547_substr_excise") // ExactSubstr span-excision dedup (Lee et al.)
+    "q547_substr_excise", // ExactSubstr span-excision dedup (Lee et al.)
+    "q548_curation_excise") // composed curate -> exciseKept chain
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{CurationPipeline, Dedup, Similarity}
 import graft.queries.TrainingShared._
 
 /** Training-data pipeline operators: text analysis, fingerprint/MinHash/SimHash dedup, embedding ANN and the retrieval stack (first quarter of the Training inventory; split from the single 10k-line Training.scala in round 9, zero behavior change). Query/oracle pairs stay in
@@ -832,13 +832,41 @@ private[queries] object TrainingA {
     // curation run reads; the filter also keeps the bench honest (an
     // unfiltered left join with unique right keys is count()-eliminable,
     // which made the bench time the parquet scan alone).
-    // Scale: one shingle scan + hash groupBy + bounded k× explode +
-    // (doc,pos) anti-join — no corpus-wide window, no collect.
+    // Scale: one shingle scan shuffled ONCE on the 120-bit span hash
+    // (canonical + count from a hash-keyed window) + bounded k× explode
+    // + (doc,pos) anti-join — no corpus-wide window, no collect, no
+    // cached state.
     "q547_substr_excise" -> ((s, d) => {
       Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8)
         .where(col("n_excised") > 0)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"),
           col("n_excised"), md5(col("text_kept")).as("fp"))
+    }),
+
+    // The COMPOSED curation chain a reference user actually runs, end to
+    // end: quality gate + language tag -> exact dedup keep-one -> MinHash
+    // LSH + connected components keep-one -> benchmark decontamination
+    // (src0 slice as the eval set, q107 convention) -> deterministic
+    // content-hash split -> ExactSubstr span excision over the KEPT
+    // survivors only (Lee et al. ordering — `CurationPipeline.curate`
+    // then `exciseKept`). Population doc_id < 300 so the oracle's
+    // recursive transitive closure over the LSH pair graph stays
+    // tractable (the q76 convention); every stage is replayed in one
+    // DuckDB chain. fp pins each survivor's post-excision text
+    // byte-exactly; inner join on the operator's own key, so the bench
+    // count cannot shortcut the chain.
+    "q548_curation_excise" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs
+        .where(col("doc_id") < 300 && col("source") =!= "src0")
+        .select("doc_id", "text")
+      val evalSet = docs.where(col("source") === "src0").select("text")
+      CurationPipeline
+        .exciseKept(CurationPipeline.curate(corpus, "doc_id", "text",
+          evalSet), "doc_id", "text", 8)
+        .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
+          col("n_kept_tokens"), col("n_excised"),
+          md5(col("text_excised")).as("fp"))
     }),
 
     // Language-ID confusion matrix — q52's stopword classifier judged
@@ -2614,6 +2642,95 @@ private[queries] object TrainingA {
            md5(coalesce(text_kept, '')) AS fp
          FROM wd LEFT JOIN per USING (doc_id)
          WHERE CAST(len(w) AS BIGINT) - coalesce(n_kept, 0) > 0"""
+    },
+
+    // Full-chain replay of curate -> exciseKept: the MinHash/CC prelude is
+    // the SHARED minhashCtesFor/componentCtes pair (anti-drift), fed the
+    // exact-dedup canonical survivors of the corpus slice; quality, lang,
+    // decontamination, split and the span excision are the same SQL twins
+    // the per-stage oracles use (keepRuleSql, q52's CASE, q107's relative
+    // rule, q108's hash split, q547's excision CTEs).
+    "q548_curation_excise" -> {
+      val corpPred = "doc_id < 300 AND source <> 'src0'"
+      val canonPred = s"$corpPred AND doc_id IN (SELECT min(doc_id) " +
+        s"FROM documents WHERE $corpPred GROUP BY md5($normSql))"
+      val hits = TextFunctions.langStopwords.map { case (lang, words) =>
+        s"${hitsSql(words)} AS h_$lang"
+      }.mkString(", ")
+      val cat8 = (0 to 7).map(j => if (j == 0) "w[p]" else s"w[p+$j]")
+        .mkString(", ' ', ")
+      s"""WITH RECURSIVE ${minhashCtesFor(canonPred)},
+         $componentCtes,
+         corp AS (SELECT doc_id, coalesce(text, '') AS text
+                  FROM documents WHERE $corpPred),
+         cw AS (SELECT doc_id, text,
+                  string_split(lower(text), ' ') AS w FROM corp),
+         lng AS (
+           SELECT doc_id, CASE WHEN mx = 0 THEN 'und'
+               WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+               WHEN h_fr = mx THEN 'fr' ELSE 'de' END AS lang
+           FROM (SELECT doc_id, h_en, h_es, h_fr, h_de,
+                   greatest(h_en, h_es, h_fr, h_de) AS mx
+                 FROM (SELECT doc_id, $hits FROM corp))),
+         fpt AS (SELECT doc_id, md5($normSql) AS fpv FROM corp),
+         exg AS (SELECT f.doc_id, g.canon_id FROM fpt f
+                 JOIN (SELECT fpv, min(doc_id) AS canon_id
+                       FROM fpt GROUP BY 1) g USING (fpv)),
+         nl AS (SELECT e.doc_id,
+                  (e.doc_id = e.canon_id AND
+                   coalesce(r.rep_id, e.canon_id) = e.canon_id) AS is_kept
+                FROM exg e LEFT JOIN rep r ON r.doc_id = e.canon_id),
+         dbs AS (SELECT DISTINCT concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shg
+                 FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+                       FROM (SELECT string_split(lower(coalesce(text, '')),
+                               ' ') AS w
+                             FROM documents WHERE source = 'src0')
+                       WHERE len(w) >= 3)),
+         dcs AS (SELECT doc_id, count(*) AS n_sh,
+                   CAST(sum(CASE WHEN shg IN (SELECT shg FROM dbs)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                 FROM (SELECT DISTINCT doc_id,
+                         concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shg
+                       FROM (SELECT doc_id, w,
+                               unnest(range(1, len(w) - 1)) AS i
+                             FROM cw WHERE len(w) >= 3))
+                 GROUP BY 1),
+         flg AS (SELECT cw.doc_id, lng.lang,
+                   CASE WHEN ${h60("cw.text")} % 100 < 80 THEN 'train'
+                        WHEN ${h60("cw.text")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   ($keepRuleSql = 1 AND nl.is_kept AND
+                    NOT coalesce(dcs.n_shared * 100 >= dcs.n_sh * 10,
+                      FALSE)) AS kept
+                 FROM cw JOIN lng USING (doc_id) JOIN nl USING (doc_id)
+                   LEFT JOIN dcs USING (doc_id)),
+         kd AS MATERIALIZED (
+           SELECT cw.doc_id, cw.w, flg.lang, flg.split
+           FROM cw JOIN flg USING (doc_id) WHERE flg.kept),
+         tk AS (SELECT doc_id, unnest(w) AS tok,
+                  generate_subscripts(w, 1) AS i FROM kd),
+         oc2 AS (SELECT doc_id, p, ${h60(s"concat($cat8)")} AS h,
+                   ${h60lo(s"concat($cat8)")} AS h2
+                 FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS p
+                       FROM kd WHERE len(w) >= 8)),
+         cn2 AS (SELECT h, h2, min({'d': doc_id, 'p': p}) AS m
+                 FROM oc2 GROUP BY 1, 2 HAVING count(*) > 1),
+         cv2 AS (SELECT DISTINCT doc_id, i FROM (
+                   SELECT doc_id, unnest(range(p, p + 8)) AS i
+                   FROM oc2 JOIN cn2 USING (h, h2)
+                   WHERE NOT (doc_id = m.d AND p = m.p))),
+         kp2 AS (SELECT t.doc_id, t.i, t.tok FROM tk t LEFT JOIN cv2
+                   ON t.doc_id = cv2.doc_id AND t.i = cv2.i
+                 WHERE cv2.doc_id IS NULL),
+         per2 AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(tok, ' ' ORDER BY i) AS text_kept
+                  FROM kp2 GROUP BY 1)
+         SELECT kd.doc_id, kd.lang, kd.split,
+           CAST(len(kd.w) AS BIGINT) AS n_tokens,
+           coalesce(per2.n_kept, 0) AS n_kept_tokens,
+           CAST(len(kd.w) AS BIGINT) - coalesce(per2.n_kept, 0) AS n_excised,
+           md5(coalesce(per2.text_kept, '')) AS fp
+         FROM kd LEFT JOIN per2 USING (doc_id)"""
     },
 
     "q478_langid_confusion" -> {
