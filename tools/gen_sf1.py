@@ -21,10 +21,27 @@ match organic growth rather than degenerating:
 - orders/lineitem: order keys shifted consistently on both sides so join
   fan-out per key is preserved exactly.
 
-Usage: python3 tools/gen_sf1.py [outDir=target/sf1]
+Usage: python3 tools/gen_sf1.py [outDir=target/sf1] [srcDir] [replicas] [--hold-density]
+
+--hold-density swaps the documents transform from word ROTATION to a
+per-replica token BIJECTION (every token suffixed with the replica id):
+within a replica the near-dup pair graph and the duplicated-span layout
+are preserved token-for-token (a bijection of the vocabulary cannot
+change shingle equality structure), across replicas nothing is shared —
+so near-dup/span density PER CAPITA is exactly the source's, at every
+chain depth. Rotation can't do that: its offset is length-dependent
+(r % nw), so each chain link breaks the different-length near-dup pairs
+and any span straddling the seam (FIXTURES.md §5 dilution). The cost is
+a vocabulary that grows with the replica count and tokens that leave
+the stopword lists — hold-density fixtures are for the PAIR/SPAN-driven
+families (q482/q547/q405/q420), not for langid/quality/vocab queries.
+Other tables are generated exactly as in rotation mode.
 """
 import os
 import sys
+
+HOLD = "--hold-density" in sys.argv
+sys.argv = [a for a in sys.argv if a != "--hold-density"]
 
 import duckdb
 
@@ -63,15 +80,25 @@ def copy(name: str, select: str) -> None:
     print(f"{name}: {n} rows")
 
 
-copy("documents", f"""
-  SELECT doc_id + r * {DOC_N} AS doc_id,
-         array_to_string(
-           list_concat(toks[(r % nw) + 1:], toks[:(r % nw)]), ' ') AS text,
-         lang, source, n_chars
-  FROM (SELECT *, string_split(text, ' ') AS toks,
-               greatest(len(string_split(text, ' ')), 1) AS nw
-        FROM '{SRC}/documents.parquet'), {rep}
-""")
+if HOLD:
+    copy("documents", f"""
+      SELECT doc_id + r * {DOC_N} AS doc_id,
+             array_to_string(
+               list_transform(toks, t -> t || '_' || r), ' ') AS text,
+             lang, source, n_chars
+      FROM (SELECT *, string_split(text, ' ') AS toks
+            FROM '{SRC}/documents.parquet'), {rep}
+    """)
+else:
+    copy("documents", f"""
+      SELECT doc_id + r * {DOC_N} AS doc_id,
+             array_to_string(
+               list_concat(toks[(r % nw) + 1:], toks[:(r % nw)]), ' ') AS text,
+             lang, source, n_chars
+      FROM (SELECT *, string_split(text, ' ') AS toks,
+                   greatest(len(string_split(text, ' ')), 1) AS nw
+            FROM '{SRC}/documents.parquet'), {rep}
+    """)
 
 copy("customer", f"""
   SELECT c_custkey + r * {CUST_N} AS c_custkey,
