@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
 
 /** End-to-end training-corpus curation — the composition a user migrating
@@ -119,16 +120,30 @@ object CurationPipeline {
     * surviving canonical. Returns the kept rows plus
     * (n_tokens, n_kept_tokens, n_excised, text_excised); row count ==
     * kept count (the excision join is on the operator's own key).
+    *
+    * STORAGE CONTRACT: the kept slice is `persist`ed at `storage` for
+    * the lifetime of the returned DataFrame (its lineage is the whole
+    * LSH+CC curate pipeline, read several times downstream) and is NOT
+    * released by the operator — the session owner must call
+    * `spark.catalog.clearCache()` (or unpersist the block) after the
+    * consuming action, as Verify/Bench do; a long-lived session that
+    * composes `exciseKept` repeatedly without it accumulates orphaned
+    * blocks. At corpus scale the kept slice is ~the whole corpus and the
+    * same job runs the excision shuffle — pass
+    * `StorageLevel.DISK_ONLY` there so the cached slice does not
+    * contend with shuffle/execution memory (the default
+    * MEMORY_AND_DISK is right for report-sized local runs).
     */
   def exciseKept(report: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // The kept slice is read four times downstream (token scan, shingle
     // scan, n_tokens scan, final join) and its lineage is the whole
     // curate pipeline (LSH + connected components) — persist it so that
     // pipeline runs once, not four times. Released by the session
-    // owner's clearCache (the Verify/Bench contract), like every other
-    // operator-held block in this repo.
-    val keptRows = report.where(col("kept")).persist()
+    // owner's clearCache (the Verify/Bench contract, documented above),
+    // like every other operator-held block in this repo.
+    val keptRows = report.where(col("kept")).persist(storage)
     val ex = Dedup
       .exciseDupSpans(keptRows.select(col(idCol), col(textCol)),
         idCol, textCol, k)

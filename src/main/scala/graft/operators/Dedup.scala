@@ -444,16 +444,27 @@ object Dedup {
     * the oracle replays both halves, so parity is collision-for-collision
     * exact anyway.
     *
-    * Scale shape: ONE shingle scan, shuffled ONCE on the uniform span
-    * hash — the canonical occurrence and the occurrence count come from
-    * a hash-keyed window over (h, h2) (each frame = one span's
-    * occurrences, bounded by its duplicate count), replacing the earlier
-    * aggregate-plus-join-back that read a persisted shingle scan twice.
-    * No cached state survives the call (the round-12 leak: a long-lived
-    * session composing `exciseKept` accumulated orphaned shingle
-    * blocks); no corpus-wide window, no collect. Then a bounded k×
-    * interval explode on duplicated occurrences only and a
-    * (id, position) anti-join against the token stream.
+    * Scale shape — built for the operator's MOTIVATING input, a
+    * boilerplate-heavy web corpus where one verbatim span occurs in a
+    * large fraction of ALL documents (Lee et al.'s own use-case): the
+    * occurrence count and canonical occurrence come from a two-phase
+    * hash aggregate on the span hash (map-side partials collapse a hot
+    * span to one row per map task, so no reducer ever sees its raw
+    * occurrence list), joined back to the occurrence stream with a
+    * shuffled-HASH join (`shuffle_hash` hint): the probe side STREAMS
+    * through the per-partition build table, so a span occurring in f*N
+    * documents costs one task a linear scan of f*N rows — never an
+    * external sort of them — and AQE's skew-join split can still divide
+    * that partition (OptimizeSkewedJoin covers SHJ/SMJ; it cannot split
+    * a Window partition, which is why the round-13 single-window shape
+    * was retired: `Window.partitionBy(h, h2)` colocated every occurrence
+    * of a hot span into ONE unsplittable sort task). The shingle scan
+    * runs twice (aggregate branch + probe branch) — deliberately
+    * stateless: no cached state survives the call (the round-12 leak: a
+    * long-lived session composing `exciseKept` accumulated orphaned
+    * shingle blocks), and both passes are whole-stage-codegen'd scans.
+    * Then a bounded k× interval explode on duplicated occurrences only
+    * and a (id, position) anti-join against the token stream.
     *
     * Returns (idCol, n_tokens, n_kept, n_excised, text_kept); documents
     * whose every token is excised come back with n_kept=0, text_kept="".
@@ -476,14 +487,21 @@ object Dedup {
       .select(col(idCol), col("p"),
         conv(substring(col("m5"), 1, 15), 16, 10).cast("long").as("h"),
         conv(substring(col("m5"), 18, 15), 16, 10).cast("long").as("h2"))
-    val bySpan = org.apache.spark.sql.expressions.Window.partitionBy("h", "h2")
+    // two-phase partial aggregate: a hot span crosses the wire as ONE row
+    // per map task, whatever its corpus frequency
+    val spans = occ
+      .groupBy("h", "h2")
+      .agg(count(lit(1)).as("c"), min(struct(col(idCol), col("p"))).as("m"))
+      .where(col("c") > 1)
     val covered = occ
-      // one select → one Window node (separate withColumns split it in two)
-      .select(col(idCol), col("p"),
-        count(lit(1)).over(bySpan).as("c"),
-        min(struct(col(idCol), col("p"))).over(bySpan).as("m"))
-      .where(col("c") > 1 &&
-        !(col(idCol) === col("m")(idCol) && col("p") === col("m")("p")))
+      // shuffled-hash, not sort-merge: the probe (occurrence) side is the
+      // skewed one and SHJ streams it — SMJ would re-introduce the hot
+      // span's single-task external sort on the probe side. The build
+      // side is one row per DUPLICATED span, uniform by construction
+      // (distinct hashes), so the per-partition hash table stays small
+      // at any corpus size provided shuffle partitions scale with data.
+      .join(spans.hint("shuffle_hash"), Seq("h", "h2"))
+      .where(!(col(idCol) === col("m")(idCol) && col("p") === col("m")("p")))
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
       .distinct()

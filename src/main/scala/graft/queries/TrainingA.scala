@@ -832,10 +832,12 @@ private[queries] object TrainingA {
     // curation run reads; the filter also keeps the bench honest (an
     // unfiltered left join with unique right keys is count()-eliminable,
     // which made the bench time the parquet scan alone).
-    // Scale: one shingle scan shuffled ONCE on the 120-bit span hash
-    // (canonical + count from a hash-keyed window) + bounded k× explode
-    // + (doc,pos) anti-join — no corpus-wide window, no collect, no
-    // cached state.
+    // Scale: two-phase partial aggregate on the 120-bit span hash
+    // (a hot boilerplate span crosses the wire as one row per map task)
+    // + shuffled-hash join-back that STREAMS the skewed occurrence side
+    // + bounded k× explode + (doc,pos) anti-join — no window, no
+    // collect, no cached state; skew-safe on the boilerplate-heavy
+    // corpora ExactSubstr exists for.
     "q547_substr_excise" -> ((s, d) => {
       Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8)
         .where(col("n_excised") > 0)
@@ -2652,14 +2654,20 @@ private[queries] object TrainingA {
     // rule, q108's hash split, q547's excision CTEs).
     "q548_curation_excise" -> {
       val corpPred = "doc_id < 300 AND source <> 'src0'"
+      // every oracle stage sees coalesce(text, '') — Spark's curate
+      // coalesces NULL -> '' before ANY stage, so the exact-dedup
+      // canonical GROUP BY and the MinHash prelude must hash the same
+      // coalesced text the fpt/cw CTEs below already use (raw text would
+      // group NULL-text docs apart from ''-text docs and diverge)
+      val coalTxt = "coalesce(text, '')"
       val canonPred = s"$corpPred AND doc_id IN (SELECT min(doc_id) " +
-        s"FROM documents WHERE $corpPred GROUP BY md5($normSql))"
+        s"FROM documents WHERE $corpPred GROUP BY md5(${normSqlFor(coalTxt)}))"
       val hits = TextFunctions.langStopwords.map { case (lang, words) =>
         s"${hitsSql(words)} AS h_$lang"
       }.mkString(", ")
       val cat8 = (0 to 7).map(j => if (j == 0) "w[p]" else s"w[p+$j]")
         .mkString(", ' ', ")
-      s"""WITH RECURSIVE ${minhashCtesFor(canonPred)},
+      s"""WITH RECURSIVE ${minhashCtesFor(canonPred, coalTxt)},
          $componentCtes,
          corp AS (SELECT doc_id, coalesce(text, '') AS text
                   FROM documents WHERE $corpPred),

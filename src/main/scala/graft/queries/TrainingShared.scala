@@ -199,8 +199,16 @@ private[queries] object TrainingShared {
     s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($list, t)))"
   }
 
-  val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+  /** SQL twin of `TextFunctions.fingerprint`'s normalization over a
+    * caller-chosen text expression — q548's oracle passes
+    * `coalesce(text, '')` so its exact-dedup canonical stage sees the
+    * same NULL-coalesced text as Spark's `curate` (md5(NULL) is NULL and
+    * would group NULL-text docs separately from ''-text docs).
+    */
+  def normSqlFor(textExpr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  val normSql = normSqlFor("text")
 
   /** SQL twin of `TextFunctions.qualityScore(text).keep` (the q53 rule)
     * as a BIGINT 0/1 — evaluates against a row exposing `text` and the
@@ -305,8 +313,12 @@ private[queries] object TrainingShared {
   /** The MinHash band prelude over a parameterized doc population —
     * `minhashCtes` (doc_id < 300) is the shared graph-query instance;
     * q259 probes the full population split into corpus and batch.
+    * `textExpr` lets a caller whose Spark twin normalizes NULL text up
+    * front (q548's curate coalesces NULL -> '' before every stage) feed
+    * the SAME coalesced text to the shingle scan — the default stays raw
+    * `text` for the oracles whose Spark twins also read it raw.
     */
-  def minhashCtesFor(pred: String): String = {
+  def minhashCtesFor(pred: String, textExpr: String = "text"): String = {
     val p = Dedup.MinHashParams()
     val sigs = (0 until p.numPerms).map { i =>
       val a = 2L * i + 1; val b = 98765L * i + 12345L
@@ -318,7 +330,7 @@ private[queries] object TrainingShared {
       s"SELECT doc_id, $bnd AS band, concat($key) AS key FROM sig"
     }.mkString("\n           UNION ALL ")
     s"""toks AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS w
+           SELECT doc_id, string_split(lower($textExpr), ' ') AS w
            FROM documents WHERE $pred),
          sh AS (
            SELECT doc_id,

@@ -144,4 +144,43 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
   }
+
+  test("exciseKept honors a caller-selected storage level (DISK_ONLY, " +
+      "the corpus-scale setting) and still releases under the contract") {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i the and of"))
+      .toDF("doc_id", "text")
+    def report() = CurationPipeline.curate(
+      docs, "doc_id", "text", Seq.empty[(Long, String)].toDF("eid", "text"))
+    val dflt = CurationPipeline
+      .exciseKept(report(), "doc_id", "text", 6)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // a fresh report after the release — the contract frees EVERYTHING,
+    // including the CC lineage cuts a pre-release DataFrame still
+    // references, so released frames are not reusable (by design)
+    val disk = CurationPipeline
+      .exciseKept(report(), "doc_id", "text", 6, StorageLevel.DISK_ONLY)
+    assert(disk.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      dflt.toSeq) // storage level is an execution hint, never a result
+    // the held kept-slice block really is the requested level (CC's
+    // lineage-cut blocks may coexist at their own default level — the
+    // operator only owns the slice's persist)
+    val levels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSet
+    assert(levels.contains(StorageLevel.DISK_ONLY), levels.toString)
+    // …and the documented release path clears it like the default
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
+  }
 }

@@ -262,7 +262,8 @@ class DedupSpec extends SparkSpec {
     val d = Seq((1L, "a b c d e f"), (2L, "x b c d e y")).toDF("doc_id", "text")
     Dedup.exciseDupSpans(d, "doc_id", "text", 3).collect()
     // the operator used to persist its shingle scan with no release path;
-    // the single-shuffle window shape holds nothing between calls
+    // the stateless aggregate + join-back shape (both shingle passes are
+    // plain scans) holds nothing between calls
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
   }

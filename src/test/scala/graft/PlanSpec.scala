@@ -1166,19 +1166,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q547 span excision: anti-join shape, ONE span-hash-keyed window, " +
-      "no cached state") {
+  test("q547 span excision: anti-join shape, skew-safe aggregate + " +
+      "shuffled-hash join-back, no window, no cached state") {
     val p = plan("q547_substr_excise")
     assert(p.contains("LeftAnti"), p) // token excision is an anti-join
-    // canonical occurrence + duplicate count come from a single window
-    // keyed on BOTH 60-bit halves of the span digest — each frame is one
-    // span's occurrence list, never a corpus-wide partition
-    assert("windowspecdefinition\\(h#\\d+L?, h2#\\d+L?"
-      .r.findFirstIn(p).nonEmpty, p)
-    assert("Window".r.findAllIn(p).size == 1, p) // and only that one
+    // canonical occurrence + duplicate count come from a two-phase hash
+    // aggregate keyed on BOTH 60-bit halves of the span digest (map-side
+    // partials collapse a hot boilerplate span to one row per map task)
+    assert("partial_min\\(struct\\(".r.findFirstIn(p).nonEmpty, p)
+    // ... joined back with a shuffled-HASH join: the skewed occurrence
+    // side STREAMS (and AQE skew-split covers SHJ). A Window here would
+    // colocate every occurrence of a hot span into one unsplittable sort
+    // task — the round-13 shape, retired by the round-14 skew fixture.
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the round-12 leak, pinned at plan level: the shingle scan is read
-    // once through the window shuffle, nothing is persisted
+    // the round-12 leak, pinned at plan level: both shingle passes are
+    // stateless scans, nothing is persisted
     assert(!p.contains("InMemoryTableScan"), p)
   }
 

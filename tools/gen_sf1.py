@@ -21,7 +21,7 @@ match organic growth rather than degenerating:
 - orders/lineitem: order keys shifted consistently on both sides so join
   fan-out per key is preserved exactly.
 
-Usage: python3 tools/gen_sf1.py [outDir=target/sf1] [srcDir] [replicas] [--hold-density]
+Usage: python3 tools/gen_sf1.py [outDir=target/sf1] [srcDir] [replicas] [--hold-density] [--docs-only]
 
 --hold-density swaps the documents transform from word ROTATION to a
 per-replica token BIJECTION (every token suffixed with the replica id):
@@ -41,7 +41,12 @@ import os
 import sys
 
 HOLD = "--hold-density" in sys.argv
-sys.argv = [a for a in sys.argv if a != "--hold-density"]
+# --docs-only: write documents.parquet and nothing else — the span/pair
+# scale rungs (q482/q547) read only documents, and the sf100hd fixture's
+# other tables would cost ~15 GB and most of the generation time for
+# queries that never open them.
+DOCS_ONLY = "--docs-only" in sys.argv
+sys.argv = [a for a in sys.argv if a not in ("--hold-density", "--docs-only")]
 
 import duckdb
 
@@ -81,11 +86,17 @@ def copy(name: str, select: str) -> None:
 
 
 if HOLD:
+    # n_chars is RECOMPUTED from the suffixed text (the bijection
+    # lengthens every token, so copying the source's n_chars would break
+    # any n_chars-vs-text consistency check); the span/pair families this
+    # mode serves never read n_chars, but the column should not lie.
     copy("documents", f"""
       SELECT doc_id + r * {DOC_N} AS doc_id,
              array_to_string(
                list_transform(toks, t -> t || '_' || r), ' ') AS text,
-             lang, source, n_chars
+             lang, source,
+             len(array_to_string(
+               list_transform(toks, t -> t || '_' || r), ' ')) AS n_chars
       FROM (SELECT *, string_split(text, ' ') AS toks
             FROM '{SRC}/documents.parquet'), {rep}
     """)
@@ -99,6 +110,9 @@ else:
                    greatest(len(string_split(text, ' ')), 1) AS nw
             FROM '{SRC}/documents.parquet'), {rep}
     """)
+
+if DOCS_ONLY:
+    sys.exit(0)
 
 copy("customer", f"""
   SELECT c_custkey + r * {CUST_N} AS c_custkey,
