@@ -49,7 +49,24 @@ object ChainBench {
 
     val docs = Tables(spark, sfDir, "documents")
     val corpus = docs.where(col("source") =!= "src0").select("doc_id", "text")
-    val evalSet = docs.where(col("source") === "src0").select("text")
+    // a REALISTIC benchmark-suite size: 1% of the src0 slice. Feeding the
+    // whole src0 slice (~20% of the corpus) saturates q107's relative
+    // rule on this fixture — its vocabulary is small, so ~120k eval docs
+    // cover nearly every possible 3-gram and decontamination marks the
+    // ENTIRE corpus contaminated (kept_rows = 6 of 600k, measured), which
+    // reduces the excision stage to a no-op and the bench to curate-only.
+    val evalSet = docs
+      .where(col("source") === "src0" && pmod(col("doc_id"), lit(100)) === 0)
+      .select("text")
+    // contamination threshold 101% = the stage computes its FULL overlap
+    // work (the broadcast shingle join and per-doc aggregate run
+    // regardless; only the final comparison flips) but cannot fire: even
+    // the 1% eval slice covers nearly the whole trigram space of the
+    // fixture's small vocabulary (kept_rows = 1069 of 480k at the default
+    // 10%, measured), and a chain whose kept slice is ~empty measures
+    // curate only. Real corpora with real vocabularies keep the default.
+    val contamPct =
+      sys.env.getOrElse("SPARK_GRAFT_CHAIN_CONTAM_PCT", "101").toInt
 
     var keptRows = 0L
     var mem = 0L
@@ -57,15 +74,22 @@ object ChainBench {
     val times = (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       val out = CurationPipeline.exciseKept(
-        CurationPipeline.curate(corpus, "doc_id", "text", evalSet),
+        CurationPipeline.curate(corpus, "doc_id", "text", evalSet, contamPct),
         "doc_id", "text", 8, storage)
       keptRows = out.agg(count(lit(1)), sum("n_excised")).collect()(0).getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       // where did the operator-held kept slice land? (read BEFORE the
-      // contract release — this is the storage-split evidence)
+      // contract release — this is the storage-split evidence). The
+      // kept slice is the only block at the REQUESTED level; CC's
+      // lineage-cut blocks coexist at their own default level, so the
+      // per-level split below separates them.
       val infos = spark.sparkContext.getRDDStorageInfo
-      mem = infos.map(_.memSize).sum
-      dsk = infos.map(_.diskSize).sum
+      mem = infos.filter(_.storageLevel == storage).map(_.memSize).sum
+      dsk = infos.filter(_.storageLevel == storage).map(_.diskSize).sum
+      val other = infos.filterNot(_.storageLevel == storage)
+      System.err.println(s"[chain] other cached blocks: " +
+        other.map(i => s"${i.name}@${i.storageLevel.description}:" +
+          s"mem=${i.memSize},disk=${i.diskSize}").mkString("; "))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

@@ -46,7 +46,10 @@ HOLD = "--hold-density" in sys.argv
 # other tables would cost ~15 GB and most of the generation time for
 # queries that never open them.
 DOCS_ONLY = "--docs-only" in sys.argv
-sys.argv = [a for a in sys.argv if a not in ("--hold-density", "--docs-only")]
+# --keep-stopwords (only with --hold-density): see the HOLD branch below.
+KEEPSW = "--keep-stopwords" if "--keep-stopwords" in sys.argv else ""
+sys.argv = [a for a in sys.argv
+            if a not in ("--hold-density", "--docs-only", "--keep-stopwords")]
 
 import duckdb
 
@@ -72,9 +75,12 @@ def stride(table: str, key: str) -> int:
 
 
 DOC_N = stride("documents", "doc_id")
-CUST_N = stride("customer", "c_custkey")
-VEC_N = stride("embeddings", "vec_id")
-ORD_N = stride("orders", "o_orderkey")
+# non-document strides only when those tables will be written — a
+# --docs-only SOURCE dir (chained docs-only fixtures) has no other tables
+if not DOCS_ONLY:
+    CUST_N = stride("customer", "c_custkey")
+    VEC_N = stride("embeddings", "vec_id")
+    ORD_N = stride("orders", "o_orderkey")
 
 
 def copy(name: str, select: str) -> None:
@@ -90,13 +96,25 @@ if HOLD:
     # lengthens every token, so copying the source's n_chars would break
     # any n_chars-vs-text consistency check); the span/pair families this
     # mode serves never read n_chars, but the column should not lie.
+    #
+    # --keep-stopwords: suffix every token EXCEPT a fixed set of common
+    # English stopwords. Plain hold-density suffixes stopwords too, so
+    # the q53 quality gate (stopword ratio > 0.001) rejects EVERY doc and
+    # any composition that includes the gate (ChainBench's full
+    # curate -> exciseKept) keeps nothing. Preserving stopwords keeps the
+    # gate alive while cross-replica shingle sharing stays negligible
+    # (only runs of >=3 consecutive stopwords collide); within-replica
+    # dedup/span structure is preserved exactly as in plain hold-density.
+    tx = ("t -> CASE WHEN t IN ('the','a','of','and','to','in','is','it')"
+          " THEN t ELSE t || '_' || r END"
+          if "--keep-stopwords" in KEEPSW else "t -> t || '_' || r")
     copy("documents", f"""
       SELECT doc_id + r * {DOC_N} AS doc_id,
              array_to_string(
-               list_transform(toks, t -> t || '_' || r), ' ') AS text,
+               list_transform(toks, {tx}), ' ') AS text,
              lang, source,
              len(array_to_string(
-               list_transform(toks, t -> t || '_' || r), ' ')) AS n_chars
+               list_transform(toks, {tx}), ' ')) AS n_chars
       FROM (SELECT *, string_split(text, ' ') AS toks
             FROM '{SRC}/documents.parquet'), {rep}
     """)
