@@ -334,7 +334,9 @@ object Bench {
     "q545_burst_islands", // keyed lag + scan gaps-and-islands
     "q546_hot_split_join", // production big-big skew: hot-key split join
     "q547_substr_excise", // ExactSubstr span-excision dedup (Lee et al.)
-    "q548_curation_excise") // composed curate -> exciseKept chain
+    "q548_curation_excise", // composed curate -> exciseKept chain
+    "q549_stats_skipping", // zone-map file pruning through TxTable.readWhere
+    "q550_zorder_clustering") // OPTIMIZE ZORDER + both-dimension pruned reads
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

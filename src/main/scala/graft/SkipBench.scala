@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.TxTable
+
+/** Zone-map data-skipping scale evidence (BENCH_SCALE, no oracle:
+  * q549/q550 pin the read-path correctness at sf0.01; TxStatsSpec pins
+  * pruning soundness). Two studies, both on SPARK_GRAFT_SF_DIR:
+  *
+  *  1. **Skipping payoff.** lineitem ingested into a TxTable in 64
+  *     contiguous key-range appends (the layout a time/key-ordered
+  *     ingest produces for free); a ~1/64-selectivity key-range probe
+  *     is answered twice — `read().where(...)` (full scan) vs
+  *     `readWhere(...)` (zone-map pruned) — plus the kept/skipped file
+  *     counts. The pruned time should track the SLICE size while the
+  *     full time tracks the TABLE size: the gap is what data skipping
+  *     buys, and it widens linearly with scale.
+  *
+  *  2. **ZORDER vs single-key sort.** events rewritten once with
+  *     `compact(zorderBy = user_id, value)` and once with a single-key
+  *     quantile sort (`zorderBy = user_id` only), 64 files each; a
+  *     band probe on EACH dimension through `readWhere` on both
+  *     layouts. The single sort prunes only its own key; Z-order pays
+  *     a little on that key to prune on both.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32
+  *        sbt -batch -error "runMain graft.SkipBench"
+  * Prints one JSON line per study row.
+  */
+object SkipBench {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fresh(tag: String): String = {
+      val d = s"/root/repo/target/tmp/skipbench_$tag"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(d))
+      d
+    }
+
+    def minTimed(f: => Long): (Long, Double) =
+      (1 to passes).map(_ => timed(f)).minBy(_._2)
+
+    // -- study 1: skipping payoff on a key-range-ingested lineitem table
+    val nChunks = 64L
+    val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag"))
+    val mo = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val liDir = fresh("lineitem")
+    val (_, tIngest) = timed {
+      (0L until nChunks).foreach { i =>
+        val lo = if (i == 0L) lit(true)
+          else col("l_orderkey") > lit(mo * i / nChunks)
+        TxTable.append(li.where(lo &&
+          col("l_orderkey") <= lit(mo * (i + 1) / nChunks)).coalesce(1), liDir)
+      }
+    }
+    val probe = col("l_orderkey") > lit(mo * 30L / nChunks) &&
+      col("l_orderkey") <= lit(mo * 31L / nChunks) &&
+      col("l_returnflag") === "R"
+    val (keptLi, skippedLi) = TxTable.pruneFiles(spark, liDir, probe)
+    def agg(df: DataFrame): Long =
+      df.agg(sum("l_quantity"), count(lit(1))).collect()(0).getLong(1)
+    val (nFull, tFull) = minTimed(agg(TxTable.read(spark, liDir).where(probe)))
+    val (nPruned, tPruned) = minTimed(agg(TxTable.readWhere(spark, liDir, probe)))
+    require(nFull == nPruned, s"pruned read diverged: $nFull vs $nPruned")
+    println(f"""{"study":"skipping","sf":"$sfDir","files":${keptLi.size + skippedLi.size},""" +
+      f""""kept":${keptLi.size},"skipped":${skippedLi.size},"rows":$nFull,""" +
+      f""""ingest_sec":$tIngest%.2f,"full_sec":$tFull%.3f,"pruned_sec":$tPruned%.3f}""")
+
+    // -- study 2: ZORDER(user_id, value) vs single-key sort, probes on both dims
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mu = ev.agg(max("user_id")).collect()(0).getLong(0)
+    val bandU = col("user_id") > lit(mu * 30L / 64L) &&
+      col("user_id") <= lit(mu * 31L / 64L)
+    val bandV = col("value") >= 100.0 && col("value") < 107.0
+    def evAgg(df: DataFrame): Long =
+      df.agg(sum("event_id"), count(lit(1))).collect()(0).getLong(1)
+    Seq("zorder" -> Seq("user_id", "value"), "sort_user" -> Seq("user_id"))
+      .foreach { case (tag, zcols) =>
+        val dir = fresh(s"events_$tag")
+        TxTable.append(ev, dir)
+        val (_, tOpt) = timed {
+          TxTable.compact(spark, dir, targetFiles = 64, zorderBy = zcols)
+        }
+        Seq("user_band" -> bandU, "value_band" -> bandV).foreach {
+          case (pname, p) =>
+            val (kept, skipped) = TxTable.pruneFiles(spark, dir, p)
+            val (nF, tF) = minTimed(evAgg(TxTable.read(spark, dir).where(p)))
+            val (nP, tP) = minTimed(evAgg(TxTable.readWhere(spark, dir, p)))
+            require(nF == nP, s"$tag/$pname diverged: $nF vs $nP")
+            println(f"""{"study":"zorder","layout":"$tag","probe":"$pname",""" +
+              f""""sf":"$sfDir","optimize_sec":$tOpt%.2f,"kept":${kept.size},""" +
+              f""""skipped":${skipped.size},"rows":$nF,"full_sec":$tF%.3f,""" +
+              f""""pruned_sec":$tP%.3f}""")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -1061,6 +1061,72 @@ object Warehouse {
           col("varint_bytes"),
           expr("((raw_bytes - varint_bytes) * 1000000) div raw_bytes")
             .as("savings_e6"))
+    }),
+
+    // Zone-map data skipping made PHYSICAL (the engine-level successor
+    // of q452's simulated audit): ingest lineitem into a TxTable in
+    // four contiguous key-range appends — the arrival-order layout a
+    // real ingest produces — then read through `readWhere`, which
+    // evaluates the predicate against the recorded per-file min/max
+    // sidecars driver-side and scans ONLY files that can match (here:
+    // 1 of 4; TxStatsSpec pins the pruning soundness property). At
+    // 100 TB this is the difference between scanning the table and
+    // scanning the slice — O(files) metadata, zero data IO, before any
+    // task launches. The oracle replays the filter over the raw
+    // parquet, so a mis-pruned file breaks the hash.
+    "q549_stats_skipping" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q549_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"), col("l_extendedprice"))
+      val mo = li.agg(max("l_orderkey")).collect()(0).getLong(0) // 1 value
+      (0L until 4L).foreach { i =>
+        val lo = // first chunk is unbounded below (keys may start at 0)
+          if (i == 0L) lit(true) else col("l_orderkey") > lit(mo * i / 4L)
+        graft.sources.TxTable.append(
+          li.where(lo && col("l_orderkey") <= lit(mo * (i + 1) / 4L)), dir)
+      }
+      graft.sources.TxTable.readWhere(s, dir,
+          col("l_orderkey") <= lit(mo / 4L) && col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_price_cents"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }),
+
+    // OPTIMIZE ... ZORDER BY, end to end (the layout half of skipping;
+    // ref's pipelines lean on Delta OPTIMIZE, `gps-analytics/src/
+    // pipeline/tz_offset.scala:32-70`): append events in arrival order,
+    // rewrite the table in Morton order over (user_id, value) quantile
+    // buckets into 16 range-partitioned files, then answer one probe on
+    // EACH dimension through the stats-pruned read path — the property
+    // a single-key sort cannot provide (ZOrderSpec pins the both-
+    // dimensions pruning; this row pins the data contract end to end).
+    "q550_zorder_clustering" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q550_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("value"))
+      graft.sources.TxTable.append(ev, dir)
+      graft.sources.TxTable.compact(s, dir, targetFiles = 16,
+        zorderBy = Seq("user_id", "value"))
+      val mu = ev.agg(max("user_id")).collect()(0).getLong(0) // 1 value
+      def probe(name: String, pred: Column): DataFrame =
+        graft.sources.TxTable.readWhere(s, dir, pred)
+          .agg(count(lit(1)).as("n_rows"), sum("event_id").as("sum_eid"),
+            sum(floor(col("value") * 1000000).cast("long")).as("sum_ve6"))
+          .withColumn("dim", lit(name))
+      probe("by_user", col("user_id") <= lit(mu / 8L))
+        .unionByName(probe("by_value",
+          col("value") >= 100.0 && col("value") < 200.0))
+        .select("dim", "n_rows", "sum_eid", "sum_ve6")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1787,5 +1853,27 @@ object Warehouse {
            CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
            CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM read_parquet('/root/repo/target/tmp/evolve_parquet/*/*.parquet',
-           union_by_name = true, hive_partitioning = true)""")
+           union_by_name = true, hive_partitioning = true)""",
+    // replays the PREDICATE over the raw table: the engine's stats-
+    // pruned file subset must produce exactly the unpruned answer
+    "q549_stats_skipping" ->
+      """WITH m AS (SELECT max(l_orderkey) // 4 AS cut FROM lineitem)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem, m
+         WHERE l_orderkey <= m.cut AND l_returnflag = 'R'""",
+    "q550_zorder_clustering" ->
+      """WITH m AS (SELECT max(user_id) // 8 AS cut FROM events)
+         SELECT 'by_user' AS dim, count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_ve6
+         FROM events, m WHERE user_id <= m.cut
+         UNION ALL
+         SELECT 'by_value', count(*), CAST(sum(event_id) AS BIGINT),
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         FROM events WHERE value >= 100.0 AND value < 200.0""")
 }

@@ -1,0 +1,474 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics (zone maps) for [[TxTable]] — the
+  * data-skipping layer the reference's Delta tables get from
+  * `OPTIMIZE` + stats-based file pruning (the reference leans on it via
+  * `spark.sql("OPTIMIZE ...")`, `gps-analytics/src/pipeline/
+  * tz_offset.scala:32-70`), rebuilt on the published design (Delta's
+  * protocol paper, Armbrust et al., VLDB 2020: per-AddFile min/max/
+  * nullCount stats evaluated against query predicates before any data
+  * is read).
+  *
+  * At 100 TB this is the single biggest scan lever a table format owns:
+  * a predicate that touches 1% of the key space should read ~1% of the
+  * files, and the decision must be made from O(files) driver-side
+  * metadata, never from data IO.
+  *
+  * Design rules, in order:
+  *  - **Advisory, fail-open.** Stats only ever REMOVE files from a
+  *    scan; [[TxTable.readWhere]] always applies the full predicate to
+  *    whatever survives. A file with no stats (older commit, crashed
+  *    sidecar write, unsupported column type) is simply read. Wrong
+  *    results are therefore impossible by construction; stats quality
+  *    only moves performance.
+  *  - **Sound under truncation.** String bounds are capped at
+  *    [[StringPrefixCap]] chars: the stored lower bound is a prefix of
+  *    the true minimum (a prefix never exceeds the string), and an
+  *    upper bound that WOULD need truncation is dropped entirely rather
+  *    than stored loosely — `hi = None` means "unbounded above", which
+  *    can never mis-prune. This is the safe version of Delta's
+  *    tightBounds handling, chosen over last-char increment games
+  *    (which are unsound across UTF-8/UTF-16 order divergence at
+  *    supplementary code points).
+  *  - **Compare in the query's coerced space.** The predicate is
+  *    analyzed against the snapshot schema first, so type coercion is
+  *    Spark's own (an int column probed with a double literal becomes a
+  *    double comparison). Interval tests then run in that space —
+  *    long→double / long→float conversions are monotone, so widening
+  *    the stored bounds through them keeps pruning sound even where the
+  *    conversions are lossy.
+  *  - **NaN and -0.0 follow Spark's total order** (NaN greatest,
+  *    -0.0 == 0.0): stats are normalized at collection time and
+  *    compared with `Double.compare`/`Float.compare`, matching the
+  *    ordering Spark's min/max aggregates used to produce them.
+  *
+  * Stats collection reads back ONLY the indexed columns of the freshly
+  * staged files (one column-pruned scan, grouped by file); a production
+  * port would lift the same numbers from the parquet footers the write
+  * already produced — the sidecar format and pruning logic are
+  * unchanged either way.
+  */
+object TxStats {
+
+  /** Stats are kept for the first N eligible columns (Delta's
+    * `dataSkippingNumIndexedCols` default) — wide tables should not pay
+    * an unbounded stats bill for columns nobody filters on.
+    */
+  val MaxIndexedCols = 32
+
+  /** String bounds longer than this are truncated (lo) or dropped (hi). */
+  val StringPrefixCap = 64
+
+  /** One column's zone-map entry. `lo`/`hi` hold the normalized value
+    * (Long for integral/date/timestamp/boolean, Double for float/double,
+    * String for strings); `None` means unknown/unbounded on that side.
+    */
+  case class ColStats(typ: String, nulls: Long, lo: Option[Any], hi: Option[Any])
+
+  /** One file's zone map: row count plus per-column entries. */
+  case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Normalization for an eligible type: (type tag, column rewrite that
+    * makes min/max collectible as Long/Double/String). Date → epoch
+    * days, timestamp → epoch micros (NOT a seconds cast, which would
+    * floor the max and break soundness).
+    */
+  private def normType(dt: DataType): Option[(String, Column => Column)] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(("l", _.cast("long")))
+    case BooleanType => Some(("l", _.cast("long")))
+    case DateType => Some(("l", c => unix_date(c).cast("long")))
+    case TimestampType => Some(("l", c => unix_micros(c)))
+    case FloatType | DoubleType => Some(("d", _.cast("double")))
+    case StringType => Some(("s", identity))
+    case _ => None
+  }
+
+  private def negZero(d: Double): Double = if (d == 0.0) 0.0 else d
+
+  /** Collect per-file stats for freshly staged files: one column-pruned
+    * scan of `names` under `dir`, grouped by `input_file_name()`. Bounded
+    * driver memory: one row per staged file.
+    */
+  def collect(spark: SparkSession, dir: String, names: Seq[String],
+      schema: StructType): Map[String, FileStats] = {
+    if (names.isEmpty) return Map.empty
+    val fields = schema.fields.iterator
+      .flatMap(f => normType(f.dataType).map { case (tag, fn) => (f.name, tag, fn) })
+      .take(MaxIndexedCols).toSeq
+    val df = spark.read.schema(schema).parquet(names.map(n => s"$dir/$n"): _*)
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ fields.zipWithIndex.flatMap {
+      case ((name, tag, fn), i) =>
+        val c = fn(col(name))
+        val (lo, hi) =
+          if (tag == "s")
+            (min(substring(c, 1, StringPrefixCap + 1)),
+              max(substring(c, 1, StringPrefixCap + 1)))
+          else (min(c), max(c))
+        Seq(lo.as(s"__lo$i"), hi.as(s"__hi$i"), count(c).as(s"__nn$i"))
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val collected = rows.iterator.map { r =>
+      val fname = r.getString(r.fieldIndex("__file")).split('/').last
+      val nRows = r.getLong(r.fieldIndex("__rows"))
+      val cols = fields.zipWithIndex.map { case ((name, tag, _), i) =>
+        val rawLo = Option(r.get(r.fieldIndex(s"__lo$i")))
+        val rawHi = Option(r.get(r.fieldIndex(s"__hi$i")))
+        val nn = r.getLong(r.fieldIndex(s"__nn$i"))
+        val (lo, hi) = tag match {
+          case "s" =>
+            (rawLo.map(_.asInstanceOf[String].take(StringPrefixCap)),
+              rawHi.map(_.asInstanceOf[String])
+                .filter(_.length <= StringPrefixCap))
+          case "d" =>
+            (rawLo.map(v => negZero(v.asInstanceOf[Double])),
+              rawHi.map(v => negZero(v.asInstanceOf[Double])))
+          case _ =>
+            (rawLo.map(_.asInstanceOf[Long]), rawHi.map(_.asInstanceOf[Long]))
+        }
+        name -> ColStats(tag, nRows - nn, lo, hi)
+      }.toMap
+      fname -> FileStats(nRows, cols)
+    }.toMap
+    // an empty staged file produces no group — record rows=0 stats so
+    // it is provably prunable rather than merely stats-less
+    val empties = names.filterNot(collected.contains).map { n =>
+      n -> FileStats(0, fields.map { case (name, tag, _) =>
+        name -> ColStats(tag, 0, None, None)
+      }.toMap)
+    }
+    collected ++ empties
+  }
+
+  // ---- sidecar codec (TSV, escaped; dependency-free both ways) ----
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb += '\t'
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case o => sb += o
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def fld(v: Option[Any]): String = v match {
+    case None => "-"
+    case Some(x) => "=" + esc(x.toString)
+  }
+
+  def render(stats: Map[String, FileStats]): String = {
+    val sb = new StringBuilder
+    stats.toSeq.sortBy(_._1).foreach { case (f, fs) =>
+      sb.append("F\t").append(esc(f)).append('\t').append(fs.rows).append('\n')
+      fs.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        sb.append("C\t").append(esc(f)).append('\t').append(esc(c)).append('\t')
+          .append(cs.typ).append('\t').append(cs.nulls).append('\t')
+          .append(fld(cs.lo)).append('\t').append(fld(cs.hi)).append('\n')
+      }
+    }
+    sb.toString
+  }
+
+  private def decode(typ: String, f: String): Option[Any] =
+    if (f == "-") None
+    else {
+      val raw = unesc(f.drop(1))
+      Some(typ match {
+        case "l" => raw.toLong
+        case "d" => raw.toDouble
+        case _ => raw
+      })
+    }
+
+  def parse(s: String): Map[String, FileStats] = {
+    val rows = collection.mutable.Map.empty[String, Long]
+    val cols = collection.mutable.Map.empty[String, List[(String, ColStats)]]
+    s.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val p = line.split("\t", -1)
+      p(0) match {
+        case "F" => rows(unesc(p(1))) = p(2).toLong
+        case "C" =>
+          val f = unesc(p(1))
+          cols(f) = (unesc(p(2)) ->
+            ColStats(p(3), p(4).toLong, decode(p(3), p(5)), decode(p(3), p(6)))) ::
+            cols.getOrElse(f, Nil)
+        case _ => // unknown record kind: ignore (forward compatibility)
+      }
+    }
+    rows.iterator.map { case (f, n) =>
+      f -> FileStats(n, cols.getOrElse(f, Nil).toMap)
+    }.toMap
+  }
+
+  // ---- predicate → can-this-file-match (driver-side, O(pred) per file) ----
+
+  /** Resolve a user predicate against the snapshot schema so coercion,
+    * function resolution, and attribute binding are Spark's own — the
+    * walk below then sees the exact tree the scan will evaluate.
+    */
+  def resolve(spark: SparkSession, schema: StructType, predicate: Column): Expression = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    org.apache.spark.sql.GraftSqlBridge.analyzed(empty.where(predicate))
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      .getOrElse(Literal(true))
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's UTF8String (and
+    * parquet binary stats) use; String.compareTo (UTF-16) diverges at
+    * supplementary code points.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Attribute under monotone casts only: unwrapping a cast is sound for
+    * interval tests iff the cast preserves order (numeric widenings are
+    * monotone even where lossy; string/date/timezone casts are not
+    * unwrapped).
+    */
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast if monotoneCast(c.child.dataType, c.dataType) => attrOf(c.child)
+    case _ => None
+  }
+
+  private def numericLike(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def monotoneCast(from: DataType, to: DataType): Boolean =
+    numericLike(from) && numericLike(to)
+
+  /** Literal (possibly under a foldable cast, which analysis leaves
+    * unfolded): evaluated driver-side to (normalized value, coerced type).
+    * Normalized: Long (integral/date/timestamp/boolean), Double
+    * (float/double), String, BigDecimal. None = not a literal or an
+    * unsupported/unevaluable type.
+    */
+  private def litOf(e: Expression): Option[(Any, DataType)] = e match {
+    case Literal(v, dt) => Some((normLit(v, dt), dt))
+    case c: Cast if c.child.isInstanceOf[Literal] =>
+      try Some((normLit(c.eval(null), c.dataType), c.dataType))
+      catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def normLit(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case ByteType => v.asInstanceOf[Byte].toLong
+      case ShortType => v.asInstanceOf[Short].toLong
+      case IntegerType | DateType => v.asInstanceOf[Int].toLong
+      case LongType | TimestampType => v.asInstanceOf[Long]
+      case BooleanType => if (v.asInstanceOf[Boolean]) 1L else 0L
+      case FloatType => negZero(v.asInstanceOf[Float].toDouble)
+      case DoubleType => negZero(v.asInstanceOf[Double])
+      case StringType => v.toString
+      case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+      case _ => v
+    }
+
+  private def statToDouble(v: Any): Option[Double] = v match {
+    case l: Long => Some(l.toDouble) // monotone — sound for interval tests
+    case d: Double => Some(d)
+    case _ => None
+  }
+
+  private def statToBigDec(v: Any): Option[BigDecimal] = v match {
+    case l: Long => Some(BigDecimal(l))
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(BigDecimal(new java.math.BigDecimal(d))) // exact binary expansion
+    case _ => None
+  }
+
+  /** Compare a stored bound against a literal in the literal's coerced
+    * space. None = incomparable (never prune on it).
+    */
+  private def cmp(statVal: Any, litVal: Any, litDt: DataType): Option[Int] = litDt match {
+    case FloatType =>
+      statToDouble(statVal).map(s =>
+        java.lang.Float.compare(s.toFloat, litVal.asInstanceOf[Double].toFloat))
+    case DoubleType =>
+      statToDouble(statVal).map(s =>
+        java.lang.Double.compare(s, litVal.asInstanceOf[Double]))
+    case _: DecimalType =>
+      statToBigDec(statVal).map(_.compare(litVal.asInstanceOf[BigDecimal]))
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | BooleanType =>
+      statVal match {
+        case s: Long => Some(java.lang.Long.compare(s, litVal.asInstanceOf[Long]))
+        case _ => None
+      }
+    case StringType =>
+      statVal match {
+        case s: String => Some(utf8Cmp(s, litVal.asInstanceOf[String]))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Interval tests. Each returns "the file MAY contain a matching row";
+    * unknown bounds and incomparable values fall open (true).
+    */
+  private def hasNonNull(fs: FileStats, cs: ColStats): Boolean = cs.nulls < fs.rows
+
+  private def mayEq(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
+    hasNonNull(fs, cs) &&
+      cs.lo.forall(l => cmp(l, v, dt).forall(_ <= 0)) &&
+      cs.hi.forall(h => cmp(h, v, dt).forall(_ >= 0))
+
+  private def mayLt(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
+    hasNonNull(fs, cs) && cs.lo.forall(l => cmp(l, v, dt).forall(_ < 0))
+
+  private def mayLe(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
+    hasNonNull(fs, cs) && cs.lo.forall(l => cmp(l, v, dt).forall(_ <= 0))
+
+  private def mayGt(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
+    hasNonNull(fs, cs) && cs.hi.forall(h => cmp(h, v, dt).forall(_ > 0))
+
+  private def mayGe(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
+    hasNonNull(fs, cs) && cs.hi.forall(h => cmp(h, v, dt).forall(_ >= 0))
+
+  /** One binary comparison, either operand order: apply `fwd` when the
+    * attribute is on the left, `rev` when on the right; a null literal
+    * makes the comparison NULL (no row passes a null filter).
+    */
+  private def binCmp(fs: FileStats, l: Expression, r: Expression)(
+      fwd: (ColStats, Any, DataType) => Boolean,
+      rev: (ColStats, Any, DataType) => Boolean): Boolean = {
+    val sides = Seq(
+      (attrOf(l), litOf(r), true),
+      (attrOf(r), litOf(l), false))
+    sides.collectFirst { case (Some(name), Some((v, dt)), isFwd) =>
+      if (v == null) false
+      else fs.cols.get(name) match {
+        case Some(cs) => if (isFwd) fwd(cs, v, dt) else rev(cs, v, dt)
+        case None => true // no stats for this column: cannot prune
+      }
+    }.getOrElse(true) // attr-vs-attr, function-of-attr, etc.: cannot prune
+  }
+
+  /** Can a file with stats `fs` contain a row matching `e`? Sound,
+    * conservative: anything unrecognized is "maybe" (true).
+    */
+  def canMatch(e: Expression, fs: FileStats): Boolean = e match {
+    case And(l, r) => canMatch(l, fs) && canMatch(r, fs)
+    case Or(l, r) => canMatch(l, fs) || canMatch(r, fs)
+    case Not(child) => child match {
+      case IsNull(a) => canMatch(IsNotNull(a), fs)
+      case IsNotNull(a) => canMatch(IsNull(a), fs)
+      case _ => true
+    }
+    case Literal(b: Boolean, BooleanType) => b
+    case Literal(null, _) => false // WHERE NULL keeps nothing
+    case IsNull(a) => attrOf(a).flatMap(fs.cols.get) match {
+      case Some(cs) => cs.nulls > 0
+      case None => true
+    }
+    case IsNotNull(a) => attrOf(a).flatMap(fs.cols.get) match {
+      case Some(cs) => hasNonNull(fs, cs)
+      case None => true
+    }
+    case EqualTo(l, r) =>
+      binCmp(fs, l, r)(mayEq(fs, _, _, _), mayEq(fs, _, _, _))
+    case EqualNullSafe(l, r) =>
+      (litOf(l), litOf(r)) match {
+        case (Some((null, _)), _) => attrOf(r).flatMap(fs.cols.get)
+          .forall(_.nulls > 0)
+        case (_, Some((null, _))) => attrOf(l).flatMap(fs.cols.get)
+          .forall(_.nulls > 0)
+        case _ => binCmp(fs, l, r)(mayEq(fs, _, _, _), mayEq(fs, _, _, _))
+      }
+    case LessThan(l, r) => // attr < v | v < attr
+      binCmp(fs, l, r)(mayLt(fs, _, _, _), mayGt(fs, _, _, _))
+    case LessThanOrEqual(l, r) =>
+      binCmp(fs, l, r)(mayLe(fs, _, _, _), mayGe(fs, _, _, _))
+    case GreaterThan(l, r) => // attr > v | v > attr
+      binCmp(fs, l, r)(mayGt(fs, _, _, _), mayLt(fs, _, _, _))
+    case GreaterThanOrEqual(l, r) =>
+      binCmp(fs, l, r)(mayGe(fs, _, _, _), mayLe(fs, _, _, _))
+    case In(a, vs) if vs.forall(v => litOf(v).isDefined) =>
+      attrOf(a) match {
+        case None => true
+        case Some(name) => fs.cols.get(name) match {
+          case None => true
+          case Some(cs) =>
+            // null list entries contribute NULL (never TRUE) to IN
+            vs.flatMap(litOf).exists { case (v, dt) =>
+              v != null && mayEq(fs, cs, v, dt)
+            }
+        }
+      }
+    case StartsWith(l, r) =>
+      (attrOf(l), litOf(r)) match {
+        case (Some(name), Some((p: String, StringType))) =>
+          fs.cols.get(name) match {
+            case None => true
+            case Some(cs) =>
+              // any x with prefix p satisfies x >= p; and if lo > p with
+              // lo not itself prefixed by p, every x >= lo exceeds all
+              // p-prefixed strings (comparison decided inside p)
+              hasNonNull(fs, cs) &&
+                cs.hi.forall {
+                  case h: String => utf8Cmp(h, p) >= 0
+                  case _ => true
+                } &&
+                cs.lo.forall {
+                  case lo: String => utf8Cmp(lo, p) <= 0 || lo.startsWith(p)
+                  case _ => true
+                }
+          }
+        case (_, Some((null, _))) => false
+        case _ => true
+      }
+    case _ => true // unknown shape: never prune on it
+  }
+
+  /** Partition `files` into (kept, skipped) under `cond` (a RESOLVED
+    * predicate from [[resolve]]). Files without stats are always kept.
+    */
+  def prune(cond: Expression, stats: Map[String, FileStats],
+      files: Seq[String]): (Seq[String], Seq[String]) =
+    files.partition(f => stats.get(f).forall(canMatch(cond, _)))
+}

@@ -34,6 +34,19 @@ import scala.jdk.CollectionConverters._
   *    survivors ∪ source), untouched files carry over. At 100 TB the
   *    rewrite cost is proportional to touched files, not table size —
   *    the same contract as the reference's Delta MERGE.
+  *  - **Data skipping.** Every write records per-file min/max/nullCount
+  *    zone maps ([[TxStats]], an atomic `<v>.stats.tsv` sidecar next to
+  *    the commit); [[readWhere]] evaluates the predicate against them
+  *    driver-side and scans only files that can match. Advisory and
+  *    fail-open: a file without stats is always read, and the full
+  *    predicate is re-applied to whatever survives — pruning can only
+  *    ever be a performance win, never a correctness risk.
+  *  - **Z-ORDER.** `compact(zorderBy = ...)` rewrites the snapshot in
+  *    Morton order over quantile-bucketed dimensions
+  *    ([[graft.functions.ZOrder]]) before splitting into `targetFiles`
+  *    range partitions, so the recorded zone maps are tight on EVERY
+  *    listed column — the layout half of data skipping, same contract
+  *    as Databricks `OPTIMIZE ... ZORDER BY`.
   *
   * Scale shape: the log is O(commits) driver-side JSON (the list-replay
   * is trivial next to any data pass; a checkpointed log is the known
@@ -173,6 +186,76 @@ object TxTable {
         schema.getOrElse(new StructType()))
   }
 
+  private def statsPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"$v%020d.stats.tsv")
+
+  private def statsCkptPath(dir: String, v: Long): Path =
+    logDir(dir).resolve(f"$v%020d.stats.ckpt.tsv")
+
+  /** Zone maps of every file that has them at `asOf` (keyed by file
+    * name). O(CheckpointEvery) driver-side metadata — the per-commit
+    * stats sidecars are folded into a consolidated checkpoint on the
+    * same cadence as the file-list checkpoints, and reads replay only
+    * the sidecars after the newest checkpoint at or before `asOf`.
+    * Never data IO.
+    */
+  def fileStats(dir: String, asOf: Option[Long] = None): Map[String, TxStats.FileStats] = {
+    val ld = logDir(dir)
+    if (!Files.isDirectory(ld)) return Map.empty
+    val top = asOf.getOrElse(currentVersion(dir))
+    def versionsOf(suffix: String): Seq[Long] = Files.list(ld).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(suffix) &&
+        n.stripSuffix(suffix).forall(_.isDigit))
+      .map(_.stripSuffix(suffix).toLong)
+      .filter(_ <= top).toSeq.sorted
+    val ckptV = versionsOf(".stats.ckpt.tsv").lastOption
+    val seed = ckptV
+      .map(v => TxStats.parse(Files.readString(statsCkptPath(dir, v))))
+      .getOrElse(Map.empty[String, TxStats.FileStats])
+    versionsOf(".stats.tsv")
+      .filter(v => ckptV.forall(_ < v))
+      .foldLeft(seed) { (m, v) =>
+        m ++ TxStats.parse(Files.readString(statsPath(dir, v)))
+      }
+  }
+
+  /** Split the snapshot's live files into (kept, skipped) under
+    * `predicate` using the recorded zone maps. Observability seam for
+    * specs and benchmarks; [[readWhere]] is the consuming read path.
+    */
+  def pruneFiles(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val files = activeFiles(dir, asOf)
+    schemaAt(dir, asOf) match {
+      case None => (files, Nil)
+      case Some(schema) =>
+        val cond = TxStats.resolve(spark, schema, predicate)
+        TxStats.prune(cond, fileStats(dir, asOf), files)
+    }
+  }
+
+  /** Snapshot read that SKIPS files whose zone maps prove they cannot
+    * contain a matching row, then applies the full predicate to the
+    * survivors. Semantically identical to `read(...).where(predicate)`;
+    * at 100 TB it is the difference between scanning the table and
+    * scanning the slice the query touches.
+    */
+  def readWhere(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dir, predicate, asOf)
+    val schema = schemaAt(dir, asOf)
+    val base =
+      if (kept.nonEmpty)
+        schema.map(s => spark.read.schema(s)).getOrElse(spark.read)
+          .parquet(kept.map(f => s"$dir/$f"): _*)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(new StructType()))
+    base.where(predicate)
+  }
+
   /** Stage `df` as parquet under UUID-prefixed names in `dir`; returns
     * the staged file names (not yet visible to any reader).
     */
@@ -192,6 +275,16 @@ object TxTable {
     named
   }
 
+  /** Stage plus zone-map collection (one column-pruned read-back of the
+    * staged files; a production port lifts the same numbers from the
+    * parquet footers the write produced).
+    */
+  private def stageWithStats(df: DataFrame, dir: String)
+      : (Seq[String], Map[String, TxStats.FileStats]) = {
+    val names = stage(df, dir)
+    (names, TxStats.collect(df.sparkSession, dir, names, df.schema))
+  }
+
   /** Publish a commit. Appends (`basedOn = None`) are order-independent:
     * they claim the next free version, retrying on collision. Semantic
     * commits (overwrite/merge/compact) pass the snapshot version their
@@ -201,7 +294,8 @@ object TxTable {
     */
   private def publish(dir: String, op: String, adds: Seq[String],
       removes: Seq[String], schemaJson: String,
-      basedOn: Option[Long]): Long = {
+      basedOn: Option[Long],
+      stats: Map[String, TxStats.FileStats] = Map.empty): Long = {
     Files.createDirectories(logDir(dir))
     var attempts = 0
     while (true) {
@@ -218,17 +312,37 @@ object TxTable {
             false
         }
       if (landed) {
+        // zone-map sidecar AFTER the commit wins its version (a commit
+        // without stats is merely unprunable — fail-open by design, so
+        // a crash in this window cannot affect correctness)
+        if (stats.nonEmpty) {
+          val st = logDir(dir).resolve(s".stats-${java.util.UUID.randomUUID()}")
+          Files.writeString(st, TxStats.render(stats))
+          try Files.move(st, statsPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            Files.delete(st) }
+        }
         // best-effort bounded-replay checkpoint; a crash before this
         // write only means readers replay from the previous checkpoint
         if (v > 0 && v % CheckpointEvery == 0) {
+          val live = activeFiles(dir, Some(v))
           val ct = logDir(dir).resolve(s".ckpt-${java.util.UUID.randomUUID()}")
-          Files.writeString(ct, render(Commit(v, "checkpoint",
-            activeFiles(dir, Some(v)), Nil,
+          Files.writeString(ct, render(Commit(v, "checkpoint", live, Nil,
             schemaAt(dir, Some(v)).map(_.json).getOrElse(""))))
           try Files.move(ct, checkpointPath(dir, v),
             StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
             Files.delete(ct) }
+          // consolidated zone-map checkpoint on the same cadence, live
+          // files only (bounds stats replay AND sheds dead entries)
+          val liveSet = live.toSet
+          val sct = logDir(dir).resolve(s".sckpt-${java.util.UUID.randomUUID()}")
+          Files.writeString(sct, TxStats.render(
+            fileStats(dir, Some(v)).filter(kv => liveSet(kv._1))))
+          try Files.move(sct, statsCkptPath(dir, v),
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            Files.delete(sct) }
         }
         return v
       }
@@ -282,7 +396,9 @@ object TxTable {
   def append(df: DataFrame, dir: String): Long = {
     Files.createDirectories(Paths.get(dir))
     val schema = evolve(dir, df.schema)
-    publish(dir, "append", stage(df, dir), Nil, schema.json, basedOn = None)
+    val (names, stats) = stageWithStats(df, dir)
+    publish(dir, "append", names, Nil, schema.json, basedOn = None,
+      stats = stats)
   }
 
   /** Atomic full overwrite (snapshot replace). `expectedVersion` is the
@@ -294,21 +410,38 @@ object TxTable {
     Files.createDirectories(Paths.get(dir))
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "overwrite")
-    publish(dir, "overwrite", stage(df, dir), activeFiles(dir, Some(base)),
-      df.schema.json, basedOn = Some(base))
+    val (names, stats) = stageWithStats(df, dir)
+    publish(dir, "overwrite", names, activeFiles(dir, Some(base)),
+      df.schema.json, basedOn = Some(base), stats = stats)
   }
 
   /** OPTIMIZE: rewrite the live file set into `targetFiles` files in one
     * commit; data is unchanged, history remains time-travelable.
+    *
+    * With `zorderBy` set, the rewrite range-partitions and sorts on the
+    * Morton-interleaved quantile buckets of those columns
+    * ([[graft.functions.ZOrder]]) — `OPTIMIZE ... ZORDER BY`. The
+    * recorded zone maps then carry tight bounds on every listed column,
+    * so [[readWhere]] prunes on ANY of them; a plain compact (or a
+    * single-key sort) only ever serves one.
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      zorderBy: Seq[String] = Nil,
       expectedVersion: Option[Long] = None): Long = {
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "compact")
     val before = activeFiles(dir, Some(base))
     val snap = read(spark, dir, Some(base))
-    publish(dir, "compact", stage(snap.coalesce(targetFiles), dir), before,
-      snap.schema.json, basedOn = Some(base))
+    val arranged =
+      if (zorderBy.isEmpty) snap.coalesce(math.max(targetFiles, 1))
+      else snap
+        .withColumn("__z", graft.functions.ZOrder.zvalue(snap, zorderBy))
+        .repartitionByRange(math.max(targetFiles, 1), col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    val (names, stats) = stageWithStats(arranged, dir)
+    publish(dir, if (zorderBy.isEmpty) "compact" else "zorder",
+      names, before, snap.schema.json, basedOn = Some(base), stats = stats)
   }
 
   /** MERGE (upsert): rows of `source` replace same-key rows, new keys
@@ -322,9 +455,12 @@ object TxTable {
     val base = currentVersion(dir)
     val op = "merge" + opTag.map(":" + _).getOrElse("")
     requireVersion(dir, expectedVersion, base, op)
-    if (base < 0) // first commit: MERGE into an empty table is an insert
-      return publish(dir, op, stage(source, dir), Nil,
-        evolve(dir, source.schema).json, basedOn = Some(base))
+    if (base < 0) { // first commit: MERGE into an empty table is an insert
+      val (names0, stats0) = stageWithStats(source, dir)
+      return publish(dir, op, names0, Nil,
+        evolve(dir, source.schema).json, basedOn = Some(base),
+        stats = stats0)
+    }
     // bare file NAME (the log's unit), not the URI input_file_name returns
     val snap = read(spark, dir, Some(base)).withColumn("__name",
       element_at(split(input_file_name(), "/"), -1))
@@ -338,8 +474,9 @@ object TxTable {
       else snap.where(col("__name").isin(touched: _*)).drop("__name")
         .join(srcKeys, keys, "left_anti")
     val newData = kept.unionByName(source)
-    publish(dir, op, stage(newData, dir), touched,
-      evolve(dir, source.schema).json, basedOn = Some(base))
+    val (names, stats) = stageWithStats(newData, dir)
+    publish(dir, op, names, touched,
+      evolve(dir, source.schema).json, basedOn = Some(base), stats = stats)
   }
 
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */
