@@ -336,7 +336,8 @@ object Bench {
     "q547_substr_excise", // ExactSubstr span-excision dedup (Lee et al.)
     "q548_curation_excise", // composed curate -> exciseKept chain
     "q549_stats_skipping", // zone-map file pruning through TxTable.readWhere
-    "q550_zorder_clustering") // OPTIMIZE ZORDER + both-dimension pruned reads
+    "q550_zorder_clustering", // OPTIMIZE ZORDER + both-dimension pruned reads
+    "q551_bloom_skipping") // per-file Bloom point-lookup pruning
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -25,6 +25,12 @@ import graft.sources.TxTable
   *     layouts. The single sort prunes only its own key; Z-order pays
   *     a little on that key to prune on both.
   *
+  *  3. **Bloom point lookup** (SPARK_GRAFT_SKIP_BLOOM=1): events
+  *     ingested in 8 id-interleaved appends (every file spans the full
+  *     id range — zone maps keep everything) with a per-file Bloom on
+  *     event_id; one existing-id and one absent-id probe, full scan vs
+  *     pruned. The pruned lookup reads ≤1 file whatever the table size.
+  *
   * Run: SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32
   *        sbt -batch -error "runMain graft.SkipBench"
   * Prints one JSON line per study row.
@@ -65,6 +71,16 @@ object SkipBench {
     def minTimed(f: => Long): (Long, Double) =
       (1 to passes).map(_ => timed(f)).minBy(_._2)
 
+    // SPARK_GRAFT_SKIP_BLOOM: unset = studies 1-2; "1" = all three;
+    // "only" = study 3 alone (for a same-session bloom scale pair)
+    val bloomMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_BLOOM", "")
+
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    def evAgg(df: DataFrame): Long =
+      df.agg(sum("event_id"), count(lit(1))).collect()(0).getLong(1)
+
+    if (bloomMode != "only") {
     // -- study 1: skipping payoff on a key-range-ingested lineitem table
     val nChunks = 64L
     val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"),
@@ -94,14 +110,10 @@ object SkipBench {
       f""""ingest_sec":$tIngest%.2f,"full_sec":$tFull%.3f,"pruned_sec":$tPruned%.3f}""")
 
     // -- study 2: ZORDER(user_id, value) vs single-key sort, probes on both dims
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), col("value"))
     val mu = ev.agg(max("user_id")).collect()(0).getLong(0)
     val bandU = col("user_id") > lit(mu * 30L / 64L) &&
       col("user_id") <= lit(mu * 31L / 64L)
     val bandV = col("value") >= 100.0 && col("value") < 107.0
-    def evAgg(df: DataFrame): Long =
-      df.agg(sum("event_id"), count(lit(1))).collect()(0).getLong(1)
     Seq("zorder" -> Seq("user_id", "value"), "sort_user" -> Seq("user_id"))
       .foreach { case (tag, zcols) =>
         val dir = fresh(s"events_$tag")
@@ -121,6 +133,29 @@ object SkipBench {
               f""""pruned_sec":$tP%.3f}""")
         }
       }
+    } // end studies 1-2
+
+    // -- study 3: bloom point lookup on an id-interleaved layout
+    if (bloomMode == "1" || bloomMode == "only") {
+      val bDir = fresh("events_bloom")
+      val me = ev.agg(max("event_id")).collect()(0).getLong(0)
+      val (_, tIngestB) = timed {
+        (0L until 8L).foreach(r => TxTable.append(
+          ev.where(pmod(col("event_id"), lit(8L)) === r).coalesce(1),
+          bDir, bloomFor = Seq("event_id")))
+      }
+      Seq("present" -> me, "absent" -> (me + 12345L)).foreach { case (pname, id) =>
+        val p = col("event_id") === lit(id)
+        val (kept, skipped) = TxTable.pruneFiles(spark, bDir, p)
+        val (nF, tF) = minTimed(evAgg(TxTable.read(spark, bDir).where(p)))
+        val (nP, tP) = minTimed(evAgg(TxTable.readWhere(spark, bDir, p)))
+        require(nF == nP, s"bloom/$pname diverged: $nF vs $nP")
+        println(f"""{"study":"bloom","probe":"$pname","sf":"$sfDir",""" +
+          f""""ingest_sec":$tIngestB%.2f,"kept":${kept.size},""" +
+          f""""skipped":${skipped.size},"rows":$nF,"full_sec":$tF%.3f,""" +
+          f""""pruned_sec":$tP%.3f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -1127,6 +1127,37 @@ object Warehouse {
         .unionByName(probe("by_value",
           col("value") >= 100.0 && col("value") < 200.0))
         .select("dim", "n_rows", "sum_eid", "sum_ve6")
+    }),
+
+    // Per-file BLOOM skipping (Delta's Bloom index shape) — the
+    // point-lookup case zone maps cannot serve: events ingested in four
+    // id-interleaved appends (every file spans ~the whole event_id
+    // range, so min/max pruning keeps all of them) with a Bloom on the
+    // key; a lookup of an EXISTING id reads ~1 file, a lookup of an
+    // ABSENT id reads zero (no false negatives, so pruning on a
+    // negative is sound — FileBloomSpec pins it against brute force).
+    // The provenance query this models — find ONE document in a 100 TB
+    // corpus by id — is O(1 file) instead of O(table).
+    "q551_bloom_skipping" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q551_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      (0L until 4L).foreach { r =>
+        graft.sources.TxTable.append(ev.where(pmod(col("event_id"), lit(4L)) === r),
+          dir, bloomFor = Seq("event_id"))
+      }
+      val me = ev.agg(max("event_id")).collect()(0).getLong(0) // 1 value
+      def probe(name: String, id: Long): DataFrame =
+        graft.sources.TxTable.readWhere(s, dir, col("event_id") === lit(id))
+          .agg(count(lit(1)).as("n_rows"), sum("user_id").as("sum_uid"),
+            sum("v_e2").as("sum_ve2"))
+          .withColumn("probe", lit(name))
+      probe("present", me).unionByName(probe("absent", me + 12345L))
+        .select("probe", "n_rows", "sum_uid", "sum_ve2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1875,5 +1906,15 @@ object Warehouse {
          UNION ALL
          SELECT 'by_value', count(*), CAST(sum(event_id) AS BIGINT),
            CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-         FROM events WHERE value >= 100.0 AND value < 200.0""")
+         FROM events WHERE value >= 100.0 AND value < 200.0""",
+    "q551_bloom_skipping" ->
+      """WITH m AS (SELECT max(event_id) AS top FROM events)
+         SELECT 'present' AS probe, count(*) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_ve2
+         FROM events, m WHERE event_id = m.top
+         UNION ALL
+         SELECT 'absent', count(*), CAST(sum(user_id) AS BIGINT),
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         FROM events, m WHERE event_id = m.top + 12345""")
 }

@@ -72,8 +72,11 @@ object TxStats {
     */
   case class ColStats(typ: String, nulls: Long, lo: Option[Any], hi: Option[Any])
 
-  /** One file's zone map: row count plus per-column entries. */
-  case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** One file's zone map: row count, per-column entries, and (opt-in)
+    * per-column Bloom filters for point-lookup skipping.
+    */
+  case class FileStats(rows: Long, cols: Map[String, ColStats],
+      blooms: Map[String, graft.functions.FileBloom.Bloom] = Map.empty)
 
   /** Normalization for an eligible type: (type tag, column rewrite that
     * makes min/max collectible as Long/Double/String). Date → epoch
@@ -98,11 +101,24 @@ object TxStats {
     * driver memory: one row per staged file.
     */
   def collect(spark: SparkSession, dir: String, names: Seq[String],
-      schema: StructType): Map[String, FileStats] = {
+      schema: StructType, bloomFor: Seq[String] = Nil,
+      bloomBits: Int = graft.functions.FileBloom.DefaultBits): Map[String, FileStats] = {
     if (names.isEmpty) return Map.empty
     val fields = schema.fields.iterator
       .flatMap(f => normType(f.dataType).map { case (tag, fn) => (f.name, tag, fn) })
       .take(MaxIndexedCols).toSeq
+    // Bloom keys must canonicalize exactly: integral/date/timestamp
+    // normalize to long, strings stay raw; float/double are refused
+    // (no stable canonical form across engines/NaN)
+    val bloomFields = bloomFor.map { n =>
+      val f = fields.find(_._1 == n).getOrElse(throw new IllegalArgumentException(
+        s"bloom column $n is not a stats-eligible column of the write schema"))
+      require(f._2 != "d", s"bloom column $n has a floating type — " +
+        "equality canonicalization is not stable; use an integral/string key")
+      f
+    }
+    val numWords = math.max(1, (bloomBits + 63) / 64)
+    val bloomK = graft.functions.FileBloom.DefaultK
     val df = spark.read.schema(schema).parquet(names.map(n => s"$dir/$n"): _*)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ fields.zipWithIndex.flatMap {
       case ((name, tag, fn), i) =>
@@ -113,6 +129,11 @@ object TxStats {
               max(substring(c, 1, StringPrefixCap + 1)))
           else (min(c), max(c))
         Seq(lo.as(s"__lo$i"), hi.as(s"__hi$i"), count(c).as(s"__nn$i"))
+    } ++ bloomFields.zipWithIndex.map { case ((name, _, fn), i) =>
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.BloomAgg(
+          org.apache.spark.sql.GraftSqlBridge.expression(fn(col(name))),
+          numWords, bloomK).toAggregateExpression()).as(s"__bf$i")
     }
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -136,7 +157,14 @@ object TxStats {
         }
         name -> ColStats(tag, nRows - nn, lo, hi)
       }.toMap
-      fname -> FileStats(nRows, cols)
+      val blooms = bloomFields.zipWithIndex.map { case ((name, _, _), i) =>
+        val bytes = r.getAs[Array[Byte]](r.fieldIndex(s"__bf$i"))
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val words = new Array[Long](bytes.length / 8)
+        (0 until words.length).foreach(j => words(j) = bb.getLong())
+        name -> graft.functions.FileBloom.Bloom(bloomK, words)
+      }.toMap
+      fname -> FileStats(nRows, cols, blooms)
     }.toMap
     // an empty staged file produces no group — record rows=0 stats so
     // it is provably prunable rather than merely stats-less
@@ -190,6 +218,10 @@ object TxStats {
           .append(cs.typ).append('\t').append(cs.nulls).append('\t')
           .append(fld(cs.lo)).append('\t').append(fld(cs.hi)).append('\n')
       }
+      fs.blooms.toSeq.sortBy(_._1).foreach { case (c, b) =>
+        sb.append("B\t").append(esc(f)).append('\t').append(esc(c)).append('\t')
+          .append(b.k).append('\t').append(b.toBase64).append('\n')
+      }
     }
     sb.toString
   }
@@ -208,6 +240,8 @@ object TxStats {
   def parse(s: String): Map[String, FileStats] = {
     val rows = collection.mutable.Map.empty[String, Long]
     val cols = collection.mutable.Map.empty[String, List[(String, ColStats)]]
+    val blooms = collection.mutable.Map
+      .empty[String, List[(String, graft.functions.FileBloom.Bloom)]]
     s.linesIterator.filter(_.nonEmpty).foreach { line =>
       val p = line.split("\t", -1)
       p(0) match {
@@ -217,11 +251,17 @@ object TxStats {
           cols(f) = (unesc(p(2)) ->
             ColStats(p(3), p(4).toLong, decode(p(3), p(5)), decode(p(3), p(6)))) ::
             cols.getOrElse(f, Nil)
+        case "B" =>
+          val f = unesc(p(1))
+          blooms(f) = (unesc(p(2)) ->
+            graft.functions.FileBloom.fromBase64(p(3).toInt, p(4))) ::
+            blooms.getOrElse(f, Nil)
         case _ => // unknown record kind: ignore (forward compatibility)
       }
     }
     rows.iterator.map { case (f, n) =>
-      f -> FileStats(n, cols.getOrElse(f, Nil).toMap)
+      f -> FileStats(n, cols.getOrElse(f, Nil).toMap,
+        blooms.getOrElse(f, Nil).toMap)
     }.toMap
   }
 
@@ -353,6 +393,28 @@ object TxStats {
     */
   private def hasNonNull(fs: FileStats, cs: ColStats): Boolean = cs.nulls < fs.rows
 
+  /** Bloom probe: false ONLY when the filter proves the key absent.
+    * Keys canonicalize exactly as [[collect]] inserted them (normalized
+    * long's decimal form, raw string); anything else falls open.
+    */
+  private def bloomMayContain(fs: FileStats, name: String, v: Any,
+      dt: DataType): Boolean =
+    fs.blooms.get(name) match {
+      case None => true
+      case Some(b) => dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | BooleanType => v match {
+          case l: Long => b.mightContain(l.toString)
+          case _ => true
+        }
+        case StringType => v match {
+          case s: String => b.mightContain(s)
+          case _ => true
+        }
+        case _ => true
+      }
+    }
+
   private def mayEq(fs: FileStats, cs: ColStats, v: Any, dt: DataType): Boolean =
     hasNonNull(fs, cs) &&
       cs.lo.forall(l => cmp(l, v, dt).forall(_ <= 0)) &&
@@ -375,15 +437,15 @@ object TxStats {
     * makes the comparison NULL (no row passes a null filter).
     */
   private def binCmp(fs: FileStats, l: Expression, r: Expression)(
-      fwd: (ColStats, Any, DataType) => Boolean,
-      rev: (ColStats, Any, DataType) => Boolean): Boolean = {
+      fwd: (String, ColStats, Any, DataType) => Boolean,
+      rev: (String, ColStats, Any, DataType) => Boolean): Boolean = {
     val sides = Seq(
       (attrOf(l), litOf(r), true),
       (attrOf(r), litOf(l), false))
     sides.collectFirst { case (Some(name), Some((v, dt)), isFwd) =>
       if (v == null) false
       else fs.cols.get(name) match {
-        case Some(cs) => if (isFwd) fwd(cs, v, dt) else rev(cs, v, dt)
+        case Some(cs) => if (isFwd) fwd(name, cs, v, dt) else rev(name, cs, v, dt)
         case None => true // no stats for this column: cannot prune
       }
     }.getOrElse(true) // attr-vs-attr, function-of-attr, etc.: cannot prune
@@ -411,23 +473,32 @@ object TxStats {
       case None => true
     }
     case EqualTo(l, r) =>
-      binCmp(fs, l, r)(mayEq(fs, _, _, _), mayEq(fs, _, _, _))
+      def eq(n: String, cs: ColStats, v: Any, dt: DataType): Boolean =
+        mayEq(fs, cs, v, dt) && bloomMayContain(fs, n, v, dt)
+      binCmp(fs, l, r)(eq, eq)
     case EqualNullSafe(l, r) =>
       (litOf(l), litOf(r)) match {
         case (Some((null, _)), _) => attrOf(r).flatMap(fs.cols.get)
           .forall(_.nulls > 0)
         case (_, Some((null, _))) => attrOf(l).flatMap(fs.cols.get)
           .forall(_.nulls > 0)
-        case _ => binCmp(fs, l, r)(mayEq(fs, _, _, _), mayEq(fs, _, _, _))
+        case _ =>
+          def eq(n: String, cs: ColStats, v: Any, dt: DataType): Boolean =
+            mayEq(fs, cs, v, dt) && bloomMayContain(fs, n, v, dt)
+          binCmp(fs, l, r)(eq, eq)
       }
     case LessThan(l, r) => // attr < v | v < attr
-      binCmp(fs, l, r)(mayLt(fs, _, _, _), mayGt(fs, _, _, _))
+      binCmp(fs, l, r)((_, cs, v, dt) => mayLt(fs, cs, v, dt),
+        (_, cs, v, dt) => mayGt(fs, cs, v, dt))
     case LessThanOrEqual(l, r) =>
-      binCmp(fs, l, r)(mayLe(fs, _, _, _), mayGe(fs, _, _, _))
+      binCmp(fs, l, r)((_, cs, v, dt) => mayLe(fs, cs, v, dt),
+        (_, cs, v, dt) => mayGe(fs, cs, v, dt))
     case GreaterThan(l, r) => // attr > v | v > attr
-      binCmp(fs, l, r)(mayGt(fs, _, _, _), mayLt(fs, _, _, _))
+      binCmp(fs, l, r)((_, cs, v, dt) => mayGt(fs, cs, v, dt),
+        (_, cs, v, dt) => mayLt(fs, cs, v, dt))
     case GreaterThanOrEqual(l, r) =>
-      binCmp(fs, l, r)(mayGe(fs, _, _, _), mayLe(fs, _, _, _))
+      binCmp(fs, l, r)((_, cs, v, dt) => mayGe(fs, cs, v, dt),
+        (_, cs, v, dt) => mayLe(fs, cs, v, dt))
     case In(a, vs) if vs.forall(v => litOf(v).isDefined) =>
       attrOf(a) match {
         case None => true
@@ -436,7 +507,8 @@ object TxStats {
           case Some(cs) =>
             // null list entries contribute NULL (never TRUE) to IN
             vs.flatMap(litOf).exists { case (v, dt) =>
-              v != null && mayEq(fs, cs, v, dt)
+              v != null && mayEq(fs, cs, v, dt) &&
+                bloomMayContain(fs, name, v, dt)
             }
         }
       }

@@ -279,10 +279,12 @@ object TxTable {
     * staged files; a production port lifts the same numbers from the
     * parquet footers the write produced).
     */
-  private def stageWithStats(df: DataFrame, dir: String)
+  private def stageWithStats(df: DataFrame, dir: String,
+      bloomFor: Seq[String] = Nil)
       : (Seq[String], Map[String, TxStats.FileStats]) = {
     val names = stage(df, dir)
-    (names, TxStats.collect(df.sparkSession, dir, names, df.schema))
+    (names, TxStats.collect(df.sparkSession, dir, names, df.schema,
+      bloomFor = bloomFor))
   }
 
   /** Publish a commit. Appends (`basedOn = None`) are order-independent:
@@ -392,11 +394,18 @@ object TxTable {
           oldNames(f.name)))
     }
 
-  /** Atomic append (order-independent — claims the next free version). */
-  def append(df: DataFrame, dir: String): Long = {
+  /** Atomic append (order-independent — claims the next free version).
+    *
+    * `bloomFor` opts listed integral/string columns into per-file Bloom
+    * filters alongside the zone maps — the point-lookup complement:
+    * an equality probe on a high-cardinality key in arrival-order
+    * layout passes every file's [min, max], but a Bloom "definitely
+    * absent" prunes it (no false negatives, so always sound).
+    */
+  def append(df: DataFrame, dir: String, bloomFor: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(dir))
     val schema = evolve(dir, df.schema)
-    val (names, stats) = stageWithStats(df, dir)
+    val (names, stats) = stageWithStats(df, dir, bloomFor)
     publish(dir, "append", names, Nil, schema.json, basedOn = None,
       stats = stats)
   }
@@ -426,7 +435,7 @@ object TxTable {
     * single-key sort) only ever serves one.
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
-      zorderBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil, bloomFor: Seq[String] = Nil,
       expectedVersion: Option[Long] = None): Long = {
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "compact")
@@ -439,7 +448,7 @@ object TxTable {
         .repartitionByRange(math.max(targetFiles, 1), col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-    val (names, stats) = stageWithStats(arranged, dir)
+    val (names, stats) = stageWithStats(arranged, dir, bloomFor)
     publish(dir, if (zorderBy.isEmpty) "compact" else "zorder",
       names, before, snap.schema.json, basedOn = Some(base), stats = stats)
   }
