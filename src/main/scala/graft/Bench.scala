@@ -337,7 +337,8 @@ object Bench {
     "q548_curation_excise", // composed curate -> exciseKept chain
     "q549_stats_skipping", // zone-map file pruning through TxTable.readWhere
     "q550_zorder_clustering", // OPTIMIZE ZORDER + both-dimension pruned reads
-    "q551_bloom_skipping") // per-file Bloom point-lookup pruning
+    "q551_bloom_skipping", // per-file Bloom point-lookup pruning
+    "q552_change_data_feed") // net per-commit row deltas (CDF)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

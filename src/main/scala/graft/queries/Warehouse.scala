@@ -1158,6 +1158,44 @@ object Warehouse {
           .withColumn("probe", lit(name))
       probe("present", me).unionByName(probe("absent", me + 12345L))
         .select("probe", "n_rows", "sum_uid", "sum_ve2")
+    }),
+
+    // Change data feed (Delta CDF shape) — incremental consumption:
+    // drive a TxTable through append / append / MERGE / overwrite /
+    // ZORDER-compact, then read the NET row-level delta of every
+    // commit (insert|delete per row; updates surface as their
+    // delete+insert pair; layout-only commits produce nothing) and
+    // aggregate per (version, change_type). The oracle derives each
+    // commit's expected delta directly from `orders`, so a feed that
+    // leaks a carried-over MERGE row, misses an overwrite cancellation,
+    // or lets a compaction fabricate changes breaks the hash. At
+    // 100 TB the feed reads only each commit's touched files — a
+    // downstream consumer applies O(delta), never O(table)
+    // (TxChangesSpec pins the apply-commit-by-commit invariant).
+    "q552_change_data_feed" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q552_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      graft.sources.TxTable.append(o.where(col("r") <= 3).drop("r"), dir)
+      graft.sources.TxTable.append(
+        o.where(col("r").between(4, 7)).drop("r"), dir)
+      graft.sources.TxTable.merge(s, dir,
+        o.where(col("r") >= 6).select(col("k"),
+          (col("cents") + 1L).as("cents")), Seq("k"))
+      graft.sources.TxTable.overwrite(o.where(col("r") <= 1).drop("r"), dir)
+      graft.sources.TxTable.compact(s, dir, targetFiles = 1,
+        zorderBy = Seq("k"))
+      graft.sources.TxTable.readChanges(s, dir, -1L)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          col("n_rows"), col("sum_cents"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1916,5 +1954,28 @@ object Warehouse {
          UNION ALL
          SELECT 'absent', count(*), CAST(sum(user_id) AS BIGINT),
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-         FROM events, m WHERE event_id = m.top + 12345""")
+         FROM events, m WHERE event_id = m.top + 12345""",
+    // each commit's expected NET delta derived directly from orders:
+    // v0/v1 pure inserts; v2 MERGE = updated 6,7 (+1) and new 8,9 as
+    // inserts, old 6,7 as deletes (carried 4,5 cancel); v3 overwrite
+    // keeps identical r<=1 rows (cancel) and deletes the rest at their
+    // POST-merge values; v4 zorder-compact contributes nothing
+    "q552_change_data_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders)
+         SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+           count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o WHERE r <= 3
+         UNION ALL SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r BETWEEN 4 AND 7
+         UNION ALL SELECT 2, 'insert', count(*),
+           CAST(sum(cents + 1) AS BIGINT)
+         FROM o WHERE r >= 6
+         UNION ALL SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r IN (6, 7)
+         UNION ALL SELECT 3, 'delete', count(*),
+           CAST(sum(CASE WHEN r >= 6 THEN cents + 1 ELSE cents END) AS BIGINT)
+         FROM o WHERE r >= 2""")
 }

@@ -488,6 +488,65 @@ object TxTable {
       evolve(dir, source.schema).json, basedOn = Some(base), stats = stats)
   }
 
+  /** Change data feed: NET row-level changes committed in versions
+    * (`fromVersion`, `toVersion`] — the incremental-consumption read
+    * (Delta's CDF shape): a downstream pipeline applies the delta
+    * instead of rescanning the table. Returns the table's columns plus
+    * `_change_type` ('insert' | 'delete'; an update surfaces as its
+    * delete+insert pair — net-diff semantics, no preimage tracking) and
+    * `_commit_version`.
+    *
+    * Derivation is per commit from the log's add/remove file lists:
+    * rows of added files `EXCEPT ALL` rows of removed files are the
+    * inserts, the reverse are the deletes — copy-on-write carry-over
+    * rows (rewritten unchanged by MERGE) cancel out, so the feed is the
+    * minimal delta. Layout-only commits (compact / zorder) produce no
+    * changes by construction. Invariant (spec-pinned): applying the
+    * feed commit by commit — the net-diff feed is ORDERED; an
+    * insert@v and delete@v' of the same row do not commute —
+    * `snapshot(from) − deletes(v) + inserts(v)` per version reproduces
+    * `snapshot(to)` exactly.
+    *
+    * Scale shape: each version's diff reads ONLY that commit's
+    * added/removed files — O(delta), never O(table); the `exceptAll` is
+    * one shuffle over the touched slice. Pure appends and overwrites
+    * skip the diff entirely (one side is empty).
+    */
+  def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val top = math.min(toVersion.getOrElse(Long.MaxValue), currentVersion(dir))
+    val commits = readLog(dir, Some(top)).filter(_.version > fromVersion)
+    val layoutOnly = Set("compact", "zorder", "checkpoint")
+    val parts = commits.filterNot(c => layoutOnly(c.op)).flatMap { c =>
+      if (c.adds.isEmpty && c.removes.isEmpty) None
+      else {
+        val schema = Option(c.schemaJson).filter(_.nonEmpty)
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType])
+        def rd(files: Seq[String]): DataFrame =
+          if (files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema.getOrElse(new StructType()))
+          else schema.map(s => spark.read.schema(s)).getOrElse(spark.read)
+            .parquet(files.map(f => s"$dir/$f"): _*)
+        val added = rd(c.adds)
+        val removed = rd(c.removes)
+        val ins = (if (c.removes.isEmpty) added else added.exceptAll(removed))
+          .withColumn("_change_type", lit("insert"))
+        val del = (if (c.adds.isEmpty) removed else removed.exceptAll(added))
+          .withColumn("_change_type", lit("delete"))
+        Some(ins.unionByName(del).withColumn("_commit_version", lit(c.version)))
+      }
+    }
+    if (parts.isEmpty) {
+      val base = schemaAt(dir, Some(top)).getOrElse(new StructType())
+        .add("_change_type", "string").add("_commit_version", "long")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */
   def hasCommitTag(dir: String, opTag: String): Boolean =
     readLog(dir, None).exists(_.op.endsWith(":" + opTag))
