@@ -338,7 +338,8 @@ object Bench {
     "q549_stats_skipping", // zone-map file pruning through TxTable.readWhere
     "q550_zorder_clustering", // OPTIMIZE ZORDER + both-dimension pruned reads
     "q551_bloom_skipping", // per-file Bloom point-lookup pruning
-    "q552_change_data_feed") // net per-commit row deltas (CDF)
+    "q552_change_data_feed", // net per-commit row deltas (CDF)
+    "q553_delete_update") // file-pruned copy-on-write DELETE/UPDATE
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1196,6 +1196,39 @@ object Warehouse {
         .select(col("_commit_version").as("version"),
           col("_change_type").as("change_type"),
           col("n_rows"), col("sum_cents"))
+    }),
+
+    // Copy-on-write DELETE + UPDATE (the DML half of S7, file-pruned
+    // through the zone maps): delete one residue class, update another
+    // in place, then pin BOTH the final snapshot and each commit's CDF
+    // delta — a delete that leaks a row, an update that touches a
+    // non-matching row, or a rewrite that loses a carried row all break
+    // the hash. At 100 TB the write cost is O(files that may match) —
+    // the GDPR-delete shape (TxDmlSpec pins the 1-of-3-files rewrite).
+    "q553_delete_update" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q553_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      graft.sources.TxTable.append(o, dir) // v0
+      graft.sources.TxTable.delete(s, dir, col("r") === 5L) // v1
+      graft.sources.TxTable.update(s, dir, col("r") === 7L,
+        Map("cents" -> (col("cents") + 10L))) // v2
+      val feed = graft.sources.TxTable.readChanges(s, dir, 0L)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          col("n_rows"), col("sum_cents"))
+      val fin = graft.sources.TxTable.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(99L).as("version"), lit("snapshot").as("change_type"),
+          col("n_rows"), col("sum_cents"))
+      feed.unionByName(fin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1977,5 +2010,24 @@ object Warehouse {
          FROM o WHERE r IN (6, 7)
          UNION ALL SELECT 3, 'delete', count(*),
            CAST(sum(CASE WHEN r >= 6 THEN cents + 1 ELSE cents END) AS BIGINT)
-         FROM o WHERE r >= 2""")
+         FROM o WHERE r >= 2""",
+    // v1 = DELETE r=5 (net deletes only — carried rows cancel);
+    // v2 = UPDATE r=7 (pre-image deletes + post-image inserts);
+    // 99 = the final snapshot
+    "q553_delete_update" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders)
+         SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+           count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o WHERE r = 5
+         UNION ALL SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r = 7
+         UNION ALL SELECT 2, 'insert', count(*),
+           CAST(sum(cents + 10) AS BIGINT)
+         FROM o WHERE r = 7
+         UNION ALL SELECT 99, 'snapshot', count(*),
+           CAST(sum(CASE WHEN r = 7 THEN cents + 10 ELSE cents END) AS BIGINT)
+         FROM o WHERE r <> 5""")
 }

@@ -33,7 +33,9 @@ import scala.jdk.CollectionConverters._
   *    that contain matched keys; only those are rewritten (anti-join
   *    survivors ∪ source), untouched files carry over. At 100 TB the
   *    rewrite cost is proportional to touched files, not table size —
-  *    the same contract as the reference's Delta MERGE.
+  *    the same contract as the reference's Delta MERGE. `delete` /
+  *    `update` complete the DML surface with the same copy-on-write
+  *    shape, file-pruned through the zone maps below.
   *  - **Data skipping.** Every write records per-file min/max/nullCount
   *    zone maps ([[TxStats]], an atomic `<v>.stats.tsv` sidecar next to
   *    the commit); [[readWhere]] evaluates the predicate against them
@@ -451,6 +453,67 @@ object TxTable {
     val (names, stats) = stageWithStats(arranged, dir, bloomFor)
     publish(dir, if (zorderBy.isEmpty) "compact" else "zorder",
       names, before, snap.schema.json, basedOn = Some(base), stats = stats)
+  }
+
+  /** DELETE WHERE: copy-on-write removal of rows matching `predicate`,
+    * with ZONE-MAP FILE PRUNING — only files whose recorded stats say
+    * they MAY contain a match are rewritten (kept rows re-staged, file
+    * swapped in one commit); provably-unaffected files are never read.
+    * At 100 TB this is the GDPR-delete shape: removing one key's rows
+    * from a clustered (or Bloom-indexed) table touches O(matching
+    * files), not the table. A delete that provably matches nothing is
+    * a NO-OP (no new version). SQL semantics: a NULL predicate does
+    * not delete the row.
+    */
+  def delete(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      expectedVersion: Option[Long] = None): Long = {
+    val base = currentVersion(dir)
+    requireVersion(dir, expectedVersion, base, "delete")
+    if (base < 0) return base
+    val (touched, _) = pruneFiles(spark, dir, predicate, Some(base))
+    if (touched.isEmpty) return base
+    val schema = schemaAt(dir, Some(base)).getOrElse(new StructType())
+    val kept = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$dir/$f"): _*)
+      .where(!coalesce(predicate, lit(false)))
+    val (names, stats) = stageWithStats(kept, dir)
+    publish(dir, "delete", names, touched, schema.json,
+      basedOn = Some(base), stats = stats)
+  }
+
+  /** UPDATE SET ... WHERE: copy-on-write in-place edit of matching rows,
+    * same zone-map file pruning as [[delete]]. `set` maps column name →
+    * new-value expression (evaluated against the row); non-matching
+    * rows and provably-unaffected files are byte-carried. Column TYPES
+    * must be preserved — a type-changing assignment is a rewrite, not
+    * an update, and is refused.
+    */
+  def update(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      expectedVersion: Option[Long] = None): Long = {
+    val base = currentVersion(dir)
+    requireVersion(dir, expectedVersion, base, "update")
+    if (base < 0) return base
+    val (touched, _) = pruneFiles(spark, dir, predicate, Some(base))
+    if (touched.isEmpty) return base
+    val schema = schemaAt(dir, Some(base)).getOrElse(new StructType())
+    val unknown = set.keySet.diff(schema.fieldNames.toSet)
+    require(unknown.isEmpty, s"UPDATE of unknown column(s): $unknown")
+    val hit = coalesce(predicate, lit(false))
+    val updated = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$dir/$f"): _*)
+      .withColumns(set.map { case (c, e) =>
+        c -> when(hit, e.cast(schema(c).dataType)).otherwise(col(c))
+      })
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    require(updated.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType))),
+      "UPDATE must preserve column types")
+    val (names, stats) = stageWithStats(updated, dir)
+    publish(dir, "update", names, touched, schema.json,
+      basedOn = Some(base), stats = stats)
   }
 
   /** MERGE (upsert): rows of `source` replace same-key rows, new keys
