@@ -68,9 +68,18 @@ object ZOrder {
         case DateType => unix_date(col(name)).cast("double")
         case TimestampType => unix_micros(col(name)).cast("double")
         case _: NumericType => col(name).cast("double")
+        case StringType =>
+          // order-preserving ordinal of the first 8 UTF-8 bytes: exact
+          // enough for BUCKETING (file-level clustering needs only
+          // coarse rank; ties beyond 8 bytes land in one bucket, which
+          // is correct — they're adjacent in the true order too). The
+          // double rounding below 2^53 keeps monotonicity (non-strict).
+          org.apache.spark.sql.GraftSqlBridge.column(Utf8PrefixOrdinal(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(name))))
+            .cast("double")
         case dt => throw new IllegalArgumentException(
           s"zorder column $name has unsupported type ${dt.simpleString} " +
-            "(numeric, date, or timestamp required)")
+            "(numeric, date, timestamp, or string required)")
       }
     }
     val tmp = df.select(normd.zipWithIndex.map { case (c, i) => c.as(s"__zc$i") }: _*)
@@ -79,9 +88,18 @@ object ZOrder {
     val bounds = tmp.stat.approxQuantile(
       cols.indices.map(i => s"__zc$i").toArray, probs, 1.0 / (4 * nBuckets))
     interleave(normd.zip(bounds).map { case (c, bs) =>
-      org.apache.spark.sql.GraftSqlBridge.column(
-        BucketBinExpr(org.apache.spark.sql.GraftSqlBridge.expression(c),
-          bs.filterNot(_.isNaN).distinct.sorted))
+      val clean = bs.filterNot(_.isNaN).distinct.sorted
+      val raw = org.apache.spark.sql.GraftSqlBridge.column(
+        BucketBinExpr(org.apache.spark.sql.GraftSqlBridge.expression(c), clean))
+      // a low-cardinality column yields few distinct boundaries and so
+      // few significant bucket bits — scale every column's ids to the
+      // full 0..2^BitsPerCol-1 range so each dimension carries EQUAL
+      // weight in the interleave (else the high-cardinality column's
+      // high bits dominate the curve and the other dimension never
+      // clusters). Monotone: raw in 0..nb maps onto 0..max evenly.
+      val nb = math.max(clean.length, 1)
+      floor((raw * lit((nBuckets - 1).toLong)).cast("double") / lit(nb.toDouble))
+        .cast("long")
     })
   }
 
@@ -96,6 +114,41 @@ object ZOrder {
       j <- buckets.indices
     } yield shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce(_ bitwiseOR _)
+  }
+}
+
+/** Order-preserving ordinal of a string's first 8 UTF-8 bytes, packed
+  * big-endian into a non-negative long (shifted down by one bit so the
+  * later double cast stays exact-monotone over the whole range):
+  * a < b in UTF-8 byte order implies ordinal(a) <= ordinal(b), which is
+  * all equi-depth bucketing needs.
+  */
+case class Utf8PrefixOrdinal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_utf8_prefix_ordinal"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Utf8PrefixOrdinal.ordinal(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.Utf8PrefixOrdinal.ordinal($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Utf8PrefixOrdinal {
+  /** Static so generated code can call it. */
+  def ordinal(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    var out = 0L
+    var i = 0
+    while (i < 8) {
+      out = (out << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    out >>> 1 // keep non-negative; >>> preserves unsigned order
   }
 }
 

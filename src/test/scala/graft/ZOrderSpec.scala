@@ -66,6 +66,40 @@ class ZOrderSpec extends SparkSpec {
     assert(distinctZ > 50, s"z-values collapsed: $distinctZ distinct")
   }
 
+  test("utf8 prefix ordinal preserves UTF-8 byte order") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = Seq("", "a", "aa", "ab", "b", "ba", "zz", "zzzzzzzzzz",
+      "é", "中文", "z￿")
+    val sorted = words.sortWith((a, b) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    val ords = sorted.map(w =>
+      graft.functions.Utf8PrefixOrdinal.ordinal(UTF8String.fromString(w)))
+    ords.sliding(2).foreach { case Seq(x, y) =>
+      assert(x <= y, s"ordinal order broken: $x > $y")
+    }
+    assert(ords.forall(_ >= 0L))
+  }
+
+  test("zorder clusters string columns: domain probe prunes files") {
+    val dir = freshDir("strings")
+    val s = spark
+    import s.implicits._
+    val domains = Seq("alpha.com", "beta.org", "gamma.net", "delta.io",
+      "epsilon.co", "zeta.dev", "eta.ai", "theta.edu")
+    val rows = (0 until 4000).map(i =>
+      (domains(i % 8), i.toLong, (i * 2654435761L) % 10007L))
+      .sortBy(_._3).map(r => (r._1, r._2))
+    TxTable.append(rows.toDF("domain", "id").repartition(1), dir)
+    TxTable.compact(spark, dir, targetFiles = 16, zorderBy = Seq("domain", "id"))
+    val p = col("domain") === "gamma.net"
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir, p)
+    assert(skipped.size >= 8, s"string zorder should prune: skipped $skipped")
+    assert(TxTable.readWhere(spark, dir, p).count() == 500)
+    val sw = col("domain").startsWith("zet")
+    assert(TxTable.pruneFiles(spark, dir, sw)._2.size >= 8)
+    assert(TxTable.readWhere(spark, dir, sw).count() == 500)
+  }
+
   test("zorder compact preserves data exactly and commits as one version") {
     val dir = freshDir("preserve")
     val s = spark
