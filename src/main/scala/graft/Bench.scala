@@ -339,7 +339,8 @@ object Bench {
     "q550_zorder_clustering", // OPTIMIZE ZORDER + both-dimension pruned reads
     "q551_bloom_skipping", // per-file Bloom point-lookup pruning
     "q552_change_data_feed", // net per-commit row deltas (CDF)
-    "q553_delete_update") // file-pruned copy-on-write DELETE/UPDATE
+    "q553_delete_update", // file-pruned copy-on-write DELETE/UPDATE
+    "q554_incremental_replication") // CDF-driven TxSync replica
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

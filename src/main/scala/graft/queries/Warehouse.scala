@@ -1229,6 +1229,43 @@ object Warehouse {
         .select(lit(99L).as("version"), lit("snapshot").as("change_type"),
           col("n_rows"), col("sum_cents"))
       feed.unionByName(fin)
+    }),
+
+    // CDF-driven incremental replication (TxSync): drive a source table
+    // through append/append, sync, then MERGE/DELETE/UPDATE/ZORDER,
+    // sync again — the REPLICA is read back and must equal the
+    // SQL-derived source state exactly, and the second sync must have
+    // applied exactly the 4 pending commits (the layout-only ZORDER
+    // rides the feed as an empty apply). The 100 TB shape this pins:
+    // a downstream copy stays current by applying each commit's net
+    // delta with file-pruned writes — never by rescanning the source
+    // (TxSyncSpec pins idempotence, resume, and target file pruning).
+    "q554_incremental_replication" -> ((s, d) => {
+      val srcDir = s"/root/repo/target/tmp/txtable_q554s_sf${d.hashCode.abs}"
+      val dstDir = s"/root/repo/target/tmp/txtable_q554d_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(srcDir)); del(new java.io.File(dstDir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      graft.sources.TxTable.append(o.where(col("r") <= 4), srcDir) // v0
+      graft.sources.TxTable.append(o.where(col("r") >= 5), srcDir) // v1
+      graft.sources.TxSync.replicate(s, srcDir, dstDir, Seq("k"))
+      graft.sources.TxTable.merge(s, srcDir,
+        o.where(col("r") >= 8).select(col("k"),
+          (col("cents") + 1L).as("cents"), col("r")), Seq("k")) // v2
+      graft.sources.TxTable.delete(s, srcDir, col("r") === 0L) // v3
+      graft.sources.TxTable.update(s, srcDir, col("r") === 3L,
+        Map("cents" -> (col("cents") + 5L))) // v4
+      graft.sources.TxTable.compact(s, srcDir, targetFiles = 1,
+        zorderBy = Seq("k")) // v5: layout-only, empty feed
+      val applied = graft.sources.TxSync.replicate(s, srcDir, dstDir, Seq("k"))
+      graft.sources.TxTable.read(s, dstDir)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .withColumn("applied_commits", lit(applied))
+        .select("n_rows", "sum_cents", "applied_commits")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2029,5 +2066,19 @@ object Warehouse {
          FROM o WHERE r = 7
          UNION ALL SELECT 99, 'snapshot', count(*),
            CAST(sum(CASE WHEN r = 7 THEN cents + 10 ELSE cents END) AS BIGINT)
-         FROM o WHERE r <> 5""")
+         FROM o WHERE r <> 5""",
+    // the REPLICA's final state, derived straight from orders: rows
+    // r<>0 survive the delete; +1 for the merged r>=8, +5 for the
+    // updated r=3; exactly 4 source commits were pending at sync #2
+    "q554_incremental_replication" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders)
+         SELECT count(*) AS n_rows,
+           CAST(sum(cents + CASE WHEN r >= 8 THEN 1 ELSE 0 END
+                          + CASE WHEN r = 3 THEN 5 ELSE 0 END) AS BIGINT)
+             AS sum_cents,
+           CAST(4 AS BIGINT) AS applied_commits
+         FROM o WHERE r <> 0""")
 }

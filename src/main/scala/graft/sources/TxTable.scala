@@ -610,6 +610,24 @@ object TxTable {
     } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Publish a replication apply (TxSync's seam): `newData` replaces
+    * the `removes` files in one commit whose op carries the sync tag
+    * (`sync:<tag>`) — the idempotence marker the replicator's
+    * high-water-mark scan reads back. An empty apply (layout-only or
+    * fully-cancelled source commit) stages nothing but still records
+    * the tag.
+    */
+  private[sources] def publishForSync(dir: String, newData: DataFrame,
+      removes: Seq[String], basedOn: Long, tag: String): Long = {
+    Files.createDirectories(Paths.get(dir))
+    val (adds, stats) =
+      if (newData.isEmpty) (Seq.empty[String], Map.empty[String, TxStats.FileStats])
+      else stageWithStats(newData, dir)
+    publish(dir, s"sync:$tag", adds, removes,
+      evolve(dir, newData.schema).json, basedOn = Some(basedOn),
+      stats = stats)
+  }
+
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */
   def hasCommitTag(dir: String, opTag: String): Boolean =
     readLog(dir, None).exists(_.op.endsWith(":" + opTag))
