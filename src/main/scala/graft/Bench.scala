@@ -340,7 +340,9 @@ object Bench {
     "q551_bloom_skipping", // per-file Bloom point-lookup pruning
     "q552_change_data_feed", // net per-commit row deltas (CDF)
     "q553_delete_update", // file-pruned copy-on-write DELETE/UPDATE
-    "q554_incremental_replication") // CDF-driven TxSync replica
+    "q554_incremental_replication", // CDF-driven TxSync replica
+    "q555_connector_read", // format("graft") pruned read + time travel
+    "q558_streaming_replication") // readStream→writeStream exactly-once
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1266,6 +1266,150 @@ object Warehouse {
         .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
         .withColumn("applied_commits", lit(applied))
         .select("n_rows", "sum_cents", "applied_commits")
+    }),
+
+    // The transactional table as a Spark CONNECTOR (`format("graft")`,
+    // GraftDataSource): ingest events through the standard
+    // DataFrameWriter in four key-range appends, then answer two reads
+    // through the standard DataFrameReader — a filtered read whose WHERE
+    // reaches `GraftFileIndex.listFiles` at planning time and prunes
+    // files through the zone maps (GraftConnectorSpec pins numFiles=1),
+    // and a `versionAsOf` time-travel read of the first commit. This is
+    // the entry point a reference user migrating `spark.read
+    // .format("delta")` actually types; the oracle replays both reads
+    // from the raw table, so a mis-pruned or mis-versioned file breaks
+    // the hash.
+    "q555_connector_read" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q555_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_e2"))
+      val me = ev.agg(max("event_id")).collect()(0).getLong(0) // 1 value
+      (0L until 4L).foreach { i =>
+        val lo = if (i == 0L) lit(true) else col("event_id") > lit(me * i / 4L)
+        ev.where(lo && col("event_id") <= lit(me * (i + 1) / 4L))
+          .write.format("graft").mode("append").save(dir)
+      }
+      def agg(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum("user_id").as("sum_uid"),
+          sum("v_e2").as("sum_ve2")).withColumn("probe", lit(name))
+      agg(s.read.format("graft").load(dir)
+          .where(col("event_id") <= lit(me / 4L)), "pruned")
+        .unionByName(agg(s.read.format("graft")
+          .option("versionAsOf", 0).load(dir), "time_travel"))
+        .select("probe", "n_rows", "sum_uid", "sum_ve2")
+    }),
+
+    // Pure SQL over the connector: `CREATE TEMPORARY VIEW ... USING
+    // graft` then a plain SELECT with a WHERE — no graft API in the
+    // query path at all. The filter still prunes files (the view
+    // resolves to the same HadoopFsRelation; GraftConnectorSpec pins
+    // numFiles=1 for this shape) and the scan keeps parquet pushdown +
+    // codegen. The reference's SQL-first users (`CREATE TABLE ... USING
+    // delta`, `spark.sql` pipelines) migrate to exactly this.
+    "q556_connector_sql" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q556_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      val mo = o.agg(max("k")).collect()(0).getLong(0) // 1 value
+      (0L until 2L).foreach { i =>
+        val lo = if (i == 0L) lit(true) else col("k") > lit(mo / 2L)
+        o.where(lo && col("k") <= lit(mo * (i + 1) / 2L))
+          .write.format("graft").mode("append").save(dir)
+      }
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW q556_orders " +
+        s"USING graft OPTIONS (path '$dir')")
+      s.sql(s"""SELECT r, count(*) AS n_rows, sum(cents) AS sum_cents
+                FROM q556_orders WHERE k <= ${mo / 2L} GROUP BY r""")
+    }),
+
+    // The TxTable log as a STRUCTURED STREAMING SOURCE (`readStream
+    // .format("graft")`, CDF mode): offsets are table versions, a
+    // micro-batch is `readChanges(start, end]`. Build a table through
+    // inserts, a MERGE and a DELETE, then stream its change feed with
+    // Trigger.AvailableNow through a streaming aggregation into a memory
+    // sink — per-version net delta counts and sums, oracle-derived
+    // straight from orders (the q552 discipline, now arriving as a
+    // stream). GraftStreamSpec pins offset resume and delete delivery.
+    "q557_streaming_cdf" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q557_sf${d.hashCode.abs}"
+      val ckpt = s"/root/repo/target/tmp/txtable_q557ck_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir)); del(new java.io.File(ckpt))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      o.where(col("r") <= 3L).write.format("graft").mode("append").save(dir)
+      o.where(col("r").between(4L, 7L)).write.format("graft")
+        .mode("append").save(dir)
+      graft.sources.TxTable.merge(s, dir,
+        o.where(col("r") >= 6L).select(col("k"),
+          (col("cents") + 1L).as("cents"), col("r")), Seq("k"))
+      graft.sources.TxTable.delete(s, dir, col("r") === 2L)
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .writeStream.format("memory").queryName("q557_feed")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q557_feed")
+        .select("version", "change_type", "n_rows", "sum_cents")
+    }),
+
+    // End-to-end STREAMING REPLICATION through the connector: readStream
+    // from a source TxTable (insert mode), transform in flight, and
+    // writeStream format("graft") into a replica — the sink's appends
+    // are exactly-once (batchId rides the commit op tag; GraftStreamSpec
+    // replays a batch and pins the no-op). The stream runs TWICE off one
+    // checkpoint with a source commit in between, so the second run
+    // provably consumes only the delta — the streaming twin of q554's
+    // batch TxSync, and the shape a 100 TB ingest actually deploys
+    // (continuous table-to-table pipelines, offsets in the checkpoint,
+    // idempotent commits in the log).
+    "q558_streaming_replication" -> ((s, d) => {
+      val srcDir = s"/root/repo/target/tmp/txtable_q558s_sf${d.hashCode.abs}"
+      val dstDir = s"/root/repo/target/tmp/txtable_q558d_sf${d.hashCode.abs}"
+      val ckpt = s"/root/repo/target/tmp/txtable_q558ck_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      Seq(srcDir, dstDir, ckpt).foreach(p => del(new java.io.File(p)))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      def sync(): Unit = {
+        val q = s.readStream.format("graft").load(srcDir)
+          .where(col("cents") % 2L === 0L)
+          .withColumn("cents2", col("cents") * 2L)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dstDir)
+        q.awaitTermination()
+      }
+      o.where(col("r") <= 4L).write.format("graft").mode("append").save(srcDir)
+      o.where(col("r").between(5L, 7L)).write.format("graft")
+        .mode("append").save(srcDir)
+      sync() // replicates versions 0..1
+      o.where(col("r") >= 8L).write.format("graft").mode("append").save(srcDir)
+      sync() // consumes ONLY version 2 off the checkpointed offset
+      s.read.format("graft").load(dstDir)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          sum("cents2").as("sum_cents2"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2080,5 +2224,61 @@ object Warehouse {
                           + CASE WHEN r = 3 THEN 5 ELSE 0 END) AS BIGINT)
              AS sum_cents,
            CAST(4 AS BIGINT) AS applied_commits
-         FROM o WHERE r <> 0""")
+         FROM o WHERE r <> 0""",
+    // both probes replay the same slice from the raw table: the pruned
+    // connector read and the versionAsOf read of commit 0 (the first
+    // quarter) must both equal the unpruned filter
+    "q555_connector_read" ->
+      """WITH m AS (SELECT max(event_id) // 4 AS cut FROM events),
+         f AS (SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS ve2
+           FROM events, m WHERE event_id <= m.cut)
+         SELECT 'pruned' AS probe, count(*) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           CAST(sum(ve2) AS BIGINT) AS sum_ve2
+         FROM f
+         UNION ALL
+         SELECT 'time_travel', count(*), CAST(sum(user_id) AS BIGINT),
+           CAST(sum(ve2) AS BIGINT)
+         FROM f""",
+    "q556_connector_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders),
+         m AS (SELECT max(k) // 2 AS cut FROM o)
+         SELECT r, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o, m WHERE k <= m.cut GROUP BY r""",
+    // each streamed micro-batch row is a commit's net delta, derived
+    // straight from orders: v0/v1 pure inserts; v2 MERGE = r>=6 at
+    // cents+1 as inserts (8,9 are new keys) with old 6,7 as deletes;
+    // v3 DELETE r=2
+    "q557_streaming_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders)
+         SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+           count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o WHERE r <= 3
+         UNION ALL SELECT 1, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r BETWEEN 4 AND 7
+         UNION ALL SELECT 2, 'insert', count(*),
+           CAST(sum(cents + 1) AS BIGINT)
+         FROM o WHERE r >= 6
+         UNION ALL SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r IN (6, 7)
+         UNION ALL SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r = 2""",
+    // the replica's final state: every orders row reached the source
+    // across the three appends; the stream kept even cents and derived
+    // cents2 = 2*cents in flight
+    "q558_streaming_replication" ->
+      """WITH o AS (SELECT
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents * 2) AS BIGINT) AS sum_cents2
+         FROM o WHERE cents % 2 = 0""")
 }

@@ -404,12 +404,13 @@ object TxTable {
     * layout passes every file's [min, max], but a Bloom "definitely
     * absent" prunes it (no false negatives, so always sound).
     */
-  def append(df: DataFrame, dir: String, bloomFor: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, dir: String, bloomFor: Seq[String] = Nil,
+      opTag: Option[String] = None): Long = {
     Files.createDirectories(Paths.get(dir))
     val schema = evolve(dir, df.schema)
     val (names, stats) = stageWithStats(df, dir, bloomFor)
-    publish(dir, "append", names, Nil, schema.json, basedOn = None,
-      stats = stats)
+    publish(dir, "append" + opTag.map(":" + _).getOrElse(""), names, Nil,
+      schema.json, basedOn = None, stats = stats)
   }
 
   /** Atomic full overwrite (snapshot replace). `expectedVersion` is the

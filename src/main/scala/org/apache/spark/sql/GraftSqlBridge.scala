@@ -59,4 +59,27 @@ object GraftSqlBridge {
     df.queryExecution.analyzed.collectFirst {
       case l: execution.LogicalRDD => l.rdd
     }
+
+  /** Re-root a computed frame as a STREAMING DataFrame — the V1 streaming
+    * `Source.getBatch` contract (the engine checks `isStreaming` on what a
+    * source returns). Same seam Delta's pre-DSv2 source used:
+    * `internalCreateDataFrame(toRdd, schema, isStreaming = true)`.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    d.sparkSession.internalCreateDataFrame(
+      d.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** Re-root the micro-batch frame a V1 `Sink.addBatch` receives as a plain
+    * BATCH DataFrame over the already-computed rows — the frame handed to a
+    * sink carries an incremental (streaming) plan that batch writers refuse;
+    * this is the same wrapping `foreachBatch` applies before handing the
+    * user their batch.
+    */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    d.sparkSession.internalCreateDataFrame(
+      d.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
