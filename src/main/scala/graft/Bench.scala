@@ -342,7 +342,8 @@ object Bench {
     "q553_delete_update", // file-pruned copy-on-write DELETE/UPDATE
     "q554_incremental_replication", // CDF-driven TxSync replica
     "q555_connector_read", // format("graft") pruned read + time travel
-    "q558_streaming_replication") // readStream→writeStream exactly-once
+    "q558_streaming_replication", // readStream→writeStream exactly-once
+    "q559_partitioned_table") // hive-partitioned connector ingest + prune
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

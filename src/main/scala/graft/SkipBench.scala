@@ -135,6 +135,42 @@ object SkipBench {
       }
     } // end studies 1-2
 
+    // -- study 4 (SPARK_GRAFT_SKIP_CONNECTOR=1|only): hive partitioning
+    // through the format("graft") connector. The SAME rows land twice:
+    // arrival-order unpartitioned (bucket interleaves every file, zone
+    // maps keep everything) vs partitionBy("bucket") (1/64 directories).
+    // Both probes run through the identical connector read path, so the
+    // gap is purely what the partition layout buys the planner.
+    val connMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_CONNECTOR", "")
+    if (connMode == "1" || connMode == "only") {
+      val evp = ev.withColumn("bucket", pmod(col("user_id"), lit(64L)))
+      val flatDir = fresh("events_flat")
+      val partDir = fresh("events_part")
+      val (_, tIngestFlat) = timed {
+        evp.write.format("graft").mode("append").save(flatDir)
+      }
+      val (_, tIngestPart) = timed {
+        evp.write.format("graft").partitionBy("bucket").mode("append")
+          .save(partDir)
+      }
+      val pPart = col("bucket") === 7L
+      val pMixed = col("bucket") === 7L &&
+        col("value") >= 100.0 && col("value") < 107.0
+      Seq("partition" -> pPart, "mixed" -> pMixed).foreach { case (pname, p) =>
+        Seq(("flat", flatDir, tIngestFlat),
+            ("partitioned", partDir, tIngestPart)).foreach {
+          case (tag, dir, tIn) =>
+            val (kept, skipped) = TxTable.pruneFiles(spark, dir, p)
+            val (n, t) = minTimed(
+              evAgg(spark.read.format("graft").load(dir).where(p)))
+            println(f"""{"study":"connector","layout":"$tag",""" +
+              f""""probe":"$pname","sf":"$sfDir","ingest_sec":$tIn%.2f,""" +
+              f""""kept":${kept.size},"skipped":${skipped.size},""" +
+              f""""rows":$n,"sec":$t%.3f}""")
+        }
+      }
+    }
+
     // -- study 3: bloom point lookup on an id-interleaved layout
     if (bloomMode == "1" || bloomMode == "only") {
       val bDir = fresh("events_bloom")

@@ -1410,6 +1410,37 @@ object Warehouse {
       s.read.format("graft").load(dstDir)
         .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
           sum("cents2").as("sum_cents2"))
+    }),
+
+    // Hive-PARTITIONED TxTable through the connector (`partitionBy` on
+    // the standard DataFrameWriter): orders land under r=<value>/
+    // directories, partition values live in the path (not the data
+    // files), and the scan re-attaches them per PartitionDirectory. A
+    // probe on the partition key alone is static partition pruning; a
+    // mixed partition+data probe prunes on BOTH (the partition value is
+    // synthesized into each file's zone map with lo == hi, the data
+    // bound comes from the recorded sidecars) — PartitionedTxSpec pins
+    // the numFiles shrinkage and null-partition handling. At 100 TB the
+    // partition prune is the coarse O(files) cut ingest layouts give for
+    // free; the zone maps refine inside each partition.
+    "q559_partitioned_table" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q559_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      val mo = o.agg(max("k")).collect()(0).getLong(0) // 1 value
+      o.write.format("graft").partitionBy("r").mode("append").save(dir)
+      def agg(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .withColumn("probe", lit(name))
+      agg(s.read.format("graft").load(dir).where(col("r") === 3L), "one_r")
+        .unionByName(agg(s.read.format("graft").load(dir)
+          .where(col("r") === 5L && col("k") <= lit(mo / 2L)), "mixed"))
+        .select("probe", "n_rows", "sum_cents")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2280,5 +2311,17 @@ object Warehouse {
            FROM orders)
          SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
            CAST(sum(cents * 2) AS BIGINT) AS sum_cents2
-         FROM o WHERE cents % 2 = 0""")
+         FROM o WHERE cents % 2 = 0""",
+    "q559_partitioned_table" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders),
+         m AS (SELECT max(k) // 2 AS cut FROM o)
+         SELECT 'one_r' AS probe, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o WHERE r = 3
+         UNION ALL
+         SELECT 'mixed', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o, m WHERE r = 5 AND k <= m.cut""")
 }

@@ -71,13 +71,7 @@ final class GraftDataSource extends RelationProvider
       // computed; consumers are incremental appliers, not scan-heavy
       val from = parameters.get("startingVersion").map(_.toLong).getOrElse(0L) - 1
       ComputedRelation(sqlContext, TxTable.readChanges(spark, dir, from, asOf))
-    } else {
-      val schema = TxTable.schemaAt(dir, asOf).getOrElse(
-        throw new IllegalArgumentException(s"no TxTable at $dir"))
-      HadoopFsRelation(new GraftFileIndex(spark, dir, asOf),
-        new StructType(), schema, None, new ParquetFileFormat(),
-        Map.empty)(spark)
-    }
+    } else GraftFileIndex.relation(spark, dir, asOf)
   }
 
   // ---- batch write ----
@@ -87,15 +81,29 @@ final class GraftDataSource extends RelationProvider
     val dir = pathOf(parameters)
     val bloomFor = parameters.get("bloomFor").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // `df.write.partitionBy(...)` arrives encoded under Spark's V1 key;
+    // a plain "partitionBy" option is accepted as the SQL-friendly form
+    val partitionBy = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .orElse(parameters.get("partitionBy").map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
     val exists = TxTable.currentVersion(dir) >= 0
     mode match {
-      case SaveMode.Append => TxTable.append(data, dir, bloomFor)
-      case SaveMode.Overwrite => TxTable.overwrite(data, dir)
+      case SaveMode.Append =>
+        TxTable.append(data, dir, bloomFor, partitionBy = partitionBy)
+      case SaveMode.Overwrite =>
+        TxTable.overwrite(data, dir, partitionBy = partitionBy)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"TxTable $dir already exists (mode=ErrorIfExists)")
-        else TxTable.append(data, dir, bloomFor)
-      case SaveMode.Ignore => if (!exists) TxTable.append(data, dir, bloomFor)
+        else TxTable.append(data, dir, bloomFor, partitionBy = partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) TxTable.append(data, dir, bloomFor,
+          partitionBy = partitionBy)
     }
     createRelation(sqlContext, parameters)
   }
@@ -154,14 +162,18 @@ object GraftDataSource {
   }
 
   /** A fully-computed BaseRelation (the CDF read): Spark scans the frame
-    * as-is; no file-level pruning applies to a diff.
+    * as-is; no file-level pruning applies to a diff. `needConversion =
+    * false` hands the computed internal rows straight through — no
+    * external-Row round trip.
     */
   private final case class ComputedRelation(sqlContext: SQLContext,
       df: DataFrame) extends BaseRelation
       with org.apache.spark.sql.sources.TableScan {
     override def schema: StructType = df.schema
+    override def needConversion: Boolean = false
     override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-      df.rdd
+      org.apache.spark.sql.GraftSqlBridge.internalRdd(df)
+        .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 

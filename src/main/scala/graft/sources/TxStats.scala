@@ -137,8 +137,11 @@ object TxStats {
     }
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    // key results by the caller's names (which may be partition-relative
+    // paths); basenames are UUID-token-unique within a staging batch
+    val byBase = names.map(n => n.split('/').last -> n).toMap
     val collected = rows.iterator.map { r =>
-      val fname = r.getString(r.fieldIndex("__file")).split('/').last
+      val fname = byBase(r.getString(r.fieldIndex("__file")).split('/').last)
       val nRows = r.getLong(r.fieldIndex("__rows"))
       val cols = fields.zipWithIndex.map { case ((name, tag, _), i) =>
         val rawLo = Option(r.get(r.fieldIndex(s"__lo$i")))

@@ -2,8 +2,9 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Minimal transactional table format — the ACID surface a user migrating
@@ -60,7 +61,8 @@ import scala.jdk.CollectionConverters._
 object TxTable {
 
   case class Commit(version: Long, op: String, adds: Seq[String],
-      removes: Seq[String], schemaJson: String)
+      removes: Seq[String], schemaJson: String,
+      partitionBy: Seq[String] = Nil)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
   private def entryPath(dir: String, v: Long): Path =
@@ -91,23 +93,27 @@ object TxTable {
     s"""{"version":${c.version},"op":${esc(c.op)},""" +
       s""""adds":[${c.adds.map(esc).mkString(",")}],""" +
       s""""removes":[${c.removes.map(esc).mkString(",")}],""" +
+      (if (c.partitionBy.isEmpty) ""
+       else s""""partitionBy":[${c.partitionBy.map(esc).mkString(",")}],""") +
       s""""schema":${esc(c.schemaJson)}}"""
 
   private def parse(s: String): Commit = {
     // fields were written by `render` in fixed order — a shape-pinned
     // parse keeps the format dependency-free both ways
-    def arr(key: String): Seq[String] = {
-      val m = (s"""\"$key\":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
-        .getOrElse(sys.error(s"bad commit entry: $s"))
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    }
+    def arrOpt(key: String): Option[Seq[String]] =
+      (s"""\"$key\":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s).map { m =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      }
+    def arr(key: String): Seq[String] =
+      arrOpt(key).getOrElse(sys.error(s"bad commit entry: $s"))
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
     val op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(s).get.group(1)
     val schema = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findFirstMatchIn(s).map(_.group(1)
         .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
-    Commit(v, op, arr("adds"), arr("removes"), schema)
+    Commit(v, op, arr("adds"), arr("removes"), schema,
+      arrOpt("partitionBy").getOrElse(Nil))
   }
 
   private def readLog(dir: String, asOf: Option[Long]): Seq[Commit] = {
@@ -169,6 +175,59 @@ object TxTable {
         .asInstanceOf[StructType])
   }
 
+  /** The table's partition columns at `asOf` (empty = unpartitioned).
+    * Every commit carries the table's partitioning, so this is the last
+    * commit's list; an overwrite may change it (it replaces the file set
+    * wholly), an append may not.
+    */
+  def partitionColsAt(dir: String, asOf: Option[Long] = None): Seq[String] =
+    readLog(dir, asOf).lastOption.map(_.partitionBy).getOrElse(Nil)
+
+  /** Partition column types that path-encode with EXACT recoverable
+    * bounds (the hive layout's value-in-the-directory-name contract).
+    * Floats are refused (no stable canonical path form), timestamps are
+    * refused (tz-ambiguous in paths) — partition on a date or a string
+    * instead, both standard practice.
+    */
+  private[sources] def partTag(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         DateType => "l"
+    case StringType => "s"
+    case other => throw new IllegalArgumentException(
+      s"partition column type ${other.simpleString} is not supported " +
+        "(use integral, string, boolean, or date)")
+  }
+
+  /** Raw partition values of a file's relative path, in `pcols` order;
+    * `None` = the hive null marker. Paths were written by Spark's own
+    * writer, so unescaping is `ExternalCatalogUtils`' (its inverse).
+    */
+  private[sources] def partRaw(rel: String,
+      pcols: Seq[String]): Seq[Option[String]] = {
+    val segs = rel.split('/').dropRight(1).toSeq
+    require(segs.length == pcols.length,
+      s"file $rel does not carry the ${pcols.mkString("/")} partition dirs")
+    segs.zip(pcols).map { case (seg, c) =>
+      val i = seg.indexOf('=')
+      require(i > 0 && ExternalCatalogUtils.unescapePathName(seg.take(i)) == c,
+        s"unexpected partition segment $seg (want column $c)")
+      val v = ExternalCatalogUtils.unescapePathName(seg.drop(i + 1))
+      if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v)
+    }
+  }
+
+  /** A raw partition value normalized into zone-map space (the same
+    * Long/String forms [[TxStats]] stores), so partition pruning IS
+    * zone-map pruning with lo == hi.
+    */
+  private[sources] def partNorm(raw: String, dt: DataType): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType => raw.toLong
+    case BooleanType => if (raw.toBoolean) 1L else 0L
+    case DateType => java.time.LocalDate.parse(raw).toEpochDay
+    case StringType => raw
+    case other => sys.error(s"unsupported partition type ${other.simpleString}")
+  }
+
   /** Snapshot read (time travel with `asOf`). The scan is PINNED to the
     * snapshot's committed schema, which is what makes additive schema
     * evolution work: files written before a column existed read it as
@@ -176,6 +235,15 @@ object TxTable {
     * snapshot still carries the committed schema.
     */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val pcols = partitionColsAt(dir, asOf)
+    if (pcols.nonEmpty) {
+      // partitioned: the file-source relation re-attaches partition values
+      // from the directory names (data files do not store them); project
+      // back to the committed column order
+      val schema = schemaAt(dir, asOf).getOrElse(new StructType())
+      return GraftFileIndex.frame(spark, dir, asOf)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
     val files = activeFiles(dir, asOf)
     val schema = schemaAt(dir, asOf)
     if (files.nonEmpty)
@@ -215,11 +283,43 @@ object TxTable {
     val seed = ckptV
       .map(v => TxStats.parse(Files.readString(statsCkptPath(dir, v))))
       .getOrElse(Map.empty[String, TxStats.FileStats])
-    versionsOf(".stats.tsv")
+    val stored = versionsOf(".stats.tsv")
       .filter(v => ckptV.forall(_ < v))
       .foldLeft(seed) { (m, v) =>
         m ++ TxStats.parse(Files.readString(statsPath(dir, v)))
       }
+    // partitioned table: each live file's partition values (from its
+    // path) become per-file zone maps with lo == hi — partition pruning
+    // is thereby ordinary stats pruning, sound for ANY predicate shape
+    // the walker understands, including mixed partition+data conditions
+    val pcols = partitionColsAt(dir, asOf)
+    if (pcols.isEmpty) return stored
+    schemaAt(dir, asOf) match {
+      case None => stored
+      case Some(schema) =>
+        val fields = pcols.map(c => schema(c))
+        stored ++ activeFiles(dir, asOf).map { f =>
+          val base = stored.getOrElse(f,
+            TxStats.FileStats(Long.MaxValue, Map.empty))
+          val synth = fields.zip(partRaw(f, pcols)).map { case (fd, raw) =>
+            val tag = partTag(fd.dataType)
+            fd.name -> (raw match {
+              case None => // hive null partition: all rows null here
+                TxStats.ColStats(tag, base.rows, None, None)
+              case Some(r) => partNorm(r, fd.dataType) match {
+                case s: String =>
+                  // the same truncation soundness rule stored stats use
+                  TxStats.ColStats(tag, 0L,
+                    Some(s.take(TxStats.StringPrefixCap)),
+                    if (s.length <= TxStats.StringPrefixCap) Some(s) else None)
+                case v =>
+                  TxStats.ColStats(tag, 0L, Some(v), Some(v))
+              }
+            })
+          }
+          f -> base.copy(cols = base.cols ++ synth)
+        }.toMap
+    }
   }
 
   /** Split the snapshot's live files into (kept, skipped) under
@@ -245,6 +345,10 @@ object TxTable {
     */
   def readWhere(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column,
       asOf: Option[Long] = None): DataFrame = {
+    if (partitionColsAt(dir, asOf).nonEmpty)
+      // the relation prunes in listFiles (partition values + zone maps)
+      // and re-attaches partition columns; Spark re-applies the predicate
+      return read(spark, dir, asOf).where(predicate)
     val (kept, _) = pruneFiles(spark, dir, predicate, asOf)
     val schema = schemaAt(dir, asOf)
     val base =
@@ -258,34 +362,47 @@ object TxTable {
     base.where(predicate)
   }
 
-  /** Stage `df` as parquet under UUID-prefixed names in `dir`; returns
-    * the staged file names (not yet visible to any reader).
+  /** Stage `df` as parquet under UUID-prefixed names in `dir` (with
+    * `partitionBy` set: under hive-style `col=value/` subdirectories, the
+    * layout Spark's own partitioned writer produces); returns the staged
+    * file names relative to `dir` (not yet visible to any reader).
     */
-  private def stage(df: DataFrame, dir: String): Seq[String] = {
+  private def stage(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = Paths.get(dir, s"_staging-$token")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val parts = Files.list(tmp).iterator().asScala.toSeq
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(tmp.toString)
+    val parts = Files.walk(tmp).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
+      val rel = tmp.relativize(p.getParent).toString
       val name = f"$token-part$i%05d.parquet"
-      Files.move(p, Paths.get(dir, name))
-      name
+      val target = if (rel.isEmpty) Paths.get(dir) else Paths.get(dir, rel)
+      Files.createDirectories(target)
+      Files.move(p, target.resolve(name))
+      if (rel.isEmpty) name else s"$rel/$name"
     }
-    Files.list(tmp).iterator().asScala.foreach(Files.delete) // _SUCCESS etc.
-    Files.delete(tmp)
+    // recursive cleanup (partitioned staging nests directories)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
     named
   }
 
   /** Stage plus zone-map collection (one column-pruned read-back of the
     * staged files; a production port lifts the same numbers from the
-    * parquet footers the write produced).
+    * parquet footers the write produced). Partition columns are not in
+    * the data files — their per-file stats are synthesized from the path
+    * at read time ([[fileStats]]), never collected.
     */
   private def stageWithStats(df: DataFrame, dir: String,
-      bloomFor: Seq[String] = Nil)
+      bloomFor: Seq[String] = Nil, partitionBy: Seq[String] = Nil)
       : (Seq[String], Map[String, TxStats.FileStats]) = {
-    val names = stage(df, dir)
-    (names, TxStats.collect(df.sparkSession, dir, names, df.schema,
+    val names = stage(df, dir, partitionBy)
+    val dataSchema = StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
+    (names, TxStats.collect(df.sparkSession, dir, names, dataSchema,
       bloomFor = bloomFor))
   }
 
@@ -299,13 +416,15 @@ object TxTable {
   private def publish(dir: String, op: String, adds: Seq[String],
       removes: Seq[String], schemaJson: String,
       basedOn: Option[Long],
-      stats: Map[String, TxStats.FileStats] = Map.empty): Long = {
+      stats: Map[String, TxStats.FileStats] = Map.empty,
+      partitionBy: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(dir))
     var attempts = 0
     while (true) {
       val v = basedOn.map(_ + 1).getOrElse(currentVersion(dir) + 1)
       val tmp = logDir(dir).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      Files.writeString(tmp, render(Commit(v, op, adds, removes, schemaJson)))
+      Files.writeString(tmp,
+        render(Commit(v, op, adds, removes, schemaJson, partitionBy)))
       val landed =
         try {
           Files.move(tmp, entryPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
@@ -332,7 +451,8 @@ object TxTable {
           val live = activeFiles(dir, Some(v))
           val ct = logDir(dir).resolve(s".ckpt-${java.util.UUID.randomUUID()}")
           Files.writeString(ct, render(Commit(v, "checkpoint", live, Nil,
-            schemaAt(dir, Some(v)).map(_.json).getOrElse(""))))
+            schemaAt(dir, Some(v)).map(_.json).getOrElse(""),
+            partitionColsAt(dir, Some(v)))))
           try Files.move(ct, checkpointPath(dir, v),
             StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -359,6 +479,17 @@ object TxTable {
     }
     -1L // unreachable
   }
+
+  /** The copy-on-write DML surface, CDF and layout rewrites are scoped to
+    * unpartitioned tables for now: they rewrite or diff data files that
+    * (in a partitioned table) do not carry the partition columns, so each
+    * needs the path-value re-attachment read before its semantics hold.
+    * Documented extension, refused loudly rather than answered wrongly.
+    */
+  private def requireUnpartitioned(dir: String, op: String): Unit =
+    require(partitionColsAt(dir, None).isEmpty,
+      s"TxTable $dir: $op is not yet supported on partitioned tables " +
+        "(supported: append, overwrite, read, readWhere, time travel, vacuum)")
 
   /** Raise unless the table still sits at the version the caller derived
     * its write from — the CAS guard every semantic writer runs.
@@ -404,27 +535,64 @@ object TxTable {
     * layout passes every file's [min, max], but a Bloom "definitely
     * absent" prunes it (no false negatives, so always sound).
     */
+  /** Validate + resolve the partitioning a write runs under: inherit the
+    * table's, or establish it on first commit. An append can never change
+    * the layout; a write naming partition columns checks they exist with
+    * a path-codable type.
+    */
+  private def resolvePartitioning(dir: String, df: DataFrame,
+      requested: Seq[String], op: String, allowChange: Boolean): Seq[String] = {
+    val existing =
+      if (currentVersion(dir) < 0) Nil else partitionColsAt(dir, None)
+    val pcols =
+      if (allowChange) { if (requested.nonEmpty) requested else existing }
+      else if (currentVersion(dir) < 0) requested
+      else {
+        require(requested.isEmpty || requested == existing,
+          s"TxTable $dir: $op partitionBy ${requested.mkString(",")} does " +
+            s"not match the table's layout ${existing.mkString(",")} — " +
+            "only overwrite may re-partition a table")
+        existing
+      }
+    pcols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"TxTable $dir: partition column $c is not in the write schema"))
+      partTag(f.dataType) // validates the type
+    }
+    pcols
+  }
+
   def append(df: DataFrame, dir: String, bloomFor: Seq[String] = Nil,
-      opTag: Option[String] = None): Long = {
+      opTag: Option[String] = None, partitionBy: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(dir))
+    val pcols = resolvePartitioning(dir, df, partitionBy, "append",
+      allowChange = false)
     val schema = evolve(dir, df.schema)
-    val (names, stats) = stageWithStats(df, dir, bloomFor)
+    val (names, stats) = stageWithStats(df, dir, bloomFor, pcols)
     publish(dir, "append" + opTag.map(":" + _).getOrElse(""), names, Nil,
-      schema.json, basedOn = None, stats = stats)
+      schema.json, basedOn = None, stats = stats, partitionBy = pcols)
   }
 
   /** Atomic full overwrite (snapshot replace). `expectedVersion` is the
     * optimistic-concurrency guard: pass the version your decision was
     * derived from and the write raises if the table moved (CAS).
+    * `partitionBy` may differ from the table's current layout — an
+    * overwrite replaces the file set wholly, so it is the one write that
+    * can (re)partition a table.
     */
   def overwrite(df: DataFrame, dir: String,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     Files.createDirectories(Paths.get(dir))
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "overwrite")
-    val (names, stats) = stageWithStats(df, dir)
+    val pcols = resolvePartitioning(dir, df, partitionBy, "overwrite",
+      allowChange = true)
+    val (names, stats) = stageWithStats(df, dir, partitionBy = pcols)
     publish(dir, "overwrite", names, activeFiles(dir, Some(base)),
-      df.schema.json, basedOn = Some(base), stats = stats)
+      df.schema.json, basedOn = Some(base), stats = stats,
+      partitionBy = pcols)
   }
 
   /** OPTIMIZE: rewrite the live file set into `targetFiles` files in one
@@ -440,6 +608,7 @@ object TxTable {
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Nil, bloomFor: Seq[String] = Nil,
       expectedVersion: Option[Long] = None): Long = {
+    requireUnpartitioned(dir, "compact")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "compact")
     val before = activeFiles(dir, Some(base))
@@ -469,6 +638,7 @@ object TxTable {
   def delete(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       expectedVersion: Option[Long] = None): Long = {
+    requireUnpartitioned(dir, "delete")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "delete")
     if (base < 0) return base
@@ -494,6 +664,7 @@ object TxTable {
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
       expectedVersion: Option[Long] = None): Long = {
+    requireUnpartitioned(dir, "update")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "update")
     if (base < 0) return base
@@ -525,6 +696,7 @@ object TxTable {
       keys: Seq[String], expectedVersion: Option[Long] = None,
       opTag: Option[String] = None): Long = {
     Files.createDirectories(Paths.get(dir))
+    requireUnpartitioned(dir, "merge")
     val base = currentVersion(dir)
     val op = "merge" + opTag.map(":" + _).getOrElse("")
     requireVersion(dir, expectedVersion, base, op)
@@ -578,6 +750,7 @@ object TxTable {
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
+    requireUnpartitioned(dir, "readChanges")
     val top = math.min(toVersion.getOrElse(Long.MaxValue), currentVersion(dir))
     val commits = readLog(dir, Some(top)).filter(_.version > fromVersion)
     val layoutOnly = Set("compact", "zorder", "checkpoint")
@@ -650,10 +823,17 @@ object TxTable {
     val horizon = math.min(retainFrom, currentVersion(dir))
     val reachable = (horizon to currentVersion(dir))
       .flatMap(v => activeFiles(dir, Some(v))).toSet
-    val onDisk = Files.list(Paths.get(dir)).iterator().asScala
+    val root = Paths.get(dir)
+    // recursive: partitioned tables nest data files under col=value/ dirs
+    // (the log keys them by relative path); staging and log dirs excluded
+    val onDisk = Files.walk(root).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot { p =>
+        val rel = root.relativize(p).toString
+        rel.startsWith("_txlog/") || rel.startsWith("_staging-")
+      }
       .toSeq
-    val victims = onDisk.filterNot(p => reachable(p.getFileName.toString))
+    val victims = onDisk.filterNot(p => reachable(root.relativize(p).toString))
     victims.foreach(Files.delete)
     victims.size.toLong
   }

@@ -71,6 +71,14 @@ object GraftSqlBridge {
       d.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The frame's computed rows as `RDD[InternalRow]` — for `BaseRelation`s
+    * that declare `needConversion = false` and hand Spark internal rows
+    * directly (skips the external-Row round trip `df.rdd` would pay).
+    */
+  def internalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
   /** Re-root the micro-batch frame a V1 `Sink.addBatch` receives as a plain
     * BATCH DataFrame over the already-computed rows — the frame handed to a
     * sink carries an incremental (streaming) plan that batch writers refuse;
