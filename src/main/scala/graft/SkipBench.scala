@@ -71,16 +71,18 @@ object SkipBench {
     def minTimed(f: => Long): (Long, Double) =
       (1 to passes).map(_ => timed(f)).minBy(_._2)
 
-    // SPARK_GRAFT_SKIP_BLOOM: unset = studies 1-2; "1" = all three;
-    // "only" = study 3 alone (for a same-session bloom scale pair)
+    // SPARK_GRAFT_SKIP_BLOOM: unset = studies 1-2; "1" = add study 3;
+    // "only" = study 3 alone. SPARK_GRAFT_SKIP_CONNECTOR follows the same
+    // convention for study 4 (same-session scale pairs want one study).
     val bloomMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_BLOOM", "")
+    val connMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_CONNECTOR", "")
 
     val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
     def evAgg(df: DataFrame): Long =
       df.agg(sum("event_id"), count(lit(1))).collect()(0).getLong(1)
 
-    if (bloomMode != "only") {
+    if (bloomMode != "only" && connMode != "only") {
     // -- study 1: skipping payoff on a key-range-ingested lineitem table
     val nChunks = 64L
     val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"),
@@ -141,7 +143,6 @@ object SkipBench {
     // maps keep everything) vs partitionBy("bucket") (1/64 directories).
     // Both probes run through the identical connector read path, so the
     // gap is purely what the partition layout buys the planner.
-    val connMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_CONNECTOR", "")
     if (connMode == "1" || connMode == "only") {
       val evp = ev.withColumn("bucket", pmod(col("user_id"), lit(64L)))
       val flatDir = fresh("events_flat")
