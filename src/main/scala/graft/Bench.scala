@@ -343,7 +343,8 @@ object Bench {
     "q554_incremental_replication", // CDF-driven TxSync replica
     "q555_connector_read", // format("graft") pruned read + time travel
     "q558_streaming_replication", // readStream→writeStream exactly-once
-    "q559_partitioned_table") // hive-partitioned connector ingest + prune
+    "q559_partitioned_table", // hive-partitioned connector ingest + prune
+    "q560_partitioned_dml") // partitioned DELETE/UPDATE/MERGE + CDF
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

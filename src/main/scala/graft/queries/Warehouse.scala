@@ -1441,6 +1441,46 @@ object Warehouse {
         .unionByName(agg(s.read.format("graft").load(dir)
           .where(col("r") === 5L && col("k") <= lit(mo / 2L)), "mixed"))
         .select("probe", "n_rows", "sum_cents")
+    }),
+
+    // Copy-on-write DML + change data feed ON a partitioned table (the
+    // q552/q553 discipline, now with partition values living in paths):
+    // DELETE of a whole partition drops its directory without reading
+    // it; UPDATE rewrites only the predicate's files and re-attaches
+    // the partition value through the copy; MERGE carries untouched
+    // directories byte-identical; OPTIMIZE preserves the layout and
+    // feeds nothing. Every per-version net delta AND the final snapshot
+    // replay from raw orders in the oracle, so a wrong re-attachment,
+    // a mis-pruned rewrite, or a leaked carried row breaks the hash.
+    "q560_partitioned_dml" -> ((s, d) => {
+      val dir = s"/root/repo/target/tmp/txtable_q560_sf${d.hashCode.abs}"
+      def del(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(del); p.delete()
+      }
+      del(new java.io.File(dir))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10).as("r"))
+      val mo = o.agg(max("k")).collect()(0).getLong(0) // 1 value
+      graft.sources.TxTable.append(o, dir, partitionBy = Seq("r")) // v0
+      graft.sources.TxTable.delete(s, dir, col("r") === 5L) // v1: drop dir
+      graft.sources.TxTable.update(s, dir,
+        col("r") === 7L && col("k") <= lit(mo / 2L),
+        Map("cents" -> (col("cents") + 10L))) // v2
+      graft.sources.TxTable.merge(s, dir,
+        o.where(col("r") === 9L).select(col("k"),
+          (col("cents") + 1L).as("cents"), col("r")), Seq("k")) // v3
+      graft.sources.TxTable.compact(s, dir, targetFiles = 4) // v4: no feed
+      val feed = graft.sources.TxTable.readChanges(s, dir, -1L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      val snap = graft.sources.TxTable.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .select(lit(99L).as("version"), lit("snapshot").as("change_type"),
+          col("n_rows"), col("sum_cents"))
+      feed.unionByName(snap)
+        .select("version", "change_type", "n_rows", "sum_cents")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2323,5 +2363,34 @@ object Warehouse {
          FROM o WHERE r = 3
          UNION ALL
          SELECT 'mixed', count(*), CAST(sum(cents) AS BIGINT)
-         FROM o, m WHERE r = 5 AND k <= m.cut""")
+         FROM o, m WHERE r = 5 AND k <= m.cut""",
+    // v0 full insert; v1 = the dropped r=5 partition; v2 UPDATE nets to
+    // its delete+insert pair over exactly the matching rows; v3 MERGE
+    // updates every r=9 row (+1); v4 compact feeds nothing; 99 = the
+    // final snapshot with both edits applied and r=5 gone
+    "q560_partitioned_dml" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 10 AS r
+           FROM orders),
+         m AS (SELECT max(k) // 2 AS cut FROM o)
+         SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+           count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o
+         UNION ALL SELECT 1, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r = 5
+         UNION ALL SELECT 2, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o, m WHERE r = 7 AND k <= m.cut
+         UNION ALL SELECT 2, 'insert', count(*),
+           CAST(sum(cents + 10) AS BIGINT)
+         FROM o, m WHERE r = 7 AND k <= m.cut
+         UNION ALL SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+         FROM o WHERE r = 9
+         UNION ALL SELECT 3, 'insert', count(*), CAST(sum(cents + 1) AS BIGINT)
+         FROM o WHERE r = 9
+         UNION ALL SELECT 99, 'snapshot', count(*),
+           CAST(sum(cents
+             + CASE WHEN r = 7 AND k <= m.cut THEN 10 ELSE 0 END
+             + CASE WHEN r = 9 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM o, m WHERE r <> 5""")
 }

@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.StructType
   *  - **Batch write** — `df.write.format("graft").mode(m).save(dir)`:
   *    Append → [[TxTable.append]] (optionally
   *    `option("bloomFor", "c1,c2")`), Overwrite → [[TxTable.overwrite]],
-  *    ErrorIfExists / Ignore with their standard semantics. All writes
-  *    are the table's own atomic commits — a failed job publishes
+  *    ErrorIfExists / Ignore with their standard semantics; a
+  *    `.partitionBy(cols)` writes (and thereafter inherits) the hive
+  *    `col=value/` layout, which the read path prunes statically. All
+  *    writes are the table's own atomic commits — a failed job publishes
   *    nothing.
   *  - **Streaming source** — `spark.readStream.format("graft")`: offsets
   *    ARE table versions, so replay is deterministic (a micro-batch is
@@ -130,15 +132,13 @@ final class GraftDataSource extends RelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    require(partitionColumns.isEmpty,
-      "graft streaming sink does not take partition columns")
     val dir = pathOf(parameters)
     // disambiguates two queries appending to one table; checkpoint path is
     // the natural per-query identity when the caller does not name one
     val appId = parameters.getOrElse("txnAppId",
       parameters.getOrElse("checkpointLocation", "default"))
       .hashCode.toHexString
-    new GraftStreamSink(dir, appId)
+    new GraftStreamSink(dir, appId, partitionColumns)
   }
 }
 
@@ -255,7 +255,7 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
   * re-runs the batch.
   */
 private[graft] final class GraftStreamSink(dir: String,
-    appId: String) extends Sink {
+    appId: String, partitionBy: Seq[String] = Nil) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val tag = s"stream:$appId:batch=$batchId"
@@ -264,7 +264,7 @@ private[graft] final class GraftStreamSink(dir: String,
     // writers refuse — re-root it over the computed rows (foreachBatch's
     // own wrapping)
     val batch = org.apache.spark.sql.GraftSqlBridge.asBatchFrame(data)
-    TxTable.append(batch, dir, opTag = Some(tag))
+    TxTable.append(batch, dir, opTag = Some(tag), partitionBy = partitionBy)
     ()
   }
 

@@ -463,6 +463,29 @@ object TxStats {
     case Not(child) => child match {
       case IsNull(a) => canMatch(IsNotNull(a), fs)
       case IsNotNull(a) => canMatch(IsNull(a), fs)
+      // comparison complements (a row MATCHES Not(cmp) only when cmp is
+      // FALSE, never NULL — so null rows are excluded, like any filter):
+      // NOT(a > v) ⇔ a <= v, etc.; NOT(a = v) can only be ruled out when
+      // the file is constant at v (lo == hi == v). These are what make a
+      // whole-partition or retention-range DELETE provably total on a
+      // file — the zero-read drop path.
+      case GreaterThan(l, r) => canMatch(LessThanOrEqual(l, r), fs)
+      case GreaterThanOrEqual(l, r) => canMatch(LessThan(l, r), fs)
+      case LessThan(l, r) => canMatch(GreaterThanOrEqual(l, r), fs)
+      case LessThanOrEqual(l, r) => canMatch(GreaterThan(l, r), fs)
+      case EqualTo(l, r) =>
+        // a string lo of exactly StringPrefixCap chars may be a TRUNCATED
+        // longer minimum — it cannot prove the file constant at v
+        def exactLo(x: Any): Boolean = x match {
+          case s: String => s.length < StringPrefixCap
+          case _ => true
+        }
+        def neq(n: String, cs: ColStats, v: Any, dt: DataType): Boolean =
+          hasNonNull(fs, cs) && !(
+            cs.lo.exists(x => exactLo(x) && cmp(x, v, dt).contains(0)) &&
+            cs.hi.exists(x => cmp(x, v, dt).contains(0)))
+        binCmp(fs, l, r)(neq, neq)
+      case Not(inner) => canMatch(inner, fs) // ¬¬e
       case _ => true
     }
     case Literal(b: Boolean, BooleanType) => b
@@ -546,4 +569,75 @@ object TxStats {
   def prune(cond: Expression, stats: Map[String, FileStats],
       files: Seq[String]): (Seq[String], Seq[String]) =
     files.partition(f => stats.get(f).forall(canMatch(cond, _)))
+
+  /** Sound "EVERY row of this file satisfies `e` — TRUE, never null" test,
+    * the dual of [[canMatch]]: DELETE's zero-read drop removes a file from
+    * the log without reading it when the predicate provably holds on all
+    * its rows (a whole dropped partition's lo == hi value, a retention
+    * range entirely past the cutoff). Null semantics are the filter's: a
+    * row where `e` is NULL does NOT satisfy it, so any possible null
+    * operand fails the test. Conservative: anything unrecognized is false
+    * (the caller falls back to the copy-on-write rewrite).
+    *
+    * Truncated string bounds stay sound: a stored `lo` is a PREFIX of the
+    * true minimum, so `lo > v` / `lo >= v` still bound the true values
+    * from below; equality additionally needs `lo` exact (length under the
+    * cap), and `hi` is only ever stored exact.
+    */
+  def mustMatchAll(e: Expression, fs: FileStats): Boolean = {
+    def exactLo(x: Any): Boolean = x match {
+      case s: String => s.length < StringPrefixCap
+      case _ => true
+    }
+    def bin(l: Expression, r: Expression)(
+        fwd: (ColStats, Any, DataType) => Boolean,
+        rev: (ColStats, Any, DataType) => Boolean): Boolean =
+      Seq((attrOf(l), litOf(r), true), (attrOf(r), litOf(l), false))
+        .collectFirst { case (Some(name), Some((v, dt)), isFwd) =>
+          v != null && fs.cols.get(name).exists(cs =>
+            cs.nulls == 0 &&
+              (if (isFwd) fwd(cs, v, dt) else rev(cs, v, dt)))
+        }.getOrElse(false)
+    e match {
+      case And(l, r) => mustMatchAll(l, fs) && mustMatchAll(r, fs)
+      case Or(l, r) => mustMatchAll(l, fs) || mustMatchAll(r, fs)
+      case Literal(b: Boolean, BooleanType) => b
+      case IsNull(a) =>
+        attrOf(a).flatMap(fs.cols.get).exists(_.nulls == fs.rows)
+      case IsNotNull(a) =>
+        attrOf(a).flatMap(fs.cols.get).exists(_.nulls == 0)
+      case EqualTo(l, r) =>
+        def allEq(cs: ColStats, v: Any, dt: DataType): Boolean =
+          cs.lo.exists(x => exactLo(x) && cmp(x, v, dt).contains(0)) &&
+            cs.hi.exists(x => cmp(x, v, dt).contains(0))
+        bin(l, r)(allEq, allEq)
+      case LessThan(l, r) => // all(a < v) | all(v < a)
+        bin(l, r)(
+          (cs, v, dt) => cs.hi.exists(x => cmp(x, v, dt).exists(_ < 0)),
+          (cs, v, dt) => cs.lo.exists(x => cmp(x, v, dt).exists(_ > 0)))
+      case LessThanOrEqual(l, r) =>
+        bin(l, r)(
+          (cs, v, dt) => cs.hi.exists(x => cmp(x, v, dt).exists(_ <= 0)),
+          (cs, v, dt) => cs.lo.exists(x => cmp(x, v, dt).exists(_ >= 0)))
+      case GreaterThan(l, r) =>
+        bin(l, r)(
+          (cs, v, dt) => cs.lo.exists(x => cmp(x, v, dt).exists(_ > 0)),
+          (cs, v, dt) => cs.hi.exists(x => cmp(x, v, dt).exists(_ < 0)))
+      case GreaterThanOrEqual(l, r) =>
+        bin(l, r)(
+          (cs, v, dt) => cs.lo.exists(x => cmp(x, v, dt).exists(_ >= 0)),
+          (cs, v, dt) => cs.hi.exists(x => cmp(x, v, dt).exists(_ <= 0)))
+      case In(a, vs) if vs.forall(v => litOf(v).isDefined) =>
+        // all rows equal ONE constant that the list contains
+        attrOf(a).flatMap(fs.cols.get).exists { cs =>
+          cs.nulls == 0 && cs.lo.exists(exactLo) &&
+            vs.flatMap(litOf).exists { case (v, dt) =>
+              v != null &&
+                cs.lo.exists(x => cmp(x, v, dt).contains(0)) &&
+                cs.hi.exists(x => cmp(x, v, dt).contains(0))
+            }
+        }
+      case _ => false // unknown shape: never drop on it
+    }
+  }
 }

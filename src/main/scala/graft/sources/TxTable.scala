@@ -50,6 +50,15 @@ import scala.jdk.CollectionConverters._
   *    range partitions, so the recorded zone maps are tight on EVERY
   *    listed column — the layout half of data skipping, same contract
   *    as Databricks `OPTIMIZE ... ZORDER BY`.
+  *  - **Hive partitioning.** `append`/`overwrite` take `partitionBy`:
+  *    files live under `col=value/` directories (Spark's own partitioned
+  *    writer), the log keys them by relative path, and partition values
+  *    are recovered TYPED from the path — synthesized into each file's
+  *    zone map with lo == hi, so partition pruning is ordinary stats
+  *    pruning and the whole DML/CDF surface works partitioned. A DELETE
+  *    that provably covers a file ([[TxStats.mustMatchAll]]) drops it
+  *    from the log WITHOUT reading it — partition drops and retention
+  *    sweeps are metadata-only.
   *
   * Scale shape: the log is O(commits) driver-side JSON (the list-replay
   * is trivial next to any data pass; a checkpointed log is the known
@@ -480,17 +489,6 @@ object TxTable {
     -1L // unreachable
   }
 
-  /** The copy-on-write DML surface, CDF and layout rewrites are scoped to
-    * unpartitioned tables for now: they rewrite or diff data files that
-    * (in a partitioned table) do not carry the partition columns, so each
-    * needs the path-value re-attachment read before its semantics hold.
-    * Documented extension, refused loudly rather than answered wrongly.
-    */
-  private def requireUnpartitioned(dir: String, op: String): Unit =
-    require(partitionColsAt(dir, None).isEmpty,
-      s"TxTable $dir: $op is not yet supported on partitioned tables " +
-        "(supported: append, overwrite, read, readWhere, time travel, vacuum)")
-
   /** Raise unless the table still sits at the version the caller derived
     * its write from — the CAS guard every semantic writer runs.
     */
@@ -608,9 +606,9 @@ object TxTable {
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Nil, bloomFor: Seq[String] = Nil,
       expectedVersion: Option[Long] = None): Long = {
-    requireUnpartitioned(dir, "compact")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "compact")
+    val pcols = partitionColsAt(dir, Some(base))
     val before = activeFiles(dir, Some(base))
     val snap = read(spark, dir, Some(base))
     val arranged =
@@ -620,9 +618,43 @@ object TxTable {
         .repartitionByRange(math.max(targetFiles, 1), col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-    val (names, stats) = stageWithStats(arranged, dir, bloomFor)
+    // a partitioned snapshot re-stages through the partitioned writer —
+    // the layout survives OPTIMIZE; targetFiles bounds the write
+    // parallelism, per-directory files follow from it
+    val (names, stats) = stageWithStats(arranged, dir, bloomFor, pcols)
     publish(dir, if (zorderBy.isEmpty) "compact" else "zorder",
-      names, before, snap.schema.json, basedOn = Some(base), stats = stats)
+      names, before, snap.schema.json, basedOn = Some(base), stats = stats,
+      partitionBy = pcols)
+  }
+
+  /** Snapshot slice of specific live files with partition columns
+    * re-attached (typed, cast from each file's path values) — the read
+    * the DML rewrites and the CDF diff run on a partitioned table. One
+    * plain schema-pinned scan when unpartitioned; one scan per touched
+    * partition DIRECTORY unioned otherwise — O(touched directories)
+    * plan nodes, which the callers' file pruning already bounds.
+    */
+  private def readFilesAs(spark: SparkSession, dir: String,
+      files: Seq[String], schema: StructType,
+      pcols: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (pcols.isEmpty)
+      return spark.read.schema(schema).parquet(files.map(f => s"$dir/$f"): _*)
+    val dataSchema = StructType(
+      schema.filterNot(f => pcols.contains(f.name)))
+    files.groupBy(f => f.take(f.lastIndexOf('/') + 1)).toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val raws = partRaw(fs.head, pcols)
+        val base = spark.read.schema(dataSchema)
+          .parquet(fs.map(f => s"$dir/$f"): _*)
+        pcols.zip(raws).foldLeft(base) { case (df, (c, raw)) =>
+          // hive path values cast exactly from their string form
+          df.withColumn(c, raw.map(lit(_)).getOrElse(lit(null))
+            .cast(schema(c).dataType))
+        }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }.reduce(_.unionByName(_))
   }
 
   /** DELETE WHERE: copy-on-write removal of rows matching `predicate`,
@@ -638,19 +670,29 @@ object TxTable {
   def delete(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column,
       expectedVersion: Option[Long] = None): Long = {
-    requireUnpartitioned(dir, "delete")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "delete")
     if (base < 0) return base
     val (touched, _) = pruneFiles(spark, dir, predicate, Some(base))
     if (touched.isEmpty) return base
     val schema = schemaAt(dir, Some(base)).getOrElse(new StructType())
-    val kept = spark.read.schema(schema)
-      .parquet(touched.map(f => s"$dir/$f"): _*)
+    val pcols = partitionColsAt(dir, Some(base))
+    // ZERO-READ DROP: a file whose stats prove EVERY row matches the
+    // delete predicate ([[TxStats.mustMatchAll]] — e.g. a whole dropped
+    // partition's lo==hi value, or an expired retention range entirely
+    // past the cutoff) is removed from the log WITHOUT being read. At
+    // 100 TB this makes partition drops and retention sweeps
+    // metadata-only; only boundary files are rewritten. Fail-open as
+    // ever: stats-less or straddling files take the copy-on-write path.
+    val cond = TxStats.resolve(spark, schema, predicate)
+    val allStats = fileStats(dir, Some(base))
+    val rewrite = touched.filterNot(f =>
+      allStats.get(f).exists(TxStats.mustMatchAll(cond, _)))
+    val kept = readFilesAs(spark, dir, rewrite, schema, pcols)
       .where(!coalesce(predicate, lit(false)))
-    val (names, stats) = stageWithStats(kept, dir)
+    val (names, stats) = stageWithStats(kept, dir, partitionBy = pcols)
     publish(dir, "delete", names, touched, schema.json,
-      basedOn = Some(base), stats = stats)
+      basedOn = Some(base), stats = stats, partitionBy = pcols)
   }
 
   /** UPDATE SET ... WHERE: copy-on-write in-place edit of matching rows,
@@ -664,18 +706,19 @@ object TxTable {
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
       expectedVersion: Option[Long] = None): Long = {
-    requireUnpartitioned(dir, "update")
     val base = currentVersion(dir)
     requireVersion(dir, expectedVersion, base, "update")
     if (base < 0) return base
     val (touched, _) = pruneFiles(spark, dir, predicate, Some(base))
     if (touched.isEmpty) return base
     val schema = schemaAt(dir, Some(base)).getOrElse(new StructType())
+    val pcols = partitionColsAt(dir, Some(base))
     val unknown = set.keySet.diff(schema.fieldNames.toSet)
     require(unknown.isEmpty, s"UPDATE of unknown column(s): $unknown")
     val hit = coalesce(predicate, lit(false))
-    val updated = spark.read.schema(schema)
-      .parquet(touched.map(f => s"$dir/$f"): _*)
+    // SET on a partition column is legal: the rewrite re-stages through
+    // the partitioned writer, so moved rows land in their new directory
+    val updated = readFilesAs(spark, dir, touched, schema, pcols)
       .withColumns(set.map { case (c, e) =>
         c -> when(hit, e.cast(schema(c).dataType)).otherwise(col(c))
       })
@@ -683,9 +726,9 @@ object TxTable {
     require(updated.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       schema.fields.map(f => (f.name, f.dataType))),
       "UPDATE must preserve column types")
-    val (names, stats) = stageWithStats(updated, dir)
+    val (names, stats) = stageWithStats(updated, dir, partitionBy = pcols)
     publish(dir, "update", names, touched, schema.json,
-      basedOn = Some(base), stats = stats)
+      basedOn = Some(base), stats = stats, partitionBy = pcols)
   }
 
   /** MERGE (upsert): rows of `source` replace same-key rows, new keys
@@ -696,7 +739,6 @@ object TxTable {
       keys: Seq[String], expectedVersion: Option[Long] = None,
       opTag: Option[String] = None): Long = {
     Files.createDirectories(Paths.get(dir))
-    requireUnpartitioned(dir, "merge")
     val base = currentVersion(dir)
     val op = "merge" + opTag.map(":" + _).getOrElse("")
     requireVersion(dir, expectedVersion, base, op)
@@ -706,22 +748,28 @@ object TxTable {
         evolve(dir, source.schema).json, basedOn = Some(base),
         stats = stats0)
     }
-    // bare file NAME (the log's unit), not the URI input_file_name returns
+    val pcols = partitionColsAt(dir, Some(base))
+    // bare file NAME (the URI-independent token) mapped back to the log's
+    // relative path; basenames are UUID-token-unique across the table
+    val baseOf = activeFiles(dir, Some(base))
+      .map(f => f.split('/').last -> f).toMap
     val snap = read(spark, dir, Some(base)).withColumn("__name",
       element_at(split(input_file_name(), "/"), -1))
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val touched = snap
+    val touchedBases = snap
       .join(broadcast(srcKeys), keys, "left_semi")
       .select("__name").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    val touched = touchedBases.map(baseOf).sorted
     val kept =
       if (touched.isEmpty) read(spark, dir).where(lit(false)) // pure insert
-      else snap.where(col("__name").isin(touched: _*)).drop("__name")
+      else snap.where(col("__name").isin(touchedBases: _*)).drop("__name")
         .join(srcKeys, keys, "left_anti")
     val newData = kept.unionByName(source)
-    val (names, stats) = stageWithStats(newData, dir)
+    val (names, stats) = stageWithStats(newData, dir, partitionBy = pcols)
     publish(dir, op, names, touched,
-      evolve(dir, source.schema).json, basedOn = Some(base), stats = stats)
+      evolve(dir, source.schema).json, basedOn = Some(base), stats = stats,
+      partitionBy = pcols)
   }
 
   /** Change data feed: NET row-level changes committed in versions
@@ -750,9 +798,11 @@ object TxTable {
     */
   def readChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
-    requireUnpartitioned(dir, "readChanges")
     val top = math.min(toVersion.getOrElse(Long.MaxValue), currentVersion(dir))
-    val commits = readLog(dir, Some(top)).filter(_.version > fromVersion)
+    val allCommits = readLog(dir, Some(top))
+    val layoutOf: Map[Long, Seq[String]] =
+      allCommits.map(c => c.version -> c.partitionBy).toMap
+    val commits = allCommits.filter(_.version > fromVersion)
     val layoutOnly = Set("compact", "zorder", "checkpoint")
     val parts = commits.filterNot(c => layoutOnly(c.op)).flatMap { c =>
       if (c.adds.isEmpty && c.removes.isEmpty) None
@@ -760,15 +810,22 @@ object TxTable {
         val schema = Option(c.schemaJson).filter(_.nonEmpty)
           .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[StructType])
-        def rd(files: Seq[String]): DataFrame =
+        // partitioned files re-attach partition values per path. Adds
+        // carry the commit's own layout; removes were live at v-1, so
+        // they carry the PREVIOUS layout (an overwrite may differ).
+        def rd(files: Seq[String], pcols: Seq[String]): DataFrame =
           if (files.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               schema.getOrElse(new StructType()))
+          else if (pcols.nonEmpty)
+            readFilesAs(spark, dir, files, schema.getOrElse(sys.error(
+              s"partitioned commit ${c.version} lacks a schema")), pcols)
           else schema.map(s => spark.read.schema(s)).getOrElse(spark.read)
             .parquet(files.map(f => s"$dir/$f"): _*)
-        val added = rd(c.adds)
-        val removed = rd(c.removes)
+        val added = rd(c.adds, c.partitionBy)
+        val removed = rd(c.removes,
+          layoutOf.getOrElse(c.version - 1, Nil))
         val ins = (if (c.removes.isEmpty) added else added.exceptAll(removed))
           .withColumn("_change_type", lit("insert"))
         val del = (if (c.adds.isEmpty) removed else removed.exceptAll(added))
@@ -794,12 +851,14 @@ object TxTable {
   private[sources] def publishForSync(dir: String, newData: DataFrame,
       removes: Seq[String], basedOn: Long, tag: String): Long = {
     Files.createDirectories(Paths.get(dir))
+    // the replica keeps its OWN layout; the apply re-stages through it
+    val pcols = partitionColsAt(dir, Some(basedOn))
     val (adds, stats) =
       if (newData.isEmpty) (Seq.empty[String], Map.empty[String, TxStats.FileStats])
-      else stageWithStats(newData, dir)
+      else stageWithStats(newData, dir, partitionBy = pcols)
     publish(dir, s"sync:$tag", adds, removes,
       evolve(dir, newData.schema).json, basedOn = Some(basedOn),
-      stats = stats)
+      stats = stats, partitionBy = pcols)
   }
 
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */

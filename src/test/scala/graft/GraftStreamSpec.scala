@@ -123,4 +123,21 @@ class GraftStreamSpec extends SparkSpec {
     sync()
     assert(spark.read.format("graft").load(dst).count() == 14)
   }
+
+  test("streaming sink writes a PARTITIONED table via writeStream.partitionBy") {
+    val src = freshDir("src4")
+    val dst = freshDir("dst4")
+    rows(0, 12).write.format("graft").save(src)
+    val q = spark.readStream.format("graft").load(src)
+      .withColumn("bucket", (col("k") % 3L).cast("long"))
+      .writeStream.format("graft").partitionBy("bucket")
+      .option("checkpointLocation", freshDir("ckpt4"))
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination()
+    assert(TxTable.partitionColsAt(dst) == Seq("bucket"))
+    assert(TxTable.activeFiles(dst).forall(_.startsWith("bucket=")))
+    val got = spark.read.format("graft").load(dst)
+    assert(got.count() == 12)
+    assert(got.where(col("bucket") === 1L).count() == 4)
+  }
 }

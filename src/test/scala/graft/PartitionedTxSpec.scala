@@ -135,28 +135,175 @@ class PartitionedTxSpec extends SparkSpec {
     assert(TxTable.read(spark, dir, Some(1L)).count() == 120)
   }
 
-  test("unsupported ops refuse loudly on partitioned tables") {
-    val dir = freshDir("refuse")
-    TxTable.append(sample(), dir, partitionBy = Seq("region"))
-    intercept[IllegalArgumentException] {
-      TxTable.delete(spark, dir, col("k") === 1L)
-    }
-    intercept[IllegalArgumentException] {
-      TxTable.update(spark, dir, col("k") === 1L, Map("v" -> lit(0.0)))
-    }
-    intercept[IllegalArgumentException] {
-      TxTable.merge(spark, dir, sample(), Seq("k"))
-    }
-    intercept[IllegalArgumentException] {
-      TxTable.compact(spark, dir)
-    }
-    intercept[IllegalArgumentException] {
-      TxTable.readChanges(spark, dir, -1L)
-    }
-    // float partition keys are refused outright
+  test("float partition keys are refused outright") {
     intercept[IllegalArgumentException] {
       TxTable.append(sample(), freshDir("floatpart"), partitionBy = Seq("v"))
     }
+  }
+
+  test("DELETE on a partitioned table: partition drop and data predicate") {
+    val dir = freshDir("dml_del")
+    TxTable.append(sample(), dir, partitionBy = Seq("region"))
+    // partition-key delete touches exactly that directory and drops it
+    TxTable.delete(spark, dir, col("region") === "r2")
+    assert(!TxTable.activeFiles(dir).exists(_.startsWith("region=r2/")))
+    assert(TxTable.read(spark, dir).where(col("region") === "r2").count() == 0)
+    // data-column delete inside surviving partitions, parity vs filter
+    val before = TxTable.read(spark, dir).where(col("k") >= 30L).count()
+    TxTable.delete(spark, dir, col("k") < 30L)
+    val after = TxTable.read(spark, dir)
+    assert(after.count() == before)
+    assert(after.where(col("k") < 30L).count() == 0)
+    // partition values survive the copy-on-write rewrite
+    assert(after.where(col("region").isNull).count() ==
+      sample().where(col("region").isNull && col("k") >= 30L).count())
+  }
+
+  test("partition DELETE is zero-read: poisoned files drop untouched") {
+    val dir = freshDir("dml_del0")
+    TxTable.append(sample(), dir, partitionBy = Seq("region"))
+    val r2files = TxTable.activeFiles(dir).filter(_.startsWith("region=r2/"))
+    assert(r2files.nonEmpty)
+    // any read of these would now throw — the drop must be metadata-only
+    r2files.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f),
+        "not a parquet file".getBytes)
+    }
+    TxTable.delete(spark, dir, col("region") === "r2")
+    assert(!TxTable.activeFiles(dir).exists(_.startsWith("region=r2/")))
+    val got = TxTable.read(spark, dir)
+    assert(got.count() == sample().where(
+      col("region").isNull || col("region") =!= "r2").count())
+    // the same mechanism serves retention sweeps on a data column: every
+    // k-value in this fixture is < 60, so the sweep reads nothing either
+    TxTable.activeFiles(dir).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, f),
+        "poisoned too".getBytes)
+    }
+    TxTable.delete(spark, dir, col("k") < 100L)
+    assert(TxTable.activeFiles(dir).isEmpty)
+    assert(TxTable.read(spark, dir).count() == 0)
+  }
+
+  test("UPDATE on a partitioned table, including a partition-moving SET") {
+    val dir = freshDir("dml_upd")
+    TxTable.append(sample(), dir, partitionBy = Seq("region"))
+    TxTable.update(spark, dir, col("region") === "r0",
+      Map("v" -> (col("v") + 1000.0)))
+    val got = TxTable.read(spark, dir)
+    assert(got.where(col("region") === "r0" && col("v") < 1000.0).count() == 0)
+    assert(got.where(col("region") === "r1" && col("v") >= 1000.0).count() == 0)
+    // SET on the partition column moves rows across directories
+    TxTable.update(spark, dir, col("region") === "r1",
+      Map("region" -> lit("r9")))
+    val moved = TxTable.read(spark, dir)
+    assert(moved.where(col("region") === "r1").count() == 0)
+    assert(moved.where(col("region") === "r9").count() ==
+      sample().where(col("region") === "r1").count())
+    assert(TxTable.activeFiles(dir).exists(_.startsWith("region=r9/")))
+    // and the new directory's synthesized stats prune correctly
+    val (kept, _) = TxTable.pruneFiles(spark, dir, col("region") === "r9")
+    assert(kept.nonEmpty && kept.forall(_.startsWith("region=r9/")), kept)
+  }
+
+  test("MERGE upserts into a partitioned table, file-pruned") {
+    val dir = freshDir("dml_merge")
+    TxTable.append(sample(), dir, partitionBy = Seq("region"))
+    val filesBefore = TxTable.activeFiles(dir).toSet
+    val src = sample().where(col("k").isin(3L, 4L))
+      .withColumn("v", col("v") + 0.25)
+      .unionByName(sample().where(col("k") === 7L)
+        .withColumn("k", col("k") + 1000L)) // new key
+    TxTable.merge(spark, dir, src, Seq("k"))
+    val got = TxTable.read(spark, dir)
+    assert(got.count() == 61)
+    assert(got.where(col("k") === 3L).collect()(0)
+      .getAs[Double]("v") == 3 * 1.5 + 0.25)
+    assert(got.where(col("k") === 1007L).count() == 1)
+    // untouched partitions carried over byte-identical (same file names)
+    val untouchedBefore = filesBefore.filterNot(f =>
+      f.startsWith("region=r0/") || f.startsWith("region=r1/"))
+    assert(untouchedBefore.subsetOf(TxTable.activeFiles(dir).toSet))
+  }
+
+  test("OPTIMIZE preserves the partition layout and pruning") {
+    val dir = freshDir("dml_opt")
+    val df = sample()
+    TxTable.append(df.where(col("k") < 30L), dir, partitionBy = Seq("region"))
+    TxTable.append(df.where(col("k") >= 30L), dir)
+    TxTable.compact(spark, dir, targetFiles = 1)
+    assert(TxTable.partitionColsAt(dir) == Seq("region"))
+    assert(TxTable.activeFiles(dir).forall(_.startsWith("region=")),
+      TxTable.activeFiles(dir))
+    assert(TxTable.read(spark, dir).orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir, col("region") === "r0")
+    assert(skipped.nonEmpty && kept.forall(_.startsWith("region=r0/")))
+  }
+
+  test("CDF on a partitioned table carries re-attached partition values") {
+    val dir = freshDir("dml_cdf")
+    TxTable.append(sample(), dir, partitionBy = Seq("region")) // v0
+    TxTable.delete(spark, dir, col("region") === "r1") // v1
+    TxTable.merge(spark, dir,
+      sample().where(col("k") === 0L).withColumn("v", col("v") + 9.0),
+      Seq("k")) // v2
+    val feed = TxTable.readChanges(spark, dir, -1L)
+    assert(feed.schema.fieldNames.contains("region"))
+    val byV = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byV((0L, "insert")) == 60)
+    assert(byV((1L, "delete")) == sample().where(col("region") === "r1").count())
+    assert(byV((2L, "insert")) == 1 && byV((2L, "delete")) == 1)
+    // the streamed source rides the same feed
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .groupBy("_change_type").count()
+      .writeStream.format("memory").queryName("part_cdf_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", freshDir("dml_cdf_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("part_cdf_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed("insert") == 61 && streamed("delete") ==
+      byV((1L, "delete")) + 1)
+  }
+
+  test("CDF across a layout-changing overwrite reads removes at the old layout") {
+    val dir = freshDir("dml_cdf_ow")
+    TxTable.append(sample(), dir, partitionBy = Seq("region")) // v0
+    TxTable.overwrite(sample().where(col("k") < 5L), dir,
+      partitionBy = Seq("day")) // v1: re-partitioned
+    val feed = TxTable.readChanges(spark, dir, -1L)
+    val byV = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byV((0L, "insert")) == 60)
+    // net diff at v1: 5 identical rows cancel, 55 deletes
+    assert(byV((1L, "delete")) == 55 && !byV.contains((1L, "insert")))
+  }
+
+  test("TxSync replicates a partitioned source into a partitioned replica") {
+    val src = freshDir("sync_src")
+    val dst = freshDir("sync_dst")
+    TxTable.append(sample(), src, partitionBy = Seq("region")) // v0
+    // replica seeded with ITS OWN layout (by day, not region)
+    TxTable.append(sample().where(lit(false)), dst, partitionBy = Seq("day"))
+    graft.sources.TxSync.replicate(spark, src, dst, Seq("k"))
+    assert(TxTable.read(spark, dst).count() == 60)
+    assert(TxTable.activeFiles(dst).forall(_.startsWith("day=")),
+      TxTable.activeFiles(dst).take(3))
+    // incremental: a partition delete + an update flow through
+    TxTable.delete(spark, src, col("region") === "r0")
+    TxTable.update(spark, src, col("k") === 1L, Map("v" -> lit(-1.0)))
+    val applied = graft.sources.TxSync.replicate(spark, src, dst, Seq("k"))
+    assert(applied == 2)
+    val got = TxTable.read(spark, dst)
+    assert(got.orderBy("k").collect().toSeq ==
+      TxTable.read(spark, src).orderBy("k").collect().toSeq)
+    assert(got.where(col("v") === -1.0).count() == 1)
+    // idempotent re-run
+    assert(graft.sources.TxSync.replicate(spark, src, dst, Seq("k")) == 0)
   }
 
   test("vacuum reclaims nested files dropped by overwrite") {

@@ -149,7 +149,13 @@ class TxStatsSpec extends SparkSpec {
       col("b") === true,
       col("b") === false,
       col("k") === lit(null), // null literal: nothing matches
-      col("k") =!= 2L, // Not(EqualTo): fail-open shape
+      col("k") =!= 2L, // Not(EqualTo): prunable only on constant files
+      !(col("k") > 5L), // Not(>) == <= complement
+      !(col("k") <= 1L), // Not(<=) == > complement
+      !(col("k") < 100L) && col("v").isNotNull, // composed complement
+      col("s") =!= "zebra", // Not(EqualTo) on strings
+      col("b") =!= true, // Not(EqualTo) on booleans
+      !(col("t") >= lit(ts("2020-02-01 00:00:00"))), // retention shape
       col("k") + 1L > 2L, // function-of-attr: fail-open
       abs(col("v")) > 100.0, // fail-open
       col("k") < col("v"), // attr-vs-attr: fail-open
