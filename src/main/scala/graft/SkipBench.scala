@@ -76,13 +76,14 @@ object SkipBench {
     // convention for study 4 (same-session scale pairs want one study).
     val bloomMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_BLOOM", "")
     val connMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_CONNECTOR", "")
+    val delMode = sys.env.getOrElse("SPARK_GRAFT_SKIP_DELETE", "")
 
     val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("value"))
     def evAgg(df: DataFrame): Long =
       df.agg(sum("event_id"), count(lit(1))).collect()(0).getLong(1)
 
-    if (bloomMode != "only" && connMode != "only") {
+    if (bloomMode != "only" && connMode != "only" && delMode != "only") {
     // -- study 1: skipping payoff on a key-range-ingested lineitem table
     val nChunks = 64L
     val li = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"),
@@ -169,6 +170,35 @@ object SkipBench {
               f""""kept":${kept.size},"skipped":${skipped.size},""" +
               f""""rows":$n,"sec":$t%.3f}""")
         }
+      }
+    }
+
+    // -- study 5 (SPARK_GRAFT_SKIP_DELETE=1|only): the zero-read DELETE.
+    // The same rows, partitioned by bucket vs arrival-order flat; then
+    // DELETE bucket=7 on both. Partitioned: every bucket=7 file is
+    // provably total (lo==hi synth stats) — dropped from the log without
+    // a read. Flat: bucket interleaves every file, so all of them are
+    // touched AND none is provably total — the full copy-on-write
+    // rewrite. One pass each (a delete is destructive).
+    if (delMode == "1" || delMode == "only") {
+      val evp = ev.withColumn("bucket", pmod(col("user_id"), lit(64L)))
+      Seq(("partitioned", true), ("flat", false)).foreach { case (tag, part) =>
+        val dir = fresh(s"events_del_$tag")
+        val w = evp.write.format("graft").mode("append")
+        (if (part) w.partitionBy("bucket") else w).save(dir)
+        val before = TxTable.activeFiles(dir).size
+        val (_, tDel) = timed {
+          TxTable.delete(spark, dir, col("bucket") === 7L)
+        }
+        val after = TxTable.activeFiles(dir).size
+        val h = TxTable.history(spark, dir).where(col("op") === "delete")
+          .select("n_adds", "n_removes").collect()(0)
+        val n = TxTable.read(spark, dir)
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        println(f"""{"study":"delete","layout":"$tag","sf":"$sfDir",""" +
+          f""""files_before":$before,"files_after":$after,""" +
+          f""""rewritten":${h.getLong(0)},"removed":${h.getLong(1)},""" +
+          f""""rows_left":$n,"delete_sec":$tDel%.2f}""")
       }
     }
 
