@@ -31,6 +31,16 @@ import graft.sources.TxTable
   *     event_id; one existing-id and one absent-id probe, full scan vs
   *     pruned. The pruned lookup reads ≤1 file whatever the table size.
   *
+  *  4. **Connector + hive partitioning** (SPARK_GRAFT_SKIP_CONNECTOR=1):
+  *     the same rows flat vs partitionBy(bucket), probed through the
+  *     identical `format("graft")` read — the kept/skipped gap is the
+  *     planner-level cut the partition layout buys.
+  *
+  *  5. **Zero-read DELETE** (SPARK_GRAFT_SKIP_DELETE=1): DELETE of one
+  *     bucket on both layouts — partitioned drops its files from the log
+  *     without reading them (mustMatchAll), flat pays the copy-on-write
+  *     rewrite of every interleaved file.
+  *
   * Run: SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32
   *        sbt -batch -error "runMain graft.SkipBench"
   * Prints one JSON line per study row.

@@ -42,7 +42,9 @@ import org.apache.spark.sql.types.StructType
   *    ARE table versions, so replay is deterministic (a micro-batch is
   *    `readChanges(start, end]`, derived from the immutable log). Default
   *    mode emits net INSERTED rows (table schema); with
-  *    `readChangeFeed=true` it emits the full CDF including deletes.
+  *    `readChangeFeed=true` it emits the full CDF including deletes, and
+  *    `maxVersionsPerBatch` bounds each micro-batch for backfills
+  *    (admission control, maxFilesPerTrigger's shape).
   *  - **Streaming sink** — `ds.writeStream.format("graft")`: exactly-once
   *    appends, the batchId riding the commit's op tag
   *    (`append:stream:<appId>:batch=<n>`) so a replayed micro-batch finds
@@ -124,7 +126,9 @@ final class GraftDataSource extends RelationProvider
     new GraftStreamSource(sqlContext.sparkSession, dir,
       cdf = cdfRequested(parameters),
       startingVersion =
-        parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+        parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerBatch =
+        parameters.get("maxVersionsPerBatch").map(_.toLong))
   }
 
   // ---- streaming sink ----
@@ -186,8 +190,12 @@ object GraftDataSource {
   * when paired with an idempotent sink.
   */
 private[graft] final class GraftStreamSource(spark: SparkSession,
-    dir: String, cdf: Boolean, startingVersion: Long) extends Source
+    dir: String, cdf: Boolean, startingVersion: Long,
+    maxVersionsPerBatch: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerBatch.forall(_ > 0),
+    "maxVersionsPerBatch must be positive")
 
   override val schema: StructType = {
     val base = TxTable.schemaAt(dir, None).getOrElse(
@@ -218,15 +226,39 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
+  /** The batch's end version: the table's latest (capped at the
+    * AvailableNow pin), additionally capped `maxVersionsPerBatch` past
+    * the consumed offset — the admission-control knob that turns a
+    * 100k-commit backfill into bounded micro-batches instead of one
+    * table-sized batch (FileStreamSource's maxFilesPerTrigger shape;
+    * the engine keeps issuing batches until the cap stops binding).
+    */
+  private def nextOffset(consumed: Option[Long]): Option[Long] = {
+    val v = latestVersion
+    if (v < startingVersion) return None
+    val capped = maxVersionsPerBatch match {
+      case Some(m) =>
+        math.min(v, consumed.getOrElse(startingVersion - 1) + m)
+      case None => v
+    }
+    Some(capped).filter(c => c > consumed.getOrElse(Long.MinValue))
+  }
+
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val v = latestVersion
-    if (v < startingVersion) null else LongOffset(v)
+    val consumed = Option(startOffset).map {
+      case o: Offset => ver(o)
+      case o => o.json.toLong
+    }
+    nextOffset(consumed).map(LongOffset(_)).orNull
   }
 
   override def getOffset: Option[Offset] = {
+    // V1 entry point: no start offset is passed, so the per-batch cap
+    // cannot be applied here — engines that support admission control
+    // (all modern ones) call latestOffset instead
     val v = latestVersion
     if (v < startingVersion) None else Some(LongOffset(v))
   }

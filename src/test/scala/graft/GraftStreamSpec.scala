@@ -124,6 +124,28 @@ class GraftStreamSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dst).count() == 14)
   }
 
+  test("maxVersionsPerBatch bounds a backfill into multiple micro-batches") {
+    val src = freshDir("src5")
+    (0 until 5).foreach(i =>
+      rows(i * 10L, (i + 1) * 10L).write.format("graft")
+        .mode(SaveMode.Append).save(src)) // versions 0..4
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", 2).load(src)
+      .writeStream.option("checkpointLocation", freshDir("ckpt5"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.iterator().asScala.toSeq
+    // 5 versions at <=2 per batch: 3 batches (20, 20, 10), no dup, no loss
+    assert(sizes.sum == 50, sizes)
+    assert(sizes.count(_ > 0) == 3, sizes)
+    assert(sizes.filter(_ > 0).max <= 20, sizes)
+  }
+
   test("streaming sink writes a PARTITIONED table via writeStream.partitionBy") {
     val src = freshDir("src4")
     val dst = freshDir("dst4")
