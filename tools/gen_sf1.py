@@ -21,7 +21,7 @@ match organic growth rather than degenerating:
 - orders/lineitem: order keys shifted consistently on both sides so join
   fan-out per key is preserved exactly.
 
-Usage: python3 tools/gen_sf1.py [outDir=target/sf1] [srcDir] [replicas] [--hold-density] [--docs-only]
+Usage: python3 tools/gen_sf1.py [outDir=target/sf1] [srcDir] [replicas] [--hold-density] [--docs-only] [--events-only]
 
 --hold-density swaps the documents transform from word ROTATION to a
 per-replica token BIJECTION (every token suffixed with the replica id):
@@ -46,10 +46,16 @@ HOLD = "--hold-density" in sys.argv
 # other tables would cost ~15 GB and most of the generation time for
 # queries that never open them.
 DOCS_ONLY = "--docs-only" in sys.argv
+# --events-only: write events.parquet and nothing else — the storage-layer
+# scale rungs (SkipBench studies 4/5: partitioned connector reads, the
+# zero-read DELETE) read only events, and a full sf100 fixture would cost
+# ~15 GB for tables those studies never touch.
+EVENTS_ONLY = "--events-only" in sys.argv
 # --keep-stopwords (only with --hold-density): see the HOLD branch below.
 KEEPSW = "--keep-stopwords" if "--keep-stopwords" in sys.argv else ""
 sys.argv = [a for a in sys.argv
-            if a not in ("--hold-density", "--docs-only", "--keep-stopwords")]
+            if a not in ("--hold-density", "--docs-only", "--keep-stopwords",
+                         "--events-only")]
 
 import duckdb
 
@@ -74,16 +80,22 @@ def stride(table: str, key: str) -> int:
         f"SELECT max({key}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
 
 
-DOC_N = stride("documents", "doc_id")
+DOC_N = None if EVENTS_ONLY else stride("documents", "doc_id")
 # non-document strides only when those tables will be written — a
 # --docs-only SOURCE dir (chained docs-only fixtures) has no other tables
-if not DOCS_ONLY:
+if not DOCS_ONLY and not EVENTS_ONLY:
     CUST_N = stride("customer", "c_custkey")
     VEC_N = stride("embeddings", "vec_id")
     ORD_N = stride("orders", "o_orderkey")
+else:
+    # placeholders: the skipped tables' SELECT strings are still BUILT
+    # (copy() no-ops before executing them)
+    CUST_N = VEC_N = ORD_N = 0
 
 
 def copy(name: str, select: str) -> None:
+    if EVENTS_ONLY and name != "events":
+        return
     con.execute(
         f"COPY ({select}) TO '{DST}/{name}.parquet' (FORMAT PARQUET)")
     n = con.execute(
