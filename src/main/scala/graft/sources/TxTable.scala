@@ -18,12 +18,13 @@ import scala.jdk.CollectionConverters._
   *
   * Guarantees:
   *  - **Atomic commits.** Data files are staged under UUID names first;
-  *    the commit publishes by `Files.move(ATOMIC_MOVE)` of the version's
-  *    JSON into `_txlog/` — create-if-absent, so exactly ONE writer wins
-  *    a version (optimistic concurrency; appends retry on collision,
-  *    semantic writers raise). A crash before publish leaves only
-  *    orphaned data files, invisible to every reader; `vacuum` reclaims
-  *    them.
+  *    the commit publishes by HARD-LINKING the version's JSON into
+  *    `_txlog/` — `link(2)` is the POSIX atomic create-if-absent (a
+  *    rename would silently replace a concurrent winner's entry), so
+  *    exactly ONE writer wins a version (optimistic concurrency; appends
+  *    retry on collision, semantic writers raise). A crash before
+  *    publish leaves only orphaned data files, invisible to every
+  *    reader; `vacuum` reclaims them.
   *  - **Snapshot isolation + time travel.** Readers replay the log to
   *    the requested version (default: latest) and read exactly that
   *    file set — concurrent commits never tear a read.
@@ -434,9 +435,17 @@ object TxTable {
       val tmp = logDir(dir).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.writeString(tmp,
         render(Commit(v, op, adds, removes, schemaJson, partitionBy)))
+      // atomic CREATE-IF-ABSENT must be a hard link, not a rename: POSIX
+      // rename(2) (what Files.move(ATOMIC_MOVE) compiles to) silently
+      // REPLACES an existing target, so two writers racing to the same
+      // version would clobber each other's commit — link(2) fails with
+      // EEXIST instead, which is the loser's signal to retry (found by
+      // the concurrent-appender stress test: 10 of 48 commits lost under
+      // the rename scheme)
       val landed =
         try {
-          Files.move(tmp, entryPath(dir, v), StandardCopyOption.ATOMIC_MOVE)
+          Files.createLink(entryPath(dir, v), tmp)
+          Files.delete(tmp)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>

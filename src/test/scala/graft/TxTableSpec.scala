@@ -179,4 +179,68 @@ class TxTableSpec extends SparkSpec {
     assert(slurp(dir) == Set(2L -> "b", 3L -> "c"))
     assert(slurp(dir, Some(1L)) == Set(2L -> "b")) // horizon intact
   }
+
+  test("concurrent appenders: every commit lands exactly once, no torn reads") {
+    val dir = freshDir("stress")
+    val threads = 8
+    val perThread = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // concurrent readers race the appends: every snapshot they observe
+    // must be a prefix-consistent version (k-set == some commit count)
+    val reader = new Thread(() => {
+      (1 to 20).foreach { _ =>
+        try {
+          val n = TxTable.read(spark, dir).count()
+          assert(n % 2 == 0, s"torn read: $n rows") // every append = 2 rows
+        } catch { case t: Throwable => errs.add(t) }
+        Thread.sleep(15)
+      }
+    })
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          latch.await()
+          (0 until perThread).foreach { i =>
+            try TxTable.append(
+              df((t * 100L + i) -> s"t$t-$i", (t * 100L + i + 50L) -> "x"),
+              dir)
+            catch { case e: Throwable => errs.add(e) }
+          }
+        }
+      })
+    }
+    reader.start(); latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    reader.join()
+    assert(errs.isEmpty, String.valueOf(errs.peek()))
+    // all 48 optimistic appends won SOME version, none lost or duplicated
+    assert(TxTable.currentVersion(dir) == threads * perThread - 1)
+    assert(TxTable.read(spark, dir).count() == threads * perThread * 2L)
+    val h = TxTable.history(spark, dir).collect()
+    assert(h.length == threads * perThread && h.forall(_.getString(1) == "append"))
+  }
+
+  test("bloom filters work on a partitioned table's data columns") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("partbloom")
+    val data = (0L until 400L).map(i => (i, s"p${i % 4}", i * 3L))
+      .toDF("id", "part", "payload")
+    TxTable.append(data, dir, bloomFor = Seq("id"), partitionBy = Seq("part"))
+    // zone maps can't serve an interleaved id probe inside one partition
+    // file set, the bloom proves absence across ALL files
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir, col("id") === 9999L)
+    assert(kept.isEmpty && skipped.nonEmpty)
+    val (k2, _) = TxTable.pruneFiles(spark, dir, col("id") === 7L)
+    assert(k2.nonEmpty)
+    assert(TxTable.readWhere(spark, dir, col("id") === 7L).count() == 1)
+    // bloom on the PARTITION column itself is refused (not in data files)
+    intercept[IllegalArgumentException] {
+      TxTable.append(data, freshDir("partbloom2"),
+        bloomFor = Seq("part"), partitionBy = Seq("part"))
+    }
+  }
 }
