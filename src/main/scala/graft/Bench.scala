@@ -357,6 +357,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // static conf, default 100: the generated-class cache is keyed by
+      // codegen source, and a multi-hundred-query run holds far more than
+      // 100 distinct codegen units — at the default every pass re-compiles
+      // (Janino) every query's whole-stage code, which is pure fixed
+      // overhead in steady state (guide §1.2: per-task work after shape).
+      // Scale-independent: it caches compiled CODE, never data or results.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
