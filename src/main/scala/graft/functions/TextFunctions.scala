@@ -95,36 +95,69 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"))
 
   def langId(text: Column): Column = {
-    val scored = langStopwords.map { case (lang, words) =>
-      (lang, stopwordHits(text, words))
-    }
-    // argmax with first-listed winning ties, 'und' when all zero
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    // ONE tokenize and ONE pass over the tokens. Higher-order functions
+    // are CodegenFallback (interpreted per element), so the old
+    // per-language `filter` passes cost 4 interpreted sweeps — and the
+    // argmax fold then duplicated each count subtree through its `when`
+    // chain, which codegen subexpression elimination does not reach
+    // inside conditional branches. All four counters ride one aggregate
+    // accumulator; the argmax lives in the FINISH lambda, where each
+    // count is a bound variable reference, evaluated once. Same values
+    // bit for bit: same token list, same hit predicate, same
+    // first-listed tie-break, same 'und' fallback.
+    val zero = struct(langStopwords.map { case (l, _) => lit(0L).as(l) }: _*)
+    aggregate(tokens(text), zero,
+      (acc, tk) => struct(langStopwords.map { case (l, words) =>
+        (acc.getField(l) +
+          when(array_contains(lit(words.toArray), tk), 1L).otherwise(0L)).as(l)
+      }: _*),
+      acc => {
+        val scored = langStopwords.map { case (l, _) => (l, acc.getField(l)) }
+        val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+          case ((bl, bs), (lang, sc)) =>
+            (when(sc > bs, lit(lang)).otherwise(bl),
+              when(sc > bs, sc).otherwise(bs))
+        }
+        when(best._2 > 0, best._1).otherwise(lit("und"))
+      })
   }
 
   /** Quality heuristics for a training-data filter: lengths, alpha ratio,
     * stopword ratio, mean token length — plus a keep/drop verdict.
     */
   def qualityScore(text: Column): Column = {
+    // Single-pass form (the langId lesson): token count, stopword hits
+    // and total token length ride ONE aggregate accumulator — the old
+    // shape re-tokenized and re-swept the array once per metric through
+    // interpreted HOF passes. Alpha chars count via a length diff
+    // instead of materializing an array of every single-char match.
+    // The output struct is built in the FINISH lambda so each metric is
+    // one bound-variable read; every field's value is unchanged.
     val nChars = length(text)
-    val toks = tokens(text)
-    val nToks = size(toks)
-    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
-    val stop = tokenRatio(text, langStopwords.flatMap(_._2))
-    val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
-      .otherwise(0.0)
-    struct(
-      nChars.cast("long").as("n_chars"),
-      nToks.cast("long").as("n_tokens"),
-      round(alpha.cast("double") / greatest(nChars, lit(1)), 6).as("alpha_ratio"),
-      round(stop, 6).as("stop_ratio"),
-      round(meanTokLen, 6).as("mean_token_len"),
-      (nToks >= 10 && nToks <= 100000 && stop > 0.001).as("keep"))
+    val alpha = (nChars - length(regexp_replace(text, "[A-Za-z]", "")))
+    val stopList = langStopwords.flatMap(_._2)
+    aggregate(tokens(text),
+      struct(lit(0L).as("n"), lit(0L).as("sh"), lit(0L).as("tl")),
+      (acc, tk) => struct(
+        (acc.getField("n") + 1L).as("n"),
+        (acc.getField("sh") +
+          when(array_contains(lit(stopList.toArray), tk), 1L).otherwise(0L))
+          .as("sh"),
+        (acc.getField("tl") + length(tk)).as("tl")),
+      acc => {
+        val nToks = acc.getField("n")
+        val stop = when(nToks > 0,
+          acc.getField("sh").cast("double") / nToks).otherwise(0.0)
+        val meanTokLen = when(nToks > 0,
+          acc.getField("tl").cast("double") / nToks).otherwise(0.0)
+        struct(
+          nChars.cast("long").as("n_chars"),
+          nToks.cast("long").as("n_tokens"),
+          round(alpha.cast("double") / greatest(nChars, lit(1)), 6).as("alpha_ratio"),
+          round(stop, 6).as("stop_ratio"),
+          round(meanTokLen, 6).as("mean_token_len"),
+          (nToks >= 10 && nToks <= 100000 && stop > 0.001).as("keep"))
+      })
   }
 
   /** Bag-of-words tonal scoring (F8, news sentiment — formulas
@@ -132,14 +165,29 @@ object TextFunctions {
     * tf = hits/T; sentiment = positive tf - negative tf.
     */
   def tonalScore(text: Column, positive: Seq[String], negative: Seq[String]): Column = {
-    val toks = tokens(text)
-    val t = size(toks)
-    val pos = stopwordHits(text, positive)
-    val neg = stopwordHits(text, negative)
-    struct(
-      t.cast("long").as("n_tokens"),
-      round(when(t > 0, pos.cast("double") / t).otherwise(0.0), 6).as("tf_pos"),
-      round(when(t > 0, neg.cast("double") / t).otherwise(0.0), 6).as("tf_neg"),
-      round(when(t > 0, (pos - neg).cast("double") / t).otherwise(0.0), 6).as("sentiment"))
+    // single-pass form (the langId lesson): count + both tone hit
+    // counters in one aggregate sweep, fields derived in the finish
+    // lambda — values unchanged
+    aggregate(tokens(text),
+      struct(lit(0L).as("t"), lit(0L).as("p"), lit(0L).as("n")),
+      (acc, tk) => struct(
+        (acc.getField("t") + 1L).as("t"),
+        (acc.getField("p") +
+          when(array_contains(lit(positive.toArray), tk), 1L).otherwise(0L))
+          .as("p"),
+        (acc.getField("n") +
+          when(array_contains(lit(negative.toArray), tk), 1L).otherwise(0L))
+          .as("n")),
+      acc => {
+        val t = acc.getField("t")
+        val pos = acc.getField("p")
+        val neg = acc.getField("n")
+        struct(
+          t.cast("long").as("n_tokens"),
+          round(when(t > 0, pos.cast("double") / t).otherwise(0.0), 6).as("tf_pos"),
+          round(when(t > 0, neg.cast("double") / t).otherwise(0.0), 6).as("tf_neg"),
+          round(when(t > 0, (pos - neg).cast("double") / t).otherwise(0.0), 6)
+            .as("sentiment"))
+      })
   }
 }

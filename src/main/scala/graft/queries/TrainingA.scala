@@ -811,14 +811,23 @@ private[queries] object TrainingA {
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 8)).as("sp"))
         .select(col("source"), TextFunctions.hash60(col("sp")).as("h"))
-        .persist() // global counts + the tag join read it
-      val cnt = spans.groupBy("h").agg(count(lit(1)).as("c"))
-      spans.join(cnt, "h")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"))
-        .select(col("source"), col("n_spans"), col("n_unique"),
-          expr("n_unique * 1000000 div n_spans").as("unique_share_e6"))
+        .persist() // the global-count and per-source aggregates read it
+      // r14 reshape: a globally-unique span has exactly ONE occurrence,
+      // so its source is recoverable from the hash aggregate itself
+      // (min(source) over one row) — no join-back of the count frame to
+      // the occurrence stream. One h-keyed aggregate + two bounded
+      // source-keyed aggregates replace groupBy + join + groupBy; the
+      // per-source tag rows never re-cross the wire. Output unchanged.
+      val uniq = spans.groupBy("h")
+        .agg(count(lit(1)).as("c"), min("source").as("source"))
+        .where(col("c") === 1L)
+        .groupBy("source").agg(count(lit(1)).as("n_unique"))
+      spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+        .join(uniq, Seq("source"), "left")
+        .select(col("source"), col("n_spans"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+        .withColumn("unique_share_e6",
+          expr("n_unique * 1000000 div n_spans"))
     }),
 
     // ExactSubstr span-EXCISION dedup (Lee et al. 2022 arXiv:2107.06499,

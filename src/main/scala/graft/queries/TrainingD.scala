@@ -409,9 +409,13 @@ private[queries] object TrainingD {
     // its distinct 3-gram hashes NEVER seen in any earlier decile.
     // Novelty decaying toward zero means new data repeats the old —
     // the collection-ROI curve (Heaps-law q296's actionable cousin).
-    // First occurrence = min decile per gram (one groupBy over the
-    // exploded gram hashes); per-decile distinct counts are a second
-    // keyed groupBy. All counts exact.
+    // One hash-keyed aggregate folds each gram's decile SET into a
+    // 10-bit mask (bit_or partials collapse duplicate grams map-side, so
+    // the single shuffle carries one row per distinct hash per map task
+    // — the r14 reshape: the old distinct → groupBy(min) → join-back
+    // chain was three exchanges over the full (dec, h) pair stream for
+    // the same answer). Per decile: present = bit set; novel = no lower
+    // bit set (first occurrence). All counts exact, output unchanged.
     "q376_novelty_curve" -> ((s, d) => {
       val nDf = t(s, d, "documents").agg(max("doc_id").as("max_id"))
       val grams = t(s, d, "documents")
@@ -420,13 +424,16 @@ private[queries] object TrainingD {
         .select(expr("least(9L, doc_id * 10 div (max_id + 1))").as("dec"),
           explode(Dedup.shingles(col("text"), 3)).as("g"))
         .select(col("dec"), TextFunctions.hash60(col("g")).as("h"))
-      val perDec = grams.select("dec", "h").distinct()
-      val firstDec = perDec.groupBy("h").agg(min("dec").as("first_dec"))
-      perDec.join(firstDec, "h")
+      grams
+        .groupBy("h")
+        .agg(expr("bit_or(shiftleft(1L, cast(dec as int)))").as("mask"))
+        .select(explode(expr(
+          "filter(sequence(0L, 9L), x -> (shiftright(mask, cast(x as int)) % 2) = 1)"))
+          .as("dec"), col("mask"))
         .groupBy("dec")
         .agg(count(lit(1)).as("n_distinct"),
-          sum(when(col("first_dec") === col("dec"), 1L).otherwise(0L))
-            .as("n_novel"))
+          sum(when(expr("(mask & (shiftleft(1L, cast(dec as int)) - 1)) = 0"),
+            1L).otherwise(0L)).as("n_novel"))
         .select(col("dec"), col("n_distinct"), col("n_novel"),
           expr("n_novel * 1000000 div n_distinct").as("novelty_e6"))
     }),

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions._
@@ -177,6 +179,151 @@ object TxStats {
       }.toMap)
     }
     collected ++ empties
+  }
+
+  /** Footer-based stats collection — the production shape the scan-based
+    * [[collect]] documents: lift rows / null counts / min / max from the
+    * parquet FOOTERS the staged write already produced, zero data IO and
+    * zero Spark jobs (guide §6: skipping decisions must come from
+    * O(files) driver-side metadata; the old read-back was a second full
+    * pass over every committed byte). Sidecar format, pruning logic and
+    * soundness rules are unchanged — only the producer moves.
+    *
+    * Parity with the scan path, case by case:
+    *  - integral / date / boolean: parquet INT32/INT64/BOOLEAN footer
+    *    min/max are exact under the same signed order Spark's min/max
+    *    aggregates use — identical values.
+    *  - float/double: parquet-mr's FLOAT/DOUBLE statistics compare with
+    *    `Double.compare` (NaN greatest, -0.0 < 0.0), the same total
+    *    order Spark's min/max use; `negZero` then folds -0.0 exactly as
+    *    the scan path does. A chunk whose stats were dropped by the
+    *    writer falls open (bounds unknown) — fail-open as ever.
+    *  - strings: footer BINARY bounds are raw byte-order min/max of the
+    *    column (parquet-mr drops them above its 4 KB cap — falls open);
+    *    the [[StringPrefixCap]] truncate-lo / drop-hi rule applies on
+    *    top, so stored bounds are exactly the scan path's.
+    *  - timestamps written as INT96 (Spark's default output type) carry
+    *    no ordered footer bounds: null counts are kept (order-free),
+    *    min/max stay unknown — strictly less pruning than the scan
+    *    path, never unsound. TIMESTAMP(MICROS/MILLIS) files get full
+    *    bounds.
+    *  - a column with ANY chunk lacking usable null counts is omitted
+    *    from the file's entry entirely (every pruning path falls open on
+    *    a missing column).
+    *
+    * Blooms still need the data pass — callers with `bloomFor` keep
+    * using [[collect]].
+    */
+  def collectFromFooters(spark: SparkSession, dir: String, names: Seq[String],
+      schema: StructType): Map[String, FileStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val fields = schema.fields.iterator
+      .flatMap(f => normType(f.dataType).map { case (tag, _) => (f.name, tag, f.dataType) })
+      .take(MaxIndexedCols).toSeq
+    names.map { n =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$n"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0L)
+          n -> FileStats(0L, fields.map { case (name, tag, _) =>
+            name -> ColStats(tag, 0L, None, None)
+          }.toMap)
+        else {
+          val chunksByName = blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+          val cols = fields.flatMap { case (name, tag, sparkDt) =>
+            chunksByName.get(name).flatMap { chunks =>
+              var nulls = 0L
+              var known = true // null counts present on every chunk
+              var bounded = true // ordered bounds recoverable on every chunk
+              var lo: Option[Any] = None
+              var hi: Option[Any] = None
+              def merge(mn: Any, mx: Any): Unit = {
+                def less(a: Any, b: Any): Boolean = (a, b) match {
+                  case (x: Long, y: Long) => x < y
+                  case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+                  case (x: String, y: String) => utf8Cmp(x, y) < 0
+                  case _ => false
+                }
+                lo = Some(lo.filter(v => less(v, mn)).getOrElse(mn))
+                hi = Some(hi.filter(v => less(mx, v)).getOrElse(mx))
+              }
+              chunks.foreach { c =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) known = false
+                else {
+                  nulls += st.getNumNulls
+                  if (st.hasNonNullValue) {
+                    val ptn = c.getPrimitiveType.getPrimitiveTypeName
+                    val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+                    (tag, ptn) match {
+                      case ("l", INT64) =>
+                        val scale: Option[Long] = sparkDt match {
+                          case TimestampType => logical match {
+                            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                              t.getUnit match {
+                                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                                case _ => None
+                              }
+                            case _ => None
+                          }
+                          case _ => Some(1L)
+                        }
+                        scale match {
+                          case Some(k) => merge(
+                            st.genericGetMin.asInstanceOf[java.lang.Long].longValue * k,
+                            st.genericGetMax.asInstanceOf[java.lang.Long].longValue * k)
+                          case None => bounded = false
+                        }
+                      case ("l", INT32) => merge(
+                        st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                        st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+                      case ("l", BOOLEAN) => merge(
+                        if (st.genericGetMin.asInstanceOf[java.lang.Boolean]) 1L else 0L,
+                        if (st.genericGetMax.asInstanceOf[java.lang.Boolean]) 1L else 0L)
+                      case ("d", DOUBLE) => merge(
+                        negZero(st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue),
+                        negZero(st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+                      case ("d", FLOAT) => merge(
+                        negZero(st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue),
+                        negZero(st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue))
+                      case ("s", BINARY) => merge(
+                        st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8)
+                      case _ => bounded = false // INT96 et al: order unusable
+                    }
+                  } else if (st.getNumNulls < c.getValueCount) {
+                    bounded = false // non-null rows exist but bounds dropped
+                  }
+                }
+              }
+              if (!known) None // no sound null count: omit column, fall open
+              else {
+                val (flo, fhi) =
+                  if (!bounded) (None, None)
+                  else tag match {
+                    case "s" =>
+                      (lo.map(_.asInstanceOf[String].take(StringPrefixCap)),
+                        hi.map(_.asInstanceOf[String])
+                          .filter(_.length <= StringPrefixCap))
+                    case _ => (lo, hi)
+                  }
+                Some(name -> ColStats(tag, nulls, flo, fhi))
+              }
+            }
+          }.toMap
+          n -> FileStats(rows, cols)
+        }
+      } finally reader.close()
+    }.toMap
   }
 
   // ---- sidecar codec (TSV, escaped; dependency-free both ways) ----

@@ -74,10 +74,9 @@ object TxSync {
       keys: Seq[String]): Long = {
     val top = TxTable.currentVersion(srcDir)
     if (top < 0) return 0L
-    val applied = TxTable.history(spark, dstDir).collect()
-      .map(_.getString(1)).flatMap { op =>
-        ":v(\\d+)$".r.findFirstMatchIn(op).map(_.group(1).toLong)
-      }
+    val applied = TxTable.commitOps(dstDir).flatMap { op =>
+      ":v(\\d+)$".r.findFirstMatchIn(op).map(_.group(1).toLong)
+    }
     val from = if (applied.isEmpty) -1L else applied.max
     var n = 0L
     ((from + 1) to top).foreach { v =>

@@ -412,8 +412,22 @@ object TxTable {
     val names = stage(df, dir, partitionBy)
     val dataSchema = StructType(
       df.schema.filterNot(f => partitionBy.contains(f.name)))
-    (names, TxStats.collect(df.sparkSession, dir, names, dataSchema,
-      bloomFor = bloomFor))
+    val spark = df.sparkSession
+    // Zone maps come from the parquet FOOTERS the stage just wrote — zero
+    // data IO, zero Spark jobs (the scan-based collect was a second full
+    // pass over every committed byte; guide §6). Blooms are the one stat
+    // a footer cannot provide (they hash every value), so `bloomFor`
+    // writes keep the scan; `spark.graft.stats.fromFooters=false` forces
+    // it too (parity escape hatch). Any footer-read failure falls back —
+    // stats are advisory, the commit must not die on them.
+    val stats =
+      if (bloomFor.isEmpty &&
+          spark.conf.get("spark.graft.stats.fromFooters", "true").toBoolean)
+        try TxStats.collectFromFooters(spark, dir, names, dataSchema)
+        catch { case scala.util.control.NonFatal(_) =>
+          TxStats.collect(spark, dir, names, dataSchema) }
+      else TxStats.collect(spark, dir, names, dataSchema, bloomFor = bloomFor)
+    (names, stats)
   }
 
   /** Publish a commit. Appends (`basedOn = None`) are order-independent:
@@ -862,9 +876,20 @@ object TxTable {
     Files.createDirectories(Paths.get(dir))
     // the replica keeps its OWN layout; the apply re-stages through it
     val pcols = partitionColsAt(dir, Some(basedOn))
+    // Stage FIRST and decide emptiness from the staged row counts (free —
+    // they are in the zone maps the stage just collected): the old
+    // `newData.isEmpty` pre-check was a separate action that recomputed
+    // the apply's whole delta lineage before the write action ran it
+    // again (guide §1.2: don't compute things twice). A fully-cancelled
+    // or layout-only apply stages only empty files — dropped here, so the
+    // published commit is adds-free exactly as before.
+    val (adds0, stats0) = stageWithStats(newData, dir, partitionBy = pcols)
+    val staged = adds0.map(n => stats0.get(n).map(_.rows).getOrElse(1L)).sum
     val (adds, stats) =
-      if (newData.isEmpty) (Seq.empty[String], Map.empty[String, TxStats.FileStats])
-      else stageWithStats(newData, dir, partitionBy = pcols)
+      if (staged == 0L) {
+        adds0.foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+        (Seq.empty[String], Map.empty[String, TxStats.FileStats])
+      } else (adds0, stats0)
     publish(dir, s"sync:$tag", adds, removes,
       evolve(dir, newData.schema).json, basedOn = Some(basedOn),
       stats = stats, partitionBy = pcols)
@@ -873,6 +898,14 @@ object TxTable {
   /** True if some commit carries `opTag` (idempotence lookup for sinks). */
   def hasCommitTag(dir: String, opTag: String): Boolean =
     readLog(dir, None).exists(_.op.endsWith(":" + opTag))
+
+  /** Commit ops in version order — the driver-side view [[TxSync]]'s
+    * high-water-mark scan reads (the log IS driver metadata; wrapping it
+    * in a DataFrame just to `collect` it back was one Spark job per
+    * replicate call for nothing).
+    */
+  private[sources] def commitOps(dir: String): Seq[String] =
+    readLog(dir, None).map(_.op)
 
   /** Commit history as a DataFrame: (version, op, n_adds, n_removes). */
   def history(spark: SparkSession, dir: String): DataFrame = {

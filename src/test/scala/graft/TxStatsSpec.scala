@@ -71,9 +71,16 @@ class TxStatsSpec extends SparkSpec {
     assert(f0.cols("s").lo.contains("apple") && f0.cols("s").hi.contains("banana"))
     assert(f0.cols("t").nulls == 1)
     assert(f0.cols("b") == TxStats.ColStats("l", 1, Some(0L), Some(1L)))
-    // NaN ranks greatest in Spark's double order
+    // NaN handling, producer-dependent and sound either way: the scan
+    // producer records NaN as the max (Spark's total order, NaN
+    // greatest); the footer producer (the default) falls OPEN on a
+    // NaN-containing chunk, because parquet-mr omits min/max for it —
+    // unbounded can never mis-prune, and `v > 1e300` still keeps the
+    // file (the battery below pins that).
     val f1 = byLoK(1)
-    assert(f1.cols("v").hi.exists(_.asInstanceOf[Double].isNaN))
+    val v1 = f1.cols("v")
+    assert(v1.hi.exists(_.asInstanceOf[Double].isNaN) ||
+      (v1.lo.isEmpty && v1.hi.isEmpty), s"unsound NaN bounds: $v1")
     // a >64-char string: lower bound truncated to a sound prefix; the
     // max element ("zebra") is short, so the upper bound stays exact
     val f2 = byLoK(2)
@@ -95,6 +102,56 @@ class TxStatsSpec extends SparkSpec {
     // ...but the sound lower bound still prunes equality below it
     assert(TxTable.pruneFiles(spark, dir, col("s") === "A")._2.size == 1)
     assert(TxTable.readWhere(spark, dir, col("s") > "zzz").count() == 0)
+  }
+
+  /** Producer parity: the footer-based collector (the default write
+    * path) must agree with the scan-based collect on every column the
+    * footer can bound — same rows, same null counts, same lo/hi — on a
+    * table that exercises nulls, NaN, -0.0, long strings, booleans and
+    * timestamps. Timestamps are the one allowed divergence: INT96
+    * footers carry no ordered bounds, so lo/hi may fall open (None) —
+    * never a different value.
+    */
+  test("footer-based stats match scan-based stats (bounds exact or open)") {
+    val dir = freshDir("footer")
+    buildTable(dir)
+    val names = TxTable.activeFiles(dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("t", TimestampType, nullable = true),
+      StructField("b", BooleanType, nullable = true)))
+    val scan = TxStats.collect(spark, dir, names, schema)
+    val foot = TxStats.collectFromFooters(spark, dir, names, schema)
+    assert(foot.keySet == scan.keySet)
+    def same(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+      case (Some(x: Double), Some(y: Double)) =>
+        java.lang.Double.compare(x, y) == 0 // NaN == NaN here
+      case _ => a == b
+    }
+    names.foreach { f =>
+      assert(foot(f).rows == scan(f).rows, s"$f rows")
+      scan(f).cols.foreach { case (c, sc) =>
+        val fc = foot(f).cols.getOrElse(c,
+          fail(s"$f.$c missing from footer stats"))
+        assert(fc.typ == sc.typ && fc.nulls == sc.nulls, s"$f.$c meta")
+        // two allowed open-fallbacks, never a disagreement: INT96
+        // timestamps carry no ordered footer bounds, and parquet-mr
+        // omits min/max for a NaN-containing float/double chunk
+        val mayFallOpen = c == "t" ||
+          (sc.typ == "d" && sc.hi.exists(x =>
+            x.asInstanceOf[Double].isNaN))
+        if (mayFallOpen) {
+          assert(fc.lo.isEmpty || same(fc.lo, sc.lo), s"$f.$c lo")
+          assert(fc.hi.isEmpty || same(fc.hi, sc.hi), s"$f.$c hi")
+        } else { // every other column: bounds must be EXACT — the footer
+          // is the default producer; pruning power must not regress
+          assert(same(fc.lo, sc.lo), s"$f.$c lo ${fc.lo} vs ${sc.lo}")
+          assert(same(fc.hi, sc.hi), s"$f.$c hi ${fc.hi} vs ${sc.hi}")
+        }
+      }
+    }
   }
 
   test("sidecar codec round-trips exactly, including tabs and newlines") {
