@@ -1710,21 +1710,24 @@ private[queries] object TrainingD {
             .as("s_e6"))
         .persist() // restart vector re-read every round + final join
       var v = seedBase.select(col("node"), col("s_e6").as("v_e6"))
-      for (_ <- 1 to 3) {
+      for (r <- 1 to 3) {
         val inflow = edges
           .join(v, col("src") === col("node"))
           .join(deg, "src")
           .select(col("dst"), expr("v_e6 div deg").as("contrib"))
           .groupBy("dst").agg(sum("contrib").as("inflow"))
-        v = seedBase.join(inflow, col("node") === col("dst"), "left")
+        val next = seedBase.join(inflow, col("node") === col("dst"), "left")
           .na.fill(0L, Seq("inflow"))
           .select(col("node"),
             expr("(15 * s_e6) div 100 + (85 * inflow) div 100").as("v_e6"))
-          // generation cut (q132/q185 lesson): without it each round
-          // re-plans the accumulated lineage and the LSH pair subtree
-          // dominates — measured 18.6 s → expected ~2 s at sf1 where the
-          // doc_id<300 graph itself is constant-size
-          .localCheckpoint(true)
+        // generation cut (q132/q185 lesson): without it each round
+        // re-plans the accumulated lineage and the LSH pair subtree
+        // dominates — measured 18.6 s → expected ~2 s at sf1 where the
+        // doc_id<300 graph itself is constant-size. The LAST round skips
+        // the cut: its only consumer is the final join, which runs once —
+        // an eager materialization there is a whole extra pass (r14:
+        // each eager cut is ~5 AQE sub-jobs of pure scheduling floor).
+        v = if (r < 3) next.localCheckpoint(true) else next
       }
       seedBase
         .join(v.withColumnRenamed("v_e6", "trust_e6"), Seq("node"))
