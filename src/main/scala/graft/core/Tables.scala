@@ -39,8 +39,14 @@ object Tables {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // Memo key carries the file's (mtime, size): a fixture regenerated
+    // in-place within one JVM (test/regen flows) gets a fresh inference
+    // instead of a stale schema silently miscasting columns. One stat
+    // call per frame construction — still zero footer reads when warm.
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified}:${f.length}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     val withTs =
       if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))

@@ -87,6 +87,17 @@ object TextFunctions {
   /** Tiny n-gram-free language-ID heuristic: argmax of per-language stopword
     * hit counts; `und` when nothing matches. Deterministic tie-break by list
     * order.
+    *
+    * NULL contract (applies to [[langId]], [[qualityScore]] and
+    * [[tonalScore]] alike): NULL text yields NULL — `aggregate` over a
+    * null array is null. The pre-r14 shapes returned 'und' / a non-null
+    * struct for NULL input, and the DuckDB oracle SQL's CASE chains
+    * would resolve a NULL argmax differently again — none of which has
+    * ever been observable, because no driver fixture ships null text.
+    * The contract is therefore: null-text behavior is UNSPECIFIED
+    * cross-engine; callers feeding user data with possible nulls must
+    * normalize first (`coalesce(text, lit(""))` restores the old
+    * sentinel shapes exactly).
     */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),

@@ -144,9 +144,11 @@ object CurationPipeline {
     // owner's clearCache (the Verify/Bench contract, documented above),
     // like every other operator-held block in this repo.
     val keptRows = report.where(col("kept")).persist(storage)
+    // the excision's occurrence stream rides the same storage level (and
+    // the same clearCache release contract) as the kept slice itself
     val ex = Dedup
       .exciseDupSpans(keptRows.select(col(idCol), col(textCol)),
-        idCol, textCol, k)
+        idCol, textCol, k, Some(storage))
       .withColumnRenamed("n_kept", "n_kept_tokens")
       .withColumnRenamed("text_kept", "text_excised")
     keptRows.join(ex, Seq(idCol))

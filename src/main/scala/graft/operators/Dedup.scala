@@ -459,24 +459,38 @@ object Dedup {
     * a Window partition, which is why the round-13 single-window shape
     * was retired: `Window.partitionBy(h, h2)` colocated every occurrence
     * of a hot span into ONE unsplittable sort task). The shingle scan
-    * runs twice (aggregate branch + probe branch) — deliberately
-    * stateless: no cached state survives the call (the round-12 leak: a
-    * long-lived session composing `exciseKept` accumulated orphaned
-    * shingle blocks), and both passes are whole-stage-codegen'd scans.
-    * Then a bounded k× interval explode on duplicated occurrences only
-    * and a (id, position) anti-join against the token stream.
+    * feeds both the aggregate branch and the probe branch; then a
+    * bounded k× interval explode on duplicated occurrences only and a
+    * (id, position) anti-join against the token stream.
+    *
+    * STORAGE CONTRACT (`occStorage`): by default (None) the operator is
+    * fully stateless — the shingle scan runs twice (aggregate + probe
+    * branch), both passes whole-stage-codegen'd, and no cached state
+    * survives the call (the round-12 leak: a long-lived session
+    * composing `exciseKept` accumulated orphaned shingle blocks;
+    * DedupSpec pins zero persistent RDDs on this path). Passing
+    * `Some(level)` persists the (id, p, h, h2) occurrence stream so the
+    * tokenize+shingle+md5 work runs ONCE — the exciseKept convention:
+    * the block lives for the lifetime of the returned DataFrame and the
+    * session owner releases it (`spark.catalog.clearCache()`, as
+    * Verify/Bench do after every query). At corpus scale the stream is
+    * ~tokens×32 bytes — pass DISK_ONLY there (or keep None: two codegen
+    * scans of the source can beat caching a corpus-sized block);
+    * MEMORY_AND_DISK is right for report-sized runs.
     *
     * Returns (idCol, n_tokens, n_kept, n_excised, text_kept); documents
     * whose every token is excised come back with n_kept=0, text_kept="".
     */
   def exciseDupSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      occStorage: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
     val toks = docs
       .select(col(idCol),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i0", "tok")))
       .select(col(idCol), (col("i0") + 1).cast("long").as("i"), col("tok"))
-    val occ = docs
+    val occ0 = docs
       // shingles() mirrors DuckDB range semantics: on a doc shorter than k
       // tokens the 1..len-(k-1) sequence would DESCEND — guard first.
       .where(size(TextFunctions.tokens(col(textCol))) >= k)
@@ -487,6 +501,7 @@ object Dedup {
       .select(col(idCol), col("p"),
         conv(substring(col("m5"), 1, 15), 16, 10).cast("long").as("h"),
         conv(substring(col("m5"), 18, 15), 16, 10).cast("long").as("h2"))
+    val occ = occStorage.map(occ0.persist).getOrElse(occ0)
     // two-phase partial aggregate: a hot span crosses the wire as ONE row
     // per map task, whatever its corpus frequency
     val spans = occ
@@ -505,6 +520,14 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("p"), col("p") + (k - 1))).as("i"))
       .distinct()
+    // (r15 tried rebuilding text only for TOUCHED docs — untouched docs'
+    // text_kept is lower(text) by split/join inversion — but the extra
+    // `covered` consumers (touched-id distinct + semi-join) defeat
+    // exchange reuse: column pruning specializes each copy's ReadSchema,
+    // the canonicalized plans stop matching, and the skew-heavy
+    // join-back chain planned THREE times instead of once. Local bench
+    // flat-to-worse, strictly worse on the boilerplate-heavy corpus the
+    // operator exists for. Single-consumer `covered` stays.)
     val kept = toks.join(covered, Seq(idCol, "i"), "left_anti")
     val perDoc = kept.groupBy(idCol)
       .agg(count(lit(1)).as("n_kept"),

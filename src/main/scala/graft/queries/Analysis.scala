@@ -1472,14 +1472,20 @@ object Analysis {
       def convRows = variants.select(col("vnt"), lit("conv").as("st"),
         lit(1000000L).as("y_e6"))
       var y = convRows
-      for (_ <- 1 to 12) {
-        y = y.join(broadcast(p), col("st") === col("to_s"))
+      val rounds = 12
+      for (_ <- 1 to rounds) {
+        val next = y.join(broadcast(p), col("st") === col("to_s"))
           .groupBy(col("vnt"), col("from_s"))
           .agg(expr("sum(p_e6 * y_e6) div 1000000").as("y_e6"))
           .select(col("vnt"), col("from_s").as("st"), col("y_e6"))
           .where(col("st") =!= col("vnt"))
           .unionByName(convRows)
-          .localCheckpoint(true)
+        // the q324 lazy-final rule does NOT apply here: the last round
+        // is read TWICE downstream (the `full` broadcast build and the
+        // eff probe side), so skipping the cut replays the final
+        // broadcast-join round per reader — measured a wash at best
+        // (r15 A/B inside the noise band); the eager cut stays
+        y = next.localCheckpoint(true)
       }
       val atStart = y.where(col("st") === "start")
       val full = atStart.where(col("vnt") === "full")

@@ -845,10 +845,14 @@ private[queries] object TrainingA {
     // (a hot boilerplate span crosses the wire as one row per map task)
     // + shuffled-hash join-back that STREAMS the skewed occurrence side
     // + bounded k× explode + (doc,pos) anti-join — no window, no
-    // collect, no cached state; skew-safe on the boilerplate-heavy
-    // corpora ExactSubstr exists for.
+    // collect; skew-safe on the boilerplate-heavy corpora ExactSubstr
+    // exists for. The occurrence stream is persisted (the exciseKept
+    // storage convention, released by the harness clearCache) so the
+    // tokenize+shingle+md5 pass runs once, not once per branch — at
+    // corpus scale a caller picks DISK_ONLY or stays stateless (None).
     "q547_substr_excise" -> ((s, d) => {
-      Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8)
+      Dedup.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", 8,
+          Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .where(col("n_excised") > 0)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"),
           col("n_excised"), md5(col("text_kept")).as("fp"))
@@ -1636,16 +1640,19 @@ private[queries] object TrainingA {
       // reused by all three iterations (harness clearCache releases it)
       val ed = edges.join(deg, "src").persist()
       var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
-        ranks = ed.join(ranks, ed("src") === ranks("id"))
+      val rounds = 3
+      for (rnd <- 1 to rounds) {
+        val next = ed.join(ranks, ed("src") === ranks("id"))
           .select(col("dst"), expr("r div d").as("contrib"))
           .groupBy("dst").agg(sum("contrib").as("in_r"))
           .select(col("dst").as("id"),
             expr("150000 + (85 * in_r) div 100").as("r"))
-          // generation cut (the q185 lesson): without it each iteration
-          // re-plans the whole accumulated lineage and the LSH pair
-          // subtree dominates planning, not execution
-          .localCheckpoint(true)
+        // generation cut (the q185 lesson): without it each iteration
+        // re-plans the whole accumulated lineage and the LSH pair
+        // subtree dominates planning, not execution. The LAST round is
+        // consumed exactly once (the final select) — an eager cut there
+        // is a whole extra materialization pass (the q324 rule).
+        ranks = if (rnd < rounds) next.localCheckpoint(true) else next
       }
       ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
     }),

@@ -1056,14 +1056,18 @@ private[queries] object TrainingB {
         .persist()
       var lab = edges.select(col("a").as("id")).distinct()
         .withColumn("lb", col("id"))
-      for (_ <- 1 to 3) {
+      val rounds = 3
+      for (rnd <- 1 to rounds) {
         val nb = edges
           .join(lab.select(col("id").as("b"), col("lb").as("nlb")), Seq("b"))
           .groupBy("a", "nlb").agg(count(lit(1)).as("c"))
         val w = Window.partitionBy("a").orderBy(desc("c"), asc("nlb"))
-        lab = nb.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        val next = nb.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
           .select(col("a").as("id"), col("nlb").as("lb"))
-          .localCheckpoint(true)
+        // lazy final round (the q324 rule): the last generation's only
+        // consumer is the final select, which runs once
+        lab = if (rnd < rounds) next.localCheckpoint(true) else next
       }
       lab.select(col("id").as("doc_id"), col("lb").as("community"))
     }),

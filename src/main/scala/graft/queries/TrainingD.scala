@@ -738,14 +738,15 @@ private[queries] object TrainingD {
       var dmin = d2To(seed).withColumnRenamed("d2", "d2min")
         .localCheckpoint(true)
       var picks = Vector((1L, seed, -1L))
-      for (k <- 2 to 10) {
+      val kTotal = 10
+      for (k <- 2 to kTotal) {
         val top = dmin.where(!col("vec_id").isin(picks.map(_._2): _*))
           .agg(max(struct(col("d2min"), (-col("vec_id")).as("nv"))).as("m"))
           .select(col("m.d2min").as("d2"), (-col("m.nv")).as("vid"))
           .head()
         val (d2s, cid) = (top.getLong(0), top.getLong(1))
         picks :+= ((k.toLong, cid, d2s))
-        if (k < 10) {
+        if (k < kTotal) {
           dmin = dmin
             .join(d2To(cid).select(col("vec_id"), col("d2").as("d2new")),
               "vec_id")
@@ -1033,7 +1034,8 @@ private[queries] object TrainingD {
       var cov = emb.select(col("v"), lit(0L).as("cov")).localCheckpoint(true)
       var chosen = Vector.empty[Long]
       var picks = Vector.empty[(Long, Long, Long, Long)]
-      for (r <- 1 to 5) {
+      val rounds = 5
+      for (r <- 1 to rounds) {
         val g = sims.where(!col("c").isin(chosen: _*))
           .join(cov, "v")
           .where(col("sv") > col("cov"))
@@ -1043,10 +1045,13 @@ private[queries] object TrainingD {
           .head()
         val (gain, cid) = (g.getLong(0), g.getLong(1))
         chosen :+= cid
-        cov = cov.join(sims.where(col("c") === cid)
+        // lazy final round (the q324 rule): round `rounds`' coverage is
+        // consumed exactly once (its covTot aggregate) — skip the eager
+        // cut and let that one action compute it off the persisted sims
+        val covNext = cov.join(sims.where(col("c") === cid)
             .select(col("v"), col("sv").as("snew")), "v")
           .select(col("v"), greatest(col("cov"), col("snew")).as("cov"))
-          .localCheckpoint(true)
+        cov = if (r < rounds) covNext.localCheckpoint(true) else covNext
         val covTot = cov.agg(sum("cov")).head().getLong(0)
         picks :+= ((r.toLong, cid, gain, covTot))
       }
@@ -1710,7 +1715,8 @@ private[queries] object TrainingD {
             .as("s_e6"))
         .persist() // restart vector re-read every round + final join
       var v = seedBase.select(col("node"), col("s_e6").as("v_e6"))
-      for (r <- 1 to 3) {
+      val rounds = 3
+      for (r <- 1 to rounds) {
         val inflow = edges
           .join(v, col("src") === col("node"))
           .join(deg, "src")
@@ -1727,7 +1733,7 @@ private[queries] object TrainingD {
         // the cut: its only consumer is the final join, which runs once —
         // an eager materialization there is a whole extra pass (r14:
         // each eager cut is ~5 AQE sub-jobs of pure scheduling floor).
-        v = if (r < 3) next.localCheckpoint(true) else next
+        v = if (r < rounds) next.localCheckpoint(true) else next
       }
       seedBase
         .join(v.withColumnRenamed("v_e6", "trust_e6"), Seq("node"))

@@ -381,9 +381,25 @@ object TxTable {
       partitionBy: Seq[String] = Nil): Seq[String] = {
     val token = java.util.UUID.randomUUID().toString.take(12)
     val tmp = Paths.get(dir, s"_staging-$token")
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(tmp.toString)
+    // Stage timestamps as TIMESTAMP(MICROS), not Spark's INT96 default:
+    // INT96 chunks carry no ordered footer statistics, so the footer
+    // zone-map path silently lost min/max on every TimestampType column
+    // — a quiet data-skipping regression on ts-range predicates. MICROS
+    // footers give exact ordered bounds (the collectFromFooters MICROS
+    // branch), the values are bit-identical either way, and every Spark
+    // reader handles both encodings.
+    val spark = df.sparkSession
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+        .parquet(tmp.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val parts = Files.walk(tmp).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
     val named = parts.zipWithIndex.map { case (p, i) =>
@@ -887,7 +903,24 @@ object TxTable {
     val staged = adds0.map(n => stats0.get(n).map(_.rows).getOrElse(1L)).sum
     val (adds, stats) =
       if (staged == 0L) {
-        adds0.foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+        // delete the staged files AND any partition subdirectories the
+        // stage created for them — a replica receiving many cancelled /
+        // layout-only syncs must not accumulate empty col=value/ dirs
+        val root = Paths.get(dir)
+        def dirEmpty(p: java.nio.file.Path): Boolean = {
+          val s = Files.list(p)
+          try !s.iterator().hasNext finally s.close()
+        }
+        adds0.foreach { n =>
+          val p = Paths.get(dir, n)
+          Files.deleteIfExists(p)
+          var parent = p.getParent
+          while (parent != null && parent != root &&
+              Files.isDirectory(parent) && dirEmpty(parent)) {
+            Files.delete(parent)
+            parent = parent.getParent
+          }
+        }
         (Seq.empty[String], Map.empty[String, TxStats.FileStats])
       } else (adds0, stats0)
     publish(dir, s"sync:$tag", adds, removes,

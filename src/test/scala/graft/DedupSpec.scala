@@ -267,4 +267,35 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
   }
+
+  test("exciseDupSpans occStorage: identical output to the stateless " +
+      "path, and clearCache releases the occurrence block") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d e y"),
+      (3L, "a b"),
+      (4L, "b c d")
+    ).toDF("doc_id", "text")
+    def rows(occ: Option[org.apache.spark.storage.StorageLevel]) =
+      Dedup.exciseDupSpans(d, "doc_id", "text", 3, occ)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val cached = rows(
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the opt-in persist holds the occurrence stream for the frame's
+    // lifetime (the exciseKept storage contract)...
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val stateless = rows(None)
+    // ...the session owner's clearCache releases it, and the stateless
+    // path is unchanged
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.keys.mkString(", "))
+    assert(cached.toSeq == stateless.toSeq)
+  }
 }

@@ -402,13 +402,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q225 label propagation: generation cut leaves a materialized-RDD scan") {
-    // each LPA round localCheckpoints, so the FINAL plan must be just the
-    // checkpoint scan — re-planning all 3 rounds here would mean the cut
-    // regressed (the q132/q145 lineage lesson)
+  test("q225 label propagation: generation cuts between rounds, lazy " +
+      "final round") {
+    // rounds 1-2 localCheckpoint (the q132/q145 lineage lesson), so the
+    // final plan reads round 2's cut as a materialized-RDD scan; round 3
+    // itself stays LAZY (the q324 rule — its only consumer is the final
+    // select, so an eager cut there is a whole extra materialization
+    // pass), which is exactly one window argmax in the final plan
     val p = plan("q225_label_prop")
     assert(p.contains("Scan ExistingRDD"), p)
-    assert(!p.contains("Window"), p)
+    // exactly ONE Window operator: round 3's argmax. Rounds 1-2
+    // re-planned would put three in the plan (the regressed-cut smell).
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
   }
 
   test("q226 skew diagnostics: bounded top cut, shared counts pass") {
@@ -1181,9 +1186,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the round-12 leak, pinned at plan level: both shingle passes are
-    // stateless scans, nothing is persisted
-    assert(!p.contains("InMemoryTableScan"), p)
+    // r15: the q547 call site opts into the occurrence-stream persist
+    // (occStorage), so the tokenize+shingle+md5 pass is ONE cached scan
+    // read by both the aggregate and the probe branch; the harness
+    // clearCache releases it (the exciseKept storage contract). The
+    // stateless default path's zero-storage guarantee is pinned in
+    // DedupSpec.
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("every keyed-scan consumer plans the PrefixScan physical node " +
