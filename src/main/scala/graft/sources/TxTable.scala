@@ -865,11 +865,33 @@ object TxTable {
         val added = rd(c.adds, c.partitionBy)
         val removed = rd(c.removes,
           layoutOf.getOrElse(c.version - 1, Nil))
-        val ins = (if (c.removes.isEmpty) added else added.exceptAll(removed))
-          .withColumn("_change_type", lit("insert"))
-        val del = (if (c.adds.isEmpty) removed else removed.exceptAll(added))
-          .withColumn("_change_type", lit("delete"))
-        Some(ins.unionByName(del).withColumn("_commit_version", lit(c.version)))
+        // Net diff in ONE pass: the textbook `added EXCEPT ALL removed` /
+        // `removed EXCEPT ALL added` pair costs two full
+        // union+aggregate+replicate shuffles over the SAME file sets
+        // (Spark rewrites each ExceptAll exactly that way). One signed
+        // count per distinct row gives both directions at once: net > 0
+        // is an insert with multiplicity net, net < 0 a delete with
+        // multiplicity -net, net = 0 a carried row — identical multiset
+        // semantics (NULLs group equal here and in ExceptAll), half the
+        // shuffles and half the file reads per commit. One-sided commits
+        // (pure appends / pure drops) keep the scan-only fast path.
+        val net =
+          if (c.removes.isEmpty) added.withColumn("_change_type", lit("insert"))
+          else if (c.adds.isEmpty)
+            removed.withColumn("_change_type", lit("delete"))
+          else {
+            val dataCols = added.columns.toSeq
+            added.withColumn("__w", lit(1L))
+              .unionByName(removed.withColumn("__w", lit(-1L)))
+              .groupBy(dataCols.map(col): _*).agg(sum("__w").as("__w"))
+              .where(col("__w") =!= 0L)
+              .withColumn("_change_type",
+                when(col("__w") > 0L, lit("insert")).otherwise(lit("delete")))
+              .withColumn("__i",
+                explode(sequence(lit(1L), abs(col("__w")))))
+              .drop("__w", "__i")
+          }
+        Some(net.withColumn("_commit_version", lit(c.version)))
       }
     }
     if (parts.isEmpty) {
