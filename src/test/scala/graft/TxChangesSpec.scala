@@ -98,4 +98,22 @@ class TxChangesSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("extra")))).toSet
     assert(rows == Set((0L, 1L, None), (1L, 2L, Some(java.lang.Long.valueOf(7L)))))
   }
+
+  test("net diff preserves duplicate-row multiplicities (the one-pass " +
+      "signed-count form, r15)") {
+    // ExceptAll semantics: a row occurring a times in the added files and
+    // b times in the removed files nets max(a-b,0) inserts / max(b-a,0)
+    // deletes. The r15 single-aggregate form must reproduce that exactly.
+    val dir = freshDir("multiset")
+    TxTable.append(df((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y")), dir) // v0
+    // v1 rewrites the table keeping ONE (1,x) and adding two (3,z)
+    TxTable.overwrite(df((1L, "x"), (2L, "y"), (3L, "z"), (3L, "z")), dir)
+    val v1 = TxTable.readChanges(spark, dir, 0L, Some(1L))
+      .groupBy("_change_type", "k", "v").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    // net: (1,x) 3→1 = delete ×2; (2,y) carried; (3,z) 0→2 = insert ×2
+    assert(v1 == Set(("delete", 1L, "x", 2L), ("insert", 3L, "z", 2L)), v1)
+    assertFeedInvariant(dir, -1L, 1L)
+  }
 }

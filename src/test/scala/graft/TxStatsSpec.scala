@@ -322,4 +322,30 @@ class TxStatsSpec extends SparkSpec {
       assert(statsAfterCompact.contains(f), s"compacted file $f lost its stats"))
     assert(TxTable.read(spark, dir).count() == 4)
   }
+
+  test("timestamp columns keep ordered zone-map bounds and prune " +
+      "(MICROS staging, r15)") {
+    // stage() writes TIMESTAMP_MICROS, so the default footer collector
+    // records ordered ts bounds — before r15, Spark's INT96 default made
+    // every TimestampType column fall open and ts-range predicates never
+    // pruned a file
+    val dir = freshDir("tsbounds")
+    TxTable.append(mixedDf(Seq(
+      (1L, 1.0, "a", ts("2020-01-01 00:00:00"), java.lang.Boolean.TRUE),
+      (2L, 2.0, "b", ts("2020-06-01 00:00:00"), java.lang.Boolean.TRUE))), dir)
+    TxTable.append(mixedDf(Seq(
+      (3L, 3.0, "c", ts("2021-01-01 00:00:00"), java.lang.Boolean.TRUE),
+      (4L, 4.0, "d", ts("2021-06-01 00:00:00"), java.lang.Boolean.TRUE))), dir)
+    val stats = TxTable.fileStats(dir)
+    TxTable.activeFiles(dir).foreach { f =>
+      val c = stats(f).cols.getOrElse("t", fail(s"$f: no ts column stats"))
+      assert(c.lo.nonEmpty && c.hi.nonEmpty, s"$f: ts bounds fell open")
+    }
+    // a ts-range probe beyond the first file's range prunes it
+    val (touched, pruned) = TxTable.pruneFiles(spark, dir,
+      col("t") >= lit(ts("2021-01-01 00:00:00")))
+    assert(touched.size == 1 && pruned.size == 1, s"$touched / $pruned")
+    assert(TxTable.readWhere(spark, dir,
+      col("t") >= lit(ts("2021-01-01 00:00:00"))).count() == 2)
+  }
 }
